@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initializes Ray itself before importing this module; nothing
+here (or in ``pdf_extraction_ray``) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 (plus the beyond-reference training-data operators); each
+callable takes an sf dir and returns a Dataset / DataFrame / pyarrow
+Table. ``oracle_sql()`` provides the DuckDB-equivalent SQL; the pages
+corpus is a pure function of ``documents`` (pdf_extraction_ray/sources/
+spec.py), so even the extraction pipeline itself has a value-hash oracle.
 """
 
 from __future__ import annotations
@@ -18,27 +16,94 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import ray.data as rd
+
+from pdf_extraction_ray import oracle
+from pdf_extraction_ray.config import PipelineConfig
+from pdf_extraction_ray.pipelines import extraction
+from pdf_extraction_ray.sources import corpus, spec
+
+_CFG = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES)
+
+EXTRACT_COLUMNS = [
+    "url", "warc_ts", "lang", "content_type", "status", "error", "route",
+    "quality_pct", "doc_kind", "doc_conf_pct", "doc_method",
+    "extracted_text", "n_chars",
+]
+
+_extracted_cache: dict[str, rd.Dataset] = {}
+
+
+def _extracted(sf_dir: str) -> rd.Dataset:
+    """Flagship pipeline output for an sf dir (materialized once per
+    process; the driver calls many queries against the same sf)."""
+    if sf_dir not in _extracted_cache:
+        pages = corpus.ensure_pages_corpus(sf_dir)
+        _extracted_cache[sf_dir] = extraction.run_extraction(
+            pages, _CFG).materialize()
+    return _extracted_cache[sf_dir]
+
+
+# ---------------------------------------------------------------------------
+# extraction family
+# ---------------------------------------------------------------------------
+
+
+def q_extract_pipeline(sf_dir: str) -> rd.Dataset:
+    """SURVEY.md §2 M1-M17 end-to-end (the north-rule pipeline)."""
+    return _extracted(sf_dir).select_columns(EXTRACT_COLUMNS)
+
+
+def q_extract_routing_stats(sf_dir: str) -> rd.Dataset:
+    """Routing/batch counters (reference: app/routers/stats.py:116-278,
+    app/db/batch_jobs.py:86-183 → SURVEY.md A1/A3/A4)."""
+    from ray.data.aggregate import Count, Sum
+    return _extracted(sf_dir).groupby(["content_type", "status", "route"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("quality_pct", alias_name="sum_quality"),
+        Sum("n_chars", alias_name="sum_chars"),
+    )
+
+
+def q_sniff_counts(sf_dir: str) -> rd.Dataset:
+    """Content-type sniffing distribution (SURVEY.md M2)."""
+    from ray.data.aggregate import Count
+    return _extracted(sf_dir).groupby("content_type").aggregate(
+        Count(alias_name="n_docs"))
+
+
+def q_classify_counts(sf_dir: str) -> rd.Dataset:
+    """Classifier cascade distribution (SURVEY.md M8-M10)."""
+    from ray.data.aggregate import Count, Sum
+    return _extracted(sf_dir).groupby(["doc_kind", "doc_method"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("doc_conf_pct", alias_name="sum_conf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (driver smoke check)."""
+    return q_extract_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_pipeline": q_extract_pipeline,
+        "extract_routing_stats": q_extract_routing_stats,
+        "sniff_counts": q_sniff_counts,
+        "classify_counts": q_classify_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_pipeline": oracle.extract_pipeline_sql(),
+        "extract_routing_stats": oracle.extract_routing_stats_sql(),
+        "sniff_counts": oracle.sniff_counts_sql(),
+        "classify_counts": oracle.classify_counts_sql(),
+    }

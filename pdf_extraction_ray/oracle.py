@@ -1,0 +1,219 @@
+"""DuckDB oracle SQL for the extraction pipeline.
+
+The driver's correctness gate runs each ``queries()`` entry (Ray) next to
+its ``oracle_sql()`` entry (DuckDB over the same parquet views) and
+compares row counts + schema + value hashes. The pages corpus is a pure
+function of ``documents`` (sources/spec.py), so the expected output of the
+WHOLE extraction pipeline — content-type, validation status, routing,
+classification, and the extracted text itself — is expressible as one SQL
+view over ``documents``. This module generates that SQL from the same
+constants the generator uses; any drift between generator, extractor, and
+oracle shows up as a hash mismatch.
+
+Layout note: every expression mirrors a function in sources/spec.py — keep
+them in lockstep (spec.SPEC_VERSION bumps when semantics change).
+"""
+
+from __future__ import annotations
+
+from .functions.classify import MEMO_PHRASES, QP_PHRASES
+from .sources import spec
+
+SEP2 = "chr(10) || chr(10)"   # "\n\n"
+NL = "chr(10)"                # "\n"
+
+
+def _pieces(width: int) -> str:
+    """list of ``width``-char chunks of ``text`` (1-based substr)."""
+    return (
+        f"list_transform(range(0, CAST(ceil(length(text)/{width}.0) AS BIGINT)), "
+        f"j -> substr(text, CAST(j*{width}+1 AS BIGINT), {width}))"
+    )
+
+
+def _rep_join(single: str, rep: str, sep: str) -> str:
+    """``sep.join([single] * rep)`` — equals joining the repeated piece list."""
+    return (f"(CASE WHEN {rep} > 1 THEN repeat({single} || {sep}, {rep} - 1) "
+            f"ELSE '' END || {single})")
+
+
+def base_cte() -> str:
+    """CTEs deriving the expected pipeline output from ``documents``."""
+    hsingle = f"array_to_string({_pieces(spec.HTML_PIECE_W)}, {SEP2})"
+    psingle = f"array_to_string({_pieces(spec.PDF_LINE_W)}, {NL})"
+    table_rows = (
+        "array_to_string(list_transform(range(1, nrows + 1), "
+        "r -> 'r' || CAST(r AS VARCHAR) || chr(9) || 'v' || "
+        "CAST(doc_id * r AS VARCHAR)), " + SEP2 + ")"
+    )
+    phrase = f"'{spec.PHRASE}'"
+
+    html_body = _rep_join("hsingle", "rep_h", SEP2)
+    pdf_body = _rep_join("psingle", "rep_p", NL)
+    pdf_big_body = _rep_join("psingle", "rep_big", NL)
+
+    memo_hits = " + ".join(
+        f"(CASE WHEN contains(samp, '{p}') THEN 1 ELSE 0 END)" for p in MEMO_PHRASES)
+    qp_hits = " + ".join(
+        f"(CASE WHEN contains(samp, '{p}') THEN 1 ELSE 0 END)" for p in QP_PHRASES)
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source,
+         doc_id % 100 AS sub,
+         doc_id % 10  AS lastd,
+         3 + doc_id % 5 AS rep_h,
+         2 + doc_id % 4 AS rep_p,
+         30 + (doc_id * 7) % 70 AS rep_big,
+         2 + doc_id % 6 AS nrows,
+         CAST(ceil(length(text)/{spec.HTML_PIECE_W}.0) AS BIGINT) AS np_h,
+         CAST(ceil(length(text)/{spec.PDF_LINE_W}.0) AS BIGINT) AS np_p,
+         {hsingle} AS hsingle,
+         {psingle} AS psingle,
+         {table_rows} AS trows
+  FROM documents
+), flags AS (
+  SELECT *,
+         (lastd = 5 AND sub < 90) AS has_phrase,
+         (sub BETWEEN 40 AND 49) AS has_heading,
+         source || ' #' || CAST(doc_id AS VARCHAR) AS heading_txt
+  FROM base
+), prim AS (
+  SELECT *,
+    CASE
+      WHEN sub BETWEEN 0 AND 64 THEN
+        (CASE WHEN has_phrase THEN {phrase} || {SEP2} ELSE '' END)
+        || (CASE WHEN has_heading THEN heading_txt || {SEP2} ELSE '' END)
+        || {html_body}
+      WHEN sub BETWEEN 65 AND 69 THEN
+        (CASE WHEN has_phrase THEN {phrase} || {SEP2} ELSE '' END)
+        || {html_body} || {SEP2} || trows
+      WHEN sub BETWEEN 70 AND 87 THEN
+        (CASE WHEN has_phrase THEN {phrase} || {NL} ELSE '' END)
+        || {pdf_body}
+      WHEN sub BETWEEN 88 AND 89 THEN
+        (CASE WHEN has_phrase THEN {phrase} || {NL} ELSE '' END)
+        || {pdf_big_body}
+      WHEN sub BETWEEN 90 AND 91 THEN substr(text, 1, 80)
+      ELSE ''
+    END AS primary_text,
+    CASE
+      WHEN sub BETWEEN 0 AND 64 THEN
+        (CASE WHEN has_phrase THEN 1 ELSE 0 END)
+        + (CASE WHEN has_heading THEN 1 ELSE 0 END) + np_h * rep_h
+      WHEN sub BETWEEN 65 AND 69 THEN
+        (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_h * rep_h + nrows
+      WHEN sub BETWEEN 70 AND 87 THEN
+        (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_p * rep_p
+      WHEN sub BETWEEN 88 AND 89 THEN
+        (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_p * rep_big
+      WHEN sub BETWEEN 90 AND 91 THEN 1
+      ELSE 0
+    END AS n_blocks,
+    CASE WHEN has_heading THEN 1 ELSE 0 END AS n_headings,
+    CASE WHEN sub BETWEEN 95 AND 97 THEN 'rejected'
+         WHEN sub = 98 THEN 'rejected'
+         WHEN sub = 99 THEN 'rejected'
+         ELSE 'completed' END AS status,
+    CASE WHEN sub BETWEEN 95 AND 97 THEN 'unsupported_type'
+         WHEN sub = 98 THEN 'empty'
+         WHEN sub = 99 THEN 'too_large'
+         ELSE '' END AS error,
+    CASE WHEN sub BETWEEN 95 AND 97 THEN 'unknown'
+         WHEN sub = 98 THEN 'empty'
+         WHEN sub BETWEEN 70 AND 89 OR sub BETWEEN 92 AND 93 THEN 'pdf'
+         ELSE 'html' END AS content_type
+  FROM flags
+), scored AS (
+  SELECT *,
+    LEAST(
+      (CASE WHEN length(primary_text) > 1000 THEN 40
+            WHEN length(primary_text) > 500 THEN 30
+            WHEN length(primary_text) > 100 THEN 20 ELSE 0 END)
+      + (CASE WHEN n_blocks > 50 THEN 30
+              WHEN n_blocks > 20 THEN 20
+              WHEN n_blocks > 5 THEN 10 ELSE 0 END)
+      + (CASE WHEN n_headings >= 5 THEN 15
+              WHEN n_headings >= 3 THEN 10
+              WHEN n_headings >= 1 THEN 5 ELSE 0 END)
+      + (CASE WHEN sub BETWEEN 65 AND 69 THEN
+                (CASE WHEN nrows > 3 THEN 15 ELSE 10 END) ELSE 0 END),
+      100) AS q_pct
+  FROM prim
+), routed AS (
+  SELECT *,
+    CASE WHEN status = 'rejected' THEN 'none'
+         WHEN q_pct < {spec.CORPUS_QUALITY_THRESHOLD_PCT} THEN 'salvage'
+         ELSE 'primary' END AS route,
+    CASE WHEN status = 'rejected' THEN ''
+         WHEN sub BETWEEN 92 AND 93 THEN substr(text, 1, 100)
+         ELSE primary_text END AS extracted_text
+  FROM scored
+), classified AS (
+  SELECT *,
+    lower(substr(extracted_text, 1, 3000)) AS samp
+  FROM routed
+), expected AS (
+  SELECT
+    'https://corpus.example/' || source || '/d'
+      || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+      || (CASE WHEN lastd = 3 THEN '-memo'
+               WHEN lastd = 7 THEN '-qp' ELSE '' END) AS url,
+    TIMESTAMP '2020-01-01 00:00:00'
+      + to_seconds(doc_id * {spec.TS_STEP_S}) AS warc_ts,
+    lang, content_type, status, error, route,
+    CAST(CASE WHEN status = 'rejected' THEN 0 ELSE q_pct END AS BIGINT)
+      AS quality_pct,
+    CASE WHEN status = 'rejected' THEN 'unknown'
+         WHEN lastd = 3 THEN 'memo'
+         WHEN lastd = 7 THEN 'question_paper'
+         WHEN ({memo_hits}) > 0 AND ({memo_hits}) > ({qp_hits}) THEN 'memo'
+         ELSE 'question_paper' END AS doc_kind,
+    CAST(CASE WHEN status = 'rejected' THEN 0
+         WHEN lastd IN (3, 7) THEN 90
+         WHEN ({memo_hits}) > 0 AND ({memo_hits}) > ({qp_hits})
+           THEN LEAST(70 + 5 * ({memo_hits}), 95)
+         WHEN ({qp_hits}) > 0 AND ({qp_hits}) > ({memo_hits})
+           THEN LEAST(70 + 5 * ({qp_hits}), 95)
+         ELSE 50 END AS BIGINT) AS doc_conf_pct,
+    CASE WHEN status = 'rejected' THEN 'none'
+         WHEN lastd IN (3, 7) THEN 'filename'
+         WHEN ({memo_hits}) > 0 AND ({memo_hits}) > ({qp_hits})
+           THEN 'content_keywords'
+         WHEN ({qp_hits}) > 0 AND ({qp_hits}) > ({memo_hits})
+           THEN 'content_keywords'
+         ELSE 'default' END AS doc_method,
+    extracted_text,
+    CAST(length(extracted_text) AS BIGINT) AS n_chars
+  FROM classified
+)"""
+
+
+def extract_pipeline_sql() -> str:
+    return base_cte() + """
+SELECT url, warc_ts, lang, content_type, status, error, route, quality_pct,
+       doc_kind, doc_conf_pct, doc_method, extracted_text, n_chars
+FROM expected"""
+
+
+def extract_routing_stats_sql() -> str:
+    return base_cte() + """
+SELECT content_type, status, route,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(quality_pct) AS BIGINT) AS sum_quality,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM expected
+GROUP BY content_type, status, route"""
+
+
+def sniff_counts_sql() -> str:
+    return base_cte() + """
+SELECT content_type, CAST(count(*) AS BIGINT) AS n_docs
+FROM expected GROUP BY content_type"""
+
+
+def classify_counts_sql() -> str:
+    return base_cte() + """
+SELECT doc_kind, doc_method, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_conf_pct) AS BIGINT) AS sum_conf
+FROM expected GROUP BY doc_kind, doc_method"""

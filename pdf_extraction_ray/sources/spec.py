@@ -52,6 +52,7 @@ DUP_OFFSET_S = 3600
 PHRASE = "notes to markers mark allocation"
 OVERSIZE_PAD = 300_000     # bytes of comment padding on kind `oversize`
 CORPUS_MAX_BYTES = 262_144  # pipeline size cap used with this corpus
+CORPUS_QUALITY_THRESHOLD_PCT = 70  # routing threshold (reference: quality < 0.7)
 SPEC_VERSION = "v1"        # bump to invalidate cached generated corpora
 
 
