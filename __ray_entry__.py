@@ -23,7 +23,8 @@ from pdf_extraction_ray.config import PipelineConfig
 from pdf_extraction_ray.pipelines import extraction
 from pdf_extraction_ray.sources import corpus, spec
 
-_CFG = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES)
+_CFG = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
+                      split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
 
 EXTRACT_COLUMNS = [
     "url", "warc_ts", "lang", "content_type", "status", "error", "route",

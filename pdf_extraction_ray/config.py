@@ -40,7 +40,10 @@ class PipelineConfig:
     #     concurrency is a pool size, num_cpus a per-actor reservation) ---
     sniff_batch_size: int = 1024
     extract_batch_size: int = 64     # heavy rows: keep blocks modest
-    extract_concurrency: tuple[int, int] = (2, 16)
+    # min 1: two extract pools must never reserve every CPU of a small
+    # session (4-CPU test fixture) or the read stages starve and the
+    # pipeline deadlocks; autoscaling grows pools under load
+    extract_concurrency: tuple[int, int] = (1, 16)
 
     # --- dedup ---
     dedup_enabled: bool = True

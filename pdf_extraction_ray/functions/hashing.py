@@ -131,9 +131,9 @@ def rolling_fingerprint(text: str, window: int = 16, keep_mod: int = 8) -> list[
     h = 0
     out = []
     for i, ch in enumerate(text):
-        h = (h * base + ord(ch)) % mod
         if i >= window:
             h = (h - ord(text[i - window]) * power) % mod
+        h = (h * base + ord(ch)) % mod
         if i >= window - 1 and h % keep_mod == 0:
             out.append(h)
     return out

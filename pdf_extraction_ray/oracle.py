@@ -64,7 +64,7 @@ WITH base AS (
          doc_id % 10  AS lastd,
          3 + doc_id % 5 AS rep_h,
          2 + doc_id % 4 AS rep_p,
-         30 + (doc_id * 7) % 70 AS rep_big,
+         150 + (doc_id * 7) % 50 AS rep_big,
          2 + doc_id % 6 AS nrows,
          CAST(ceil(length(text)/{spec.HTML_PIECE_W}.0) AS BIGINT) AS np_h,
          CAST(ceil(length(text)/{spec.PDF_LINE_W}.0) AS BIGINT) AS np_p,

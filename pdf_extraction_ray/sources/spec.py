@@ -53,7 +53,10 @@ PHRASE = "notes to markers mark allocation"
 OVERSIZE_PAD = 300_000     # bytes of comment padding on kind `oversize`
 CORPUS_MAX_BYTES = 262_144  # pipeline size cap used with this corpus
 CORPUS_QUALITY_THRESHOLD_PCT = 70  # routing threshold (reference: quality < 0.7)
-SPEC_VERSION = "v1"        # bump to invalidate cached generated corpora
+# oversized PDFs are >= ceil(150/45)=4 pages; normal PDFs are <= 2 pages,
+# so threshold 3 cleanly routes pdf_big (and only pdf_big) to the shard path
+CORPUS_SPLIT_PAGE_THRESHOLD = 3
+SPEC_VERSION = "v2"        # bump to invalidate cached generated corpora
 
 
 # --- kind assignment --------------------------------------------------------
@@ -100,7 +103,7 @@ def rep_pdf(doc_id: int) -> int:
 
 
 def rep_big(doc_id: int) -> int:
-    return 30 + (doc_id * 7) % 70
+    return 150 + (doc_id * 7) % 50
 
 
 def n_table_rows(doc_id: int) -> int:

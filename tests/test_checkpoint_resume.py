@@ -1,0 +1,66 @@
+"""Checkpoint/resume tests (FIXTURES.md F4): kill-and-rerun must not
+recompute finished buckets and must produce byte-identical final output."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from pdf_extraction_ray.config import PipelineConfig
+from pdf_extraction_ray.sources import spec
+from pdf_extraction_ray.state import checkpoint as ckpt
+
+CFG = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES, n_buckets=16,
+                     extract_concurrency=(1, 2),
+                     split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def _run(pages, out_dir):
+    from pdf_extraction_ray.pipelines.extraction import run_extraction
+    ds = run_extraction(pages, CFG, out_dir=out_dir)
+    return ds.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def test_checkpointed_run_writes_manifests(ray_session, pages_corpus, out_dir):
+    df = _run(pages_corpus, out_dir)
+    manifests = ckpt.load_manifests(out_dir)
+    assert len(manifests) == CFG.n_buckets
+    assert sum(m["n_rows"] for m in manifests.values()) == len(df)
+    summary = json.load(open(os.path.join(out_dir, "_manifests", "_run.json")))
+    assert summary["n_rows"] == len(df)
+    assert summary["docs_per_s"] > 0
+
+
+def test_resume_skips_finished_buckets(ray_session, pages_corpus, out_dir):
+    df1 = _run(pages_corpus, out_dir)
+    manifests = ckpt.load_manifests(out_dir)
+    victims = sorted(manifests)[:4]
+    survivors = {b: manifests[b]["fingerprint"] for b in manifests if b not in victims}
+    survivor_mtimes = {b: os.path.getmtime(ckpt.manifest_path(out_dir, b))
+                       for b in survivors}
+    for b in victims:
+        os.remove(ckpt.manifest_path(out_dir, b))
+        shutil.rmtree(ckpt.bucket_dir(out_dir, b))
+
+    df2 = _run(pages_corpus, out_dir)
+    assert df1.equals(df2)
+    m2 = ckpt.load_manifests(out_dir)
+    assert set(m2) == set(manifests)
+    for b, fp in survivors.items():
+        assert m2[b]["fingerprint"] == fp
+        # untouched buckets were not rewritten at all
+        assert os.path.getmtime(ckpt.manifest_path(out_dir, b)) == survivor_mtimes[b]
+
+
+def test_manifest_without_data_file_is_invalid(ray_session, pages_corpus, out_dir):
+    _run(pages_corpus, out_dir)
+    manifests = ckpt.load_manifests(out_dir)
+    b = sorted(manifests)[0]
+    os.remove(manifests[b]["path"])  # data vanished; manifest must not count
+    assert b not in ckpt.load_manifests(out_dir)

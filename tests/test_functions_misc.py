@@ -1,0 +1,173 @@
+"""Unit tests: quality scoring, routing, classification, slug/sanitize,
+hashing, text analytics (reference analogs: tests for
+opendataloader_extractor quality cases, document_classifier, file
+validator sanitize)."""
+
+import pytest
+
+from pdf_extraction_ray.functions.classify import classify
+from pdf_extraction_ray.functions.hashing import (
+    hamming64, jaccard, minhash_bands, minhash_signature, rolling_fingerprint,
+    sha256_hex, shingles, simhash64, stable_hash64, url_bucket)
+from pdf_extraction_ray.functions.quality import quality_score_pct, route_for
+from pdf_extraction_ray.functions.slug import canonical_name, sanitize_filename, slugify
+from pdf_extraction_ray.functions.textstats import detect_lang, text_quality, token_count
+
+
+# --- quality (reference: opendataloader_extractor.py:18-80) -----------------
+
+@pytest.mark.parametrize("tl,ec,hc,tables,want", [
+    (0, 0, 0, [], 0),
+    (101, 0, 0, [], 20),
+    (501, 0, 0, [], 30),
+    (1001, 0, 0, [], 40),
+    (0, 6, 0, [], 10),
+    (0, 21, 0, [], 20),
+    (0, 51, 0, [], 30),
+    (0, 0, 1, [], 5),
+    (0, 0, 3, [], 10),
+    (0, 0, 5, [], 15),
+    (0, 0, 0, [2], 10),     # some tables, none valid
+    (0, 0, 0, [4], 15),     # a valid table (>3 rows)
+    (1001, 51, 5, [4], 100),
+])
+def test_quality_cases(tl, ec, hc, tables, want):
+    assert quality_score_pct(tl, ec, hc, tables) == want
+
+
+def test_route_threshold():
+    assert route_for(69) == "salvage"
+    assert route_for(70) == "primary"
+
+
+# --- classifier (reference: document_classifier.py) -------------------------
+
+def test_classify_filename_memo():
+    assert classify("https://x/papers/math-memo.pdf", "") == ("memo", 90, "filename")
+
+
+def test_classify_filename_qp():
+    assert classify("https://x/2017-QP-final", "") == ("question_paper", 90, "filename")
+
+
+def test_classify_filename_ambiguous_falls_through():
+    kind, conf, method = classify("https://x/memo-and-qp", "")
+    assert method != "filename"
+
+
+def test_classify_content_phrases():
+    text = "MARKING GUIDELINE\nnotes to markers: award marks"
+    assert classify("https://x/doc", text) == ("memo", 80, "content_keywords")
+
+
+def test_classify_content_confidence_cap():
+    text = " ".join(["marking guideline memorandum notes to markers model answer "
+                     "mark allocation marks will be awarded"])
+    assert classify("https://x/doc", text)[1] == 95
+
+
+def test_classify_default():
+    assert classify("https://x/doc", "nothing informative") == (
+        "question_paper", 50, "default")
+
+
+def test_classify_scan_window_3000():
+    text = "x" * 3001 + "marking guideline"
+    assert classify("https://x/doc", text)[2] == "default"
+
+
+# --- slug / sanitize (reference: extraction.py:146-151, file_validator) -----
+
+def test_slugify():
+    assert slugify("Business Studies P1") == "business-studies-p1"
+    assert slugify("May/June") == "may-june"
+    assert slugify("--x--") == "x"
+
+
+def test_canonical_name():
+    assert canonical_name("abc123", "Math P1", "12", "May/June", 2017) == \
+        "abc123-math-p1-gr12-may-june-2017-qp"
+
+
+def test_sanitize_traversal():
+    # basename first (as the reference does), then traversal chars removed
+    assert sanitize_filename("../../etc/passwd") == "passwd.pdf"
+    assert sanitize_filename("..\\..\\x.pdf") == "x.pdf"
+
+
+def test_sanitize_reserved():
+    assert sanitize_filename("CON.pdf") == "upload.pdf"
+
+
+def test_sanitize_empty():
+    assert sanitize_filename("") == "upload.pdf"
+
+
+def test_sanitize_length():
+    assert len(sanitize_filename("a" * 400 + ".pdf")) <= 255
+
+
+# --- hashing ----------------------------------------------------------------
+
+def test_sha256_matches_reference_identity():
+    import hashlib
+    assert sha256_hex(b"abc") == hashlib.sha256(b"abc").hexdigest()
+
+
+def test_stable_hash_deterministic():
+    assert stable_hash64("x") == stable_hash64("x")
+    assert stable_hash64("x") != stable_hash64("y")
+
+
+def test_url_bucket_range():
+    assert all(0 <= url_bucket(f"u{i}", 64) < 64 for i in range(100))
+
+
+def test_minhash_similarity_estimate():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox jumps over the lazy cat " * 5
+    sa, sb = shingles(a), shingles(b)
+    true_j = jaccard(sa, sb)
+    est = float((minhash_signature(sa, 128) == minhash_signature(sb, 128)).mean())
+    assert abs(est - true_j) < 0.2
+
+
+def test_minhash_bands_collide_for_identical():
+    s = shingles("identical document text here")
+    assert minhash_bands(minhash_signature(s)) == minhash_bands(minhash_signature(s))
+
+
+def test_simhash_near_dup():
+    a = "word " * 50 + "alpha beta gamma delta"
+    b = "word " * 50 + "alpha beta gamma epsilon"
+    assert hamming64(simhash64(a), simhash64(b)) <= 12
+    c = "completely different vocabulary everywhere now"
+    assert hamming64(simhash64(a), simhash64(c)) > 12
+
+
+def test_rolling_fingerprint_shift_invariant_content():
+    fp1 = set(rolling_fingerprint("PREFIX " + "shared body of text " * 10))
+    fp2 = set(rolling_fingerprint("OTHER " + "shared body of text " * 10))
+    assert len(fp1 & fp2) > 0
+
+
+# --- textstats --------------------------------------------------------------
+
+def test_token_count():
+    assert token_count("hello world_9, twice") == 3
+
+
+def test_text_quality_ratios():
+    q = text_quality("Hello, world!")
+    assert q["n_tokens"] == 2
+    assert q["punct_ratio"] > 0
+    assert q["n_chars"] == 13
+
+
+def test_detect_lang():
+    assert detect_lang("the cat is on the mat and it is happy") == "en"
+    assert detect_lang("le chat est dans la maison et il est content") == "fr"
+    assert detect_lang("el gato es bonito y la casa es grande") == "es"
+    assert detect_lang("der hund und die katze sind im haus") == "de"
+    assert detect_lang("这是一个中文句子，没有任何英文单词。") == "zh"
+    assert detect_lang("") == "und"
