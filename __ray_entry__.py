@@ -20,7 +20,7 @@ import ray.data as rd
 
 from pdf_extraction_ray import oracle
 from pdf_extraction_ray.config import PipelineConfig
-from pdf_extraction_ray.pipelines import extraction
+from pdf_extraction_ray.pipelines import analytics, extraction, relational
 from pdf_extraction_ray.sources import corpus, spec
 
 _CFG = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
@@ -94,10 +94,35 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # extraction family (north-rule pipeline; SURVEY.md §2 M1-M17)
         "extract_pipeline": q_extract_pipeline,
         "extract_routing_stats": q_extract_routing_stats,
         "sniff_counts": q_sniff_counts,
         "classify_counts": q_classify_counts,
+        # relational family (SURVEY.md §2.4-2.7 A1/A3/A5/A6, J3/J4, O1, D3)
+        "pricing_summary": relational.pricing_summary,
+        "customers_per_region": relational.customers_per_region,
+        "top_orders": relational.top_orders,
+        "event_value_stats": relational.event_value_stats,
+        "part_stats": relational.part_stats,
+        "nations_with_presence": relational.nations_with_presence,
+        # scalar-function library as dataset ops (M3/M4/M16)
+        "sha256_docs": analytics.sha256_docs,
+        "canonical_names": analytics.canonical_names,
+        # text analytics (training-data operators)
+        "token_stats": analytics.token_stats,
+        "lang_id": analytics.lang_id,
+        "fingerprint_docs": analytics.fingerprint_docs,
+        # dedup family (D1 + near-dup extensions)
+        "dedup_exact": analytics.dedup_exact,
+        "dedup_minhash": analytics.dedup_minhash,
+        "dedup_simhash": analytics.dedup_simhash,
+        # similarity search
+        "ann_bruteforce": analytics.ann_bruteforce,
+        "ann_ivf": analytics.ann_ivf,
+        # windowed aggregates (streaming-shaped)
+        "window_tumbling": analytics.window_tumbling,
+        "sessions": analytics.sessions,
     }
 
 
@@ -107,4 +132,20 @@ def oracle_sql() -> dict[str, str]:
         "extract_routing_stats": oracle.extract_routing_stats_sql(),
         "sniff_counts": oracle.sniff_counts_sql(),
         "classify_counts": oracle.classify_counts_sql(),
+        "pricing_summary": relational.pricing_summary_sql(),
+        "customers_per_region": relational.customers_per_region_sql(),
+        "top_orders": relational.top_orders_sql(),
+        "event_value_stats": relational.event_value_stats_sql(),
+        "part_stats": relational.part_stats_sql(),
+        "nations_with_presence": relational.nations_with_presence_sql(),
+        "sha256_docs": analytics.sha256_docs_sql(),
+        "canonical_names": analytics.canonical_names_sql(),
+        "token_stats": analytics.token_stats_sql(),
+        "lang_id": analytics.lang_id_sql(),
+        "dedup_exact": analytics.dedup_exact_sql(),
+        "ann_bruteforce": analytics.ann_bruteforce_sql(),
+        "window_tumbling": analytics.window_tumbling_sql(),
+        "sessions": analytics.sessions_sql(),
+        # rows-only (non-SQL-expressible): fingerprint_docs, dedup_minhash,
+        # dedup_simhash, ann_ivf — verified in tests instead
     }

@@ -91,16 +91,21 @@ def minhash_bands(sig: np.ndarray, bands: int = 16) -> list[int]:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens."""
+    """64-bit count-weighted SimHash over word tokens (Charikar-style:
+    each feature votes with its frequency, so small edits move few bits)."""
     toks = tokens(text)
     if not toks:
         return 0
-    hs = np.fromiter((stable_hash64(t) for t in set(toks)), dtype=np.uint64)
-    counts = np.zeros(64, dtype=np.int64)
+    freq: dict[str, int] = {}
+    for t in toks:
+        freq[t] = freq.get(t, 0) + 1
+    hs = np.fromiter((stable_hash64(t) for t in freq), dtype=np.uint64)
+    ws = np.fromiter(freq.values(), dtype=np.int64)
+    votes = np.zeros(64, dtype=np.int64)
     for bit in range(64):
-        counts[bit] = int(((hs >> np.uint64(bit)) & np.uint64(1)).sum())
-    n = len(hs)
-    return int(sum(1 << b for b in range(64) if counts[b] * 2 > n))
+        on = ((hs >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        votes[bit] = int((ws * (2 * on - 1)).sum())
+    return int(sum(1 << b for b in range(64) if votes[b] > 0))
 
 
 def hamming64(a: int, b: int) -> int:

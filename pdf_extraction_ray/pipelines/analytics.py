@@ -1,0 +1,367 @@
+"""Text-analytics, dedup-family, similarity, and windowed-aggregate
+queries over the test tables — the training-data operator suite
+(beyond the reference; SURVEY.md build-plan extensions) plus the
+reference's scalar-function library as dataset ops (M3/M4/M16).
+
+Each ``*_sql`` sibling is the DuckDB oracle for the driver's value-hash
+compare. Float-valued similarity scores are never part of a compared
+column — ANN queries output integer (query_id, neighbor_id, rank) with a
+deterministic (-sim, id) tie-break on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..functions.classify import MEMO_PHRASES, QP_PHRASES  # noqa: F401 (parity)
+from ..functions.hashing import rolling_fingerprint, sha256_hex
+from ..functions.slug import canonical_name
+from ..functions.textstats import LANG_PROFILES, TOKEN_RE, detect_lang
+from ..stages import dedup as dd
+from ..stages import similarity as sim
+from ..stages import window as win
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# scalar-function library over datasets (M3/M4/M16)
+# ---------------------------------------------------------------------------
+
+
+def sha256_docs(sf_dir: str) -> rd.Dataset:
+    """Content identity hashing (reference: file_validator.py:79)."""
+    def add(batch: pa.Table) -> pa.Table:
+        hs = [sha256_hex(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "content_sha256": pa.array(hs, pa.string())})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add, batch_format="pyarrow")
+
+
+def sha256_docs_sql() -> str:
+    return "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
+
+
+def canonical_names(sf_dir: str) -> rd.Dataset:
+    """Canonical output naming (reference:
+    FullExamPaper.build_canonical_filename, app/models/extraction.py:131-161
+    — sha256[:12] doc id + slug parts)."""
+    def add(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        sources = batch["source"].to_pylist()
+        names = [
+            canonical_name(sha256_hex(t)[:12], f"{s} Studies P1",
+                           str(d % 12 + 1), "May/June", 2017 + d % 8,
+                           "mg" if d % 10 == 3 else "qp")
+            for d, t, s in zip(ids, texts, sources)
+        ]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "canonical_name": pa.array(names, pa.string())})
+    return _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        add, batch_format="pyarrow")
+
+
+def canonical_names_sql() -> str:
+    slug = ("trim(regexp_replace(regexp_replace(regexp_replace(lower({x}), "
+            "'[/\\\\]+', '-', 'g'), '[^a-z0-9-]+', '-', 'g'), '-+', '-', 'g'), '-')")
+    subject = slug.format(x="source || ' Studies P1'")
+    return f"""
+SELECT doc_id,
+       substr(sha256(text), 1, 12) || '-' || {subject}
+       || '-gr' || CAST(doc_id % 12 + 1 AS VARCHAR)
+       || '-may-june-' || CAST(2017 + doc_id % 8 AS VARCHAR)
+       || (CASE WHEN doc_id % 10 = 3 THEN '-mg' ELSE '-qp' END)
+       AS canonical_name
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# text analytics
+# ---------------------------------------------------------------------------
+
+
+def token_stats(sf_dir: str) -> rd.Dataset:
+    """Token counting + quality-ratio inputs as exact integers."""
+    en_stop = LANG_PROFILES["en"]
+
+    def add(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": batch["doc_id"].to_pylist(), "n_tokens": [],
+                "n_stop": [], "n_upper": [], "sum_token_len": []}
+        for t in batch["text"].to_pylist():
+            toks = TOKEN_RE.findall(t)
+            rows["n_tokens"].append(len(toks))
+            rows["n_stop"].append(sum(1 for w in toks if w.lower() in en_stop))
+            rows["n_upper"].append(sum(1 for c in t if c.isupper()))
+            rows["sum_token_len"].append(sum(len(w) for w in toks))
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+            "n_stop": pa.array(rows["n_stop"], pa.int64()),
+            "n_upper": pa.array(rows["n_upper"], pa.int64()),
+            "sum_token_len": pa.array(rows["sum_token_len"], pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add, batch_format="pyarrow")
+
+
+def token_stats_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES["en"]))
+    return f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                       t -> t IN ({stop}))) AS BIGINT) AS n_stop,
+  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS BIGINT) AS sum_token_len
+FROM documents"""
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    """Language identification vs the table's labeled lang."""
+    def add(batch: pa.Table) -> pa.Table:
+        preds = [detect_lang(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "lang": batch["lang"],
+                         "lang_pred": pa.array(preds, pa.string())})
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        add, batch_format="pyarrow")
+
+
+def lang_id_sql() -> str:
+    def hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+        return (f"len(list_filter(regexp_extract_all(lower(substr(text, 1, 2000)), "
+                f"'[a-z0-9_]+'), t -> t IN ({words})))")
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         length(regexp_replace(substr(text, 1, 2000), '[^一-鿿]', '', 'g')) AS han,
+         length(substr(text, 1, 2000)) AS slen,
+         {hits('en')} AS h_en, {hits('fr')} AS h_fr,
+         {hits('es')} AS h_es, {hits('de')} AS h_de
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN slen = 0 THEN 'und'
+       WHEN han * 20 > slen THEN 'zh'
+       WHEN greatest(h_en, h_fr, h_es, h_de) = 0 THEN 'und'
+       WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en'
+       WHEN h_fr = greatest(h_fr, h_es, h_de) THEN 'fr'
+       WHEN h_es = greatest(h_es, h_de) THEN 'es'
+       ELSE 'de' END AS lang_pred
+FROM h"""
+
+
+def fingerprint_docs(sf_dir: str) -> rd.Dataset:
+    """Winnowing-style document fingerprints (no SQL analog → rows-only
+    driver check; determinism asserted in tests)."""
+    def add(batch: pa.Table) -> pa.Table:
+        ns, xs = [], []
+        for t in batch["text"].to_pylist():
+            fp = rolling_fingerprint(t)
+            ns.append(len(fp))
+            x = 0
+            for h in fp:
+                x ^= h
+            xs.append(x % (1 << 63))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_fingerprints": pa.array(ns, pa.int64()),
+                         "fp_xor": pa.array(xs, pa.int64())})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_planted_exact_dups(sf_dir: str) -> rd.Dataset:
+    """documents ∪ exact copies (doc_id+1e6 for doc_id%7==0)."""
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def copies(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dup = df[df.doc_id % 7 == 0].copy()
+        dup["doc_id"] += 1_000_000
+        return pa.Table.from_pandas(dup, preserve_index=False)
+
+    return base.union(base.map_batches(copies, batch_format="pyarrow"))
+
+
+def dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact dedup, first-wins by min doc_id, over planted duplicates
+    (reference: unique hash index, migrations/006:13-16)."""
+    survivors = dd.exact_dedup_by_hash(_docs_with_planted_exact_dups(sf_dir))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "content_sha256"])
+
+    return survivors.map_batches(project, batch_format="pyarrow")
+
+
+def dedup_exact_sql() -> str:
+    return """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT min(doc_id) AS doc_id, sha256(text) AS content_sha256
+FROM all_docs GROUP BY sha256(text), text"""
+
+
+def _docs_with_planted_near_dups(sf_dir: str) -> rd.Dataset:
+    """documents ∪ near-copies (doc_id+1e6 for doc_id%5==0: last 12 chars
+    dropped — high shingle overlap, not exact)."""
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def copies(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dup = df[df.doc_id % 5 == 0].copy()
+        dup["doc_id"] += 1_000_000
+        dup["text"] = dup["text"].str.slice(0, -12)
+        return pa.Table.from_pandas(dup, preserve_index=False)
+
+    return base.union(base.map_batches(copies, batch_format="pyarrow"))
+
+
+def dedup_minhash(sf_dir: str) -> rd.Dataset:
+    """MinHash-LSH near-dup clustering over planted near-copies
+    (rows-only driver check; planted-pair recall asserted in tests)."""
+    return dd.minhash_cluster(_docs_with_planted_near_dups(sf_dir),
+                              jaccard_threshold=0.5)
+
+
+def _docs_with_planted_simhash_dups(sf_dir: str) -> rd.Dataset:
+    """documents ∪ one-word-swapped copies of the LONGER docs.
+
+    SimHash is a token-frequency-profile hash: on tiny word-soup docs a
+    small edit moves a large fraction of the frequency mass, so hamming<=3
+    only reliably captures near-dups of documents with enough tokens —
+    hence the n_chars >= 300 restriction for the planted set."""
+    base = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def copies(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dup = df[(df.doc_id % 5 == 0) & (df.n_chars >= 300)].copy()
+        dup["doc_id"] += 1_000_000
+        dup["text"] = dup["text"].str.rsplit(" ", n=1).str[0] + " qqq"
+        return pa.Table.from_pandas(dup, preserve_index=False)
+
+    return base.union(base.map_batches(copies, batch_format="pyarrow"))
+
+
+def dedup_simhash(sf_dir: str) -> rd.Dataset:
+    """SimHash near-dup labeling (rows-only; recall asserted in tests)."""
+    return dd.simhash_dedup(_docs_with_planted_simhash_dups(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n: int = 5) -> tuple[np.ndarray, list[int]]:
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.stack(df["embedding"].to_numpy()), df["vec_id"].tolist()
+
+
+def ann_bruteforce(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Exact cosine top-k for the first 5 vectors as queries."""
+    q, qids = _query_vectors(sf_dir)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return sim.topk_cosine(ds, q, qids, k=k)
+
+
+def ann_bruteforce_sql(k: int = 10) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def ann_ivf(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """IVF-bucketed approximate top-k (rows-only; recall vs brute force
+    asserted in tests)."""
+    q, qids = _query_vectors(sf_dir)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return sim.topk_cosine_ivf(ds, q, qids, k=k)
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregates
+# ---------------------------------------------------------------------------
+
+
+def window_tumbling(sf_dir: str, width_s: int = 3600) -> rd.Dataset:
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+    return win.tumbling_window(ds, width_s)
+
+
+def window_tumbling_sql(width_s: int = 3600) -> str:
+    w = width_s * 1_000_000
+    return f"""
+SELECT event_type,
+       make_timestamp(CAST(floor(epoch_us(ts) / {w}) AS BIGINT) * {w})
+         AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(value) AS sum_value
+FROM events GROUP BY event_type, window_start"""
+
+
+def sessions(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return win.sessionize(ds, gap_s)
+
+
+def sessions_sql(gap_s: int = 1800) -> str:
+    return f"""
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {gap_s} SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM d
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, sid"""

@@ -1,0 +1,70 @@
+"""Windowed / sessionized aggregates over the events stream table.
+
+Ray Data has no event-time windowing; the engine expresses windows the
+batch way (ray_guide streaming section): tumbling windows are a plain
+keyed groupby on a derived bucket column (vectorized Arrow arithmetic);
+session windows sort each key's rows by timestamp inside
+``groupby(key).map_groups`` and split on inactivity gaps.
+
+Partitioning assumption (documented per north rule): one user's events fit
+one group; keys are the shuffle unit, so a single pathological user is the
+skew bound (salt by day for such keys at real scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def tumbling_window(ds: rd.Dataset, width_s: int,
+                    ts_col: str = "ts", key_col: str = "event_type",
+                    value_col: str = "value") -> rd.Dataset:
+    """Tumbling count/sum per (key, window). Window start is the epoch-
+    aligned bucket ``floor(epoch_us / width)``, returned as a timestamp."""
+    from ray.data.aggregate import Count, Sum
+
+    width_us = width_s * 1_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.int64())
+        start = pc.multiply(pc.floor(pc.divide(us, width_us)).cast(pa.int64()),
+                            width_us)
+        return batch.append_column("window_start",
+                                   start.cast(pa.timestamp("us")))
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+              .groupby([key_col, "window_start"])
+              .aggregate(Count(alias_name="n_events"),
+                         Sum(value_col, alias_name="sum_value")))
+
+
+def sessionize(ds: rd.Dataset, gap_s: int,
+               key_col: str = "user_id", ts_col: str = "ts") -> rd.Dataset:
+    """Gap-based session windows per key.
+
+    Returns one row per session: (key, session_idx 0-based by start time,
+    n_events, session_start, session_end).
+    """
+    gap = pd.Timedelta(seconds=gap_s)
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([ts_col]).reset_index(drop=True)
+        new_session = (g[ts_col].diff() > gap).fillna(True)
+        sid = new_session.cumsum() - 1
+        out = g.groupby(sid).agg(
+            n_events=(ts_col, "size"),
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+        ).reset_index(drop=True)
+        out.insert(0, key_col, group[key_col].iloc[0])
+        out.insert(1, "session_idx", np.arange(len(out), dtype=np.int64))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return ds.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
+        sessions, batch_format="pandas")
