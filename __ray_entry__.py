@@ -19,7 +19,7 @@ from typing import Any
 import ray.data as rd
 
 from pdf_extraction_ray import oracle
-from pdf_extraction_ray.config import PipelineConfig
+from pdf_extraction_ray.config import PipelineConfig, tune_data_context
 from pdf_extraction_ray.pipelines import analytics, extraction, relational
 from pdf_extraction_ray.sources import corpus, spec
 
@@ -38,6 +38,7 @@ _extracted_cache: dict[str, rd.Dataset] = {}
 def _extracted(sf_dir: str) -> rd.Dataset:
     """Flagship pipeline output for an sf dir (materialized once per
     process; the driver calls many queries against the same sf)."""
+    tune_data_context()
     if sf_dir not in _extracted_cache:
         pages = corpus.ensure_pages_corpus(sf_dir)
         _extracted_cache[sf_dir] = extraction.run_extraction(
@@ -92,37 +93,46 @@ def entry() -> Any:
     return q_extract_pipeline("/root/testdata/sf0.001")
 
 
+def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    def wrapper(sf_dir: str) -> Any:
+        tune_data_context()
+        return fn(sf_dir)
+    wrapper.__name__ = getattr(fn, "__name__", "query")
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction family (north-rule pipeline; SURVEY.md §2 M1-M17)
-        "extract_pipeline": q_extract_pipeline,
-        "extract_routing_stats": q_extract_routing_stats,
-        "sniff_counts": q_sniff_counts,
-        "classify_counts": q_classify_counts,
+        "extract_pipeline": _tuned(q_extract_pipeline),
+        "extract_routing_stats": _tuned(q_extract_routing_stats),
+        "sniff_counts": _tuned(q_sniff_counts),
+        "classify_counts": _tuned(q_classify_counts),
         # relational family (SURVEY.md §2.4-2.7 A1/A3/A5/A6, J3/J4, O1, D3)
-        "pricing_summary": relational.pricing_summary,
-        "customers_per_region": relational.customers_per_region,
-        "top_orders": relational.top_orders,
-        "event_value_stats": relational.event_value_stats,
-        "part_stats": relational.part_stats,
-        "nations_with_presence": relational.nations_with_presence,
+        "pricing_summary": _tuned(relational.pricing_summary),
+        "customers_per_region": _tuned(relational.customers_per_region),
+        "top_orders": _tuned(relational.top_orders),
+        "event_value_stats": _tuned(relational.event_value_stats),
+        "part_stats": _tuned(relational.part_stats),
+        "nations_with_presence": _tuned(relational.nations_with_presence),
         # scalar-function library as dataset ops (M3/M4/M16)
-        "sha256_docs": analytics.sha256_docs,
-        "canonical_names": analytics.canonical_names,
+        "sha256_docs": _tuned(analytics.sha256_docs),
+        "canonical_names": _tuned(analytics.canonical_names),
         # text analytics (training-data operators)
-        "token_stats": analytics.token_stats,
-        "lang_id": analytics.lang_id,
-        "fingerprint_docs": analytics.fingerprint_docs,
+        "token_stats": _tuned(analytics.token_stats),
+        "lang_id": _tuned(analytics.lang_id),
+        "fingerprint_docs": _tuned(analytics.fingerprint_docs),
         # dedup family (D1 + near-dup extensions)
-        "dedup_exact": analytics.dedup_exact,
-        "dedup_minhash": analytics.dedup_minhash,
-        "dedup_simhash": analytics.dedup_simhash,
+        "dedup_exact": _tuned(analytics.dedup_exact),
+        "dedup_minhash": _tuned(analytics.dedup_minhash),
+        "dedup_simhash": _tuned(analytics.dedup_simhash),
         # similarity search
-        "ann_bruteforce": analytics.ann_bruteforce,
-        "ann_ivf": analytics.ann_ivf,
+        "ann_bruteforce": _tuned(analytics.ann_bruteforce),
+        "ann_ivf": _tuned(analytics.ann_ivf),
         # windowed aggregates (streaming-shaped)
-        "window_tumbling": analytics.window_tumbling,
-        "sessions": analytics.sessions,
+        "window_tumbling": _tuned(analytics.window_tumbling),
+        "sessions": _tuned(analytics.sessions),
     }
 
 

@@ -1,0 +1,141 @@
+"""Benchmark driver: headline extraction pipeline + representative
+operators over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "docs_per_s": ..., "mb_per_s": ...}
+
+``--scaling`` runs the same bench in two fresh processes
+(RAY_GRAFT_CPUS=8 then 32) and reports both throughputs + scaling
+efficiency (the in-sandbox evidence for the north rule's N vs 4N-node
+criterion: same input, two parallelism levels).
+
+This script OWNS its Ray session (the engine library never calls
+ray.init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from pdf_extraction_ray.config import PipelineConfig, tune_data_context
+    tune_data_context()
+    from pdf_extraction_ray.pipelines import analytics, relational
+    from pdf_extraction_ray.pipelines.extraction import run_extraction
+    from pdf_extraction_ray.sources import corpus, spec
+
+    cfg = PipelineConfig(
+        max_bytes=spec.CORPUS_MAX_BYTES,
+        split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD,
+        extract_concurrency=(1, max(2, num_cpus - 4)),
+    )
+
+    # input prep (untimed): corpus synthesis is cached. GRAFT_BENCH_AMPLIFY
+    # replicates documents with shifted ids so steady-state extraction
+    # dominates fixed costs at bench scale (FIXTURES.md sizing note).
+    amplify = int(os.environ.get("GRAFT_BENCH_AMPLIFY", "10"))
+    pages = corpus.ensure_pages_corpus(sf_dir, amplify=amplify)
+
+    # untimed warm-up: spawn the worker pool + import the engine in every
+    # worker + warm the page cache, so timed runs measure steady state
+    warm = corpus.ensure_pages_corpus(sf_dir, amplify=1)
+    run_extraction(warm, cfg).count()
+    import duckdb
+    con = duckdb.connect()
+    row = con.sql(
+        f"SELECT count(*), sum(octet_length(html)) FROM read_parquet('{pages}/*.parquet')"
+    ).fetchone()
+    con.close()
+    n_pages, n_payload_bytes = int(row[0]), int(row[1])
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: full extraction with checkpointed partitioned output
+    out_dir = f"/tmp/pdf_extraction_ray/bench_out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    timed("extract_ckpt", lambda: run_extraction(pages, cfg, out_dir=out_dir))
+    summary = json.load(open(os.path.join(out_dir, "_manifests", "_run.json")))
+
+    # in-memory variant (no bucket shuffle / parquet write)
+    timed("extract_inmem", lambda: run_extraction(pages, cfg).count())
+
+    # representative operators
+    timed("pricing_summary", lambda: relational.pricing_summary(sf_dir).to_pandas())
+    timed("event_value_stats",
+          lambda: relational.event_value_stats(sf_dir).to_pandas())
+    timed("dedup_minhash", lambda: analytics.dedup_minhash(sf_dir).count())
+    timed("ann_bruteforce", lambda: analytics.ann_bruteforce(sf_dir).to_pandas())
+    timed("window_tumbling", lambda: analytics.window_tumbling(sf_dir).to_pandas())
+    timed("token_stats", lambda: analytics.token_stats(sf_dir).count())
+
+    headline = timings["extract_ckpt"]
+    result = {
+        "metric": "end-to-end extraction wall time (pages corpus -> "
+                  "checkpointed partitioned parquet)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": summary["n_rows"],
+        "n_input_pages": n_pages,
+        "input_mb": round(n_payload_bytes / 1e6, 1),
+        "docs_per_s": round(summary["n_rows"] / headline, 1),
+        "mb_per_s": round(n_payload_bytes / 1e6 / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        best = None
+        for _ in range(2):  # best-of-2: fresh sessions, damps machine noise
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same input, fresh sessions)",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "docs_per_s_lo": r_lo["docs_per_s"], "docs_per_s_hi": r_hi["docs_per_s"],
+        "mb_per_s_lo": r_lo["mb_per_s"], "mb_per_s_hi": r_hi["mb_per_s"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

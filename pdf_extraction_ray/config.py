@@ -45,8 +45,49 @@ class PipelineConfig:
     # pipeline deadlocks; autoscaling grows pools under load
     extract_concurrency: tuple[int, int] = (1, 16)
 
+    # Extraction state is per-process module state (compiled regexes, tag
+    # tables) that plain Ray tasks amortize across batches for free, so
+    # stateless function tasks are the default — measured: two autoscaling
+    # actor pools spend more wall on process ramp-up than the whole corpus
+    # costs to parse. Flip on for genuinely heavy per-actor state (models,
+    # indexes), where ExtractorActor.__init__ pays once per actor.
+    use_actors: bool = False
+
     # --- dedup ---
     dedup_enabled: bool = True
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+
+def tune_data_context() -> None:
+    """Size Ray Data's parallelism floors to the session, not the 200-block
+    default.
+
+    Ray's ``read_op_min_num_blocks``/``min_parallelism`` default to 200;
+    small inputs get split into 200 near-empty blocks and every shuffle
+    inherits 200 partitions of pure fixed task overhead (measured ~5 s per
+    all-to-all on a 5k-row table). These are FLOORS, so lowering them to
+    ~the CPU count is safe at any scale: big inputs still split by
+    ``target_max_block_size`` into however many blocks they need.
+
+    Touches only the Ray Data context of the already-running session —
+    never ray.init (driver contract).
+    """
+    import ray
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ncpu = 8
+    if ray.is_initialized():
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001 — sizing hint only
+            pass
+    floor = max(8, ncpu)
+    ctx.min_parallelism = floor
+    ctx.read_op_min_num_blocks = floor
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False  # output order is never part
+    # of this engine's contract (results key on url); order-free scheduling
+    # keeps slow blocks from stalling the stream

@@ -82,9 +82,6 @@ def finalize_row(url: str,
         "n_chars": len(text),
         "n_blocks": 0 if primary is None else primary.element_count,
         "n_pages": 0 if primary is None else primary.n_pages,
-        "spans": [
-            {"start": s.start, "end": s.end, "kind": s.kind, "page": s.page}
-            for s in spans
-        ],
+        "spans": spans,  # list[Span]; stages assemble Arrow columns from these
         "text_sha256": sha256_hex(text),
     }

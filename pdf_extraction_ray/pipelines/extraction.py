@@ -71,13 +71,23 @@ def extracted_dataset(pages_path: str,
     """The lazy OUT_SCHEMA dataset (no checkpointing)."""
     base = sniffed_pages(pages_path, cfg, dedup, skip_buckets)
 
+    if cfg.use_actors:
+        extract_kwargs = dict(fn_constructor_args=(cfg,),
+                              concurrency=cfg.extract_concurrency, num_cpus=1)
+        direct_fn, frag_fn = ex.ExtractorActor, ex.FragmentExtractor
+    else:
+        # stateless function tasks: elastic, no pool ramp-up; parser state
+        # is module-level and amortized per worker process anyway
+        extract_kwargs = {}
+        direct_fn = ex.ExtractorActor(cfg)
+        frag_fn = ex.FragmentExtractor(cfg)
+
     direct = base.map_batches(
         lambda b, cfg=cfg: b.filter(pc.invert(_is_big(b, cfg))),
         batch_format="pyarrow")
     direct_out = direct.map_batches(
-        ex.ExtractorActor, fn_constructor_args=(cfg,),
-        batch_format="pyarrow", batch_size=cfg.extract_batch_size,
-        concurrency=cfg.extract_concurrency, num_cpus=1)
+        direct_fn, batch_format="pyarrow", batch_size=cfg.extract_batch_size,
+        **extract_kwargs)
 
     big = base.map_batches(
         lambda b, cfg=cfg: b.filter(_is_big(b, cfg)),
@@ -85,9 +95,8 @@ def extracted_dataset(pages_path: str,
     shards = big.map_batches(lambda b, cfg=cfg: ex.shard_pdf_batch(b, cfg),
                              batch_format="pyarrow")
     frags = shards.map_batches(
-        ex.FragmentExtractor, fn_constructor_args=(cfg,),
-        batch_format="pyarrow", batch_size=cfg.extract_batch_size,
-        concurrency=cfg.extract_concurrency, num_cpus=1)
+        frag_fn, batch_format="pyarrow", batch_size=cfg.extract_batch_size,
+        **extract_kwargs)
     reassembled = frags.groupby("url").map_groups(
         lambda g, cfg=cfg: ex.reassemble_group(g, cfg),
         batch_format="pyarrow")

@@ -56,41 +56,54 @@ def build_page_row(doc_id: int, text: str, source: str, lang: str) -> dict:
     }
 
 
-def build_pages_batch(batch: pa.Table) -> pa.Table:
-    """documents rows → pages rows (1 row, plus a duplicate every DUP_MOD)."""
+AMPLIFY_STRIDE = 100_000  # replica r shifts doc_id by r*stride; stride % 100
+                          # == 0 keeps every kind/url-suffix distribution
+
+
+def build_pages_batch(batch: pa.Table, amplify: int = 1) -> pa.Table:
+    """documents rows → pages rows (1 row per replica, plus a duplicate
+    every DUP_MOD). ``amplify`` replicates each document with shifted
+    doc_ids so benchmark corpora are arbitrarily heavier while keeping the
+    exact kind mix (FIXTURES.md: bench sized so steady-state dominates)."""
     rows: list[dict] = []
     for doc_id, text, source, lang in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist(),
             batch["source"].to_pylist(), batch["lang"].to_pylist()):
-        row = build_page_row(doc_id, text, source, lang)
-        rows.append(row)
-        if spec.is_dup(doc_id):
-            dup = dict(row)
-            dup["warc_ts"] = row["warc_ts"] + timedelta(seconds=spec.DUP_OFFSET_S)
-            rows.append(dup)
+        for r in range(amplify):
+            rid = doc_id + r * AMPLIFY_STRIDE
+            row = build_page_row(rid, text, source, lang)
+            rows.append(row)
+            if spec.is_dup(rid):
+                dup = dict(row)
+                dup["warc_ts"] = row["warc_ts"] + timedelta(seconds=spec.DUP_OFFSET_S)
+                rows.append(dup)
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
-def corpus_cache_dir(sf_dir: str, root: str = "/tmp/pdf_extraction_ray/corpus") -> Path:
+def corpus_cache_dir(sf_dir: str, root: str = "/tmp/pdf_extraction_ray/corpus",
+                     amplify: int = 1) -> Path:
     name = Path(sf_dir).name or "sf"
-    return Path(root) / f"{name}-{spec.SPEC_VERSION}"
+    suffix = f"-x{amplify}" if amplify > 1 else ""
+    return Path(root) / f"{name}-{spec.SPEC_VERSION}{suffix}"
 
 
 def ensure_pages_corpus(sf_dir: str,
-                        root: str = "/tmp/pdf_extraction_ray/corpus") -> str:
+                        root: str = "/tmp/pdf_extraction_ray/corpus",
+                        amplify: int = 1) -> str:
     """Materialize (once) and return the pages-corpus parquet directory.
 
     Ray must already be initialized by the caller (driver contract).
     """
-    out = corpus_cache_dir(sf_dir, root)
+    out = corpus_cache_dir(sf_dir, root, amplify)
     marker = out / "_SUCCESS"
     if marker.exists():
         return str(out)
     import ray.data as rd
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    pages = docs.map_batches(build_pages_batch, batch_format="pyarrow",
-                             batch_size=256)
+    pages = docs.map_batches(
+        lambda b, a=amplify: build_pages_batch(b, a),
+        batch_format="pyarrow", batch_size=64)
     tmp = Path(str(out) + ".tmp")
     if tmp.exists():
         shutil.rmtree(tmp)

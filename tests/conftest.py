@@ -18,6 +18,8 @@ def ray_session():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
+    from pdf_extraction_ray.config import tune_data_context
+    tune_data_context()
     yield
     ray.shutdown()
 

@@ -83,6 +83,8 @@ def main() -> int:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
+    from pdf_extraction_ray.config import tune_data_context
+    tune_data_context()
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __ray_entry__ as entrymod
     queries = entrymod.queries()
