@@ -83,6 +83,27 @@ def q_classify_counts(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_span_kind_counts(sf_dir: str) -> rd.Dataset:
+    """Span totals by kind — exercises char-span machinery end-to-end."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch["spans"].combine_chunks()
+        flat = col.flatten()
+        return pa.table({"kind": flat.field("kind")})
+
+    return (_extracted(sf_dir)
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("kind").aggregate(Count(alias_name="n_spans")))
+
+
+def q_export_markdown(sf_dir: str) -> rd.Dataset:
+    """Markdown export rendering (SURVEY.md S9/M18)."""
+    from pdf_extraction_ray.pipelines.export import markdown_batch
+    return _extracted(sf_dir).map_batches(markdown_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -109,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_routing_stats": _tuned(q_extract_routing_stats),
         "sniff_counts": _tuned(q_sniff_counts),
         "classify_counts": _tuned(q_classify_counts),
+        "span_kind_counts": _tuned(q_span_kind_counts),
+        "export_markdown": _tuned(q_export_markdown),
         # relational family (SURVEY.md §2.4-2.7 A1/A3/A5/A6, J3/J4, O1, D3)
         "pricing_summary": _tuned(relational.pricing_summary),
         "customers_per_region": _tuned(relational.customers_per_region),
@@ -142,6 +165,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_routing_stats": oracle.extract_routing_stats_sql(),
         "sniff_counts": oracle.sniff_counts_sql(),
         "classify_counts": oracle.classify_counts_sql(),
+        "span_kind_counts": oracle.span_kind_counts_sql(),
+        "export_markdown": oracle.export_markdown_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "customers_per_region": relational.customers_per_region_sql(),
         "top_orders": relational.top_orders_sql(),

@@ -53,6 +53,12 @@ class PipelineConfig:
     # indexes), where ExtractorActor.__init__ pays once per actor.
     use_actors: bool = False
 
+    # User-extension surface (SURVEY.md §2.11): {content_type: fn(payload,
+    # cfg, attempts) -> Primary} overriding the built-in extractor
+    # registry. Ships with the config to every worker (module-level
+    # registry mutations in the driver never reach Ray worker processes).
+    extractor_overrides: dict | None = None
+
     # --- dedup ---
     dedup_enabled: bool = True
 

@@ -47,7 +47,8 @@ def finalize_row(url: str,
                  status: str,
                  error: str,
                  primary: Primary | None,
-                 quality_threshold_pct: int = 70) -> dict:
+                 quality_threshold_pct: int = 70,
+                 attempts: int = 1) -> dict:
     """Assemble the final output record for one document."""
     if status == STATUS_REJECTED or primary is None:
         q_pct = 0
@@ -84,4 +85,6 @@ def finalize_row(url: str,
         "n_pages": 0 if primary is None else primary.n_pages,
         "spans": spans,  # list[Span]; stages assemble Arrow columns from these
         "text_sha256": sha256_hex(text),
+        "attempts": attempts,  # semantic retry counter (reference:
+        # routers/extraction.py:155-190 — retry_count cap 5 → review queue)
     }

@@ -217,3 +217,45 @@ def classify_counts_sql() -> str:
 SELECT doc_kind, doc_method, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(doc_conf_pct) AS BIGINT) AS sum_conf
 FROM expected GROUP BY doc_kind, doc_method"""
+
+
+def span_kind_counts_sql() -> str:
+    """Expected span-kind totals — verifies the span machinery through the
+    driver's value-hash gate (kinds per functions/html_extract._KIND_BY_TAG
+    and the pdf 'line' / salvage 'document' conventions)."""
+    return base_cte() + """
+, spanned AS (
+  SELECT c.*,
+         (CASE WHEN route = 'primary' AND sub <= 69 THEN
+            (CASE WHEN has_phrase THEN 1 ELSE 0 END)
+            + (CASE WHEN sub BETWEEN 60 AND 64 THEN 0 ELSE np_h * rep_h END)
+          ELSE 0 END) AS n_paragraph,
+         (CASE WHEN route = 'primary' AND sub BETWEEN 40 AND 49
+               THEN 1 ELSE 0 END) AS n_title,
+         (CASE WHEN route = 'primary' AND sub BETWEEN 60 AND 64
+               THEN np_h * rep_h ELSE 0 END) AS n_list_item,
+         (CASE WHEN route = 'primary' AND sub BETWEEN 65 AND 69
+               THEN nrows ELSE 0 END) AS n_table,
+         (CASE WHEN route = 'primary' AND sub BETWEEN 70 AND 89 THEN
+            (CASE WHEN has_phrase THEN 1 ELSE 0 END)
+            + np_p * (CASE WHEN sub <= 87 THEN rep_p ELSE rep_big END)
+          ELSE 0 END) AS n_line,
+         (CASE WHEN route = 'salvage' AND length(extracted_text) > 0
+               THEN 1 ELSE 0 END) AS n_document
+  FROM routed c
+)
+SELECT kind, n_spans FROM (
+  SELECT 'paragraph' AS kind, CAST(sum(n_paragraph) AS BIGINT) AS n_spans FROM spanned
+  UNION ALL SELECT 'title', CAST(sum(n_title) AS BIGINT) FROM spanned
+  UNION ALL SELECT 'list_item', CAST(sum(n_list_item) AS BIGINT) FROM spanned
+  UNION ALL SELECT 'table', CAST(sum(n_table) AS BIGINT) FROM spanned
+  UNION ALL SELECT 'line', CAST(sum(n_line) AS BIGINT) FROM spanned
+  UNION ALL SELECT 'document', CAST(sum(n_document) AS BIGINT) FROM spanned
+) WHERE n_spans > 0"""
+
+
+def export_markdown_sql() -> str:
+    from .pipelines.export import markdown_sql_projection
+    return base_cte() + f"""
+SELECT url, {markdown_sql_projection()}
+FROM expected"""

@@ -25,6 +25,7 @@ first if the double read shows up in ``ds.stats()``.
 
 from __future__ import annotations
 
+import os
 import time
 
 import pyarrow as pa
@@ -102,6 +103,84 @@ def extracted_dataset(pages_path: str,
         batch_format="pyarrow")
 
     return direct_out.union(reassembled)
+
+
+def run_retry(pages_path: str,
+              out_dir: str,
+              cfg: PipelineConfig = DEFAULT_CONFIG,
+              max_attempts: int = 5) -> dict:
+    """Semantic retry pass over a checkpointed run (reference semantics:
+    duplicate found with status partial/failed → retry with retry_count+1,
+    cap 5 → review queue; app/routers/extraction.py:155-190,330-355).
+
+    Re-extracts rows whose status is ``partial`` with attempts <
+    ``max_attempts`` (attempts+1), merges them back into their buckets
+    atomically, and quarantines rows that exhausted the cap into
+    ``out_dir/_quarantine/`` (the review-queue analog). Returns a summary.
+    """
+    import pyarrow.parquet as pq_mod
+    import ray
+
+    existing = rd.read_parquet(out_dir)
+
+    def failed_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["status"], "partial")
+        return batch.filter(mask).select(["url", "attempts", "bucket"])
+
+    failed = existing.map_batches(failed_rows, batch_format="pyarrow").to_pandas()
+    if failed.empty:  # an all-clean run yields a column-less empty frame
+        return {"n_partial": 0, "n_retried": 0,
+                "n_quarantined": 0, "n_recovered": 0}
+    retryable = failed[failed.attempts < max_attempts]
+    exhausted = failed[failed.attempts >= max_attempts]
+
+    summary = {"n_partial": len(failed), "n_retried": len(retryable),
+               "n_quarantined": len(exhausted), "n_recovered": 0}
+
+    if len(retryable):
+        att_map = dict(zip(retryable.url, retryable.attempts + 1))
+        ref = ray.put(att_map)
+
+        def pick_and_bump(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            urls = batch["url"].to_pylist()
+            mask = pa.array([u in m for u in urls], pa.bool_())
+            sub = batch.filter(mask)
+            new_att = pa.array([m[u] for u in sub["url"].to_pylist()], pa.int64())
+            return sub.set_column(sub.schema.get_field_index("attempts"),
+                                  "attempts", new_att)
+
+        retried = (sniffed_pages(pages_path, cfg, dedup=True)
+                   .map_batches(pick_and_bump, batch_format="pyarrow")
+                   .map_batches(ex.ExtractorActor(cfg), batch_format="pyarrow",
+                                batch_size=cfg.extract_batch_size))
+        merged = retried.groupby("bucket").map_groups(
+            lambda g: ckpt.merge_bucket_group(g, out_dir),
+            batch_format="pyarrow")
+        merged.take_all()
+        recovered = retried.map_batches(
+            lambda b: b.filter(pc.equal(b["status"], "completed"))
+                       .select(["url"]), batch_format="pyarrow").count()
+        summary["n_recovered"] = recovered
+
+    if len(exhausted):
+        qdir = os.path.join(out_dir, "_quarantine")
+        os.makedirs(qdir, exist_ok=True)
+
+        def exhausted_rows(batch: pa.Table) -> pa.Table:
+            mask = pc.and_(pc.equal(batch["status"], "partial"),
+                           pc.greater_equal(batch["attempts"], max_attempts))
+            return batch.filter(mask)
+
+        qtab = pa.concat_tables(
+            rd.read_parquet(out_dir)
+              .map_batches(exhausted_rows, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow"))
+        tmp = os.path.join(qdir, "quarantine.parquet.tmp")
+        pq_mod.write_table(qtab, tmp)
+        os.replace(tmp, os.path.join(qdir, "quarantine.parquet"))
+
+    return summary
 
 
 def run_extraction(pages_path: str,

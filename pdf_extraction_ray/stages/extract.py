@@ -57,6 +57,7 @@ OUT_SCHEMA = pa.schema([
     ("n_pages", pa.int64()),
     ("spans", SPAN_TYPE),
     ("text_sha256", pa.string()),
+    ("attempts", pa.int64()),
     ("bucket", pa.int64()),
 ])
 
@@ -116,28 +117,54 @@ def sniff_validate_batch(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) 
             .append_column("status", pa.array(statuses, pa.string()))
             .append_column("error", pa.array(errors, pa.string()))
             .append_column("page_count", pa.array(page_counts, pa.int64()))
+            .append_column("attempts", pa.array([1] * len(batch), pa.int64()))
             .append_column("bucket", pa.array(buckets, pa.int64())))
 
 
-def _extract_primary(payload: bytes, ct: str, cfg: PipelineConfig) -> Primary:
-    if ct == CT_HTML:
-        h = extract_html(payload, cfg.link_density_max)
-        return Primary(h.text, h.spans, h.element_count, h.heading_count,
-                       h.table_row_counts, n_pages=1)
-    if ct == CT_PDF:
-        p = pdf_extract.extract_pdf(payload, cfg.line_y_tolerance, cfg.column_gap_min)
-        return Primary(p.text, p.spans, p.element_count, 0, [], p.n_pages)
-    if ct == CT_TEXT:
-        text = payload.decode("utf-8", errors="replace")
-        lines = text.split("\n")
-        spans, pos = [], 0
-        for i, ln in enumerate(lines):
-            if i > 0:
-                pos += 1
-            spans.append(Span(pos, pos + len(ln), "line", 1))
-            pos += len(ln)
-        return Primary(text, spans, len(lines), 0, [], 1)
-    return Primary()
+def _html_extractor(payload: bytes, cfg: PipelineConfig, attempts: int) -> Primary:
+    h = extract_html(payload, cfg.link_density_max)
+    return Primary(h.text, h.spans, h.element_count, h.heading_count,
+                   h.table_row_counts, n_pages=1)
+
+
+def _pdf_extractor(payload: bytes, cfg: PipelineConfig, attempts: int) -> Primary:
+    p = pdf_extract.extract_pdf(payload, cfg.line_y_tolerance, cfg.column_gap_min)
+    return Primary(p.text, p.spans, p.element_count, 0, [], p.n_pages)
+
+
+def _text_extractor(payload: bytes, cfg: PipelineConfig, attempts: int) -> Primary:
+    text = payload.decode("utf-8", errors="replace")
+    lines = text.split("\n")
+    spans, pos = [], 0
+    for i, ln in enumerate(lines):
+        if i > 0:
+            pos += 1
+        spans.append(Span(pos, pos + len(ln), "line", 1))
+        pos += len(ln)
+    return Primary(text, spans, len(lines), 0, [], 1)
+
+
+# User-extension surface (SURVEY.md §2.11): content-type → extractor fn
+# (payload, cfg, attempts) -> Primary. Register new media handlers here
+# (the reference's analog is the doc_type override + service dispatch,
+# app/routers/extraction.py:57,90-98).
+EXTRACTOR_REGISTRY: dict[str, object] = {
+    CT_HTML: _html_extractor,
+    CT_PDF: _pdf_extractor,
+    CT_TEXT: _text_extractor,
+}
+
+
+def _extract_primary(payload: bytes, ct: str, cfg: PipelineConfig,
+                     attempts: int = 1) -> Primary:
+    fn = None
+    if cfg.extractor_overrides:
+        fn = cfg.extractor_overrides.get(ct)
+    if fn is None:
+        fn = EXTRACTOR_REGISTRY.get(ct)
+    if fn is None:
+        return Primary()
+    return fn(payload, cfg, attempts)
 
 
 def out_table(records: list[dict]) -> pa.Table:
@@ -195,25 +222,27 @@ class ExtractorActor:
         statuses = batch["status"].to_pylist()
         errors = batch["error"].to_pylist()
         buckets = batch["bucket"].to_pylist()
+        attempts = (batch["attempts"].to_pylist()
+                    if "attempts" in batch.column_names else [1] * len(batch))
         payloads = batch["html"]
         records: list[dict] = []
         for i in range(len(batch)):
             if statuses[i] == STATUS_REJECTED:
                 rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
                                    cts[i], STATUS_REJECTED, errors[i], None,
-                                   cfg.quality_threshold_pct)
+                                   cfg.quality_threshold_pct, attempts[i])
             else:
                 try:
                     primary = _extract_primary(payloads[i].as_py() or b"",
-                                               cts[i], cfg)
+                                               cts[i], cfg, attempts[i])
                     rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
                                        cts[i], STATUS_COMPLETED, "", primary,
-                                       cfg.quality_threshold_pct)
+                                       cfg.quality_threshold_pct, attempts[i])
                 except Exception as e:  # noqa: BLE001 — row-level isolation
                     rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
                                        cts[i], STATUS_PARTIAL,
                                        f"{type(e).__name__}: {e}", None,
-                                       cfg.quality_threshold_pct)
+                                       cfg.quality_threshold_pct, attempts[i])
             rec["bucket"] = buckets[i]
             records.append(rec)
         return out_table(records)

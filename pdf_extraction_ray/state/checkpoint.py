@@ -98,6 +98,27 @@ def write_bucket_group(group: pa.Table, out_dir: str) -> pa.Table:
     return pa.Table.from_pylist([manifest], schema=MANIFEST_SCHEMA)
 
 
+def merge_bucket_group(group: pa.Table, out_dir: str) -> pa.Table:
+    """Retry merge: replace this bucket's rows for the group's urls with
+    the freshly retried rows, atomically, and refresh the manifest.
+
+    Used by the semantic-retry pass (reference: duplicate-with-status-
+    partial → retry with retry_count+1, app/routers/extraction.py:155-190).
+    """
+    bucket = group["bucket"][0].as_py()
+    data_path = os.path.join(bucket_dir(out_dir, bucket), "part-0.parquet")
+    retried_urls = set(group["url"].to_pylist())
+    if os.path.exists(data_path):
+        old = pq.read_table(data_path)
+        keep_mask = pa.array([u not in retried_urls
+                              for u in old["url"].to_pylist()], pa.bool_())
+        merged = pa.concat_tables([old.filter(keep_mask),
+                                   group.select(old.column_names)])
+    else:
+        merged = group
+    return write_bucket_group(merged, out_dir)
+
+
 def load_manifests(out_dir: str) -> dict[int, dict]:
     """{bucket: manifest} for buckets whose data file is still present."""
     mdir = os.path.join(out_dir, MANIFEST_DIR)

@@ -83,9 +83,9 @@ def main() -> int:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pdf_extraction_ray.config import tune_data_context
     tune_data_context()
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __ray_entry__ as entrymod
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -1,0 +1,103 @@
+"""Semantic retry + quarantine tests (reference analog: tests/test_retry.py
+of the reference — retry matrix with cap 5 → review queue; here the cap
+sends rows to the _quarantine partition).
+
+A flaky extractor is injected through the EXTRACTOR_REGISTRY extension
+surface (SURVEY.md §2.11): text payloads fail until a deterministic
+attempt threshold; payloads with "poison" in the url never succeed.
+"""
+
+import os
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from pdf_extraction_ray.config import PipelineConfig
+from pdf_extraction_ray.functions.finalize import Primary
+from pdf_extraction_ray.pipelines.extraction import run_extraction, run_retry
+from pdf_extraction_ray.stages import extract as ex
+
+
+def _make_flaky():
+    # nested so cloudpickle serializes it BY VALUE (test modules are not
+    # importable inside Ray worker processes)
+    def flaky_text_extractor(payload: bytes, cfg, attempts: int) -> Primary:
+        """Succeeds from attempt 2; 'poison' payloads never succeed."""
+        text = payload.decode()
+        if "poison" in text:
+            raise ValueError("permanently broken document")
+        if attempts < 2:
+            raise ValueError("transient parse failure")
+        return Primary(text=text, spans=[], element_count=1,
+                       heading_count=0, table_row_counts=[], n_pages=1)
+    return flaky_text_extractor
+
+
+FLAKY_CFG = PipelineConfig(
+    n_buckets=4, extract_concurrency=(1, 2),
+    extractor_overrides={ex.CT_TEXT: _make_flaky()})
+
+
+def _pages(tmp_path) -> str:
+    rows = []
+    for i in range(20):
+        marker = "poison" if i % 10 == 9 else "ok"
+        body = f"document {i} {marker} body text"
+        rows.append({
+            "url": f"https://t.example/{marker}/d{i}",
+            "warc_ts": datetime(2021, 1, 1) + timedelta(seconds=i),
+            "html": body.encode(),
+            "text": body,
+            "lang": "en",
+        })
+    path = str(tmp_path / "pages")
+    os.makedirs(path)
+    pd.DataFrame(rows).to_parquet(os.path.join(path, "p.parquet"))
+    return path
+
+
+CFG = PipelineConfig(n_buckets=4, extract_concurrency=(1, 2))
+
+
+def test_retry_recovers_transients_and_quarantines_poison(
+        ray_session, tmp_path):
+    pages = _pages(tmp_path)
+    out = str(tmp_path / "out")
+    CFG = FLAKY_CFG
+    df = run_extraction(pages, CFG, out_dir=out).to_pandas()
+    assert (df.status == "partial").all()  # first attempt always fails
+    assert (df.attempts == 1).all()
+
+    s1 = run_retry(pages, out, CFG, max_attempts=3)
+    assert s1["n_retried"] == 20
+    df2 = rd.read_parquet(out).to_pandas()
+    ok = df2[~df2.url.str.contains("poison")]
+    bad = df2[df2.url.str.contains("poison")]
+    assert (ok.status == "completed").all()
+    assert (ok.attempts == 2).all()
+    assert (ok.extracted_text.str.contains("body text")).all()
+    assert (bad.status == "partial").all()
+
+    # keep retrying the poison rows to the cap
+    s2 = run_retry(pages, out, CFG, max_attempts=3)
+    assert s2["n_retried"] == 2  # only poison rows remain
+    s3 = run_retry(pages, out, CFG, max_attempts=3)
+    assert s3["n_retried"] == 0
+    assert s3["n_quarantined"] == 2
+    qpath = os.path.join(out, "_quarantine", "quarantine.parquet")
+    q = pd.read_parquet(qpath)
+    assert len(q) == 2
+    assert q.url.str.contains("poison").all()
+    assert (q.attempts >= 3).all()
+
+
+def test_retry_noop_on_clean_run(ray_session, tmp_path):
+    pages = _pages(tmp_path)  # without flaky registry, text path succeeds
+    out = str(tmp_path / "out")
+    run_extraction(pages, CFG, out_dir=out)
+    s = run_retry(pages, out, CFG)
+    assert s == {"n_partial": 0, "n_retried": 0,
+                 "n_quarantined": 0, "n_recovered": 0}
