@@ -106,11 +106,38 @@ def run_bench() -> dict:
     return result
 
 
+def _spin(n: int) -> int:
+    import hashlib
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return 1
+
+
+def machine_ceiling(lo: int, hi: int) -> float:
+    """This host's pure-CPU scaling ceiling lo→hi workers (sha256 spin,
+    zero memory traffic). The sandbox VM runs with CPU steal from
+    co-tenants, so even embarrassingly parallel compute does not scale
+    4x; pipeline efficiency is reported raw AND normalized by this
+    ceiling (a real N→4N-node cluster has no such confound)."""
+    from concurrent.futures import ProcessPoolExecutor
+    n = 2_000_000
+    rates = {}
+    for nw in (lo, hi):
+        t0 = time.perf_counter()
+        with ProcessPoolExecutor(nw) as ex:
+            list(ex.map(_spin, [n] * nw))
+        rates[nw] = nw * n / (time.perf_counter() - t0)
+    return rates[hi] / rates[lo] / (hi / lo)
+
+
 def run_scaling() -> dict:
+    runs = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
+
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         best = None
-        for _ in range(2):  # best-of-2: fresh sessions, damps machine noise
+        for _ in range(runs):  # best-of-N fresh sessions damps machine noise
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
                                  check=True).stdout
@@ -120,7 +147,10 @@ def run_scaling() -> dict:
         return best
 
     lo, hi = 8, 32
+    ceiling1 = machine_ceiling(lo, hi)
     r_lo, r_hi = one(lo), one(hi)
+    ceiling2 = machine_ceiling(lo, hi)
+    ceiling = max(ceiling1, ceiling2)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -130,6 +160,8 @@ def run_scaling() -> dict:
         "docs_per_s_lo": r_lo["docs_per_s"], "docs_per_s_hi": r_hi["docs_per_s"],
         "mb_per_s_lo": r_lo["mb_per_s"], "mb_per_s_hi": r_hi["mb_per_s"],
         "scaling_efficiency": round(eff, 3),
+        "machine_ceiling": round(ceiling, 3),
+        "scaling_efficiency_vs_ceiling": round(eff / ceiling, 3),
         "sf": r_hi["sf"],
     }
 

@@ -97,3 +97,7 @@ def tune_data_context() -> None:
     ctx.execution_options.preserve_order = False  # output order is never part
     # of this engine's contract (results key on url); order-free scheduling
     # keeps slow blocks from stalling the stream
+    ctx.op_resource_reservation_enabled = False  # the per-operator CPU
+    # reservation starves map stages that feed an all-to-all on small
+    # sessions (measured 3.6x slowdown of extraction->bucket-shuffle at 8
+    # CPUs); single-node with a roomy object store doesn't need it

@@ -1,26 +1,27 @@
 """The flagship pipeline: pages corpus → extracted main text.
 
-Dataflow (SURVEY.md §7, BASELINE.json north_star):
+Single-pass dataflow (SURVEY.md §7, BASELINE.json north_star):
 
     read_parquet(pages)
-      │  (pass 0: read_parquet(columns=[url, warc_ts]) → keep-map →
-      │   broadcast first-wins dedup filter; no payload shuffles)
-      ├─ sniff/validate (stateless map_batches, zero-copy Arrow)
-      ├─ resume filter (finished url-hash buckets skipped via manifests)
-      ├─ direct branch  (page_count <= threshold):
-      │     ExtractorActor pool → OUT rows
-      └─ skew branch    (oversized PDFs):
-            shard_pdf (page-range rows, streams only)
-            → FragmentExtractor pool
-            → groupby(url) reassembly (the only payload-bearing shuffle,
-              and it moves just the ~2% oversized tail)
-      union → [checkpointed: groupby(bucket) atomic writer + manifests]
+      → sniff/validate (stateless map_batches, zero-copy Arrow)
+      → resume filter (finished url-hash buckets skipped via manifests)
+      → ExtractOrSplit: full extraction for normal documents (final
+        rows); oversized PDFs structurally split into page-range
+        fragment rows carrying only their own content streams
+      → ParseFragments: tokenizes fragment rows (block-parallel),
+        passes final rows through
+      → groupby(bucket) — THE one all-to-all: url-hash repartition
+      → finalize_bucket: groupby-url fragment reassembly with span
+        re-basing + exact first-wins dedup, local to the bucket
+        [checkpointed mode: + atomic bucket write + manifest]
 
-Branching note: Ray Data datasets are lazy DAGs without a split-by-predicate
-operator, so the two branches each re-run the (cheap) read + sniff; the
-heavy extraction runs exactly once per row. On a real cluster with very
-large inputs, persist the sniffed skew subset (~2% of rows) to parquet
-first if the double read shows up in ``ds.stats()``.
+Co-location invariant: ``bucket = stable_hash(url) % n_buckets``, so all
+rows of a url (duplicates, page-range fragments) land in one bucket task;
+reassembly and dedup never need a second shuffle. Duplicate payloads are
+extracted before being deduplicated (~2% waste at the reference dup rate)
+— the price of dropping the metadata pre-pass a keyed anti-join would
+need; ``stages.dedup.build_keep_map`` remains available when the dup rate
+is high enough to justify two passes.
 """
 
 from __future__ import annotations
@@ -35,24 +36,12 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..stages import extract as ex
-from ..stages.dedup import build_keep_map, first_wins_filter
 from ..state import checkpoint as ckpt
 
 
-def _is_big(batch: pa.Table, cfg: PipelineConfig) -> pa.ChunkedArray:
-    return pc.and_(
-        pc.and_(pc.equal(batch["content_type"], "pdf"),
-                pc.equal(batch["status"], "completed")),
-        pc.greater(batch["page_count"], cfg.split_page_threshold))
-
-
 def sniffed_pages(pages_path: str, cfg: PipelineConfig,
-                  dedup: bool, skip_buckets: set[int] | None = None) -> rd.Dataset:
+                  skip_buckets: set[int] | None = None) -> rd.Dataset:
     ds = rd.read_parquet(pages_path)
-    if dedup:
-        meta = rd.read_parquet(pages_path, columns=["url", "warc_ts"])
-        keep = build_keep_map(meta)
-        ds = first_wins_filter(ds, keep)
     ds = ds.map_batches(lambda b: ex.sniff_validate_batch(b, cfg),
                         batch_format="pyarrow", batch_size=cfg.sniff_batch_size)
     if skip_buckets:
@@ -65,44 +54,34 @@ def sniffed_pages(pages_path: str, cfg: PipelineConfig,
     return ds
 
 
+def _work_stream(pages_path: str, cfg: PipelineConfig,
+                 skip_buckets: set[int] | None = None) -> rd.Dataset:
+    base = sniffed_pages(pages_path, cfg, skip_buckets)
+    if cfg.use_actors:
+        kwargs = dict(concurrency=cfg.extract_concurrency, num_cpus=1)
+        work = base.map_batches(ex.ExtractOrSplit, fn_constructor_args=(cfg,),
+                                batch_format="pyarrow",
+                                batch_size=cfg.extract_batch_size, **kwargs)
+        work = work.map_batches(ex.ParseFragments, fn_constructor_args=(cfg,),
+                                batch_format="pyarrow",
+                                batch_size=cfg.extract_batch_size, **kwargs)
+    else:
+        work = base.map_batches(ex.ExtractOrSplit(cfg), batch_format="pyarrow",
+                                batch_size=cfg.extract_batch_size)
+        work = work.map_batches(ex.ParseFragments(cfg), batch_format="pyarrow",
+                                batch_size=cfg.extract_batch_size)
+    return work
+
+
 def extracted_dataset(pages_path: str,
                       cfg: PipelineConfig = DEFAULT_CONFIG,
                       dedup: bool = True,
                       skip_buckets: set[int] | None = None) -> rd.Dataset:
     """The lazy OUT_SCHEMA dataset (no checkpointing)."""
-    base = sniffed_pages(pages_path, cfg, dedup, skip_buckets)
-
-    if cfg.use_actors:
-        extract_kwargs = dict(fn_constructor_args=(cfg,),
-                              concurrency=cfg.extract_concurrency, num_cpus=1)
-        direct_fn, frag_fn = ex.ExtractorActor, ex.FragmentExtractor
-    else:
-        # stateless function tasks: elastic, no pool ramp-up; parser state
-        # is module-level and amortized per worker process anyway
-        extract_kwargs = {}
-        direct_fn = ex.ExtractorActor(cfg)
-        frag_fn = ex.FragmentExtractor(cfg)
-
-    direct = base.map_batches(
-        lambda b, cfg=cfg: b.filter(pc.invert(_is_big(b, cfg))),
+    work = _work_stream(pages_path, cfg, skip_buckets)
+    return work.groupby("bucket").map_groups(
+        lambda g, cfg=cfg, dd=dedup: ex.finalize_bucket(g, cfg, dd),
         batch_format="pyarrow")
-    direct_out = direct.map_batches(
-        direct_fn, batch_format="pyarrow", batch_size=cfg.extract_batch_size,
-        **extract_kwargs)
-
-    big = base.map_batches(
-        lambda b, cfg=cfg: b.filter(_is_big(b, cfg)),
-        batch_format="pyarrow")
-    shards = big.map_batches(lambda b, cfg=cfg: ex.shard_pdf_batch(b, cfg),
-                             batch_format="pyarrow")
-    frags = shards.map_batches(
-        frag_fn, batch_format="pyarrow", batch_size=cfg.extract_batch_size,
-        **extract_kwargs)
-    reassembled = frags.groupby("url").map_groups(
-        lambda g, cfg=cfg: ex.reassemble_group(g, cfg),
-        batch_format="pyarrow")
-
-    return direct_out.union(reassembled)
 
 
 def run_retry(pages_path: str,
@@ -150,7 +129,7 @@ def run_retry(pages_path: str,
             return sub.set_column(sub.schema.get_field_index("attempts"),
                                   "attempts", new_att)
 
-        retried = (sniffed_pages(pages_path, cfg, dedup=True)
+        retried = (sniffed_pages(pages_path, cfg)
                    .map_batches(pick_and_bump, batch_format="pyarrow")
                    .map_batches(ex.ExtractorActor(cfg), batch_format="pyarrow",
                                 batch_size=cfg.extract_batch_size))
@@ -194,19 +173,21 @@ def run_extraction(pages_path: str,
 
     With ``out_dir``: checkpointed mode. Finished buckets (valid manifest +
     data file) are skipped *before* extraction; remaining rows are
-    extracted, partitioned by url-hash bucket, and written atomically with
-    per-bucket manifests; returns the dataset read back from ``out_dir``.
+    extracted, reassembled, deduplicated and written atomically per
+    url-hash bucket with manifests; returns the dataset read back from
+    ``out_dir``.
     """
     if out_dir is None:
         return extracted_dataset(pages_path, cfg, dedup)
 
     t0 = time.monotonic()
     done = ckpt.load_manifests(out_dir)
-    ds = extracted_dataset(pages_path, cfg, dedup, skip_buckets=set(done))
-    manifest_ds = ds.groupby("bucket").map_groups(
-        lambda g: ckpt.write_bucket_group(g, out_dir),
+    work = _work_stream(pages_path, cfg, skip_buckets=set(done))
+    manifest_ds = work.groupby("bucket").map_groups(
+        lambda g, cfg=cfg, dd=dedup: ckpt.write_bucket_group(
+            ex.finalize_bucket(g, cfg, dd), out_dir),
         batch_format="pyarrow")
-    new_manifests = manifest_ds.take_all()  # tiny: one row per bucket
+    manifest_ds.take_all()  # tiny: one row per bucket
     wall = time.monotonic() - t0
     all_manifests = list(ckpt.load_manifests(out_dir).values())
     ckpt.write_run_summary(out_dir, all_manifests, wall)

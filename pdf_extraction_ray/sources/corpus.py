@@ -104,6 +104,20 @@ def ensure_pages_corpus(sf_dir: str,
     pages = docs.map_batches(
         lambda b, a=amplify: build_pages_batch(b, a),
         batch_format="pyarrow", batch_size=64)
+
+    # Interleave rows by url hash so every output file carries a uniform
+    # mix of payload kinds — doc_id-ordered files concentrate the heavy
+    # oversized PDFs into a few files, which become straggler read blocks
+    # at high parallelism (deterministic: pure function of url).
+    def add_order(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import stable_hash64
+        h = [stable_hash64("order:" + u) for u in batch["url"].to_pylist()]
+        return batch.append_column("_order", pa.array(h, pa.uint64()))
+
+    pages = (pages.map_batches(add_order, batch_format="pyarrow")
+             .sort("_order")
+             .map_batches(lambda b: b.drop_columns(["_order"]),
+                          batch_format="pyarrow"))
     tmp = Path(str(out) + ".tmp")
     if tmp.exists():
         shutil.rmtree(tmp)

@@ -56,7 +56,7 @@ CORPUS_QUALITY_THRESHOLD_PCT = 70  # routing threshold (reference: quality < 0.7
 # oversized PDFs are >= ceil(150/45)=4 pages; normal PDFs are <= 2 pages,
 # so threshold 3 cleanly routes pdf_big (and only pdf_big) to the shard path
 CORPUS_SPLIT_PAGE_THRESHOLD = 3
-SPEC_VERSION = "v2"        # bump to invalidate cached generated corpora
+SPEC_VERSION = "v3"        # bump to invalidate cached generated corpora
 
 
 # --- kind assignment --------------------------------------------------------

@@ -1,24 +1,25 @@
-"""Extraction stages: sniff/validate, direct extraction actor pool,
-PDF page-range sharding, fragment extraction, groupby-url reassembly.
+"""Extraction stages of the single-pass pipeline.
 
 Ray Data mapping (SURVEY.md §7.4):
 
 * ``sniff_validate_batch`` — stateless ``map_batches`` task, zero-copy
   Arrow in/out; adds content_type / size / status / page_count / bucket.
-* ``ExtractorActor`` — the heavy stage; a callable class for
-  ``map_batches(cls, concurrency=(m, n))`` so parser state (config,
-  compiled regexes) is built once per actor
-  (reference analog: per-process client singletons,
+* ``ExtractOrSplit`` — the heavy per-document stage: full extraction for
+  normal documents; oversized PDFs are structurally split into page-range
+  fragment rows carrying ONLY their pages' content streams (a 200 MB
+  source payload does not fan out with its shards).
+* ``ParseFragments`` — tokenizes fragment rows (block-parallel), passes
+  final rows through.
+* ``finalize_bucket`` — per-url-hash-bucket finisher: groupby-url
+  fragment reassembly with page-ordered concatenation + span re-basing
+  (SURVEY.md §7.5 hard parts #1-2) and exact first-wins dedup; runs
+  inside the pipeline's single all-to-all (groupby bucket).
+* ``ExtractorActor`` — whole-document extraction as one stage; used by
+  the semantic-retry pass and available as an actor-pool class
+  (reference analog for pinned state: per-process client singletons,
   app/services/gemini_client.py:11-42).
-* ``shard_pdf_batch`` — skew splitting: oversized PDFs explode into
-  page-range shard rows carrying ONLY their pages' content streams (the
-  200 MB source payload does not fan out with the shards).
-* ``FragmentExtractor`` + ``reassemble_group`` — shard extraction and
-  groupby(url) reassembly with page-ordered concatenation and span
-  re-basing (SURVEY.md §7.5 hard parts #1-2).
 
-All output tables share OUT_SCHEMA so the direct and sharded paths union
-cleanly.
+Stages output OUT_SCHEMA / WORK_SCHEMA tables built columnar.
 """
 
 from __future__ import annotations
@@ -61,34 +62,247 @@ OUT_SCHEMA = pa.schema([
     ("bucket", pa.int64()),
 ])
 
-SHARD_SCHEMA = pa.schema([
-    ("url", pa.string()),
-    ("warc_ts", pa.timestamp("us")),
-    ("lang", pa.string()),
-    ("text", pa.large_string()),
-    ("content_type", pa.string()),
-    ("bucket", pa.int64()),
-    ("first_page", pa.int64()),
-    ("n_pages_total", pa.int64()),
-    ("n_shards", pa.int64()),
-    ("streams", pa.list_(pa.large_binary())),
-])
+# single-pass pipeline working schema: final rows and page-range fragment
+# rows share one table (row_kind: 'final' | 'frag_raw' | 'frag');
+# frag_raw rows still carry their content streams, frag rows their parsed
+# text/spans in the extracted_text/spans columns (local offsets, absolute
+# page numbers)
+WORK_SCHEMA = pa.schema(
+    list(OUT_SCHEMA)
+    + [
+        ("row_kind", pa.string()),
+        ("fallback_text", pa.large_string()),
+        ("first_page", pa.int64()),
+        ("n_pages_total", pa.int64()),
+        ("streams", pa.list_(pa.large_binary())),
+    ])
 
-FRAGMENT_SCHEMA = pa.schema([
-    ("url", pa.string()),
-    ("warc_ts", pa.timestamp("us")),
-    ("lang", pa.string()),
-    ("text", pa.large_string()),
-    ("content_type", pa.string()),
-    ("bucket", pa.int64()),
-    ("first_page", pa.int64()),
-    ("n_pages_total", pa.int64()),
-    ("n_shards", pa.int64()),
-    ("frag_text", pa.large_string()),
-    ("frag_spans", SPAN_TYPE),
-    ("frag_lines", pa.int64()),
-    ("frag_pages", pa.int64()),
-])
+
+def work_table(records: list[dict]) -> pa.Table:
+    """Columnar WORK_SCHEMA construction (see ``out_table``)."""
+    cols: dict[str, object] = {}
+    for field in WORK_SCHEMA:
+        if field.name in ("spans", "streams"):
+            continue
+        cols[field.name] = pa.array([r[field.name] for r in records],
+                                    type=field.type)
+    starts, ends, kinds, pages = [], [], [], []
+    offsets = [0]
+    for r in records:
+        for s in r["spans"]:
+            starts.append(s.start)
+            ends.append(s.end)
+            kinds.append(s.kind)
+            pages.append(s.page)
+        offsets.append(len(starts))
+    struct = pa.StructArray.from_arrays(
+        [pa.array(starts, pa.int64()), pa.array(ends, pa.int64()),
+         pa.array(kinds, pa.string()), pa.array(pages, pa.int32())],
+        names=["start", "end", "kind", "page"])
+    cols["spans"] = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    cols["streams"] = pa.array([r.get("streams") for r in records],
+                               type=pa.list_(pa.large_binary()))
+    return pa.table({f.name: cols[f.name] for f in WORK_SCHEMA})
+
+
+_WORK_DEFAULTS = {
+    "row_kind": "final", "fallback_text": "", "first_page": 0,
+    "n_pages_total": 0, "streams": None,
+}
+
+
+def _as_work(rec: dict) -> dict:
+    rec.update(_WORK_DEFAULTS)
+    return rec
+
+
+class ExtractOrSplit:
+    """The fused per-document stage of the single-pass pipeline.
+
+    Non-oversized documents are fully extracted here (final rows);
+    oversized PDFs get a cheap structural split into page-range fragment
+    rows (``frag_raw``) that carry only their own content streams — the
+    heavy tokenization happens downstream in ``ParseFragments`` so one
+    giant document's shards spread across tasks via block splitting.
+    """
+
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        urls = batch["url"].to_pylist()
+        tss = batch["warc_ts"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        fallbacks = batch["text"].to_pylist()
+        cts = batch["content_type"].to_pylist()
+        statuses = batch["status"].to_pylist()
+        errors = batch["error"].to_pylist()
+        buckets = batch["bucket"].to_pylist()
+        page_counts = batch["page_count"].to_pylist()
+        attempts = (batch["attempts"].to_pylist()
+                    if "attempts" in batch.column_names else [1] * len(batch))
+        payloads = batch["html"]
+        records: list[dict] = []
+        for i in range(len(batch)):
+            big = (cts[i] == CT_PDF and statuses[i] == STATUS_COMPLETED
+                   and page_counts[i] > cfg.split_page_threshold)
+            if big:
+                payload = payloads[i].as_py() or b""
+                streams = pdf_extract.page_content_streams(payload)
+                per = cfg.pages_per_shard
+                for lo in range(0, len(streams), per):
+                    hi = min(lo + per, len(streams))
+                    records.append({
+                        "url": urls[i], "warc_ts": tss[i], "lang": langs[i],
+                        "content_type": cts[i], "status": "", "error": "",
+                        "route": "", "quality_pct": 0, "doc_kind": "",
+                        "doc_conf_pct": 0, "doc_method": "",
+                        "extracted_text": "", "n_chars": 0, "n_blocks": 0,
+                        "n_pages": 0, "spans": [], "text_sha256": "",
+                        "attempts": attempts[i], "bucket": buckets[i],
+                        "row_kind": "frag_raw",
+                        "fallback_text": fallbacks[i] or "",
+                        "first_page": lo + 1,
+                        "n_pages_total": len(streams),
+                        "streams": list(streams[lo:hi]),
+                    })
+                continue
+            if statuses[i] == STATUS_REJECTED:
+                rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
+                                   cts[i], STATUS_REJECTED, errors[i], None,
+                                   cfg.quality_threshold_pct, attempts[i])
+            else:
+                try:
+                    primary = _extract_primary(payloads[i].as_py() or b"",
+                                               cts[i], cfg, attempts[i])
+                    rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
+                                       cts[i], STATUS_COMPLETED, "", primary,
+                                       cfg.quality_threshold_pct, attempts[i])
+                except Exception as e:  # noqa: BLE001 — row-level isolation
+                    rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
+                                       cts[i], STATUS_PARTIAL,
+                                       f"{type(e).__name__}: {e}", None,
+                                       cfg.quality_threshold_pct, attempts[i])
+            rec["bucket"] = buckets[i]
+            records.append(_as_work(rec))
+        return work_table(records)
+
+
+class ParseFragments:
+    """Tokenize ``frag_raw`` rows; final rows pass through untouched."""
+
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["row_kind"].to_pylist()
+        if "frag_raw" not in kinds:
+            return batch
+        cfg = self.cfg
+        records: list[dict] = []
+        passthrough_mask = []
+        for i in range(len(batch)):
+            if kinds[i] != "frag_raw":
+                passthrough_mask.append(True)
+                continue
+            passthrough_mask.append(False)
+            streams = [s for s in batch["streams"][i].as_py()]
+            first_page = batch["first_page"][i].as_py()
+            frag = pdf_extract.extract_pdf_pages(
+                streams, first_page, cfg.line_y_tolerance, cfg.column_gap_min)
+            records.append({
+                "url": batch["url"][i].as_py(),
+                "warc_ts": batch["warc_ts"][i].as_py(),
+                "lang": batch["lang"][i].as_py(),
+                "content_type": batch["content_type"][i].as_py(),
+                "status": "", "error": "", "route": "", "quality_pct": 0,
+                "doc_kind": "", "doc_conf_pct": 0, "doc_method": "",
+                "extracted_text": frag.text, "n_chars": len(frag.text),
+                "n_blocks": frag.element_count, "n_pages": frag.n_pages,
+                "spans": frag.spans, "text_sha256": "",
+                "attempts": batch["attempts"][i].as_py(),
+                "bucket": batch["bucket"][i].as_py(),
+                "row_kind": "frag",
+                "fallback_text": batch["fallback_text"][i].as_py() or "",
+                "first_page": first_page,
+                "n_pages_total": batch["n_pages_total"][i].as_py(),
+                "streams": None,
+            })
+        kept = batch.filter(pa.array(passthrough_mask, pa.bool_()))
+        if not records:
+            return kept
+        frag_table = work_table(records)
+        return pa.concat_tables([kept, frag_table]) if len(kept) else frag_table
+
+
+def finalize_bucket(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    dedup: bool = True) -> pa.Table:
+    """The bucket-partition finisher: groupby-url fragment reassembly +
+    exact first-wins dedup, all local to one url-hash bucket.
+
+    Co-location invariant (documented per north rule): every row of a url
+    — duplicates and page-range fragments alike — carries the same
+    ``bucket`` (a pure url hash), so reassembly and dedup never need a
+    second shuffle.
+    """
+    kinds = group["row_kind"].to_pylist()
+    final_mask = pa.array([k == "final" for k in kinds], pa.bool_())
+    finals = group.filter(final_mask)
+    frags = group.filter(pc.invert(final_mask))
+
+    out_records: list[dict] = []
+    if len(frags):
+        df = frags.select(["url", "warc_ts", "first_page"]).to_pandas()
+        df["row"] = range(len(df))
+        for (url, ts), g in df.groupby(["url", "warc_ts"], sort=True):
+            order = g.sort_values("first_page")["row"].tolist()
+            text_parts: list[str] = []
+            spans: list[Span] = []
+            pos = 0
+            total_lines = 0
+            for ri in order:
+                frag_lines = frags["n_blocks"][ri].as_py()
+                if frag_lines == 0:
+                    continue
+                if total_lines > 0:
+                    pos += 1  # "\n" joint between fragments
+                frag_text = frags["extracted_text"][ri].as_py()
+                for s in frags["spans"][ri].as_py():
+                    spans.append(Span(s["start"] + pos, s["end"] + pos,
+                                      s["kind"], s["page"]))
+                text_parts.append(frag_text)
+                pos += len(frag_text)
+                total_lines += frag_lines
+            r0 = order[0]
+            primary = Primary(
+                text="\n".join(text_parts), spans=spans,
+                element_count=total_lines, heading_count=0,
+                table_row_counts=[],
+                n_pages=frags["n_pages_total"][r0].as_py())
+            rec = finalize_row(
+                url, frags["warc_ts"][r0].as_py(), frags["lang"][r0].as_py(),
+                frags["fallback_text"][r0].as_py() or "",
+                frags["content_type"][r0].as_py(), STATUS_COMPLETED, "",
+                primary, cfg.quality_threshold_pct,
+                frags["attempts"][r0].as_py())
+            rec["bucket"] = frags["bucket"][r0].as_py()
+            out_records.append(rec)
+
+    out = finals.select([f.name for f in OUT_SCHEMA])
+    if out_records:
+        out = pa.concat_tables([out, out_table(out_records)])
+    if dedup and len(out):
+        # exact first-wins: keep each url's minimum-warc_ts row
+        # (reference: unique hash index, migrations/006:13-16)
+        idx = pc.sort_indices(out.select(["url", "warc_ts"]),
+                              sort_keys=[("url", "ascending"),
+                                         ("warc_ts", "ascending")])
+        out = out.take(idx)
+        urls = out["url"].to_pylist()
+        keep = [i == 0 or urls[i] != urls[i - 1] for i in range(len(urls))]
+        out = out.filter(pa.array(keep, pa.bool_()))
+    return out
 
 
 def sniff_validate_batch(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
@@ -248,111 +462,3 @@ class ExtractorActor:
         return out_table(records)
 
 
-def shard_pdf_batch(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
-    """Skew splitting: one oversized PDF row → N page-range shard rows.
-
-    The structural scan (object boundaries, page tree) is cheap; the costly
-    text tokenization happens downstream per shard, in parallel. Shards
-    carry only their own pages' content streams, so bytes shipped scale
-    with the range, not the whole document.
-    """
-    rows = []
-    for i in range(len(batch)):
-        payload = batch["html"][i].as_py() or b""
-        streams = pdf_extract.page_content_streams(payload)
-        per = cfg.pages_per_shard
-        ranges = [(lo, min(lo + per, len(streams)))
-                  for lo in range(0, len(streams), per)] or [(0, 0)]
-        for lo, hi in ranges:
-            rows.append({
-                "url": batch["url"][i].as_py(),
-                "warc_ts": batch["warc_ts"][i].as_py(),
-                "lang": batch["lang"][i].as_py(),
-                "text": batch["text"][i].as_py() or "",
-                "content_type": batch["content_type"][i].as_py(),
-                "bucket": batch["bucket"][i].as_py(),
-                "first_page": lo + 1,
-                "n_pages_total": len(streams),
-                "n_shards": len(ranges),
-                "streams": list(streams[lo:hi]),
-            })
-    return pa.Table.from_pylist(rows, schema=SHARD_SCHEMA)
-
-
-class FragmentExtractor:
-    """Extract one page-range shard; emits fragment text + local spans."""
-
-    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG):
-        self.cfg = cfg
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        rows = []
-        for i in range(len(batch)):
-            streams = [s for s in batch["streams"][i].as_py()]
-            first_page = batch["first_page"][i].as_py()
-            frag = pdf_extract.extract_pdf_pages(
-                streams, first_page, cfg.line_y_tolerance, cfg.column_gap_min)
-            rows.append({
-                "url": batch["url"][i].as_py(),
-                "warc_ts": batch["warc_ts"][i].as_py(),
-                "lang": batch["lang"][i].as_py(),
-                "text": batch["text"][i].as_py() or "",
-                "content_type": batch["content_type"][i].as_py(),
-                "bucket": batch["bucket"][i].as_py(),
-                "first_page": first_page,
-                "n_pages_total": batch["n_pages_total"][i].as_py(),
-                "n_shards": batch["n_shards"][i].as_py(),
-                "frag_text": frag.text,
-                "frag_spans": [
-                    {"start": s.start, "end": s.end, "kind": s.kind, "page": s.page}
-                    for s in frag.spans
-                ],
-                "frag_lines": frag.element_count,
-                "frag_pages": frag.n_pages,
-            })
-        return pa.Table.from_pylist(rows, schema=FRAGMENT_SCHEMA)
-
-
-def reassemble_group(group: pa.Table,
-                     cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
-    """groupby(url) reassembly of page-range fragments.
-
-    Deterministic: fragments sort by first_page; texts concatenate with a
-    single ``\\n`` between non-empty-line fragments (matching the whole-doc
-    parse, which joins all lines with ``\\n``); span offsets re-base onto
-    the concatenated text (SURVEY.md §7.5 hard part #2).
-    """
-    group = group.sort_by("first_page")
-    text_parts: list[str] = []
-    spans: list[Span] = []
-    pos = 0
-    total_lines = 0
-    for i in range(len(group)):
-        frag_lines = group["frag_lines"][i].as_py()
-        if frag_lines == 0:
-            continue
-        if total_lines > 0:
-            pos += 1  # "\n" joint between fragments
-        frag_text = group["frag_text"][i].as_py()
-        for s in group["frag_spans"][i].as_py():
-            spans.append(Span(s["start"] + pos, s["end"] + pos, s["kind"], s["page"]))
-        text_parts.append(frag_text)
-        pos += len(frag_text)
-        total_lines += frag_lines
-
-    primary = Primary(
-        text="\n".join(text_parts),
-        spans=spans,
-        element_count=total_lines,
-        heading_count=0,
-        table_row_counts=[],
-        n_pages=group["n_pages_total"][0].as_py(),
-    )
-    rec = finalize_row(
-        group["url"][0].as_py(), group["warc_ts"][0].as_py(),
-        group["lang"][0].as_py(), group["text"][0].as_py() or "",
-        group["content_type"][0].as_py(), STATUS_COMPLETED, "", primary,
-        cfg.quality_threshold_pct)
-    rec["bucket"] = group["bucket"][0].as_py()
-    return out_table([rec])

@@ -110,12 +110,21 @@ def merge_bucket_group(group: pa.Table, out_dir: str) -> pa.Table:
     retried_urls = set(group["url"].to_pylist())
     if os.path.exists(data_path):
         old = pq.read_table(data_path)
-        keep_mask = pa.array([u not in retried_urls
-                              for u in old["url"].to_pylist()], pa.bool_())
-        merged = pa.concat_tables([old.filter(keep_mask),
-                                   group.select(old.column_names)])
+        merged = pa.concat_tables([
+            old.filter(pa.array([u not in retried_urls
+                                 for u in old["url"].to_pylist()], pa.bool_())),
+            group.select(old.column_names)])
     else:
         merged = group
+    # first-wins within the merged bucket (retried duplicate urls)
+    import pyarrow.compute as pc
+    idx = pc.sort_indices(merged.select(["url", "warc_ts"]),
+                          sort_keys=[("url", "ascending"),
+                                     ("warc_ts", "ascending")])
+    merged = merged.take(idx)
+    urls = merged["url"].to_pylist()
+    keep = [i == 0 or urls[i] != urls[i - 1] for i in range(len(urls))]
+    merged = merged.filter(pa.array(keep, pa.bool_()))
     return write_bucket_group(merged, out_dir)
 
 
