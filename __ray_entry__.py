@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_stats": _tuned(relational.event_value_stats),
         "part_stats": _tuned(relational.part_stats),
         "nations_with_presence": _tuned(relational.nations_with_presence),
+        "customers_without_orders": _tuned(relational.customers_without_orders),
+        "prev_value_by_type": _tuned(relational.prev_value_by_type),
+        "top_orders_per_segment": _tuned(relational.top_orders_per_segment),
         # scalar-function library as dataset ops (M3/M4/M16)
         "sha256_docs": _tuned(analytics.sha256_docs),
         "canonical_names": _tuned(analytics.canonical_names),
@@ -150,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _tuned(analytics.dedup_exact),
         "dedup_minhash": _tuned(analytics.dedup_minhash),
         "dedup_simhash": _tuned(analytics.dedup_simhash),
+        "jaccard_pairs": _tuned(analytics.jaccard_pairs),
+        "embedding_dup_pairs": _tuned(analytics.embedding_dup_pairs),
         # similarity search
         "ann_bruteforce": _tuned(analytics.ann_bruteforce),
         "ann_ivf": _tuned(analytics.ann_ivf),
@@ -173,11 +178,16 @@ def oracle_sql() -> dict[str, str]:
         "event_value_stats": relational.event_value_stats_sql(),
         "part_stats": relational.part_stats_sql(),
         "nations_with_presence": relational.nations_with_presence_sql(),
+        "customers_without_orders": relational.customers_without_orders_sql(),
+        "prev_value_by_type": relational.prev_value_by_type_sql(),
+        "top_orders_per_segment": relational.top_orders_per_segment_sql(),
         "sha256_docs": analytics.sha256_docs_sql(),
         "canonical_names": analytics.canonical_names_sql(),
         "token_stats": analytics.token_stats_sql(),
         "lang_id": analytics.lang_id_sql(),
         "dedup_exact": analytics.dedup_exact_sql(),
+        "jaccard_pairs": analytics.jaccard_pairs_sql(),
+        "embedding_dup_pairs": analytics.embedding_dup_pairs_sql(),
         "ann_bruteforce": analytics.ann_bruteforce_sql(),
         "window_tumbling": analytics.window_tumbling_sql(),
         "sessions": analytics.sessions_sql(),

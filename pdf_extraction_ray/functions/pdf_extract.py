@@ -146,6 +146,12 @@ _OCTAL = {c: i for i, c in enumerate(b"01234567")}
 
 def _parse_literal(buf: bytes, i: int) -> tuple[bytes, int]:
     """Parse a ``(…)`` literal string starting at ``buf[i] == '('``."""
+    # fast path: no escapes and no nested parens before the closing paren
+    j = buf.find(b")", i + 1)
+    if j >= 0:
+        chunk = buf[i + 1:j]
+        if b"\\" not in chunk and b"(" not in chunk:
+            return chunk, j + 1
     out = bytearray()
     depth = 1
     i += 1

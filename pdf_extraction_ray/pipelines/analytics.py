@@ -245,6 +245,77 @@ def dedup_minhash(sf_dir: str) -> rd.Dataset:
                               jaccard_threshold=0.5)
 
 
+def jaccard_pairs(sf_dir: str) -> rd.Dataset:
+    """Exact n-gram Jaccard near-dup pairs (LSH candidates, exact
+    verification). SQL-oracled: true 3-gram Jaccard is expressible with
+    DuckDB list ops; at threshold 80 the LSH miss probability for a real
+    pair is < 1e-5, so the candidate pass loses nothing the oracle finds."""
+    return dd.jaccard_pairs(_docs_with_planted_near_dups(sf_dir),
+                            threshold_pct=80)
+
+
+def jaccard_pairs_sql(threshold_pct: int = 80) -> str:
+    toks = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, length(text) - 12)
+  FROM documents WHERE doc_id % 5 = 0
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len({toks}) < 3
+      THEN [array_to_string({toks}, ' ')]
+      ELSE list_transform(range(1, len({toks}) - 1),
+             i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])
+    END) AS shingles
+  FROM all_docs
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS uni
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+)
+SELECT a, b, CAST(floor(100.0 * inter / uni + 0.5) AS BIGINT) AS jaccard_pct
+FROM pairs WHERE uni > 0 AND floor(100.0 * inter / uni + 0.5) >= {threshold_pct}"""
+
+
+def _embeddings_with_planted_dups(sf_dir: str) -> rd.Dataset:
+    base = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+
+    def copies(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dup = df[df.vec_id % 10 == 0].copy()
+        dup["vec_id"] += 100_000
+        return pa.Table.from_pandas(dup, preserve_index=False)
+
+    return base.union(base.map_batches(copies, batch_format="pyarrow"))
+
+
+def embedding_dup_pairs(sf_dir: str) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs over planted exact copies
+    (threshold 0.99; the corpus's natural max pairwise cosine is ~0.51,
+    so the float threshold is far from any decision boundary)."""
+    return dd.embedding_near_dup(_embeddings_with_planted_dups(sf_dir),
+                                 threshold_pct=99)
+
+
+def embedding_dup_pairs_sql() -> str:
+    return """
+WITH all_v AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM all_v a, all_v b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.99"""
+
+
 def _docs_with_planted_simhash_dups(sf_dir: str) -> rd.Dataset:
     """documents ∪ one-word-swapped copies of the LONGER docs.
 

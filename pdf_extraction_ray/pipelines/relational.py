@@ -227,6 +227,103 @@ SELECT p_type, CAST(count(*) AS BIGINT) AS n_parts,
 FROM part GROUP BY p_type"""
 
 
+BIG_ORDER_PRICE = 400_000.0
+
+
+def customers_without_orders(sf_dir: str) -> rd.Dataset:
+    """Anti-join via broadcast key set (the Bloom-filter pattern of the
+    ray_guide joins section, exact here): customers with no high-value
+    order (every customer in this synthetic data has SOME order, so the
+    price threshold keeps the result non-trivial; reference analog: the
+    dedup existence probes, app/db/extractions.py:107-180, are the same
+    anti-join of incoming keys vs a stored set). The key set is built
+    with a pruned, filtered read — only matching keys ship."""
+    keys = set()
+    filtered = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda b: b.filter(
+            pc.greater(b["o_totalprice"], BIG_ORDER_PRICE))
+            .select(["o_custkey"]), batch_format="pyarrow")
+    for b in filtered.iter_batches(batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    ref = ray.put(keys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        mask = pa.array([c not in k for c in batch["c_custkey"].to_pylist()],
+                        pa.bool_())
+        return batch.filter(mask)
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        anti, batch_format="pyarrow")
+
+
+def customers_without_orders_sql() -> str:
+    return f"""
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {BIG_ORDER_PRICE})"""
+
+
+def prev_value_by_type(sf_dir: str) -> rd.Dataset:
+    """Ordered per-key state: each event joined to the value of the
+    previous event of the same type (the as-of/lag pattern —
+    ``groupby(key).map_groups`` over ts-sorted groups; a two-table as-of
+    join uses the same shape with ``pd.merge_asof`` inside the group).
+    Deterministic tie-break: (ts, event_id)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def lag(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        g["prev_value"] = g["value"].shift(1)
+        return g[["event_id", "event_type", "prev_value"]]
+
+    return ds.groupby("event_type").map_groups(lag, batch_format="pandas")
+
+
+def prev_value_by_type_sql() -> str:
+    return """
+SELECT event_id, event_type,
+       lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+         AS prev_value
+FROM events"""
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Top-k orders per market segment: broadcast custkey→segment lookup,
+    per-batch partial top-k per segment, tiny final merge per group."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = dict(zip(cust.c_custkey, cust.c_mktsegment))
+    ref = ray.put(seg_of)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        segs = [m.get(c, "") for c in batch["o_custkey"].to_pylist()]
+        t = batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+        df = t.to_pandas()
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True])
+        return pa.Table.from_pandas(df.groupby("c_mktsegment").head(k),
+                                    preserve_index=False)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+        return g[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("c_mktsegment").map_groups(final, batch_format="pandas"))
+
+
+def top_orders_per_segment_sql(k: int = 3) -> str:
+    return f"""
+SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+QUALIFY row_number() OVER (PARTITION BY c.c_mktsegment
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey) <= {k}"""
+
+
 def nations_with_presence(sf_dir: str) -> rd.Dataset:
     """Union + presence flags (D3 analog: dedup across extractions ∪
     memo_extractions; A6 presence counts): distinct nation keys seen in

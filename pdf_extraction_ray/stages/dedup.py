@@ -193,6 +193,123 @@ def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact verification on LSH candidates)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(ds: rd.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", threshold_pct: int = 50,
+                  shingle_k: int = 3, num_perm: int = 64,
+                  bands: int = 16) -> rd.Dataset:
+    """Near-dup pairs with EXACT n-gram Jaccard similarity.
+
+    MinHash-LSH proposes candidate pairs (cheap, no quadratic scan); each
+    candidate is verified with the true word-shingle Jaccard, emitted as
+    an integer percent for deterministic comparison. Returns
+    (a, b, jaccard_pct) with a < b.
+    """
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_band, out_hash, out_id, out_text = [], [], [], []
+        for i, t in zip(ids, texts):
+            sh = hashing.shingles(t or "", shingle_k)
+            sig = hashing.minhash_signature(sh, num_perm)
+            for b, bh in enumerate(hashing.minhash_bands(sig, bands)):
+                out_band.append(b)
+                out_hash.append(bh)
+                out_id.append(i)
+                out_text.append(t or "")
+        return pa.table({
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
+            id_col: pa.array(out_id, pa.int64()),
+            text_col: pa.array(out_text, pa.large_string()),
+        })
+
+    banded = ds.map_batches(sig_rows, batch_format="pyarrow")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "jaccard_pct": pd.Series([], dtype="int64")}
+        if len(group) < 2:
+            return pd.DataFrame(cols)
+        g = group.sort_values(id_col)
+        ids = g[id_col].tolist()
+        shs = [hashing.shingles(t, shingle_k) for t in g[text_col]]
+        a_o, b_o, j_o = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                # half-up rounding matches the SQL oracle's floor(x + 0.5)
+                jac = int(100 * hashing.jaccard(shs[i], shs[j]) + 0.5)
+                if jac >= threshold_pct:
+                    a_o.append(ids[i])
+                    b_o.append(ids[j])
+                    j_o.append(jac)
+        return pd.DataFrame({"a": pd.Series(a_o, dtype="int64"),
+                             "b": pd.Series(b_o, dtype="int64"),
+                             "jaccard_pct": pd.Series(j_o, dtype="int64")})
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        verify, batch_format="pandas")
+
+    # candidate pairs can repeat across bands → distinct
+    def dedup_batch(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["a", "b"]).map_groups(dedup_batch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(ds: rd.Dataset, threshold_pct: int = 99,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> rd.Dataset:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    The full (id, unit-vector) matrix is broadcast once and every batch
+    does one matmul against it — fine while the matrix fits a worker
+    (at larger scale, route through ``similarity.fit_centroids`` cells
+    and compare within-cell only). Returns (a, b) pairs with a < b and
+    cosine >= threshold_pct/100.
+    """
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    order = np.argsort(full[id_col].to_numpy(), kind="stable")
+    ids = full[id_col].to_numpy()[order]
+    mat = np.stack(full[vec_col].to_numpy())[order].astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    ref = ray.put((ids, mat))
+    thr = threshold_pct / 100.0
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        bmat = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in batch[vec_col].to_pylist()])
+        bn = np.linalg.norm(bmat, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        bmat = bmat / bn
+        sims = bmat @ all_mat.T
+        a_o, b_o = [], []
+        for r in range(sims.shape[0]):
+            hits = np.where(sims[r] >= thr)[0]
+            for c in hits:
+                if bids[r] < all_ids[c]:  # a < b, no self-pairs
+                    a_o.append(int(bids[r]))
+                    b_o.append(int(all_ids[c]))
+        return pa.table({"a": pa.array(a_o, pa.int64()),
+                         "b": pa.array(b_o, pa.int64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=1024)
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,107 @@
+"""Tests: anti-join, ordered per-key lag, top-k per group, near-dup pair
+ops, and the JSONL / file-directory sources."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_customers_without_orders_matches_duckdb(ray_session):
+    import duckdb
+    from pdf_extraction_ray.pipelines.relational import customers_without_orders
+    got = customers_without_orders(SF_SMOKE).to_pandas().sort_values(
+        "c_custkey").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM read_parquet('{SF_SMOKE}/customer.parquet')")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_SMOKE}/orders.parquet')")
+    want = con.sql("""SELECT c_custkey, c_nationkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 400000)
+        ORDER BY c_custkey""").df()
+    con.close()
+    assert len(got) > 0  # threshold chosen so some customers qualify
+    assert got.c_custkey.tolist() == want.c_custkey.tolist()
+
+
+def test_prev_value_by_type_lag_semantics(ray_session):
+    import ray.data as rd
+    from pdf_extraction_ray.pipelines.relational import prev_value_by_type
+    out = prev_value_by_type(SF_SMOKE).to_pandas()
+    events = pd.read_parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    g = events.sort_values(["ts", "event_id"]).groupby("event_type")
+    want = events.assign(prev_value=g["value"].shift(1) if False else None)
+    # recompute expected with explicit per-type ordering
+    expected = {}
+    for etype, grp in events.groupby("event_type"):
+        grp = grp.sort_values(["ts", "event_id"])
+        prev = grp["value"].shift(1)
+        for eid, pv in zip(grp.event_id, prev):
+            expected[eid] = pv
+    for _, r in out.iterrows():
+        e = expected[r.event_id]
+        if pd.isna(e):
+            assert pd.isna(r.prev_value)
+        else:
+            assert r.prev_value == e
+
+
+def test_top_orders_per_segment(ray_session):
+    from pdf_extraction_ray.pipelines.relational import top_orders_per_segment
+    out = top_orders_per_segment(SF_SMOKE).to_pandas()
+    orders = pd.read_parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+    cust = pd.read_parquet(os.path.join(SF_SMOKE, "customer.parquet"))
+    joined = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    for seg, grp in joined.groupby("c_mktsegment"):
+        want = grp.sort_values(["o_totalprice", "o_orderkey"],
+                               ascending=[False, True]).head(3)
+        got = out[out.c_mktsegment == seg].sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True])
+        assert got.o_orderkey.tolist() == want.o_orderkey.tolist(), seg
+
+
+def test_jaccard_pairs_find_planted(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import jaccard_pairs
+    out = jaccard_pairs(SF_SMOKE).to_pandas()
+    planted = out[(out.b - out.a) == 1_000_000]
+    assert len(planted) >= 90  # ~100 planted near-copies at sf0.001
+    assert (planted.jaccard_pct >= 80).all()
+
+
+def test_embedding_dup_pairs_exact(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import embedding_dup_pairs
+    out = embedding_dup_pairs(SF_SMOKE).to_pandas()
+    # exactly the planted copies: (v, v+100000) for v % 10 == 0
+    assert ((out.b - out.a) == 100_000).all()
+    assert (out.a % 10 == 0).all()
+    emb = pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    assert len(out) == (emb.vec_id % 10 == 0).sum()
+
+
+def test_jsonl_roundtrip(ray_session, pages_corpus, tmp_path):
+    import ray.data as rd
+    from pdf_extraction_ray.sources.readers import (read_pages_jsonl,
+                                                    write_pages_jsonl)
+    src = rd.read_parquet(pages_corpus).limit(50)
+    jdir = str(tmp_path / "jsonl")
+    write_pages_jsonl(src, jdir)
+    back = read_pages_jsonl(jdir).to_pandas().sort_values("url").reset_index(drop=True)
+    orig = src.to_pandas().sort_values("url").reset_index(drop=True)
+    assert back.url.tolist() == orig.url.tolist()
+    assert (back.html == orig.html).all()
+    assert back.warc_ts.tolist() == orig.warc_ts.tolist()
+
+
+def test_file_directory_source(ray_session, tmp_path):
+    from pdf_extraction_ray.sources.readers import read_pages_files
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.html").write_bytes(b"<html><body><article><p>doc a</p></article></body></html>")
+    (d / "b.html").write_bytes(b"<html><body><article><p>doc b</p></article></body></html>")
+    pages = read_pages_files(str(d)).to_pandas().sort_values("url")
+    assert pages.url.tolist() == ["file://a.html", "file://b.html"]
+    from pdf_extraction_ray.functions.html_extract import extract_html
+    assert extract_html(pages.html.iloc[0]).text == "doc a"
