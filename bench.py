@@ -134,8 +134,14 @@ def machine_ceiling(lo: int, hi: int) -> float:
 def run_scaling() -> dict:
     runs = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
 
+    # scaling runs use a heavier corpus (default 40x) than the plain bench:
+    # the fixed per-session costs must be small against steady-state work
+    # for the efficiency number to measure the pipeline, not the overheads
+    amplify = os.environ.get("GRAFT_SCALING_AMPLIFY", "40")
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_AMPLIFY=amplify)
         best = None
         for _ in range(runs):  # best-of-N fresh sessions damps machine noise
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],

@@ -30,6 +30,12 @@ def token_count(text: str) -> int:
     return len(TOKEN_RE.findall(text))
 
 
+def token_estimate(text: str) -> int:
+    """Cheap LLM-token estimate: chars // 4 (reference:
+    _estimate_token_count, app/services/pdf_extractor.py:146-159)."""
+    return len(text) // 4
+
+
 def text_quality(text: str) -> dict[str, float]:
     """Length / punctuation / stopword / uppercase ratios — the standard
     web-text quality heuristics (C4/Gopher-style filters)."""

@@ -105,12 +105,14 @@ def token_stats(sf_dir: str) -> rd.Dataset:
             rows["n_stop"].append(sum(1 for w in toks if w.lower() in en_stop))
             rows["n_upper"].append(sum(1 for c in t if c.isupper()))
             rows["sum_token_len"].append(sum(len(w) for w in toks))
+        est = [len(t) // 4 for t in batch["text"].to_pylist()]
         return pa.table({
             "doc_id": pa.array(rows["doc_id"], pa.int64()),
             "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
             "n_stop": pa.array(rows["n_stop"], pa.int64()),
             "n_upper": pa.array(rows["n_upper"], pa.int64()),
             "sum_token_len": pa.array(rows["sum_token_len"], pa.int64()),
+            "token_estimate": pa.array(est, pa.int64()),
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -125,7 +127,8 @@ SELECT doc_id,
   CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
                        t -> t IN ({stop}))) AS BIGINT) AS n_stop,
   CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
-  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS BIGINT) AS sum_token_len
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS BIGINT) AS sum_token_len,
+  CAST(length(text) // 4 AS BIGINT) AS token_estimate
 FROM documents"""
 
 

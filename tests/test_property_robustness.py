@@ -1,0 +1,72 @@
+"""Property-based robustness tests (hypothesis): the extractors must never
+crash on arbitrary bytes, and generator→extractor round-trips must hold
+for arbitrary content — the impossible-to-enumerate edge cases behind the
+byte-identity gate."""
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_extraction_ray.functions import pdf_extract, sniff
+from pdf_extraction_ray.functions.html_extract import extract_html
+from pdf_extraction_ray.sources.gen_pdf import build_pdf
+
+SAFE_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_sniff_never_crashes(payload):
+    ct = sniff.sniff_content_type(payload)
+    assert ct in ("pdf", "html", "text", "empty", "unknown")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=4096))
+def test_html_extract_never_crashes_on_garbage(payload):
+    r = extract_html(payload)
+    assert isinstance(r.text, str)
+    for s in r.spans:
+        assert 0 <= s.start <= s.end <= len(r.text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=4096))
+def test_pdf_extract_never_crashes_on_garbage(payload):
+    r = pdf_extract.extract_pdf(b"%PDF-1.4\n" + payload)
+    assert isinstance(r.text, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(
+    blacklist_categories=("Cs",), blacklist_characters="\n\r\f"),
+    max_size=80), min_size=1, max_size=30))
+def test_pdf_roundtrip_arbitrary_lines(lines):
+    """Any newline-free line set round-trips through build_pdf/extract."""
+    pdf = build_pdf(lines, lines_per_page=7)
+    r = pdf_extract.extract_pdf(pdf)
+    assert r.text == "\n".join(lines)
+
+
+@settings(max_examples=100, deadline=None)
+@given(SAFE_TEXT)
+def test_html_paragraph_roundtrip(content):
+    """Escaped content inside an article paragraph extracts verbatim
+    (whitespace-only content is dropped as formatting noise by design)."""
+    import html as html_mod
+    page = f"<html><body><article><p>{html_mod.escape(content)}</p></article></body></html>"
+    r = extract_html(page.encode())
+    if content and not content.strip():
+        assert r.text == ""
+    else:
+        assert r.text == content
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9), SAFE_TEXT)
+def test_spec_expected_functions_total(doc_id, text):
+    """The corpus spec's ground-truth functions are total over any input."""
+    from pdf_extraction_ray.sources import spec
+    k = spec.kind_of(doc_id)
+    assert isinstance(k, str)
+    t = spec.expected_final_text(doc_id, text, "srcX")
+    assert isinstance(t, str)
