@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_names": _tuned(analytics.canonical_names),
         # text analytics (training-data operators)
         "token_stats": _tuned(analytics.token_stats),
+        "quality_filter": _tuned(analytics.quality_filter),
         "lang_id": _tuned(analytics.lang_id),
         "fingerprint_docs": _tuned(analytics.fingerprint_docs),
         # dedup family (D1 + near-dup extensions)
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "sha256_docs": analytics.sha256_docs_sql(),
         "canonical_names": analytics.canonical_names_sql(),
         "token_stats": analytics.token_stats_sql(),
+        "quality_filter": analytics.quality_filter_sql(),
         "lang_id": analytics.lang_id_sql(),
         "dedup_exact": analytics.dedup_exact_sql(),
         "jaccard_pairs": analytics.jaccard_pairs_sql(),

@@ -132,6 +132,46 @@ SELECT doc_id,
 FROM documents"""
 
 
+def quality_filter(sf_dir: str) -> rd.Dataset:
+    """C4/Gopher-style quality filtering: keep documents passing integer
+    threshold rules (pure-integer comparisons so the SQL oracle is exact):
+
+    * at least 20 tokens
+    * mean token length in [3, 10]:  3*n_tokens <= sum_len <= 10*n_tokens
+    * at most 60% of chars outside tokens: 5*sum_len >= 2*n_chars
+    """
+    def keep(batch: pa.Table) -> pa.Table:
+        ids, langs = batch["doc_id"].to_pylist(), batch["lang"].to_pylist()
+        out_id, out_lang, out_tok = [], [], []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = TOKEN_RE.findall(t)
+            n, s = len(toks), sum(len(w) for w in toks)
+            if n >= 20 and 3 * n <= s <= 10 * n and 5 * s >= 2 * len(t):
+                out_id.append(ids[i])
+                out_lang.append(langs[i])
+                out_tok.append(n)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "lang": pa.array(out_lang, pa.string()),
+                         "n_tokens": pa.array(out_tok, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        keep, batch_format="pyarrow")
+
+
+def quality_filter_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, lang, length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS sum_len
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM t
+WHERE n_tokens >= 20 AND 3 * n_tokens <= sum_len
+  AND sum_len <= 10 * n_tokens AND 5 * sum_len >= 2 * n_chars"""
+
+
 def lang_id(sf_dir: str) -> rd.Dataset:
     """Language identification vs the table's labeled lang."""
     def add(batch: pa.Table) -> pa.Table:
