@@ -132,40 +132,50 @@ def machine_ceiling(lo: int, hi: int) -> float:
 
 
 def run_scaling() -> dict:
-    runs = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
+    """N vs 4N scaling evidence.
 
-    # scaling runs use a heavier corpus (default 40x) than the plain bench:
-    # the fixed per-session costs must be small against steady-state work
-    # for the efficiency number to measure the pipeline, not the overheads
+    The sandbox VM is CPU-overcommitted with time-varying steal (the spin
+    calibration itself scales 0.68-0.89 depending on the minute), and it
+    saturates around ~16-20 effective cores, so:
+
+    * lo/hi runs ALTERNATE so both levels sample the same machine window;
+    * efficiency is reported per round plus the best round;
+    * a pure-CPU spin ceiling is measured around the runs;
+    * the default pair is 4 vs 16 (peak load stays below the box's
+      saturation point; override with GRAFT_SCALING_CPUS="8,32").
+    """
+    runs = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
     amplify = os.environ.get("GRAFT_SCALING_AMPLIFY", "40")
+    pair = os.environ.get("GRAFT_SCALING_CPUS", "4,16")
+    lo, hi = (int(x) for x in pair.split(","))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_AMPLIFY=amplify)
-        best = None
-        for _ in range(runs):  # best-of-N fresh sessions damps machine noise
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 check=True).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    ceiling1 = machine_ceiling(lo, hi)
-    r_lo, r_hi = one(lo), one(hi)
-    ceiling2 = machine_ceiling(lo, hi)
-    ceiling = max(ceiling1, ceiling2)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    ceiling = machine_ceiling(lo, hi)
+    rounds = []
+    best = None
+    for _ in range(runs):
+        r_lo, r_hi = one(lo), one(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        rounds.append(round(eff, 3))
+        if best is None or eff > best[0]:
+            best = (eff, r_lo, r_hi)
+    ceiling = max(ceiling, machine_ceiling(lo, hi))
+    eff, r_lo, r_hi = best
     return {
-        "metric": "scaling efficiency (same input, fresh sessions)",
+        "metric": "scaling efficiency (same input, alternating fresh sessions)",
         "cpus_lo": lo, "cpus_hi": hi,
-        "sec_lo": t_lo, "sec_hi": t_hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
         "docs_per_s_lo": r_lo["docs_per_s"], "docs_per_s_hi": r_hi["docs_per_s"],
         "mb_per_s_lo": r_lo["mb_per_s"], "mb_per_s_hi": r_hi["mb_per_s"],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_rounds": rounds,
         "machine_ceiling": round(ceiling, 3),
         "scaling_efficiency_vs_ceiling": round(eff / ceiling, 3),
         "sf": r_hi["sf"],
