@@ -182,8 +182,33 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Dump Ray Data per-stage stats for the flagship pipeline (the
+    iterate-on-``ds.stats()`` loop, printed human-readable to stderr)."""
+    import ray
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from pdf_extraction_ray.config import PipelineConfig, tune_data_context
+    from pdf_extraction_ray.pipelines.extraction import extracted_dataset
+    from pdf_extraction_ray.sources import corpus, spec
+    tune_data_context()
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
+                         split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
+    pages = corpus.ensure_pages_corpus(
+        sf_dir, amplify=int(os.environ.get("GRAFT_BENCH_AMPLIFY", "10")))
+    ds = extracted_dataset(pages, cfg)
+    n = ds.count()
+    print(f"rows: {n}\n", file=sys.stderr)
+    print(ds.stats(), file=sys.stderr)
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))

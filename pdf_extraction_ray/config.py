@@ -29,6 +29,12 @@ class PipelineConfig:
     line_y_tolerance: float = 2.0    # chunks within this |dy| share a line
     column_gap_min: float = 120.0    # x gap that starts a new column band
 
+    # --- pathological-document guard (SURVEY.md §4 timeouts) ---
+    # cooperative per-document parse budget in seconds; None disables.
+    # Timeouts become status='partial' rows with a transient error label,
+    # so `run_retry` gives them another attempt before quarantine.
+    doc_timeout_s: float | None = None
+
     # --- skew splitting (north rule: shard oversized PDFs into page ranges) ---
     split_page_threshold: int = 8    # PDFs with more pages than this are sharded
     pages_per_shard: int = 4

@@ -137,13 +137,14 @@ _RAWTEXT_CLOSE = {
 }
 
 
-def parse_html(payload: bytes | str) -> Node:
+def parse_html(payload: bytes | str, deadline: float | None = None) -> Node:
     """Parse HTML bytes/str into a lightweight DOM tree (lenient).
 
     A single-regex scanner (3-4x faster and far lighter on allocation than
     ``html.parser``): entity references resolve with ``html.unescape`` on
     text runs, attribute blobs parse lazily, raw-text elements
-    (script/style/...) skip straight to their close tag.
+    (script/style/...) skip straight to their close tag. ``deadline``
+    (monotonic seconds) is the cooperative per-document timeout.
     """
     if isinstance(payload, bytes):
         payload = payload.decode("utf-8", errors="replace")
@@ -151,7 +152,15 @@ def parse_html(payload: bytes | str) -> Node:
     stack: list[Node] = [root]
     pos = 0
     n = len(payload)
+    probe = 0
     while pos < n:
+        if deadline is not None:
+            probe += 1
+            if probe % 2048 == 0:
+                import time
+                if time.monotonic() > deadline:
+                    from .retry_policy import DocumentTimeout
+                    raise DocumentTimeout("html parse over budget")
         m = _TOKEN_RE.search(payload, pos)
         if m is None:
             text = payload[pos:]
@@ -423,9 +432,10 @@ def _find_content_root(root: Node, link_density_max: float) -> Node:
 
 
 def extract_html(payload: bytes | str,
-                 link_density_max: float = 0.5) -> HtmlExtract:
+                 link_density_max: float = 0.5,
+                 deadline: float | None = None) -> HtmlExtract:
     """Extract main content text + spans from an HTML payload."""
-    root = parse_html(payload)
+    root = parse_html(payload, deadline)
     content = _find_content_root(root, link_density_max)
     semantic = content.tag in ("article", "main") or content.attrs.get("role") == "main"
     blocks, table_row_counts = _kept_blocks(content, link_density_max, semantic)

@@ -25,9 +25,11 @@ dependence.
 from __future__ import annotations
 
 import re
+import time
 from dataclasses import dataclass, field
 
 from .html_extract import Span
+from .retry_policy import DocumentTimeout
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n")
@@ -200,19 +202,30 @@ class TextChunk:
     text: str
 
 
-def tokenize_text_ops(stream: bytes) -> list[TextChunk]:
-    """Run the text operators of one content stream; emit positioned chunks."""
+def tokenize_text_ops(stream: bytes,
+                      deadline: float | None = None) -> list[TextChunk]:
+    """Run the text operators of one content stream; emit positioned chunks.
+
+    ``deadline`` (monotonic seconds): cooperative timeout for pathological
+    documents (SURVEY.md §4 per-row wall-clock guard) — checked every few
+    thousand tokens, raising DocumentTimeout.
+    """
     chunks: list[TextChunk] = []
     operands: list[object] = []
     x = y = 0.0
     lx = ly = 0.0  # line start (for T*)
     leading = 0.0
     i, n = 0, len(stream)
+    budget_probe = 0
 
     def emit(text: bytes) -> None:
         chunks.append(TextChunk(x, y, text.decode("utf-8", errors="replace")))
 
     while i < n:
+        if deadline is not None:
+            budget_probe += 1
+            if budget_probe % 4096 == 0 and time.monotonic() > deadline:
+                raise DocumentTimeout("content-stream tokenization over budget")
         c = stream[i]
         if c in _WS:
             i += 1
@@ -365,7 +378,8 @@ class PdfExtract:
 def extract_pdf_pages(streams: list[bytes],
                       first_page: int = 1,
                       y_tolerance: float = 2.0,
-                      column_gap_min: float = 120.0) -> PdfExtract:
+                      column_gap_min: float = 120.0,
+                      deadline: float | None = None) -> PdfExtract:
     """Extract text from per-page content streams.
 
     ``first_page`` sets the page numbers recorded in spans — page-range
@@ -377,7 +391,8 @@ def extract_pdf_pages(streams: list[bytes],
     pos = 0
     total_lines = 0
     for p, stream in enumerate(streams):
-        lines = assemble_lines(tokenize_text_ops(stream), y_tolerance, column_gap_min)
+        lines = assemble_lines(tokenize_text_ops(stream, deadline),
+                               y_tolerance, column_gap_min)
         page_no = first_page + p
         for j, line in enumerate(lines):
             if parts:
@@ -396,7 +411,8 @@ def extract_pdf_pages(streams: list[bytes],
 
 def extract_pdf(payload: bytes,
                 y_tolerance: float = 2.0,
-                column_gap_min: float = 120.0) -> PdfExtract:
+                column_gap_min: float = 120.0,
+                deadline: float | None = None) -> PdfExtract:
     """Whole-document PDF extraction (pages joined with ``\\n``)."""
     return extract_pdf_pages(page_content_streams(payload), 1,
-                             y_tolerance, column_gap_min)
+                             y_tolerance, column_gap_min, deadline)

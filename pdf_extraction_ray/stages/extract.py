@@ -31,6 +31,7 @@ from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..functions import pdf_extract
 from ..functions.finalize import (Primary, STATUS_COMPLETED, STATUS_PARTIAL,
                                   STATUS_REJECTED, finalize_row)
+from ..functions.retry_policy import error_label
 from ..functions.hashing import url_bucket
 from ..functions.html_extract import Span, extract_html
 from ..functions.sniff import CT_HTML, CT_PDF, CT_TEXT, sniff_content_type, validate_payload
@@ -181,9 +182,9 @@ class ExtractOrSplit:
                                        cfg.quality_threshold_pct, attempts[i])
                 except Exception as e:  # noqa: BLE001 — row-level isolation
                     rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
-                                       cts[i], STATUS_PARTIAL,
-                                       f"{type(e).__name__}: {e}", None,
-                                       cfg.quality_threshold_pct, attempts[i])
+                                       cts[i], STATUS_PARTIAL, error_label(e),
+                                       None, cfg.quality_threshold_pct,
+                                       attempts[i])
             rec["bucket"] = buckets[i]
             records.append(_as_work(rec))
         return work_table(records)
@@ -369,14 +370,22 @@ def sniff_validate_batch(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) 
             .append_column("bucket", pa.array(buckets, pa.int64())))
 
 
+def _deadline(cfg: PipelineConfig) -> float | None:
+    if cfg.doc_timeout_s is None:
+        return None
+    import time
+    return time.monotonic() + cfg.doc_timeout_s
+
+
 def _html_extractor(payload: bytes, cfg: PipelineConfig, attempts: int) -> Primary:
-    h = extract_html(payload, cfg.link_density_max)
+    h = extract_html(payload, cfg.link_density_max, deadline=_deadline(cfg))
     return Primary(h.text, h.spans, h.element_count, h.heading_count,
                    h.table_row_counts, n_pages=1)
 
 
 def _pdf_extractor(payload: bytes, cfg: PipelineConfig, attempts: int) -> Primary:
-    p = pdf_extract.extract_pdf(payload, cfg.line_y_tolerance, cfg.column_gap_min)
+    p = pdf_extract.extract_pdf(payload, cfg.line_y_tolerance,
+                                cfg.column_gap_min, deadline=_deadline(cfg))
     return Primary(p.text, p.spans, p.element_count, 0, [], p.n_pages)
 
 
@@ -488,9 +497,9 @@ class ExtractorActor:
                                        cfg.quality_threshold_pct, attempts[i])
                 except Exception as e:  # noqa: BLE001 — row-level isolation
                     rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
-                                       cts[i], STATUS_PARTIAL,
-                                       f"{type(e).__name__}: {e}", None,
-                                       cfg.quality_threshold_pct, attempts[i])
+                                       cts[i], STATUS_PARTIAL, error_label(e),
+                                       None, cfg.quality_threshold_pct,
+                                       attempts[i])
             rec["bucket"] = buckets[i]
             records.append(rec)
         return out_table(records)

@@ -105,3 +105,22 @@ def test_file_directory_source(ray_session, tmp_path):
     assert pages.url.tolist() == ["file://a.html", "file://b.html"]
     from pdf_extraction_ray.functions.html_extract import extract_html
     assert extract_html(pages.html.iloc[0]).text == "doc a"
+
+
+def test_bloom_filter_membership():
+    from pdf_extraction_ray.stages.dedup import BloomFilter
+    bf = BloomFilter.sized_for(1000, fp_rate=0.01)
+    for i in range(1000):
+        bf.add(f"key-{i}")
+    assert all(f"key-{i}" in bf for i in range(1000))  # no false negatives
+    fp = sum(1 for i in range(1000, 11000) if f"key-{i}" in bf)
+    assert fp / 10000 < 0.05  # false-positive rate near the design point
+
+
+def test_bloom_anti_join_matches_exact(ray_session):
+    import ray.data as rd
+    from pdf_extraction_ray.stages.dedup import bloom_anti_join
+    left = rd.from_items([{"k": f"u{i}", "v": i} for i in range(200)])
+    right = rd.from_items([{"k": f"u{i}"} for i in range(0, 200, 3)])
+    out = bloom_anti_join(left, right, "k").to_pandas()
+    assert sorted(out.v.tolist()) == [i for i in range(200) if i % 3 != 0]

@@ -25,12 +25,12 @@ def _make_flaky():
     # nested so cloudpickle serializes it BY VALUE (test modules are not
     # importable inside Ray worker processes)
     def flaky_text_extractor(payload: bytes, cfg, attempts: int) -> Primary:
-        """Succeeds from attempt 2; 'poison' payloads never succeed."""
+        """Transient failure until attempt 2; 'poison' fails permanently."""
         text = payload.decode()
         if "poison" in text:
-            raise ValueError("permanently broken document")
+            raise ValueError("deterministically broken document")  # permanent
         if attempts < 2:
-            raise ValueError("transient parse failure")
+            raise OSError("transient environment failure")  # retryable
         return Primary(text=text, spans=[], element_count=1,
                        heading_count=0, table_row_counts=[], n_pages=1)
     return flaky_text_extractor
@@ -72,7 +72,10 @@ def test_retry_recovers_transients_and_quarantines_poison(
     assert (df.attempts == 1).all()
 
     s1 = run_retry(pages, out, CFG, max_attempts=3)
-    assert s1["n_retried"] == 20
+    # permanent (poison) errors are never retried (reference fails 4xx
+    # fast); transient ones get another attempt
+    assert s1["n_retried"] == 18
+    assert s1["n_quarantined"] == 2
     df2 = rd.read_parquet(out).to_pandas()
     ok = df2[~df2.url.str.contains("poison")]
     bad = df2[df2.url.str.contains("poison")]
@@ -80,18 +83,16 @@ def test_retry_recovers_transients_and_quarantines_poison(
     assert (ok.attempts == 2).all()
     assert (ok.extracted_text.str.contains("body text")).all()
     assert (bad.status == "partial").all()
+    assert bad.error.str.startswith("permanent:").all()
 
-    # keep retrying the poison rows to the cap
-    s2 = run_retry(pages, out, CFG, max_attempts=3)
-    assert s2["n_retried"] == 2  # only poison rows remain
-    s3 = run_retry(pages, out, CFG, max_attempts=3)
-    assert s3["n_retried"] == 0
-    assert s3["n_quarantined"] == 2
     qpath = os.path.join(out, "_quarantine", "quarantine.parquet")
     q = pd.read_parquet(qpath)
     assert len(q) == 2
     assert q.url.str.contains("poison").all()
-    assert (q.attempts >= 3).all()
+
+    # nothing left to retry
+    s2 = run_retry(pages, out, CFG, max_attempts=3)
+    assert s2["n_retried"] == 0 and s2["n_quarantined"] == 2
 
 
 def test_retry_noop_on_clean_run(ray_session, tmp_path):
@@ -101,3 +102,31 @@ def test_retry_noop_on_clean_run(ray_session, tmp_path):
     s = run_retry(pages, out, CFG)
     assert s == {"n_partial": 0, "n_retried": 0,
                  "n_quarantined": 0, "n_recovered": 0}
+
+
+def test_doc_timeout_guard(ray_session):
+    """Pathological documents hit the cooperative parse deadline and become
+    transient partial rows (SURVEY.md §4 per-row wall-clock guard)."""
+    import time
+    from pdf_extraction_ray.functions.html_extract import extract_html
+    from pdf_extraction_ray.functions.retry_policy import (DocumentTimeout,
+                                                           is_retryable)
+    big = ("<div>" + "<p>" + "word " * 50 + "</p>") * 20000
+    with pytest.raises(DocumentTimeout):
+        extract_html(big.encode(), deadline=time.monotonic() + 0.01)
+    assert is_retryable(DocumentTimeout("x"))
+
+    from pdf_extraction_ray.functions import pdf_extract
+    from pdf_extraction_ray.sources.gen_pdf import build_pdf
+    pdf = build_pdf([f"line {i}" for i in range(20000)], lines_per_page=5000)
+    with pytest.raises(DocumentTimeout):
+        pdf_extract.extract_pdf(pdf, deadline=time.monotonic() + 0.001)
+
+
+def test_error_classification():
+    from pdf_extraction_ray.functions.retry_policy import error_label, is_retryable
+    assert not is_retryable(ValueError("bad bytes"))
+    assert is_retryable(OSError("disk hiccup"))
+    assert is_retryable(RuntimeError("unknown"))
+    assert error_label(ValueError("x")).startswith("permanent:ValueError")
+    assert error_label(OSError("y")).startswith("transient:OSError")
