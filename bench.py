@@ -198,9 +198,9 @@ def run_stats() -> None:
                          split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
     pages = corpus.ensure_pages_corpus(
         sf_dir, amplify=int(os.environ.get("GRAFT_BENCH_AMPLIFY", "10")))
-    ds = extracted_dataset(pages, cfg)
-    n = ds.count()
-    print(f"rows: {n}\n", file=sys.stderr)
+    ds = extracted_dataset(pages, cfg).materialize()  # stats need a
+    # materialized dataset; the bench corpus fits the object store
+    print(f"rows: {ds.count()}\n", file=sys.stderr)
     print(ds.stats(), file=sys.stderr)
     ray.shutdown()
 
