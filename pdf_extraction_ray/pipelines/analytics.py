@@ -440,7 +440,19 @@ def ann_ivf(sf_dir: str, k: int = 10) -> rd.Dataset:
 def window_tumbling(sf_dir: str, width_s: int = 3600) -> rd.Dataset:
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "ts", "value"])
-    return win.tumbling_window(ds, width_s)
+    out = win.tumbling_window(ds, width_s)
+
+    def to_int_units(batch: pa.Table) -> pa.Table:
+        # scaled-integer output: two round() implementations can disagree
+        # by one ulp on the same mathematical value, but the nearest
+        # integer of sum*1e6 is unambiguous (summation-order noise is
+        # ~1e-10, far from the .5 boundary)
+        import pyarrow.compute as pc
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"), "sum_value_e6",
+            pc.round(pc.multiply(batch["sum_value"], 1e6)).cast(pa.int64()))
+
+    return out.map_batches(to_int_units, batch_format="pyarrow")
 
 
 def window_tumbling_sql(width_s: int = 3600) -> str:
@@ -450,7 +462,7 @@ SELECT event_type,
        make_timestamp(CAST(floor(epoch_us(ts) / {w}) AS BIGINT) * {w})
          AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
-       sum(value) AS sum_value
+       CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_e6
 FROM events GROUP BY event_type, window_start"""
 
 

@@ -62,19 +62,37 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    return (partials.groupby(["l_returnflag", "l_linestatus"])
-            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                       Sum("sum_base_price", alias_name="sum_base_price"),
-                       Sum("sum_disc_price", alias_name="sum_disc_price"),
-                       Sum("n_rows", alias_name="n_rows")))
+    summed = (partials.groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                         Sum("sum_base_price", alias_name="sum_base_price"),
+                         Sum("sum_disc_price", alias_name="sum_disc_price"),
+                         Sum("n_rows", alias_name="n_rows")))
+
+    # value-hash safety: money columns are fixed-decimal, so sums are
+    # integral in cents / 1e-4 units; emitting integers removes the
+    # last-ulp sensitivity of distributed vs sequential float summation
+    def to_int_units(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pc.round(batch["sum_qty"]).cast(pa.int64()),
+            "sum_base_price_cents":
+                pc.round(pc.multiply(batch["sum_base_price"], 100.0)).cast(pa.int64()),
+            "sum_disc_price_e4":
+                pc.round(pc.multiply(batch["sum_disc_price"], 10000.0)).cast(pa.int64()),
+            "n_rows": batch["n_rows"],
+        })
+
+    return summed.map_batches(to_int_units, batch_format="pyarrow")
 
 
 def pricing_summary_sql() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+         AS sum_disc_price_e4,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
@@ -102,17 +120,27 @@ def customers_per_region(sf_dir: str) -> rd.Dataset:
         regions = [lk[k] for k in batch["c_nationkey"].to_pylist()]
         return batch.append_column("r_name", pa.array(regions, pa.string()))
 
-    return (cust.map_batches(tag, batch_format="pyarrow")
-            .groupby("r_name")
-            .aggregate(Count(alias_name="n_customers"),
-                       Sum("c_acctbal", alias_name="sum_acctbal")))
+    summed = (cust.map_batches(tag, batch_format="pyarrow")
+              .groupby("r_name")
+              .aggregate(Count(alias_name="n_customers"),
+                         Sum("c_acctbal", alias_name="sum_acctbal")))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": batch["r_name"],
+            "n_customers": batch["n_customers"],
+            "sum_acctbal_cents":
+                pc.round(pc.multiply(batch["sum_acctbal"], 100.0)).cast(pa.int64()),
+        })
+
+    return summed.map_batches(to_cents, batch_format="pyarrow")
 
 
 def customers_per_region_sql() -> str:
     return """
 SELECT r.r_name,
        CAST(count(*) AS BIGINT) AS n_customers,
-       sum(c.c_acctbal) AS sum_acctbal
+       CAST(round(sum(c.c_acctbal) * 100) AS BIGINT) AS sum_acctbal_cents
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -171,7 +199,12 @@ def event_value_stats(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({
             "event_type": [group["event_type"].iloc[0]],
             "n_events": np.array([n], dtype=np.int64),
-            "mean_value": [float(v.mean())],
+            # scaled integer: the mean's last ulp depends on summation
+            # order and round() implementations differ by 1 ulp; the
+            # nearest integer of mean*1e6 is unambiguous. p95 is an exact
+            # element copy, hash-safe as a raw float.
+            "mean_value_e6": np.array([int(round(float(v.sum() / n) * 1e6))],
+                                      dtype=np.int64),
             "p95_value": [float(v[idx])],
         })
 
@@ -182,7 +215,7 @@ def event_value_stats_sql() -> str:
     return """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       avg(value) AS mean_value,
+       CAST(round(avg(value) * 1000000) AS BIGINT) AS mean_value_e6,
        quantile_disc(value, 0.95) AS p95_value
 FROM events GROUP BY event_type"""
 

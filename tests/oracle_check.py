@@ -62,8 +62,10 @@ def compare(name: str, ray_result, sql: str, sf_dir: str) -> list[str]:
     for c in got.columns:
         a, b = got[c], want[c]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-            ok = np.allclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9,
-                             equal_nan=True)
+            # STRICT: the driver hashes values, so floats must match
+            # bit-for-bit (NaN==NaN allowed)
+            av, bv = a.astype(float).to_numpy(), b.astype(float).to_numpy()
+            ok = bool(np.all((av == bv) | (np.isnan(av) & np.isnan(bv))))
         else:
             ok = a.equals(b.astype(a.dtype)) if a.dtype != b.dtype else a.equals(b)
         if not ok:
