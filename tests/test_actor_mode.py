@@ -1,0 +1,50 @@
+"""Topology-equivalence tests: the actor-pool mode and the whole-document
+parse path must produce byte-identical results to the default paths (the
+north rule's determinism-across-topologies requirement)."""
+
+import pandas as pd
+import pytest
+
+from pdf_extraction_ray.config import PipelineConfig
+from pdf_extraction_ray.sources import spec
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.drop(columns=["spans"]).sort_values("url").reset_index(drop=True)
+    return df
+
+
+def test_actor_pool_mode_matches_function_mode(ray_session, pages_corpus):
+    from pdf_extraction_ray.pipelines.extraction import run_extraction
+    base_cfg = dict(max_bytes=spec.CORPUS_MAX_BYTES, n_buckets=16,
+                    split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
+    fn_df = run_extraction(
+        pages_corpus, PipelineConfig(**base_cfg, use_actors=False)).to_pandas()
+    ac_df = run_extraction(
+        pages_corpus,
+        PipelineConfig(**base_cfg, use_actors=True,
+                       extract_concurrency=(1, 2))).to_pandas()
+    a, b = _norm(fn_df), _norm(ac_df)
+    assert a.equals(b)
+
+
+def test_whole_doc_parse_equals_sharded_path(ray_session, documents_rows):
+    """ExtractorActor (whole-document, used by the retry pass) must produce
+    the same text as the shard+reassemble path for oversized PDFs."""
+    import pyarrow as pa
+    from pdf_extraction_ray.sources import corpus
+    from pdf_extraction_ray.stages.extract import (ExtractorActor,
+                                                   sniff_validate_batch)
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
+                         split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
+    big = [d for d in documents_rows if spec.kind_of(d["doc_id"]) == "pdf_big"][:3]
+    assert big
+    rows = [corpus.build_page_row(d["doc_id"], d["text"], d["source"], d["lang"])
+            for d in big]
+    batch = sniff_validate_batch(
+        pa.Table.from_pylist(rows, schema=corpus.PAGES_SCHEMA), cfg)
+    out = ExtractorActor(cfg)(batch)
+    for i, d in enumerate(big):
+        want = spec.expected_final_text(d["doc_id"], d["text"], d["source"])
+        assert out["extracted_text"][i].as_py() == want
+        assert out["n_pages"][i].as_py() > cfg.split_page_threshold
