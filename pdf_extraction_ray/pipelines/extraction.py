@@ -40,8 +40,20 @@ from ..state import checkpoint as ckpt
 
 
 def sniffed_pages(pages_path: str, cfg: PipelineConfig,
-                  skip_buckets: set[int] | None = None) -> rd.Dataset:
-    ds = rd.read_parquet(pages_path)
+                  skip_buckets: set[int] | None = None,
+                  url_filter: list[str] | None = None) -> rd.Dataset:
+    """Read + sniff the pages corpus.
+
+    ``url_filter`` pushes an exact url predicate into the parquet scan
+    (row-group stats prune whole groups; non-matching rows never surface)
+    — the retry pass uses it so re-extracting a handful of partial rows
+    does not re-sniff the whole corpus.
+    """
+    if url_filter is not None:
+        ds = rd.read_parquet(pages_path,
+                             filter=pc.field("url").isin(url_filter))
+    else:
+        ds = rd.read_parquet(pages_path)
     ds = ds.map_batches(lambda b: ex.sniff_validate_batch(b, cfg),
                         batch_format="pyarrow", batch_size=cfg.sniff_batch_size)
     if skip_buckets:
@@ -97,10 +109,12 @@ def run_retry(pages_path: str,
     atomically, and quarantines rows that exhausted the cap into
     ``out_dir/_quarantine/`` (the review-queue analog). Returns a summary.
     """
-    import pyarrow.parquet as pq_mod
+    import shutil
+
     import ray
 
-    existing = rd.read_parquet(out_dir)
+    existing = rd.read_parquet(
+        out_dir, columns=["url", "attempts", "bucket", "error", "status"])
 
     def failed_rows(batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch["status"], "partial")
@@ -123,19 +137,23 @@ def run_retry(pages_path: str,
         att_map = dict(zip(retryable.url, retryable.attempts + 1))
         ref = ray.put(att_map)
 
-        def pick_and_bump(batch: pa.Table) -> pa.Table:
+        def bump_attempts(batch: pa.Table) -> pa.Table:
+            # membership is already enforced by the read predicate; this
+            # only rewrites the attempts column
             m = ray.get(ref)
-            urls = batch["url"].to_pylist()
-            mask = pa.array([u in m for u in urls], pa.bool_())
-            sub = batch.filter(mask)
-            new_att = pa.array([m[u] for u in sub["url"].to_pylist()], pa.int64())
-            return sub.set_column(sub.schema.get_field_index("attempts"),
-                                  "attempts", new_att)
+            new_att = pa.array([m.get(u, 1) for u in batch["url"].to_pylist()],
+                               pa.int64())
+            return batch.set_column(batch.schema.get_field_index("attempts"),
+                                    "attempts", new_att)
 
-        retried = (sniffed_pages(pages_path, cfg)
-                   .map_batches(pick_and_bump, batch_format="pyarrow")
+        # targeted read: only the retried urls leave storage (predicate
+        # pushed into the parquet scan), and the lineage executes ONCE —
+        # both the merge and the recovered count read the materialized rows
+        retried = (sniffed_pages(pages_path, cfg, url_filter=list(att_map))
+                   .map_batches(bump_attempts, batch_format="pyarrow")
                    .map_batches(ex.ExtractorActor(cfg), batch_format="pyarrow",
-                                batch_size=cfg.extract_batch_size))
+                                batch_size=cfg.extract_batch_size)
+                   .materialize())
         merged = retried.groupby("bucket").map_groups(
             lambda g: ckpt.merge_bucket_group(g, out_dir),
             batch_format="pyarrow")
@@ -146,25 +164,24 @@ def run_retry(pages_path: str,
         summary["n_recovered"] = recovered
 
     if len(exhausted):
-        qdir = os.path.join(out_dir, "_quarantine")
-        os.makedirs(qdir, exist_ok=True)
-
-        import pyarrow.compute as pc2
-
         def exhausted_rows(batch: pa.Table) -> pa.Table:
-            mask = pc2.and_(
-                pc2.equal(batch["status"], "partial"),
-                pc2.or_(pc2.greater_equal(batch["attempts"], max_attempts),
-                        pc2.starts_with(batch["error"], "permanent:")))
+            mask = pc.and_(
+                pc.equal(batch["status"], "partial"),
+                pc.or_(pc.greater_equal(batch["attempts"], max_attempts),
+                       pc.starts_with(batch["error"], "permanent:")))
             return batch.filter(mask)
 
-        qtab = pa.concat_tables(
-            rd.read_parquet(out_dir)
-              .map_batches(exhausted_rows, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow"))
-        tmp = os.path.join(qdir, "quarantine.parquet.tmp")
-        pq_mod.write_table(qtab, tmp)
-        os.replace(tmp, os.path.join(qdir, "quarantine.parquet"))
+        # streamed, distributed quarantine write (never concatenated on the
+        # driver — a corpus-wide poison pattern stays bounded per task);
+        # the fresh directory swaps in after the write completes
+        qdir = os.path.join(out_dir, "_quarantine")
+        qtmp = os.path.join(out_dir, "_quarantine.tmp")
+        shutil.rmtree(qtmp, ignore_errors=True)
+        (rd.read_parquet(out_dir)
+           .map_batches(exhausted_rows, batch_format="pyarrow")
+           .write_parquet(qtmp))
+        shutil.rmtree(qdir, ignore_errors=True)
+        os.replace(qtmp, qdir)
 
     return summary
 
@@ -172,7 +189,8 @@ def run_retry(pages_path: str,
 def run_extraction(pages_path: str,
                    cfg: PipelineConfig = DEFAULT_CONFIG,
                    out_dir: str | None = None,
-                   dedup: bool = True) -> rd.Dataset:
+                   dedup: bool = True,
+                   verify_resume: bool = False) -> rd.Dataset:
     """Run the flagship pipeline.
 
     Without ``out_dir``: returns the lazy extracted dataset (caller
@@ -183,12 +201,19 @@ def run_extraction(pages_path: str,
     extracted, reassembled, deduplicated and written atomically per
     url-hash bucket with manifests; returns the dataset read back from
     ``out_dir``.
+
+    ``verify_resume``: resume normally assumes byte-identical input; with
+    this flag a cheap metadata pass recomputes each bucket's input
+    fingerprint and recomputes buckets whose input changed.
     """
     if out_dir is None:
         return extracted_dataset(pages_path, cfg, dedup)
 
     t0 = time.monotonic()
     done = ckpt.load_manifests(out_dir)
+    if verify_resume and done:
+        expected = ckpt.expected_fingerprints(pages_path, cfg.n_buckets)
+        ckpt.invalidate_stale(out_dir, done, expected)
     work = _work_stream(pages_path, cfg, skip_buckets=set(done))
     manifest_ds = work.groupby("bucket").map_groups(
         lambda g, cfg=cfg, dd=dedup: ckpt.write_bucket_group(

@@ -230,22 +230,23 @@ def part_stats(sf_dir: str) -> rd.Dataset:
     analog: scripts/batch_operations.py:82-160)."""
     ds = _read(sf_dir, "part", ["p_type", "p_size", "p_retailprice"])
 
+    # distinct counts are not mergeable as plain counts, so the partial
+    # keeps one row per (p_type, p_size) — the mergeable form: the final
+    # stage counts distinct sizes as group rows and sums the partial counts
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        g = df.groupby("p_type", as_index=False).agg(
+        g = df.groupby(["p_type", "p_size"], as_index=False).agg(
             n_parts=("p_size", "size"),
-            n_sizes=("p_size", pd.Series.nunique),
             max_price=("p_retailprice", "max"),
         )
         g["n_parts"] = g["n_parts"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    # nunique is not mergeable across batches → second pass groups whole
-    # key in one task (per-key cardinality bound)
     def final(group: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "p_type": [group["p_type"].iloc[0]],
             "n_parts": np.array([group["n_parts"].sum()], dtype=np.int64),
+            "n_sizes": np.array([group["p_size"].nunique()], dtype=np.int64),
             "max_price": [float(group["max_price"].max())],
         })
 
@@ -256,6 +257,7 @@ def part_stats(sf_dir: str) -> rd.Dataset:
 def part_stats_sql() -> str:
     return """
 SELECT p_type, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT p_size) AS BIGINT) AS n_sizes,
        max(p_retailprice) AS max_price
 FROM part GROUP BY p_type"""
 

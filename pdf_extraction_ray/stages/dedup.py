@@ -110,7 +110,9 @@ def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
 
     shingle → minhash per batch (vectorized) → explode to
     (band_id, band_hash, doc) rows → groupby band bucket → candidate pairs
-    verified by true shingle-set Jaccard → min-label per doc = cluster id.
+    verified by signature-agreement fraction (an *estimate* of Jaccard;
+    for exact shingle-set verification use ``jaccard_pairs``, which
+    carries the texts) → min-label per doc = cluster id.
     Returns (id_col, cluster_id); docs in the same cluster are near-dups.
 
     Partitioning assumption: each LSH bucket is small (high band count);
@@ -241,31 +243,76 @@ class BloomFilter:
 
 def bloom_anti_join(ds: rd.Dataset, keys_ds: rd.Dataset, key_col: str,
                     right_key_col: str | None = None,
-                    fp_rate: float = 0.01) -> rd.Dataset:
-    """Rows of ``ds`` whose key is definitely NOT in ``keys_ds``.
+                    fp_rate: float = 0.01,
+                    stats: dict | None = None) -> rd.Dataset:
+    """Rows of ``ds`` whose key is definitely NOT in ``keys_ds`` (exact).
 
-    The Bloom "maybe" set (false positives) is verified against an exact
-    set of only the *colliding* keys, so the result is exact while the
-    broadcast payload stays ~10 bits/key instead of the full key strings.
+    Scale shape — the full right key set is never shipped anywhere:
+
+    1. one streaming pass over ``keys_ds`` builds the bloom on the driver
+       (~10 bits/key), which broadcasts once;
+    2. a pruned pass over ``ds`` collects the bloom-POSITIVE keys — true
+       matches plus ~``fp_rate`` of the rest, small by construction;
+    3. a semi-join pass over ``keys_ds`` verifies which of those are truly
+       present (only the small maybe-set broadcasts);
+    4. the final filter broadcasts only the verified-present set, whose
+       size is bounded by the true match volume (an anti-join with huge
+       overlap returns few rows anyway — the broadcast is the overlap).
+
+    ``stats`` (optional dict) is filled with the broadcast-payload sizes
+    so callers/tests can assert bloom_bytes ≪ total key bytes.
     """
     right_key_col = right_key_col or key_col
-    keys: set = set()
-    for b in keys_ds.iter_batches(batch_format="pyarrow"):
-        keys.update(b[right_key_col].to_pylist())
-    bloom = BloomFilter.sized_for(max(1, len(keys)), fp_rate)
-    for k in keys:
-        bloom.add(k)
+    n_keys = keys_ds.count()
+    bloom = BloomFilter.sized_for(max(1, n_keys), fp_rate)
+    key_type = None
+    for b in keys_ds.select_columns([right_key_col]).iter_batches(
+            batch_format="pyarrow"):
+        key_type = b[right_key_col].type
+        for k in b[right_key_col].to_pylist():
+            bloom.add(k)
     bloom_ref = ray.put(bloom)
-    exact_ref = ray.put(keys)  # in-sandbox both fit; at scale ship only
-    # the bloom and verify "maybe" rows in a tiny follow-up semi-join
+
+    def maybe_keys(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        vals = sorted({v for v in batch[key_col].to_pylist() if v in bf})
+        return pa.table({key_col: pa.array(vals, type=batch[key_col].type)})
+
+    maybe: set = set()
+    for b in (ds.select_columns([key_col])
+                .map_batches(maybe_keys, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")):
+        maybe.update(b[key_col].to_pylist())
+
+    present: set = set()
+    if maybe:
+        maybe_ref = ray.put(maybe)
+
+        def present_keys(batch: pa.Table) -> pa.Table:
+            mm = ray.get(maybe_ref)
+            vals = sorted({v for v in batch[right_key_col].to_pylist()
+                           if v in mm})
+            return pa.table({right_key_col: pa.array(vals, type=key_type)})
+
+        for b in (keys_ds.select_columns([right_key_col])
+                         .map_batches(present_keys, batch_format="pyarrow")
+                         .iter_batches(batch_format="pyarrow")):
+            present.update(b[right_key_col].to_pylist())
+
+    if stats is not None:
+        stats.update({
+            "n_right_keys": n_keys,
+            "bloom_bytes": int(bloom.bits.nbytes),
+            "n_maybe": len(maybe),
+            "n_present": len(present),
+        })
+
+    present_ref = ray.put(present)
 
     def anti(batch: pa.Table) -> pa.Table:
-        bf = ray.get(bloom_ref)
-        exact = ray.get(exact_ref)
-        out = []
-        for v in batch[key_col].to_pylist():
-            out.append(v not in bf or v not in exact)
-        return batch.filter(pa.array(out, pa.bool_()))
+        pres = ray.get(present_ref)
+        mask = [v not in pres for v in batch[key_col].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(anti, batch_format="pyarrow")
 
@@ -392,22 +439,39 @@ def embedding_near_dup(ds: rd.Dataset, threshold_pct: int = 99,
 # ---------------------------------------------------------------------------
 
 
+def _simhash_chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """(shift, width) of ``n_chunks`` contiguous chunks covering 64 bits."""
+    base, rem = divmod(64, n_chunks)
+    bounds: list[tuple[int, int]] = []
+    shift = 0
+    for c in range(n_chunks):
+        width = base + (1 if c < rem else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
 def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", hamming_max: int = 3) -> rd.Dataset:
-    """SimHash near-dup: 64-bit fingerprints; candidate buckets from 4
-    16-bit chunks (any chunk equal → candidate, per the pigeonhole bound
-    for hamming distance <= 3); verified by true Hamming distance.
+    """SimHash near-dup: 64-bit fingerprints; candidate buckets from
+    ``hamming_max + 1`` bit chunks (any chunk equal → candidate — the
+    pigeonhole bound: <= hamming_max differing bits cannot touch every
+    chunk); verified by true Hamming distance <= ``hamming_max``.
     Returns (id_col, simhash, dup_of) where dup_of < id marks a near-dup.
     """
+    if not 0 <= hamming_max <= 16:
+        raise ValueError("hamming_max must be in [0, 16]")
+    bounds = _simhash_chunk_bounds(hamming_max + 1)
+
     def add_sim(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         sims = [hashing.simhash64(t or "") for t in batch[text_col].to_pylist()]
         rows_id, rows_chunk, rows_key, rows_sim = [], [], [], []
         for i, s in zip(ids, sims):
-            for c in range(4):
+            for c, (shift, width) in enumerate(bounds):
                 rows_id.append(i)
                 rows_chunk.append(c)
-                rows_key.append((s >> (16 * c)) & 0xFFFF)
+                rows_key.append((s >> shift) & ((1 << width) - 1))
                 rows_sim.append(s)
         return pa.table({
             id_col: pa.array(rows_id, pa.int64()),
@@ -428,7 +492,7 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
         a_out, b_out = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                if hashing.hamming64(int(sims[i]), int(sims[j])) <= 3:
+                if hashing.hamming64(int(sims[i]), int(sims[j])) <= hamming_max:
                     a_out.append(int(ids[i]))
                     b_out.append(int(ids[j]))
         return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),

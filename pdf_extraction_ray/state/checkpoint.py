@@ -148,6 +148,58 @@ def load_manifests(out_dir: str) -> dict[int, dict]:
     return out
 
 
+def expected_fingerprints(pages_path: str, n_buckets: int) -> dict[int, int]:
+    """Recompute each bucket's lineage fingerprint from the CURRENT input.
+
+    Cheap metadata pass: only (url, warc_ts) leave storage; first-wins
+    dedup (min warc_ts per url) mirrors what the bucket writer fingerprints.
+    Partial XORs are combined per bucket on the driver (n_buckets ints of
+    state — O(1) per partition, never row data).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..functions.hashing import url_bucket
+
+    meta = rd.read_parquet(pages_path, columns=["url", "warc_ts"])
+    uniq = meta.groupby("url").aggregate(Min("warc_ts", alias_name="warc_ts"))
+
+    def partial_xor(batch: pa.Table) -> pa.Table:
+        acc: dict[int, int] = {}
+        for u, ts in zip(batch["url"].to_pylist(),
+                         batch["warc_ts"].to_pylist()):
+            b = url_bucket(u, n_buckets)
+            acc[b] = acc.get(b, 0) ^ stable_hash64(f"{u}\x00{ts}")
+        return pa.table({
+            "bucket": pa.array(sorted(acc), pa.int64()),
+            "fp": pa.array([acc[b] for b in sorted(acc)], pa.uint64()),
+        })
+
+    out: dict[int, int] = {}
+    for batch in (uniq.map_batches(partial_xor, batch_format="pyarrow")
+                      .iter_batches(batch_format="pyarrow")):
+        for b, fp in zip(batch["bucket"].to_pylist(), batch["fp"].to_pylist()):
+            out[b] = out.get(b, 0) ^ fp
+    return out
+
+
+def invalidate_stale(out_dir: str, done: dict[int, dict],
+                     expected: dict[int, int]) -> set[int]:
+    """Drop manifests whose recorded fingerprint no longer matches the
+    input (resume otherwise assumes byte-identical input and would keep
+    stale bucket outputs). Mutates ``done``; returns invalidated buckets.
+    """
+    stale = {b for b, m in done.items()
+             if expected.get(b) != int(m["fingerprint"])}
+    for b in stale:
+        try:
+            os.remove(manifest_path(out_dir, b))
+        except OSError:
+            pass
+        done.pop(b, None)
+    return stale
+
+
 def write_run_summary(out_dir: str, manifests: list[dict],
                       wall_s: float) -> dict:
     """Aggregate per-bucket manifests into the run report

@@ -58,6 +58,65 @@ def test_resume_skips_finished_buckets(ray_session, pages_corpus, out_dir):
         assert os.path.getmtime(ckpt.manifest_path(out_dir, b)) == survivor_mtimes[b]
 
 
+def test_verify_resume_invalidates_changed_input(ray_session, tmp_path, out_dir):
+    """Changed input must not silently keep stale bucket outputs when the
+    caller opts into fingerprint verification (resume otherwise assumes
+    byte-identical input)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from pdf_extraction_ray.pipelines.extraction import run_extraction
+
+    def write_pages(dirname, flip):
+        rows = []
+        for i in range(30):
+            body = f"document {i} body {'CHANGED' if flip and i == 0 else 'text'}"
+            rows.append({
+                "url": f"https://v.example/d{i}",
+                "warc_ts": datetime(2021, 1, 1) + timedelta(seconds=i),
+                "html": body.encode(), "text": body, "lang": "en",
+            })
+        path = str(tmp_path / dirname)
+        os.makedirs(path)
+        pd.DataFrame(rows).to_parquet(os.path.join(path, "p.parquet"))
+        return path
+
+    cfg = PipelineConfig(n_buckets=4, extract_concurrency=(1, 2))
+    pages_a = write_pages("pages_a", flip=False)
+    pages_b = write_pages("pages_b", flip=True)  # same urls/ts, one text change
+
+    run_extraction(pages_a, cfg, out_dir=out_dir)
+    before = ckpt.load_manifests(out_dir)
+    assert len(before) == 4
+
+    # text-only change leaves the (url, ts) fingerprint identical — the
+    # documented limit of the cheap metadata check
+    exp_same = ckpt.expected_fingerprints(pages_b, cfg.n_buckets)
+    assert all(exp_same[b] == int(m["fingerprint"]) for b, m in before.items())
+
+    # a timestamp change flips its bucket's fingerprint and only that
+    # bucket is recomputed on a verify_resume rerun
+    df = pd.read_parquet(os.path.join(pages_b, "p.parquet"))
+    df.loc[0, "warc_ts"] = df.loc[0, "warc_ts"] + pd.Timedelta(seconds=999)
+    df.to_parquet(os.path.join(pages_b, "p.parquet"))
+    from pdf_extraction_ray.functions.hashing import url_bucket
+    changed_bucket = url_bucket("https://v.example/d0", cfg.n_buckets)
+
+    done = ckpt.load_manifests(out_dir)
+    stale = ckpt.invalidate_stale(
+        out_dir, done, ckpt.expected_fingerprints(pages_b, cfg.n_buckets))
+    assert stale == {changed_bucket}
+    assert changed_bucket not in ckpt.load_manifests(out_dir)
+
+    out = run_extraction(pages_b, cfg, out_dir=out_dir,
+                         verify_resume=True).to_pandas()
+    after = ckpt.load_manifests(out_dir)
+    assert len(after) == 4
+    row = out[out.url == "https://v.example/d0"].iloc[0]
+    assert row.warc_ts == df.loc[0, "warc_ts"]
+
+
 def test_manifest_without_data_file_is_invalid(ray_session, pages_corpus, out_dir):
     _run(pages_corpus, out_dir)
     manifests = ckpt.load_manifests(out_dir)

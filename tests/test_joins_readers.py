@@ -124,3 +124,27 @@ def test_bloom_anti_join_matches_exact(ray_session):
     right = rd.from_items([{"k": f"u{i}"} for i in range(0, 200, 3)])
     out = bloom_anti_join(left, right, "k").to_pandas()
     assert sorted(out.v.tolist()) == [i for i in range(200) if i % 3 != 0]
+
+
+def test_bloom_anti_join_broadcast_stays_small(ray_session):
+    """The wide pass ships only the bloom (~10 bits/key) plus the overlap
+    set — never the full right key strings (the round-1 defect)."""
+    import ray.data as rd
+    from pdf_extraction_ray.stages.dedup import bloom_anti_join
+    n = 5000
+    overlap = 50
+    left = rd.from_items(
+        [{"k": f"left-key-with-a-long-suffix-{i:06d}", "v": i}
+         for i in range(n)]
+        + [{"k": f"right-key-with-a-long-suffix-{i:06d}", "v": n + i}
+           for i in range(overlap)])
+    right = rd.from_items(
+        [{"k": f"right-key-with-a-long-suffix-{i:06d}"} for i in range(n)])
+    stats: dict = {}
+    out = bloom_anti_join(left, right, "k", stats=stats).to_pandas()
+    assert len(out) == n  # the 50 overlap rows are dropped, exactly
+    key_bytes = n * len("right-key-with-a-long-suffix-000000")
+    assert stats["bloom_bytes"] < key_bytes / 10
+    assert stats["n_present"] == overlap
+    # maybe-set = true overlap + false positives near the design rate
+    assert stats["n_maybe"] <= overlap + int(0.05 * n)

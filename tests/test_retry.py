@@ -85,14 +85,24 @@ def test_retry_recovers_transients_and_quarantines_poison(
     assert (bad.status == "partial").all()
     assert bad.error.str.startswith("permanent:").all()
 
-    qpath = os.path.join(out, "_quarantine", "quarantine.parquet")
-    q = pd.read_parquet(qpath)
+    q = pd.read_parquet(os.path.join(out, "_quarantine"))
     assert len(q) == 2
     assert q.url.str.contains("poison").all()
 
     # nothing left to retry
     s2 = run_retry(pages, out, CFG, max_attempts=3)
     assert s2["n_retried"] == 0 and s2["n_quarantined"] == 2
+
+
+def test_retry_read_is_targeted(ray_session, tmp_path):
+    """The retry pass must not re-read the whole corpus: the url predicate
+    is pushed into the parquet scan, so only retried rows surface."""
+    from pdf_extraction_ray.pipelines.extraction import sniffed_pages
+    pages = _pages(tmp_path)
+    wanted = ["https://t.example/ok/d0", "https://t.example/ok/d1"]
+    ds = sniffed_pages(pages, CFG, url_filter=wanted)
+    got = sorted(ds.to_pandas().url)
+    assert got == sorted(wanted)
 
 
 def test_retry_noop_on_clean_run(ray_session, tmp_path):
