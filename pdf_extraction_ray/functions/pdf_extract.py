@@ -1,13 +1,18 @@
 """PDF layout parsing: page/line assembly with reading-order sort.
 
 A from-scratch, stdlib-only layout parser in the pdfminer.six style (page →
-text chunks → lines → reading order) over the uncompressed-PDF subset our
-corpus emits, replacing the reference's OpenDataLoader stage
-(reference: app/services/opendataloader_extractor.py:83-201). Steps:
+text chunks → lines → reading order), replacing the reference's
+OpenDataLoader stage (reference: app/services/opendataloader_extractor.py:
+83-201 — which parses real-world Flate-compressed PDFs). Steps:
 
-1. structural scan: ``N 0 obj … endobj`` objects, catalog → /Pages → /Kids
-   walk for page order, ``/Contents N 0 R`` to pair pages with streams
-   (fallbacks: /Type /Page objects in object order, then raw stream order)
+1. structural scan: ``N 0 obj … endobj`` objects with ``/Length``-exact
+   stream extraction (binary-safe: scan skips stream payloads, so
+   compressed bytes can never masquerade as object headers),
+   FlateDecode stream decompression (stdlib zlib), object-stream
+   (``/Type /ObjStm``, PDF 1.5 compressed-xref layout) expansion,
+   catalog → /Pages → /Kids walk for page order, ``/Contents N 0 R``
+   to pair pages with streams (fallbacks: /Type /Page objects in
+   object order, then raw stream order)
 2. content-stream tokenizer: literal strings with escapes, numbers, names,
    arrays; text ops BT/ET, Tf, TL, Tm, Td, TD, T*, Tj, ', TJ
 3. line assembly per page: chunks grouped by y (|dy| <= tolerance), column
@@ -26,6 +31,7 @@ from __future__ import annotations
 
 import re
 import time
+import zlib
 from dataclasses import dataclass, field
 
 from .html_extract import Span
@@ -33,57 +39,138 @@ from .retry_policy import DocumentTimeout
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 _PAGES_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_NOBJS_RE = re.compile(rb"/N\s+(\d+)")
+_COUNT_RE = re.compile(rb"/Count\s+(\d+)")
 
 
 @dataclass
 class PdfObject:
     num: int
     body: bytes           # dict part (before any stream)
-    stream: bytes | None  # raw stream payload, if present
+    stream: bytes | None  # raw (still-encoded) stream payload, if present
+
+
+def decoded_stream(obj: PdfObject) -> bytes | None:
+    """The object's stream with its declared filter applied.
+
+    FlateDecode (the filter every real-world PDF content stream uses —
+    stdlib zlib) is supported; an undecodable or unknown-filter stream
+    falls back to the raw bytes (lenient, like the rest of the scan).
+    """
+    if obj.stream is None:
+        return None
+    if _FLATE_RE.search(obj.body):
+        try:
+            return zlib.decompress(obj.stream)
+        except zlib.error:
+            try:  # raw deflate without the zlib header
+                return zlib.decompress(obj.stream, wbits=-15)
+            except zlib.error:
+                return obj.stream
+    return obj.stream
 
 
 def parse_objects(payload: bytes) -> dict[int, PdfObject]:
-    """Split a PDF into its indirect objects (lenient structural scan)."""
+    """Split a PDF into its indirect objects (sequential structural scan).
+
+    ``/Length``-declared streams are extracted by exact byte count and the
+    scan pointer jumps past them, so binary (compressed) stream payloads
+    are never mistaken for object boundaries; objects without a literal
+    /Length fall back to delimiter search.
+    """
     objs: dict[int, PdfObject] = {}
-    for m in _OBJ_RE.finditer(payload):
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        m = _OBJ_RE.search(payload, pos)
+        if m is None:
+            break
         num = int(m.group(1))
         start = m.end()
-        end = payload.find(b"endobj", start)
-        if end < 0:
-            end = len(payload)
-        body = payload[start:end]
-        stream = None
-        sm = _STREAM_RE.search(body)
-        if sm:
-            se = body.rfind(b"endstream")
+        endobj = payload.find(b"endobj", start)
+        sm = _STREAM_RE.search(payload, start,
+                               endobj if 0 <= endobj else n)
+        if sm is None:
+            body = payload[start:endobj if endobj >= 0 else n]
+            objs[num] = PdfObject(num, body, None)
+            pos = (endobj + 6) if endobj >= 0 else n
+            continue
+        body = payload[start:sm.start()]
+        data_start = sm.end()
+        lm = _LENGTH_RE.search(body)
+        if lm is not None:
+            length = int(lm.group(1))
+            stream = payload[data_start:data_start + length]
+            after = payload.find(b"endobj", data_start + length)
+        else:
+            se = payload.find(b"endstream", data_start)
             if se < 0:
-                se = len(body)
-            stream = body[sm.end():se]
+                se = n
+            stream = payload[data_start:se]
             if stream.endswith(b"\r\n"):
                 stream = stream[:-2]
             elif stream.endswith(b"\n"):
                 stream = stream[:-1]
-            body = body[:sm.start()]
+            after = payload.find(b"endobj", se)
         objs[num] = PdfObject(num, body, stream)
+        pos = (after + 6) if after >= 0 else n
+    return objs
+
+
+def expand_object_streams(objs: dict[int, PdfObject]) -> None:
+    """Unpack ``/Type /ObjStm`` objects (PDF 1.5 compressed-xref layout):
+    the inflated stream holds N ``objnum offset`` header pairs followed by
+    the packed object bodies. Top-level objects win on number conflicts.
+    """
+    for o in list(objs.values()):
+        if o.stream is None or not _OBJSTM_RE.search(o.body):
+            continue
+        fm = _FIRST_RE.search(o.body)
+        nm = _NOBJS_RE.search(o.body)
+        data = decoded_stream(o)
+        if data is None or fm is None or nm is None:
+            continue
+        first = int(fm.group(1))
+        count = int(nm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * count:
+            continue
+        offsets = [int(header[2 * k + 1]) for k in range(count)]
+        for k in range(count):
+            num = int(header[2 * k])
+            lo = first + offsets[k]
+            hi = first + offsets[k + 1] if k + 1 < count else len(data)
+            objs.setdefault(num, PdfObject(num, data[lo:hi], None))
+
+
+def parse_all_objects(payload: bytes) -> dict[int, PdfObject]:
+    """Structural scan + object-stream expansion."""
+    objs = parse_objects(payload)
+    expand_object_streams(objs)
     return objs
 
 
 def page_content_streams(payload: bytes) -> list[bytes]:
-    """Per-page content streams in page-tree order (with fallbacks)."""
-    objs = parse_objects(payload)
+    """Per-page DECODED content streams in page-tree order (with
+    fallbacks)."""
+    objs = parse_all_objects(payload)
 
     def contents_of(page: PdfObject) -> bytes:
         m = _CONTENTS_RE.search(page.body)
         if m:
             c = objs.get(int(m.group(1)))
             if c is not None and c.stream is not None:
-                return c.stream
+                return decoded_stream(c) or b""
         return b""
 
     # primary: walk catalog → pages tree
@@ -122,17 +209,40 @@ def page_content_streams(payload: bytes) -> list[bytes]:
              if _TYPE_PAGE_RE.search(o.body)]
     if pages:
         return pages
-    # fallback 2: every stream in object order
-    return [o.stream for o in sorted(objs.values(), key=lambda o: o.num)
-            if o.stream is not None]
+    # fallback 2: every non-ObjStm stream in object order
+    return [decoded_stream(o) or b""
+            for o in sorted(objs.values(), key=lambda o: o.num)
+            if o.stream is not None and not _OBJSTM_RE.search(o.body)]
 
 
 def page_count(payload: bytes) -> int:
-    """Cheap page count for skew routing — no text tokenization."""
-    m = re.search(rb"/Count\s+(\d+)", payload)
+    """Cheap page count for skew routing — no text tokenization.
+
+    Raw-byte probes first (/Count in the page tree, /Type /Page
+    occurrences); a compressed-xref PDF keeps its page tree inside an
+    object stream, so the fallback inflates ObjStm objects (still far
+    cheaper than tokenizing content)."""
+    m = _COUNT_RE.search(payload)
     if m:
         return int(m.group(1))
-    return len(_TYPE_PAGE_RE.findall(payload)) or 1
+    raw_pages = len(_TYPE_PAGE_RE.findall(payload))
+    if raw_pages:
+        return raw_pages
+    if _OBJSTM_RE.search(payload):
+        # accept memoryviews from the zero-copy sniff path; the copy is
+        # confined to compressed-xref PDFs that actually need the scan
+        objs = parse_all_objects(bytes(payload))
+        best = 0
+        n_pages = 0
+        for o in objs.values():
+            if _TYPE_PAGE_RE.search(o.body):
+                n_pages += 1
+            cm = _COUNT_RE.search(o.body)
+            if cm and b"/Pages" in o.body:
+                best = max(best, int(cm.group(1)))
+        if best or n_pages:
+            return best or n_pages
+    return 1
 
 
 # ---------------------------------------------------------------------------

@@ -37,10 +37,12 @@ def build_page_row(doc_id: int, text: str, source: str, lang: str) -> dict:
     if k.startswith("html_") or k == "oversize":
         payload = gen_html.build_html(doc_id, text, source)
     elif k == "pdf_scanned":
-        payload = gen_pdf.build_pdf([], no_text=True, n_empty_pages=2)
+        payload = gen_pdf.build_pdf([], no_text=True, n_empty_pages=2,
+                                    variant=spec.pdf_variant(doc_id))
     elif k.startswith("pdf"):
         payload = gen_pdf.build_pdf(spec.expected_pdf_lines(doc_id, text),
-                                    lines_per_page=spec.LINES_PER_PAGE)
+                                    lines_per_page=spec.LINES_PER_PAGE,
+                                    variant=spec.pdf_variant(doc_id))
     elif k == "garbage":
         payload = spec.garbage_bytes(doc_id)
     elif k == "empty":

@@ -35,6 +35,10 @@ Payload kind by ``doc_id % 100`` (FIXTURES.md F1 row mix):
 Orthogonally by ``doc_id % 10``: 3 → url ends ``-memo``; 7 → url ends
 ``-qp`` (classifier layer 1); 5 (content kinds only) → a memo-phrase block
 is prepended (classifier layer 2).
+
+Orthogonally by ``doc_id % 3`` (PDF kinds only, ``pdf_variant``): the
+on-disk encoding cycles plain / flate / objstm — compressed variants
+change only the payload bytes, never the extracted ground truth.
 """
 
 from __future__ import annotations
@@ -56,7 +60,7 @@ CORPUS_QUALITY_THRESHOLD_PCT = 70  # routing threshold (reference: quality < 0.7
 # oversized PDFs are >= ceil(150/45)=4 pages; normal PDFs are <= 2 pages,
 # so threshold 3 cleanly routes pdf_big (and only pdf_big) to the shard path
 CORPUS_SPLIT_PAGE_THRESHOLD = 3
-SPEC_VERSION = "v3"        # bump to invalidate cached generated corpora
+SPEC_VERSION = "v4"        # bump to invalidate cached generated corpora
 
 
 # --- kind assignment --------------------------------------------------------
@@ -92,6 +96,19 @@ def kind_of(doc_id: int) -> str:
     if s == 98:
         return "empty"
     return "oversize"
+
+
+def pdf_variant(doc_id: int) -> str:
+    """On-disk encoding of PDF payloads — extraction-invariant, so the
+    ground truth (and every oracle) is untouched by the cycle:
+
+    * ``plain``  — classic xref, uncompressed streams (PDF 1.4)
+    * ``flate``  — zlib-compressed content streams (/Filter /FlateDecode),
+      what real-world PDF writers emit
+    * ``objstm`` — PDF 1.5 compressed-xref layout (object streams + xref
+      stream + Flate content)
+    """
+    return ("plain", "flate", "objstm")[doc_id % 3]
 
 
 def rep_html(doc_id: int) -> int:

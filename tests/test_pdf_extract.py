@@ -112,3 +112,49 @@ def test_malformed_pdf_fallback():
                b"BT 72 700 Td (orphan) Tj ET\nendstream\nendobj\n")
     r = pdf_extract.extract_pdf(payload)
     assert r.text == "orphan"
+
+
+def test_flate_variant_identical_extraction():
+    lines = [f"line {i} of the flate test document" for i in range(100)]
+    ref = pdf_extract.extract_pdf(build_pdf(lines))
+    for variant in ("flate", "objstm"):
+        pdf = build_pdf(lines, variant=variant)
+        got = pdf_extract.extract_pdf(pdf)
+        assert got.text == ref.text
+        assert got.spans == ref.spans
+        assert got.n_pages == ref.n_pages
+        assert len(pdf) < len(build_pdf(lines))  # actually compressed
+
+
+def test_page_count_all_variants():
+    lines = [f"l{i}" for i in range(200)]  # 5 pages at 45/page
+    for variant in ("plain", "flate", "objstm"):
+        assert pdf_extract.page_count(build_pdf(lines, variant=variant)) == 5
+
+
+def test_length_exact_stream_with_embedded_delimiters():
+    """A /Length-declared stream may contain 'endstream'/'N 0 obj' bytes
+    (routine for compressed data); the scan must not split on them."""
+    body = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (hello) Tj ET\n% endstream 7 0 obj"
+    raw = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(body)).encode()
+           + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+           b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    assert pdf_extract.extract_pdf(raw).text == "hello"
+
+
+def test_objstm_expansion_and_variant_mix():
+    """The big-PDF shard path consumes decoded streams for every variant."""
+    lines = [f"content row {i}" for i in range(150)]
+    for variant in ("flate", "objstm"):
+        pdf = build_pdf(lines, variant=variant)
+        streams = pdf_extract.page_content_streams(pdf)
+        assert len(streams) == 4
+        # decoded: tokenizable plain text ops, not zlib bytes
+        assert streams[0].startswith(b"BT")
+        whole = pdf_extract.extract_pdf(pdf)
+        parts = [pdf_extract.extract_pdf_pages([s], first_page=i + 1)
+                 for i, s in enumerate(streams)]
+        assert "\n".join(p.text for p in parts) == whole.text
