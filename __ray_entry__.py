@@ -98,6 +98,36 @@ def q_span_kind_counts(sf_dir: str) -> rd.Dataset:
             .groupby("kind").aggregate(Count(alias_name="n_spans")))
 
 
+def q_pdf_elements(sf_dir: str) -> rd.Dataset:
+    """Layout elements with bounding boxes per PDF document (SURVEY.md
+    §1.2 elements column; reference: BoundingBox per element,
+    app/models/extraction.py:169-181)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(batch["content_type"], "pdf"),
+                       pc.equal(batch["route"], "primary"))
+        sub = batch.filter(mask)
+        urls = sub["url"].to_pylist()
+        elements = sub["elements"].to_pylist()
+        n_el, n_tr, x1m, y0m = [], [], [], []
+        for els in elements:
+            n_el.append(len(els))
+            n_tr.append(sum(1 for e in els if e["kind"] == "table"))
+            x1m.append(max((e["x1"] for e in els), default=0))
+            y0m.append(min((e["y0"] for e in els), default=0))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "n_elements": pa.array(n_el, pa.int64()),
+            "n_table_rows": pa.array(n_tr, pa.int64()),
+            "x1_max": pa.array(x1m, pa.int64()),
+            "y0_min": pa.array(y0m, pa.int64()),
+        })
+
+    return _extracted(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
 def q_export_markdown(sf_dir: str) -> rd.Dataset:
     """Markdown export rendering (SURVEY.md S9/M18)."""
     from pdf_extraction_ray.pipelines.export import markdown_batch
@@ -131,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sniff_counts": _tuned(q_sniff_counts),
         "classify_counts": _tuned(q_classify_counts),
         "span_kind_counts": _tuned(q_span_kind_counts),
+        "pdf_elements": _tuned(q_pdf_elements),
         "export_markdown": _tuned(q_export_markdown),
         # relational family (SURVEY.md §2.4-2.7 A1/A3/A5/A6, J3/J4, O1, D3)
         "pricing_summary": _tuned(relational.pricing_summary),
@@ -172,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "sniff_counts": oracle.sniff_counts_sql(),
         "classify_counts": oracle.classify_counts_sql(),
         "span_kind_counts": oracle.span_kind_counts_sql(),
+        "pdf_elements": oracle.pdf_elements_sql(),
         "export_markdown": oracle.export_markdown_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "customers_per_region": relational.customers_per_region_sql(),

@@ -37,6 +37,9 @@ class Primary:
     heading_count: int = 0
     table_row_counts: list[int] = field(default_factory=list)
     n_pages: int = 0
+    # layout elements with bboxes as plain dicts (kind/page/x0/y0/x1/y1);
+    # PDF layout parse fills these, HTML extraction has no coordinates
+    elements: list[dict] = field(default_factory=list)
 
 
 def finalize_row(url: str,
@@ -55,6 +58,7 @@ def finalize_row(url: str,
         route = "none"
         text = ""
         spans: list[Span] = []
+        elements: list[dict] = []
         doc_kind, conf, method = "unknown", 0, "none"
     else:
         q_pct = quality_score_pct(len(primary.text), primary.element_count,
@@ -63,9 +67,11 @@ def finalize_row(url: str,
         if route == "primary":
             text = primary.text
             spans = primary.spans
+            elements = primary.elements
         else:
             text = fallback_text
             spans = [Span(0, len(text), "document", 0)] if text else []
+            elements = []
         doc_kind, conf, method = classify(url, text)
     return {
         "url": url,
@@ -84,6 +90,7 @@ def finalize_row(url: str,
         "n_blocks": 0 if primary is None else primary.element_count,
         "n_pages": 0 if primary is None else primary.n_pages,
         "spans": spans,  # list[Span]; stages assemble Arrow columns from these
+        "elements": elements,  # list[dict] kind/page/x0/y0/x1/y1
         "text_sha256": sha256_hex(text),
         "attempts": attempts,  # semantic retry counter (reference:
         # routers/extraction.py:155-190 — retry_count cap 5 → review queue)

@@ -437,11 +437,31 @@ def tokenize_text_ops(stream: bytes,
 # Line / column assembly
 # ---------------------------------------------------------------------------
 
+# deterministic layout estimates for element bounding boxes (the corpus
+# emits 12pt type; a fixed 7-unit advance keeps bboxes integer and
+# oracle-expressible — reference analog: BoundingBox per element,
+# app/models/extraction.py:169-181)
+CHAR_W = 7
+LINE_H = 12
+# chunks in one line further apart than this are separate table cells and
+# join with "\t"; closer chunks are kerning splits and join seamlessly
+CELL_GAP_MIN = 40.0
 
-def assemble_lines(chunks: list[TextChunk],
-                   y_tolerance: float = 2.0,
-                   column_gap_min: float = 120.0) -> list[str]:
-    """Chunks → reading-ordered text lines for one page."""
+
+@dataclass
+class PdfLine:
+    """One reading-ordered line: joined text + the chunk x-signature
+    (used for table-run detection) and a bbox estimate."""
+    text: str
+    y: float
+    xs: tuple[float, ...]      # chunk x origins, ascending
+    x1: float                  # right edge estimate
+
+
+def assemble_line_objs(chunks: list[TextChunk],
+                       y_tolerance: float = 2.0,
+                       column_gap_min: float = 120.0) -> list[PdfLine]:
+    """Chunks → reading-ordered PdfLine objects for one page."""
     if not chunks:
         return []
     # column bands: cluster chunk x-origins on gaps > column_gap_min
@@ -458,7 +478,18 @@ def assemble_lines(chunks: list[TextChunk],
                 b = k
         return b
 
-    lines: list[str] = []
+    def emit(cur: list[TextChunk], y: float) -> PdfLine:
+        cur = sorted(cur, key=lambda t: t.x)
+        parts: list[str] = []
+        for k, t in enumerate(cur):
+            if k > 0 and t.x - cur[k - 1].x >= CELL_GAP_MIN:
+                parts.append("\t")
+            parts.append(t.text)
+        last = cur[-1]
+        return PdfLine("".join(parts), y, tuple(t.x for t in cur),
+                       last.x + CHAR_W * len(last.text))
+
+    lines: list[PdfLine] = []
     for b in range(len(bands)):
         band_chunks = [c for c in chunks if band_of(c.x) == b]
         band_chunks.sort(key=lambda c: (-c.y, c.x))
@@ -467,14 +498,59 @@ def assemble_lines(chunks: list[TextChunk],
         for c in band_chunks:
             if cur_y is None or abs(c.y - cur_y) > y_tolerance:
                 if cur:
-                    lines.append("".join(t.text for t in sorted(cur, key=lambda t: t.x)))
+                    lines.append(emit(cur, cur_y))
                 cur = [c]
                 cur_y = c.y
             else:
                 cur.append(c)
         if cur:
-            lines.append("".join(t.text for t in sorted(cur, key=lambda t: t.x)))
+            lines.append(emit(cur, cur_y))
     return lines
+
+
+def assemble_lines(chunks: list[TextChunk],
+                   y_tolerance: float = 2.0,
+                   column_gap_min: float = 120.0) -> list[str]:
+    """Chunks → reading-ordered text lines for one page."""
+    return [ln.text for ln in assemble_line_objs(chunks, y_tolerance,
+                                                 column_gap_min)]
+
+
+def mark_table_lines(lines: list[tuple[int, PdfLine]]) -> list[bool]:
+    """Which lines are table rows: maximal runs of >= 2 CONSECUTIVE lines
+    sharing an identical multi-chunk x-signature (aligned cells across
+    rows — the layout signature of a table). ``lines`` carries global
+    (page, line) order so runs may straddle page boundaries.
+    """
+    flags = [False] * len(lines)
+    i = 0
+    while i < len(lines):
+        _, ln = lines[i]
+        if len(ln.xs) < 2:
+            i += 1
+            continue
+        j = i + 1
+        while j < len(lines) and lines[j][1].xs == ln.xs:
+            j += 1
+        if j - i >= 2:
+            for k in range(i, j):
+                flags[k] = True
+        i = j
+    return flags
+
+
+@dataclass
+class Element:
+    """One layout element with its page and bbox (SURVEY.md §1.2
+    ``elements: list<struct>``; reference: the OpenDataLoader bounding
+    boxes keyed {type}_{page}_{idx},
+    app/services/opendataloader_extractor.py:156-171)."""
+    kind: str
+    page: int
+    x0: int
+    y0: int
+    x1: int
+    y1: int
 
 
 @dataclass
@@ -483,6 +559,8 @@ class PdfExtract:
     spans: list[Span] = field(default_factory=list)
     element_count: int = 0   # total lines (quality's structure input)
     n_pages: int = 0
+    table_row_counts: list[int] = field(default_factory=list)
+    elements: list[Element] = field(default_factory=list)
 
 
 def extract_pdf_pages(streams: list[bytes],
@@ -494,28 +572,49 @@ def extract_pdf_pages(streams: list[bytes],
 
     ``first_page`` sets the page numbers recorded in spans — page-range
     shards pass their absolute page offset so reassembled spans match a
-    whole-document parse.
+    whole-document parse. Table runs are detected over the global line
+    order (a table may straddle page boundaries within one call; the
+    skew-shard path's partitioning assumption is that oversized documents
+    carry no cross-SHARD tables).
     """
+    page_lines: list[tuple[int, PdfLine]] = []
+    for p, stream in enumerate(streams):
+        for ln in assemble_line_objs(tokenize_text_ops(stream, deadline),
+                                     y_tolerance, column_gap_min):
+            page_lines.append((first_page + p, ln))
+
+    table_flags = mark_table_lines(page_lines)
+    table_row_counts: list[int] = []
+    run = 0
+    for f in table_flags:
+        if f:
+            run += 1
+        elif run:
+            table_row_counts.append(run)
+            run = 0
+    if run:
+        table_row_counts.append(run)
+
     parts: list[str] = []
     spans: list[Span] = []
+    elements: list[Element] = []
     pos = 0
-    total_lines = 0
-    for p, stream in enumerate(streams):
-        lines = assemble_lines(tokenize_text_ops(stream, deadline),
-                               y_tolerance, column_gap_min)
-        page_no = first_page + p
-        for j, line in enumerate(lines):
-            if parts:
-                pos += 1  # "\n"
-            spans.append(Span(pos, pos + len(line), "line", page_no))
-            parts.append(line)
-            pos += len(line)
-            total_lines += 1
+    for (page_no, ln), is_table in zip(page_lines, table_flags):
+        if parts:
+            pos += 1  # "\n"
+        kind = "table" if is_table else "line"
+        spans.append(Span(pos, pos + len(ln.text), kind, page_no))
+        elements.append(Element(kind, page_no, int(ln.xs[0]), int(ln.y),
+                                int(ln.x1), int(ln.y) + LINE_H))
+        parts.append(ln.text)
+        pos += len(ln.text)
     return PdfExtract(
         text="\n".join(parts),
         spans=spans,
-        element_count=total_lines,
+        element_count=len(page_lines),
         n_pages=len(streams),
+        table_row_counts=table_row_counts,
+        elements=elements,
     )
 
 

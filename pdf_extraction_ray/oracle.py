@@ -46,6 +46,11 @@ def base_cte() -> str:
         "r -> 'r' || CAST(r AS VARCHAR) || chr(9) || 'v' || "
         "CAST(doc_id * r AS VARCHAR)), " + SEP2 + ")"
     )
+    pdf_table_rows = (
+        "array_to_string(list_transform(range(1, nrows + 1), "
+        "r -> 'r' || CAST(r AS VARCHAR) || chr(9) || 'v' || "
+        "CAST(doc_id * r AS VARCHAR)), " + NL + ")"
+    )
     phrase = f"'{spec.PHRASE}'"
 
     html_body = _rep_join("hsingle", "rep_h", SEP2)
@@ -70,7 +75,8 @@ WITH base AS (
          CAST(ceil(length(text)/{spec.PDF_LINE_W}.0) AS BIGINT) AS np_p,
          {hsingle} AS hsingle,
          {psingle} AS psingle,
-         {table_rows} AS trows
+         {table_rows} AS trows,
+         {pdf_table_rows} AS ptrows
   FROM documents
 ), flags AS (
   SELECT *,
@@ -88,7 +94,10 @@ WITH base AS (
       WHEN sub BETWEEN 65 AND 69 THEN
         (CASE WHEN has_phrase THEN {phrase} || {SEP2} ELSE '' END)
         || {html_body} || {SEP2} || trows
-      WHEN sub BETWEEN 70 AND 87 THEN
+      WHEN sub BETWEEN 70 AND 74 THEN
+        (CASE WHEN has_phrase THEN {phrase} || {NL} ELSE '' END)
+        || {pdf_body} || {NL} || ptrows
+      WHEN sub BETWEEN 75 AND 87 THEN
         (CASE WHEN has_phrase THEN {phrase} || {NL} ELSE '' END)
         || {pdf_body}
       WHEN sub BETWEEN 88 AND 89 THEN
@@ -103,7 +112,9 @@ WITH base AS (
         + (CASE WHEN has_heading THEN 1 ELSE 0 END) + np_h * rep_h
       WHEN sub BETWEEN 65 AND 69 THEN
         (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_h * rep_h + nrows
-      WHEN sub BETWEEN 70 AND 87 THEN
+      WHEN sub BETWEEN 70 AND 74 THEN
+        (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_p * rep_p + nrows
+      WHEN sub BETWEEN 75 AND 87 THEN
         (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_p * rep_p
       WHEN sub BETWEEN 88 AND 89 THEN
         (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_p * rep_big
@@ -136,7 +147,7 @@ WITH base AS (
       + (CASE WHEN n_headings >= 5 THEN 15
               WHEN n_headings >= 3 THEN 10
               WHEN n_headings >= 1 THEN 5 ELSE 0 END)
-      + (CASE WHEN sub BETWEEN 65 AND 69 THEN
+      + (CASE WHEN sub BETWEEN 65 AND 74 THEN
                 (CASE WHEN nrows > 3 THEN 15 ELSE 10 END) ELSE 0 END),
       100) AS q_pct
   FROM prim
@@ -234,7 +245,7 @@ def span_kind_counts_sql() -> str:
                THEN 1 ELSE 0 END) AS n_title,
          (CASE WHEN route = 'primary' AND sub BETWEEN 60 AND 64
                THEN np_h * rep_h ELSE 0 END) AS n_list_item,
-         (CASE WHEN route = 'primary' AND sub BETWEEN 65 AND 69
+         (CASE WHEN route = 'primary' AND sub BETWEEN 65 AND 74
                THEN nrows ELSE 0 END) AS n_table,
          (CASE WHEN route = 'primary' AND sub BETWEEN 70 AND 89 THEN
             (CASE WHEN has_phrase THEN 1 ELSE 0 END)
@@ -252,6 +263,40 @@ SELECT kind, n_spans FROM (
   UNION ALL SELECT 'line', CAST(sum(n_line) AS BIGINT) FROM spanned
   UNION ALL SELECT 'document', CAST(sum(n_document) AS BIGINT) FROM spanned
 ) WHERE n_spans > 0"""
+
+
+def pdf_elements_sql() -> str:
+    """Expected per-document layout-element stats for primary-routed PDFs —
+    drives the bbox column through the value-hash gate. Constants mirror
+    the generator layout (gen_pdf MARGIN_X/CELL_STRIDE/TOP_Y/LEADING/
+    LINES_PER_PAGE) and the parser's bbox estimates (pdf_extract CHAR_W)."""
+    from .functions.pdf_extract import CHAR_W
+    from .sources.gen_pdf import (CELL_STRIDE, LEADING, LINES_PER_PAGE,
+                                  MARGIN_X, TOP_Y)
+
+    phrase_len = len(spec.PHRASE)
+    cell2_x = MARGIN_X + CELL_STRIDE
+    return base_cte() + f"""
+SELECT
+  'https://corpus.example/' || source || '/d'
+    || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+    || (CASE WHEN lastd = 3 THEN '-memo'
+             WHEN lastd = 7 THEN '-qp' ELSE '' END) AS url,
+  CAST(n_blocks AS BIGINT) AS n_elements,
+  CAST(CASE WHEN sub BETWEEN 70 AND 74 THEN nrows ELSE 0 END AS BIGINT)
+    AS n_table_rows,
+  CAST(GREATEST(
+    {MARGIN_X} + {CHAR_W} * LEAST({spec.PDF_LINE_W}, length(text)),
+    CASE WHEN has_phrase
+         THEN {MARGIN_X} + {CHAR_W} * {phrase_len} ELSE 0 END,
+    CASE WHEN sub BETWEEN 70 AND 74
+         THEN {cell2_x} + {CHAR_W}
+              * (1 + length(CAST(doc_id * nrows AS VARCHAR)))
+         ELSE 0 END) AS BIGINT) AS x1_max,
+  CAST({TOP_Y} - {LEADING} * (CASE WHEN n_blocks >= {LINES_PER_PAGE}
+       THEN {LINES_PER_PAGE} - 1 ELSE n_blocks - 1 END) AS BIGINT) AS y0_min
+FROM routed
+WHERE sub BETWEEN 70 AND 89 AND route = 'primary'"""
 
 
 def export_markdown_sql() -> str:

@@ -32,7 +32,9 @@ MARGIN_X = 72
 TOP_Y = 720
 LEADING = 14
 LINES_PER_PAGE = 45
-COL2_X = 320  # x origin of the right column in two-column mode
+COL2_X = 320       # x origin of the right column in two-column mode
+CELL_STRIDE = 98   # x stride between table cells: >= parser CELL_GAP_MIN
+                   # (tab join) and < column_gap_min (no band split)
 
 
 def _esc(line: str) -> bytes:
@@ -40,13 +42,24 @@ def _esc(line: str) -> bytes:
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def _content_stream(lines: list[str], xs: list[int] | None = None) -> bytes:
+# a "line spec" is either a plain string (one positioned chunk) or a list
+# of cell strings (one chunk per cell at CELL_STRIDE x offsets — a table
+# row; consecutive rows share the x-signature the parser detects)
+LineSpec = "str | list[str]"
+
+
+def _content_stream(lines: list, xs: list[int] | None = None) -> bytes:
     """One page's content stream: absolute-positioned text lines."""
     ops = [b"BT", b"/F1 12 Tf"]
     for i, line in enumerate(lines):
         x = MARGIN_X if xs is None else xs[i]
         y = TOP_Y - LEADING * (i if xs is None else _col_row(i, len(lines)))
-        ops.append(b"1 0 0 1 %d %d Tm (%s) Tj" % (x, y, _esc(line)))
+        if isinstance(line, str):
+            ops.append(b"1 0 0 1 %d %d Tm (%s) Tj" % (x, y, _esc(line)))
+        else:  # table row: one chunk per cell
+            for j, cell in enumerate(line):
+                ops.append(b"1 0 0 1 %d %d Tm (%s) Tj"
+                           % (x + CELL_STRIDE * j, y, _esc(cell)))
     ops.append(b"ET")
     return b"\n".join(ops)
 

@@ -22,7 +22,9 @@ Payload kind by ``doc_id % 100`` (FIXTURES.md F1 row mix):
 50-59 HTML div-soup (no semantic root; density scoring must find it)
 60-64 HTML list variant (<li> blocks)
 65-69 HTML with a trailing data table (<tr> blocks)
-70-87 PDF, 1-2 pages
+70-74 PDF with a trailing table (aligned cell chunks; the parser's
+      x-signature run detection must find it for the quality table term)
+75-87 PDF, 1-2 pages
 88-89 PDF oversized (20+ pages; exercises skew splitting)
 90-91 HTML tiny (<100 chars → quality<70 → salvage route)
 92-93 PDF "scanned" (no text ops → quality 0 → salvage route)
@@ -60,7 +62,7 @@ CORPUS_QUALITY_THRESHOLD_PCT = 70  # routing threshold (reference: quality < 0.7
 # oversized PDFs are >= ceil(150/45)=4 pages; normal PDFs are <= 2 pages,
 # so threshold 3 cleanly routes pdf_big (and only pdf_big) to the shard path
 CORPUS_SPLIT_PAGE_THRESHOLD = 3
-SPEC_VERSION = "v4"        # bump to invalidate cached generated corpora
+SPEC_VERSION = "v5"        # bump to invalidate cached generated corpora
 
 
 # --- kind assignment --------------------------------------------------------
@@ -81,6 +83,8 @@ def kind_of(doc_id: int) -> str:
         return "html_list"
     if s <= 69:
         return "html_table"
+    if s <= 74:
+        return "pdf_table"
     if s <= 87:
         return "pdf_normal"
     if s <= 89:
@@ -190,6 +194,12 @@ def expected_blocks(doc_id: int, text: str, source: str) -> list[str]:
     return blocks
 
 
+def pdf_table_cells(doc_id: int, r: int) -> list[str]:
+    """Cells of table row ``r`` — ``"\\t".join`` equals the HTML kind's
+    ``table_row_text`` so the two table paths share one ground truth."""
+    return [f"r{r}", f"v{doc_id * r}"]
+
+
 def expected_pdf_lines(doc_id: int, text: str) -> list[str]:
     k = kind_of(doc_id)
     if k == "pdf_scanned":
@@ -199,7 +209,23 @@ def expected_pdf_lines(doc_id: int, text: str) -> list[str]:
     if has_phrase(doc_id):
         lines.append(PHRASE)
     lines += pieces(text, PDF_LINE_W) * rep
+    if k == "pdf_table":
+        lines += ["\t".join(pdf_table_cells(doc_id, r))
+                  for r in range(1, n_table_rows(doc_id) + 1)]
     return lines
+
+
+def pdf_line_specs(doc_id: int, text: str) -> list:
+    """Generator-side line specs: plain strings, plus table rows as cell
+    lists (the generator positions each cell as its own chunk so the
+    parser's table detection has real layout structure to find)."""
+    k = kind_of(doc_id)
+    specs: list = expected_pdf_lines(doc_id, text)
+    if k == "pdf_table":
+        nrows = n_table_rows(doc_id)
+        specs = specs[:-nrows] + [pdf_table_cells(doc_id, r)
+                                  for r in range(1, nrows + 1)]
+    return specs
 
 
 def expected_primary_text(doc_id: int, text: str, source: str) -> str:

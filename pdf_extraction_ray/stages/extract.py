@@ -41,6 +41,33 @@ SPAN_TYPE = pa.list_(pa.struct([
     ("kind", pa.string()), ("page", pa.int32()),
 ]))
 
+# layout elements with bounding boxes (SURVEY.md §1.2; reference:
+# BoundingBox per element, app/models/extraction.py:169-181)
+ELEMENT_TYPE = pa.list_(pa.struct([
+    ("kind", pa.string()), ("page", pa.int32()),
+    ("x0", pa.int32()), ("y0", pa.int32()),
+    ("x1", pa.int32()), ("y1", pa.int32()),
+]))
+
+_ELEMENT_FIELDS = ("kind", "page", "x0", "y0", "x1", "y1")
+_ELEMENT_PA_TYPES = (pa.string(), pa.int32(), pa.int32(), pa.int32(),
+                     pa.int32(), pa.int32())
+
+
+def _elements_column(records: list[dict]) -> pa.ListArray:
+    """Flat-arrays + offsets construction of the elements column."""
+    flat: list[list] = [[] for _ in _ELEMENT_FIELDS]
+    offsets = [0]
+    for r in records:
+        for e in r.get("elements") or ():
+            for k, field_name in enumerate(_ELEMENT_FIELDS):
+                flat[k].append(e[field_name])
+        offsets.append(len(flat[0]))
+    struct = pa.StructArray.from_arrays(
+        [pa.array(v, t) for v, t in zip(flat, _ELEMENT_PA_TYPES)],
+        names=list(_ELEMENT_FIELDS))
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+
 OUT_SCHEMA = pa.schema([
     ("url", pa.string()),
     ("warc_ts", pa.timestamp("us")),
@@ -58,6 +85,7 @@ OUT_SCHEMA = pa.schema([
     ("n_blocks", pa.int64()),
     ("n_pages", pa.int64()),
     ("spans", SPAN_TYPE),
+    ("elements", ELEMENT_TYPE),
     ("text_sha256", pa.string()),
     ("attempts", pa.int64()),
     ("bucket", pa.int64()),
@@ -83,10 +111,11 @@ def work_table(records: list[dict]) -> pa.Table:
     """Columnar WORK_SCHEMA construction (see ``out_table``)."""
     cols: dict[str, object] = {}
     for field in WORK_SCHEMA:
-        if field.name in ("spans", "streams"):
+        if field.name in ("spans", "streams", "elements"):
             continue
         cols[field.name] = pa.array([r[field.name] for r in records],
                                     type=field.type)
+    cols["elements"] = _elements_column(records)
     starts, ends, kinds, pages = [], [], [], []
     offsets = [0]
     for r in records:
@@ -160,7 +189,8 @@ class ExtractOrSplit:
                         "route": "", "quality_pct": 0, "doc_kind": "",
                         "doc_conf_pct": 0, "doc_method": "",
                         "extracted_text": "", "n_chars": 0, "n_blocks": 0,
-                        "n_pages": 0, "spans": [], "text_sha256": "",
+                        "n_pages": 0, "spans": [], "elements": [],
+                        "text_sha256": "",
                         "attempts": attempts[i], "bucket": buckets[i],
                         "row_kind": "frag_raw",
                         "fallback_text": fallbacks[i] or "",
@@ -221,7 +251,9 @@ class ParseFragments:
                 "doc_kind": "", "doc_conf_pct": 0, "doc_method": "",
                 "extracted_text": frag.text, "n_chars": len(frag.text),
                 "n_blocks": frag.element_count, "n_pages": frag.n_pages,
-                "spans": frag.spans, "text_sha256": "",
+                "spans": frag.spans,
+                "elements": [e.__dict__ for e in frag.elements],
+                "text_sha256": "",
                 "attempts": batch["attempts"][i].as_py(),
                 "bucket": batch["bucket"][i].as_py(),
                 "row_kind": "frag",
@@ -260,6 +292,7 @@ def finalize_bucket(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG,
             order = g.sort_values("first_page")["row"].tolist()
             text_parts: list[str] = []
             spans: list[Span] = []
+            elements: list[dict] = []
             pos = 0
             total_lines = 0
             for ri in order:
@@ -272,15 +305,20 @@ def finalize_bucket(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG,
                 for s in frags["spans"][ri].as_py():
                     spans.append(Span(s["start"] + pos, s["end"] + pos,
                                       s["kind"], s["page"]))
+                elements.extend(frags["elements"][ri].as_py())
                 text_parts.append(frag_text)
                 pos += len(frag_text)
                 total_lines += frag_lines
             r0 = order[0]
+            # partitioning assumption (documented): oversized documents
+            # carry no cross-shard tables, so reassembled table_row_counts
+            # stay empty — per-fragment runs would otherwise need a merge
             primary = Primary(
                 text="\n".join(text_parts), spans=spans,
                 element_count=total_lines, heading_count=0,
                 table_row_counts=[],
-                n_pages=frags["n_pages_total"][r0].as_py())
+                n_pages=frags["n_pages_total"][r0].as_py(),
+                elements=elements)
             rec = finalize_row(
                 url, frags["warc_ts"][r0].as_py(), frags["lang"][r0].as_py(),
                 frags["fallback_text"][r0].as_py() or "",
@@ -386,7 +424,8 @@ def _html_extractor(payload: bytes, cfg: PipelineConfig, attempts: int) -> Prima
 def _pdf_extractor(payload: bytes, cfg: PipelineConfig, attempts: int) -> Primary:
     p = pdf_extract.extract_pdf(payload, cfg.line_y_tolerance,
                                 cfg.column_gap_min, deadline=_deadline(cfg))
-    return Primary(p.text, p.spans, p.element_count, 0, [], p.n_pages)
+    return Primary(p.text, p.spans, p.element_count, 0, p.table_row_counts,
+                   p.n_pages, elements=[e.__dict__ for e in p.elements])
 
 
 def _text_extractor(payload: bytes, cfg: PipelineConfig, attempts: int) -> Primary:
@@ -431,10 +470,11 @@ def out_table(records: list[dict]) -> pa.Table:
     ``records`` are ``finalize_row`` outputs (spans = list[Span])."""
     cols: dict[str, object] = {}
     for field in OUT_SCHEMA:
-        if field.name == "spans":
+        if field.name in ("spans", "elements"):
             continue
         cols[field.name] = pa.array([r[field.name] for r in records],
                                     type=field.type)
+    cols["elements"] = _elements_column(records)
     starts: list[int] = []
     ends: list[int] = []
     kinds: list[str] = []

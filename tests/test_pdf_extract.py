@@ -158,3 +158,57 @@ def test_objstm_expansion_and_variant_mix():
         parts = [pdf_extract.extract_pdf_pages([s], first_page=i + 1)
                  for i, s in enumerate(streams)]
         assert "\n".join(p.text for p in parts) == whole.text
+
+
+def test_table_run_detection_and_elements():
+    """Aligned multi-chunk rows become a table run; bbox elements carry
+    the layout estimate; cells join with tabs."""
+    lines = ["intro line one", "intro line two",
+             ["a1", "b1"], ["a2", "b2"], ["a3", "b3"],
+             "outro line"]
+    pdf = build_pdf(lines)
+    r = pdf_extract.extract_pdf(pdf)
+    assert r.text == ("intro line one\nintro line two\n"
+                      "a1\tb1\na2\tb2\na3\tb3\noutro line")
+    assert r.table_row_counts == [3]
+    kinds = [s.kind for s in r.spans]
+    assert kinds == ["line", "line", "table", "table", "table", "line"]
+    assert [e.kind for e in r.elements] == kinds
+    e0 = r.elements[0]
+    assert (e0.x0, e0.y0) == (72, 720)
+    assert e0.x1 == 72 + 7 * len("intro line one")
+    assert e0.y1 == 720 + 12
+    et = r.elements[2]  # first table row: cells at x=72 and x=170
+    assert et.x0 == 72
+    assert et.x1 == 72 + 98 + 7 * len("b1")
+
+
+def test_isolated_multichunk_line_is_not_a_table():
+    lines = ["plain", ["c1", "c2"], "plain two"]
+    r = pdf_extract.extract_pdf(build_pdf(lines))
+    assert r.table_row_counts == []
+    assert [s.kind for s in r.spans] == ["line", "line", "line"]
+    assert r.text == "plain\nc1\tc2\nplain two"  # tab join still applies
+
+
+def test_table_straddling_page_boundary():
+    filler = [f"filler {i}" for i in range(44)]
+    rows = [["x1", "y1"], ["x2", "y2"], ["x3", "y3"]]
+    r = pdf_extract.extract_pdf(build_pdf(filler + rows, lines_per_page=45))
+    assert r.n_pages == 2
+    assert r.table_row_counts == [3]  # run crosses the page break
+    assert [s.page for s in r.spans if s.kind == "table"] == [1, 2, 2]
+
+
+def test_pdf_table_quality_term():
+    """A table-heavy PDF earns the 15% table term (reference formula,
+    app/services/opendataloader_extractor.py:45-80) — the round-1 gap."""
+    from pdf_extraction_ray.functions.quality import quality_score_pct
+    lines = [f"padding line {i} abcdefghijklmnopqrstuvwxyz" for i in range(30)]
+    rows = [[f"k{i}", f"v{i}"] for i in range(5)]
+    r = pdf_extract.extract_pdf(build_pdf(lines + rows))
+    base = quality_score_pct(len(r.text), r.element_count, 0, [])
+    with_tables = quality_score_pct(len(r.text), r.element_count, 0,
+                                    r.table_row_counts)
+    assert r.table_row_counts == [5]
+    assert with_tables == base + 15
