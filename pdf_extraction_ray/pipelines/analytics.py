@@ -345,6 +345,13 @@ def embedding_dup_pairs(sf_dir: str) -> rd.Dataset:
                                  threshold_pct=99)
 
 
+def dedup_embedding_cells(sf_dir: str) -> rd.Dataset:
+    """Cell-partitioned embedding near-dup (the subquadratic scale path;
+    rows-only — exact-copy recall = 1 asserted in tests)."""
+    return dd.embedding_near_dup_cells(_embeddings_with_planted_dups(sf_dir),
+                                       threshold_pct=99)
+
+
 def embedding_dup_pairs_sql() -> str:
     return """
 WITH all_v AS (
@@ -424,12 +431,16 @@ FROM ranked WHERE rank <= {k}"""
 
 
 def ann_ivf(sf_dir: str, k: int = 10) -> rd.Dataset:
-    """IVF-bucketed approximate top-k (rows-only; recall vs brute force
-    asserted in tests)."""
+    """IVF approximate top-k against a persisted cell-partitioned index
+    (built once per sf dir; probes read only matching cell directories).
+    Rows-only; recall vs brute force asserted in tests."""
+    from pathlib import Path
     q, qids = _query_vectors(sf_dir)
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
-    return sim.topk_cosine_ivf(ds, q, qids, k=k)
+    index_dir = os.path.join("/tmp/pdf_extraction_ray/ivf",
+                             Path(sf_dir).name or "sf")
+    return sim.topk_cosine_ivf(ds, q, qids, k=k, index_dir=index_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -391,47 +391,153 @@ def jaccard_pairs(ds: rd.Dataset, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_dup(ds: rd.Dataset, threshold_pct: int = 99,
-                       vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> rd.Dataset:
-    """Near-duplicate pairs by embedding cosine similarity.
-
-    The full (id, unit-vector) matrix is broadcast once and every batch
-    does one matmul against it — fine while the matrix fits a worker
-    (at larger scale, route through ``similarity.fit_centroids`` cells
-    and compare within-cell only). Returns (a, b) pairs with a < b and
-    cosine >= threshold_pct/100.
-    """
-    full = ds.select_columns([id_col, vec_col]).to_pandas()
-    order = np.argsort(full[id_col].to_numpy(), kind="stable")
-    ids = full[id_col].to_numpy()[order]
-    mat = np.stack(full[vec_col].to_numpy())[order].astype(np.float64)
+def _unit_matrix_batch(batch: pa.Table, vec_col: str) -> np.ndarray:
+    arr = batch[vec_col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(batch), -1)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    mat = mat / norms
-    ref = ray.put((ids, mat))
+    return mat / norms
+
+
+def _normalize_block(batch: pa.Table, vec_col: str, id_col: str) -> pa.Table:
+    mat = _unit_matrix_batch(batch, vec_col)
+    dim = mat.shape[1] if len(batch) else 0
+    return pa.table({
+        id_col: batch[id_col].cast(pa.int64()),
+        "unit": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), pa.float64()), dim) if dim else
+            pa.array([], pa.list_(pa.float64())),
+    })
+
+
+@ray.remote
+def _block_pair_task(ta: pa.Table, tb: pa.Table, same: bool, thr: float,
+                     id_col: str) -> pa.Table:
+    """All qualifying cross pairs between two normalized blocks."""
+    def unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        col = t["unit"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return ids, flat.reshape(len(t), -1)
+
+    ia, ma = unpack(ta)
+    ib, mb = unpack(tb)
+    a_o, b_o = [], []
+    if len(ia) and len(ib):
+        sims = ma @ mb.T
+        rows, cols = np.where(sims >= thr)
+        for r, c in zip(rows, cols):
+            x, y = int(ia[r]), int(ib[c])
+            if x < y:
+                a_o.append(x)
+                b_o.append(y)
+            elif y < x and not same:
+                a_o.append(y)
+                b_o.append(x)
+    return pa.table({"a": pa.array(a_o, pa.int64()),
+                     "b": pa.array(b_o, pa.int64())})
+
+
+def embedding_near_dup(ds: rd.Dataset, threshold_pct: int = 99,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       block_rows: int = 4096) -> rd.Dataset:
+    """EXACT near-duplicate pairs by embedding cosine (a < b, cosine >=
+    threshold) — blocked all-pairs.
+
+    The corpus is normalized into (id, unit-vector) blocks that live in
+    the OBJECT STORE (never the driver — the round-1 version materialized
+    the whole matrix with ``to_pandas``); one Ray task per block pair
+    (i <= j) does a single matmul. Driver state is O(#blocks) object refs.
+    Exact all-pairs is inherently quadratic in blocks — this is the
+    exactness baseline the oracle checks; ``embedding_near_dup_cells`` is
+    the subquadratic scale path.
+    """
+    prep = (ds.select_columns([id_col, vec_col])
+              .map_batches(lambda b: _normalize_block(b, vec_col, id_col),
+                           batch_format="pyarrow", batch_size=block_rows))
+    refs = prep.to_arrow_refs()
+    thr = threshold_pct / 100.0
+    futures = [_block_pair_task.remote(refs[i], refs[j], i == j, thr, id_col)
+               for i in range(len(refs)) for j in range(i, len(refs))]
+    return rd.from_arrow_refs(futures)
+
+
+def embedding_near_dup_cells(ds: rd.Dataset, threshold_pct: int = 99,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             n_centroids: int = 16,
+                             n_assign: int = 2,
+                             sample_rows: int = 2048) -> rd.Dataset:
+    """Subquadratic scale path: coarse-quantizer cells as the partition
+    key. Every vector is assigned to its ``n_assign`` nearest cells
+    (boundary duplication), pairs are compared WITHIN cells via one
+    ``groupby(cell)`` shuffle, and duplicate pairs across cells are
+    dropped. Exact duplicates always share all their cells, so recall on
+    true near-identical pairs is 1; pairs straddling more than
+    ``n_assign`` cell boundaries can be missed — recall vs the exact
+    baseline is asserted in tests.
+
+    Partitioning assumption: cell populations are balanced by the
+    quantizer fit; a degenerate corpus (all vectors identical) makes one
+    hot cell — raise n_centroids or pre-split by id salt in that case.
+    """
+    from .similarity import fit_centroids, sample_for_centroids
+
+    cents = fit_centroids(sample_for_centroids(ds, vec_col, sample_rows),
+                          n_centroids)
+    cref = ray.put(cents)
     thr = threshold_pct / 100.0
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        bmat = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in batch[vec_col].to_pylist()])
-        bn = np.linalg.norm(bmat, axis=1, keepdims=True)
-        bn[bn == 0] = 1.0
-        bmat = bmat / bn
-        sims = bmat @ all_mat.T
-        a_o, b_o = [], []
-        for r in range(sims.shape[0]):
-            hits = np.where(sims[r] >= thr)[0]
-            for c in hits:
-                if bids[r] < all_ids[c]:  # a < b, no self-pairs
-                    a_o.append(int(bids[r]))
-                    b_o.append(int(all_ids[c]))
-        return pa.table({"a": pa.array(a_o, pa.int64()),
-                         "b": pa.array(b_o, pa.int64())})
+    def explode(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        mat = _unit_matrix_batch(batch, vec_col)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        near = np.argsort(-(mat @ cc.T), axis=1)[:, :n_assign]
+        out_cell, out_id, out_vec = [], [], []
+        for r in range(len(ids)):
+            for c in near[r]:
+                out_cell.append(int(c))
+                out_id.append(int(ids[r]))
+                out_vec.append(mat[r].tolist())
+        return pa.table({
+            "cell": pa.array(out_cell, pa.int32()),
+            id_col: pa.array(out_id, pa.int64()),
+            "unit": pa.array(out_vec, pa.list_(pa.float64())),
+        })
 
-    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=1024)
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def cell_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g["unit"].to_numpy())
+        sims = mat @ mat.T
+        rows, cols = np.where(sims >= thr)
+        a_o, b_o = [], []
+        for r, c in zip(rows, cols):
+            if ids[r] < ids[c]:
+                a_o.append(int(ids[r]))
+                b_o.append(int(ids[c]))
+        return pd.DataFrame({"a": pd.Series(a_o, dtype="int64"),
+                             "b": pd.Series(b_o, dtype="int64")})
+
+    pairs = exploded.groupby("cell").map_groups(cell_pairs,
+                                                batch_format="pandas")
+
+    def dedup_batch(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["a", "b"]).map_groups(dedup_batch,
+                                                batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -5,9 +5,11 @@ Brute-force cosine top-k is the exactness baseline: the (small) query
 matrix is broadcast once with ``ray.put`` and every batch does one numpy
 matmul against it — no shuffle at all, scales linearly with corpus size.
 The IVF variant is the scale path: a deterministic k-means-lite coarse
-quantizer (fit on a driver-side sample), then candidates only from the
-``n_probe`` nearest centroids — recall traded for touch-fraction;
-verified against brute force in tests.
+quantizer (fit on a bounded sample) assigns every vector a cell, the
+index is PERSISTED as cell-partitioned parquet (``build_ivf_index``), and
+queries read only their probed ``cell=K/`` directories — touch fraction
+~n_probe/n_centroids of storage. Recall vs brute force is verified in
+tests.
 """
 
 from __future__ import annotations
@@ -107,26 +109,85 @@ def fit_centroids(sample: np.ndarray, n_centroids: int = 16,
     return cents
 
 
-def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
-                    k: int = 10, n_centroids: int = 16, n_probe: int = 4,
-                    vec_col: str = "embedding", id_col: str = "vec_id",
-                    sample_rows: int = 2048) -> rd.Dataset:
-    """IVF top-k: vectors in cells whose centroid is probed are scored;
-    the rest are skipped. At scale the centroid assignment becomes the
-    partitioning key (one shuffle at index build, then probes touch
-    n_probe/n_centroids of the data)."""
+def sample_for_centroids(ds: rd.Dataset, vec_col: str,
+                         sample_rows: int = 2048) -> np.ndarray:
+    """Bounded sample for quantizer fitting — only the sampled rows'
+    vectors reach the driver."""
     sample = ds.limit(sample_rows).to_pandas()
-    smat = np.stack(sample[vec_col].to_numpy())
-    cents = fit_centroids(smat, n_centroids)
+    return np.stack(sample[vec_col].to_numpy())
+
+
+def build_ivf_index(ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    sample_rows: int = 2048) -> np.ndarray:
+    """Build a PERSISTED cell-partitioned IVF index: fit the coarse
+    quantizer on a bounded sample, assign every vector its nearest-centroid
+    cell in one map pass, and write parquet partitioned by cell
+    (``cell=K/`` directories). Queries then read ONLY probed cell
+    directories — the touch fraction is ~n_probe/n_centroids of storage,
+    which is the property the in-memory variant of round 1 lacked.
+
+    Returns the centroid matrix (also persisted as ``_centroids.npy``,
+    invisible to parquet discovery). The publish is atomic
+    (write-tmp-then-rename), so a killed build leaves no torn index.
+    """
+    import os
+    import shutil
+
+    cents = fit_centroids(sample_for_centroids(ds, vec_col, sample_rows),
+                          n_centroids)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        mat = _unit_rows(_batch_matrix(batch, vec_col))
+        cell = np.argmax(mat @ cc.T, axis=1).astype(np.int32)
+        # `cell` becomes the partition directory; `cell_id` stays a plain
+        # column so file-list reads need no partition inference
+        return (batch.append_column("cell", pa.array(cell, pa.int32()))
+                     .append_column("cell_id", pa.array(cell, pa.int32())))
+
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (ds.select_columns([id_col, vec_col])
+       .map_batches(assign, batch_format="pyarrow")
+       .write_parquet(tmp, partition_cols=["cell"]))
+    np.save(os.path.join(tmp, "_centroids.npy"), cents)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return cents
+
+
+def load_ivf_centroids(index_dir: str) -> np.ndarray:
+    import os
+    return np.load(os.path.join(index_dir, "_centroids.npy"))
+
+
+def topk_cosine_ivf_indexed(index_dir: str, queries: np.ndarray,
+                            query_ids: list[int], k: int = 10,
+                            n_probe: int = 4, vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> rd.Dataset:
+    """IVF top-k against a persisted index: only the union of the queries'
+    probed ``cell=K/`` directories is read; per-batch scoring masks each
+    query to its own probe set."""
+    import glob
+    import os
+
+    cents = load_ivf_centroids(index_dir)
     qmat = _unit_rows(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]
-    ref = ray.put((qmat, list(query_ids), cents, probe))
+    needed = sorted({int(c) for row in probe for c in row})
+    files = [f for c in needed
+             for f in sorted(glob.glob(os.path.join(index_dir,
+                                                    f"cell={c}", "*.parquet")))]
+    ds = rd.read_parquet(files, columns=[id_col, vec_col, "cell_id"])
+    ref = ray.put((qmat, list(query_ids), probe))
 
     def partials(batch: pa.Table) -> pa.Table:
-        qm, qids, cc, pr = ray.get(ref)
+        qm, qids, pr = ray.get(ref)
         mat = _unit_rows(_batch_matrix(batch, vec_col))
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        cell = np.argmax(mat @ cc.T, axis=1)
+        cell = np.asarray(batch["cell_id"].to_pylist(), dtype=np.int64)
         out_q, out_n, out_s = [], [], []
         for qi in range(qm.shape[0]):
             mask = np.isin(cell, pr[qi])
@@ -158,3 +219,24 @@ def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
         })
 
     return part.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
+                    k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    sample_rows: int = 2048,
+                    index_dir: str | None = None) -> rd.Dataset:
+    """IVF top-k: builds (or reuses) the persisted cell-partitioned index,
+    then probes it. ``index_dir`` defaults to a scratch path; pass a
+    durable location to amortize the build across query sessions."""
+    import os
+    import tempfile
+
+    if index_dir is None:
+        index_dir = os.path.join(tempfile.gettempdir(),
+                                 "pdf_extraction_ray", "ivf-scratch")
+    if not os.path.exists(os.path.join(index_dir, "_centroids.npy")):
+        build_ivf_index(ds, index_dir, n_centroids, vec_col, id_col,
+                        sample_rows)
+    return topk_cosine_ivf_indexed(index_dir, queries, query_ids, k,
+                                   n_probe, vec_col, id_col)

@@ -108,3 +108,56 @@ def test_media_stub_plumbing(ray_session, pages_corpus):
     out2 = media_features(rd.read_parquet(pages_corpus).limit(40)).to_pandas()
     assert out.sort_values("url").reset_index(drop=True).equals(
         out2.sort_values("url").reset_index(drop=True))
+
+
+def test_ivf_index_is_persisted_and_pruned(ray_session, tmp_path):
+    """The IVF index lives as cell-partitioned parquet and a probe reads
+    only its queries' cells (the round-1 version re-streamed the corpus)."""
+    import os
+
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages import similarity as sim
+    ds = rd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    cents = sim.build_ivf_index(ds, idx, n_centroids=8)
+    cell_dirs = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert 1 < len(cell_dirs) <= 8
+    assert os.path.exists(os.path.join(idx, "_centroids.npy"))
+    assert np.allclose(sim.load_ivf_centroids(idx), cents)
+
+    # index row count equals corpus row count (each vector in ONE cell)
+    assert rd.read_parquet(idx).count() == ds.count()
+
+    df = ds.limit(3).to_pandas()
+    q = np.stack(df["embedding"].to_numpy())
+    out = sim.topk_cosine_ivf_indexed(idx, q, df["vec_id"].tolist(),
+                                      k=5, n_probe=2).to_pandas()
+    for qid in df["vec_id"]:
+        sub = out[out.query_id == qid]
+        assert sub[sub["rank"] == 1].neighbor_id.iloc[0] == qid
+
+
+def test_embedding_cells_matches_exact_pairs(ray_session):
+    """The cell-partitioned near-dup path finds exactly the pairs the
+    blocked exact baseline finds on planted copies."""
+    from pdf_extraction_ray.pipelines.analytics import (
+        dedup_embedding_cells, embedding_dup_pairs)
+    exact = embedding_dup_pairs(SF_SMOKE).to_pandas()
+    cells = dedup_embedding_cells(SF_SMOKE).to_pandas()
+    key = lambda df: sorted(zip(df.a, df.b))  # noqa: E731
+    assert key(cells) == key(exact)
+    assert len(exact) > 0
+
+
+def test_embedding_exact_blocked_across_block_sizes(ray_session):
+    """Block size must not change the exact pair set (cross-block pairs)."""
+    from pdf_extraction_ray.pipelines.analytics import _embeddings_with_planted_dups
+    from pdf_extraction_ray.stages.dedup import embedding_near_dup
+    ds = _embeddings_with_planted_dups(SF_SMOKE)
+    small = embedding_near_dup(ds, threshold_pct=99, block_rows=64).to_pandas()
+    big = embedding_near_dup(ds, threshold_pct=99, block_rows=100000).to_pandas()
+    key = lambda df: sorted(zip(df.a, df.b))  # noqa: E731
+    assert key(small) == key(big)
+    assert len(small) > 0
