@@ -161,3 +161,22 @@ def test_embedding_exact_blocked_across_block_sizes(ray_session):
     key = lambda df: sorted(zip(df.a, df.b))  # noqa: E731
     assert key(small) == key(big)
     assert len(small) > 0
+
+
+def test_connected_components_chain_and_clique(ray_session):
+    """Min-label propagation with pointer jumping: a long chain (worst
+    case for plain neighbor propagation) and a clique both collapse to
+    their minimum node id."""
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages.dedup import connected_components
+    chain = [{"a": i, "b": i + 1} for i in range(10, 25)]        # 10..25
+    clique = [{"a": x, "b": y} for x in (100, 101, 102, 103)
+              for y in (100, 101, 102, 103) if x < y]
+    iso_pair = [{"a": 7, "b": 8}]
+    labels = connected_components(
+        rd.from_items(chain + clique + iso_pair)).to_pandas()
+    got = dict(zip(labels.node, labels.label))
+    assert all(got[n] == 10 for n in range(10, 26))
+    assert all(got[n] == 100 for n in (100, 101, 102, 103))
+    assert got[7] == 7 and got[8] == 7
