@@ -59,3 +59,45 @@ def classify(url: str, text: str) -> tuple[str, int, str]:
         return DOC_QP, min(70 + 5 * qp_hits, 95), "content_keywords"
 
     return DOC_QP, 50, "default"
+
+
+_MEMO_URL_PATTERN = r"\b(?:mg|memo|marking|memorandum)\b"
+_QP_URL_PATTERN = r"\b(?:qp|question[_\s]?paper)\b"
+
+
+def classify_batch(urls, texts):
+    """Vectorized ``classify`` over Arrow arrays: RE2 url regexes +
+    12 substring scans over the lowered 3000-char sample, all in C
+    kernels. Returns (kinds, conf_pcts, methods) numpy arrays with
+    semantics identical to the scalar cascade.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def np_bool(arr) -> "np.ndarray":
+        return arr.to_numpy(zero_copy_only=False)
+
+    has_memo = np_bool(pc.match_substring_regex(urls, _MEMO_URL_PATTERN,
+                                                ignore_case=True))
+    has_qp = np_bool(pc.match_substring_regex(urls, _QP_URL_PATTERN,
+                                              ignore_case=True))
+    sample = pc.utf8_lower(pc.utf8_slice_codeunits(texts, 0, 3000))
+    memo_hits = sum(np_bool(pc.match_substring(sample, p)).astype(np.int64)
+                    for p in MEMO_PHRASES)
+    qp_hits = sum(np_bool(pc.match_substring(sample, p)).astype(np.int64)
+                  for p in QP_PHRASES)
+
+    fn_memo = has_memo & ~has_qp
+    fn_qp = has_qp & ~has_memo
+    fn_any = fn_memo | fn_qp
+    kw_memo = ~fn_any & (memo_hits > 0) & (memo_hits > qp_hits)
+    kw_qp = ~fn_any & (qp_hits > 0) & (qp_hits > memo_hits)
+
+    kinds = np.select([fn_memo, fn_qp, kw_memo, kw_qp],
+                      [DOC_MEMO, DOC_QP, DOC_MEMO, DOC_QP], DOC_QP)
+    confs = np.select([fn_any, kw_memo, kw_qp],
+                      [90, np.minimum(70 + 5 * memo_hits, 95),
+                       np.minimum(70 + 5 * qp_hits, 95)], 50)
+    methods = np.select([fn_any, kw_memo | kw_qp],
+                        ["filename", "content_keywords"], "default")
+    return kinds, confs.astype(np.int64), methods

@@ -171,11 +171,11 @@ def parse_html(payload: bytes | str, deadline: float | None = None) -> Node:
             text = payload[pos:m.start()]
             stack[-1].append(_unescape(text) if "&" in text else text)
         pos = m.end()
-        tag = m.group(2)
+        closer, tag, raw_attrs = m.group(1, 2, 3)
         if tag is None:
             continue  # comment / doctype / PI
         tag = tag.lower()
-        if m.group(1):  # close tag
+        if closer:  # close tag
             if tag in _VOID_TAGS:
                 continue
             for i in range(len(stack) - 1, 0, -1):
@@ -195,7 +195,7 @@ def parse_html(payload: bytes | str, deadline: float | None = None) -> Node:
         elif tag == "tr":
             while stack[-1].tag in ("td", "th", "tr"):
                 stack.pop()
-        raw_attrs = m.group(3) or ""
+        raw_attrs = raw_attrs or ""
         self_closing = raw_attrs.rstrip().endswith("/")
         if tag in _RAWTEXT_CLOSE and not self_closing:
             stack[-1].append(Node(tag, raw_attrs if raw_attrs.strip() else ""))
@@ -214,12 +214,12 @@ def parse_html(payload: bytes | str, deadline: float | None = None) -> Node:
                     pos = n
                     break
                 pos = sm.end()
-                stag = sm.group(2)
+                scloser, stag, sraw = sm.group(1, 2, 3)
                 if stag is None:
                     continue
                 stag = stag.lower()
-                sraw = sm.group(3) or ""
-                if sm.group(1):
+                sraw = sraw or ""
+                if scloser:
                     if stag not in _VOID_TAGS:
                         depth -= 1
                 elif stag in _RAWTEXT_CLOSE and not sraw.rstrip().endswith("/"):

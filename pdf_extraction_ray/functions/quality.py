@@ -56,3 +56,23 @@ def quality_score_pct(text_length: int,
 def route_for(quality_pct: int, threshold_pct: int = 70) -> str:
     """quality below threshold → salvage (reference's vision fallback)."""
     return ROUTE_SALVAGE if quality_pct < threshold_pct else ROUTE_PRIMARY
+
+
+def quality_batch(text_len, element_count, heading_count,
+                  has_table, has_valid_table):
+    """Vectorized ``quality_score_pct`` over numpy arrays (identical
+    integer semantics; the batch finalize path uses this, the per-row
+    reassembly path uses the scalar — golden tests pin them equal)."""
+    import numpy as np
+
+    q = np.where(text_len > 1000, 40,
+                 np.where(text_len > 500, 30,
+                          np.where(text_len > 100, 20, 0)))
+    q = q + np.where(element_count > 50, 30,
+                     np.where(element_count > 20, 20,
+                              np.where(element_count > 5, 10, 0)))
+    q = q + np.where(heading_count >= 5, 15,
+                     np.where(heading_count >= 3, 10,
+                              np.where(heading_count >= 1, 5, 0)))
+    q = q + np.where(has_valid_table, 15, np.where(has_table, 10, 0))
+    return np.minimum(q, 100)

@@ -102,40 +102,66 @@ def exact_dedup_by_hash(ds: rd.Dataset, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def _lookup_cogroup(requests: rd.Dataset, labels: rd.Dataset) -> rd.Dataset:
+def _lookup_cogroup(requests: rd.Dataset, labels: rd.Dataset,
+                    num_partitions: int = 32) -> rd.Dataset:
     """Join-free keyed lookup: for every request row (key, out_node) emit
-    (node=out_node, label=label-of-key). One union + one groupby(key)
-    shuffle — the hash-partitioned exchange without ``Dataset.join``
-    (whose hash aggregator mishandles schema-less empty partitions on
-    small inputs). ``labels`` must have exactly one row per node.
+    (node=out_node, label=label-of-key). A hash-PARTITION-wise cogroup:
+    both sides get ``p = key % P``, one groupby(p) shuffle co-locates
+    each partition, and the per-partition function does one VECTORIZED
+    pandas merge (P python calls total — per-KEY map_groups costs ~1ms
+    of interpreter per group, which at corpus scale dwarfed the actual
+    work). Avoids ``Dataset.join``, whose hash aggregator mishandles
+    schema-less empty partitions on small inputs. ``labels`` must have
+    one row per node.
     """
-    req = requests.map_batches(
-        lambda t: pa.table({"key": t["key"].cast(pa.int64()),
-                            "out": t["out"].cast(pa.int64()),
-                            "lab": pa.nulls(len(t), pa.int64())}),
-        batch_format="pyarrow")
-    lab = labels.map_batches(
-        lambda t: pa.table({"key": t["node"].cast(pa.int64()),
-                            "out": pa.nulls(len(t), pa.int64()),
-                            "lab": t["label"].cast(pa.int64())}),
-        batch_format="pyarrow")
+    P = num_partitions
+
+    def tag_req(t: pa.Table) -> pa.Table:
+        key = t["key"].cast(pa.int64())
+        return pa.table({
+            "p": _pmod(key, P),
+            "key": key,
+            "out": t["out"].cast(pa.int64()),
+            "lab": pa.nulls(len(t), pa.int64()),
+        })
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        key = t["node"].cast(pa.int64())
+        return pa.table({
+            "p": _pmod(key, P),
+            "key": key,
+            "out": pa.nulls(len(t), pa.int64()),
+            "lab": t["label"].cast(pa.int64()),
+        })
+
+    req = requests.map_batches(tag_req, batch_format="pyarrow")
+    lab = labels.map_batches(tag_lab, batch_format="pyarrow")
 
     def grp(g: pd.DataFrame) -> pa.Table:
         # arrow output keeps every block in the iterative lineage the same
         # block type (mixed pandas/arrow unions break sort sampling)
-        labv = g["lab"].dropna()
-        outs = g["out"].dropna()
-        if labv.empty or outs.empty:
+        is_lab = g["lab"].notna()
+        labs = g.loc[is_lab, ["key", "lab"]]
+        reqs = g.loc[~is_lab, ["key", "out"]]
+        if labs.empty or reqs.empty:
             return pa.table({"node": pa.array([], pa.int64()),
                              "label": pa.array([], pa.int64())})
+        merged = reqs.merge(labs, on="key", how="inner")
         return pa.table({
-            "node": pa.array(outs.astype("int64").to_numpy(), pa.int64()),
-            "label": pa.array(np.full(len(outs), int(labv.min()),
-                                      dtype=np.int64), pa.int64()),
+            "node": pa.array(merged["out"].to_numpy(dtype=np.int64)),
+            "label": pa.array(merged["lab"].to_numpy(dtype=np.int64)),
         })
 
-    return req.union(lab).groupby("key").map_groups(grp,
-                                                    batch_format="pandas")
+    return req.union(lab).groupby("p").map_groups(grp, batch_format="pandas")
+
+
+def _pmod(key, p: int) -> pa.Array:
+    """Non-negative partition id column for int64 keys (numpy abs+mod;
+    pyarrow.compute has no modulo kernel)."""
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    vals = np.abs(key.to_numpy(zero_copy_only=False)) % p
+    return pa.array(vals.astype(np.int64), pa.int64())
 
 
 def connected_components(pairs: rd.Dataset, a_col: str = "a",
@@ -164,7 +190,10 @@ def connected_components(pairs: rd.Dataset, a_col: str = "a",
     """
     from ray.data.aggregate import Min
 
-    pairs = pairs.materialize()  # union would re-execute upstream lineage
+    # repartition up front: pair lists arriving from a map_groups stage
+    # carry hundreds of tiny blocks, and every per-round shuffle would pay
+    # per-block overhead on them again and again
+    pairs = pairs.repartition(num_blocks).materialize()
     e1 = pairs.map_batches(
         lambda t: pa.table({"src": t[a_col].cast(pa.int64()),
                             "dst": t[b_col].cast(pa.int64())}),
@@ -173,7 +202,7 @@ def connected_components(pairs: rd.Dataset, a_col: str = "a",
         lambda t: pa.table({"src": t[b_col].cast(pa.int64()),
                             "dst": t[a_col].cast(pa.int64())}),
         batch_format="pyarrow")
-    edges = e1.union(e2).materialize()
+    edges = e1.union(e2).repartition(num_blocks).materialize()
     edge_req = edges.map_batches(
         lambda t: pa.table({"key": t["src"], "out": t["dst"]}),
         batch_format="pyarrow").materialize()
@@ -189,7 +218,7 @@ def connected_components(pairs: rd.Dataset, a_col: str = "a",
                    .aggregate(Min("dst", alias_name="nbr_min"))
                    .map_batches(fold, batch_format="pyarrow")
                    .materialize())
-    n_nodes = labels.count()
+    cur_sum = labels.sum("label")
 
     for _ in range(max_rounds):
         # (1) neighbor-min propagation: candidate label for dst = label(src)
@@ -199,12 +228,12 @@ def connected_components(pairs: rd.Dataset, a_col: str = "a",
                         .aggregate(Min("label", alias_name="label"))
                         .repartition(num_blocks)
                         .materialize())
-        # unchanged ⇔ the union of old and new (node,label) pairs has no
-        # more distinct pairs than nodes (count-only; no driver rows)
-        distinct_pairs = (labels.union(merged)
-                                .groupby(["node", "label"]).count().count())
+        # labels are monotone non-increasing under min propagation, so the
+        # label SUM strictly decreases iff anything changed — one cheap
+        # scan instead of a distinct-pairs shuffle per round
+        new_sum = merged.sum("label")
         labels = merged
-        if distinct_pairs == n_nodes:
+        if new_sum == cur_sum:
             break
         # (2) pointer jumping: label(node) := label(label(node))
         jump_req = labels.map_batches(
@@ -212,6 +241,7 @@ def connected_components(pairs: rd.Dataset, a_col: str = "a",
             batch_format="pyarrow")
         labels = (_lookup_cogroup(jump_req, labels)
                   .repartition(num_blocks).materialize())
+        cur_sum = labels.sum("label")
     return labels
 
 
@@ -286,32 +316,22 @@ def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
     # verified-pair volume, unlike a driver-side union-find)
     labels = connected_components(pairs, "a", "b")
 
-    # docs with no near-dup edge keep their own id as cluster: a keyed
-    # cogroup of all ids with the component labels (left-outer semantics)
+    # docs with no near-dup edge keep their own id: since a component's
+    # label is its MINIMUM node id (label <= node always), the left-outer
+    # assignment collapses to one vectorized groupby-min over the union
+    # of identity rows (id, id) and label rows (node, label)
+    from ray.data.aggregate import Min
+
     id_rows = ds.select_columns([id_col]).map_batches(
-        lambda t: pa.table({"key": t[id_col].cast(pa.int64()),
-                            "lab": pa.nulls(len(t), pa.int64())}),
+        lambda t: pa.table({"node": t[id_col].cast(pa.int64()),
+                            "label": t[id_col].cast(pa.int64())}),
         batch_format="pyarrow")
-    lab_rows = labels.map_batches(
-        lambda t: pa.table({"key": t["node"].cast(pa.int64()),
-                            "lab": t["label"].cast(pa.int64())}),
-        batch_format="pyarrow")
-
-    def finish(g: pd.DataFrame) -> pa.Table:
-        key = int(g["key"].iloc[0])
-        labv = g["lab"].dropna()
-        n_ids = int(g["lab"].isna().sum())  # id rows for this key
-        if n_ids == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "cluster_id": pa.array([], pa.int64())})
-        lab = int(labv.min()) if len(labv) else key
-        return pa.table({
-            id_col: pa.array(np.full(n_ids, key, dtype=np.int64)),
-            "cluster_id": pa.array(np.full(n_ids, lab, dtype=np.int64)),
-        })
-
-    return id_rows.union(lab_rows).groupby("key").map_groups(
-        finish, batch_format="pandas")
+    return (id_rows.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="cluster_id"))
+            .map_batches(lambda t: pa.table({
+                id_col: t["node"], "cluster_id": t["cluster_id"]}),
+                batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -725,39 +745,35 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
     dup_pairs = exploded.groupby(["chunk", "key"]).map_groups(
         bucket_dups, batch_format="pandas")
 
-    # dup_of(b) = min direct neighbor a < b — a distributed groupby-min
-    # cogrouped with the per-doc simhash rows (the round-1 version
-    # collected a driver-side dict)
+    # dup_of(b) = min(b, min direct neighbor a) — pairs carry a < b, so a
+    # single vectorized groupby over the union of per-doc rows
+    # (key, dup=key, sim=simhash) and pair rows (key=b, dup=a, sim=0)
+    # reduces with Min(dup) / Max(sim) — no driver dict (round 1), no
+    # per-key python (first rewrite)
+    from ray.data.aggregate import Max, Min
+
     def with_sim(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         sims = [hashing.simhash64(t or "") for t in batch[text_col].to_pylist()]
         return pa.table({
             "key": pa.array(ids, pa.int64()),
-            "simhash": pa.array(sims, pa.uint64()),
-            "dup": pa.nulls(len(batch), pa.int64()),
+            "sim": pa.array(sims, pa.uint64()),
+            "dup": pa.array(ids, pa.int64()),
         })
 
     base = ds.map_batches(with_sim, batch_format="pyarrow")
     pair_rows = dup_pairs.map_batches(
         lambda t: pa.table({"key": t["b"].cast(pa.int64()),
-                            "simhash": pa.nulls(len(t), pa.uint64()),
+                            "sim": pa.array([0] * len(t), pa.uint64()),
                             "dup": t["a"].cast(pa.int64())}),
         batch_format="pyarrow")
 
-    def finish(g: pd.DataFrame) -> pa.Table:
-        key = int(g["key"].iloc[0])
-        doc = g[g["dup"].isna()]
-        if doc.empty:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "simhash": pa.array([], pa.uint64()),
-                             "dup_of": pa.array([], pa.int64())})
-        dups = g["dup"].dropna()
-        dup_of = int(dups.min()) if len(dups) else key
-        return pa.table({
-            id_col: pa.array([key], pa.int64()),
-            "simhash": pa.array([int(doc["simhash"].iloc[0])], pa.uint64()),
-            "dup_of": pa.array([dup_of], pa.int64()),
-        })
-
-    return base.union(pair_rows).groupby("key").map_groups(
-        finish, batch_format="pandas")
+    return (base.union(pair_rows)
+            .groupby("key")
+            .aggregate(Min("dup", alias_name="dup_of"),
+                       Max("sim", alias_name="simhash"))
+            .map_batches(lambda t: pa.table({
+                id_col: t["key"],
+                "simhash": t["simhash"].cast(pa.uint64()),
+                "dup_of": t["dup_of"],
+            }), batch_format="pyarrow"))

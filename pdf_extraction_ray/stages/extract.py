@@ -135,15 +135,127 @@ def work_table(records: list[dict]) -> pa.Table:
     return pa.table({f.name: cols[f.name] for f in WORK_SCHEMA})
 
 
-_WORK_DEFAULTS = {
-    "row_kind": "final", "fallback_text": "", "first_page": 0,
-    "n_pages_total": 0, "streams": None,
-}
+def finalize_table(urls: list, tss: list, langs: list, fallbacks: list,
+                   cts: list, statuses: list, errors: list,
+                   primaries: list, attempts: list, buckets: list,
+                   quality_threshold_pct: int) -> pa.Table:
+    """Columnar batch finalize → OUT_SCHEMA table.
+
+    The vectorized twin of ``functions.finalize.finalize_row`` (which the
+    low-volume reassembly path still uses): quality, routing, and the
+    classifier cascade run as numpy / Arrow C kernels over the whole
+    batch instead of per row — the round-1 per-row finalize was ~half the
+    extraction stage's non-parse cost. Semantics are pinned identical by
+    the golden byte-identity suite and the value-hash oracles.
+
+    ``primaries[i]`` is a Primary or None (rejected / partial rows).
+    """
+    import numpy as np
+
+    from ..functions.classify import classify_batch
+    from ..functions.hashing import sha256_hex
+    from ..functions.quality import quality_batch
+
+    n = len(urls)
+    scored = np.fromiter((p is not None for p in primaries), bool, n)
+    prim_text = [p.text if p is not None else "" for p in primaries]
+    text_len = np.fromiter((len(t) for t in prim_text), np.int64, n)
+    elem = np.fromiter((p.element_count if p is not None else 0
+                        for p in primaries), np.int64, n)
+    heads = np.fromiter((p.heading_count if p is not None else 0
+                         for p in primaries), np.int64, n)
+    has_tbl = np.fromiter((bool(p.table_row_counts) if p is not None
+                           else False for p in primaries), bool, n)
+    has_valid = np.fromiter(
+        (any(r > 3 for r in p.table_row_counts) if p is not None else False
+         for p in primaries), bool, n)
+
+    q = np.where(scored,
+                 quality_batch(text_len, elem, heads, has_tbl, has_valid), 0)
+    salvage = scored & (q < quality_threshold_pct)
+    primary_route = scored & ~salvage
+    route = np.select([primary_route, salvage],
+                      ["primary", "salvage"], "none")
+
+    texts = [prim_text[i] if primary_route[i]
+             else ((fallbacks[i] or "") if salvage[i] else "")
+             for i in range(n)]
+    text_arr = pa.array(texts, pa.large_string())
+    n_chars = np.fromiter((len(t) for t in texts), np.int64, n)
+
+    kinds, confs, methods = classify_batch(pa.array(urls, pa.string()),
+                                           text_arr)
+    kinds = np.where(scored, kinds, "unknown")
+    confs = np.where(scored, confs, 0)
+    methods = np.where(scored, methods, "none")
+
+    # spans / elements: primary rows keep the parse output; salvage rows
+    # carry one whole-document span; rejected/partial rows none
+    starts: list[int] = []
+    ends: list[int] = []
+    span_kinds: list[str] = []
+    span_pages: list[int] = []
+    offsets = [0]
+    el_records: list[dict] = []
+    for i in range(n):
+        if primary_route[i]:
+            for s in primaries[i].spans:
+                starts.append(s.start)
+                ends.append(s.end)
+                span_kinds.append(s.kind)
+                span_pages.append(s.page)
+            el_records.append({"elements": primaries[i].elements})
+        else:
+            if salvage[i] and n_chars[i] > 0:
+                starts.append(0)
+                ends.append(int(n_chars[i]))
+                span_kinds.append("document")
+                span_pages.append(0)
+            el_records.append({"elements": ()})
+        offsets.append(len(starts))
+    span_struct = pa.StructArray.from_arrays(
+        [pa.array(starts, pa.int64()), pa.array(ends, pa.int64()),
+         pa.array(span_kinds, pa.string()), pa.array(span_pages, pa.int32())],
+        names=["start", "end", "kind", "page"])
+    spans_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         span_struct)
+
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "lang": pa.array(langs, pa.string()),
+        "content_type": pa.array(cts, pa.string()),
+        "status": pa.array(statuses, pa.string()),
+        "error": pa.array(errors, pa.string()),
+        "route": pa.array(route, pa.string()),
+        "quality_pct": pa.array(q.astype(np.int64), pa.int64()),
+        "doc_kind": pa.array(kinds, pa.string()),
+        "doc_conf_pct": pa.array(confs.astype(np.int64), pa.int64()),
+        "doc_method": pa.array(methods, pa.string()),
+        "extracted_text": text_arr,
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_blocks": pa.array(elem, pa.int64()),
+        "n_pages": pa.array([p.n_pages if p is not None else 0
+                             for p in primaries], pa.int64()),
+        "spans": spans_col,
+        "elements": _elements_column(el_records),
+        "text_sha256": pa.array([sha256_hex(t) for t in texts], pa.string()),
+        "attempts": pa.array(attempts, pa.int64()),
+        "bucket": pa.array(buckets, pa.int64()),
+    })
 
 
-def _as_work(rec: dict) -> dict:
-    rec.update(_WORK_DEFAULTS)
-    return rec
+def _to_work(out_tbl: pa.Table) -> pa.Table:
+    """Append the WORK_SCHEMA carrier columns to finalized rows."""
+    n = len(out_tbl)
+    return (out_tbl
+            .append_column("row_kind", pa.array(["final"] * n, pa.string()))
+            .append_column("fallback_text",
+                           pa.array([""] * n, pa.large_string()))
+            .append_column("first_page", pa.array([0] * n, pa.int64()))
+            .append_column("n_pages_total", pa.array([0] * n, pa.int64()))
+            .append_column("streams",
+                           pa.nulls(n, pa.list_(pa.large_binary()))))
 
 
 class ExtractOrSplit:
@@ -173,7 +285,11 @@ class ExtractOrSplit:
         attempts = (batch["attempts"].to_pylist()
                     if "attempts" in batch.column_names else [1] * len(batch))
         payloads = batch["html"]
-        records: list[dict] = []
+        frag_records: list[dict] = []
+        keep: list[int] = []
+        primaries: list = []
+        out_status: list[str] = []
+        out_error: list[str] = []
         for i in range(len(batch)):
             big = (cts[i] == CT_PDF and statuses[i] == STATUS_COMPLETED
                    and page_counts[i] > cfg.split_page_threshold)
@@ -183,7 +299,7 @@ class ExtractOrSplit:
                 per = cfg.pages_per_shard
                 for lo in range(0, len(streams), per):
                     hi = min(lo + per, len(streams))
-                    records.append({
+                    frag_records.append({
                         "url": urls[i], "warc_ts": tss[i], "lang": langs[i],
                         "content_type": cts[i], "status": "", "error": "",
                         "route": "", "quality_pct": 0, "doc_kind": "",
@@ -199,25 +315,31 @@ class ExtractOrSplit:
                         "streams": list(streams[lo:hi]),
                     })
                 continue
+            keep.append(i)
             if statuses[i] == STATUS_REJECTED:
-                rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
-                                   cts[i], STATUS_REJECTED, errors[i], None,
-                                   cfg.quality_threshold_pct, attempts[i])
-            else:
-                try:
-                    primary = _extract_primary(payloads[i].as_py() or b"",
-                                               cts[i], cfg, attempts[i])
-                    rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
-                                       cts[i], STATUS_COMPLETED, "", primary,
-                                       cfg.quality_threshold_pct, attempts[i])
-                except Exception as e:  # noqa: BLE001 — row-level isolation
-                    rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
-                                       cts[i], STATUS_PARTIAL, error_label(e),
-                                       None, cfg.quality_threshold_pct,
-                                       attempts[i])
-            rec["bucket"] = buckets[i]
-            records.append(_as_work(rec))
-        return work_table(records)
+                primaries.append(None)
+                out_status.append(STATUS_REJECTED)
+                out_error.append(errors[i])
+                continue
+            try:
+                primaries.append(_extract_primary(payloads[i].as_py() or b"",
+                                                  cts[i], cfg, attempts[i]))
+                out_status.append(STATUS_COMPLETED)
+                out_error.append("")
+            except Exception as e:  # noqa: BLE001 — row-level isolation
+                primaries.append(None)
+                out_status.append(STATUS_PARTIAL)
+                out_error.append(error_label(e))
+        out = finalize_table(
+            [urls[i] for i in keep], [tss[i] for i in keep],
+            [langs[i] for i in keep], [fallbacks[i] for i in keep],
+            [cts[i] for i in keep], out_status, out_error, primaries,
+            [attempts[i] for i in keep], [buckets[i] for i in keep],
+            cfg.quality_threshold_pct)
+        work = _to_work(out)
+        if frag_records:
+            work = pa.concat_tables([work, work_table(frag_records)])
+        return work
 
 
 class ParseFragments:
@@ -522,26 +644,26 @@ class ExtractorActor:
         attempts = (batch["attempts"].to_pylist()
                     if "attempts" in batch.column_names else [1] * len(batch))
         payloads = batch["html"]
-        records: list[dict] = []
+        primaries: list = []
+        out_status: list[str] = []
+        out_error: list[str] = []
         for i in range(len(batch)):
             if statuses[i] == STATUS_REJECTED:
-                rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
-                                   cts[i], STATUS_REJECTED, errors[i], None,
-                                   cfg.quality_threshold_pct, attempts[i])
-            else:
-                try:
-                    primary = _extract_primary(payloads[i].as_py() or b"",
-                                               cts[i], cfg, attempts[i])
-                    rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
-                                       cts[i], STATUS_COMPLETED, "", primary,
-                                       cfg.quality_threshold_pct, attempts[i])
-                except Exception as e:  # noqa: BLE001 — row-level isolation
-                    rec = finalize_row(urls[i], tss[i], langs[i], fallbacks[i] or "",
-                                       cts[i], STATUS_PARTIAL, error_label(e),
-                                       None, cfg.quality_threshold_pct,
-                                       attempts[i])
-            rec["bucket"] = buckets[i]
-            records.append(rec)
-        return out_table(records)
+                primaries.append(None)
+                out_status.append(STATUS_REJECTED)
+                out_error.append(errors[i])
+                continue
+            try:
+                primaries.append(_extract_primary(payloads[i].as_py() or b"",
+                                                  cts[i], cfg, attempts[i]))
+                out_status.append(STATUS_COMPLETED)
+                out_error.append("")
+            except Exception as e:  # noqa: BLE001 — row-level isolation
+                primaries.append(None)
+                out_status.append(STATUS_PARTIAL)
+                out_error.append(error_label(e))
+        return finalize_table(urls, tss, langs, fallbacks, cts, out_status,
+                              out_error, primaries, attempts, buckets,
+                              cfg.quality_threshold_pct)
 
 
