@@ -98,6 +98,43 @@ def q_span_kind_counts(sf_dir: str) -> rd.Dataset:
             .groupby("kind").aggregate(Count(alias_name="n_spans")))
 
 
+def q_canonical_names(sf_dir: str) -> rd.Dataset:
+    """Canonical output naming from REAL metadata extraction: the
+    subject/grade/session/year fields are parsed back out of the
+    extracted text's metadata header (reference:
+    FullExamPaper.build_canonical_filename + document-parsed fields,
+    app/models/extraction.py:110-161); the suffix comes from the
+    classifier's doc_kind; the id is sha256(extracted_text)[:12]."""
+    import re
+
+    import pyarrow as pa
+
+    from pdf_extraction_ray.functions.slug import canonical_name
+
+    meta_re = re.compile(
+        r"^Subject: (?P<subject>[^|]*?) \| Grade: (?P<grade>\d+)"
+        r" \| Session: (?P<session>[^|]*?) \| Year: (?P<year>\d{4})")
+
+    def build(batch: pa.Table) -> pa.Table:
+        urls, names = [], []
+        texts = batch["extracted_text"].to_pylist()
+        shas = batch["text_sha256"].to_pylist()
+        kinds = batch["doc_kind"].to_pylist()
+        for url, text, sha, kind in zip(batch["url"].to_pylist(), texts,
+                                        shas, kinds):
+            m = meta_re.match(text)
+            if m is None:
+                continue  # no parseable metadata header (junk/tiny/scanned)
+            names.append(canonical_name(
+                sha[:12], m["subject"], m["grade"], m["session"],
+                int(m["year"]), "mg" if kind == "memo" else "qp"))
+            urls.append(url)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "canonical_name": pa.array(names, pa.string())})
+
+    return _extracted(sf_dir).map_batches(build, batch_format="pyarrow")
+
+
 def q_pdf_elements(sf_dir: str) -> rd.Dataset:
     """Layout elements with bounding boxes per PDF document (SURVEY.md
     §1.2 elements column; reference: BoundingBox per element,
@@ -175,7 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": _tuned(relational.top_orders_per_segment),
         # scalar-function library as dataset ops (M3/M4/M16)
         "sha256_docs": _tuned(analytics.sha256_docs),
-        "canonical_names": _tuned(analytics.canonical_names),
+        "canonical_names": _tuned(q_canonical_names),
         # text analytics (training-data operators)
         "token_stats": _tuned(analytics.token_stats),
         "quality_filter": _tuned(analytics.quality_filter),
@@ -216,7 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "prev_value_by_type": relational.prev_value_by_type_sql(),
         "top_orders_per_segment": relational.top_orders_per_segment_sql(),
         "sha256_docs": analytics.sha256_docs_sql(),
-        "canonical_names": analytics.canonical_names_sql(),
+        "canonical_names": oracle.canonical_names_sql(),
         "token_stats": analytics.token_stats_sql(),
         "quality_filter": analytics.quality_filter_sql(),
         "lang_id": analytics.lang_id_sql(),

@@ -52,6 +52,12 @@ def base_cte() -> str:
         "CAST(doc_id * r AS VARCHAR)), " + NL + ")"
     )
     phrase = f"'{spec.PHRASE}'"
+    meta = (
+        "'Subject: ' || source || ' Studies P1 | Grade: ' "
+        "|| CAST(doc_id % 12 + 1 AS VARCHAR) "
+        f"|| ' | Session: {spec.SESSION} | Year: ' "
+        "|| CAST(2017 + doc_id % 8 AS VARCHAR)"
+    )
 
     html_body = _rep_join("hsingle", "rep_h", SEP2)
     pdf_body = _rep_join("psingle", "rep_p", NL)
@@ -76,7 +82,8 @@ WITH base AS (
          {hsingle} AS hsingle,
          {psingle} AS psingle,
          {table_rows} AS trows,
-         {pdf_table_rows} AS ptrows
+         {pdf_table_rows} AS ptrows,
+         {meta} AS meta_line
   FROM documents
 ), flags AS (
   SELECT *,
@@ -88,36 +95,41 @@ WITH base AS (
   SELECT *,
     CASE
       WHEN sub BETWEEN 0 AND 64 THEN
-        (CASE WHEN has_phrase THEN {phrase} || {SEP2} ELSE '' END)
+        meta_line || {SEP2}
+        || (CASE WHEN has_phrase THEN {phrase} || {SEP2} ELSE '' END)
         || (CASE WHEN has_heading THEN heading_txt || {SEP2} ELSE '' END)
         || {html_body}
       WHEN sub BETWEEN 65 AND 69 THEN
-        (CASE WHEN has_phrase THEN {phrase} || {SEP2} ELSE '' END)
+        meta_line || {SEP2}
+        || (CASE WHEN has_phrase THEN {phrase} || {SEP2} ELSE '' END)
         || {html_body} || {SEP2} || trows
       WHEN sub BETWEEN 70 AND 74 THEN
-        (CASE WHEN has_phrase THEN {phrase} || {NL} ELSE '' END)
+        meta_line || {NL}
+        || (CASE WHEN has_phrase THEN {phrase} || {NL} ELSE '' END)
         || {pdf_body} || {NL} || ptrows
       WHEN sub BETWEEN 75 AND 87 THEN
-        (CASE WHEN has_phrase THEN {phrase} || {NL} ELSE '' END)
+        meta_line || {NL}
+        || (CASE WHEN has_phrase THEN {phrase} || {NL} ELSE '' END)
         || {pdf_body}
       WHEN sub BETWEEN 88 AND 89 THEN
-        (CASE WHEN has_phrase THEN {phrase} || {NL} ELSE '' END)
+        meta_line || {NL}
+        || (CASE WHEN has_phrase THEN {phrase} || {NL} ELSE '' END)
         || {pdf_big_body}
       WHEN sub BETWEEN 90 AND 91 THEN substr(text, 1, 80)
       ELSE ''
     END AS primary_text,
     CASE
       WHEN sub BETWEEN 0 AND 64 THEN
-        (CASE WHEN has_phrase THEN 1 ELSE 0 END)
+        1 + (CASE WHEN has_phrase THEN 1 ELSE 0 END)
         + (CASE WHEN has_heading THEN 1 ELSE 0 END) + np_h * rep_h
       WHEN sub BETWEEN 65 AND 69 THEN
-        (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_h * rep_h + nrows
+        1 + (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_h * rep_h + nrows
       WHEN sub BETWEEN 70 AND 74 THEN
-        (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_p * rep_p + nrows
+        1 + (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_p * rep_p + nrows
       WHEN sub BETWEEN 75 AND 87 THEN
-        (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_p * rep_p
+        1 + (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_p * rep_p
       WHEN sub BETWEEN 88 AND 89 THEN
-        (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_p * rep_big
+        1 + (CASE WHEN has_phrase THEN 1 ELSE 0 END) + np_p * rep_big
       WHEN sub BETWEEN 90 AND 91 THEN 1
       ELSE 0
     END AS n_blocks,
@@ -166,6 +178,7 @@ WITH base AS (
   FROM routed
 ), expected AS (
   SELECT
+    sub, source, doc_id,
     'https://corpus.example/' || source || '/d'
       || lpad(CAST(doc_id AS VARCHAR), 7, '0')
       || (CASE WHEN lastd = 3 THEN '-memo'
@@ -238,7 +251,7 @@ def span_kind_counts_sql() -> str:
 , spanned AS (
   SELECT c.*,
          (CASE WHEN route = 'primary' AND sub <= 69 THEN
-            (CASE WHEN has_phrase THEN 1 ELSE 0 END)
+            1 + (CASE WHEN has_phrase THEN 1 ELSE 0 END)
             + (CASE WHEN sub BETWEEN 60 AND 64 THEN 0 ELSE np_h * rep_h END)
           ELSE 0 END) AS n_paragraph,
          (CASE WHEN route = 'primary' AND sub BETWEEN 40 AND 49
@@ -248,7 +261,7 @@ def span_kind_counts_sql() -> str:
          (CASE WHEN route = 'primary' AND sub BETWEEN 65 AND 74
                THEN nrows ELSE 0 END) AS n_table,
          (CASE WHEN route = 'primary' AND sub BETWEEN 70 AND 89 THEN
-            (CASE WHEN has_phrase THEN 1 ELSE 0 END)
+            1 + (CASE WHEN has_phrase THEN 1 ELSE 0 END)
             + np_p * (CASE WHEN sub <= 87 THEN rep_p ELSE rep_big END)
           ELSE 0 END) AS n_line,
          (CASE WHEN route = 'salvage' AND length(extracted_text) > 0
@@ -263,6 +276,27 @@ SELECT kind, n_spans FROM (
   UNION ALL SELECT 'line', CAST(sum(n_line) AS BIGINT) FROM spanned
   UNION ALL SELECT 'document', CAST(sum(n_document) AS BIGINT) FROM spanned
 ) WHERE n_spans > 0"""
+
+
+def canonical_names_sql() -> str:
+    """Expected canonical names — derived from the same metadata header
+    the Ray side PARSES back out of the extracted text (reference:
+    FullExamPaper.build_canonical_filename, app/models/extraction.py:
+    131-161, fields parsed from the document)."""
+    slug = ("trim(regexp_replace(regexp_replace(regexp_replace(lower({x}), "
+            "'[/\\\\]+', '-', 'g'), '[^a-z0-9-]+', '-', 'g'), '-+', '-', 'g'),"
+            " '-')")
+    subject = slug.format(x="source || ' Studies P1'")
+    session = slug.format(x=f"'{spec.SESSION}'")
+    return base_cte() + f"""
+SELECT url,
+       substr(sha256(extracted_text), 1, 12) || '-' || {subject}
+       || '-gr' || CAST(doc_id % 12 + 1 AS VARCHAR)
+       || '-' || {session}
+       || '-' || CAST(2017 + doc_id % 8 AS VARCHAR)
+       || (CASE WHEN doc_kind = 'memo' THEN '-mg' ELSE '-qp' END)
+       AS canonical_name
+FROM expected WHERE sub BETWEEN 0 AND 89"""
 
 
 def pdf_elements_sql() -> str:
@@ -287,6 +321,7 @@ SELECT
     AS n_table_rows,
   CAST(GREATEST(
     {MARGIN_X} + {CHAR_W} * LEAST({spec.PDF_LINE_W}, length(text)),
+    {MARGIN_X} + {CHAR_W} * length(meta_line),
     CASE WHEN has_phrase
          THEN {MARGIN_X} + {CHAR_W} * {phrase_len} ELSE 0 END,
     CASE WHEN sub BETWEEN 70 AND 74

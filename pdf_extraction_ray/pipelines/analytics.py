@@ -22,7 +22,6 @@ from ray.data.aggregate import Count, Sum
 
 from ..functions.classify import MEMO_PHRASES, QP_PHRASES  # noqa: F401 (parity)
 from ..functions.hashing import rolling_fingerprint, sha256_hex
-from ..functions.slug import canonical_name
 from ..functions.textstats import LANG_PROFILES, TOKEN_RE, detect_lang
 from ..stages import dedup as dd
 from ..stages import similarity as sim
@@ -53,38 +52,9 @@ def sha256_docs_sql() -> str:
     return "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
 
 
-def canonical_names(sf_dir: str) -> rd.Dataset:
-    """Canonical output naming (reference:
-    FullExamPaper.build_canonical_filename, app/models/extraction.py:131-161
-    — sha256[:12] doc id + slug parts)."""
-    def add(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        sources = batch["source"].to_pylist()
-        names = [
-            canonical_name(sha256_hex(t)[:12], f"{s} Studies P1",
-                           str(d % 12 + 1), "May/June", 2017 + d % 8,
-                           "mg" if d % 10 == 3 else "qp")
-            for d, t, s in zip(ids, texts, sources)
-        ]
-        return pa.table({"doc_id": batch["doc_id"],
-                         "canonical_name": pa.array(names, pa.string())})
-    return _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
-        add, batch_format="pyarrow")
-
-
-def canonical_names_sql() -> str:
-    slug = ("trim(regexp_replace(regexp_replace(regexp_replace(lower({x}), "
-            "'[/\\\\]+', '-', 'g'), '[^a-z0-9-]+', '-', 'g'), '-+', '-', 'g'), '-')")
-    subject = slug.format(x="source || ' Studies P1'")
-    return f"""
-SELECT doc_id,
-       substr(sha256(text), 1, 12) || '-' || {subject}
-       || '-gr' || CAST(doc_id % 12 + 1 AS VARCHAR)
-       || '-may-june-' || CAST(2017 + doc_id % 8 AS VARCHAR)
-       || (CASE WHEN doc_id % 10 = 3 THEN '-mg' ELSE '-qp' END)
-       AS canonical_name
-FROM documents"""
+# canonical naming moved to __ray_entry__.q_canonical_names + oracle.
+# canonical_names_sql: the fields are now PARSED from the extracted
+# text's metadata header instead of synthesized from doc_id.
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,7 @@ def build_page_row(doc_id: int, text: str, source: str, lang: str) -> dict:
         payload = gen_pdf.build_pdf([], no_text=True, n_empty_pages=2,
                                     variant=spec.pdf_variant(doc_id))
     elif k.startswith("pdf"):
-        payload = gen_pdf.build_pdf(spec.pdf_line_specs(doc_id, text),
+        payload = gen_pdf.build_pdf(spec.pdf_line_specs(doc_id, text, source),
                                     lines_per_page=spec.LINES_PER_PAGE,
                                     variant=spec.pdf_variant(doc_id))
     elif k == "garbage":

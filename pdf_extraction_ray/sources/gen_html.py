@@ -65,6 +65,8 @@ def _article_body(doc_id: int, text: str, source: str) -> str:
     """Main-content markup for the spec's ground-truth blocks."""
     k = spec.kind_of(doc_id)
     inner: list[str] = []
+    if spec.has_meta(doc_id):
+        inner.append(f"<p>{_html.escape(spec.meta_line(doc_id, source))}</p>")
     if spec.has_phrase(doc_id):
         inner.append(f"<p>{_html.escape(spec.PHRASE)}</p>")
 

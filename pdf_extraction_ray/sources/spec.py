@@ -62,7 +62,8 @@ CORPUS_QUALITY_THRESHOLD_PCT = 70  # routing threshold (reference: quality < 0.7
 # oversized PDFs are >= ceil(150/45)=4 pages; normal PDFs are <= 2 pages,
 # so threshold 3 cleanly routes pdf_big (and only pdf_big) to the shard path
 CORPUS_SPLIT_PAGE_THRESHOLD = 3
-SPEC_VERSION = "v5"        # bump to invalidate cached generated corpora
+SPEC_VERSION = "v6"        # bump to invalidate cached generated corpora
+SESSION = "May/June"       # metadata header session value
 
 
 # --- kind assignment --------------------------------------------------------
@@ -139,6 +140,36 @@ def heading_text(doc_id: int, source: str) -> str:
     return f"{source} #{doc_id}"
 
 
+# --- document metadata header (parsed back out by the canonical-name
+#     pipeline — reference: FullExamPaper subject/grade/session/year
+#     parsed from the document, app/models/extraction.py:110-161) -----------
+
+def grade_of(doc_id: int) -> int:
+    return doc_id % 12 + 1
+
+
+def year_of(doc_id: int) -> int:
+    return 2017 + doc_id % 8
+
+
+def subject_of(doc_id: int, source: str) -> str:
+    return f"{source} Studies P1"
+
+
+def has_meta(doc_id: int) -> bool:
+    """Content kinds carry a metadata header line; junk/tiny/scanned/empty
+    kinds do not (their canonical name is unresolvable, as with the
+    reference's failed metadata parse)."""
+    return sub(doc_id) <= 89
+
+
+def meta_line(doc_id: int, source: str) -> str:
+    return (f"Subject: {subject_of(doc_id, source)}"
+            f" | Grade: {grade_of(doc_id)}"
+            f" | Session: {SESSION}"
+            f" | Year: {year_of(doc_id)}")
+
+
 def url_of(doc_id: int, source: str) -> str:
     last = doc_id % 10
     suffix = "-memo" if last == 3 else ("-qp" if last == 7 else "")
@@ -175,6 +206,8 @@ def expected_blocks(doc_id: int, text: str, source: str) -> list[str]:
     """
     k = kind_of(doc_id)
     blocks: list[str] = []
+    if has_meta(doc_id):
+        blocks.append(meta_line(doc_id, source))
     if has_phrase(doc_id):
         blocks.append(PHRASE)
     if k in ("html_plain", "html_divsoup", "html_list", "oversize"):
@@ -200,12 +233,14 @@ def pdf_table_cells(doc_id: int, r: int) -> list[str]:
     return [f"r{r}", f"v{doc_id * r}"]
 
 
-def expected_pdf_lines(doc_id: int, text: str) -> list[str]:
+def expected_pdf_lines(doc_id: int, text: str, source: str = "") -> list[str]:
     k = kind_of(doc_id)
     if k == "pdf_scanned":
         return []
     rep = rep_big(doc_id) if k == "pdf_big" else rep_pdf(doc_id)
     lines: list[str] = []
+    if has_meta(doc_id):
+        lines.append(meta_line(doc_id, source))
     if has_phrase(doc_id):
         lines.append(PHRASE)
     lines += pieces(text, PDF_LINE_W) * rep
@@ -215,12 +250,12 @@ def expected_pdf_lines(doc_id: int, text: str) -> list[str]:
     return lines
 
 
-def pdf_line_specs(doc_id: int, text: str) -> list:
+def pdf_line_specs(doc_id: int, text: str, source: str = "") -> list:
     """Generator-side line specs: plain strings, plus table rows as cell
     lists (the generator positions each cell as its own chunk so the
     parser's table detection has real layout structure to find)."""
     k = kind_of(doc_id)
-    specs: list = expected_pdf_lines(doc_id, text)
+    specs: list = expected_pdf_lines(doc_id, text, source)
     if k == "pdf_table":
         nrows = n_table_rows(doc_id)
         specs = specs[:-nrows] + [pdf_table_cells(doc_id, r)
@@ -233,7 +268,7 @@ def expected_primary_text(doc_id: int, text: str, source: str) -> str:
     if k in ("garbage", "empty"):
         return ""
     if k.startswith("pdf"):
-        return "\n".join(expected_pdf_lines(doc_id, text))
+        return "\n".join(expected_pdf_lines(doc_id, text, source))
     return "\n\n".join(expected_blocks(doc_id, text, source))
 
 
