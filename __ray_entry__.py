@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _tuned(analytics.quality_filter),
         "lang_id": _tuned(analytics.lang_id),
         "fingerprint_docs": _tuned(analytics.fingerprint_docs),
+        # multimodal decode (real pure-stdlib PNG decoder, actor pool)
+        "media_decode": _tuned(analytics.media_decode),
         # dedup family (D1 + near-dup extensions)
         "dedup_exact": _tuned(analytics.dedup_exact),
         "dedup_minhash": _tuned(analytics.dedup_minhash),
@@ -257,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": analytics.token_stats_sql(),
         "quality_filter": analytics.quality_filter_sql(),
         "lang_id": analytics.lang_id_sql(),
+        "media_decode": analytics.media_decode_sql(),
         "dedup_exact": analytics.dedup_exact_sql(),
         "jaccard_pairs": analytics.jaccard_pairs_sql(),
         "embedding_dup_pairs": analytics.embedding_dup_pairs_sql(),

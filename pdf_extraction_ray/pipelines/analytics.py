@@ -58,6 +58,60 @@ def sha256_docs_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# multimodal decode
+# ---------------------------------------------------------------------------
+
+
+def media_decode(sf_dir: str) -> rd.Dataset:
+    """REAL image decoding over a deterministic planted-PNG corpus: one
+    8-bit grayscale PNG per document (pixel law in sources/gen_media.py),
+    decoded by the pure-stdlib PNG decoder inside the actor-pool media
+    stage — dims, channels, and pixel means all verify against a
+    closed-form SQL oracle."""
+    from ..sources.gen_media import build_png
+    from ..stages.multimodal import media_features
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"media://png/{d}" for d in ids], pa.string()),
+            "html": pa.array([build_png(d) for d in ids], pa.large_binary()),
+        })
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(to_media,
+                                                  batch_format="pyarrow")
+    feats = media_features(media, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1]) for u in batch["url"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "width": batch["width"],
+            "height": batch["height"],
+            "channels": batch["channels"],
+            "mean_pixel": batch["mean_pixel"],
+            "decoded": batch["decoded"],
+        })
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
+def media_decode_sql() -> str:
+    w = "(8 + doc_id % 25)"
+    h = "(8 + doc_id % 17)"
+    return f"""
+SELECT doc_id,
+  CAST({w} AS BIGINT) AS width,
+  CAST({h} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(list_sum(list_transform(range(0, {w} * {h}),
+       i -> (doc_id + 7 * (i % {w}) + 13 * (i // {w})) % 256))
+       // ({w} * {h}) AS BIGINT) AS mean_pixel,
+  TRUE AS decoded
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
 # text analytics
 # ---------------------------------------------------------------------------
 

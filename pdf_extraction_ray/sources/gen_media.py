@@ -1,0 +1,59 @@
+"""Deterministic media-payload synthesis (PNG / BMP) for the multimodal
+pipeline.
+
+Every pixel is a pure function of ``(doc_id, x, y)`` so the decode stage
+has a closed-form oracle: ``pixel = (doc_id + 7x + 13y) % 256``,
+``width = 8 + doc_id % 25``, ``height = 8 + doc_id % 17`` — all
+expressible in SQL for the driver's value-hash gate.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+
+def media_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 25, 8 + doc_id % 17
+
+
+def pixel_value(doc_id: int, x: int, y: int) -> int:
+    return (doc_id + 7 * x + 13 * y) % 256
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def build_png(doc_id: int) -> bytes:
+    """8-bit grayscale PNG, filter type 0 scanlines, single IDAT."""
+    w, h = media_dims(doc_id)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter: None
+        for x in range(w):
+            raw.append(pixel_value(doc_id, x, y))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, no interlace
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def build_bmp(doc_id: int) -> bytes:
+    """Minimal 24-bit BMP (BITMAPINFOHEADER) with the same pixel law."""
+    w, h = media_dims(doc_id)
+    row_pad = (-3 * w) % 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # BMP stores bottom-up
+        for x in range(w):
+            v = pixel_value(doc_id, x, y)
+            rows += bytes((v, v, v))
+        rows += b"\x00" * row_pad
+    header_size = 14 + 40
+    file_size = header_size + len(rows)
+    return (b"BM" + struct.pack("<IHHI", file_size, 0, 0, header_size)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                          2835, 2835, 0, 0)
+            + bytes(rows))

@@ -1,22 +1,24 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-Beyond-the-reference operators for image/audio payload pipelines. The
-decode kernels themselves are STUBBED (no image/audio libraries in this
-environment — clearly marked below); everything Ray-side is real and
-tested: schema, actor-pool signature, batching of large binary rows,
-deterministic metadata output.
+Beyond-the-reference operators for image/audio payload pipelines.
+``MediaFeatureExtractor`` computes byte-level features (length, sha256,
+entropy) and REAL image decodes for the formats a stdlib build can carry:
 
-Decode behavior: ``MediaFeatureExtractor`` computes real byte-level
-features (length, sha256, entropy estimate) and, where a real decoder
-would produce dimensions / durations, emits a deterministic fake derived
-from the content hash via ``_stub_decode`` — swap that single function for
-a real decoder (PIL / libsndfile) when the libraries exist.
+* PNG — full decode via zlib: chunk walk, IDAT inflate, scanline
+  unfilter (filters 0-4), 8-bit gray/RGB/RGBA → true dims + mean pixel
+* BMP — BITMAPINFOHEADER dims (no pixel decode needed for features)
+
+Unknown formats fall back to a clearly-marked deterministic fake
+(``_fallback_dims``) with ``decoded=False`` — the swap-in point for a
+PIL/libsndfile build. Audio/video stay opaque binary columns.
 """
 
 from __future__ import annotations
 
 import hashlib
 import math
+import struct
+import zlib
 
 import pyarrow as pa
 
@@ -28,8 +30,97 @@ MEDIA_SCHEMA = pa.schema([
     ("entropy_cbits", pa.int64()),   # centibits/byte (integer for oracle-ability)
     ("width", pa.int64()),
     ("height", pa.int64()),
+    ("channels", pa.int64()),
+    ("mean_pixel", pa.int64()),      # floor of the decoded-pixel mean; -1 undecoded
     ("decoded", pa.bool_()),
 ])
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> dict | None:
+    """Pure-stdlib PNG decode (8-bit depth, non-interlaced).
+
+    Returns {width, height, channels, pixels} or None when the payload is
+    not a PNG this decoder handles.
+    """
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    n = len(payload)
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # chunk + CRC
+        if typ == b"IHDR":
+            if len(data) < 13:
+                return None
+            width, height = struct.unpack(">II", data[:8])
+            bit_depth, color_type = data[8], data[9]
+            interlace = data[12]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if (width is None or bit_depth != 8 or interlace
+            or color_type not in _PNG_CHANNELS):
+        return None
+    channels = _PNG_CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(height):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if f == 1:    # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa_ <= pb and pa_ <= pc_ else (b if pb <= pc_
+                                                          else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif f != 0:
+            return None
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return {"width": width, "height": height, "channels": channels,
+            "pixels": bytes(out)}
+
+
+def decode_bmp_header(payload: bytes) -> dict | None:
+    """BMP dimensions from the BITMAPINFOHEADER (no pixel decode)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    return {"width": int(w), "height": abs(int(h)),
+            "channels": max(1, bpp // 8)}
 
 
 def _entropy_cbits(payload: bytes) -> int:
@@ -44,10 +135,11 @@ def _entropy_cbits(payload: bytes) -> int:
     return int(round(h * 100))
 
 
-def _stub_decode(payload: bytes) -> tuple[int, int]:
-    """STUB: a real build calls the image decoder here and returns true
-    (width, height). Deterministic fake from the content hash so the
-    pipeline plumbing (schemas, joins, partitioning on dims) is testable.
+def _fallback_dims(payload: bytes) -> tuple[int, int]:
+    """FALLBACK for undecodable formats: deterministic fake dims from the
+    content hash so downstream plumbing (schemas, joins, partitioning on
+    dims) stays exercisable; rows carry ``decoded=False``. Swap-in point
+    for a PIL/libsndfile decoder where those libraries exist.
     """
     d = hashlib.sha256(payload).digest()
     return 64 + d[0] % 192, 64 + d[1] % 192
@@ -69,7 +161,21 @@ class MediaFeatureExtractor:
         col = batch[self.media_col]
         for i in range(len(batch)):
             payload = col[i].as_py() or b""
-            w, h = _stub_decode(payload)
+            png = decode_png(payload)
+            if png is not None:
+                w, h, ch = png["width"], png["height"], png["channels"]
+                px = png["pixels"]
+                mean_pixel = sum(px) // len(px) if px else 0
+                decoded = True
+            else:
+                bmp = decode_bmp_header(payload)
+                if bmp is not None:
+                    w, h, ch = bmp["width"], bmp["height"], bmp["channels"]
+                    mean_pixel = -1  # header-only decode
+                    decoded = True
+                else:
+                    w, h = _fallback_dims(payload)
+                    ch, mean_pixel, decoded = 0, -1, False
             rows.append({
                 "url": batch["url"][i].as_py(),
                 "media_type": self.media_type,
@@ -78,7 +184,9 @@ class MediaFeatureExtractor:
                 "entropy_cbits": _entropy_cbits(payload),
                 "width": w,
                 "height": h,
-                "decoded": False,  # stays False until a real decoder exists
+                "channels": ch,
+                "mean_pixel": mean_pixel,
+                "decoded": decoded,
             })
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 

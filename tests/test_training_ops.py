@@ -103,11 +103,76 @@ def test_media_stub_plumbing(ray_session, pages_corpus):
     assert (out.n_bytes == 0).sum() >= 0
     assert out.media_sha256.str.len().eq(64).all()
     assert out.width.between(64, 255).all()
-    assert (~out.decoded).all()  # decoder is stubbed
+    # html/pdf payloads are not images: fallback dims with decoded=False
+    assert (~out.decoded).all()
+    assert (out.mean_pixel == -1).all()
     # deterministic across runs
     out2 = media_features(rd.read_parquet(pages_corpus).limit(40)).to_pandas()
     assert out.sort_values("url").reset_index(drop=True).equals(
         out2.sort_values("url").reset_index(drop=True))
+
+
+def test_png_decoder_roundtrip_and_filters():
+    """Real decode of generated PNGs (filter 0) and of hand-filtered
+    scanlines for filters 1-4."""
+    import struct
+    import zlib
+
+    from pdf_extraction_ray.sources.gen_media import (build_bmp, build_png,
+                                                      media_dims,
+                                                      pixel_value)
+    from pdf_extraction_ray.stages.multimodal import (decode_bmp_header,
+                                                      decode_png)
+
+    for doc_id in (0, 7, 123, 4242):
+        png = decode_png(build_png(doc_id))
+        w, h = media_dims(doc_id)
+        assert (png["width"], png["height"], png["channels"]) == (w, h, 1)
+        expect = bytes(pixel_value(doc_id, x, y)
+                       for y in range(h) for x in range(w))
+        assert png["pixels"] == expect
+
+        bmp = decode_bmp_header(build_bmp(doc_id))
+        assert (bmp["width"], bmp["height"], bmp["channels"]) == (w, h, 3)
+
+    # filters 1-4: encode known pixels with each filter, expect exact undo
+    pixels = [[(x * 17 + y * 31) % 256 for x in range(6)] for y in range(5)]
+
+    def encode(filter_type: int) -> bytes:
+        raw = bytearray()
+        prev = [0] * 6
+        for y, line in enumerate(pixels):
+            raw.append(filter_type)
+            for x, v in enumerate(line):
+                a = line[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                if filter_type == 1:
+                    raw.append((v - a) & 0xFF)
+                elif filter_type == 2:
+                    raw.append((v - b) & 0xFF)
+                elif filter_type == 3:
+                    raw.append((v - ((a + b) >> 1)) & 0xFF)
+                else:  # Paeth
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa_ <= pb and pa_ <= pc_ else (
+                        b if pb <= pc_ else c)
+                    raw.append((v - pred) & 0xFF)
+            prev = line
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    flat = bytes(v for line in pixels for v in line)
+    for f in (1, 2, 3, 4):
+        assert decode_png(encode(f))["pixels"] == flat, f"filter {f}"
 
 
 def test_ivf_index_is_persisted_and_pruned(ray_session, tmp_path):
