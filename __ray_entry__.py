@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _tuned(analytics.fingerprint_docs),
         # multimodal decode (real pure-stdlib PNG decoder, actor pool)
         "media_decode": _tuned(analytics.media_decode),
+        # dimension lookup join + training-data split + sketch
+        "language_dim_counts": _tuned(analytics.language_dim_counts),
+        "train_split": _tuned(analytics.train_split),
+        "hll_users_per_type": _tuned(analytics.hll_users_per_type),
         # dedup family (D1 + near-dup extensions)
         "dedup_exact": _tuned(analytics.dedup_exact),
         "dedup_minhash": _tuned(analytics.dedup_minhash),
@@ -260,6 +264,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": analytics.quality_filter_sql(),
         "lang_id": analytics.lang_id_sql(),
         "media_decode": analytics.media_decode_sql(),
+        "language_dim_counts": analytics.language_dim_counts_sql(),
+        "train_split": analytics.train_split_sql(),
         "dedup_exact": analytics.dedup_exact_sql(),
         "jaccard_pairs": analytics.jaccard_pairs_sql(),
         "embedding_dup_pairs": analytics.embedding_dup_pairs_sql(),

@@ -57,6 +57,107 @@ def sha256_docs_sql() -> str:
 # text's metadata header instead of synthesized from doc_id.
 
 
+# languages dimension table (reference: sql/languages_table.sql:4-22 —
+# an 11-row (name, iso) lookup FK-joined from extractions; here the
+# corpus langs plus the reference's SA languages, broadcast-joined)
+LANGUAGE_DIM: dict[str, tuple[str, str]] = {
+    # corpus languages
+    "en": ("English", "eng"), "fr": ("French", "fra"),
+    "es": ("Spanish", "spa"), "de": ("German", "deu"),
+    "zh": ("Chinese", "zho"),
+    # reference dimension rows (sql/languages_table.sql)
+    "af": ("Afrikaans", "afr"), "zu": ("isiZulu", "zul"),
+    "xh": ("isiXhosa", "xho"), "st": ("Sesotho", "sot"),
+    "tn": ("Setswana", "tsn"), "ve": ("Tshivenda", "ven"),
+}
+
+
+def language_dim_counts(sf_dir: str) -> rd.Dataset:
+    """Dimension-table lookup join (reference: languages FK,
+    sql/languages_table.sql:66-67): per-language doc counts joined with
+    the broadcast (name, iso) dim — the canonical small-side broadcast
+    join (the dim ships inside the closure, never a shuffle)."""
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import collections
+        c = collections.Counter(batch["lang"].to_pylist())
+        langs = sorted(c)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "n": pa.array([c[k] for k in langs], pa.int64())})
+
+    partial = _docs(sf_dir, ["lang"]).map_batches(count_partial,
+                                                  batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        lang = g["lang"].iloc[0]
+        name, iso = LANGUAGE_DIM.get(lang, ("Unknown", "und"))
+        return pd.DataFrame({
+            "lang": [lang], "lang_name": [name], "iso_code": [iso],
+            "n_docs": np.array([g["n"].sum()], dtype=np.int64),
+        })
+
+    return partial.groupby("lang").map_groups(final, batch_format="pandas")
+
+
+def language_dim_counts_sql() -> str:
+    rows = ", ".join(f"('{k}', '{n}', '{i}')"
+                     for k, (n, i) in sorted(LANGUAGE_DIM.items()))
+    return f"""
+WITH dim(lang, lang_name, iso_code) AS (VALUES {rows})
+SELECT d.lang, coalesce(m.lang_name, 'Unknown') AS lang_name,
+       coalesce(m.iso_code, 'und') AS iso_code,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d LEFT JOIN dim m ON d.lang = m.lang
+GROUP BY d.lang, m.lang_name, m.iso_code"""
+
+
+SPLIT_HASH_MULT = 2654435761  # Knuth multiplicative hash constant
+SPLIT_MOD = 2 ** 32
+
+
+def train_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic stratified train/val/test assignment by
+    multiplicative id hash (80/10/10) — the training-data split operator;
+    exactly reproducible in SQL, so split sizes and per-split char sums
+    value-hash against the oracle."""
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.uint64)
+        h = (ids * SPLIT_HASH_MULT) % SPLIT_MOD
+        split = np.select([h < int(0.8 * SPLIT_MOD),
+                           h < int(0.9 * SPLIT_MOD)],
+                          ["train", "val"], "test")
+        return pa.table({
+            "split": pa.array(split, pa.string()),
+            "n_chars": batch["n_chars"].cast(pa.int64()),
+        })
+
+    return (_docs(sf_dir, ["doc_id", "n_chars"])
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby("split")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="sum_chars")))
+
+
+def train_split_sql() -> str:
+    h = f"(doc_id * {SPLIT_HASH_MULT}) % {SPLIT_MOD}"
+    return f"""
+SELECT CASE WHEN {h} < {int(0.8 * SPLIT_MOD)} THEN 'train'
+            WHEN {h} < {int(0.9 * SPLIT_MOD)} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1"""
+
+
+def hll_users_per_type(sf_dir: str) -> rd.Dataset:
+    """Approximate distinct users per event type via the HyperLogLog
+    sketch stage (rows-only: the estimate has no SQL analog; the
+    ±1.04/sqrt(m) error bound vs exact is asserted in tests)."""
+    from ..stages.sketch import approx_distinct_by_key
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return approx_distinct_by_key(ds, "event_type", "user_id")
+
+
 # ---------------------------------------------------------------------------
 # multimodal decode
 # ---------------------------------------------------------------------------

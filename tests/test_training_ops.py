@@ -245,3 +245,35 @@ def test_connected_components_chain_and_clique(ray_session):
     assert all(got[n] == 10 for n in range(10, 26))
     assert all(got[n] == 100 for n in (100, 101, 102, 103))
     assert got[7] == 7 and got[8] == 7
+
+
+def test_hll_approx_distinct_error_bound(ray_session):
+    """HLL estimates stay within a few standard errors of exact distinct
+    counts, globally and per key; merging partials across block sizes
+    changes nothing (deterministic sha256 register updates)."""
+    import os
+
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages.sketch import (approx_distinct,
+                                                  approx_distinct_by_key)
+    path = os.path.join(SF_SMOKE, "events.parquet")
+    ds = rd.read_parquet(path, columns=["event_type", "user_id"])
+    df = ds.to_pandas()
+
+    exact = df.user_id.nunique()
+    est = approx_distinct(ds, "user_id", p=12)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    per_key = approx_distinct_by_key(ds, "event_type", "user_id",
+                                     p=10).to_pandas()
+    truth = df.groupby("event_type").user_id.nunique()
+    for _, row in per_key.iterrows():
+        t = truth[row.event_type]
+        assert abs(row.approx_distinct - t) / t < 0.12, (row.event_type,
+                                                         row.approx_distinct,
+                                                         t)
+
+    # topology-invariant: different block sizes, identical estimate
+    est2 = approx_distinct(ds.repartition(13), "user_id", p=12)
+    assert est2 == est
