@@ -28,9 +28,21 @@ from ..stages import similarity as sim
 from ..stages import window as win
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    # pandas-written parquet schema metadata is unhashable inside Ray's
+    # shuffle schema dedup — drop it at the read boundary
+    return t.replace_schema_metadata(None)
+
+
+def _read_table(sf_dir: str, name: str,
+                columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns).map_batches(
+        _strip_meta, batch_format="pyarrow")
+
+
 def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=columns)
+    return _read_table(sf_dir, "documents", columns)
 
 
 # ---------------------------------------------------------------------------
@@ -153,8 +165,7 @@ def hll_users_per_type(sf_dir: str) -> rd.Dataset:
     sketch stage (rows-only: the estimate has no SQL analog; the
     ±1.04/sqrt(m) error bound vs exact is asserted in tests)."""
     from ..stages.sketch import approx_distinct_by_key
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["event_type", "user_id"])
+    ds = _read_table(sf_dir, "events", ["event_type", "user_id"])
     return approx_distinct_by_key(ds, "event_type", "user_id")
 
 
@@ -450,8 +461,7 @@ FROM pairs WHERE uni > 0 AND floor(100.0 * inter / uni + 0.5) >= {threshold_pct}
 
 
 def _embeddings_with_planted_dups(sf_dir: str) -> rd.Dataset:
-    base = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"])
+    base = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def copies(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -530,8 +540,7 @@ def _query_vectors(sf_dir: str, n: int = 5) -> tuple[np.ndarray, list[int]]:
 def ann_bruteforce(sf_dir: str, k: int = 10) -> rd.Dataset:
     """Exact cosine top-k for the first 5 vectors as queries."""
     q, qids = _query_vectors(sf_dir)
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return sim.topk_cosine(ds, q, qids, k=k)
 
 
@@ -561,8 +570,7 @@ def ann_ivf(sf_dir: str, k: int = 10) -> rd.Dataset:
     Rows-only; recall vs brute force asserted in tests."""
     from pathlib import Path
     q, qids = _query_vectors(sf_dir)
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     index_dir = os.path.join("/tmp/pdf_extraction_ray/ivf",
                              Path(sf_dir).name or "sf")
     return sim.topk_cosine_ivf(ds, q, qids, k=k, index_dir=index_dir)
@@ -574,8 +582,7 @@ def ann_ivf(sf_dir: str, k: int = 10) -> rd.Dataset:
 
 
 def window_tumbling(sf_dir: str, width_s: int = 3600) -> rd.Dataset:
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["event_type", "ts", "value"])
+    ds = _read_table(sf_dir, "events", ["event_type", "ts", "value"])
     out = win.tumbling_window(ds, width_s)
 
     def to_int_units(batch: pa.Table) -> pa.Table:
@@ -603,8 +610,7 @@ FROM events GROUP BY event_type, window_start"""
 
 
 def sessions(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["user_id", "ts"])
+    ds = _read_table(sf_dir, "events", ["user_id", "ts"])
     return win.sessionize(ds, gap_s)
 
 
