@@ -86,6 +86,9 @@ def run_bench() -> dict:
     timed("ann_bruteforce", lambda: analytics.ann_bruteforce(sf_dir).to_pandas())
     timed("window_tumbling", lambda: analytics.window_tumbling(sf_dir).to_pandas())
     timed("token_stats", lambda: analytics.token_stats(sf_dir).count())
+    timed("media_decode", lambda: analytics.media_decode(sf_dir).count())
+    timed("dedup_embedding_cells",
+          lambda: analytics.dedup_embedding_cells(sf_dir).count())
 
     headline = timings["extract_ckpt"]
     result = {
