@@ -261,6 +261,16 @@ class HtmlExtract:
 def _is_junk(node: Node) -> bool:
     if node.tag in _STRIP_TAGS:
         return True
+    raw = node._raw_attrs
+    if not raw:
+        return False
+    # fast path: only class/id/hidden/role attributes can make a node
+    # junk — if none of those byte sequences appear in the raw attribute
+    # blob, skip the attribute parse entirely (false positives like
+    # href="/video" merely fall through to the exact check)
+    if ("class" not in raw and "id" not in raw and "hidden" not in raw
+            and "role" not in raw):
+        return False
     blob = (node.attrs.get("class", "") + " " + node.attrs.get("id", "")).strip()
     if blob and _JUNK_ATTR_RE.search(blob):
         return True

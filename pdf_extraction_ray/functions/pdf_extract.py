@@ -312,6 +312,34 @@ class TextChunk:
     text: str
 
 
+# fast-path scanner: the overwhelmingly common "absolute-positioned text
+# line" form (integer Tm translate + one literal + Tj). Only used when the
+# WHOLE stream provably consists of these plus BT/ET/Tf framing — anything
+# else falls back to the general operator loop below.
+_SIMPLE_TM_TJ = re.compile(
+    rb"1 0 0 1 (-?\d+) (-?\d+) Tm \(((?:[^()\\]|\\.)*+)\) Tj")
+# possessive quantifiers: a residue MISmatch must fail fast — with
+# backtracking quantifiers a long non-matching residue is catastrophic
+_SIMPLE_RESIDUE = re.compile(
+    rb"^(?:\s++|BT|ET|/[A-Za-z0-9]++\s++\d++\s++Tf)*+$")
+
+
+def _tokenize_fast(stream: bytes) -> list[TextChunk] | None:
+    matches = list(_SIMPLE_TM_TJ.finditer(stream))
+    if not matches:
+        return None
+    if not _SIMPLE_RESIDUE.match(_SIMPLE_TM_TJ.sub(b"", stream)):
+        return None
+    out: list[TextChunk] = []
+    for m in matches:
+        lit = m.group(3)
+        if b"\\" in lit:
+            lit, _ = _parse_literal(b"(" + lit + b")", 0)
+        out.append(TextChunk(float(m.group(1)), float(m.group(2)),
+                             lit.decode("utf-8", errors="replace")))
+    return out
+
+
 def tokenize_text_ops(stream: bytes,
                       deadline: float | None = None) -> list[TextChunk]:
     """Run the text operators of one content stream; emit positioned chunks.
@@ -320,6 +348,11 @@ def tokenize_text_ops(stream: bytes,
     documents (SURVEY.md §4 per-row wall-clock guard) — checked every few
     thousand tokens, raising DocumentTimeout.
     """
+    fast = _tokenize_fast(stream)
+    if fast is not None:
+        if deadline is not None and time.monotonic() > deadline:
+            raise DocumentTimeout("content-stream tokenization over budget")
+        return fast
     chunks: list[TextChunk] = []
     operands: list[object] = []
     x = y = 0.0

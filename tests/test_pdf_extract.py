@@ -212,3 +212,23 @@ def test_pdf_table_quality_term():
                                     r.table_row_counts)
     assert r.table_row_counts == [5]
     assert with_tables == base + 15
+
+
+def test_fast_path_negative_coords_and_no_backtracking():
+    """The tokenizer fast path handles signed Tm coordinates, and a
+    non-matching residue fails FAST (possessive quantifiers — a plain
+    residue regex backtracks catastrophically on long streams)."""
+    import time
+    s = b"BT\n/F1 12 Tf\n1 0 0 1 72 -50 Tm (neg) Tj\nET"
+    chunks = pdf_extract.tokenize_text_ops(s)
+    assert [(c.x, c.y, c.text) for c in chunks] == [(72.0, -50.0, "neg")]
+
+    # stream the fast path must REJECT (a Td operator), large enough that
+    # any backtracking blowup would stall for minutes
+    lines = b"\n".join(b"1 0 0 1 72 %d Tm (line %d) Tj" % (700 - i, i)
+                       for i in range(5000))
+    bad = b"BT\n" + lines + b"\n10 10 Td\nET"
+    t0 = time.monotonic()
+    chunks = pdf_extract.tokenize_text_ops(bad)
+    assert time.monotonic() - t0 < 5.0
+    assert len(chunks) == 5000  # general loop parsed it fine
