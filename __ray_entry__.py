@@ -158,18 +158,21 @@ def q_pdf_elements(sf_dir: str) -> rd.Dataset:
         sub = batch.filter(mask)
         urls = sub["url"].to_pylist()
         elements = sub["elements"].to_pylist()
-        n_el, n_tr, x1m, y0m = [], [], [], []
+        n_el, n_tr, x1m, y0m, n_right = [], [], [], [], []
         for els in elements:
             n_el.append(len(els))
             n_tr.append(sum(1 for e in els if e["kind"] == "table"))
             x1m.append(max((e["x1"] for e in els), default=0))
             y0m.append(min((e["y0"] for e in els), default=0))
+            # right-band elements of two-column layouts (COL2_X = 320)
+            n_right.append(sum(1 for e in els if e["x0"] >= 300))
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "n_elements": pa.array(n_el, pa.int64()),
             "n_table_rows": pa.array(n_tr, pa.int64()),
             "x1_max": pa.array(x1m, pa.int64()),
             "y0_min": pa.array(y0m, pa.int64()),
+            "n_rightcol": pa.array(n_right, pa.int64()),
         })
 
     return _extracted(sf_dir).map_batches(stats, batch_format="pyarrow")

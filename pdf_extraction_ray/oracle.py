@@ -308,8 +308,17 @@ def pdf_elements_sql() -> str:
     from .sources.gen_pdf import (CELL_STRIDE, LEADING, LINES_PER_PAGE,
                                   MARGIN_X, TOP_Y)
 
+    from .sources.gen_pdf import COL2_X
+
     phrase_len = len(spec.PHRASE)
     cell2_x = MARGIN_X + CELL_STRIDE
+    # two-column variant (spec.pdf_twocol): left band rows 0..ceil(n/2)-1,
+    # right band at COL2_X — bbox extrema and the right-band count pin the
+    # reading-order geometry (text alone cannot distinguish the layouts)
+    twocol = "(sub BETWEEN 75 AND 87 AND doc_id % 5 = 4)"
+    half = 23  # left rows on a full 45-line two-column page
+    n_left = (f"((n_blocks // {LINES_PER_PAGE}) * {half}"
+              f" + (n_blocks % {LINES_PER_PAGE} + 1) // 2)")
     return base_cte() + f"""
 SELECT
   'https://corpus.example/' || source || '/d'
@@ -320,7 +329,8 @@ SELECT
   CAST(CASE WHEN sub BETWEEN 70 AND 74 THEN nrows ELSE 0 END AS BIGINT)
     AS n_table_rows,
   CAST(GREATEST(
-    {MARGIN_X} + {CHAR_W} * LEAST({spec.PDF_LINE_W}, length(text)),
+    (CASE WHEN {twocol} THEN {COL2_X} ELSE {MARGIN_X} END)
+      + {CHAR_W} * LEAST({spec.PDF_LINE_W}, length(text)),
     {MARGIN_X} + {CHAR_W} * length(meta_line),
     CASE WHEN has_phrase
          THEN {MARGIN_X} + {CHAR_W} * {phrase_len} ELSE 0 END,
@@ -328,8 +338,14 @@ SELECT
          THEN {cell2_x} + {CHAR_W}
               * (1 + length(CAST(doc_id * nrows AS VARCHAR)))
          ELSE 0 END) AS BIGINT) AS x1_max,
-  CAST({TOP_Y} - {LEADING} * (CASE WHEN n_blocks >= {LINES_PER_PAGE}
-       THEN {LINES_PER_PAGE} - 1 ELSE n_blocks - 1 END) AS BIGINT) AS y0_min
+  CAST(CASE WHEN {twocol}
+       THEN {TOP_Y} - {LEADING}
+            * ((LEAST(n_blocks, {LINES_PER_PAGE}) + 1) // 2 - 1)
+       ELSE {TOP_Y} - {LEADING} * (CASE WHEN n_blocks >= {LINES_PER_PAGE}
+            THEN {LINES_PER_PAGE} - 1 ELSE n_blocks - 1 END)
+       END AS BIGINT) AS y0_min,
+  CAST(CASE WHEN {twocol} THEN n_blocks - {n_left} ELSE 0 END AS BIGINT)
+    AS n_rightcol
 FROM routed
 WHERE sub BETWEEN 70 AND 89 AND route = 'primary'"""
 

@@ -42,6 +42,7 @@ def build_page_row(doc_id: int, text: str, source: str, lang: str) -> dict:
     elif k.startswith("pdf"):
         payload = gen_pdf.build_pdf(spec.pdf_line_specs(doc_id, text, source),
                                     lines_per_page=spec.LINES_PER_PAGE,
+                                    two_column=spec.pdf_twocol(doc_id),
                                     variant=spec.pdf_variant(doc_id))
     elif k == "garbage":
         payload = spec.garbage_bytes(doc_id)

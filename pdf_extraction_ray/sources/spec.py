@@ -62,7 +62,7 @@ CORPUS_QUALITY_THRESHOLD_PCT = 70  # routing threshold (reference: quality < 0.7
 # oversized PDFs are >= ceil(150/45)=4 pages; normal PDFs are <= 2 pages,
 # so threshold 3 cleanly routes pdf_big (and only pdf_big) to the shard path
 CORPUS_SPLIT_PAGE_THRESHOLD = 3
-SPEC_VERSION = "v6"        # bump to invalidate cached generated corpora
+SPEC_VERSION = "v7"        # bump to invalidate cached generated corpora
 SESSION = "May/June"       # metadata header session value
 
 
@@ -101,6 +101,14 @@ def kind_of(doc_id: int) -> str:
     if s == 98:
         return "empty"
     return "oversize"
+
+
+def pdf_twocol(doc_id: int) -> bool:
+    """20% of plain pdf_normal docs lay out in TWO COLUMNS (left band
+    top-to-bottom, then right) — reading-order sort is text-invariant by
+    construction, so the extraction oracles are untouched while the
+    pdf_elements bbox oracle pins the band geometry."""
+    return kind_of(doc_id) == "pdf_normal" and doc_id % 5 == 4
 
 
 def pdf_variant(doc_id: int) -> str:

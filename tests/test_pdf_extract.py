@@ -232,3 +232,17 @@ def test_fast_path_negative_coords_and_no_backtracking():
     chunks = pdf_extract.tokenize_text_ops(bad)
     assert time.monotonic() - t0 < 5.0
     assert len(chunks) == 5000  # general loop parsed it fine
+
+
+def test_two_column_elements_geometry():
+    """Two-column layout: reading order is left band then right; elements
+    carry the band x origins; text equals the single-column layout."""
+    lines = [f"line number {i}" for i in range(11)]
+    one = pdf_extract.extract_pdf(build_pdf(lines))
+    two = pdf_extract.extract_pdf(build_pdf(lines, two_column=True))
+    assert two.text == one.text  # reading order is text-invariant
+    xs = [e.x0 for e in two.elements]
+    assert xs == [72] * 6 + [320] * 5  # ceil(11/2) left, rest right
+    # left band rows stack from the top; right band restarts at the top
+    assert [e.y0 for e in two.elements][:2] == [720, 706]
+    assert two.elements[6].y0 == 720
