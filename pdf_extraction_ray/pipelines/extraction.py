@@ -186,6 +186,48 @@ def run_retry(pages_path: str,
     return summary
 
 
+def load_review_queue(out_dir: str) -> rd.Dataset:
+    """The review-queue surface: quarantined rows ⋈ their bucket's
+    manifest context (reference: review_queue rows inner-joined with
+    extractions for file context, app/db/review_queue.py:91-114).
+
+    Quarantine rows are already denormalized extraction rows; the bucket
+    manifests are a tiny dimension side, so the join is a broadcast dict
+    lookup — no shuffle. Returns the quarantined rows with
+    bucket_n_rows / bucket_n_partial counters attached (empty dataset
+    with the right shape when nothing is quarantined).
+    """
+    import ray
+
+    qdir = os.path.join(out_dir, "_quarantine")
+    manifests = ckpt.load_manifests(out_dir)
+    ctx = {b: (m["n_rows"], m["n_partial"]) for b, m in manifests.items()}
+    ref = ray.put(ctx)
+
+    if not os.path.isdir(qdir) or not any(
+            f.endswith(".parquet") for f in os.listdir(qdir)):
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int64()),
+            "error": pa.array([], pa.string()),
+            "attempts": pa.array([], pa.int64()),
+            "bucket_n_rows": pa.array([], pa.int64()),
+            "bucket_n_partial": pa.array([], pa.int64()),
+        }))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        buckets = batch["bucket"].to_pylist()
+        rows = [m.get(b, (0, 0)) for b in buckets]
+        return (batch
+                .append_column("bucket_n_rows",
+                               pa.array([r[0] for r in rows], pa.int64()))
+                .append_column("bucket_n_partial",
+                               pa.array([r[1] for r in rows], pa.int64())))
+
+    return rd.read_parquet(qdir).map_batches(attach, batch_format="pyarrow")
+
+
 def run_extraction(pages_path: str,
                    cfg: PipelineConfig = DEFAULT_CONFIG,
                    out_dir: str | None = None,

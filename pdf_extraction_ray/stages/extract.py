@@ -402,9 +402,17 @@ def finalize_bucket(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG,
     second shuffle.
     """
     kinds = group["row_kind"].to_pylist()
-    final_mask = pa.array([k == "final" for k in kinds], pa.bool_())
-    finals = group.filter(final_mask)
-    frags = group.filter(pc.invert(final_mask))
+    has_frag = any(k != "final" for k in kinds)
+    if has_frag:
+        final_mask = pa.array([k == "final" for k in kinds], pa.bool_())
+        finals = group.filter(final_mask)
+        frags = group.filter(pc.invert(final_mask))
+    else:
+        # common case: no oversized-document fragments in this bucket —
+        # skip the two full-table gathers (nested span/element columns
+        # make filter/take the dominant finalize cost)
+        finals = group
+        frags = group.slice(0, 0)
 
     out_records: list[dict] = []
     if len(frags):
@@ -455,14 +463,23 @@ def finalize_bucket(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG,
         out = pa.concat_tables([out, out_table(out_records)])
     if dedup and len(out):
         # exact first-wins: keep each url's minimum-warc_ts row
-        # (reference: unique hash index, migrations/006:13-16)
-        idx = pc.sort_indices(out.select(["url", "warc_ts"]),
-                              sort_keys=[("url", "ascending"),
-                                         ("warc_ts", "ascending")])
-        out = out.take(idx)
+        # (reference: unique hash index, migrations/006:13-16).
+        # Duplicates are rare, so detect them on the two key columns and
+        # only then pay ONE filter pass over the nested-column table —
+        # row order is not part of the output contract (results key on
+        # url; manifests fingerprint order-insensitively)
         urls = out["url"].to_pylist()
-        keep = [i == 0 or urls[i] != urls[i - 1] for i in range(len(urls))]
-        out = out.filter(pa.array(keep, pa.bool_()))
+        if len(set(urls)) != len(urls):
+            tss = out["warc_ts"].to_pylist()
+            best: dict[str, tuple] = {}
+            for i, (u, t) in enumerate(zip(urls, tss)):
+                cur = best.get(u)
+                if cur is None or (t, i) < cur:
+                    best[u] = (t, i)
+            keep_idx = {i for _, i in best.values()}
+            out = out.filter(pa.array([i in keep_idx
+                                       for i in range(len(urls))],
+                                      pa.bool_()))
     return out
 
 

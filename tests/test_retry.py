@@ -93,6 +93,24 @@ def test_retry_recovers_transients_and_quarantines_poison(
     s2 = run_retry(pages, out, CFG, max_attempts=3)
     assert s2["n_retried"] == 0 and s2["n_quarantined"] == 2
 
+    # review-queue surface: quarantine rows joined with bucket context
+    # (reference: review_queue ⋈ extractions, app/db/review_queue.py)
+    from pdf_extraction_ray.pipelines.extraction import load_review_queue
+    rq = load_review_queue(out).to_pandas()
+    assert len(rq) == 2
+    assert rq.url.str.contains("poison").all()
+    assert (rq.bucket_n_rows > 0).all()
+    assert (rq.bucket_n_partial >= 1).all()
+
+
+def test_review_queue_empty_on_clean_run(ray_session, tmp_path):
+    from pdf_extraction_ray.pipelines.extraction import (load_review_queue,
+                                                         run_extraction)
+    pages = _pages(tmp_path)
+    out = str(tmp_path / "out")
+    run_extraction(pages, CFG, out_dir=out)
+    assert load_review_queue(out).count() == 0
+
 
 def test_retry_read_is_targeted(ray_session, tmp_path):
     """The retry pass must not re-read the whole corpus: the url predicate
