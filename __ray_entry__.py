@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _tuned(analytics.fingerprint_docs),
         # multimodal decode (real pure-stdlib PNG decoder, actor pool)
         "media_decode": _tuned(analytics.media_decode),
+        "media_phash_dups": _tuned(analytics.media_phash_dups),
         # dimension lookup join + training-data split + sketch
         "language_dim_counts": _tuned(analytics.language_dim_counts),
         "train_split": _tuned(analytics.train_split),

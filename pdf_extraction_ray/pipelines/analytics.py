@@ -223,6 +223,33 @@ SELECT doc_id,
 FROM documents"""
 
 
+def media_phash_dups(sf_dir: str) -> rd.Dataset:
+    """Perceptual (average-hash) image dedup over a planted corpus: every
+    document gets a PNG, and every 10th doc also a BRIGHTNESS-SHIFTED
+    copy (different bytes and sha256, provably identical aHash). Returns
+    candidate dup pairs (a, b). Rows-only: planted recall = 1 and sha
+    divergence asserted in tests."""
+    from ..sources.gen_media import build_png_shifted
+    from ..stages.multimodal import phash_dup_pairs
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for d in batch["doc_id"].to_pylist():
+            ids.append(d)
+            payloads.append(build_png_shifted(d))
+            if d % 10 == 0:
+                ids.append(d + 1_000_000)
+                payloads.append(build_png_shifted(d, delta=30))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "html": pa.array(payloads, pa.large_binary()),
+        })
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(to_media,
+                                                  batch_format="pyarrow")
+    return phash_dup_pairs(media)
+
+
 # ---------------------------------------------------------------------------
 # text analytics
 # ---------------------------------------------------------------------------

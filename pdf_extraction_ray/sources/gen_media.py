@@ -41,6 +41,27 @@ def build_png(doc_id: int) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+def build_png_shifted(doc_id: int, delta: int = 0) -> bytes:
+    """Grayscale PNG with a brightness-shift-safe TEXTURED pixel law
+    (values <= 199 + delta, delta <= 55): a shifted copy has different
+    bytes (different sha256) but a provably IDENTICAL average-hash. The
+    multiplicative x*y texture keeps per-doc hashes distinct (a smooth
+    gradient law makes every doc aHash-collide — pathological input for
+    average hashing)."""
+    w, h = media_dims(doc_id)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(w):
+            raw.append((doc_id * 31 + (7 * x + 1) * (5 * y + 3) + x)
+                       % 200 + delta)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))
+
+
 def build_bmp(doc_id: int) -> bytes:
     """Minimal 24-bit BMP (BITMAPINFOHEADER) with the same pixel law."""
     w, h = media_dims(doc_id)

@@ -135,6 +135,75 @@ def _entropy_cbits(payload: bytes) -> int:
     return int(round(h * 100))
 
 
+def ahash64(payload: bytes) -> int | None:
+    """64-bit average-hash perceptual fingerprint of a decodable image:
+    nearest-neighbor downsample to 8x8 (multi-channel averaged to gray),
+    then one bit per cell for value > integer mean. Invariant to uniform
+    brightness shifts (both sides of the comparison move together) —
+    which byte-level hashes are not. None when the payload can't decode.
+    """
+    img = decode_png(payload)
+    if img is None:
+        return None
+    w, h, ch = img["width"], img["height"], img["channels"]
+    px = img["pixels"]
+    if w < 1 or h < 1 or not px:
+        return None
+    samples = []
+    for gy in range(8):
+        y = (gy * h) // 8
+        base = y * w * ch
+        for gx in range(8):
+            x = (gx * w) // 8
+            off = base + x * ch
+            samples.append(sum(px[off:off + ch]) // ch)
+    mean = sum(samples) // 64
+    bits = 0
+    for i, v in enumerate(samples):
+        if v > mean:
+            bits |= 1 << i
+    return bits
+
+
+def phash_dup_pairs(ds, media_col: str = "html", id_col: str = "doc_id"):
+    """Perceptual near-dup pairs: equal aHash ⇒ candidate duplicates.
+
+    hash per image in a map stage → groupby(phash) co-locates candidates
+    → within-group pairs (a < b). Undecodable payloads drop out. The
+    classic image-dedup shape for training corpora: catches re-encoded /
+    brightness-shifted copies that content-hash dedup misses.
+    """
+    import pandas as pd
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        col = batch[media_col]
+        for i, doc in enumerate(batch[id_col].to_pylist()):
+            h = ahash64(col[i].as_py() or b"")
+            if h is not None:
+                ids.append(doc)
+                hashes.append(h)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "phash": pa.array(hashes, pa.uint64())})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        if len(g) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        ids = sorted(int(v) for v in g[id_col])
+        a_o, b_o = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_o.append(ids[i])
+                b_o.append(ids[j])
+        return pa.table({"a": pa.array(a_o, pa.int64()),
+                         "b": pa.array(b_o, pa.int64())})
+
+    return hashed.groupby("phash").map_groups(pairs, batch_format="pandas")
+
+
 def _fallback_dims(payload: bytes) -> tuple[int, int]:
     """FALLBACK for undecodable formats: deterministic fake dims from the
     content hash so downstream plumbing (schemas, joins, partitioning on

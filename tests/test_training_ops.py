@@ -277,3 +277,28 @@ def test_hll_approx_distinct_error_bound(ray_session):
     # topology-invariant: different block sizes, identical estimate
     est2 = approx_distinct(ds.repartition(13), "user_id", p=12)
     assert est2 == est
+
+
+def test_phash_brightness_invariant_dedup(ray_session):
+    """aHash is invariant to uniform brightness shifts (sha256 is not);
+    the phash dedup pipeline recovers every planted shifted copy."""
+    import hashlib
+
+    from pdf_extraction_ray.pipelines.analytics import media_phash_dups
+    from pdf_extraction_ray.sources.gen_media import build_png_shifted
+    from pdf_extraction_ray.stages.multimodal import ahash64
+
+    a = build_png_shifted(42)
+    b = build_png_shifted(42, delta=30)
+    assert a != b
+    assert hashlib.sha256(a).digest() != hashlib.sha256(b).digest()
+    assert ahash64(a) == ahash64(b)  # provable shift invariance
+    assert ahash64(build_png_shifted(43)) != ahash64(a)
+
+    pairs = media_phash_dups(SF_SMOKE).to_pandas()
+    got = set(zip(pairs.a, pairs.b))
+    # recall: every planted (original, shifted-copy) pair is recovered
+    planted = [(d, d + 1_000_000) for d in range(0, 500, 10)]
+    assert all(p in got for p in planted)
+    # precision: accidental aHash collisions stay rare on textured images
+    assert len(got) <= len(planted) + 25
