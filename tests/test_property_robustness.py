@@ -70,3 +70,38 @@ def test_spec_expected_functions_total(doc_id, text):
     assert isinstance(k, str)
     t = spec.expected_final_text(doc_id, text, "srcX")
     assert isinstance(t, str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=4096))
+def test_media_decoders_never_crash(payload):
+    from pdf_extraction_ray.stages.multimodal import (ahash64,
+                                                      decode_bmp_header,
+                                                      decode_png)
+    png = decode_png(payload)
+    assert png is None or png["width"] >= 0
+    bmp = decode_bmp_header(payload)
+    assert bmp is None or "width" in bmp
+    h = ahash64(payload)
+    assert h is None or 0 <= h < 2 ** 64
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=4096))
+def test_png_decoder_survives_corrupt_png_frames(payload):
+    """PNG-magic payloads with arbitrary chunk bytes must decode or
+    return None, never raise."""
+    from pdf_extraction_ray.stages.multimodal import decode_png
+    assert decode_png(b"\x89PNG\r\n\x1a\n" + payload) is None or True
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=4096))
+def test_compressed_pdf_paths_never_crash(payload):
+    """The ObjStm/Flate machinery on arbitrary bytes: lenient, no raise."""
+    framed = (b"%PDF-1.5\n1 0 obj\n<< /Type /ObjStm /N 3 /First 9 "
+              b"/Filter /FlateDecode /Length " + str(len(payload)).encode()
+              + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n")
+    r = pdf_extract.extract_pdf(framed)
+    assert isinstance(r.text, str)
+    assert pdf_extract.page_count(framed) >= 1
