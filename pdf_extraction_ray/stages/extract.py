@@ -416,30 +416,44 @@ def finalize_bucket(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     out_records: list[dict] = []
     if len(frags):
+        import numpy as np
+
         df = frags.select(["url", "warc_ts", "first_page"]).to_pandas()
         df["row"] = range(len(df))
         for (url, ts), g in df.groupby(["url", "warc_ts"], sort=True):
             order = g.sort_values("first_page")["row"].tolist()
+            # one small gather of this url's fragment rows, then the span
+            # re-basing runs as flat-array arithmetic (the per-span
+            # as_py dict loop dominated reassembly CPU)
+            sub = frags.take(pa.array(order, pa.int64()))
+            nb = sub["n_blocks"].to_pylist()
+            texts = sub["extracted_text"].to_pylist()
+            offs: list[int] = []
             text_parts: list[str] = []
-            spans: list[Span] = []
-            elements: list[dict] = []
             pos = 0
             total_lines = 0
-            for ri in order:
-                frag_lines = frags["n_blocks"][ri].as_py()
-                if frag_lines == 0:
+            for t, n in zip(texts, nb):
+                if n == 0:
+                    offs.append(0)
                     continue
                 if total_lines > 0:
                     pos += 1  # "\n" joint between fragments
-                frag_text = frags["extracted_text"][ri].as_py()
-                for s in frags["spans"][ri].as_py():
-                    spans.append(Span(s["start"] + pos, s["end"] + pos,
-                                      s["kind"], s["page"]))
-                elements.extend(frags["elements"][ri].as_py())
-                text_parts.append(frag_text)
-                pos += len(frag_text)
-                total_lines += frag_lines
-            r0 = order[0]
+                offs.append(pos)
+                text_parts.append(t)
+                pos += len(t)
+                total_lines += n
+            spans_col = sub["spans"].combine_chunks()
+            flat = spans_col.flatten()
+            counts = np.asarray(spans_col.value_lengths(), dtype=np.int64)
+            shift = np.repeat(np.asarray(offs, np.int64), counts)
+            starts = flat.field("start").to_numpy(zero_copy_only=False) + shift
+            ends = flat.field("end").to_numpy(zero_copy_only=False) + shift
+            kinds_l = flat.field("kind").to_pylist()
+            pages_l = flat.field("page").to_numpy(zero_copy_only=False)
+            spans = [Span(int(s), int(e), k, int(p))
+                     for s, e, k, p in zip(starts, ends, kinds_l, pages_l)]
+            elements = sub["elements"].combine_chunks().flatten().to_pylist()
+            r0 = 0  # sub is already in page order
             # partitioning assumption (documented): oversized documents
             # carry no cross-shard tables, so reassembled table_row_counts
             # stay empty — per-fragment runs would otherwise need a merge
@@ -447,15 +461,15 @@ def finalize_bucket(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG,
                 text="\n".join(text_parts), spans=spans,
                 element_count=total_lines, heading_count=0,
                 table_row_counts=[],
-                n_pages=frags["n_pages_total"][r0].as_py(),
+                n_pages=sub["n_pages_total"][r0].as_py(),
                 elements=elements)
             rec = finalize_row(
-                url, frags["warc_ts"][r0].as_py(), frags["lang"][r0].as_py(),
-                frags["fallback_text"][r0].as_py() or "",
-                frags["content_type"][r0].as_py(), STATUS_COMPLETED, "",
+                url, sub["warc_ts"][r0].as_py(), sub["lang"][r0].as_py(),
+                sub["fallback_text"][r0].as_py() or "",
+                sub["content_type"][r0].as_py(), STATUS_COMPLETED, "",
                 primary, cfg.quality_threshold_pct,
-                frags["attempts"][r0].as_py())
-            rec["bucket"] = frags["bucket"][r0].as_py()
+                sub["attempts"][r0].as_py())
+            rec["bucket"] = sub["bucket"][r0].as_py()
             out_records.append(rec)
 
     out = finals.select([f.name for f in OUT_SCHEMA])
