@@ -464,64 +464,108 @@ def jaccard_pairs(ds: rd.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", threshold_pct: int = 50,
                   shingle_k: int = 3, num_perm: int = 64,
                   bands: int = 16) -> rd.Dataset:
-    """Near-dup pairs with EXACT n-gram Jaccard similarity.
+    """Near-dup pairs with EXACT n-gram Jaccard similarity — two passes.
 
-    MinHash-LSH proposes candidate pairs (cheap, no quadratic scan); each
-    candidate is verified with the true word-shingle Jaccard, emitted as
-    an integer percent for deterministic comparison. Returns
-    (a, b, jaccard_pct) with a < b.
+    Pass 1 (wide): banded MinHash-LSH over (band, band_hash, id) rows —
+    the shuffle carries ``bands`` tiny rows per document, never the text
+    (the round-1 version amplified every document's text x bands through
+    the all-to-all). Candidate pairs dedup with one vectorized groupby.
+
+    Pass 2 (narrow): exact verification. The candidate-id set is small by
+    construction (LSH matches ≈ true near-dups), so a second pruned scan
+    collects only the candidates' shingle sets; the map over pairs reads
+    the broadcast shingle map. Driver state is bounded by candidate
+    volume — the same bound as the exact-dedup keep-map.
+
+    Returns (a, b, jaccard_pct) with a < b, integer half-up percent.
     """
+    ds = ds.materialize()  # scanned twice (banding, candidate shingles)
+
     def sig_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
-        out_band, out_hash, out_id, out_text = [], [], [], []
+        out_band, out_hash, out_id = [], [], []
         for i, t in zip(ids, texts):
-            sh = hashing.shingles(t or "", shingle_k)
-            sig = hashing.minhash_signature(sh, num_perm)
+            sig = hashing.minhash_signature(
+                hashing.shingles(t or "", shingle_k), num_perm)
             for b, bh in enumerate(hashing.minhash_bands(sig, bands)):
                 out_band.append(b)
                 out_hash.append(bh)
                 out_id.append(i)
-                out_text.append(t or "")
         return pa.table({
             "band": pa.array(out_band, pa.int32()),
             "band_hash": pa.array(out_hash, pa.uint64()),
             id_col: pa.array(out_id, pa.int64()),
-            text_col: pa.array(out_text, pa.large_string()),
         })
 
     banded = ds.map_batches(sig_rows, batch_format="pyarrow")
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        cols = {"a": pd.Series([], dtype="int64"),
-                "b": pd.Series([], dtype="int64"),
-                "jaccard_pct": pd.Series([], dtype="int64")}
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
         if len(group) < 2:
-            return pd.DataFrame(cols)
-        g = group.sort_values(id_col)
-        ids = g[id_col].tolist()
-        shs = [hashing.shingles(t, shingle_k) for t in g[text_col]]
-        a_o, b_o, j_o = [], [], []
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        ids = sorted({int(v) for v in group[id_col]})
+        a_o, b_o = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                # half-up rounding matches the SQL oracle's floor(x + 0.5)
-                jac = int(100 * hashing.jaccard(shs[i], shs[j]) + 0.5)
-                if jac >= threshold_pct:
-                    a_o.append(ids[i])
-                    b_o.append(ids[j])
-                    j_o.append(jac)
-        return pd.DataFrame({"a": pd.Series(a_o, dtype="int64"),
-                             "b": pd.Series(b_o, dtype="int64"),
-                             "jaccard_pct": pd.Series(j_o, dtype="int64")})
+                a_o.append(ids[i])
+                b_o.append(ids[j])
+        return pa.table({"a": pa.array(a_o, pa.int64()),
+                         "b": pa.array(b_o, pa.int64())})
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        verify, batch_format="pandas")
+    cand = (banded.groupby(["band", "band_hash"])
+                  .map_groups(bucket_pairs, batch_format="pandas")
+                  .groupby(["a", "b"]).count()
+                  .map_batches(lambda t: t.select(["a", "b"]),
+                               batch_format="pyarrow")
+                  .materialize())
 
-    # candidate pairs can repeat across bands → distinct
-    def dedup_batch(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    cand_ids: set = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b["a"].to_pylist())
+        cand_ids.update(b["b"].to_pylist())
+    if not cand_ids:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard_pct": pa.array([], pa.int64())}))
+    ids_ref = ray.put(cand_ids)
 
-    return pairs.groupby(["a", "b"]).map_groups(dedup_batch, batch_format="pandas")
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        out_i, out_sh = [], []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            if i in wanted:
+                out_i.append(i)
+                out_sh.append(sorted(hashing.shingles(t or "", shingle_k)))
+        return pa.table({id_col: pa.array(out_i, pa.int64()),
+                         "sh": pa.array(out_sh,
+                                        pa.list_(pa.uint64()))})
+
+    shingle_map: dict[int, frozenset] = {}
+    for b in (ds.map_batches(cand_shingles, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")):
+        for i, sh in zip(b[id_col].to_pylist(), b["sh"].to_pylist()):
+            shingle_map[i] = frozenset(sh)
+    map_ref = ray.put(shingle_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        a_o, b_o, j_o = [], [], []
+        for a, b_ in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            # half-up rounding matches the SQL oracle's floor(x + 0.5)
+            jac = int(100 * hashing.jaccard(m.get(a, frozenset()),
+                                            m.get(b_, frozenset())) + 0.5)
+            if jac >= threshold_pct:
+                a_o.append(a)
+                b_o.append(b_)
+                j_o.append(jac)
+        return pa.table({"a": pa.array(a_o, pa.int64()),
+                         "b": pa.array(b_o, pa.int64()),
+                         "jaccard_pct": pa.array(j_o, pa.int64())})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
