@@ -267,49 +267,91 @@ def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
     buckets are the shuffle key, so hot buckets (boilerplate-identical
     docs) are the skew risk — num_perm/bands control bucket granularity.
     """
+    ds = ds.materialize()  # scanned twice (banding, candidate signatures)
+
     def sig_rows(batch: pa.Table) -> pa.Table:
+        # ids only through the all-to-all — signatures would otherwise
+        # travel once per band (x16 amplification)
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
+        out_band, out_hash, out_id = [], [], []
         for i, t in zip(ids, texts):
-            sh = hashing.shingles(t or "", shingle_k)
-            sig = hashing.minhash_signature(sh, num_perm)
+            sig = hashing.minhash_signature(
+                hashing.shingles(t or "", shingle_k), num_perm)
             for b, bh in enumerate(hashing.minhash_bands(sig, bands)):
                 out_band.append(b)
                 out_hash.append(bh)
                 out_id.append(i)
-                out_sig.append(sig.tobytes())
         return pa.table({
             "band": pa.array(out_band, pa.int32()),
             "band_hash": pa.array(out_hash, pa.uint64()),
             id_col: pa.array(out_id, pa.int64()),
-            "sig": pa.array(out_sig, pa.large_binary()),
         })
 
     banded = ds.map_batches(sig_rows, batch_format="pyarrow")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        """Within one LSH bucket: estimated-Jaccard-verified pairs."""
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
         if len(group) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        ids = group[id_col].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
-                         for s in group["sig"]])
-        order = np.argsort(ids, kind="stable")
-        ids, sigs = ids[order], sigs[order]
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        ids = sorted({int(v) for v in group[id_col]})
         a_out, b_out = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= jaccard_threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-        return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
-                             "b": pd.Series(b_out, dtype="int64")})
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64())})
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    cand = (banded.groupby(["band", "band_hash"])
+                  .map_groups(bucket_pairs, batch_format="pandas")
+                  .groupby(["a", "b"]).count()
+                  .map_batches(lambda t: t.select(["a", "b"]),
+                               batch_format="pyarrow")
+                  .materialize())
+
+    # second pruned pass: signatures of CANDIDATE docs only (bounded by
+    # LSH match volume), broadcast for the estimate verification
+    cand_ids: set = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b["a"].to_pylist())
+        cand_ids.update(b["b"].to_pylist())
+    sig_map: dict[int, np.ndarray] = {}
+    if cand_ids:
+        ids_ref = ray.put(cand_ids)
+
+        def cand_sigs(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            out_i, out_s = [], []
+            for i, t in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+                if i in wanted:
+                    out_i.append(i)
+                    out_s.append(hashing.minhash_signature(
+                        hashing.shingles(t or "", shingle_k),
+                        num_perm).tobytes())
+            return pa.table({id_col: pa.array(out_i, pa.int64()),
+                             "sig": pa.array(out_s, pa.large_binary())})
+
+        for b in (ds.map_batches(cand_sigs, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow")):
+            for i, s in zip(b[id_col].to_pylist(), b["sig"].to_pylist()):
+                sig_map[i] = np.frombuffer(s, dtype=np.uint64)
+    sig_ref = ray.put(sig_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(sig_ref)
+        a_o, b_o = [], []
+        for a, b_ in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            sa, sb = m.get(a), m.get(b_)
+            if sa is not None and sb is not None and \
+                    float((sa == sb).mean()) >= jaccard_threshold:
+                a_o.append(a)
+                b_o.append(b_)
+        return pa.table({"a": pa.array(a_o, pa.int64()),
+                         "b": pa.array(b_o, pa.int64())})
+
+    pairs = cand.map_batches(verify, batch_format="pyarrow")
 
     # distributed connected components (hash-partitioned label
     # propagation; the driver holds only round counters — scales with
