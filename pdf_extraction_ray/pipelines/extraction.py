@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -37,6 +38,43 @@ import ray.data as rd
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..stages import extract as ex
 from ..state import checkpoint as ckpt
+
+
+@contextmanager
+def _shuffle_ctx(cfg: PipelineConfig):
+    """Scope Ray Data's HASH_SHUFFLE strategy to this pipeline's lineage.
+
+    The DataContext snapshots into each dataset at creation and derived
+    datasets inherit it, so flipping the global strategy around dataset
+    CONSTRUCTION (not execution) pins hash shuffling to the flagship
+    lineage without leaking into other queries' groupbys.
+    """
+    if cfg.finalize_shuffle != "hash":
+        yield
+        return
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    old = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = old
+
+
+def _finalize_partitions(cfg: PipelineConfig) -> int:
+    if cfg.finalize_num_partitions:
+        return cfg.finalize_num_partitions
+    import ray
+
+    ncpu = 8
+    if ray.is_initialized():
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001 — sizing hint only
+            pass
+    return max(8, min(cfg.n_buckets, ncpu))
 
 
 def sniffed_pages(pages_path: str, cfg: PipelineConfig,
@@ -90,10 +128,19 @@ def extracted_dataset(pages_path: str,
                       dedup: bool = True,
                       skip_buckets: set[int] | None = None) -> rd.Dataset:
     """The lazy OUT_SCHEMA dataset (no checkpointing)."""
-    work = _work_stream(pages_path, cfg, skip_buckets)
-    return work.groupby("bucket").map_groups(
-        lambda g, cfg=cfg, dd=dedup: ex.finalize_bucket(g, cfg, dd),
-        batch_format="pyarrow")
+    with _shuffle_ctx(cfg):
+        work = _work_stream(pages_path, cfg, skip_buckets)
+        if cfg.finalize_shuffle == "hash":
+            return (work
+                    .repartition(num_blocks=_finalize_partitions(cfg),
+                                 keys=["bucket"])
+                    .map_batches(
+                        lambda g, cfg=cfg, dd=dedup: ex.finalize_bucket(
+                            g, cfg, dd),
+                        batch_size=None, batch_format="pyarrow"))
+        return work.groupby("bucket").map_groups(
+            lambda g, cfg=cfg, dd=dedup: ex.finalize_bucket(g, cfg, dd),
+            batch_format="pyarrow")
 
 
 def run_retry(pages_path: str,
@@ -256,11 +303,21 @@ def run_extraction(pages_path: str,
     if verify_resume and done:
         expected = ckpt.expected_fingerprints(pages_path, cfg.n_buckets)
         ckpt.invalidate_stale(out_dir, done, expected)
-    work = _work_stream(pages_path, cfg, skip_buckets=set(done))
-    manifest_ds = work.groupby("bucket").map_groups(
-        lambda g, cfg=cfg, dd=dedup: ckpt.write_bucket_group(
-            ex.finalize_bucket(g, cfg, dd), out_dir),
-        batch_format="pyarrow")
+    with _shuffle_ctx(cfg):
+        work = _work_stream(pages_path, cfg, skip_buckets=set(done))
+        if cfg.finalize_shuffle == "hash":
+            manifest_ds = (work
+                           .repartition(num_blocks=_finalize_partitions(cfg),
+                                        keys=["bucket"])
+                           .map_batches(
+                               lambda g, cfg=cfg, dd=dedup:
+                                   ex.finalize_block_write(g, cfg, dd, out_dir),
+                               batch_size=None, batch_format="pyarrow"))
+        else:
+            manifest_ds = work.groupby("bucket").map_groups(
+                lambda g, cfg=cfg, dd=dedup: ckpt.write_bucket_group(
+                    ex.finalize_bucket(g, cfg, dd), out_dir),
+                batch_format="pyarrow")
     manifest_ds.take_all()  # tiny: one row per bucket
     wall = time.monotonic() - t0
     all_manifests = list(ckpt.load_manifests(out_dir).values())

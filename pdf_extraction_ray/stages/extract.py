@@ -401,10 +401,10 @@ def finalize_bucket(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG,
     ``bucket`` (a pure url hash), so reassembly and dedup never need a
     second shuffle.
     """
-    kinds = group["row_kind"].to_pylist()
-    has_frag = any(k != "final" for k in kinds)
+    rk = group["row_kind"]
+    has_frag = bool(pc.any(pc.not_equal(rk, "final")).as_py()) if len(group) else False
     if has_frag:
-        final_mask = pa.array([k == "final" for k in kinds], pa.bool_())
+        final_mask = pc.equal(rk, "final")
         finals = group.filter(final_mask)
         frags = group.filter(pc.invert(final_mask))
     else:
@@ -478,23 +478,59 @@ def finalize_bucket(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG,
     if dedup and len(out):
         # exact first-wins: keep each url's minimum-warc_ts row
         # (reference: unique hash index, migrations/006:13-16).
-        # Duplicates are rare, so detect them on the two key columns and
-        # only then pay ONE filter pass over the nested-column table —
-        # row order is not part of the output contract (results key on
-        # url; manifests fingerprint order-insensitively)
-        urls = out["url"].to_pylist()
-        if len(set(urls)) != len(urls):
-            tss = out["warc_ts"].to_pylist()
-            best: dict[str, tuple] = {}
-            for i, (u, t) in enumerate(zip(urls, tss)):
-                cur = best.get(u)
-                if cur is None or (t, i) < cur:
-                    best[u] = (t, i)
-            keep_idx = {i for _, i in best.values()}
-            out = out.filter(pa.array([i in keep_idx
-                                       for i in range(len(urls))],
-                                      pa.bool_()))
+        # Duplicates are rare, so detect them on the key column and only
+        # then pay ONE filter pass over the nested-column table — row
+        # order is not part of the output contract (results key on url;
+        # manifests fingerprint order-insensitively). All vectorized:
+        # sort (url, warc_ts, original-index) indices, keep each url's
+        # first sorted occurrence — identical to min-(ts, index) wins.
+        n = len(out)
+        if pc.count_distinct(out["url"]).as_py() != n:
+            import numpy as np
+
+            idx = pa.array(np.arange(n, dtype=np.int64))
+            order = pc.sort_indices(
+                pa.table({"u": out["url"], "t": out["warc_ts"], "i": idx}),
+                sort_keys=[("u", "ascending"), ("t", "ascending"),
+                           ("i", "ascending")])
+            ord_np = order.to_numpy()
+            u_sorted = np.asarray(
+                out["url"].take(order).to_numpy(zero_copy_only=False))
+            first = np.empty(n, bool)
+            first[0] = True
+            first[1:] = u_sorted[1:] != u_sorted[:-1]
+            keep = np.zeros(n, bool)
+            keep[ord_np[first]] = True
+            out = out.filter(pa.array(keep))
     return out
+
+
+def finalize_block_write(block: pa.Table, cfg: PipelineConfig, dedup: bool,
+                         out_dir: str) -> pa.Table:
+    """Hash-shuffle finalize+write: one whole block of complete url-hash
+    buckets → finalize once, then write each bucket's rows atomically.
+
+    Used by the ``finalize_shuffle='hash'`` path, where the single
+    all-to-all is a hash-keyed ``repartition(keys=['bucket'])`` instead of
+    a range sort — each output block holds whole buckets, so the finisher
+    runs per block (fewer, larger vectorized calls) and the per-bucket
+    file layout is carved out locally with zero-copy slices.
+    """
+    from ..state import checkpoint as ckpt
+
+    if not len(block):
+        return pa.Table.from_pylist([], schema=ckpt.MANIFEST_SCHEMA)
+    out = finalize_bucket(block, cfg, dedup)
+    tbl = out.sort_by("bucket")
+    import numpy as np
+
+    buckets = tbl["bucket"].to_numpy()
+    bounds = [0] + (np.flatnonzero(np.diff(buckets)) + 1).tolist() + [len(tbl)]
+    manifests = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        manifests.append(ckpt.write_bucket_group(tbl.slice(lo, hi - lo),
+                                                 out_dir))
+    return pa.concat_tables(manifests)
 
 
 def _payload_views(batch: pa.Table):

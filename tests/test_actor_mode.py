@@ -28,6 +28,38 @@ def test_actor_pool_mode_matches_function_mode(ray_session, pages_corpus):
     assert a.equals(b)
 
 
+def test_hash_shuffle_finalize_matches_sort(ray_session, pages_corpus, tmp_path):
+    """finalize_shuffle='hash' (hash-keyed repartition + per-block
+    finisher) must be value-identical to the default sort-shuffle
+    groupby path — in-memory and checkpointed alike."""
+    from pdf_extraction_ray.pipelines.extraction import run_extraction
+    base_cfg = dict(max_bytes=spec.CORPUS_MAX_BYTES, n_buckets=16,
+                    split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
+    sort_df = run_extraction(
+        pages_corpus,
+        PipelineConfig(**base_cfg, finalize_shuffle="sort")).to_pandas()
+    hash_df = run_extraction(
+        pages_corpus,
+        PipelineConfig(**base_cfg, finalize_shuffle="hash",
+                       finalize_num_partitions=4)).to_pandas()
+    a, b = _norm(sort_df), _norm(hash_df)
+    assert a.drop(columns=["elements"]).equals(b.drop(columns=["elements"]))
+    assert a["elements"].astype(str).tolist() == b["elements"].astype(str).tolist()
+
+    # checkpointed hash mode: per-bucket files + manifests still appear
+    out = str(tmp_path / "hash_ckpt")
+    ds = run_extraction(
+        pages_corpus,
+        PipelineConfig(**base_cfg, finalize_shuffle="hash",
+                       finalize_num_partitions=4), out_dir=out)
+    ck = _norm(ds.to_pandas())
+    assert ck.drop(columns=["elements"]).equals(a.drop(columns=["elements"]))
+    from pdf_extraction_ray.state.checkpoint import load_manifests
+    manifests = load_manifests(out)
+    assert sum(m["n_rows"] for m in manifests.values()) == len(a)
+    assert set(manifests) == set(ck["bucket"].unique())
+
+
 def test_whole_doc_parse_equals_sharded_path(ray_session, documents_rows):
     """ExtractorActor (whole-document, used by the retry pass) must produce
     the same text as the shard+reassemble path for oversized PDFs."""
