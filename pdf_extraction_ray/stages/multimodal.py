@@ -16,7 +16,6 @@ PIL/libsndfile build. Audio/video stay opaque binary columns.
 from __future__ import annotations
 
 import hashlib
-import math
 import struct
 import zlib
 
@@ -77,40 +76,49 @@ def decode_png(payload: bytes) -> dict | None:
     stride = width * channels
     if len(raw) < height * (stride + 1):
         return None
-    out = bytearray(stride * height)
-    prev = bytearray(stride)
-    pos = 0
+    import numpy as np
+
+    # scanline view: column 0 = filter byte, rest = filtered bytes
+    arr = np.frombuffer(raw, np.uint8,
+                        count=height * (stride + 1)).reshape(height,
+                                                             stride + 1)
+    filters = arr[:, 0]
+    if filters.max(initial=0) > 4:
+        return None
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
     for y in range(height):
-        f = raw[pos]
-        pos += 1
-        line = bytearray(raw[pos:pos + stride])
-        pos += stride
-        if f == 1:    # Sub
-            for x in range(channels, stride):
-                line[x] = (line[x] + line[x - channels]) & 0xFF
-        elif f == 2:  # Up
+        f = filters[y]
+        line = arr[y, 1:].copy()
+        if f == 1:    # Sub: per-channel cumulative sum along x (mod 256
+            # distributes over the cumsum, so a wide cumsum + mask is exact)
+            for c in range(channels):
+                line[c::channels] = (np.cumsum(line[c::channels],
+                                               dtype=np.uint64) & 0xFF)
+        elif f == 2:  # Up: whole-line vector add
+            line += prev
+        elif f == 3:  # Average (sequential along x → bytearray loop)
+            ln, pv = bytearray(line.tobytes()), prev.tobytes()
             for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif f == 3:  # Average
+                a = ln[x - channels] if x >= channels else 0
+                ln[x] = (ln[x] + ((a + pv[x]) >> 1)) & 0xFF
+            line = np.frombuffer(bytes(ln), np.uint8)
+        elif f == 4:  # Paeth (inherently sequential along x)
+            ln, pv = bytearray(line.tobytes()), prev.tobytes()
             for x in range(stride):
-                a = line[x - channels] if x >= channels else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - channels] if x >= channels else 0
-                b = prev[x]
-                c = prev[x - channels] if x >= channels else 0
+                a = ln[x - channels] if x >= channels else 0
+                b = pv[x]
+                c = pv[x - channels] if x >= channels else 0
                 p = a + b - c
                 pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa_ <= pb and pa_ <= pc_ else (b if pb <= pc_
-                                                          else c)
-                line[x] = (line[x] + pred) & 0xFF
-        elif f != 0:
-            return None
-        out[y * stride:(y + 1) * stride] = line
+                                                           else c)
+                ln[x] = (ln[x] + pred) & 0xFF
+            line = np.frombuffer(bytes(ln), np.uint8)
+        out[y] = line
         prev = line
     return {"width": width, "height": height, "channels": channels,
-            "pixels": bytes(out)}
+            "pixels": out.tobytes()}
 
 
 def decode_bmp_header(payload: bytes) -> dict | None:
@@ -127,11 +135,12 @@ def _entropy_cbits(payload: bytes) -> int:
     """Byte-histogram Shannon entropy in centibits/byte (0..800)."""
     if not payload:
         return 0
-    counts = [0] * 256
-    for b in payload:
-        counts[b] += 1
-    n = len(payload)
-    h = -sum((c / n) * math.log2(c / n) for c in counts if c)
+    import numpy as np
+
+    counts = np.bincount(np.frombuffer(payload, np.uint8), minlength=256)
+    nz = counts[counts > 0].astype(np.float64)
+    p = nz / len(payload)
+    h = float(-(p * np.log2(p)).sum())
     return int(round(h * 100))
 
 
@@ -234,7 +243,13 @@ class MediaFeatureExtractor:
             if png is not None:
                 w, h, ch = png["width"], png["height"], png["channels"]
                 px = png["pixels"]
-                mean_pixel = sum(px) // len(px) if px else 0
+                if px:
+                    import numpy as np
+                    mean_pixel = int(
+                        np.frombuffer(px, np.uint8).sum(dtype=np.int64)
+                        // len(px))
+                else:
+                    mean_pixel = 0
                 decoded = True
             else:
                 bmp = decode_bmp_header(payload)
