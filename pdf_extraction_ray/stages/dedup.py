@@ -167,7 +167,8 @@ def _pmod(key, p: int) -> pa.Array:
 def connected_components(pairs: rd.Dataset, a_col: str = "a",
                          b_col: str = "b",
                          max_rounds: int = 12,
-                         num_blocks: int = 32) -> rd.Dataset:
+                         num_blocks: int = 32,
+                         jump_from_round: int = 2) -> rd.Dataset:
     """Connected components over an undirected edge list — fully
     distributed min-label propagation (the round-1 version union-found on
     the driver). Returns (node, label): label = the component's minimum
@@ -187,42 +188,47 @@ def connected_components(pairs: rd.Dataset, a_col: str = "a",
     repartition compounds blocks geometrically and each round costs more
     than the last (measured 0.6s → 34s by round 2 on a toy graph). Size
     it ~cluster cores at scale.
+
+    ``jump_from_round``: pointer jumping only runs from this round on.
+    Near-dup components are almost always pairs / stars (diameter ≤ 2)
+    that min-propagation alone finishes in one round — paying the jump's
+    two extra dataset ops every round bought nothing on real dedup
+    graphs; long adversarial chains still get the O(log diameter)
+    behavior once the early rounds haven't converged.
     """
     from ray.data.aggregate import Min
 
-    # repartition up front: pair lists arriving from a map_groups stage
-    # carry hundreds of tiny blocks, and every per-round shuffle would pay
-    # per-block overhead on them again and again
-    pairs = pairs.repartition(num_blocks).materialize()
-    e1 = pairs.map_batches(
-        lambda t: pa.table({"src": t[a_col].cast(pa.int64()),
-                            "dst": t[b_col].cast(pa.int64())}),
-        batch_format="pyarrow")
-    e2 = pairs.map_batches(
-        lambda t: pa.table({"src": t[b_col].cast(pa.int64()),
-                            "dst": t[a_col].cast(pa.int64())}),
-        batch_format="pyarrow")
-    edges = e1.union(e2).repartition(num_blocks).materialize()
-    edge_req = edges.map_batches(
-        lambda t: pa.table({"key": t["src"], "out": t["dst"]}),
-        batch_format="pyarrow").materialize()
+    # one map emits both edge directions with the lookup's (key, out)
+    # names — the same materialized dataset serves the init groupby and
+    # every round's propagation requests (round 1 built three
+    # materialized copies: pairs, edges, edge_req)
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t[a_col].cast(pa.int64()).combine_chunks()
+        b = t[b_col].cast(pa.int64()).combine_chunks()
+        return pa.table({
+            "key": pa.chunked_array([a, b]).combine_chunks(),
+            "out": pa.chunked_array([b, a]).combine_chunks(),
+        })
+
+    edges = (pairs.map_batches(both_dirs, batch_format="pyarrow")
+                  .repartition(num_blocks).materialize())
 
     # round 0 folded into init: label(node) = min(node, min neighbor)
     def fold(t: pa.Table) -> pa.Table:
         return pa.table({
-            "node": t["src"],
-            "label": pc.min_element_wise(t["src"], t["nbr_min"]),
+            "node": t["key"],
+            "label": pc.min_element_wise(t["key"], t["nbr_min"]),
         })
 
-    labels = (edges.groupby("src")
-                   .aggregate(Min("dst", alias_name="nbr_min"))
+    labels = (edges.groupby("key")
+                   .aggregate(Min("out", alias_name="nbr_min"))
                    .map_batches(fold, batch_format="pyarrow")
                    .materialize())
     cur_sum = labels.sum("label")
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # (1) neighbor-min propagation: candidate label for dst = label(src)
-        cand = _lookup_cogroup(edge_req, labels)
+        cand = _lookup_cogroup(edges, labels)
         merged = (labels.union(cand)
                         .groupby("node")
                         .aggregate(Min("label", alias_name="label"))
@@ -235,13 +241,15 @@ def connected_components(pairs: rd.Dataset, a_col: str = "a",
         labels = merged
         if new_sum == cur_sum:
             break
-        # (2) pointer jumping: label(node) := label(label(node))
-        jump_req = labels.map_batches(
-            lambda t: pa.table({"key": t["label"], "out": t["node"]}),
-            batch_format="pyarrow")
-        labels = (_lookup_cogroup(jump_req, labels)
-                  .repartition(num_blocks).materialize())
-        cur_sum = labels.sum("label")
+        cur_sum = new_sum
+        if rnd + 1 >= jump_from_round:
+            # (2) pointer jumping: label(node) := label(label(node))
+            jump_req = labels.map_batches(
+                lambda t: pa.table({"key": t["label"], "out": t["node"]}),
+                batch_format="pyarrow")
+            labels = (_lookup_cogroup(jump_req, labels)
+                      .repartition(num_blocks).materialize())
+            cur_sum = labels.sum("label")
     return labels
 
 
