@@ -250,7 +250,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _tuned(analytics.ann_ivf),
         # windowed aggregates (streaming-shaped)
         "window_tumbling": _tuned(analytics.window_tumbling),
+        "window_sliding": _tuned(analytics.window_sliding),
+        "rolling_user_value": _tuned(analytics.rolling_user_value),
         "sessions": _tuned(analytics.sessions),
+        # temporal join + corpus-stats operators
+        "asof_prior_error": _tuned(analytics.asof_prior_error),
+        "vocab_df": _tuned(analytics.vocab_df),
+        "stratified_sample": _tuned(analytics.stratified_sample),
     }
 
 
@@ -290,7 +296,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cells": analytics.embedding_dup_pairs_sql(),
         "ann_bruteforce": analytics.ann_bruteforce_sql(),
         "window_tumbling": analytics.window_tumbling_sql(),
+        "window_sliding": analytics.window_sliding_sql(),
+        "rolling_user_value": analytics.rolling_user_value_sql(),
         "sessions": analytics.sessions_sql(),
+        "asof_prior_error": analytics.asof_prior_error_sql(),
+        "vocab_df": analytics.vocab_df_sql(),
+        "stratified_sample": analytics.stratified_sample_sql(),
         # rows-only (non-SQL-expressible): fingerprint_docs, dedup_minhash,
         # dedup_simhash, ann_ivf — verified in tests instead
     }

@@ -660,3 +660,160 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
        CAST(count(*) AS BIGINT) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY user_id, sid"""
+
+
+def window_sliding(sf_dir: str, width_s: int = 3600,
+                   step_s: int = 1800) -> rd.Dataset:
+    """Sliding (hopping) windows — tumbling's overlapping sibling."""
+    ds = _read_table(sf_dir, "events", ["event_type", "ts", "value"])
+    out = win.sliding_window(ds, width_s, step_s)
+
+    def to_int_units(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"), "sum_value_e6",
+            pc.round(pc.multiply(batch["sum_value"], 1e6)).cast(pa.int64()))
+
+    return out.map_batches(to_int_units, batch_format="pyarrow")
+
+
+def window_sliding_sql(width_s: int = 3600, step_s: int = 1800) -> str:
+    step = step_s * 1_000_000
+    nk = width_s // step_s
+    return f"""
+SELECT event_type,
+       make_timestamp((CAST(floor(epoch_us(ts) / {step}) AS BIGINT) - k.k)
+                      * {step}) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_e6
+FROM events CROSS JOIN (SELECT unnest(range(0, {nk})) AS k) k
+GROUP BY event_type, window_start"""
+
+
+def rolling_user_value(sf_dir: str, width_s: int = 3600) -> rd.Dataset:
+    """Per-user trailing-hour rolling aggregate (windowed aggregate the
+    streaming way: RANGE width PRECEDING .. CURRENT ROW per key)."""
+    ds = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "ts", "value"])
+    out = win.rolling_time_window(ds, width_s)
+
+    def to_int_units(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.set_column(
+            batch.schema.get_field_index("sum_window"), "sum_window_e6",
+            pc.round(pc.multiply(batch["sum_window"], 1e6)).cast(pa.int64()))
+
+    return out.map_batches(to_int_units, batch_format="pyarrow")
+
+
+def rolling_user_value_sql(width_s: int = 3600) -> str:
+    return f"""
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       CAST(round(sum(value) OVER w * 1000000) AS BIGINT) AS sum_window_e6
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {width_s} SECOND PRECEDING
+                       AND CURRENT ROW)"""
+
+
+def asof_prior_error(sf_dir: str) -> rd.Dataset:
+    """As-of join: each click event gets the newest error event of the
+    same user at or before its timestamp (-1 when none) — the temporal
+    point-lookup shape (stages/joins.py)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import asof_join
+
+    ev = _read_table(sf_dir, "events", ["event_id", "user_id",
+                                        "event_type", "ts"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")),
+        batch_format="pyarrow")
+    errors = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")),
+        batch_format="pyarrow")
+    return asof_join(clicks, errors, key_col="user_id", ts_col="ts",
+                     left_id_col="event_id", right_id_col="event_id",
+                     out_left="event_id", out_right="prior_error_id")
+
+
+def asof_prior_error_sql() -> str:
+    return """
+SELECT a.event_id, CAST(COALESCE(b.event_id, -1) AS BIGINT) AS prior_error_id
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts"""
+
+
+def vocab_df(sf_dir: str) -> rd.Dataset:
+    """Corpus vocabulary with term + document frequencies — the
+    wordcount-with-combiner shape: per-batch partial (word, count,
+    doc-count) rows, then ONE small groupby-sum shuffle (never a
+    shuffle of exploded token rows)."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tot: Counter = Counter()
+        dfc: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            toks = (text or "").split(" ")
+            tot.update(toks)
+            dfc.update(set(toks))
+        words = sorted(tot)
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "c_total": pa.array([tot[w] for w in words], pa.int64()),
+            "c_docs": pa.array([dfc[w] for w in words], pa.int64()),
+        })
+
+    return (_docs(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("word")
+            .aggregate(Sum("c_total", alias_name="n_total"),
+                       Sum("c_docs", alias_name="n_docs")))
+
+
+def vocab_df_sql() -> str:
+    return """
+SELECT word, CAST(sum(c) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+) GROUP BY word"""
+
+
+STRATUM_RATE_PCT = {"en": 10}  # default stratum rate below
+STRATUM_DEFAULT_PCT = 50
+
+
+def stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic stratified sampling: keep ``rate(lang)`` percent of
+    each language stratum by multiplicative id hash (downsample the
+    dominant language, keep the tail) — the training-data rebalancing
+    operator. Exactly reproducible in SQL."""
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.uint64)
+        h = (ids * SPLIT_HASH_MULT) % SPLIT_MOD
+        langs = batch["lang"].to_pylist()
+        rates = np.fromiter(
+            (STRATUM_RATE_PCT.get(la, STRATUM_DEFAULT_PCT) for la in langs),
+            np.int64, len(langs))
+        mask = h < (rates * (SPLIT_MOD // 100)).astype(np.uint64)
+        return batch.filter(pa.array(mask))
+
+    return (_docs(sf_dir, ["doc_id", "lang"])
+            .map_batches(keep, batch_format="pyarrow"))
+
+
+def stratified_sample_sql() -> str:
+    h = f"(doc_id * {SPLIT_HASH_MULT}) % {SPLIT_MOD}"
+    cases = " ".join(f"WHEN '{la}' THEN {pct}"
+                     for la, pct in STRATUM_RATE_PCT.items())
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {h} < (CASE lang {cases} ELSE {STRATUM_DEFAULT_PCT} END)
+          * {SPLIT_MOD // 100}"""

@@ -1,0 +1,79 @@
+"""Keyed as-of join — the temporal point-lookup Ray Data has no
+primitive for (SURVEY.md custom-operator rule: compose map_batches +
+one keyed shuffle when semantics allow).
+
+For every left row, attach the id of the newest right row with the same
+key and ``right.ts <= left.ts`` (ties on ts resolve to the largest right
+id — an explicit total order, never insertion order). The exchange is
+the engine's partition-wise cogroup shape: both sides tag ``p = key %
+P``, one ``groupby(p)`` shuffle co-locates each partition, and the
+per-partition body is a single vectorized ``pandas.merge_asof`` — no
+per-key Python calls, no ``Dataset.join`` (see stages/dedup.py
+``_lookup_cogroup`` for why).
+
+Partitioning assumption (documented per north rule): one key's rows fit
+one partition task; a single pathological key is the skew bound (salt by
+time range for such keys at real scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset,
+              key_col: str, ts_col: str,
+              left_id_col: str, right_id_col: str,
+              out_left: str = "left_id", out_right: str = "asof_id",
+              num_partitions: int = 32, fill: int = -1) -> rd.Dataset:
+    """Left as-of join: (out_left, out_right) — ``fill`` when no right
+    row precedes the left row."""
+    P = num_partitions
+
+    def tag(side: int, id_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            key = t[key_col].cast(pa.int64()).combine_chunks()
+            p = np.abs(key.to_numpy(zero_copy_only=False)) % P
+            return pa.table({
+                "p": pa.array(p.astype(np.int64), pa.int64()),
+                "side": pa.array(np.full(len(t), side, np.int8)),
+                "key": key,
+                "ts": t[ts_col],
+                "id": t[id_col].cast(pa.int64()),
+            })
+        return fn
+
+    both = (left.map_batches(tag(0, left_id_col), batch_format="pyarrow")
+                .union(right.map_batches(tag(1, right_id_col),
+                                         batch_format="pyarrow")))
+
+    def grp(g: pd.DataFrame) -> pa.Table:
+        lf = g[g["side"] == 0]
+        rt = g[g["side"] == 1]
+        if lf.empty:
+            return pa.table({out_left: pa.array([], pa.int64()),
+                             out_right: pa.array([], pa.int64())})
+        # stable sorts pin the tie order: among right rows sharing
+        # (key, ts), merge_asof keeps the last in sort order = max id
+        lf = lf.sort_values(["ts", "id"], kind="mergesort")
+        if rt.empty:
+            return pa.table({
+                out_left: pa.array(lf["id"].to_numpy(np.int64)),
+                out_right: pa.array(np.full(len(lf), fill, np.int64)),
+            })
+        rt = rt.sort_values(["ts", "id"], kind="mergesort")
+        m = pd.merge_asof(lf[["ts", "key", "id"]],
+                          rt[["ts", "key", "id"]],
+                          on="ts", by="key", direction="backward",
+                          suffixes=("", "_r"))
+        prior = m["id_r"].fillna(fill).astype(np.int64)
+        return pa.table({
+            out_left: pa.array(m["id"].to_numpy(np.int64)),
+            out_right: pa.array(prior.to_numpy()),
+        })
+
+    return both.groupby("p").map_groups(grp, batch_format="pandas")

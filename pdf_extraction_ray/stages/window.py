@@ -43,6 +43,75 @@ def tumbling_window(ds: rd.Dataset, width_s: int,
                          Sum(value_col, alias_name="sum_value")))
 
 
+def sliding_window(ds: rd.Dataset, width_s: int, step_s: int,
+                   ts_col: str = "ts", key_col: str = "event_type",
+                   value_col: str = "value") -> rd.Dataset:
+    """Sliding (hopping) count/sum per (key, window): windows of
+    ``width_s`` starting every ``step_s`` (width must be a multiple of
+    step). Each event belongs to exactly width/step windows; the explode
+    is vectorized numpy repeat/tile — row count amplifies by width/step
+    BEFORE the shuffle, which is the documented cost of hop windows (use
+    tumbling + rollup when the ratio is large).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    if width_s % step_s:
+        raise ValueError("width_s must be a multiple of step_s")
+    nk = width_s // step_s
+    step_us = step_s * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (us // step_us) * step_us
+        starts = (np.repeat(base, nk)
+                  - np.tile(np.arange(nk, dtype=np.int64) * step_us,
+                            len(us)))
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: pa.array(np.repeat(keys, nk)),
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            value_col: pa.array(np.repeat(vals, nk)),
+        })
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby([key_col, "window_start"])
+              .aggregate(Count(alias_name="n_events"),
+                         Sum(value_col, alias_name="sum_value")))
+
+
+def rolling_time_window(ds: rd.Dataset, width_s: int,
+                        key_col: str = "user_id", ts_col: str = "ts",
+                        value_col: str = "value",
+                        id_col: str = "event_id") -> rd.Dataset:
+    """Per-key rolling time-range aggregate: for every row, the count and
+    sum of the key's rows within the trailing ``width_s`` window
+    (inclusive of ts peers — SQL ``RANGE BETWEEN width PRECEDING AND
+    CURRENT ROW`` semantics). One keyed shuffle; per-group body is
+    cumulative-sum + searchsorted arithmetic, no per-row Python.
+    """
+    width_ns = width_s * 1_000_000_000
+
+    def roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([ts_col, id_col],
+                              kind="mergesort").reset_index(drop=True)
+        # pin the epoch unit: pandas may hold datetime64[us] or [ns]
+        # depending on the Arrow round-trip
+        ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        v = g[value_col].to_numpy(dtype=np.float64)
+        csum = np.concatenate(([0.0], np.cumsum(v)))
+        lo = np.searchsorted(ts, ts - width_ns, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # include ts peers
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            "n_window": (hi - lo).astype(np.int64),
+            "sum_window": csum[hi] - csum[lo],
+        })
+
+    return (ds.select_columns([key_col, ts_col, value_col, id_col])
+              .groupby(key_col).map_groups(roll, batch_format="pandas"))
+
+
 def sessionize(ds: rd.Dataset, gap_s: int,
                key_col: str = "user_id", ts_col: str = "ts") -> rd.Dataset:
     """Gap-based session windows per key.

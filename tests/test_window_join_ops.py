@@ -1,0 +1,103 @@
+"""Tests: as-of join, sliding/rolling windows, vocabulary build, and
+stratified sampling — semantics on hand-built inputs plus DuckDB parity
+on the smoke tables (the same compare the driver harness runs)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_check import compare
+
+
+@pytest.mark.parametrize("name", [
+    "window_sliding", "rolling_user_value", "asof_prior_error",
+    "vocab_df", "stratified_sample",
+])
+def test_new_ops_match_duckdb(ray_session, name):
+    from pdf_extraction_ray.pipelines import analytics as A
+    fn = getattr(A, name)
+    sql = getattr(A, f"{name}_sql")()
+    assert compare(name, fn(SF_SMOKE), sql, SF_SMOKE) == []
+
+
+def test_asof_join_semantics(ray_session):
+    """Backward as-of: newest right row at-or-before each left ts per
+    key; ties on ts go to the max right id; no match → fill."""
+    import ray.data as rd
+    from pdf_extraction_ray.stages.joins import asof_join
+
+    left = rd.from_items([
+        {"k": 1, "ts": pd.Timestamp("2024-01-01 00:10"), "lid": 100},
+        {"k": 1, "ts": pd.Timestamp("2024-01-01 00:20"), "lid": 101},
+        {"k": 2, "ts": pd.Timestamp("2024-01-01 00:05"), "lid": 200},
+        {"k": 3, "ts": pd.Timestamp("2024-01-01 00:30"), "lid": 300},
+    ])
+    right = rd.from_items([
+        # k=1: two candidates before 00:10, one exactly AT 00:20 (tie with
+        # left ts → included), plus a same-ts pair (ids 12, 13 at 00:20)
+        {"k": 1, "ts": pd.Timestamp("2024-01-01 00:01"), "rid": 10},
+        {"k": 1, "ts": pd.Timestamp("2024-01-01 00:09"), "rid": 11},
+        {"k": 1, "ts": pd.Timestamp("2024-01-01 00:20"), "rid": 13},
+        {"k": 1, "ts": pd.Timestamp("2024-01-01 00:20"), "rid": 12},
+        # k=2: only AFTER the left row → no match
+        {"k": 2, "ts": pd.Timestamp("2024-01-01 00:06"), "rid": 20},
+    ])
+    out = asof_join(left, right, key_col="k", ts_col="ts",
+                    left_id_col="lid", right_id_col="rid",
+                    out_left="lid", out_right="prior",
+                    num_partitions=4).to_pandas()
+    got = dict(zip(out["lid"], out["prior"]))
+    assert got == {100: 11,   # newest <= 00:10
+                   101: 13,   # tie at 00:20 → max rid wins
+                   200: -1,   # right row is after left
+                   300: -1}   # key has no right rows at all
+
+
+def test_sliding_window_membership(ray_session):
+    """Every event lands in exactly width/step windows and the per-window
+    counts sum to n_events * (width/step)."""
+    import ray.data as rd
+    from pdf_extraction_ray.stages.window import sliding_window
+
+    rows = [{"event_type": "a", "ts": pd.Timestamp("2024-01-01") +
+             pd.Timedelta(minutes=7 * i), "value": 1.0} for i in range(40)]
+    ds = rd.from_items(rows)
+    out = sliding_window(ds, width_s=3600, step_s=900).to_pandas()
+    assert out["n_events"].sum() == 40 * 4
+    # any single window never exceeds width/step * max events per step
+    assert (out["n_events"] > 0).all()
+
+
+def test_rolling_time_window_peers(ray_session):
+    """RANGE semantics: rows sharing a timestamp are peers — both count
+    in each other's window."""
+    import ray.data as rd
+    from pdf_extraction_ray.stages.window import rolling_time_window
+
+    t0 = pd.Timestamp("2024-01-01")
+    ds = rd.from_items([
+        {"user_id": 1, "ts": t0, "value": 1.0, "event_id": 1},
+        {"user_id": 1, "ts": t0, "value": 2.0, "event_id": 2},
+        {"user_id": 1, "ts": t0 + pd.Timedelta(seconds=30), "value": 4.0,
+         "event_id": 3},
+        {"user_id": 1, "ts": t0 + pd.Timedelta(seconds=120), "value": 8.0,
+         "event_id": 4},
+    ])
+    out = rolling_time_window(ds, width_s=60).to_pandas().set_index("event_id")
+    assert out.loc[1, "n_window"] == 2 and out.loc[2, "n_window"] == 2
+    assert out.loc[3, "n_window"] == 3
+    assert out.loc[3, "sum_window"] == pytest.approx(7.0)
+    # 120s row: only the 60s window [60, 120] → just itself
+    assert out.loc[4, "n_window"] == 1
+
+
+def test_stratified_sample_rates(ray_session):
+    """Dominant stratum is downsampled at its configured rate; the exact
+    member set is a pure function of doc_id (determinism)."""
+    from pdf_extraction_ray.pipelines import analytics as A
+    out = A.stratified_sample(SF_SMOKE).to_pandas()
+    out2 = A.stratified_sample(SF_SMOKE).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+    frac_en = len(out[out.lang == "en"])
+    assert frac_en < len(out)  # en is downsampled hardest
