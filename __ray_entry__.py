@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_prior_error": _tuned(analytics.asof_prior_error),
         "vocab_df": _tuned(analytics.vocab_df),
         "stratified_sample": _tuned(analytics.stratified_sample),
+        "heavy_hitter_terms": _tuned(analytics.heavy_hitter_terms),
+        "tfidf_top_terms": _tuned(analytics.tfidf_top_terms),
     }
 
 
@@ -302,6 +304,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_prior_error": analytics.asof_prior_error_sql(),
         "vocab_df": analytics.vocab_df_sql(),
         "stratified_sample": analytics.stratified_sample_sql(),
+        "heavy_hitter_terms": analytics.heavy_hitter_terms_sql(),
+        "tfidf_top_terms": analytics.tfidf_top_terms_sql(),
         # rows-only (non-SQL-expressible): fingerprint_docs, dedup_minhash,
         # dedup_simhash, ann_ivf — verified in tests instead
     }

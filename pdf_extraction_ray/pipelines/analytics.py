@@ -817,3 +817,113 @@ def stratified_sample_sql() -> str:
 SELECT doc_id, lang FROM documents
 WHERE {h} < (CASE lang {cases} ELSE {STRATUM_DEFAULT_PCT} END)
           * {SPLIT_MOD // 100}"""
+
+
+def heavy_hitter_terms(sf_dir: str, k: int = 20) -> pa.Table:
+    """Exact top-k corpus terms via the two-pass Misra–Gries heavy-
+    hitters pattern (stages/sketch.py:heavy_hitters): bounded-memory
+    sketch pass → candidate recount pass — the scale shape when the
+    vocabulary outgrows a full wordcount groupby."""
+    from ..stages.sketch import heavy_hitters
+
+    def tokens_of(batch: pa.Table):
+        for text in batch["text"].to_pylist():
+            yield from (text or "").split(" ")
+
+    return heavy_hitters(_docs(sf_dir, ["text"]), "word", k=k,
+                         values_of=tokens_of)
+
+
+def heavy_hitter_terms_sql(k: int = 20) -> str:
+    return f"""
+SELECT word, n FROM (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+) ORDER BY n DESC, word LIMIT {k}"""
+
+
+def tfidf_top_terms(sf_dir: str, top: int = 3,
+                    num_partitions: int = 32) -> rd.Dataset:
+    """Integer TF-IDF: per-doc top terms ranked by
+    ``count * ((N_docs * 1000) // doc_freq)`` — all-integer scoring so
+    Ray and SQL agree bit-for-bit (a float idf would hang the compare on
+    libm ulps). Two keyed shuffles, both partition-wise cogroups:
+    word-keyed (doc-frequency + scoring local to each word partition)
+    then doc-keyed (top-k per doc)."""
+    from collections import Counter
+
+    from ..functions.hashing import stable_hash64
+
+    P = num_partitions
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        ids_o, words_o, c_o, p_o = [], [], [], []
+        for doc, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            counts = Counter((text or "").split(" "))
+            for w in sorted(counts):
+                ids_o.append(doc)
+                words_o.append(w)
+                c_o.append(counts[w])
+                p_o.append(stable_hash64(w) % P)
+        return pa.table({
+            "doc_id": pa.array(ids_o, pa.int64()),
+            "word": pa.array(words_o, pa.string()),
+            "c": pa.array(c_o, pa.int64()),
+            "p": pa.array(p_o, pa.int64()),
+        })
+
+    def score_partition(g: pd.DataFrame) -> pa.Table:
+        # every row of a word lands in this partition, so doc_freq is a
+        # local groupby; rows are (doc, word)-unique by construction
+        df_map = g.groupby("word")["doc_id"].size()
+        idf = (n_docs * 1000) // df_map
+        score = g["c"].to_numpy(np.int64) * idf[g["word"]].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "word": pa.array(g["word"].tolist(), pa.string()),
+            "score": pa.array(score, pa.int64()),
+            "p2": pa.array(g["doc_id"].to_numpy(np.int64) % P, pa.int64()),
+        })
+
+    def topk_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "score", "word"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = g.groupby("doc_id").cumcount() + 1
+        out = g[g["rank"] <= top]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "word": pa.array(out["word"].tolist(), pa.string()),
+            "score": pa.array(out["score"].to_numpy(np.int64)),
+            "rank": pa.array(out["rank"].to_numpy(np.int64)),
+        })
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(term_rows, batch_format="pyarrow")
+            .groupby("p").map_groups(score_partition, batch_format="pandas")
+            .groupby("p2").map_groups(topk_partition, batch_format="pandas"))
+
+
+def tfidf_top_terms_sql(top: int = 3) -> str:
+    return f"""
+WITH tc AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+), df AS (SELECT word, count(*) AS d FROM tc GROUP BY word),
+n AS (SELECT count(*) AS nn FROM documents),
+scored AS (
+  SELECT tc.doc_id, tc.word, tc.c * ((n.nn * 1000) // df.d) AS score
+  FROM tc JOIN df USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, word, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, word) AS rank
+  FROM scored
+)
+SELECT doc_id, word, CAST(score AS BIGINT) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {top}"""

@@ -70,6 +70,100 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> int:
     return hll_estimate(merged)
 
 
+def _misra_gries(values, k: int) -> dict:
+    """Classic Misra–Gries frequency summary: at most ``k`` counters;
+    any value with frequency > n/(k+1) is guaranteed a counter."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            dead = [key for key, c in counters.items() if c == 1]
+            for key in counters:
+                counters[key] -= 1
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
+                  sketch_k: int = 512,
+                  values_of=None) -> pa.Table:
+    """EXACT top-k frequent values via the two-pass heavy-hitters
+    pattern: pass 1 streams per-batch Misra–Gries summaries (bounded
+    memory — ``sketch_k`` counters per batch, never a full histogram);
+    the candidate union is a guaranteed superset of every value with
+    total frequency > n/(sketch_k+1) (pigeonhole over batches). Pass 2
+    recounts ONLY the candidates (broadcast set filter + one small
+    groupby) and takes the top ``k`` with (count desc, value asc) tie
+    order. Exactness requires the true k-th frequency to clear the
+    n/(sketch_k+1) bound — asserted at runtime, so a miss is loud, not
+    silently wrong.
+
+    ``values_of(batch) -> iterable`` extracts the counted values
+    (default: the ``col`` column); pass a tokenizer to count terms
+    without materializing an exploded token dataset.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if values_of is None:
+        def values_of(batch):  # noqa: D401
+            return batch[col].to_pylist()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mg = _misra_gries(values_of(batch), sketch_k)
+        vals = sorted(mg)
+        return pa.table({"v": pa.array(vals, pa.string()),
+                         "c": pa.array([mg[v] for v in vals], pa.int64())})
+
+    candidates: set = set()
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")):
+        candidates.update(b["v"].to_pylist())
+    cand_ref = ray.put(candidates)
+
+    _SENTINEL = "\x00__total__"  # carries each batch's value total through
+    # the groupby even when a batch holds no candidate values at all
+
+    def recount(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        acc: dict = {}
+        total = 0
+        for v in values_of(batch):
+            total += 1
+            if v in wanted:
+                acc[v] = acc.get(v, 0) + 1
+        vals = sorted(acc)
+        return pa.table({
+            col: pa.array(vals + [_SENTINEL], pa.string()),
+            "n": pa.array([acc[v] for v in vals] + [0], pa.int64()),
+            "_total": pa.array([0] * len(vals) + [total], pa.int64()),
+        })
+
+    counted = (ds.map_batches(recount, batch_format="pyarrow")
+                 .groupby(col)
+                 .aggregate(Sum("n", alias_name="n"),
+                            Sum("_total", alias_name="_t"))
+                 .to_pandas())
+    n_total = int(counted["_t"].sum())
+    counted = counted[counted[col] != _SENTINEL]
+    top = counted.sort_values(["n", col], ascending=[False, True],
+                              kind="mergesort").head(k)
+    if len(counted) > k:
+        kth = int(top["n"].iloc[-1])
+        assert kth * (sketch_k + 1) > n_total, (
+            f"heavy_hitters cannot certify exact top-{k}: k-th count "
+            f"{kth} <= n/(sketch_k+1) = {n_total / (sketch_k + 1):.1f}; "
+            "raise sketch_k")
+    return pa.table({
+        col: pa.array(top[col].tolist(), pa.string()),
+        "n": pa.array(top["n"].tolist(), pa.int64()),
+    })
+
+
 def approx_distinct_by_key(ds: rd.Dataset, key_col: str, col: str,
                            p: int = 10) -> rd.Dataset:
     """Per-key approximate distinct counts: batch-level (key, registers)

@@ -101,3 +101,34 @@ def test_stratified_sample_rates(ray_session):
     assert sorted(out.doc_id) == sorted(out2.doc_id)
     frac_en = len(out[out.lang == "en"])
     assert frac_en < len(out)  # en is downsampled hardest
+
+
+@pytest.mark.parametrize("name", ["heavy_hitter_terms", "tfidf_top_terms"])
+def test_term_ops_match_duckdb(ray_session, name):
+    from pdf_extraction_ray.pipelines import analytics as A
+    fn = getattr(A, name)
+    sql = getattr(A, f"{name}_sql")()
+    assert compare(name, fn(SF_SMOKE), sql, SF_SMOKE) == []
+
+
+def test_misra_gries_guarantee():
+    """Any value with frequency > n/(k+1) keeps a counter."""
+    from pdf_extraction_ray.stages.sketch import _misra_gries
+    values = ["hot"] * 50 + [f"v{i}" for i in range(100)] + ["warm"] * 30
+    mg = _misra_gries(values, k=8)
+    assert "hot" in mg and "warm" in mg  # 50, 30 > 180/9 = 20
+
+
+def test_heavy_hitters_certifies_exactness(ray_session):
+    """The runtime guard fires when sketch_k is too small to certify the
+    top-k, instead of returning silently wrong counts."""
+    import ray.data as rd
+    from pdf_extraction_ray.stages.sketch import heavy_hitters
+
+    rows = [{"word": f"w{i % 40}"} for i in range(400)]
+    ds = rd.from_items(rows)
+    # plenty of sketch room → exact
+    out = heavy_hitters(ds, "word", k=5, sketch_k=256).to_pandas()
+    assert out["n"].tolist() == [10] * 5
+    with pytest.raises(AssertionError, match="cannot certify"):
+        heavy_hitters(ds, "word", k=5, sketch_k=2)
