@@ -245,9 +245,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _tuned(analytics.jaccard_pairs),
         "embedding_dup_pairs": _tuned(analytics.embedding_dup_pairs),
         "dedup_embedding_cells": _tuned(analytics.dedup_embedding_cells),
-        # similarity search
+        # similarity search + embedding clustering
         "ann_bruteforce": _tuned(analytics.ann_bruteforce),
         "ann_ivf": _tuned(analytics.ann_ivf),
+        "kmeans_clusters": _tuned(analytics.kmeans_clusters),
         # windowed aggregates (streaming-shaped)
         "window_tumbling": _tuned(analytics.window_tumbling),
         "window_sliding": _tuned(analytics.window_sliding),

@@ -927,3 +927,14 @@ scored AS (
 SELECT doc_id, word, CAST(score AS BIGINT) AS score,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {top}"""
+
+
+def kmeans_clusters(sf_dir: str, k: int = 10, iters: int = 6) -> rd.Dataset:
+    """Distributed Lloyd's k-means assignment over the embeddings table
+    (rows-only: iterative float algorithm with no SQL analog; monotone
+    inertia + determinism asserted in tests). Broadcast centroids,
+    fixed-size mergeable partials — the iterative-ML shape on Ray Data
+    (stages/similarity.py:kmeans)."""
+    ds = _read_table(sf_dir, "embeddings")
+    assign, _hist = sim.kmeans(ds, k=k, iters=iters)
+    return assign

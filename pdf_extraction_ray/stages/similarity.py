@@ -240,3 +240,93 @@ def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
                         sample_rows)
     return topk_cosine_ivf_indexed(index_dir, queries, query_ids, k,
                                    n_probe, vec_col, id_col)
+
+
+def kmeans(ds: rd.Dataset, k: int = 10, iters: int = 8,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           init_sample: int = 256) -> tuple[rd.Dataset, list[float]]:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    The iterative-algorithm shape on Ray Data: centroids broadcast once
+    per round (``ray.put``), every batch computes its assignments with
+    one numpy matmul and reduces to a (k x dim sums, k counts, inertia)
+    partial — the driver folds only those fixed-size partials, never
+    vectors. Init is deterministic farthest-point (k-center greedy) on a
+    bounded id-pruned sample, so runs are reproducible without any RNG.
+
+    Returns (assignments dataset (id_col, cluster_id), per-iteration
+    inertia list — non-increasing by Lloyd's monotonicity, asserted in
+    tests). Empty clusters keep their previous centroid.
+    """
+    import pyarrow.compute as pc
+
+    # --- deterministic farthest-point init on a bounded id-pruned sample ---
+    sample = ds.map_batches(
+        lambda t: t.filter(pc.less(t[id_col], init_sample)),
+        batch_format="pyarrow")
+    st = sample.take_all()
+    smat = np.asarray([r[vec_col] for r in st], dtype=np.float64)
+    sids = np.asarray([r[id_col] for r in st], dtype=np.int64)
+    order = np.argsort(sids, kind="stable")
+    smat = smat[order]
+    cents = [smat[0]]
+    d2 = ((smat - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))  # first max → deterministic
+        cents.append(smat[nxt])
+        d2 = np.minimum(d2, ((smat - cents[-1]) ** 2).sum(axis=1))
+    centroids = np.stack(cents)
+
+    inertia_hist: list[float] = []
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table, _cref=cref) -> pa.Table:
+            C = ray.get(_cref)
+            X = _batch_matrix(batch, vec_col)
+            d = ((X * X).sum(axis=1, keepdims=True)
+                 - 2.0 * (X @ C.T)
+                 + (C * C).sum(axis=1))
+            assign = np.argmin(d, axis=1)  # first min → deterministic
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, X)
+            counts = np.bincount(assign, minlength=C.shape[0])
+            inertia = float(d[np.arange(len(X)), assign].sum())
+            return pa.table({
+                "sums": pa.array([sums.tobytes()], pa.large_binary()),
+                "counts": pa.array([counts.astype(np.int64).tobytes()],
+                                   pa.large_binary()),
+                "inertia": pa.array([inertia], pa.float64()),
+            })
+
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        inertia = 0.0
+        for b in (ds.map_batches(partial, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow")):
+            for s, c, i in zip(b["sums"].to_pylist(),
+                               b["counts"].to_pylist(),
+                               b["inertia"].to_pylist()):
+                sums += np.frombuffer(s, np.float64).reshape(centroids.shape)
+                counts += np.frombuffer(c, np.int64)
+                inertia += i
+        inertia_hist.append(inertia)
+        nonempty = counts > 0
+        centroids = np.where(nonempty[:, None],
+                             sums / np.maximum(counts, 1)[:, None],
+                             centroids)
+
+    cref = ray.put(centroids)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        X = _batch_matrix(batch, vec_col)
+        d = ((X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ C.T)
+             + (C * C).sum(axis=1))
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "cluster_id": pa.array(np.argmin(d, axis=1).astype(np.int64)),
+        })
+
+    return (ds.map_batches(assign_final, batch_format="pyarrow"),
+            inertia_hist)

@@ -132,3 +132,25 @@ def test_heavy_hitters_certifies_exactness(ray_session):
     assert out["n"].tolist() == [10] * 5
     with pytest.raises(AssertionError, match="cannot certify"):
         heavy_hitters(ds, "word", k=5, sketch_k=2)
+
+
+def test_kmeans_monotone_and_deterministic(ray_session):
+    import ray.data as rd
+    from pdf_extraction_ray.stages.similarity import kmeans
+
+    def load():
+        return rd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").map_batches(
+            lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+
+    a1, h1 = kmeans(load(), k=10, iters=5)
+    df1 = a1.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    # Lloyd's monotonicity
+    assert all(h1[i + 1] <= h1[i] + 1e-9 for i in range(len(h1) - 1))
+    # real progress over the farthest-point init
+    assert h1[-1] < 0.8 * h1[0]
+    assert df1["cluster_id"].nunique() == 10
+    # deterministic across runs (no RNG, first-min tie breaks)
+    a2, h2 = kmeans(load(), k=10, iters=5)
+    df2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert df1.equals(df2)
+    assert h1 == h2
