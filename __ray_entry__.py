@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _tuned(analytics.stratified_sample),
         "heavy_hitter_terms": _tuned(analytics.heavy_hitter_terms),
         "tfidf_top_terms": _tuned(analytics.tfidf_top_terms),
+        "value_quantiles_hist": _tuned(analytics.value_quantiles_hist),
+        "event_pairs_within": _tuned(analytics.event_pairs_within),
     }
 
 
@@ -307,6 +309,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": analytics.stratified_sample_sql(),
         "heavy_hitter_terms": analytics.heavy_hitter_terms_sql(),
         "tfidf_top_terms": analytics.tfidf_top_terms_sql(),
+        "value_quantiles_hist": analytics.value_quantiles_hist_sql(),
+        "event_pairs_within": analytics.event_pairs_within_sql(),
         # rows-only (non-SQL-expressible): fingerprint_docs, dedup_minhash,
         # dedup_simhash, ann_ivf — verified in tests instead
     }

@@ -938,3 +938,49 @@ def kmeans_clusters(sf_dir: str, k: int = 10, iters: int = 6) -> rd.Dataset:
     ds = _read_table(sf_dir, "embeddings")
     assign, _hist = sim.kmeans(ds, k=k, iters=iters)
     return assign
+
+
+def value_quantiles_hist(sf_dir: str) -> rd.Dataset:
+    """Exact per-type value percentiles WITHOUT a global sort — the
+    histogram-combiner scale path (stages/sketch.py:
+    grouped_quantiles_hist); event_value_stats computes the same
+    numbers by sorting, which this replaces at scale. Values quantize
+    to cents (exact for the 2-decimal source data)."""
+    from ..stages.sketch import grouped_quantiles_hist
+
+    def cents(batch: pa.Table) -> np.ndarray:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return np.round(v * 100).astype(np.int64)
+
+    ds = _read_table(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles_hist(ds, "event_type", cents)
+
+
+def value_quantiles_hist_sql() -> str:
+    def q(p: int) -> str:
+        return (f"CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), "
+                f"{p / 100}) AS BIGINT) AS q{p}")
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       {q(50)}, {q(90)}, {q(99)}
+FROM events GROUP BY event_type"""
+
+
+def event_pairs_within(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
+    """Range (band) self-join: same-user event pairs within a trailing
+    hour — the non-equi temporal join family (stages/joins.py:
+    band_self_join)."""
+    from ..stages.joins import band_self_join
+
+    ds = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return band_self_join(ds, key_col="user_id", ts_col="ts",
+                          id_col="event_id", window_s=window_s)
+
+
+def event_pairs_within_sql(window_s: int = 3600) -> str:
+    return f"""
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL {window_s} SECOND"""

@@ -77,3 +77,44 @@ def asof_join(left: rd.Dataset, right: rd.Dataset,
         })
 
     return both.groupby("p").map_groups(grp, batch_format="pandas")
+
+
+def band_self_join(ds: rd.Dataset, key_col: str, ts_col: str,
+                   id_col: str, window_s: int) -> rd.Dataset:
+    """Range (band) self-join: ordered pairs (a, b) of same-key rows with
+    ``0 < ts_b - ts_a <= window_s``. One keyed shuffle; the per-group
+    body is sorted searchsorted + vectorized repeat, never a nested
+    loop. Output gap is exact integer microseconds.
+
+    Skew bound (documented): output volume is quadratic in a key's rows
+    per window — bound the window, or pre-bucket time for hot keys.
+    """
+    window_us = window_s * 1_000_000
+
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([ts_col, id_col],
+                              kind="mergesort").reset_index(drop=True)
+        ts = (g[ts_col].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        ids = g[id_col].to_numpy(np.int64)
+        lo = np.searchsorted(ts, ts, side="right")        # strictly after a
+        hi = np.searchsorted(ts, ts + window_us, side="right")
+        counts = hi - lo
+        a_idx = np.repeat(np.arange(len(g)), counts)
+        if len(a_idx):
+            starts = np.repeat(lo, counts)
+            offs = np.arange(len(a_idx)) - np.repeat(
+                np.cumsum(counts) - counts, counts)
+            b_idx = starts + offs
+        else:
+            b_idx = a_idx
+        return pa.table({
+            key_col: pa.array(np.repeat(g[key_col].to_numpy(np.int64),
+                                        counts)),
+            "a_id": pa.array(ids[a_idx]),
+            "b_id": pa.array(ids[b_idx]),
+            "gap_us": pa.array(ts[b_idx] - ts[a_idx]),
+        })
+
+    return (ds.select_columns([key_col, ts_col, id_col])
+              .groupby(key_col).map_groups(pairs, batch_format="pandas"))

@@ -203,3 +203,53 @@ def approx_distinct_by_key(ds: rd.Dataset, key_col: str, col: str,
               .map_batches(partial, batch_format="pyarrow")
               .groupby(key_col)
               .map_groups(merge, batch_format="pandas"))
+
+
+def grouped_quantiles_hist(ds: rd.Dataset, key_col: str, value_e: "callable",
+                           qs: tuple = (0.5, 0.9, 0.99)) -> rd.Dataset:
+    """EXACT per-key discrete quantiles without a global sort: values
+    quantize to small non-negative ints (``value_e(batch) -> np.int64``),
+    each batch reduces to one (key, histogram) partial, one tiny groupby
+    merges histograms, and quantiles read off the cumulative counts —
+    the scale path for percentiles (event_value_stats sorts instead; a
+    sort of every row is the thing this avoids). Matches DuckDB
+    ``quantile_disc`` semantics: sorted[ceil(q*n) - 1].
+
+    Trade-off (documented): memory is O(distinct quantized values) per
+    key — pick the quantization so that stays bounded (e.g. cents, ms).
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = value_e(batch)
+        keys = batch[key_col].to_pylist()
+        accs: dict = {}
+        kv = pd.Series(v).groupby(pd.Series(keys))
+        for k, grp in kv:
+            accs[k] = np.bincount(grp.to_numpy())
+        ks = sorted(accs)
+        return pa.table({
+            key_col: pa.array(ks),
+            "hist": pa.array([accs[k].astype(np.int64).tobytes()
+                              for k in ks], pa.large_binary()),
+        })
+
+    def merge(g) -> pa.Table:
+        hists = [np.frombuffer(h, np.int64) for h in g["hist"]]
+        size = max(len(h) for h in hists)
+        total = np.zeros(size, np.int64)
+        for h in hists:
+            total[:len(h)] += h
+        cum = np.cumsum(total)
+        n = int(cum[-1])
+        out = {key_col: pa.array([g[key_col].iloc[0]]),
+               "n": pa.array([n], pa.int64())}
+        for q in qs:
+            qk = round(q * 1000)            # q as exact per-mille int
+            target = max(-(-qk * n // 1000), 1)  # ceil(q*n), all-integer
+            val = int(np.searchsorted(cum, target, side="left"))
+            out[f"q{int(q * 100)}"] = pa.array([val], pa.int64())
+        return pa.table(out)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(key_col).map_groups(merge, batch_format="pandas"))

@@ -154,3 +154,35 @@ def test_kmeans_monotone_and_deterministic(ray_session):
     df2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert df1.equals(df2)
     assert h1 == h2
+
+
+@pytest.mark.parametrize("name", ["value_quantiles_hist", "event_pairs_within"])
+def test_quantile_band_ops_match_duckdb(ray_session, name):
+    from pdf_extraction_ray.pipelines import analytics as A
+    fn = getattr(A, name)
+    sql = getattr(A, f"{name}_sql")()
+    assert compare(name, fn(SF_SMOKE), sql, SF_SMOKE) == []
+
+
+def test_band_self_join_bounds(ray_session):
+    """Pairs respect 0 < gap <= window and never cross keys."""
+    import ray.data as rd
+    from pdf_extraction_ray.stages.joins import band_self_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        for m in (0, 1, 30, 61, 62):
+            rows.append({"user_id": user, "event_id": eid,
+                         "ts": t0 + pd.Timedelta(minutes=m)})
+            eid += 1
+    out = band_self_join(rd.from_items(rows), "user_id", "ts", "event_id",
+                         window_s=3600).to_pandas()
+    assert (out["gap_us"] > 0).all()
+    assert (out["gap_us"] <= 3600 * 1_000_000).all()
+    # per user: pairs within 60min of (0,1,30,61,62):
+    # (0,1),(0,30),(1,30),(1,61),(30,61),(30,62),(61,62) = 7
+    assert len(out) == 14
+    per_user = out.groupby("user_id").size()
+    assert per_user.tolist() == [7, 7]
