@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": _tuned(analytics.ann_bruteforce),
         "ann_ivf": _tuned(analytics.ann_ivf),
         "kmeans_clusters": _tuned(analytics.kmeans_clusters),
+        "text_embed_dups": _tuned(analytics.text_embed_dups),
         # windowed aggregates (streaming-shaped)
         "window_tumbling": _tuned(analytics.window_tumbling),
         "window_sliding": _tuned(analytics.window_sliding),

@@ -984,3 +984,16 @@ SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
 FROM events a JOIN events b
   ON a.user_id = b.user_id AND b.ts > a.ts
  AND b.ts <= a.ts + INTERVAL {window_s} SECOND"""
+
+
+def text_embed_dups(sf_dir: str, threshold_pct: int = 95) -> rd.Dataset:
+    """End-to-end text → embedding → cosine near-dup: the actor-pool
+    hashing embedder (model state per actor, stages/embed.py) feeds the
+    blocked exact cosine pair detector over the planted near-dup corpus.
+    Rows-only (float embedding geometry has no SQL analog); planted-pair
+    recall and determinism are asserted in tests."""
+    from ..stages.embed import embed_documents
+
+    emb = embed_documents(_docs_with_planted_near_dups(sf_dir))
+    return dd.embedding_near_dup(emb, threshold_pct=threshold_pct,
+                                 id_col="doc_id")

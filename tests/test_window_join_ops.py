@@ -186,3 +186,38 @@ def test_band_self_join_bounds(ray_session):
     assert len(out) == 14
     per_user = out.groupby("user_id").size()
     assert per_user.tolist() == [7, 7]
+
+
+def test_text_embed_dups_recall_and_determinism(ray_session):
+    """The embed→cosine pipeline finds planted near-copies and is
+    reproducible (seeded projection, no RNG at query time)."""
+    import duckdb
+    from pdf_extraction_ray.pipelines import analytics as A
+
+    df = A.text_embed_dups(SF_SMOKE).to_pandas()
+    n_planted = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        " WHERE doc_id % 5 = 0").fetchone()[0]
+    hits = int((df["b"] == df["a"] + 1_000_000).sum())
+    assert hits / n_planted >= 0.85
+    df2 = A.text_embed_dups(SF_SMOKE).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["a", "b"]].to_numpy()))
+    assert key(df) == key(df2)
+
+
+def test_hashing_embedder_unit_norm_and_state(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from pdf_extraction_ray.stages.embed import HashingEmbedder
+
+    e = HashingEmbedder(dim=32, n_buckets=256)
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["hello world text", ""], pa.string())})
+    out = e(t)
+    v1 = np.array(out["embedding"][0].as_py())
+    v2 = np.array(out["embedding"][1].as_py())
+    assert abs(np.linalg.norm(v1) - 1.0) < 1e-5
+    assert np.linalg.norm(v2) == 0.0  # empty text → zero vector kept
+    # same text, fresh actor → identical vector (seeded state)
+    out2 = HashingEmbedder(dim=32, n_buckets=256)(t)
+    assert np.allclose(v1, np.array(out2["embedding"][0].as_py()))
