@@ -75,6 +75,20 @@ def run_bench() -> dict:
     timed("extract_ckpt", lambda: run_extraction(pages, cfg, out_dir=out_dir))
     summary = json.load(open(os.path.join(out_dir, "_manifests", "_run.json")))
 
+    if os.environ.get("GRAFT_BENCH_ONLY_EXTRACT"):
+        headline = timings["extract_ckpt"]
+        ray.shutdown()
+        return {
+            "metric": "end-to-end extraction wall time (pages corpus -> "
+                      "checkpointed partitioned parquet)",
+            "value": headline, "unit": "sec", "queries": timings,
+            "sf": sf_dir, "num_cpus": num_cpus,
+            "n_docs": summary["n_rows"], "n_input_pages": n_pages,
+            "input_mb": round(n_payload_bytes / 1e6, 1),
+            "docs_per_s": round(summary["n_rows"] / headline, 1),
+            "mb_per_s": round(n_payload_bytes / 1e6 / headline, 1),
+        }
+
     # in-memory variant (no bucket shuffle / parquet write)
     timed("extract_inmem", lambda: run_extraction(pages, cfg).count())
 
@@ -89,6 +103,13 @@ def run_bench() -> dict:
     timed("media_decode", lambda: analytics.media_decode(sf_dir).count())
     timed("dedup_embedding_cells",
           lambda: analytics.dedup_embedding_cells(sf_dir).count())
+    timed("asof_prior_error",
+          lambda: analytics.asof_prior_error(sf_dir).count())
+    timed("vocab_df", lambda: analytics.vocab_df(sf_dir).count())
+    timed("tfidf_top_terms",
+          lambda: analytics.tfidf_top_terms(sf_dir).count())
+    timed("kmeans_clusters",
+          lambda: analytics.kmeans_clusters(sf_dir).count())
 
     headline = timings["extract_ckpt"]
     result = {
@@ -154,7 +175,8 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_AMPLIFY=amplify)
+                   GRAFT_BENCH_AMPLIFY=amplify,
+                   GRAFT_BENCH_ONLY_EXTRACT="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

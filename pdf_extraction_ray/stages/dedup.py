@@ -253,6 +253,18 @@ def connected_components(pairs: rd.Dataset, a_col: str = "a",
     return labels
 
 
+def _upper_pairs(ids_arr) -> pa.Table:
+    """All ordered pairs (a < b) of the distinct ids in a bucket —
+    vectorized triu indexing, no Python pair loop (hot LSH buckets are
+    quadratic in size; the loop was the cost)."""
+    ids = np.unique(np.asarray(ids_arr, dtype=np.int64))
+    if len(ids) < 2:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    iu, ju = np.triu_indices(len(ids), 1)
+    return pa.table({"a": pa.array(ids[iu]), "b": pa.array(ids[ju])})
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dup
 # ---------------------------------------------------------------------------
@@ -299,17 +311,7 @@ def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
     banded = ds.map_batches(sig_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pd.DataFrame) -> pa.Table:
-        if len(group) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        ids = sorted({int(v) for v in group[id_col]})
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64())})
+        return _upper_pairs(group[id_col].to_numpy())
 
     cand = (banded.groupby(["band", "band_hash"])
                   .map_groups(bucket_pairs, batch_format="pandas")
@@ -551,17 +553,7 @@ def jaccard_pairs(ds: rd.Dataset, text_col: str = "text",
     banded = ds.map_batches(sig_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pd.DataFrame) -> pa.Table:
-        if len(group) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        ids = sorted({int(v) for v in group[id_col]})
-        a_o, b_o = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_o.append(ids[i])
-                b_o.append(ids[j])
-        return pa.table({"a": pa.array(a_o, pa.int64()),
-                         "b": pa.array(b_o, pa.int64())})
+        return _upper_pairs(group[id_col].to_numpy())
 
     cand = (banded.groupby(["band", "band_hash"])
                   .map_groups(bucket_pairs, batch_format="pandas")

@@ -198,17 +198,8 @@ def phash_dup_pairs(ds, media_col: str = "html", id_col: str = "doc_id"):
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pa.Table:
-        if len(g) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        ids = sorted(int(v) for v in g[id_col])
-        a_o, b_o = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_o.append(ids[i])
-                b_o.append(ids[j])
-        return pa.table({"a": pa.array(a_o, pa.int64()),
-                         "b": pa.array(b_o, pa.int64())})
+        from .dedup import _upper_pairs
+        return _upper_pairs(g[id_col].to_numpy())
 
     return hashed.groupby("phash").map_groups(pairs, batch_format="pandas")
 
