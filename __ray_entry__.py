@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal decode (real pure-stdlib PNG decoder, actor pool)
         "media_decode": _tuned(analytics.media_decode),
         "media_phash_dups": _tuned(analytics.media_phash_dups),
+        "audio_decode": _tuned(analytics.audio_decode),
         # dimension lookup join + training-data split + sketch
         "language_dim_counts": _tuned(analytics.language_dim_counts),
         "train_split": _tuned(analytics.train_split),
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": analytics.quality_filter_sql(),
         "lang_id": analytics.lang_id_sql(),
         "media_decode": analytics.media_decode_sql(),
+        "audio_decode": analytics.audio_decode_sql(),
         "language_dim_counts": analytics.language_dim_counts_sql(),
         "train_split": analytics.train_split_sql(),
         "dedup_exact": analytics.dedup_exact_sql(),

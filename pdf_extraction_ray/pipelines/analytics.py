@@ -997,3 +997,51 @@ def text_embed_dups(sf_dir: str, threshold_pct: int = 95) -> rd.Dataset:
     emb = embed_documents(_docs_with_planted_near_dups(sf_dir))
     return dd.embedding_near_dup(emb, threshold_pct=threshold_pct,
                                  id_col="doc_id")
+
+
+def audio_decode(sf_dir: str) -> rd.Dataset:
+    """REAL audio decoding over a deterministic planted-WAV corpus: one
+    PCM mono WAV per document (sample law in sources/gen_media.py),
+    decoded by the pure-stdlib RIFF/WAVE parser inside the actor-pool
+    audio stage — rate, duration, and amplitude means all verify against
+    a closed-form SQL oracle."""
+    from ..sources.gen_media import build_wav
+    from ..stages.multimodal import audio_features
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"media://wav/{d}" for d in ids], pa.string()),
+            "html": pa.array([build_wav(d) for d in ids], pa.large_binary()),
+        })
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(to_media,
+                                                  batch_format="pyarrow")
+    feats = audio_features(media, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1]) for u in batch["url"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sample_rate": batch["sample_rate"],
+            "n_samples": batch["n_samples"],
+            "duration_ms": batch["duration_ms"],
+            "mean_abs": batch["mean_abs"],
+            "decoded": batch["decoded"],
+        })
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
+def audio_decode_sql() -> str:
+    n = "(400 + doc_id % 800)"
+    s = "((doc_id * 37 + 11 * i) % 65536 - 32768)"
+    return f"""
+SELECT doc_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST({n} AS BIGINT) AS n_samples,
+  CAST({n} * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(list_sum(list_transform(range(0, {n}), i -> abs({s})))
+       // {n} AS BIGINT) AS mean_abs,
+  TRUE AS decoded
+FROM documents"""

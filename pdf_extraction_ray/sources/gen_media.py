@@ -78,3 +78,27 @@ def build_bmp(doc_id: int) -> bytes:
             + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
                           2835, 2835, 0, 0)
             + bytes(rows))
+
+
+def wav_params(doc_id: int) -> tuple[int, int]:
+    """(sample_rate, n_samples); sample law below — closed-form for SQL."""
+    return 8000, 400 + doc_id % 800
+
+
+def wav_sample(doc_id: int, i: int) -> int:
+    """16-bit PCM sample law: ((doc_id*37 + 11*i) % 65536) - 32768."""
+    return (doc_id * 37 + 11 * i) % 65536 - 32768
+
+
+def build_wav(doc_id: int) -> bytes:
+    """Minimal RIFF/WAVE, PCM mono 16-bit, one data chunk."""
+    rate, n = wav_params(doc_id)
+    samples = bytearray()
+    for i in range(n):
+        samples += struct.pack("<h", wav_sample(doc_id, i))
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    data = bytes(samples)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

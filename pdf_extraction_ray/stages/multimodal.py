@@ -274,3 +274,93 @@ def media_features(pages_ds, media_col: str = "html",
         fn_constructor_kwargs={"media_col": media_col},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+AUDIO_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("n_bytes", pa.int64()),
+    ("media_sha256", pa.string()),
+    ("sample_rate", pa.int64()),
+    ("n_samples", pa.int64()),
+    ("duration_ms", pa.int64()),
+    ("mean_abs", pa.int64()),        # floor of mean |amplitude|; -1 undecoded
+    ("decoded", pa.bool_()),
+])
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """Pure-stdlib RIFF/WAVE decode (PCM mono/stereo, 16-bit).
+
+    Returns {sample_rate, channels, samples: np.int16} or None when the
+    payload is not a WAV this decoder handles."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    n = len(payload)
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= n:
+        typ = payload[pos:pos + 4]
+        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks pad to even
+        if typ == b"fmt " and len(body) >= 16:
+            fmt_code, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if fmt_code != 1:
+                return None  # not PCM
+        elif typ == b"data":
+            data = body
+    if rate is None or data is None or bits != 16 or not channels:
+        return None
+    samples = np.frombuffer(data[:len(data) - (len(data) % 2)], "<i2")
+    return {"sample_rate": int(rate), "channels": int(channels),
+            "samples": samples}
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage for opaque audio columns: real WAV/PCM decode
+    (duration, amplitude stats), deterministic fallback rows otherwise —
+    the audio sibling of ``MediaFeatureExtractor``."""
+
+    def __init__(self, media_col: str = "html"):
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rows = []
+        col = batch[self.media_col]
+        for i in range(len(batch)):
+            payload = col[i].as_py() or b""
+            wav = decode_wav(payload)
+            if wav is not None and len(wav["samples"]):
+                s = wav["samples"]
+                rate = wav["sample_rate"]
+                ns = len(s) // wav["channels"]
+                mean_abs = int(np.abs(s.astype(np.int64)).sum() // len(s))
+                row = {"sample_rate": rate, "n_samples": ns,
+                       "duration_ms": ns * 1000 // rate,
+                       "mean_abs": mean_abs, "decoded": True}
+            else:
+                row = {"sample_rate": 0, "n_samples": 0, "duration_ms": 0,
+                       "mean_abs": -1, "decoded": False}
+            row.update({
+                "url": batch["url"][i].as_py(),
+                "n_bytes": len(payload),
+                "media_sha256": hashlib.sha256(payload).hexdigest(),
+            })
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=AUDIO_SCHEMA)
+
+
+def audio_features(ds, media_col: str = "html", batch_size: int = 64,
+                   concurrency=(1, 8)):
+    """Audio dataset → feature rows (actor pool, small batches)."""
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        fn_constructor_kwargs={"media_col": media_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

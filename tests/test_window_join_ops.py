@@ -221,3 +221,27 @@ def test_hashing_embedder_unit_norm_and_state(ray_session):
     # same text, fresh actor → identical vector (seeded state)
     out2 = HashingEmbedder(dim=32, n_buckets=256)(t)
     assert np.allclose(v1, np.array(out2["embedding"][0].as_py()))
+
+
+def test_audio_decode_matches_duckdb(ray_session):
+    from pdf_extraction_ray.pipelines import analytics as A
+    assert compare("audio_decode", A.audio_decode(SF_SMOKE),
+                   A.audio_decode_sql(), SF_SMOKE) == []
+
+
+def test_wav_decoder_robustness():
+    """Truncated / corrupted WAV payloads return None, never raise."""
+    from pdf_extraction_ray.sources.gen_media import build_wav
+    from pdf_extraction_ray.stages.multimodal import decode_wav
+
+    w = build_wav(42)
+    assert decode_wav(w) is not None
+    for cut in (0, 4, 11, 12, 20, len(w) // 2, len(w) - 1):
+        decode_wav(w[:cut])  # must not raise
+    assert decode_wav(b"RIFFxxxxWAVE") is None
+    assert decode_wav(b"not audio at all") is None
+    # non-PCM format code rejected
+    bad = bytearray(w)
+    fmt_off = w.index(b"fmt ") + 8
+    bad[fmt_off] = 3  # IEEE float
+    assert decode_wav(bytes(bad)) is None
