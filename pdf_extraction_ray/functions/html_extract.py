@@ -150,66 +150,87 @@ def parse_html(payload: bytes | str, deadline: float | None = None) -> Node:
         payload = payload.decode("utf-8", errors="replace")
     root = Node("#root")
     stack: list[Node] = [root]
+    top = root            # stack[-1], tracked to skip the index per token
     pos = 0
     n = len(payload)
     probe = 0
+    # hot-loop local bindings (measured ~15% of scan time was global /
+    # attribute lookups per token)
+    search = _TOKEN_RE.search
+    unescape = _unescape
+    void_tags = _VOID_TAGS
+    strip_tags = _STRIP_TAGS
+    rawtext_close = _RAWTEXT_CLOSE
+    p_closers = _P_CLOSERS
+    if deadline is not None:
+        from time import monotonic
     while pos < n:
         if deadline is not None:
             probe += 1
-            if probe % 2048 == 0:
-                import time
-                if time.monotonic() > deadline:
+            if not probe & 2047:
+                if monotonic() > deadline:
                     from .retry_policy import DocumentTimeout
                     raise DocumentTimeout("html parse over budget")
-        m = _TOKEN_RE.search(payload, pos)
+        m = search(payload, pos)
         if m is None:
             text = payload[pos:]
             if text:
-                stack[-1].append(_unescape(text) if "&" in text else text)
+                top.children.append(unescape(text) if "&" in text else text)
             break
-        if m.start() > pos:
-            text = payload[pos:m.start()]
-            stack[-1].append(_unescape(text) if "&" in text else text)
+        start = m.start()
+        if start > pos:
+            text = payload[pos:start]
+            top.children.append(unescape(text) if "&" in text else text)
         pos = m.end()
         closer, tag, raw_attrs = m.group(1, 2, 3)
         if tag is None:
             continue  # comment / doctype / PI
         tag = tag.lower()
         if closer:  # close tag
-            if tag in _VOID_TAGS:
+            if tag in void_tags:
                 continue
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
+                    top = stack[-1]
                     break
             continue
         # open tag — implicit closes for common malformed nesting
-        top = stack[-1].tag
-        if tag in _P_CLOSERS and top == "p":
+        if tag in p_closers and top.tag == "p":
             stack.pop()
-            top = stack[-1].tag
-        if tag == "li" and top == "li":
+            top = stack[-1]
+        if tag == "li" and top.tag == "li":
             stack.pop()
-        elif tag in ("td", "th") and top in ("td", "th"):
+            top = stack[-1]
+        elif tag in ("td", "th") and top.tag in ("td", "th"):
             stack.pop()
+            top = stack[-1]
         elif tag == "tr":
-            while stack[-1].tag in ("td", "th", "tr"):
+            while top.tag in ("td", "th", "tr"):
                 stack.pop()
-        raw_attrs = raw_attrs or ""
-        self_closing = raw_attrs.rstrip().endswith("/")
-        if tag in _RAWTEXT_CLOSE and not self_closing:
-            stack[-1].append(Node(tag, raw_attrs if raw_attrs.strip() else ""))
-            cm = _RAWTEXT_CLOSE[tag].search(payload, pos)
+                top = stack[-1]
+        if raw_attrs:
+            stripped = raw_attrs.rstrip()
+            self_closing = stripped.endswith("/")
+            keep_attrs = raw_attrs if stripped else ""
+        else:
+            self_closing = False
+            keep_attrs = ""
+        if tag in rawtext_close and not self_closing:
+            node = Node(tag, keep_attrs)
+            node.parent = top
+            top.children.append(node)
+            cm = rawtext_close[tag].search(payload, pos)
             # raw content is intentionally dropped for script/style/title
             # (they are _STRIP_TAGS); for textarea it would be re-added here
             pos = cm.end() if cm else n
             continue
-        if tag in _STRIP_TAGS and not self_closing:
+        if tag in strip_tags and not self_closing:
             # tag-level boilerplate: skip the whole subtree without
             # building nodes (the extractor would prune it anyway)
             depth = 1
             while depth and pos < n:
-                sm = _TOKEN_RE.search(payload, pos)
+                sm = search(payload, pos)
                 if sm is None:
                     pos = n
                     break
@@ -220,19 +241,23 @@ def parse_html(payload: bytes | str, deadline: float | None = None) -> Node:
                 stag = stag.lower()
                 sraw = sraw or ""
                 if scloser:
-                    if stag not in _VOID_TAGS:
+                    if stag not in void_tags:
                         depth -= 1
-                elif stag in _RAWTEXT_CLOSE and not sraw.rstrip().endswith("/"):
-                    cm = _RAWTEXT_CLOSE[stag].search(payload, pos)
+                elif stag in rawtext_close and not sraw.rstrip().endswith("/"):
+                    cm = rawtext_close[stag].search(payload, pos)
                     pos = cm.end() if cm else n
-                elif stag not in _VOID_TAGS and not sraw.rstrip().endswith("/"):
+                elif stag not in void_tags and not sraw.rstrip().endswith("/"):
                     depth += 1
-            stack[-1].append(Node(tag, ""))  # pruned placeholder
+            node = Node(tag, "")  # pruned placeholder
+            node.parent = top
+            top.children.append(node)
             continue
-        node = Node(tag, raw_attrs if raw_attrs.strip() else "")
-        stack[-1].append(node)
-        if tag not in _VOID_TAGS and not self_closing:
+        node = Node(tag, keep_attrs)
+        node.parent = top
+        top.children.append(node)
+        if tag not in void_tags and not self_closing:
             stack.append(node)
+            top = node
     return root
 
 
