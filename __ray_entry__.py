@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _tuned(analytics.sessions),
         # temporal join + corpus-stats operators
         "asof_prior_error": _tuned(analytics.asof_prior_error),
+        "order_customer_join": _tuned(analytics.order_customer_join),
         "vocab_df": _tuned(analytics.vocab_df),
         "stratified_sample": _tuned(analytics.stratified_sample),
         "heavy_hitter_terms": _tuned(analytics.heavy_hitter_terms),
@@ -308,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_user_value": analytics.rolling_user_value_sql(),
         "sessions": analytics.sessions_sql(),
         "asof_prior_error": analytics.asof_prior_error_sql(),
+        "order_customer_join": analytics.order_customer_join_sql(),
         "vocab_df": analytics.vocab_df_sql(),
         "stratified_sample": analytics.stratified_sample_sql(),
         "heavy_hitter_terms": analytics.heavy_hitter_terms_sql(),

@@ -1045,3 +1045,23 @@ SELECT doc_id,
        // {n} AS BIGINT) AS mean_abs,
   TRUE AS decoded
 FROM documents"""
+
+
+def order_customer_join(sf_dir: str) -> rd.Dataset:
+    """Shuffle hash join (both sides large): orders ⋈ customer via the
+    partition-wise cogroup join (stages/joins.py:hash_join) — the
+    at-scale sibling of the broadcast dimension joins in
+    pipelines/relational.py."""
+    from ..stages.joins import hash_join
+
+    orders = _read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read_table(sf_dir, "customer",
+                       ["c_custkey", "c_name", "c_nationkey"])
+    return hash_join(orders, cust, "o_custkey", "c_custkey",
+                     ["o_orderkey"], ["c_name", "c_nationkey"])
+
+
+def order_customer_join_sql() -> str:
+    return """
+SELECT o.o_custkey, o.o_orderkey, c.c_name, c.c_nationkey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""

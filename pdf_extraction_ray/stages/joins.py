@@ -118,3 +118,67 @@ def band_self_join(ds: rd.Dataset, key_col: str, ts_col: str,
 
     return (ds.select_columns([key_col, ts_col, id_col])
               .groupby(key_col).map_groups(pairs, batch_format="pandas"))
+
+
+def hash_join(left: rd.Dataset, right: rd.Dataset,
+              left_on: str, right_on: str,
+              left_cols: list[str], right_cols: list[str],
+              how: str = "inner",
+              num_partitions: int = 32) -> rd.Dataset:
+    """Shuffle hash join as a partition-wise cogroup — the robust
+    ``Dataset.join`` replacement (Ray's hash aggregator mishandles
+    schema-less empty partitions on small inputs; see stages/dedup.py).
+
+    Both sides tag ``p = key % P``; ONE groupby(p) shuffle co-locates
+    each partition; the body is a single vectorized pandas merge. Use
+    when BOTH sides are large — for a small dimension side, broadcast
+    it instead (pipelines/relational.py:customers_per_region).
+
+    ``left_cols`` / ``right_cols`` name the carried payload columns
+    (must be disjoint); the join key comes back as ``left_on``.
+    ``how``: 'inner' or 'left' (left join emits nulls on the right).
+    """
+    if set(left_cols) & set(right_cols):
+        raise ValueError("left_cols and right_cols must be disjoint")
+    if how not in ("inner", "left"):
+        raise ValueError(how)
+    P = num_partitions
+    rs, ls = right.schema(), left.schema()
+    right_types = dict(zip(rs.names, rs.types))
+    left_types = dict(zip(ls.names, ls.types))
+
+    def tag(side: int, key_col: str, carry: list[str], other: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            key = t[key_col].cast(pa.int64()).combine_chunks()
+            p = np.abs(key.to_numpy(zero_copy_only=False)) % P
+            cols = {
+                "p": pa.array(p.astype(np.int64), pa.int64()),
+                "side": pa.array(np.full(len(t), side, np.int8)),
+                "key": key,
+            }
+            for name in carry:
+                cols[name] = t[name]
+            for name, typ in other.items():
+                cols[name] = pa.nulls(len(t), typ)
+            return pa.table(cols)
+        return fn
+
+    lt = left.map_batches(
+        tag(0, left_on, left_cols,
+            {n: right_types[n] for n in right_cols}),
+        batch_format="pyarrow")
+    rt = right.map_batches(
+        tag(1, right_on, right_cols,
+            {n: left_types[n] for n in left_cols}),
+        batch_format="pyarrow")
+
+    def grp(g: pd.DataFrame) -> pa.Table:
+        lf = g[g["side"] == 0][["key"] + left_cols]
+        rg = g[g["side"] == 1][["key"] + right_cols]
+        m = lf.merge(rg, on="key", how=how)
+        cols = {left_on: pa.array(m["key"].to_numpy(np.int64))}
+        for name in left_cols + right_cols:
+            cols[name] = pa.Array.from_pandas(m[name])
+        return pa.table(cols)
+
+    return lt.union(rt).groupby("p").map_groups(grp, batch_format="pandas")

@@ -245,3 +245,28 @@ def test_wav_decoder_robustness():
     fmt_off = w.index(b"fmt ") + 8
     bad[fmt_off] = 3  # IEEE float
     assert decode_wav(bytes(bad)) is None
+
+
+def test_order_customer_join_matches_duckdb(ray_session):
+    from pdf_extraction_ray.pipelines import analytics as A
+    assert compare("order_customer_join", A.order_customer_join(SF_SMOKE),
+                   A.order_customer_join_sql(), SF_SMOKE) == []
+
+
+def test_hash_join_left_and_validation(ray_session):
+    import ray.data as rd
+    from pdf_extraction_ray.stages.joins import hash_join
+
+    left = rd.from_items([{"k": 1, "lv": 10}, {"k": 2, "lv": 20},
+                          {"k": 3, "lv": 30}])
+    right = rd.from_items([{"k": 1, "rv": 100}, {"k": 1, "rv": 101},
+                           {"k": 3, "rv": 300}])
+    out = hash_join(left, right, "k", "k", ["lv"], ["rv"], how="left",
+                    num_partitions=4).to_pandas()
+    # k=1 fans out to both right rows; k=2 survives with null rv
+    assert len(out) == 4
+    k2 = out[out["k"] == 2]
+    assert len(k2) == 1 and pd.isna(k2["rv"].iloc[0])
+    assert sorted(out[out["k"] == 1]["rv"].dropna().astype(int)) == [100, 101]
+    with pytest.raises(ValueError):
+        hash_join(left, right, "k", "k", ["x"], ["x"])
