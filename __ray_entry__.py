@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _tuned(analytics.media_decode),
         "media_phash_dups": _tuned(analytics.media_phash_dups),
         "audio_decode": _tuned(analytics.audio_decode),
+        "media_resize": _tuned(analytics.media_resize),
+        "video_frames": _tuned(analytics.video_frames),
         # dimension lookup join + training-data split + sketch
         "language_dim_counts": _tuned(analytics.language_dim_counts),
         "train_split": _tuned(analytics.train_split),
@@ -293,6 +295,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": analytics.lang_id_sql(),
         "media_decode": analytics.media_decode_sql(),
         "audio_decode": analytics.audio_decode_sql(),
+        "media_resize": analytics.media_resize_sql(),
+        "video_frames": analytics.video_frames_sql(),
         "language_dim_counts": analytics.language_dim_counts_sql(),
         "train_split": analytics.train_split_sql(),
         "dedup_exact": analytics.dedup_exact_sql(),

@@ -1065,3 +1065,95 @@ def order_customer_join_sql() -> str:
     return """
 SELECT o.o_custkey, o.o_orderkey, c.c_name, c.c_nationkey
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+
+def media_resize(sf_dir: str, out_w: int = 16, out_h: int = 16) -> rd.Dataset:
+    """Nearest-neighbor image resize over the planted-PNG corpus
+    (decode → resize → pixel stats in one actor-pool stage); the resized
+    pixel law is closed-form, so means verify against SQL."""
+    from ..sources.gen_media import build_png
+    from ..stages.multimodal import ImageResizer
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"media://png/{d}" for d in ids], pa.string()),
+            "html": pa.array([build_png(d) for d in ids], pa.large_binary()),
+        })
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(to_media,
+                                                  batch_format="pyarrow")
+    feats = media.map_batches(
+        ImageResizer, fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 8), num_cpus=1)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1]) for u in batch["url"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "width": batch["width"], "height": batch["height"],
+            "mean_pixel": batch["mean_pixel"], "decoded": batch["decoded"],
+        })
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
+def media_resize_sql(out_w: int = 16, out_h: int = 16) -> str:
+    w, h = "(8 + doc_id % 25)", "(8 + doc_id % 17)"
+    n = out_w * out_h
+    px = (f"(doc_id + 7 * (((i % {out_w}) * {w}) // {out_w})"
+          f" + 13 * (((i // {out_w}) * {h}) // {out_h})) % 256")
+    return f"""
+SELECT doc_id,
+  CAST({out_w} AS BIGINT) AS width, CAST({out_h} AS BIGINT) AS height,
+  CAST(list_sum(list_transform(range(0, {n}), i -> {px})) // {n}
+       AS BIGINT) AS mean_pixel,
+  TRUE AS decoded
+FROM documents"""
+
+
+def video_frames(sf_dir: str, step: int = 2) -> rd.Dataset:
+    """Video frame sampling: walk the synthetic frame container, keep
+    every ``step``-th frame, decode each kept frame — per-frame dims and
+    pixel means verify against the closed-form frame pixel law."""
+    from ..sources.gen_media import build_video
+    from ..stages.multimodal import VideoFrameSampler
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"media://vid/{d}" for d in ids], pa.string()),
+            "html": pa.array([build_video(d) for d in ids],
+                             pa.large_binary()),
+        })
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(to_media,
+                                                  batch_format="pyarrow")
+    frames = media.map_batches(
+        VideoFrameSampler, fn_constructor_kwargs={"step": step},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 8), num_cpus=1)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1]) for u in batch["url"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame_idx": batch["frame_idx"],
+            "width": batch["width"], "height": batch["height"],
+            "mean_pixel": batch["mean_pixel"],
+        })
+
+    return frames.map_batches(project, batch_format="pyarrow")
+
+
+def video_frames_sql(step: int = 2) -> str:
+    seed = "(doc_id * 1000 + f)"
+    w, h = f"(8 + {seed} % 25)", f"(8 + {seed} % 17)"
+    px = f"({seed} + 7 * (i % {w}) + 13 * (i // {w})) % 256"
+    return f"""
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+  CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
+  CAST(list_sum(list_transform(range(0, {w} * {h}), i -> {px}))
+       // ({w} * {h}) AS BIGINT) AS mean_pixel
+FROM (SELECT doc_id, unnest(range(0, 4 + doc_id % 9)) AS f
+      FROM documents)
+WHERE f % {step} = 0"""

@@ -102,3 +102,26 @@ def build_wav(doc_id: int) -> bytes:
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+VIDEO_MAGIC = b"RVID"
+
+
+def video_params(doc_id: int) -> int:
+    """Frame count per synthetic video clip."""
+    return 4 + doc_id % 9
+
+
+def build_video(doc_id: int) -> bytes:
+    """Minimal frame-container 'video': magic + frame count + length-
+    prefixed PNG frames (frame f follows the pixel law of
+    ``doc_id * 1000 + f``). A real decoder swap-in point (ffmpeg-style
+    containers are out of scope for a stdlib build); the container walk,
+    frame indexing, and per-frame decode plumbing are real.
+    """
+    n = video_params(doc_id)
+    out = bytearray(VIDEO_MAGIC + struct.pack("<I", n))
+    for f in range(n):
+        frame = build_png(doc_id * 1000 + f)
+        out += struct.pack("<I", len(frame)) + frame
+    return bytes(out)

@@ -364,3 +364,114 @@ def audio_features(ds, media_col: str = "html", batch_size: int = 64,
         fn_constructor_kwargs={"media_col": media_col},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+def resize_nearest(pixels: bytes, w: int, h: int, channels: int,
+                   out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a decoded pixel buffer: fully
+    vectorized index mapping ``src = out * src_dim // out_dim``."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, np.uint8).reshape(h, w * channels)
+    arr = arr.reshape(h, w, channels)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[np.ix_(ys, xs)].tobytes()
+
+
+class ImageResizer:
+    """Actor-pool resize stage: PNG decode → nearest-neighbor resize →
+    (dims + resized-pixel mean). The resize step of the multimodal
+    mandate with real pixel math (swap the decoder for PIL where it
+    exists)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16,
+                 media_col: str = "html"):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        urls, ws, hs, means, oks = [], [], [], [], []
+        col = batch[self.media_col]
+        for i in range(len(batch)):
+            payload = col[i].as_py() or b""
+            img = decode_png(payload)
+            urls.append(batch["url"][i].as_py())
+            if img is None:
+                ws.append(0), hs.append(0), means.append(-1), oks.append(False)
+                continue
+            px = resize_nearest(img["pixels"], img["width"], img["height"],
+                                img["channels"], self.out_w, self.out_h)
+            means.append(int(np.frombuffer(px, np.uint8)
+                             .sum(dtype=np.int64) // len(px)))
+            ws.append(self.out_w), hs.append(self.out_h), oks.append(True)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mean_pixel": pa.array(means, pa.int64()),
+            "decoded": pa.array(oks, pa.bool_()),
+        })
+
+
+def iter_video_frames(payload: bytes):
+    """Walk the RVID frame container: yields (frame_idx, frame_bytes).
+    Stops cleanly on truncation."""
+    from ..sources.gen_media import VIDEO_MAGIC
+
+    if len(payload) < 8 or payload[:4] != VIDEO_MAGIC:
+        return
+    n = int.from_bytes(payload[4:8], "little")
+    pos = 8
+    for f in range(n):
+        if pos + 4 > len(payload):
+            return
+        ln = int.from_bytes(payload[pos:pos + 4], "little")
+        pos += 4
+        if pos + ln > len(payload):
+            return
+        yield f, payload[pos:pos + ln]
+        pos += ln
+
+
+class VideoFrameSampler:
+    """Actor-pool frame-sample stage: walk the frame container, keep
+    every ``step``-th frame, decode each kept frame (real PNG decode) —
+    the frame-sample step of the multimodal mandate. One input row
+    fans out to one row per sampled frame."""
+
+    def __init__(self, step: int = 2, media_col: str = "html"):
+        self.step = step
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        urls, idxs, ws, hs, means = [], [], [], [], []
+        col = batch[self.media_col]
+        for i in range(len(batch)):
+            payload = col[i].as_py() or b""
+            url = batch["url"][i].as_py()
+            for f, frame in iter_video_frames(payload):
+                if f % self.step:
+                    continue
+                img = decode_png(frame)
+                if img is None:
+                    continue
+                urls.append(url)
+                idxs.append(f)
+                ws.append(img["width"])
+                hs.append(img["height"])
+                px = img["pixels"]
+                means.append(int(np.frombuffer(px, np.uint8)
+                                 .sum(dtype=np.int64) // len(px)))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mean_pixel": pa.array(means, pa.int64()),
+        })

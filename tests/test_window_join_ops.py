@@ -270,3 +270,31 @@ def test_hash_join_left_and_validation(ray_session):
     assert sorted(out[out["k"] == 1]["rv"].dropna().astype(int)) == [100, 101]
     with pytest.raises(ValueError):
         hash_join(left, right, "k", "k", ["x"], ["x"])
+
+
+@pytest.mark.parametrize("name", ["media_resize", "video_frames"])
+def test_media_ops_match_duckdb(ray_session, name):
+    from pdf_extraction_ray.pipelines import analytics as A
+    assert compare(name, getattr(A, name)(SF_SMOKE),
+                   getattr(A, f"{name}_sql")(), SF_SMOKE) == []
+
+
+def test_resize_nearest_exact():
+    """2x downsample of a known 4x4 gray image picks exact source pixels."""
+    import numpy as np
+    from pdf_extraction_ray.stages.multimodal import resize_nearest
+    src = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = np.frombuffer(resize_nearest(src.tobytes(), 4, 4, 1, 2, 2),
+                        np.uint8).reshape(2, 2)
+    assert out.tolist() == [[0, 2], [8, 10]]
+
+
+def test_video_container_robustness():
+    """Truncated containers yield only the complete frames, no raise."""
+    from pdf_extraction_ray.sources.gen_media import build_video, video_params
+    from pdf_extraction_ray.stages.multimodal import iter_video_frames
+    v = build_video(5)
+    frames = list(iter_video_frames(v))
+    assert len(frames) == video_params(5)
+    assert len(list(iter_video_frames(v[:len(v) // 2]))) < len(frames)
+    assert list(iter_video_frames(b"nope")) == []
