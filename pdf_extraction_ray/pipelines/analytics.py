@@ -739,10 +739,15 @@ def asof_prior_error(sf_dir: str) -> rd.Dataset:
 
 
 def asof_prior_error_sql() -> str:
+    # the right side pre-collapses (user, ts) ties to max(event_id) —
+    # the Ray asof_join's documented tie order; DuckDB's ASOF tie pick
+    # among equal b.ts rows is otherwise unspecified
     return """
 SELECT a.event_id, CAST(COALESCE(b.event_id, -1) AS BIGINT) AS prior_error_id
 FROM (SELECT * FROM events WHERE event_type = 'click') a
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                FROM events WHERE event_type = 'error'
+                GROUP BY user_id, ts) b
   ON a.user_id = b.user_id AND a.ts >= b.ts"""
 
 

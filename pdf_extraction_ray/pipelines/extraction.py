@@ -306,6 +306,13 @@ def run_extraction(pages_path: str,
     with _shuffle_ctx(cfg):
         work = _work_stream(pages_path, cfg, skip_buckets=set(done))
         if cfg.finalize_shuffle == "hash":
+            # stale straddle-guard claims from a killed run must not
+            # block re-extraction of their (unfinished) buckets
+            import glob as _glob
+            for c in _glob.glob(os.path.join(out_dir, ckpt.MANIFEST_DIR,
+                                             ".claim-*")):
+                if int(c.rsplit("-", 1)[1]) not in done:
+                    os.remove(c)
             manifest_ds = (work
                            .repartition(num_blocks=_finalize_partitions(cfg),
                                         keys=["bucket"])

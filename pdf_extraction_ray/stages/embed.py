@@ -65,6 +65,11 @@ class HashingEmbedder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
+        if not texts:  # empty block: keep the output schema stable
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            })
         mat = np.stack([self._bucket_counts(t or "") for t in texts])
         emb = mat @ self.proj                      # one dense forward
         norms = np.linalg.norm(emb, axis=1, keepdims=True)

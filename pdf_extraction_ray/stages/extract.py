@@ -515,7 +515,16 @@ def finalize_block_write(block: pa.Table, cfg: PipelineConfig, dedup: bool,
     a range sort — each output block holds whole buckets, so the finisher
     runs per block (fewer, larger vectorized calls) and the per-bucket
     file layout is carved out locally with zero-copy slices.
+
+    Correctness precondition (guarded, not assumed): every bucket must
+    arrive WHOLE in one block. Ray's hash shuffle splits a partition
+    into multiple blocks once it exceeds the target block size — size
+    ``finalize_num_partitions`` so a partition's buckets stay under it.
+    An atomic per-bucket claim marker turns a straddled bucket into a
+    loud failure instead of silent partial dedup / clobbered files.
     """
+    import os
+
     from ..state import checkpoint as ckpt
 
     if not len(block):
@@ -527,9 +536,31 @@ def finalize_block_write(block: pa.Table, cfg: PipelineConfig, dedup: bool,
     buckets = tbl["bucket"].to_numpy()
     bounds = [0] + (np.flatnonzero(np.diff(buckets)) + 1).tolist() + [len(tbl)]
     manifests = []
+    claim_dir = os.path.join(out_dir, ckpt.MANIFEST_DIR)
+    os.makedirs(claim_dir, exist_ok=True)
     for lo, hi in zip(bounds[:-1], bounds[1:]):
-        manifests.append(ckpt.write_bucket_group(tbl.slice(lo, hi - lo),
-                                                 out_dir))
+        b = int(buckets[lo])
+        sl = tbl.slice(lo, hi - lo)
+        # claim carries this slice's row fingerprint: a Ray task RETRY
+        # recomputes the identical slice and passes; a second block
+        # carrying the same bucket has different rows and fails loudly
+        fp = str(ckpt.rows_fingerprint(sl["url"].to_pylist(),
+                                       sl["warc_ts"].to_pylist()))
+        claim = os.path.join(claim_dir, f".claim-{b:05d}")
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, fp.encode())
+            os.close(fd)
+        except FileExistsError:
+            with open(claim) as f:
+                prev = f.read()
+            if prev != fp:
+                raise RuntimeError(
+                    f"bucket {b} arrived in more than one hash-shuffle "
+                    "block (partition exceeded the block size and was "
+                    "split) — raise finalize_num_partitions or use "
+                    "finalize_shuffle='sort'") from None
+        manifests.append(ckpt.write_bucket_group(sl, out_dir))
     return pa.concat_tables(manifests)
 
 

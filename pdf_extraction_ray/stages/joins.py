@@ -21,8 +21,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
+
+from .dedup import _pmod
 
 
 def asof_join(left: rd.Dataset, right: rd.Dataset,
@@ -37,9 +40,8 @@ def asof_join(left: rd.Dataset, right: rd.Dataset,
     def tag(side: int, id_col: str):
         def fn(t: pa.Table) -> pa.Table:
             key = t[key_col].cast(pa.int64()).combine_chunks()
-            p = np.abs(key.to_numpy(zero_copy_only=False)) % P
             return pa.table({
-                "p": pa.array(p.astype(np.int64), pa.int64()),
+                "p": _pmod(key, P),
                 "side": pa.array(np.full(len(t), side, np.int8)),
                 "key": key,
                 "ts": t[ts_col],
@@ -147,38 +149,46 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
     right_types = dict(zip(rs.names, rs.types))
     left_types = dict(zip(ls.names, ls.types))
 
-    def tag(side: int, key_col: str, carry: list[str], other: dict):
+    out_types = {**{n: left_types[n] for n in left_cols},
+                 **{n: right_types[n] for n in right_cols}}
+
+    def tag(side: int, key_col: str, carry: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             key = t[key_col].cast(pa.int64()).combine_chunks()
-            p = np.abs(key.to_numpy(zero_copy_only=False)) % P
             cols = {
-                "p": pa.array(p.astype(np.int64), pa.int64()),
+                "p": _pmod(key, P),
                 "side": pa.array(np.full(len(t), side, np.int8)),
                 "key": key,
             }
-            for name in carry:
-                cols[name] = t[name]
-            for name, typ in other.items():
-                cols[name] = pa.nulls(len(t), typ)
+            # IDENTICAL column order on both sides: Ray's shuffle
+            # reconciles differing block schemas lossily (observed: an
+            # order mismatch promoted null-padded int64 to float64)
+            for name in left_cols + right_cols:
+                cols[name] = (t[name] if name in carry
+                              else pa.nulls(len(t), out_types[name]))
             return pa.table(cols)
         return fn
 
-    lt = left.map_batches(
-        tag(0, left_on, left_cols,
-            {n: right_types[n] for n in right_cols}),
-        batch_format="pyarrow")
-    rt = right.map_batches(
-        tag(1, right_on, right_cols,
-            {n: left_types[n] for n in left_cols}),
-        batch_format="pyarrow")
+    lt = left.map_batches(tag(0, left_on, left_cols),
+                          batch_format="pyarrow")
+    rt = right.map_batches(tag(1, right_on, right_cols),
+                           batch_format="pyarrow")
 
-    def grp(g: pd.DataFrame) -> pa.Table:
-        lf = g[g["side"] == 0][["key"] + left_cols]
-        rg = g[g["side"] == 1][["key"] + right_cols]
+    def grp(g: pa.Table) -> pa.Table:
+        # arrow in, arrow-backed pandas through the merge: each side's
+        # own columns are null-free within the side, and ArrowDtype
+        # keeps int64 payloads exact (a plain to_pandas would promote
+        # null-padded int columns to float64, corrupting ids > 2^53)
+        side = g["side"]
+        lf = (g.filter(pc.equal(side, 0)).select(["key"] + left_cols)
+               .to_pandas(types_mapper=pd.ArrowDtype))
+        rg = (g.filter(pc.equal(side, 1)).select(["key"] + right_cols)
+               .to_pandas(types_mapper=pd.ArrowDtype))
         m = lf.merge(rg, on="key", how=how)
         cols = {left_on: pa.array(m["key"].to_numpy(np.int64))}
         for name in left_cols + right_cols:
-            cols[name] = pa.Array.from_pandas(m[name])
+            cols[name] = pa.Array.from_pandas(m[name],
+                                              type=out_types[name])
         return pa.table(cols)
 
-    return lt.union(rt).groupby("p").map_groups(grp, batch_format="pandas")
+    return lt.union(rt).groupby("p").map_groups(grp, batch_format="pyarrow")

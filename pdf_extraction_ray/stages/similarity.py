@@ -260,11 +260,21 @@ def kmeans(ds: rd.Dataset, k: int = 10, iters: int = 8,
     """
     import pyarrow.compute as pc
 
+    # materialize once: the sample scan, every Lloyd round, and the
+    # final assignment otherwise each re-execute the full input lineage
+    # (iters+2 reads); at true scale persist to parquet instead
+    ds = ds.materialize()
+
     # --- deterministic farthest-point init on a bounded id-pruned sample ---
     sample = ds.map_batches(
         lambda t: t.filter(pc.less(t[id_col], init_sample)),
         batch_format="pyarrow")
     st = sample.take_all()
+    if len(st) < k:
+        raise ValueError(
+            f"kmeans init sample has {len(st)} rows < k={k}: ids in "
+            f"[0, {init_sample}) are assumed to exist — raise init_sample "
+            f"or re-key {id_col}")
     smat = np.asarray([r[vec_col] for r in st], dtype=np.float64)
     sids = np.asarray([r[id_col] for r in st], dtype=np.int64)
     order = np.argsort(sids, kind="stable")
@@ -272,6 +282,10 @@ def kmeans(ds: rd.Dataset, k: int = 10, iters: int = 8,
     cents = [smat[0]]
     d2 = ((smat - cents[0]) ** 2).sum(axis=1)
     for _ in range(1, k):
+        if d2.max() == 0.0:
+            raise ValueError(
+                "kmeans init degenerate: fewer than k distinct vectors "
+                "in the init sample — raise init_sample")
         nxt = int(np.argmax(d2))  # first max → deterministic
         cents.append(smat[nxt])
         d2 = np.minimum(d2, ((smat - cents[-1]) ** 2).sum(axis=1))

@@ -152,8 +152,15 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
     counted = counted[counted[col] != _SENTINEL]
     top = counted.sort_values(["n", col], ascending=[False, True],
                               kind="mergesort").head(k)
-    if len(counted) > k:
-        kth = int(top["n"].iloc[-1])
+    # certification: non-candidate values can hide at most
+    # n/(sketch_k+1) occurrences each, so the result is provably the
+    # exact top-k iff either the candidates account for EVERY
+    # occurrence, or the k-th returned count clears that bound. (An
+    # earlier guard skipped the check whenever candidates <= k — a
+    # single-block undersized sketch then returned silently wrong.)
+    covered = int(counted["n"].sum()) == n_total
+    if not (covered and len(counted) <= k):
+        kth = int(top["n"].iloc[-1]) if len(top) else 0
         assert kth * (sketch_k + 1) > n_total, (
             f"heavy_hitters cannot certify exact top-{k}: k-th count "
             f"{kth} <= n/(sketch_k+1) = {n_total / (sketch_k + 1):.1f}; "

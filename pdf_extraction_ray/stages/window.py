@@ -61,6 +61,8 @@ def sliding_window(ds: rd.Dataset, width_s: int, step_s: int,
     step_us = step_s * 1_000_000
 
     def explode(batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field(key_col).type
+        val_type = batch.schema.field(value_col).type
         us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         base = (us // step_us) * step_us
         starts = (np.repeat(base, nk)
@@ -68,10 +70,13 @@ def sliding_window(ds: rd.Dataset, width_s: int, step_s: int,
                             len(us)))
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         vals = batch[value_col].to_numpy(zero_copy_only=False)
+        # explicit types: an empty block would otherwise infer arrow
+        # `null` columns and break schema unification downstream
         return pa.table({
-            key_col: pa.array(np.repeat(keys, nk)),
-            "window_start": pa.array(starts).cast(pa.timestamp("us")),
-            value_col: pa.array(np.repeat(vals, nk)),
+            key_col: pa.array(np.repeat(keys, nk), type=key_type),
+            "window_start": pa.array(starts, pa.int64())
+                              .cast(pa.timestamp("us")),
+            value_col: pa.array(np.repeat(vals, nk), type=val_type),
         })
 
     return (ds.map_batches(explode, batch_format="pyarrow")

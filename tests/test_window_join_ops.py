@@ -298,3 +298,61 @@ def test_video_container_robustness():
     assert len(frames) == video_params(5)
     assert len(list(iter_video_frames(v[:len(v) // 2]))) < len(frames)
     assert list(iter_video_frames(b"nope")) == []
+
+
+def test_hash_join_bigint_exact(ray_session):
+    """int64 payloads above 2^53 survive the join exactly (arrow-level;
+    a pandas view of nullable ints is float by pandas' own design)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pdf_extraction_ray.stages.joins import hash_join
+
+    BIG = 9007199254740993  # 2^53 + 1
+    left = rd.from_items([{"k": 1, "lv": BIG}, {"k": 2, "lv": 20}])
+    right = rd.from_items([{"k": 1, "rv": BIG + 2}])
+    ds = hash_join(left, right, "k", "k", ["lv"], ["rv"], how="left",
+                   num_partitions=2)
+    tbl = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    rows = {r["k"]: r for r in tbl.to_pylist()}
+    assert rows[1] == {"k": 1, "lv": BIG, "rv": BIG + 2}
+    assert rows[2]["rv"] is None
+    assert tbl.schema.field("rv").type == pa.int64()
+
+
+def test_heavy_hitters_single_block_certification(ray_session):
+    """An undersized sketch fed ONE block must still fail loudly (the
+    covered-candidates shortcut only applies when candidates account
+    for every occurrence)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pdf_extraction_ray.stages.sketch import heavy_hitters
+
+    tbl = pa.table({"word": pa.array([f"w{i % 40}" for i in range(400)])})
+    ds = rd.from_arrow(tbl)  # one block
+    with pytest.raises(AssertionError, match="cannot certify"):
+        heavy_hitters(ds, "word", k=5, sketch_k=2)
+
+
+def test_empty_block_robustness(ray_session):
+    """Empty blocks flow through the embedder and sliding windows
+    without schema corruption."""
+    import pyarrow as pa
+    from pdf_extraction_ray.stages.embed import HashingEmbedder
+    from pdf_extraction_ray.stages.window import sliding_window
+    import ray.data as rd
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    out = HashingEmbedder(dim=8, n_buckets=64)(empty)
+    assert out.schema.field("embedding").type == pa.list_(pa.float32())
+
+    ev = pa.table({"event_type": pa.array([], pa.string()),
+                   "ts": pa.array([], pa.timestamp("us")),
+                   "value": pa.array([], pa.float64())})
+    full = pa.table({"event_type": pa.array(["a"], pa.string()),
+                     "ts": pa.array([pd.Timestamp("2024-01-01")],
+                                    pa.timestamp("us")),
+                     "value": pa.array([1.0], pa.float64())})
+    ds = rd.from_arrow([ev, full])
+    got = sliding_window(ds, 3600, 1800).to_pandas()
+    assert len(got) == 2  # one event, two hop windows
