@@ -123,3 +123,35 @@ def test_manifest_without_data_file_is_invalid(ray_session, pages_corpus, out_di
     b = sorted(manifests)[0]
     os.remove(manifests[b]["path"])  # data vanished; manifest must not count
     assert b not in ckpt.load_manifests(out_dir)
+
+
+def test_resume_hash_mode_clears_stale_claims(ray_session, pages_corpus,
+                                              out_dir):
+    """Kill-and-rerun in hash-shuffle mode: stale straddle-guard claims
+    for unfinished buckets must not block re-extraction, finished
+    buckets stay untouched, output equals a clean run."""
+    import pandas as pd
+    from pdf_extraction_ray.pipelines.extraction import run_extraction
+
+    hcfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES, n_buckets=16,
+                          split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD,
+                          finalize_shuffle="hash", finalize_num_partitions=4)
+
+    def run():
+        return (run_extraction(pages_corpus, hcfg, out_dir=out_dir)
+                .to_pandas().sort_values("url").reset_index(drop=True))
+
+    df1 = run()
+    manifests = ckpt.load_manifests(out_dir)
+    assert len(manifests) == hcfg.n_buckets
+    victims = sorted(manifests)[:3]
+    for b in victims:
+        os.remove(ckpt.manifest_path(out_dir, b))
+        shutil.rmtree(ckpt.bucket_dir(out_dir, b))
+        # the claim file survives the simulated kill — resume must drop it
+        assert os.path.exists(os.path.join(out_dir, ckpt.MANIFEST_DIR,
+                                           f".claim-{b:05d}"))
+    df2 = run()
+    assert df1.drop(columns=["spans", "elements"]).equals(
+        df2.drop(columns=["spans", "elements"]))
+    assert set(ckpt.load_manifests(out_dir)) == set(manifests)
