@@ -292,9 +292,12 @@ def _is_junk(node: Node) -> bool:
     # fast path: only class/id/hidden/role attributes can make a node
     # junk — if none of those byte sequences appear in the raw attribute
     # blob, skip the attribute parse entirely (false positives like
-    # href="/video" merely fall through to the exact check)
-    if ("class" not in raw and "id" not in raw and "hidden" not in raw
-            and "role" not in raw):
+    # href="/video" merely fall through to the exact check). Case-folded:
+    # attribute NAMES are case-insensitive in HTML (<div CLASS=...>), and
+    # the exact check below lowercases names too.
+    raw_l = raw if raw.islower() else raw.lower()
+    if ("class" not in raw_l and "id" not in raw_l and "hidden" not in raw_l
+            and "role" not in raw_l):
         return False
     blob = (node.attrs.get("class", "") + " " + node.attrs.get("id", "")).strip()
     if blob and _JUNK_ATTR_RE.search(blob):

@@ -39,7 +39,7 @@ from .retry_policy import DocumentTimeout
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -143,8 +143,9 @@ def expand_object_streams(objs: dict[int, PdfObject]) -> None:
         first = int(fm.group(1))
         count = int(nm.group(1))
         header = data[:first].split()
-        if len(header) < 2 * count:
-            continue
+        if len(header) < 2 * count or not all(
+                t.isdigit() for t in header[:2 * count]):
+            continue  # corrupt/undecodable ObjStm: skip, never raise
         offsets = [int(header[2 * k + 1]) for k in range(count)]
         for k in range(count):
             num = int(header[2 * k])

@@ -301,7 +301,8 @@ def run_extraction(pages_path: str,
     t0 = time.monotonic()
     done = ckpt.load_manifests(out_dir)
     if verify_resume and done:
-        expected = ckpt.expected_fingerprints(pages_path, cfg.n_buckets)
+        expected = ckpt.expected_fingerprints(pages_path, cfg.n_buckets,
+                                              dedup=dedup)
         ckpt.invalidate_stale(out_dir, done, expected)
     with _shuffle_ctx(cfg):
         work = _work_stream(pages_path, cfg, skip_buckets=set(done))

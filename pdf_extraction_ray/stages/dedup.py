@@ -465,7 +465,9 @@ def bloom_anti_join(ds: rd.Dataset, keys_ds: rd.Dataset, key_col: str,
 
     def maybe_keys(batch: pa.Table) -> pa.Table:
         bf = ray.get(bloom_ref)
-        vals = sorted({v for v in batch[key_col].to_pylist() if v in bf})
+        # no sort: results feed a membership set, and ordering null or
+        # mixed-type keys would raise where the bloom itself is fine
+        vals = list({v for v in batch[key_col].to_pylist() if v in bf})
         return pa.table({key_col: pa.array(vals, type=batch[key_col].type)})
 
     maybe: set = set()
@@ -616,6 +618,8 @@ def jaccard_pairs(ds: rd.Dataset, text_col: str = "text",
 
 
 def _unit_matrix_batch(batch: pa.Table, vec_col: str) -> np.ndarray:
+    if not len(batch):  # reshape(0, -1) raises on size-0 arrays
+        return np.zeros((0, 0), np.float64)
     arr = batch[vec_col].combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.chunk(0)
@@ -643,6 +647,8 @@ def _block_pair_task(ta: pa.Table, tb: pa.Table, same: bool, thr: float,
     """All qualifying cross pairs between two normalized blocks."""
     def unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        if not len(t):
+            return ids, np.zeros((0, 0), np.float64)
         col = t["unit"].combine_chunks()
         if isinstance(col, pa.ChunkedArray):
             col = col.chunk(0)

@@ -614,8 +614,17 @@ def sniff_validate_batch(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) 
         cts.append(ct)
         statuses.append(STATUS_COMPLETED if ok else STATUS_REJECTED)
         errors.append(err)
-        page_counts.append(pdf_extract.page_count(data[lo:hi])
-                           if ok and ct == CT_PDF else 0)
+        if ok and ct == CT_PDF:
+            try:
+                pc_n = pdf_extract.page_count(data[lo:hi])
+            except Exception:  # noqa: BLE001 — row isolation: a malformed
+                # PDF must never fail the sniff TASK; page_count 0 routes
+                # it down the whole-document path whose per-row try/except
+                # turns a parse failure into a status='partial' row
+                pc_n = 0
+        else:
+            pc_n = 0
+        page_counts.append(pc_n)
         buckets.append(url_bucket(urls[i], cfg.n_buckets))
     size = pc.binary_length(payloads).cast(pa.int64())
     return (batch

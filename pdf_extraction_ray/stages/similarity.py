@@ -134,6 +134,7 @@ def build_ivf_index(ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
     import os
     import shutil
 
+    n_rows = ds.count()  # freshness stamp for index reuse
     cents = fit_centroids(sample_for_centroids(ds, vec_col, sample_rows),
                           n_centroids)
     cref = ray.put(cents)
@@ -153,6 +154,9 @@ def build_ivf_index(ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
        .map_batches(assign, batch_format="pyarrow")
        .write_parquet(tmp, partition_cols=["cell"]))
     np.save(os.path.join(tmp, "_centroids.npy"), cents)
+    import json
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump({"n_rows": n_rows, "n_centroids": n_centroids}, f)
     shutil.rmtree(index_dir, ignore_errors=True)
     os.replace(tmp, index_dir)
     return cents
@@ -235,7 +239,21 @@ def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
     if index_dir is None:
         index_dir = os.path.join(tempfile.gettempdir(),
                                  "pdf_extraction_ray", "ivf-scratch")
-    if not os.path.exists(os.path.join(index_dir, "_centroids.npy")):
+    # reuse only a FRESH index: a stale one (different dataset at the
+    # same path, regenerated corpus) would silently answer queries from
+    # the wrong corpus. The stamp is (row count, n_centroids) — cheap to
+    # verify (metadata count), and any mismatch rebuilds.
+    import json
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    fresh = False
+    if os.path.exists(os.path.join(index_dir, "_centroids.npy")) and \
+            os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        fresh = (meta.get("n_rows") == ds.count()
+                 and meta.get("n_centroids") == n_centroids)
+    if not fresh:
         build_ivf_index(ds, index_dir, n_centroids, vec_col, id_col,
                         sample_rows)
     return topk_cosine_ivf_indexed(index_dir, queries, query_ids, k,

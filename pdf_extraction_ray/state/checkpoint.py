@@ -148,13 +148,18 @@ def load_manifests(out_dir: str) -> dict[int, dict]:
     return out
 
 
-def expected_fingerprints(pages_path: str, n_buckets: int) -> dict[int, int]:
+def expected_fingerprints(pages_path: str, n_buckets: int,
+                          dedup: bool = True) -> dict[int, int]:
     """Recompute each bucket's lineage fingerprint from the CURRENT input.
 
-    Cheap metadata pass: only (url, warc_ts) leave storage; first-wins
-    dedup (min warc_ts per url) mirrors what the bucket writer fingerprints.
-    Partial XORs are combined per bucket on the driver (n_buckets ints of
-    state — O(1) per partition, never row data).
+    Cheap metadata pass: only (url, warc_ts) leave storage. With
+    ``dedup`` (the writer's default) first-wins dedup (min warc_ts per
+    url) mirrors what the bucket writer fingerprints; a ``dedup=False``
+    run writes EVERY row, so the expectation must XOR every row too —
+    otherwise verify_resume would invalidate (and uselessly recompute)
+    every bucket of a non-dedup run forever. Partial XORs are combined
+    per bucket on the driver (n_buckets ints of state — O(1) per
+    partition, never row data).
     """
     import ray.data as rd
     from ray.data.aggregate import Min
@@ -162,7 +167,11 @@ def expected_fingerprints(pages_path: str, n_buckets: int) -> dict[int, int]:
     from ..functions.hashing import url_bucket
 
     meta = rd.read_parquet(pages_path, columns=["url", "warc_ts"])
-    uniq = meta.groupby("url").aggregate(Min("warc_ts", alias_name="warc_ts"))
+    if dedup:
+        uniq = meta.groupby("url").aggregate(
+            Min("warc_ts", alias_name="warc_ts"))
+    else:
+        uniq = meta
 
     def partial_xor(batch: pa.Table) -> pa.Table:
         acc: dict[int, int] = {}

@@ -155,3 +155,20 @@ def test_resume_hash_mode_clears_stale_claims(ray_session, pages_corpus,
     assert df1.drop(columns=["spans", "elements"]).equals(
         df2.drop(columns=["spans", "elements"]))
     assert set(ckpt.load_manifests(out_dir)) == set(manifests)
+
+
+def test_verify_resume_dedup_false_keeps_buckets(ray_session, pages_corpus,
+                                                 out_dir):
+    """A dedup=False run writes every row; the verify_resume audit must
+    fingerprint every row too, or it would invalidate all buckets of a
+    valid run forever."""
+    from pdf_extraction_ray.pipelines.extraction import run_extraction
+    run_extraction(pages_corpus, CFG, out_dir=out_dir, dedup=False)
+    m1 = ckpt.load_manifests(out_dir)
+    mtimes = {b: os.path.getmtime(ckpt.manifest_path(out_dir, b)) for b in m1}
+    run_extraction(pages_corpus, CFG, out_dir=out_dir, dedup=False,
+                   verify_resume=True)
+    m2 = ckpt.load_manifests(out_dir)
+    assert set(m2) == set(m1)
+    for b in m1:  # nothing invalidated, nothing rewritten
+        assert os.path.getmtime(ckpt.manifest_path(out_dir, b)) == mtimes[b]

@@ -116,3 +116,17 @@ def test_script_style_dropped():
     html = ("<article><script>var x=1;</script><style>p{}</style>"
             "<p>visible</p></article>")
     assert extract_html(html.encode()).text == "visible"
+
+
+def test_uppercase_junk_attributes_stripped():
+    """Attribute names are case-insensitive in HTML: <div CLASS=...>
+    must strip exactly like <div class=...> (a lowercase-only fast path
+    once leaked uppercase-attribute boilerplate)."""
+    from pdf_extraction_ray.functions.html_extract import extract_html
+    html = (b"<html><body><article><p>keep me</p>"
+            b'<div CLASS="sidebar">junk A</div>'
+            b"<div HIDDEN><p>junk B</p></div>"
+            b'<div ROLE="navigation"><p>junk C</p></div></article>'
+            b"</body></html>")
+    out = extract_html(html)
+    assert out.text == "keep me"

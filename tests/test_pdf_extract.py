@@ -246,3 +246,26 @@ def test_two_column_elements_geometry():
     # left band rows stack from the top; right band restarts at the top
     assert [e.y0 for e in two.elements][:2] == [720, 706]
     assert two.elements[6].y0 == 720
+
+
+def test_malformed_objstm_never_raises():
+    """A /Type /ObjStm whose stream is not valid zlib (header tokens are
+    garbage) must be skipped, not crash page_count/parse."""
+    from pdf_extraction_ray.functions import pdf_extract as P
+    bad = (b"%PDF-1.5\n1 0 obj\n"
+           b"<< /Type /ObjStm /N 1 /First 10 /Length 8 >>\n"
+           b"stream\nAB CD EF\nendstream\nendobj")
+    assert P.page_count(bad) >= 0
+    P.parse_all_objects(bad)  # must not raise
+
+
+def test_indirect_length_not_truncated():
+    """'/Length 123 0 R' (indirect, multi-digit) must not match as a
+    direct length of 12 — that truncated streams and desynced the
+    object scan."""
+    from pdf_extraction_ray.functions.pdf_extract import _LENGTH_RE
+    assert _LENGTH_RE.search(b"<< /Length 123 0 R >>") is None
+    assert _LENGTH_RE.search(b"<< /Length 7 0 R >>") is None
+    assert _LENGTH_RE.search(b"<< /Length 123 >>").group(1) == b"123"
+    assert _LENGTH_RE.search(b"<< /Length 8 /Filter /FlateDecode >>"
+                             ).group(1) == b"8"

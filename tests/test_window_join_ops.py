@@ -356,3 +356,35 @@ def test_empty_block_robustness(ray_session):
     ds = rd.from_arrow([ev, full])
     got = sliding_window(ds, 3600, 1800).to_pandas()
     assert len(got) == 2  # one event, two hop windows
+
+
+def test_ivf_index_rebuilds_when_stale(ray_session, tmp_path):
+    """An index built for one dataset must not silently answer queries
+    for a different dataset at the same index_dir."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from pdf_extraction_ray.stages.similarity import topk_cosine_ivf
+
+    rng = np.random.RandomState(3)
+
+    def mk(n, seed_shift=0):
+        vecs = rng.normal(size=(n, 8)) + seed_shift
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+        }))
+
+    idx = str(tmp_path / "ivf")
+    q = rng.normal(size=(2, 8))
+    topk_cosine_ivf(mk(64), q, [0, 1], k=3, n_centroids=4,
+                    index_dir=idx).to_pandas()
+    import json, os
+    meta1 = json.load(open(os.path.join(idx, "_meta.json")))
+    assert meta1["n_rows"] == 64
+    # different dataset, same dir → stale stamp → rebuild
+    topk_cosine_ivf(mk(100), q, [0, 1], k=3, n_centroids=4,
+                    index_dir=idx).to_pandas()
+    meta2 = json.load(open(os.path.join(idx, "_meta.json")))
+    assert meta2["n_rows"] == 100
