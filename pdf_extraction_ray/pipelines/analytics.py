@@ -28,17 +28,8 @@ from ..stages import similarity as sim
 from ..stages import window as win
 
 
-def _strip_meta(t: pa.Table) -> pa.Table:
-    # pandas-written parquet schema metadata is unhashable inside Ray's
-    # shuffle schema dedup — drop it at the read boundary
-    return t.replace_schema_metadata(None)
-
-
-def _read_table(sf_dir: str, name: str,
-                columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
-                           columns=columns).map_batches(
-        _strip_meta, batch_format="pyarrow")
+from ..sources.tables import read_table as _read_table  # shared reader
+from ..sources.tables import strip_meta as _strip_meta  # noqa: F401
 
 
 def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:

@@ -28,16 +28,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
-def _strip_meta(t):
-    # pandas-written parquet carries schema metadata that makes
-    # pa.Schema unhashable inside Ray's shuffle schema dedup ("Failed to
-    # hash the schemas" warnings) — drop it at the read boundary
-    return t.replace_schema_metadata(None)
-
-
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return _raw_read(sf_dir, table, columns).map_batches(
-        _strip_meta, batch_format="pyarrow")
+from ..sources.tables import read_table as _read  # shared reader
 
 
 def _raw_read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:

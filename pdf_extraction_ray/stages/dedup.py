@@ -270,6 +270,50 @@ def _upper_pairs(ids_arr) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def _lsh_candidate_pairs(ds: rd.Dataset, text_col: str, id_col: str,
+                         shingle_k: int, num_perm: int,
+                         bands: int) -> tuple[rd.Dataset, set]:
+    """Shared banded-LSH candidate discovery (minhash_cluster and
+    jaccard_pairs both run exactly this wide pass): explode each doc to
+    (band, band_hash, id) rows — ids ONLY through the all-to-all, never
+    text/signatures — bucket by band hash, emit within-bucket pairs,
+    dedup with one vectorized groupby. Returns (candidate-pair dataset
+    with columns a/b, the candidate id set)."""
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for i, t in zip(ids, texts):
+            sig = hashing.minhash_signature(
+                hashing.shingles(t or "", shingle_k), num_perm)
+            for b, bh in enumerate(hashing.minhash_bands(sig, bands)):
+                out_band.append(b)
+                out_hash.append(bh)
+                out_id.append(i)
+        return pa.table({
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
+            id_col: pa.array(out_id, pa.int64()),
+        })
+
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        return _upper_pairs(group[id_col].to_numpy())
+
+    cand = (ds.map_batches(sig_rows, batch_format="pyarrow")
+              .groupby(["band", "band_hash"])
+              .map_groups(bucket_pairs, batch_format="pandas")
+              .groupby(["a", "b"]).count()
+              .map_batches(lambda t: t.select(["a", "b"]),
+                           batch_format="pyarrow")
+              .materialize())
+    cand_ids: set = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b["a"].to_pylist())
+        cand_ids.update(b["b"].to_pylist())
+    return cand, cand_ids
+
+
 def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
                     id_col: str = "doc_id", num_perm: int = 64,
                     bands: int = 16, jaccard_threshold: float = 0.8,
@@ -288,44 +332,11 @@ def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
     docs) are the skew risk — num_perm/bands control bucket granularity.
     """
     ds = ds.materialize()  # scanned twice (banding, candidate signatures)
-
-    def sig_rows(batch: pa.Table) -> pa.Table:
-        # ids only through the all-to-all — signatures would otherwise
-        # travel once per band (x16 amplification)
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for i, t in zip(ids, texts):
-            sig = hashing.minhash_signature(
-                hashing.shingles(t or "", shingle_k), num_perm)
-            for b, bh in enumerate(hashing.minhash_bands(sig, bands)):
-                out_band.append(b)
-                out_hash.append(bh)
-                out_id.append(i)
-        return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.uint64()),
-            id_col: pa.array(out_id, pa.int64()),
-        })
-
-    banded = ds.map_batches(sig_rows, batch_format="pyarrow")
-
-    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
-        return _upper_pairs(group[id_col].to_numpy())
-
-    cand = (banded.groupby(["band", "band_hash"])
-                  .map_groups(bucket_pairs, batch_format="pandas")
-                  .groupby(["a", "b"]).count()
-                  .map_batches(lambda t: t.select(["a", "b"]),
-                               batch_format="pyarrow")
-                  .materialize())
+    cand, cand_ids = _lsh_candidate_pairs(ds, text_col, id_col,
+                                          shingle_k, num_perm, bands)
 
     # second pruned pass: signatures of CANDIDATE docs only (bounded by
     # LSH match volume), broadcast for the estimate verification
-    cand_ids: set = set()
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(b["a"].to_pylist())
-        cand_ids.update(b["b"].to_pylist())
     sig_map: dict[int, np.ndarray] = {}
     if cand_ids:
         ids_ref = ray.put(cand_ids)
@@ -534,40 +545,8 @@ def jaccard_pairs(ds: rd.Dataset, text_col: str = "text",
     Returns (a, b, jaccard_pct) with a < b, integer half-up percent.
     """
     ds = ds.materialize()  # scanned twice (banding, candidate shingles)
-
-    def sig_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for i, t in zip(ids, texts):
-            sig = hashing.minhash_signature(
-                hashing.shingles(t or "", shingle_k), num_perm)
-            for b, bh in enumerate(hashing.minhash_bands(sig, bands)):
-                out_band.append(b)
-                out_hash.append(bh)
-                out_id.append(i)
-        return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.uint64()),
-            id_col: pa.array(out_id, pa.int64()),
-        })
-
-    banded = ds.map_batches(sig_rows, batch_format="pyarrow")
-
-    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
-        return _upper_pairs(group[id_col].to_numpy())
-
-    cand = (banded.groupby(["band", "band_hash"])
-                  .map_groups(bucket_pairs, batch_format="pandas")
-                  .groupby(["a", "b"]).count()
-                  .map_batches(lambda t: t.select(["a", "b"]),
-                               batch_format="pyarrow")
-                  .materialize())
-
-    cand_ids: set = set()
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(b["a"].to_pylist())
-        cand_ids.update(b["b"].to_pylist())
+    cand, cand_ids = _lsh_candidate_pairs(ds, text_col, id_col,
+                                          shingle_k, num_perm, bands)
     if not cand_ids:
         return rd.from_arrow(pa.table({
             "a": pa.array([], pa.int64()),
