@@ -43,7 +43,8 @@ def build_page_row(doc_id: int, text: str, source: str, lang: str) -> dict:
         payload = gen_pdf.build_pdf(spec.pdf_line_specs(doc_id, text, source),
                                     lines_per_page=spec.LINES_PER_PAGE,
                                     two_column=spec.pdf_twocol(doc_id),
-                                    variant=spec.pdf_variant(doc_id))
+                                    variant=spec.pdf_variant(doc_id),
+                                    text_style=spec.pdf_text_style(doc_id))
     elif k == "garbage":
         payload = spec.garbage_bytes(doc_id)
     elif k == "empty":

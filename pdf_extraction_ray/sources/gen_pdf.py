@@ -48,18 +48,58 @@ def _esc(line: str) -> bytes:
 LineSpec = "str | list[str]"
 
 
-def _content_stream(lines: list, xs: list[int] | None = None) -> bytes:
-    """One page's content stream: absolute-positioned text lines."""
+def _tjhex_show(text: str) -> bytes:
+    """``[<hex> kern (literal)] TJ`` show operator: first half of the
+    bytes hex-encoded, a kerning number the extractor must ignore, the
+    rest a literal — one TJ array concatenates back to the same chunk
+    (splitting raw utf-8 bytes is safe: the parser joins parts BEFORE
+    decoding)."""
+    b = text.encode("utf-8")
+    half = len(b) // 2
+    return b"[<%s> -120 (%s)] TJ" % (b[:half].hex().encode(),
+                                     _esc_bytes(b[half:]))
+
+
+def _esc_bytes(b: bytes) -> bytes:
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _content_stream(lines: list, xs: list[int] | None = None,
+                    style: str = "tj") -> bytes:
+    """One page's content stream.
+
+    ``style='tj'``: absolute ``Tm … (…) Tj`` lines (the simple form the
+    fast-path regex recognizes). ``style='tjhex'``: the real-world
+    operator mix — ``Td``-relative line advances, ``TJ`` kerning arrays,
+    and hex strings — extracting to byte-identical text through the full
+    tokenizer.
+    """
     ops = [b"BT", b"/F1 12 Tf"]
+    # Td-relative advances are only sound when every preceding show op
+    # sits at MARGIN_X — a table row's cell Tm would re-base the line
+    # start mid-page
+    sequential = xs is None and all(isinstance(ln, str) for ln in lines)
     for i, line in enumerate(lines):
         x = MARGIN_X if xs is None else xs[i]
         y = TOP_Y - LEADING * (i if xs is None else _col_row(i, len(lines)))
         if isinstance(line, str):
-            ops.append(b"1 0 0 1 %d %d Tm (%s) Tj" % (x, y, _esc(line)))
+            if style == "tjhex":
+                if sequential and i > 0:
+                    ops.append(b"0 %d Td %s" % (-LEADING, _tjhex_show(line)))
+                else:
+                    ops.append(b"1 0 0 1 %d %d Tm %s"
+                               % (x, y, _tjhex_show(line)))
+            else:
+                ops.append(b"1 0 0 1 %d %d Tm (%s) Tj" % (x, y, _esc(line)))
         else:  # table row: one chunk per cell
             for j, cell in enumerate(line):
-                ops.append(b"1 0 0 1 %d %d Tm (%s) Tj"
-                           % (x + CELL_STRIDE * j, y, _esc(cell)))
+                cx = x + CELL_STRIDE * j
+                if style == "tjhex":
+                    ops.append(b"1 0 0 1 %d %d Tm %s"
+                               % (cx, y, _tjhex_show(cell)))
+                else:
+                    ops.append(b"1 0 0 1 %d %d Tm (%s) Tj"
+                               % (cx, y, _esc(cell)))
     ops.append(b"ET")
     return b"\n".join(ops)
 
@@ -157,7 +197,8 @@ def build_pdf(lines: list[str],
               two_column: bool = False,
               no_text: bool = False,
               n_empty_pages: int = 1,
-              variant: str = "plain") -> bytes:
+              variant: str = "plain",
+              text_style: str = "tj") -> bytes:
     """Serialize ``lines`` into a multi-page PDF.
 
     ``no_text``: emit ``n_empty_pages`` pages with empty content streams
@@ -166,6 +207,9 @@ def build_pdf(lines: list[str],
     (reading order = left column top-to-bottom, then right).
     ``variant``: on-disk encoding — ``plain`` | ``flate`` | ``objstm``
     (see module docstring); extracted text is identical for all three.
+    ``text_style``: content-stream operator mix — ``tj`` (simple
+    ``Tm…Tj``) | ``tjhex`` (Td-relative advances + TJ kerning arrays +
+    hex strings); extraction-invariant.
     """
     if variant not in ("plain", "flate", "objstm"):
         raise ValueError(f"unknown variant: {variant}")
@@ -180,9 +224,9 @@ def build_pdf(lines: list[str],
         if two_column and pls:
             half = (len(pls) + 1) // 2
             xs = [MARGIN_X] * half + [COL2_X] * (len(pls) - half)
-            streams.append(_content_stream(pls, xs))
+            streams.append(_content_stream(pls, xs, style=text_style))
         else:
-            streams.append(_content_stream(pls))
+            streams.append(_content_stream(pls, style=text_style))
 
     n_pages = len(streams)
     compress = variant in ("flate", "objstm")

@@ -41,6 +41,12 @@ is prepended (classifier layer 2).
 Orthogonally by ``doc_id % 3`` (PDF kinds only, ``pdf_variant``): the
 on-disk encoding cycles plain / flate / objstm — compressed variants
 change only the payload bytes, never the extracted ground truth.
+
+Orthogonally by ``doc_id % 7`` (PDF kinds only, ``pdf_text_style``):
+``doc_id % 7 == 3`` documents use the real-world content-stream
+operator mix (Td-relative advances, TJ kerning arrays, hex strings)
+instead of simple ``Tm…Tj`` — again extraction-invariant, pinning the
+full tokenizer's operator coverage through every pipeline oracle.
 """
 
 from __future__ import annotations
@@ -62,7 +68,7 @@ CORPUS_QUALITY_THRESHOLD_PCT = 70  # routing threshold (reference: quality < 0.7
 # oversized PDFs are >= ceil(150/45)=4 pages; normal PDFs are <= 2 pages,
 # so threshold 3 cleanly routes pdf_big (and only pdf_big) to the shard path
 CORPUS_SPLIT_PAGE_THRESHOLD = 3
-SPEC_VERSION = "v7"        # bump to invalidate cached generated corpora
+SPEC_VERSION = "v8"        # bump to invalidate cached generated corpora
 SESSION = "May/June"       # metadata header session value
 
 
@@ -122,6 +128,13 @@ def pdf_variant(doc_id: int) -> str:
       stream + Flate content)
     """
     return ("plain", "flate", "objstm")[doc_id % 3]
+
+
+def pdf_text_style(doc_id: int) -> str:
+    """Content-stream operator mix — extraction-invariant (see module
+    docstring): most PDFs use the simple ``Tm…Tj`` form (fast-path
+    eligible); every 7th-ish uses Td/TJ/hex (full tokenizer)."""
+    return "tjhex" if doc_id % 7 == 3 else "tj"
 
 
 def rep_html(doc_id: int) -> int:

@@ -269,3 +269,26 @@ def test_indirect_length_not_truncated():
     assert _LENGTH_RE.search(b"<< /Length 123 >>").group(1) == b"123"
     assert _LENGTH_RE.search(b"<< /Length 8 /Filter /FlateDecode >>"
                              ).group(1) == b"8"
+
+
+def test_tjhex_style_extraction_invariant():
+    """The Td/TJ/hex operator mix must extract byte-identically to the
+    simple Tm/Tj form across encodings and layouts (corpus v8 cycles
+    it through every pipeline oracle)."""
+    import itertools
+    from pdf_extraction_ray.sources import gen_pdf
+    from pdf_extraction_ray.functions import pdf_extract
+    cases = [
+        [f"word{i} alpha (x) \\ beta" for i in range(12)],
+        [["c1", "c2"], ["d1", "d2"], "tail line"],
+    ]
+    for lines, two_col, variant in itertools.product(
+            cases, (False, True), ("plain", "flate", "objstm")):
+        a = gen_pdf.build_pdf(lines, two_column=two_col, variant=variant,
+                              text_style="tj")
+        b = gen_pdf.build_pdf(lines, two_column=two_col, variant=variant,
+                              text_style="tjhex")
+        ea, eb = pdf_extract.extract_pdf(a), pdf_extract.extract_pdf(b)
+        assert ea.text == eb.text
+        assert [s.__dict__ for s in ea.spans] == [s.__dict__ for s in eb.spans]
+        assert ea.table_row_counts == eb.table_row_counts
