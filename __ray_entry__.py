@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _tuned(analytics.tfidf_top_terms),
         "value_quantiles_hist": _tuned(analytics.value_quantiles_hist),
         "event_pairs_within": _tuned(analytics.event_pairs_within),
+        "props_json_stats": _tuned(analytics.props_json_stats),
     }
 
 
@@ -320,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": analytics.tfidf_top_terms_sql(),
         "value_quantiles_hist": analytics.value_quantiles_hist_sql(),
         "event_pairs_within": analytics.event_pairs_within_sql(),
+        "props_json_stats": analytics.props_json_stats_sql(),
         # rows-only (non-SQL-expressible): fingerprint_docs, dedup_minhash,
         # dedup_simhash, ann_ivf — verified in tests instead
     }

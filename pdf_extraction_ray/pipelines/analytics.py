@@ -1153,3 +1153,51 @@ SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
 FROM (SELECT doc_id, unnest(range(0, 4 + doc_id % 9)) AS f
       FROM documents)
 WHERE f % {step} = 0"""
+
+
+def props_json_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured (JSON) column processing: parse each event's
+    ``props`` JSON blob, pull the ``k`` field, and aggregate per event
+    type — the free-form-metadata shape (reference analog: JSONB
+    ``processing_metadata`` round-trips, app/db/extractions.py:76-78;
+    SURVEY.md §2.8 JSON row). Combiner form: per-batch parse + partial
+    sums, one tiny groupby."""
+    import json
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for et, props in zip(batch["event_type"].to_pylist(),
+                             batch["props"].to_pylist()):
+            try:
+                k = int(json.loads(props or "{}").get("k", 0))
+                bad = 0
+            except (ValueError, TypeError, json.JSONDecodeError):
+                k, bad = 0, 1
+            cur = acc.setdefault(et, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += k
+            cur[2] += bad
+        ks = sorted(acc)
+        return pa.table({
+            "event_type": pa.array(ks, pa.string()),
+            "n": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "sum_k": pa.array([acc[k][1] for k in ks], pa.int64()),
+            "n_bad": pa.array([acc[k][2] for k in ks], pa.int64()),
+        })
+
+    return (_read_table(sf_dir, "events", ["event_type", "props"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n_events"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Sum("n_bad", alias_name="n_bad")))
+
+
+def props_json_stats_sql() -> str:
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT),
+                         0)) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN json_valid(coalesce(props, '')) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_bad
+FROM events GROUP BY event_type"""

@@ -388,3 +388,9 @@ def test_ivf_index_rebuilds_when_stale(ray_session, tmp_path):
                     index_dir=idx).to_pandas()
     meta2 = json.load(open(os.path.join(idx, "_meta.json")))
     assert meta2["n_rows"] == 100
+
+
+def test_props_json_stats_matches_duckdb(ray_session):
+    from pdf_extraction_ray.pipelines import analytics as A
+    assert compare("props_json_stats", A.props_json_stats(SF_SMOKE),
+                   A.props_json_stats_sql(), SF_SMOKE) == []
