@@ -75,8 +75,11 @@ def minhash_signature(sh: set[int], num_perm: int = 64) -> np.ndarray:
     if not sh:
         return np.full(num_perm, np.uint64(MERSENNE_61), dtype=np.uint64)
     v = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-    # (a*x + b) mod p, broadcast perms x shingles; python-object math avoided
-    # by splitting the 61-bit multiply into 32-bit halves via float-free uint64 ops
+    # deterministic permutation family ((a*x + b) mod 2^64) mod p — the
+    # uint64 multiply wraps before the Mersenne mod, so this is NOT the
+    # textbook universal (a,b) family; the double-mod slightly biases
+    # collision probabilities, which the recall tests bound empirically.
+    # (Exact 61-bit modular products need 128-bit math numpy lacks.)
     prod = (a[:, None] * v[None, :] + b[:, None]) % np.uint64(MERSENNE_61)
     return prod.min(axis=1)
 

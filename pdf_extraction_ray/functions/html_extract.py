@@ -452,13 +452,35 @@ def _find_content_root(root: Node, link_density_max: float) -> Node:
     for n in _iter_nodes(root):
         if not _is_junk(n) and (n.tag == "main" or n.attrs.get("role") == "main"):
             return n
+    # density scoring in ONE pass: collect blocks globally, credit each
+    # kept block's text length to its strict ancestors. (Per-candidate
+    # ``_kept_blocks`` calls re-walked every subtree — O(nodes x depth)
+    # on deeply nested boilerplate-heavy pages.) Equivalence with the
+    # per-candidate form: a candidate's kept blocks are exactly the kept
+    # blocks strictly below it (junk subtrees are skipped identically in
+    # both traversals, and a leaf-div candidate never counts itself in
+    # either form).
+    blocks: list[Node] = []
+    _collect_block_nodes(root, blocks)
+    scores: dict[int, int] = {}
+    for el in blocks:
+        _kind, text, link_chars, _tbl = _resolve_block(el)
+        if not text or not text.strip():
+            continue
+        if link_chars / len(text) > link_density_max:
+            continue
+        ln = len(text)
+        anc = el.parent
+        while anc is not None:
+            key = id(anc)
+            scores[key] = scores.get(key, 0) + ln
+            anc = anc.parent
     best: Node | None = None
     best_score = 0
     for n in _iter_nodes(root):
         if _is_junk(n) or n.tag not in ("div", "section", "td"):
             continue
-        blocks, _ = _kept_blocks(n, link_density_max, semantic=False)
-        score = sum(len(t) for _, t in blocks)
+        score = scores.get(id(n), 0)
         if score > best_score:
             best, best_score = n, score
     if best is not None:

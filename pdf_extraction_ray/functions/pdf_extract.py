@@ -44,6 +44,7 @@ _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 _PAGES_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
@@ -172,6 +173,14 @@ def page_content_streams(payload: bytes) -> list[bytes]:
             c = objs.get(int(m.group(1)))
             if c is not None and c.stream is not None:
                 return decoded_stream(c) or b""
+        am = _CONTENTS_ARR_RE.search(page.body)
+        if am:  # array form: streams concatenate in order (PDF spec)
+            parts = []
+            for rm in _REF_RE.finditer(am.group(1)):
+                c = objs.get(int(rm.group(1)))
+                if c is not None and c.stream is not None:
+                    parts.append(decoded_stream(c) or b"")
+            return b"\n".join(parts)
         return b""
 
     # primary: walk catalog → pages tree
@@ -223,6 +232,14 @@ def page_count(payload: bytes) -> int:
     occurrences); a compressed-xref PDF keeps its page tree inside an
     object stream, so the fallback inflates ObjStm objects (still far
     cheaper than tokenizing content)."""
+    # prefer /Count entries that co-occur with a /Pages node (an
+    # /Outlines or interior-subtree Count appearing first in file order
+    # must not win); the root node's total is the max of those
+    page_counts = [int(m.group(1)) for m in _COUNT_RE.finditer(payload)
+                   if b"/Pages" in payload[max(0, m.start() - 256):
+                                           m.end() + 256]]
+    if page_counts:
+        return max(page_counts)
     m = _COUNT_RE.search(payload)
     if m:
         return int(m.group(1))
@@ -450,6 +467,12 @@ def tokenize_text_ops(stream: bytes,
             ly -= leading
             x, y = lx, ly
             emit(operands[-1])
+        elif op == b'"' and operands and isinstance(operands[-1], bytes):
+            # set word/char spacing + advance + show: spacing operands
+            # are layout-only, the string still renders on the next line
+            ly -= leading
+            x, y = lx, ly
+            emit(operands[-1])
         elif op == b"TJ":
             # concatenate the string items of the trailing [ … ] array
             parts: list[bytes] = []
@@ -501,8 +524,11 @@ def assemble_line_objs(chunks: list[TextChunk],
     # column bands: cluster chunk x-origins on gaps > column_gap_min
     xs = sorted({c.x for c in chunks})
     bands: list[float] = [xs[0]]
-    for v in xs[1:]:
-        if v - bands[-1] > column_gap_min:
+    for prev, v in zip(xs, xs[1:]):
+        # adjacent-gap split (the documented rule): comparing to the
+        # band START instead wrongly split gradually-spread lines and
+        # wide table rows into bogus columns
+        if v - prev > column_gap_min:
             bands.append(v)
 
     def band_of(cx: float) -> int:

@@ -39,8 +39,16 @@ def sniff_content_type(payload: bytes) -> str:
     probe = payload[:4096]
     try:
         s = probe.decode("utf-8")
-    except UnicodeDecodeError:
-        return CT_UNKNOWN
+    except UnicodeDecodeError as e:
+        # a multibyte char split at the probe BOUNDARY is not evidence of
+        # binary content — trim the incomplete tail and retry; an error
+        # anywhere else really is non-UTF-8
+        if e.start < len(probe) - 3:
+            return CT_UNKNOWN
+        try:
+            s = probe[:e.start].decode("utf-8")
+        except UnicodeDecodeError:
+            return CT_UNKNOWN
     if not s:
         return CT_EMPTY
     printable = sum(1 for c in s if c.isprintable() or c in "\n\r\t")

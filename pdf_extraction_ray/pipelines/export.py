@@ -79,17 +79,7 @@ def export_markdown_files(extracted: rd.Dataset, out_dir: str) -> int:
 def run_metrics(out_dir: str) -> dict:
     """Metrics rollup from per-bucket manifests (FIXTURES.md F5): counts
     by status/route, totals, derived throughput — no re-scan of data."""
-    manifests = ckpt.load_manifests(out_dir)
-    ms = list(manifests.values())
-    n_rows = sum(m["n_rows"] for m in ms)
-    return {
-        "n_buckets": len(ms),
-        "n_rows": n_rows,
-        "n_text_bytes": sum(m["n_bytes"] for m in ms),
-        "n_completed": sum(m["n_completed"] for m in ms),
-        "n_rejected": sum(m["n_rejected"] for m in ms),
-        "n_partial": sum(m["n_partial"] for m in ms),
-        "n_primary": sum(m["n_primary"] for m in ms),
-        "n_salvage": sum(m["n_salvage"] for m in ms),
-        "sum_elapsed_s": round(sum(m["elapsed_s"] for m in ms), 6),
-    }
+    ms = list(ckpt.load_manifests(out_dir).values())
+    out = ckpt.summarize_manifests(ms)
+    out["sum_elapsed_s"] = round(sum(m["elapsed_s"] for m in ms), 6)
+    return out

@@ -31,11 +31,6 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from ..sources.tables import read_table as _read  # shared reader
 
 
-def _raw_read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                           columns=columns)
-
-
 # ---------------------------------------------------------------------------
 # A1/A4-style grouped aggregate with partial pre-aggregation (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
@@ -202,12 +197,14 @@ def event_value_stats(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({
             "event_type": [group["event_type"].iloc[0]],
             "n_events": np.array([n], dtype=np.int64),
-            # scaled integer: the mean's last ulp depends on summation
-            # order and round() implementations differ by 1 ulp; the
-            # nearest integer of mean*1e6 is unambiguous. p95 is an exact
-            # element copy, hash-safe as a raw float.
-            "mean_value_e6": np.array([int(round(float(v.sum() / n) * 1e6))],
-                                      dtype=np.int64),
+            # scaled integer with HALF-AWAY rounding: DuckDB round() is
+            # half-away-from-zero while Python round() is banker's — an
+            # exact .5 product would hash-mismatch. Values are positive,
+            # so floor(x + 0.5) is the DuckDB-compatible form. p95 is an
+            # exact element copy, hash-safe as a raw float.
+            "mean_value_e6": np.array(
+                [int(np.floor(float(v.sum() / n) * 1e6 + 0.5))],
+                dtype=np.int64),
             "p95_value": [float(v[idx])],
         })
 

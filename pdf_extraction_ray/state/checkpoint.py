@@ -209,26 +209,35 @@ def invalidate_stale(out_dir: str, done: dict[int, dict],
     return stale
 
 
-def write_run_summary(out_dir: str, manifests: list[dict],
-                      wall_s: float) -> dict:
-    """Aggregate per-bucket manifests into the run report
-    (reference analog: ``_batch_summary.json``,
-    app/services/batch_processor.py:203-206)."""
-    total_rows = sum(m["n_rows"] for m in manifests)
-    total_bytes = sum(m["n_bytes"] for m in manifests)
-    summary = {
+def summarize_manifests(manifests: list[dict]) -> dict:
+    """Counter sums over per-bucket manifests — the ONE rollup both the
+    run report and the metrics endpoint read (they used to duplicate
+    these eight sums and could drift)."""
+    return {
         "n_buckets": len(manifests),
-        "n_rows": total_rows,
-        "n_text_bytes": total_bytes,
-        "wall_s": wall_s,
-        "docs_per_s": total_rows / wall_s if wall_s > 0 else 0.0,
-        "mb_per_s": total_bytes / wall_s / 1e6 if wall_s > 0 else 0.0,
+        "n_rows": sum(m["n_rows"] for m in manifests),
+        "n_text_bytes": sum(m["n_bytes"] for m in manifests),
         "n_completed": sum(m["n_completed"] for m in manifests),
         "n_rejected": sum(m["n_rejected"] for m in manifests),
         "n_partial": sum(m["n_partial"] for m in manifests),
         "n_primary": sum(m["n_primary"] for m in manifests),
         "n_salvage": sum(m["n_salvage"] for m in manifests),
     }
+
+
+def write_run_summary(out_dir: str, manifests: list[dict],
+                      wall_s: float) -> dict:
+    """Aggregate per-bucket manifests into the run report
+    (reference analog: ``_batch_summary.json``,
+    app/services/batch_processor.py:203-206)."""
+    summary = summarize_manifests(manifests)
+    total_rows = summary["n_rows"]
+    total_bytes = summary["n_text_bytes"]
+    summary.update({
+        "wall_s": wall_s,
+        "docs_per_s": total_rows / wall_s if wall_s > 0 else 0.0,
+        "mb_per_s": total_bytes / wall_s / 1e6 if wall_s > 0 else 0.0,
+    })
     path = os.path.join(out_dir, MANIFEST_DIR, "_run.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

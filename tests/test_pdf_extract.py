@@ -292,3 +292,51 @@ def test_tjhex_style_extraction_invariant():
         assert ea.text == eb.text
         assert [s.__dict__ for s in ea.spans] == [s.__dict__ for s in eb.spans]
         assert ea.table_row_counts == eb.table_row_counts
+
+
+def test_quote_operator_shows_text():
+    """The '"' (spacing + advance + show) operator must render its
+    string like the sibling ' operator."""
+    from pdf_extraction_ray.functions import pdf_extract as P
+    s = (b"BT /F1 12 Tf 14 TL 1 0 0 1 72 700 Tm (line one) Tj "
+         b'2 1 (line two) " ET')
+    frag = P.extract_pdf_pages([s], 1, 2.0, 120.0)
+    assert frag.text == "line one\nline two"
+
+
+def test_gradual_spread_stays_one_line():
+    """Adjacent-gap column splitting: x positions 0/60/120/180 have no
+    adjacent gap above column_gap_min, so they are ONE tab-joined line
+    (the band-anchored logic wrongly split them into two columns)."""
+    from pdf_extraction_ray.functions import pdf_extract as P
+    s = b"BT /F1 12 Tf " + b" ".join(
+        b"1 0 0 1 %d 700 Tm (c%d) Tj" % (x, x)
+        for x in (0, 60, 120, 180)) + b" ET"
+    frag = P.extract_pdf_pages([s], 1, 2.0, 120.0)
+    assert frag.text == "c0\tc60\tc120\tc180"
+
+
+def test_contents_array_form():
+    """'/Contents [a 0 R b 0 R]' pages concatenate their streams."""
+    from pdf_extraction_ray.functions import pdf_extract as P
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+            b"/Contents [4 0 R 5 0 R] >>\nendobj\n"
+            b"4 0 obj\n<< /Length 44 >>\nstream\n"
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (part A) Tj ET\nendstream\nendobj\n"
+            b"5 0 obj\n<< /Length 44 >>\nstream\n"
+            b"BT /F1 12 Tf 1 0 0 1 72 686 Tm (part B) Tj ET\nendstream\nendobj\n")
+    out = P.extract_pdf(body)
+    assert out.text == "part A\npart B"
+
+
+def test_page_count_prefers_pages_context():
+    """An /Outlines /Count appearing first must not win over the page
+    tree's /Count."""
+    from pdf_extraction_ray.functions import pdf_extract as P
+    payload = (b"%PDF-1.4\n"
+               b"9 0 obj\n<< /Type /Outlines /Count 3 >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Pages /Kids [] /Count 250 >>\nendobj\n")
+    assert P.page_count(payload) == 250

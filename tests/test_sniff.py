@@ -49,3 +49,13 @@ def test_validate_type():
 
 def test_validate_ok():
     assert validate_payload(b"%PDF-", CT_PDF, 10) == (True, "")
+
+
+def test_utf8_boundary_split_still_text():
+    """A multibyte char split at the 4096-byte probe boundary is not
+    evidence of binary content."""
+    from pdf_extraction_ray.functions.sniff import sniff_content_type
+    payload = b"a" * 4095 + "é".encode() + b" trailing words " * 50
+    assert sniff_content_type(payload) == "text"
+    # genuinely invalid UTF-8 mid-payload still rejects
+    assert sniff_content_type(b"a" * 100 + b"\xc3\x28" + b"b" * 100) == "unknown"
