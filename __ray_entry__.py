@@ -50,7 +50,8 @@ def _extracted(sf_dir: str) -> rd.Dataset:
     if sf_dir not in _extracted_cache:
         pages = corpus.ensure_pages_corpus(sf_dir)
         out_dir = ("/tmp/pdf_extraction_ray/query_out/"
-                   f"{Path(sf_dir).name or 'sf'}-{spec.SPEC_VERSION}")
+                   f"{Path(sf_dir).name or 'sf'}-{spec.SPEC_VERSION}"
+                   f"-{corpus._input_digest(sf_dir)}")
         _extracted_cache[sf_dir] = extraction.run_extraction(
             pages, _CFG, out_dir=out_dir)
     return _extracted_cache[sf_dir]

@@ -235,9 +235,12 @@ def page_count(payload: bytes) -> int:
     # prefer /Count entries that co-occur with a /Pages node (an
     # /Outlines or interior-subtree Count appearing first in file order
     # must not win); the root node's total is the max of those
+    # bytes() on the window: `in` over a memoryview slice compares
+    # elementwise ints and would silently disable this guard for the
+    # zero-copy sniff path
     page_counts = [int(m.group(1)) for m in _COUNT_RE.finditer(payload)
-                   if b"/Pages" in payload[max(0, m.start() - 256):
-                                           m.end() + 256]]
+                   if b"/Pages" in bytes(payload[max(0, m.start() - 256):
+                                                 m.end() + 256])]
     if page_counts:
         return max(page_counts)
     m = _COUNT_RE.search(payload)

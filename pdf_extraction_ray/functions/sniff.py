@@ -57,17 +57,26 @@ def sniff_content_type(payload: bytes) -> str:
     return CT_UNKNOWN
 
 
-def validate_payload(payload: bytes, content_type: str, max_bytes: int) -> tuple[bool, str]:
-    """Row-level validation verdict ``(valid, error)``.
-
-    Mirrors file_validator.py checks in order: empty → size cap → type.
-    Error strings are stable (they are part of the output contract).
-    """
-    n = len(payload)
-    if n == 0:
+def validate_meta(n_bytes: int, content_type: str,
+                  max_bytes: int) -> tuple[bool, str]:
+    """Validation verdict from metadata alone (the batch path sniffs
+    through zero-copy views and must not materialize payloads just to
+    take ``len``). Checks in order: empty → size cap → type. Error
+    strings are stable (part of the output contract)."""
+    if n_bytes == 0:
         return False, "empty"
-    if n > max_bytes:
+    if n_bytes > max_bytes:
         return False, "too_large"
     if content_type not in (CT_PDF, CT_HTML, CT_TEXT):
         return False, "unsupported_type"
     return True, ""
+
+
+def validate_payload(payload: bytes, content_type: str, max_bytes: int) -> tuple[bool, str]:
+    """Row-level validation verdict ``(valid, error)``.
+
+    Mirrors file_validator.py checks (reference:
+    app/services/file_validator.py:32-81) — delegates to the one
+    metadata-level rule set above.
+    """
+    return validate_meta(len(payload), content_type, max_bytes)

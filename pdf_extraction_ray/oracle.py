@@ -24,9 +24,13 @@ NL = "chr(10)"                # "\n"
 
 
 def _pieces(width: int) -> str:
-    """list of ``width``-char chunks of ``text`` (1-based substr)."""
+    """list of ``width``-char chunks of ``text`` (1-based substr).
+
+    ``greatest(…, 1)`` keeps lockstep with ``spec.pieces``'s ``or [""]``:
+    empty text is ONE empty piece, not zero pieces."""
     return (
-        f"list_transform(range(0, CAST(ceil(length(text)/{width}.0) AS BIGINT)), "
+        f"list_transform(range(0, greatest(CAST(ceil(length(text)/{width}.0)"
+        f" AS BIGINT), 1)), "
         f"j -> substr(text, CAST(j*{width}+1 AS BIGINT), {width}))"
     )
 

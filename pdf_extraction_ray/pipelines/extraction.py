@@ -56,11 +56,19 @@ def _shuffle_ctx(cfg: PipelineConfig):
 
     ctx = DataContext.get_current()
     old = ctx.shuffle_strategy
+    old_block = ctx.target_max_block_size
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # hash-partition blocks must hold WHOLE buckets (finalize runs per
+    # block): raise the block cap so a partition is one block — the
+    # documented memory trade of hash mode (each partition's buckets
+    # resident at once; the checkpointed path additionally guards with
+    # claim markers so a straddle is loud, not silent)
+    ctx.target_max_block_size = max(old_block or 0, 1 << 31)
     try:
         yield
     finally:
         ctx.shuffle_strategy = old
+        ctx.target_max_block_size = old_block
 
 
 def _finalize_partitions(cfg: PipelineConfig) -> int:
@@ -210,7 +218,11 @@ def run_retry(pages_path: str,
                        .select(["url"]), batch_format="pyarrow").count()
         summary["n_recovered"] = recovered
 
-    if len(exhausted):
+    if len(exhausted) or summary["n_retried"]:
+        # a retry can exhaust a url THIS invocation (attempts hits the
+        # cap and the row stays partial) — the quarantine pass must see
+        # the post-merge state, and the summary reports what the pass
+        # actually wrote, not the pre-merge estimate
         def exhausted_rows(batch: pa.Table) -> pa.Table:
             mask = pc.and_(
                 pc.equal(batch["status"], "partial"),
@@ -229,6 +241,7 @@ def run_retry(pages_path: str,
            .write_parquet(qtmp))
         shutil.rmtree(qdir, ignore_errors=True)
         os.replace(qtmp, qdir)
+        summary["n_quarantined"] = rd.read_parquet(qdir).count()
 
     return summary
 

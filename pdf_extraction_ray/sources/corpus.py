@@ -88,7 +88,24 @@ def corpus_cache_dir(sf_dir: str, root: str = "/tmp/pdf_extraction_ray/corpus",
                      amplify: int = 1) -> Path:
     name = Path(sf_dir).name or "sf"
     suffix = f"-x{amplify}" if amplify > 1 else ""
-    return Path(root) / f"{name}-{spec.SPEC_VERSION}{suffix}"
+    # the cache key carries an input identity digest (resolved path +
+    # documents.parquet size/mtime): basename alone let two different
+    # inputs named alike — or an in-place regenerated table — silently
+    # share a cached corpus
+    digest = _input_digest(sf_dir)
+    return Path(root) / f"{name}-{spec.SPEC_VERSION}-{digest}{suffix}"
+
+
+def _input_digest(sf_dir: str) -> str:
+    import hashlib
+
+    doc = Path(sf_dir) / "documents.parquet"
+    try:
+        st = doc.stat()
+        key = f"{doc.resolve()}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        key = str(doc.resolve())
+    return hashlib.sha256(key.encode()).hexdigest()[:8]
 
 
 def ensure_pages_corpus(sf_dir: str,

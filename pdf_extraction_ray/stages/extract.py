@@ -34,7 +34,8 @@ from ..functions.finalize import (Primary, STATUS_COMPLETED, STATUS_PARTIAL,
 from ..functions.retry_policy import error_label
 from ..functions.hashing import url_bucket
 from ..functions.html_extract import Span, extract_html
-from ..functions.sniff import CT_HTML, CT_PDF, CT_TEXT, sniff_content_type, validate_payload
+from ..functions.sniff import (CT_HTML, CT_PDF, CT_TEXT,
+                               sniff_content_type, validate_meta)
 
 SPAN_TYPE = pa.list_(pa.struct([
     ("start", pa.int64()), ("end", pa.int64()),
@@ -107,6 +108,29 @@ WORK_SCHEMA = pa.schema(
     ])
 
 
+def _spans_column(span_lists) -> pa.ListArray:
+    """Flat-arrays + offsets construction of the spans list<struct>
+    column (the elements twin of ``_elements_column``); ``span_lists``
+    is an iterable of per-row Span sequences."""
+    starts: list[int] = []
+    ends: list[int] = []
+    kinds: list[str] = []
+    pages: list[int] = []
+    offsets = [0]
+    for spans in span_lists:
+        for sp in spans:
+            starts.append(sp.start)
+            ends.append(sp.end)
+            kinds.append(sp.kind)
+            pages.append(sp.page)
+        offsets.append(len(starts))
+    struct = pa.StructArray.from_arrays(
+        [pa.array(starts, pa.int64()), pa.array(ends, pa.int64()),
+         pa.array(kinds, pa.string()), pa.array(pages, pa.int32())],
+        names=["start", "end", "kind", "page"])
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+
+
 def work_table(records: list[dict]) -> pa.Table:
     """Columnar WORK_SCHEMA construction (see ``out_table``)."""
     cols: dict[str, object] = {}
@@ -116,20 +140,7 @@ def work_table(records: list[dict]) -> pa.Table:
         cols[field.name] = pa.array([r[field.name] for r in records],
                                     type=field.type)
     cols["elements"] = _elements_column(records)
-    starts, ends, kinds, pages = [], [], [], []
-    offsets = [0]
-    for r in records:
-        for s in r["spans"]:
-            starts.append(s.start)
-            ends.append(s.end)
-            kinds.append(s.kind)
-            pages.append(s.page)
-        offsets.append(len(starts))
-    struct = pa.StructArray.from_arrays(
-        [pa.array(starts, pa.int64()), pa.array(ends, pa.int64()),
-         pa.array(kinds, pa.string()), pa.array(pages, pa.int32())],
-        names=["start", "end", "kind", "page"])
-    cols["spans"] = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    cols["spans"] = _spans_column(r["spans"] for r in records)
     cols["streams"] = pa.array([r.get("streams") for r in records],
                                type=pa.list_(pa.large_binary()))
     return pa.table({f.name: cols[f.name] for f in WORK_SCHEMA})
@@ -295,7 +306,17 @@ class ExtractOrSplit:
                    and page_counts[i] > cfg.split_page_threshold)
             if big:
                 payload = payloads[i].as_py() or b""
-                streams = pdf_extract.page_content_streams(payload)
+                try:
+                    streams = pdf_extract.page_content_streams(payload)
+                except Exception:  # noqa: BLE001 — row isolation: a
+                    # malformed "oversized" PDF must not fail the task;
+                    # the whole-document path below converts the parse
+                    # failure into a status='partial' row
+                    streams = []
+                if not streams:
+                    big = False  # fall through to the whole-doc path —
+                    # a row must NEVER silently vanish from the output
+            if big:
                 per = cfg.pages_per_shard
                 for lo in range(0, len(streams), per):
                     hi = min(lo + per, len(streams))
@@ -362,14 +383,25 @@ class ParseFragments:
             passthrough_mask.append(False)
             streams = [s for s in batch["streams"][i].as_py()]
             first_page = batch["first_page"][i].as_py()
-            frag = pdf_extract.extract_pdf_pages(
-                streams, first_page, cfg.line_y_tolerance, cfg.column_gap_min)
+            frag_error = ""
+            try:
+                frag = pdf_extract.extract_pdf_pages(
+                    streams, first_page, cfg.line_y_tolerance,
+                    cfg.column_gap_min, deadline=_deadline(cfg))
+            except Exception as e:  # noqa: BLE001 — row isolation: one
+                # bad page-range shard poisons its DOCUMENT (reassembly
+                # turns any errored fragment into a partial row), never
+                # the task
+                from ..functions.pdf_extract import PdfExtract
+                frag = PdfExtract("", [], 0, 0, [], [])
+                frag_error = error_label(e)
             records.append({
                 "url": batch["url"][i].as_py(),
                 "warc_ts": batch["warc_ts"][i].as_py(),
                 "lang": batch["lang"][i].as_py(),
                 "content_type": batch["content_type"][i].as_py(),
-                "status": "", "error": "", "route": "", "quality_pct": 0,
+                "status": "", "error": frag_error, "route": "",
+                "quality_pct": 0,
                 "doc_kind": "", "doc_conf_pct": 0, "doc_method": "",
                 "extracted_text": frag.text, "n_chars": len(frag.text),
                 "n_blocks": frag.element_count, "n_pages": frag.n_pages,
@@ -442,6 +474,20 @@ def finalize_bucket(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG,
                 text_parts.append(t)
                 pos += len(t)
                 total_lines += n
+            frag_errs = [e for e in sub["error"].to_pylist() if e]
+            if frag_errs:
+                # a failed page-range shard means the document could not
+                # be fully parsed: emit a partial row (the whole-doc
+                # path's row-isolation contract), never a half-document
+                rec = finalize_row(
+                    url, sub["warc_ts"][0].as_py(), sub["lang"][0].as_py(),
+                    sub["fallback_text"][0].as_py() or "",
+                    sub["content_type"][0].as_py(), STATUS_PARTIAL,
+                    frag_errs[0], None, cfg.quality_threshold_pct,
+                    sub["attempts"][0].as_py())
+                rec["bucket"] = sub["bucket"][0].as_py()
+                out_records.append(rec)
+                continue
             spans_col = sub["spans"].combine_chunks()
             flat = spans_col.flatten()
             counts = np.asarray(spans_col.value_lengths(), dtype=np.int64)
@@ -574,16 +620,15 @@ def _payload_views(batch: pa.Table):
     if isinstance(col, pa.ChunkedArray):
         col = col.chunk(0) if col.num_chunks else pa.array([], pa.large_binary())
     import numpy as np
+    base = col.offset  # sliced arrays index offsets from their base
+    n_offs = base + len(col) + 1
     if pa.types.is_large_binary(col.type):
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int64,
-                             count=len(col) + 1)
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int64, count=n_offs)
     else:
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
-                             count=len(col) + 1)
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32, count=n_offs)
     data = memoryview(col.buffers()[2]) if col.buffers()[2] is not None else memoryview(b"")
-    base = col.offset  # account for sliced arrays
     if base:
-        offs = offs[base:base + len(col) + 1]
+        offs = offs[base:]
     return offs, data
 
 
@@ -602,15 +647,7 @@ def sniff_validate_batch(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) 
         lo, hi = int(offs[i]), int(offs[i + 1])
         # tiny copy: all sniff probes are bounded to the first 4 KiB
         ct = sniff_content_type(bytes(data[lo:min(lo + 4096, hi)]))
-        n = hi - lo
-        if n == 0:
-            ok, err = False, "empty"
-        elif n > cfg.max_bytes:
-            ok, err = False, "too_large"
-        elif ct not in (CT_PDF, CT_HTML, CT_TEXT):
-            ok, err = False, "unsupported_type"
-        else:
-            ok, err = True, ""
+        ok, err = validate_meta(hi - lo, ct, cfg.max_bytes)
         cts.append(ct)
         statuses.append(STATUS_COMPLETED if ok else STATUS_REJECTED)
         errors.append(err)
@@ -704,23 +741,7 @@ def out_table(records: list[dict]) -> pa.Table:
         cols[field.name] = pa.array([r[field.name] for r in records],
                                     type=field.type)
     cols["elements"] = _elements_column(records)
-    starts: list[int] = []
-    ends: list[int] = []
-    kinds: list[str] = []
-    pages: list[int] = []
-    offsets = [0]
-    for r in records:
-        for s in r["spans"]:
-            starts.append(s.start)
-            ends.append(s.end)
-            kinds.append(s.kind)
-            pages.append(s.page)
-        offsets.append(len(starts))
-    struct = pa.StructArray.from_arrays(
-        [pa.array(starts, pa.int64()), pa.array(ends, pa.int64()),
-         pa.array(kinds, pa.string()), pa.array(pages, pa.int32())],
-        names=["start", "end", "kind", "page"])
-    cols["spans"] = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    cols["spans"] = _spans_column(r["spans"] for r in records)
     return pa.table({f.name: cols[f.name] for f in OUT_SCHEMA})
 
 

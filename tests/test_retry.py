@@ -158,3 +158,63 @@ def test_error_classification():
     assert is_retryable(RuntimeError("unknown"))
     assert error_label(ValueError("x")).startswith("permanent:ValueError")
     assert error_label(OSError("y")).startswith("transient:OSError")
+
+
+def test_malformed_oversized_pdf_never_vanishes(ray_session):
+    """A PDF whose /Count routes it to the shard path but whose streams
+    don't parse must fall through to the whole-doc path and surface as a
+    row (partial or completed), never disappear from the output."""
+    import pyarrow as pa
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.sources import corpus, spec
+    from pdf_extraction_ray.stages.extract import (ExtractOrSplit,
+                                                   ParseFragments,
+                                                   finalize_bucket,
+                                                   sniff_validate_batch)
+
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
+                         split_page_threshold=3)
+    # claims 40 pages, contains no parseable page/stream objects
+    bogus = b"%PDF-1.4\n<< /Type /Pages /Count 40 >>\ntrailer garbage"
+    batch = pa.Table.from_pylist([{
+        "url": "u://bogus", "warc_ts": spec.warc_ts_of(1),
+        "html": bogus, "text": "fallback text body", "lang": "en",
+    }], schema=corpus.PAGES_SCHEMA)
+    work = ParseFragments(cfg)(ExtractOrSplit(cfg)(sniff_validate_batch(batch, cfg)))
+    out = finalize_bucket(work, cfg, True)
+    assert len(out) == 1
+    assert out["url"][0].as_py() == "u://bogus"
+    assert out["status"][0].as_py() in ("partial", "completed")
+
+
+def test_fragment_timeout_poisons_document(ray_session, documents_rows):
+    """A page-range shard that times out turns its DOCUMENT into a
+    partial row (reassembly poisoning), never a failed task or a
+    half-document."""
+    import pyarrow as pa
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.sources import corpus, spec
+    from pdf_extraction_ray.stages.extract import (ExtractOrSplit,
+                                                   ParseFragments,
+                                                   finalize_bucket,
+                                                   sniff_validate_batch)
+
+    big = [d for d in documents_rows
+           if spec.kind_of(d["doc_id"]) == "pdf_big"][:1]
+    assert big
+    d = big[0]
+    rows = [corpus.build_page_row(d["doc_id"], d["text"], d["source"],
+                                  d["lang"])]
+    batch = pa.Table.from_pylist(rows, schema=corpus.PAGES_SCHEMA)
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
+                         split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
+    work = ExtractOrSplit(cfg)(sniff_validate_batch(batch, cfg))
+    assert "frag_raw" in work["row_kind"].to_pylist()
+    # expired deadline: every fragment parse times out cooperatively
+    tcfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
+                          split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD,
+                          doc_timeout_s=-1.0)
+    out = finalize_bucket(ParseFragments(tcfg)(work), tcfg, True)
+    assert len(out) == 1
+    assert out["status"][0].as_py() == "partial"
+    assert out["error"][0].as_py().startswith("transient:")
