@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_stats": _tuned(relational.part_stats),
         "nations_with_presence": _tuned(relational.nations_with_presence),
         "customers_without_orders": _tuned(relational.customers_without_orders),
+        "customers_without_orders_bloom": _tuned(
+            relational.customers_without_orders_bloom),
         "prev_value_by_type": _tuned(relational.prev_value_by_type),
         "top_orders_per_segment": _tuned(relational.top_orders_per_segment),
         # scalar-function library as dataset ops (M3/M4/M16)
@@ -288,6 +290,10 @@ def oracle_sql() -> dict[str, str]:
         "part_stats": relational.part_stats_sql(),
         "nations_with_presence": relational.nations_with_presence_sql(),
         "customers_without_orders": relational.customers_without_orders_sql(),
+        # the bloom path is value-identical to the exact anti-join, so it
+        # shares its oracle — this surfaces the scale path in the gate
+        "customers_without_orders_bloom":
+            relational.customers_without_orders_sql(),
         "prev_value_by_type": relational.prev_value_by_type_sql(),
         "top_orders_per_segment": relational.top_orders_per_segment_sql(),
         "sha256_docs": analytics.sha256_docs_sql(),

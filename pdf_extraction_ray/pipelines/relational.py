@@ -394,3 +394,20 @@ FROM (
   SELECT DISTINCT s_nationkey AS n_nationkey, 0 AS has_cust, 1 AS has_supp
   FROM supplier
 ) GROUP BY n_nationkey"""
+
+
+def customers_without_orders_bloom(sf_dir: str) -> rd.Dataset:
+    """The SAME anti-join through the Bloom-filter scale path
+    (stages/dedup.py:bloom_anti_join): only the ~10-bits/key bloom
+    broadcasts wide; bloom positives verify with a semi-join pass.
+    Value-identical to the exact broadcast variant, so it shares its
+    oracle — surfacing the scale path in the correctness gate."""
+    from ..stages.dedup import bloom_anti_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda b: b.filter(
+            pc.greater(b["o_totalprice"], BIG_ORDER_PRICE))
+            .select(["o_custkey"]), batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    return bloom_anti_join(cust, orders, "c_custkey",
+                           right_key_col="o_custkey")

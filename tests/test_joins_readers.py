@@ -27,6 +27,17 @@ def test_customers_without_orders_matches_duckdb(ray_session):
     assert got.c_custkey.tolist() == want.c_custkey.tolist()
 
 
+def test_customers_without_orders_bloom_matches_exact(ray_session):
+    """The bloom-path query is value-identical to the exact anti-join."""
+    from pdf_extraction_ray.pipelines.relational import (
+        customers_without_orders, customers_without_orders_bloom)
+    exact = customers_without_orders(SF_SMOKE).to_pandas().sort_values(
+        "c_custkey").reset_index(drop=True)
+    bloom = customers_without_orders_bloom(SF_SMOKE).to_pandas().sort_values(
+        "c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, bloom)
+
+
 def test_prev_value_by_type_lag_semantics(ray_session):
     import ray.data as rd
     from pdf_extraction_ray.pipelines.relational import prev_value_by_type
