@@ -179,6 +179,22 @@ def q_pdf_elements(sf_dir: str) -> rd.Dataset:
     return _extracted(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
+def q_boilerplate_lines(sf_dir: str) -> rd.Dataset:
+    """CCNet-style corpus line stats: lines shared across documents
+    (template chrome / repeated headers) with occurrence + doc counts —
+    the combiner-shaped wordcount over document LINES."""
+    from pdf_extraction_ray.stages.linededup import boilerplate_lines
+    return boilerplate_lines(_extracted(sf_dir), oracle.LINE_MIN_DOCS)
+
+
+def q_line_dedup_docs(sf_dir: str) -> rd.Dataset:
+    """Line-level boilerplate removal: strip every line that occurs in
+    >= LINE_MIN_DOCS documents, reassemble the cleaned text (the CCNet /
+    RefinedWeb cleaning step a web-text training pipeline runs)."""
+    from pdf_extraction_ray.stages.linededup import drop_boilerplate
+    return drop_boilerplate(_extracted(sf_dir), oracle.LINE_MIN_DOCS)
+
+
 def q_export_markdown(sf_dir: str) -> rd.Dataset:
     """Markdown export rendering (SURVEY.md S9/M18)."""
     from pdf_extraction_ray.pipelines.export import markdown_batch
@@ -214,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_counts": _tuned(q_span_kind_counts),
         "pdf_elements": _tuned(q_pdf_elements),
         "export_markdown": _tuned(q_export_markdown),
+        "boilerplate_lines": _tuned(q_boilerplate_lines),
+        "line_dedup_docs": _tuned(q_line_dedup_docs),
         # relational family (SURVEY.md §2.4-2.7 A1/A3/A5/A6, J3/J4, O1, D3)
         "pricing_summary": _tuned(relational.pricing_summary),
         "customers_per_region": _tuned(relational.customers_per_region),
@@ -283,6 +301,8 @@ def oracle_sql() -> dict[str, str]:
         "span_kind_counts": oracle.span_kind_counts_sql(),
         "pdf_elements": oracle.pdf_elements_sql(),
         "export_markdown": oracle.export_markdown_sql(),
+        "boilerplate_lines": oracle.boilerplate_lines_sql(),
+        "line_dedup_docs": oracle.line_dedup_docs_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "customers_per_region": relational.customers_per_region_sql(),
         "top_orders": relational.top_orders_sql(),

@@ -354,6 +354,50 @@ FROM routed
 WHERE sub BETWEEN 70 AND 89 AND route = 'primary'"""
 
 
+LINE_MIN_DOCS = 3  # lines in >= this many docs count as boilerplate
+
+
+def _line_stats_cte() -> str:
+    """Per-distinct-line corpus stats over the expected extracted text
+    (empty separator lines dropped, as stages/linededup does)."""
+    return f"""
+, lines AS (
+  SELECT url, unnest(string_split(extracted_text, {NL})) AS line
+  FROM expected
+), linestats AS (
+  SELECT line, CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+  FROM lines WHERE line <> '' GROUP BY line
+)"""
+
+
+def boilerplate_lines_sql() -> str:
+    return base_cte() + _line_stats_cte() + f"""
+SELECT line, n_occ, n_docs FROM linestats WHERE n_docs >= {LINE_MIN_DOCS}"""
+
+
+def line_dedup_docs_sql() -> str:
+    return base_cte() + _line_stats_cte() + f"""
+, blist AS (
+  SELECT coalesce(list(line), []) AS bl
+  FROM linestats WHERE n_docs >= {LINE_MIN_DOCS}
+)
+SELECT url, coalesce(array_to_string(kept, {NL}), '') AS clean_text,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(len(all_l) - len(kept) AS BIGINT) AS n_dropped
+FROM (
+  SELECT url,
+         list_filter(all_l, x -> NOT list_contains(bl, x)) AS kept,
+         all_l
+  FROM (
+    SELECT url,
+           list_filter(string_split(extracted_text, {NL}),
+                       x -> x <> '') AS all_l
+    FROM expected
+  ), blist
+)"""
+
+
 def export_markdown_sql() -> str:
     from .pipelines.export import markdown_sql_projection
     return base_cte() + f"""

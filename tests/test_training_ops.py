@@ -302,3 +302,28 @@ def test_phash_brightness_invariant_dedup(ray_session):
     assert all(p in got for p in planted)
     # precision: accidental aHash collisions stay rare on textured images
     assert len(got) <= len(planted) + 25
+
+
+def test_line_dedup_strips_planted_boilerplate(ray_session):
+    """Planted template chrome (shared across docs) is removed; unique
+    content lines survive; counts are exact."""
+    import ray.data as rd
+    from pdf_extraction_ray.stages.linededup import (boilerplate_lines,
+                                                     drop_boilerplate)
+    chrome = "SITE NAV | home | about | contact"
+    docs = [{"url": f"u{i}",
+             "extracted_text": f"{chrome}\n\nunique content {i}\n\nfooter"}
+            for i in range(10)]
+    docs.append({"url": "solo", "extracted_text": "one of a kind"})
+    docs.append({"url": "empty", "extracted_text": ""})
+    ds = rd.from_items(docs)
+
+    boiler = boilerplate_lines(ds, min_docs=3).to_pandas()
+    assert set(boiler.line) == {chrome, "footer"}
+    assert boiler.set_index("line").loc[chrome, "n_docs"] == 10
+
+    out = drop_boilerplate(ds, min_docs=3).to_pandas().set_index("url")
+    assert out.loc["u4", "clean_text"] == "unique content 4"
+    assert out.loc["u4", "n_kept"] == 1 and out.loc["u4", "n_dropped"] == 2
+    assert out.loc["solo", "clean_text"] == "one of a kind"
+    assert out.loc["empty", "clean_text"] == "" and out.loc["empty", "n_kept"] == 0
