@@ -96,6 +96,14 @@ def run_bench() -> dict:
     timed("pricing_summary", lambda: relational.pricing_summary(sf_dir).to_pandas())
     timed("event_value_stats",
           lambda: relational.event_value_stats(sf_dir).to_pandas())
+    # line-level boilerplate removal streams back from the checkpointed
+    # parquet the headline just wrote (the scale shape for downstream ops)
+    import ray.data as rd
+
+    from pdf_extraction_ray.oracle import LINE_MIN_DOCS
+    from pdf_extraction_ray.stages.linededup import drop_boilerplate
+    timed("line_dedup", lambda: drop_boilerplate(
+        rd.read_parquet(out_dir), LINE_MIN_DOCS).count())
     timed("dedup_minhash", lambda: analytics.dedup_minhash(sf_dir).count())
     timed("ann_bruteforce", lambda: analytics.ann_bruteforce(sf_dir).to_pandas())
     timed("window_tumbling", lambda: analytics.window_tumbling(sf_dir).to_pandas())
