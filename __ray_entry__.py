@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_prior_error": _tuned(analytics.asof_prior_error),
         "order_customer_join": _tuned(analytics.order_customer_join),
         "vocab_df": _tuned(analytics.vocab_df),
+        "bigram_counts": _tuned(analytics.bigram_counts),
+        "dup_ngram_spans": _tuned(analytics.dup_ngram_spans),
         "stratified_sample": _tuned(analytics.stratified_sample),
         "heavy_hitter_terms": _tuned(analytics.heavy_hitter_terms),
         "tfidf_top_terms": _tuned(analytics.tfidf_top_terms),
@@ -343,6 +345,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_prior_error": analytics.asof_prior_error_sql(),
         "order_customer_join": analytics.order_customer_join_sql(),
         "vocab_df": analytics.vocab_df_sql(),
+        "bigram_counts": analytics.bigram_counts_sql(),
+        "dup_ngram_spans": analytics.dup_ngram_spans_sql(),
         "stratified_sample": analytics.stratified_sample_sql(),
         "heavy_hitter_terms": analytics.heavy_hitter_terms_sql(),
         "tfidf_top_terms": analytics.tfidf_top_terms_sql(),

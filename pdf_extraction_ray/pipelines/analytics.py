@@ -784,6 +784,141 @@ FROM (
 ) GROUP BY word"""
 
 
+def bigram_counts(sf_dir: str) -> rd.Dataset:
+    """Corpus bigram frequencies — n-gram LM statistics with the same
+    combiner shape as ``vocab_df``: per-batch partial (bigram, count,
+    doc-count) rows, ONE small groupby-sum shuffle."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tot: Counter = Counter()
+        dfc: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            words = (text or "").split(" ")
+            grams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+            tot.update(grams)
+            dfc.update(set(grams))
+        keys = sorted(tot)
+        return pa.table({
+            "bigram": pa.array(keys, pa.string()),
+            "c_total": pa.array([tot[k] for k in keys], pa.int64()),
+            "c_docs": pa.array([dfc[k] for k in keys], pa.int64()),
+        })
+
+    return (_docs(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bigram")
+            .aggregate(Sum("c_total", alias_name="n_total"),
+                       Sum("c_docs", alias_name="n_docs")))
+
+
+def bigram_counts_sql() -> str:
+    return """
+SELECT bigram, CAST(sum(c) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id, bigram, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS bigram
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  ) GROUP BY doc_id, bigram
+) GROUP BY bigram"""
+
+
+NGRAM_N = 8  # word-gram width for duplicated-span detection
+
+
+def dup_ngram_spans(sf_dir: str) -> rd.Dataset:
+    """Duplicated-substring detection at word-8-gram granularity (the
+    ExactSubstr idea of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", at n-gram resolution): count, per
+    document, how many of its 8-grams also occur in ANOTHER document.
+
+    Shape: a combiner pass builds corpus-wide 8-gram doc-counts (one
+    row per distinct gram per batch), the duplicated-gram set broadcasts
+    once, and a second pass scores each document against it. The
+    duplicated set is bounded by cross-document repetition (tiny unless
+    the corpus is pathologically templated); the 100 TB fallback is a
+    gram-hash cogroup join instead of the broadcast, and shipping 64-bit
+    gram hashes instead of gram strings."""
+    from collections import Counter
+
+    import ray
+
+    docs = _docs_with_planted_near_dups(sf_dir)
+
+    def doc_grams(text: str) -> list[str]:
+        words = (text or "").split(" ")
+        return [" ".join(words[i:i + NGRAM_N])
+                for i in range(len(words) - NGRAM_N + 1)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dfc: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            dfc.update(set(doc_grams(text)))
+        keys = sorted(dfc)
+        return pa.table({
+            "g": pa.array(keys, pa.string()),
+            "c_docs": pa.array([dfc[k] for k in keys], pa.int64()),
+        })
+
+    dup_counts = (docs.select_columns(["text"])
+                  .map_batches(partial, batch_format="pyarrow")
+                  .groupby("g")
+                  .aggregate(Sum("c_docs", alias_name="n_docs")))
+
+    dup_set: set[str] = set()
+    for b in dup_counts.iter_batches(batch_format="pyarrow"):
+        mask = np.asarray(b["n_docs"]) >= 2
+        dup_set.update(np.asarray(b["g"])[mask].tolist())
+    dup_ref = ray.put(dup_set)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        n_grams, n_dup = [], []
+        for text in batch["text"].to_pylist():
+            grams = doc_grams(text)
+            n_grams.append(len(grams))
+            n_dup.append(sum(1 for g in grams if g in dset))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_dup_grams": pa.array(n_dup, pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def dup_ngram_spans_sql() -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(NGRAM_N))
+    gram = gram.replace("w[i+0]", "w[i]")
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, length(text) - 12)
+  FROM documents WHERE doc_id % 5 = 0
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {NGRAM_N - 2}),
+                               i -> {gram})) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs)
+  WHERE len(w) >= {NGRAM_N}
+), gd AS (
+  SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+), per AS (
+  SELECT grams.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM grams JOIN gd USING (g) GROUP BY grams.doc_id
+)
+SELECT a.doc_id,
+       CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_grams
+FROM all_docs a LEFT JOIN per ON a.doc_id = per.doc_id"""
+
+
 STRATUM_RATE_PCT = {"en": 10}  # default stratum rate below
 STRATUM_DEFAULT_PCT = 50
 

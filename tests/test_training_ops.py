@@ -327,3 +327,19 @@ def test_line_dedup_strips_planted_boilerplate(ray_session):
     assert out.loc["u4", "n_kept"] == 1 and out.loc["u4", "n_dropped"] == 2
     assert out.loc["solo", "clean_text"] == "one of a kind"
     assert out.loc["empty", "clean_text"] == "" and out.loc["empty", "n_kept"] == 0
+
+
+def test_dup_ngram_spans_flags_planted_copies(ray_session):
+    """Docs with a planted partial copy have (nearly) all their 8-grams
+    marked duplicated; docs without one have none."""
+    from pdf_extraction_ray.pipelines.analytics import dup_ngram_spans
+    out = dup_ngram_spans(SF_SMOKE).to_pandas().set_index("doc_id")
+    planted_src = out[(out.index % 5 == 0) & (out.index < 1_000_000)]
+    # the copy shares every gram except those crossing the trimmed tail
+    assert (planted_src.n_dup_grams >= planted_src.n_grams - 8).all()
+    # most docs without a planted copy are clean; the base table itself
+    # contains organic near-dups (e.g. sf0.001 doc 498 is a prefix of
+    # doc 474) which the operator CORRECTLY flags — exactness vs the
+    # all-pairs SQL oracle is covered by the driver's hash gate
+    clean = out[(out.index % 5 != 0) & (out.index < 1_000_000)]
+    assert (clean.n_dup_grams == 0).mean() >= 0.85
