@@ -195,6 +195,35 @@ def q_line_dedup_docs(sf_dir: str) -> rd.Dataset:
     return drop_boilerplate(_extracted(sf_dir), oracle.LINE_MIN_DOCS)
 
 
+def q_url_parts_stats(sf_dir: str) -> rd.Dataset:
+    """Per-(host, section, doc-tag) corpus rollup from vectorized URL
+    parsing — pure ``pyarrow.compute`` string kernels (split / list
+    element / ends_with), no Python loop; the per-domain statistics a
+    web-crawl pipeline groups by."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def parts(batch: pa.Table) -> pa.Table:
+        urls = batch["url"]
+        segs = pc.split_pattern(urls, "/")
+        host = pc.list_element(segs, 2)
+        section = pc.list_element(segs, 3)
+        tag = pc.if_else(
+            pc.ends_with(urls, "-memo"), pa.scalar("memo"),
+            pc.if_else(pc.ends_with(urls, "-qp"),
+                       pa.scalar("qp"), pa.scalar("plain")))
+        return pa.table({"host": host, "section": section, "doc_tag": tag,
+                         "n_chars": batch["n_chars"]})
+
+    return (_extracted(sf_dir)
+            .select_columns(["url", "n_chars"])
+            .map_batches(parts, batch_format="pyarrow")
+            .groupby(["host", "section", "doc_tag"])
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="sum_chars")))
+
+
 def q_export_markdown(sf_dir: str) -> rd.Dataset:
     """Markdown export rendering (SURVEY.md S9/M18)."""
     from pdf_extraction_ray.pipelines.export import markdown_batch
@@ -230,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_counts": _tuned(q_span_kind_counts),
         "pdf_elements": _tuned(q_pdf_elements),
         "export_markdown": _tuned(q_export_markdown),
+        "url_parts_stats": _tuned(q_url_parts_stats),
         "boilerplate_lines": _tuned(q_boilerplate_lines),
         "line_dedup_docs": _tuned(q_line_dedup_docs),
         # relational family (SURVEY.md §2.4-2.7 A1/A3/A5/A6, J3/J4, O1, D3)
@@ -303,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "span_kind_counts": oracle.span_kind_counts_sql(),
         "pdf_elements": oracle.pdf_elements_sql(),
         "export_markdown": oracle.export_markdown_sql(),
+        "url_parts_stats": oracle.url_parts_stats_sql(),
         "boilerplate_lines": oracle.boilerplate_lines_sql(),
         "line_dedup_docs": oracle.line_dedup_docs_sql(),
         "pricing_summary": relational.pricing_summary_sql(),

@@ -354,6 +354,17 @@ FROM routed
 WHERE sub BETWEEN 70 AND 89 AND route = 'primary'"""
 
 
+def url_parts_stats_sql() -> str:
+    return base_cte() + """
+SELECT string_split(url, '/')[3] AS host,
+       string_split(url, '/')[4] AS section,
+       CASE WHEN url LIKE '%-memo' THEN 'memo'
+            WHEN url LIKE '%-qp' THEN 'qp' ELSE 'plain' END AS doc_tag,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM expected GROUP BY 1, 2, 3"""
+
+
 LINE_MIN_DOCS = 3  # lines in >= this many docs count as boilerplate
 
 
