@@ -171,3 +171,49 @@ def test_detect_lang():
     assert detect_lang("der hund und die katze sind im haus") == "de"
     assert detect_lang("这是一个中文句子，没有任何英文单词。") == "zh"
     assert detect_lang("") == "und"
+
+
+def test_classify_ip_ssrf_blocklist():
+    from pdf_extraction_ray.functions.netsec import (classify_ip,
+                                                     is_public_destination)
+    assert classify_ip("127.0.0.1") == "loopback"
+    assert classify_ip("::1") == "loopback"
+    assert classify_ip("10.1.2.3") == "private"
+    assert classify_ip("192.168.0.9") == "private"
+    assert classify_ip("172.16.5.5") == "private"
+    assert classify_ip("169.254.169.254") == "link_local"  # metadata svc
+    assert classify_ip("224.0.0.1") == "multicast"
+    assert classify_ip("0.0.0.0") == "reserved"
+    assert classify_ip("not-an-ip") == "invalid"
+    assert classify_ip("8.8.8.8") == "public"
+    assert is_public_destination("8.8.8.8")
+    assert not is_public_destination("169.254.169.254")
+
+
+def test_client_ip_from_xff_trust_walk():
+    from pdf_extraction_ray.functions.netsec import client_ip_from_xff
+    proxies = {"10.0.0.1", "10.0.0.2"}
+    # untrusted peer: header ignored entirely
+    assert client_ip_from_xff("1.2.3.4", "9.9.9.9", proxies) == "9.9.9.9"
+    # trusted chain resolves to the rightmost untrusted hop
+    assert client_ip_from_xff("1.2.3.4, 10.0.0.2", "10.0.0.1",
+                              proxies) == "1.2.3.4"
+    # spoofed extra hops to the left of the real client are not reached
+    assert client_ip_from_xff("6.6.6.6, 1.2.3.4, 10.0.0.2", "10.0.0.1",
+                              proxies) == "1.2.3.4"
+    # malformed hop stops the walk at the last good address
+    assert client_ip_from_xff("garbage, 10.0.0.2", "10.0.0.1",
+                              proxies) == "10.0.0.2"
+    # no header at all
+    assert client_ip_from_xff(None, "10.0.0.1", proxies) == "10.0.0.1"
+
+
+def test_hmac_sha256_signature():
+    import hashlib
+    import hmac as _hmac
+
+    from pdf_extraction_ray.functions.netsec import hmac_sha256_hex
+    want = _hmac.new(b"k", b"payload", hashlib.sha256).hexdigest()
+    assert hmac_sha256_hex("k", "payload") == want
+    assert hmac_sha256_hex(b"k", b"payload") == want
+    assert hmac_sha256_hex("k2", "payload") != want
