@@ -354,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": analytics.token_stats_sql(),
         "quality_filter": analytics.quality_filter_sql(),
         "lang_id": analytics.lang_id_sql(),
+        "fingerprint_docs": analytics.fingerprint_docs_sql(),
         "media_decode": analytics.media_decode_sql(),
         "audio_decode": analytics.audio_decode_sql(),
         "media_resize": analytics.media_resize_sql(),
@@ -384,6 +385,9 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles_hist": analytics.value_quantiles_hist_sql(),
         "event_pairs_within": analytics.event_pairs_within_sql(),
         "props_json_stats": analytics.props_json_stats_sql(),
-        # rows-only (non-SQL-expressible): fingerprint_docs, dedup_minhash,
-        # dedup_simhash, ann_ivf — verified in tests instead
+        # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
+        # ann_ivf, kmeans_clusters, text_embed_dups, media_phash_dups,
+        # hll_users_per_type — verified in tests instead (recall /
+        # determinism / error-bound assertions, tests/test_training_ops.py
+        # and tests/test_window_join_ops.py)
     }

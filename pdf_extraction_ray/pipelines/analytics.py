@@ -362,8 +362,9 @@ FROM h"""
 
 
 def fingerprint_docs(sf_dir: str) -> rd.Dataset:
-    """Winnowing-style document fingerprints (no SQL analog → rows-only
-    driver check; determinism asserted in tests)."""
+    """Winnowing-style document fingerprints. Value-hash oracled: the
+    polynomial rolling hash is reproduced exactly in SQL with HUGEINT
+    window sums (``fingerprint_docs_sql``)."""
     def add(batch: pa.Table) -> pa.Table:
         ns, xs = [], []
         for t in batch["text"].to_pylist():
@@ -378,6 +379,34 @@ def fingerprint_docs(sf_dir: str) -> rd.Dataset:
                          "fp_xor": pa.array(xs, pa.int64())})
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         add, batch_format="pyarrow")
+
+
+def fingerprint_docs_sql(window: int = 16, keep_mod: int = 8) -> str:
+    """Exact SQL reproduction of ``hashing.rolling_fingerprint``: the
+    window hash at end-position i is a 16-term polynomial sum computed
+    in HUGEINT (terms < 2^71, far inside 128-bit range) then reduced mod
+    2^64-59 — identical to the incremental rolling form. Assumes every
+    document has >= ``window`` chars (true of this corpus, min len 44;
+    the Python short-text branch would need sha256 byte surgery)."""
+    base = 1099511628211
+    mod = (1 << 64) - 59
+    powers = [pow(base, window - 1 - j, mod) for j in range(window)]
+    terms = " + ".join(
+        f"CAST(ord(substr(text, i-{window - 1 - j}, 1)) AS HUGEINT)"
+        f" * CAST('{powers[j]}' AS HUGEINT)" for j in range(window))
+    return f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_filter(list_transform(range({window}, length(text) + 1),
+             i -> ({terms}) % CAST('{mod}' AS HUGEINT)),
+           h -> h % {keep_mod} = 0) AS kept
+  FROM documents
+), x AS (SELECT doc_id AS d2, unnest(kept) AS h FROM hs)
+SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_fingerprints,
+       CAST(coalesce(bit_xor(h), 0)
+            % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS fp_xor
+FROM hs LEFT JOIN x ON doc_id = d2
+GROUP BY doc_id, kept"""
 
 
 # ---------------------------------------------------------------------------
