@@ -224,6 +224,38 @@ def q_url_parts_stats(sf_dir: str) -> rd.Dataset:
                        Sum("n_chars", alias_name="sum_chars")))
 
 
+def q_repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style within-document repetition signals over the
+    extracted text: duplicate-line counts and the most-frequent-bigram
+    share — pure-integer outputs feeding a repetition quality filter
+    (Rae et al. 2021 repetition heuristics)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_lines, n_dup, n_bi, top_bi = [], [], [], []
+        for text in batch["extracted_text"].to_pylist():
+            lines = [ln for ln in (text or "").split("\n") if ln]
+            lc = Counter(lines)
+            n_lines.append(len(lines))
+            n_dup.append(sum(c for c in lc.values() if c > 1))
+            words = (text or "").split(" ")
+            bc = Counter(f"{a} {b}" for a, b in zip(words, words[1:]))
+            n_bi.append(sum(bc.values()))
+            top_bi.append(max(bc.values(), default=0))
+        return pa.table({
+            "url": batch["url"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_dup_lines": pa.array(n_dup, pa.int64()),
+            "n_bigrams": pa.array(n_bi, pa.int64()),
+            "top_bigram_n": pa.array(top_bi, pa.int64()),
+        })
+
+    return _extracted(sf_dir).select_columns(
+        ["url", "extracted_text"]).map_batches(stats, batch_format="pyarrow")
+
+
 def q_export_markdown(sf_dir: str) -> rd.Dataset:
     """Markdown export rendering (SURVEY.md S9/M18)."""
     from pdf_extraction_ray.pipelines.export import markdown_batch
@@ -262,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parts_stats": _tuned(q_url_parts_stats),
         "boilerplate_lines": _tuned(q_boilerplate_lines),
         "line_dedup_docs": _tuned(q_line_dedup_docs),
+        "repetition_stats": _tuned(q_repetition_stats),
         # relational family (SURVEY.md §2.4-2.7 A1/A3/A5/A6, J3/J4, O1, D3)
         "pricing_summary": _tuned(relational.pricing_summary),
         "customers_per_region": _tuned(relational.customers_per_region),
@@ -336,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "url_parts_stats": oracle.url_parts_stats_sql(),
         "boilerplate_lines": oracle.boilerplate_lines_sql(),
         "line_dedup_docs": oracle.line_dedup_docs_sql(),
+        "repetition_stats": oracle.repetition_stats_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "customers_per_region": relational.customers_per_region_sql(),
         "top_orders": relational.top_orders_sql(),

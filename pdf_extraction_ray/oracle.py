@@ -409,6 +409,43 @@ FROM (
 )"""
 
 
+def repetition_stats_sql() -> str:
+    """Within-document repetition signals: line-level duplicate counts
+    (empty separator lines dropped) and bigram totals/max over a plain
+    single-space split of the full extracted text."""
+    return base_cte() + f"""
+, doc_lines AS (
+  SELECT url, unnest(string_split(extracted_text, {NL})) AS line
+  FROM expected
+), line_rollup AS (
+  SELECT url,
+         CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+           AS n_dup_lines
+  FROM (SELECT url, line, count(*) AS c FROM doc_lines
+        WHERE line <> '' GROUP BY url, line)
+  GROUP BY url
+), doc_bigrams AS (
+  SELECT url, unnest(list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM (SELECT url, string_split(extracted_text, ' ') AS w FROM expected)
+), bigram_rollup AS (
+  SELECT url,
+         CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_n
+  FROM (SELECT url, bg, count(*) AS c FROM doc_bigrams GROUP BY url, bg)
+  GROUP BY url
+)
+SELECT e.url,
+       coalesce(l.n_lines, 0) AS n_lines,
+       coalesce(l.n_dup_lines, 0) AS n_dup_lines,
+       coalesce(b.n_bigrams, 0) AS n_bigrams,
+       coalesce(b.top_bigram_n, 0) AS top_bigram_n
+FROM expected e
+LEFT JOIN line_rollup l ON e.url = l.url
+LEFT JOIN bigram_rollup b ON e.url = b.url"""
+
+
 def export_markdown_sql() -> str:
     from .pipelines.export import markdown_sql_projection
     return base_cte() + f"""
