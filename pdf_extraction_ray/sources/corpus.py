@@ -119,9 +119,11 @@ def ensure_pages_corpus(sf_dir: str,
     marker = out / "_SUCCESS"
     if marker.exists():
         return str(out)
-    import ray.data as rd
+    from .tables import read_table
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    # shared reader strips the pandas schema metadata that makes
+    # pa.Schema unhashable in Ray's shuffle schema dedup (warning noise)
+    docs = read_table(sf_dir, "documents")
     pages = docs.map_batches(
         lambda b, a=amplify: build_pages_batch(b, a),
         batch_format="pyarrow", batch_size=64)
