@@ -390,6 +390,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": analytics.lang_id_sql(),
         "fingerprint_docs": analytics.fingerprint_docs_sql(),
         "media_decode": analytics.media_decode_sql(),
+        "media_phash_dups": analytics.media_phash_dups_sql(),
         "audio_decode": analytics.audio_decode_sql(),
         "media_resize": analytics.media_resize_sql(),
         "video_frames": analytics.video_frames_sql(),
@@ -420,7 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "event_pairs_within": analytics.event_pairs_within_sql(),
         "props_json_stats": analytics.props_json_stats_sql(),
         # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
-        # ann_ivf, kmeans_clusters, text_embed_dups, media_phash_dups,
+        # ann_ivf, kmeans_clusters, text_embed_dups,
         # hll_users_per_type — verified in tests instead (recall /
         # determinism / error-bound assertions, tests/test_training_ops.py
         # and tests/test_window_join_ops.py)

@@ -218,8 +218,9 @@ def media_phash_dups(sf_dir: str) -> rd.Dataset:
     """Perceptual (average-hash) image dedup over a planted corpus: every
     document gets a PNG, and every 10th doc also a BRIGHTNESS-SHIFTED
     copy (different bytes and sha256, provably identical aHash). Returns
-    candidate dup pairs (a, b). Rows-only: planted recall = 1 and sha
-    divergence asserted in tests."""
+    candidate dup pairs (a, b); value-hash oracled via the closed-form
+    pixel law (``media_phash_dups_sql``), with planted recall and sha
+    divergence additionally asserted in tests."""
     from ..sources.gen_media import build_png_shifted
     from ..stages.multimodal import phash_dup_pairs
 
@@ -239,6 +240,36 @@ def media_phash_dups(sf_dir: str) -> rd.Dataset:
     media = _docs(sf_dir, ["doc_id"]).map_batches(to_media,
                                                   batch_format="pyarrow")
     return phash_dup_pairs(media)
+
+
+def media_phash_dups_sql() -> str:
+    """Exact SQL reproduction of the aHash pipeline over the planted
+    corpus: the textured pixel law (gen_media.build_png_shifted), the
+    8x8 nearest-neighbor sample grid, and the integer-mean threshold are
+    all closed-form, so the 64-bit hash is computed as a bitstring and
+    equal-hash pairs joined — proving end-to-end that PNG encode →
+    inflate → unfilter → decode → aHash is lossless."""
+    return """
+WITH imgs AS (
+  SELECT doc_id AS out_id, doc_id AS src, 0 AS delta FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, doc_id, 30 FROM documents WHERE doc_id % 10 = 0
+), sampled AS (
+  SELECT out_id,
+    list_transform(range(0, 64), i ->
+      (src * 31
+       + (7 * (((i % 8) * (8 + src % 25)) // 8) + 1)
+         * (5 * (((i // 8) * (8 + src % 17)) // 8) + 3)
+       + ((i % 8) * (8 + src % 25)) // 8) % 200 + delta) AS s
+  FROM imgs
+), hashed AS (
+  SELECT out_id,
+    array_to_string(list_transform(s, v ->
+      CASE WHEN v > list_sum(s) // 64 THEN '1' ELSE '0' END), '') AS ph
+  FROM sampled
+)
+SELECT a.out_id AS a, b.out_id AS b
+FROM hashed a JOIN hashed b ON a.ph = b.ph AND a.out_id < b.out_id"""
 
 
 # ---------------------------------------------------------------------------
