@@ -396,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": analytics.video_frames_sql(),
         "language_dim_counts": analytics.language_dim_counts_sql(),
         "train_split": analytics.train_split_sql(),
+        "hll_users_per_type": analytics.hll_users_per_type_sql(),
         "dedup_exact": analytics.dedup_exact_sql(),
         "jaccard_pairs": analytics.jaccard_pairs_sql(),
         "embedding_dup_pairs": analytics.embedding_dup_pairs_sql(),
@@ -421,8 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "event_pairs_within": analytics.event_pairs_within_sql(),
         "props_json_stats": analytics.props_json_stats_sql(),
         # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
-        # ann_ivf, kmeans_clusters, text_embed_dups,
-        # hll_users_per_type — verified in tests instead (recall /
-        # determinism / error-bound assertions, tests/test_training_ops.py
-        # and tests/test_window_join_ops.py)
+        # ann_ivf, kmeans_clusters, text_embed_dups — verified in tests
+        # instead (recall / determinism / error-bound assertions,
+        # tests/test_training_ops.py, tests/test_window_join_ops.py)
     }

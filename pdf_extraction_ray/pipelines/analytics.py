@@ -153,11 +153,57 @@ FROM documents GROUP BY 1"""
 
 def hll_users_per_type(sf_dir: str) -> rd.Dataset:
     """Approximate distinct users per event type via the HyperLogLog
-    sketch stage (rows-only: the estimate has no SQL analog; the
-    ±1.04/sqrt(m) error bound vs exact is asserted in tests)."""
+    sketch stage. Value-hash oracled: the register update is pure
+    sha256 integer arithmetic and the estimator sums its harmonic
+    denominator exactly, so the whole sketch reproduces in SQL
+    (``hll_users_per_type_sql``); the ±1.04/sqrt(m) error bound vs
+    exact distinct is additionally asserted in tests."""
     from ..stages.sketch import approx_distinct_by_key
     ds = _read_table(sf_dir, "events", ["event_type", "user_id"])
     return approx_distinct_by_key(ds, "event_type", "user_id")
+
+
+def hll_users_per_type_sql(p: int = 10) -> str:
+    """SQL twin of the HLL pipeline: rebuild the 64-bit little-endian
+    hash from DuckDB's sha256 hex, derive (register index, rank), fold
+    per-key register maxima, and apply the SAME estimator — harmonic
+    denominator as an exact HUGEINT in units of 2^-63, identical
+    double-precision expression order, linear-counting branch included.
+    """
+    m = 1 << p
+    byte = (lambda k:
+            f"(strpos('0123456789abcdef', substr(hx, {2 * k + 1}, 1)) - 1)"
+            f" * 16 + strpos('0123456789abcdef', substr(hx, {2 * k + 2}, 1))"
+            f" - 1")
+    hexpr = " + ".join(
+        f"CAST({byte(k)} AS HUGEINT) * CAST('{256 ** k}' AS HUGEINT)"
+        for k in range(8))
+    two63 = "CAST('9223372036854775808' AS HUGEINT)"
+    return f"""
+WITH vals AS (SELECT DISTINCT event_type, user_id FROM events),
+hx AS (SELECT event_type, sha256(CAST(user_id AS VARCHAR)) AS hx FROM vals),
+hs AS (SELECT event_type, ({hexpr}) AS h FROM hx),
+rr AS (SELECT event_type, CAST(h % {m} AS BIGINT) AS idx,
+              CASE WHEN h // {m} = 0 THEN {64 - p + 1}
+                   ELSE {64 - p} - length(bin(h // {m})) + 1 END AS rank
+       FROM hs),
+regs AS (SELECT event_type, idx, max(rank) AS r FROM rr
+         GROUP BY event_type, idx),
+agg AS (SELECT event_type, count(*) AS n_present,
+               sum({two63} // (CAST(1 AS HUGEINT) << CAST(r AS HUGEINT)))
+                 AS s_present
+        FROM regs GROUP BY event_type),
+est AS (SELECT event_type, {m} - n_present AS zeros,
+               (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+                 * 9223372036854775808.0
+                 / CAST(({m} - n_present) * {two63} + s_present AS DOUBLE)
+                 AS raw
+        FROM agg)
+SELECT event_type,
+       CAST(floor(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                       THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                       ELSE raw END + 0.5) AS BIGINT) AS approx_distinct
+FROM est"""
 
 
 # ---------------------------------------------------------------------------

@@ -36,14 +36,24 @@ def _hll_update(registers: np.ndarray, values, p: int) -> None:
 
 def hll_estimate(registers: np.ndarray) -> int:
     """Standard HLL estimator with small-range (linear counting)
-    correction."""
+    correction.
+
+    The harmonic denominator is summed EXACTLY as an integer in units
+    of 2^-63 (every 2^-r term is an integer multiple; registers <= 63),
+    so the estimate is a pure function of the register multiset with no
+    float-summation-order dependence — which makes it reproducible in
+    SQL (``analytics.hll_users_per_type_sql``)."""
     m = registers.size
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    # arbitrary-precision sum: 1024 registers at rank 0 total 2^73,
+    # past int64 — bincount collapses it to <= 64 Python-int terms
+    counts = np.bincount(registers.astype(np.int64), minlength=64)
+    s_exact = sum(int(c) << (63 - r) for r, c in enumerate(counts[:64]) if c)
+    est = alpha * m * m * 9223372036854775808.0 / s_exact
     zeros = int(np.count_nonzero(registers == 0))
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
-    return int(round(est))
+    return int(math.floor(est + 0.5))
 
 
 def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> int:
