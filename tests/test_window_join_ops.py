@@ -13,11 +13,27 @@ from tests.oracle_check import compare
 @pytest.mark.parametrize("name", [
     "window_sliding", "rolling_user_value", "asof_prior_error",
     "vocab_df", "stratified_sample",
+    "bigram_counts", "dup_ngram_spans", "fingerprint_docs",
+    "media_phash_dups", "hll_users_per_type",
 ])
 def test_new_ops_match_duckdb(ray_session, name):
     from pdf_extraction_ray.pipelines import analytics as A
     fn = getattr(A, name)
     sql = getattr(A, f"{name}_sql")()
+    assert compare(name, fn(SF_SMOKE), sql, SF_SMOKE) == []
+
+
+@pytest.mark.parametrize("name", [
+    "boilerplate_lines", "line_dedup_docs", "repetition_stats",
+    "url_parts_stats",
+])
+def test_extraction_family_ops_match_duckdb(ray_session, name):
+    """DuckDB parity for the extraction-derived operators (the corpus is
+    a pure function of documents, so the oracle reconstructs the
+    expected extracted text in SQL)."""
+    import __ray_entry__ as entrymod
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
     assert compare(name, fn(SF_SMOKE), sql, SF_SMOKE) == []
 
 
