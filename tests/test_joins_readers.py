@@ -99,8 +99,12 @@ def test_jsonl_roundtrip(ray_session, pages_corpus, tmp_path):
     src = rd.read_parquet(pages_corpus).limit(50)
     jdir = str(tmp_path / "jsonl")
     write_pages_jsonl(src, jdir)
-    back = read_pages_jsonl(jdir).to_pandas().sort_values("url").reset_index(drop=True)
-    orig = src.to_pandas().sort_values("url").reset_index(drop=True)
+    # the corpus plants duplicate urls (dedup fixtures), so url alone is
+    # not a total order — include warc_ts to make the comparison stable
+    back = read_pages_jsonl(jdir).to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    orig = src.to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
     assert back.url.tolist() == orig.url.tolist()
     assert (back.html == orig.html).all()
     assert back.warc_ts.tolist() == orig.warc_ts.tolist()
