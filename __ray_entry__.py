@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _tuned(analytics.quality_filter),
         "lang_id": _tuned(analytics.lang_id),
         "fingerprint_docs": _tuned(analytics.fingerprint_docs),
+        "pii_redact": _tuned(analytics.pii_redact),
+        "decontam_docs": _tuned(analytics.decontam_docs),
         # multimodal decode (real pure-stdlib PNG decoder, actor pool)
         "media_decode": _tuned(analytics.media_decode),
         "media_phash_dups": _tuned(analytics.media_phash_dups),
@@ -389,6 +391,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": analytics.quality_filter_sql(),
         "lang_id": analytics.lang_id_sql(),
         "fingerprint_docs": analytics.fingerprint_docs_sql(),
+        "pii_redact": analytics.pii_redact_sql(),
+        "decontam_docs": analytics.decontam_docs_sql(),
         "media_decode": analytics.media_decode_sql(),
         "media_phash_dups": analytics.media_phash_dups_sql(),
         "audio_decode": analytics.audio_decode_sql(),

@@ -1453,3 +1453,221 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CASE WHEN json_valid(coalesce(props, '')) THEN 0 ELSE 1 END)
             AS BIGINT) AS n_bad
 FROM events GROUP BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (pyarrow.compute and DuckDB both run RE2, so
+# the Ray path and the SQL oracle share byte-identical match semantics).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}-[0-9]{2}\b"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _docs_with_planted_pii(sf_dir: str) -> rd.Dataset:
+    """documents with deterministic PII appended (pure function of
+    doc_id, mirrored 1:1 by the SQL oracle): emails on doc_id%7==0,
+    phone numbers on %11==0, IPv4s on %13==0."""
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"])
+        texts = batch["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            if i % 7 == 0:
+                t += f" contact user{i}@example.com now"
+            if i % 11 == 0:
+                t += f" call 555-{i % 10000:04d}-{i % 100:02d} today"
+            if i % 13 == 0:
+                t += f" from 10.{i % 256}.{i % 200}.{i % 100}"
+            out.append(t)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.large_string())})
+
+    return base.map_batches(plant, batch_format="pyarrow")
+
+
+def pii_redact(sf_dir: str) -> rd.Dataset:
+    """PII scrubbing over document text — the standard pre-training
+    cleanup pass (emails / phone numbers / IPv4 → placeholder tokens),
+    fully vectorized with Arrow's RE2 kernels (no Python loop in the
+    scrub itself). Scale shape: embarrassingly parallel map, no
+    shuffle; at 100 TB this runs at read throughput."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        n_email = pc.count_substring_regex(txt, PII_EMAIL_RE)
+        n_phone = pc.count_substring_regex(txt, PII_PHONE_RE)
+        n_ip = pc.count_substring_regex(txt, PII_IP_RE)
+        red = pc.replace_substring_regex(txt, PII_EMAIL_RE, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PII_PHONE_RE, "<PHONE>")
+        red = pc.replace_substring_regex(red, PII_IP_RE, "<IP>")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_emails": n_email.cast(pa.int64()),
+            "n_phones": n_phone.cast(pa.int64()),
+            "n_ips": n_ip.cast(pa.int64()),
+            "redacted_text": red.cast(pa.large_string()),
+        })
+
+    return _docs_with_planted_pii(sf_dir).map_batches(
+        scrub, batch_format="pyarrow")
+
+
+def pii_redact_sql() -> str:
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                      || ' today'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.' || (doc_id % 256) || '.' || (doc_id % 200)
+                      || '.' || (doc_id % 100)
+                 ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{PII_IP_RE}', '<IP>', 'g') AS redacted_text
+FROM planted"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECONTAM_BENCH_MOD = 97   # doc_id % 97 == 0 -> benchmark (eval) doc
+DECONTAM_PLANT_MOD = 29   # doc_id % 29 == 0 -> planted contamination
+
+
+def decontam_docs(sf_dir: str) -> rd.Dataset:
+    """Eval-set decontamination: flag training documents sharing any
+    word-8-gram with a benchmark (held-out eval) set — the standard
+    pre-training hygiene pass (e.g. GPT-3 appendix C / PaLM-style
+    13-gram overlap, here at NGRAM_N=8). Benchmark = doc_id%97==0;
+    contamination is planted deterministically (doc_id%29==0 docs get a
+    benchmark doc's leading 8-gram appended) so the oracle can mirror
+    the plant in SQL.
+
+    Scale shape: the benchmark side is small by definition (an eval
+    suite, not the corpus), so its gram set broadcasts once via
+    ray.put; the scoring pass is shuffle-free. At 100 TB the fallback
+    for a large eval suite is shipping 64-bit gram hashes instead of
+    strings (8 bytes/gram) — the scoring map is unchanged."""
+    import ray
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+    bench_mod, plant_mod = DECONTAM_BENCH_MOD, DECONTAM_PLANT_MOD
+
+    def grams_of(text: str) -> list[str]:
+        words = (text or "").split(" ")
+        return [" ".join(words[i:i + NGRAM_N])
+                for i in range(len(words) - NGRAM_N + 1)]
+
+    # benchmark gram set (small side: 1/97 of docs) -> broadcast once
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"])
+        out: set[str] = set()
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            if int(i) % bench_mod == 0:
+                out.update(grams_of(t))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    gset: set[str] = set()
+    for b in (base.map_batches(bench_grams, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        gset.update(b["g"].to_pylist())
+    gref = ray.put(gset)
+
+    # leading 8-grams of the 5 plant-source benchmark docs (tiny lookup)
+    snip_ids = np.array([bench_mod * r for r in range(5)], np.int64)
+
+    def snip_rows(batch: pa.Table) -> pa.Table:
+        mask = np.isin(np.asarray(batch["doc_id"]), snip_ids)
+        return batch.filter(pa.array(mask))
+
+    snips: dict[int, str] = {}
+    for row in base.map_batches(snip_rows, batch_format="pyarrow").take_all():
+        words = (row["text"] or "").split(" ")
+        snips[int(row["doc_id"])] = " ".join(words[:NGRAM_N])
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench = ray.get(gref)
+        ids = np.asarray(batch["doc_id"])
+        doc_ids, n_grams, n_hits = [], [], []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            i = int(i)
+            if i % bench_mod == 0:
+                continue  # benchmark docs are not scored
+            if i % plant_mod == 0:
+                t = (t or "") + " " + snips[bench_mod * (i % 5)]
+            gs = grams_of(t)
+            doc_ids.append(i)
+            n_grams.append(len(gs))
+            n_hits.append(sum(1 for g in gs if g in bench))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_bench_grams": pa.array(n_hits, pa.int64()),
+            "contaminated": pa.array([int(h > 0) for h in n_hits],
+                                     pa.int64()),
+        })
+
+    return base.map_batches(score, batch_format="pyarrow")
+
+
+def decontam_docs_sql() -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(NGRAM_N))
+    gram = gram.replace("w[i+0]", "w[i]")
+    m, p = DECONTAM_BENCH_MOD, DECONTAM_PLANT_MOD
+    return f"""
+WITH snips AS (
+  SELECT doc_id AS sid,
+         array_to_string((string_split(text, ' '))[1:{NGRAM_N}], ' ') AS snip
+  FROM documents WHERE doc_id % {m} = 0 AND doc_id / {m} < 5
+), train AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {p} = 0
+              THEN d.text || ' ' || s.snip ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN snips s ON s.sid = {m} * (d.doc_id % 5)
+  WHERE d.doc_id % {m} != 0
+), bench_grams AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(w) - {NGRAM_N - 2}),
+                                        i -> {gram})) AS g
+  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % {m} = 0)
+  WHERE len(w) >= {NGRAM_N}
+), train_grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {NGRAM_N - 2}),
+                               i -> {gram})) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train)
+  WHERE len(w) >= {NGRAM_N}
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM train_grams t LEFT JOIN bench_grams b USING (g)
+  GROUP BY t.doc_id)
+SELECT train.doc_id,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.n_hits, 0) AS BIGINT) AS n_bench_grams,
+       CAST(CASE WHEN coalesce(s.n_hits, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM train LEFT JOIN scored s ON train.doc_id = s.doc_id"""

@@ -15,6 +15,7 @@ from tests.oracle_check import compare
     "vocab_df", "stratified_sample",
     "bigram_counts", "dup_ngram_spans", "fingerprint_docs",
     "media_phash_dups", "hll_users_per_type",
+    "pii_redact", "decontam_docs",
 ])
 def test_new_ops_match_duckdb(ray_session, name):
     from pdf_extraction_ray.pipelines import analytics as A
