@@ -326,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dimension lookup join + training-data split + sketch
         "language_dim_counts": _tuned(analytics.language_dim_counts),
         "train_split": _tuned(analytics.train_split),
+        "pack_sequences": _tuned(analytics.pack_sequences),
+        "shard_assign": _tuned(analytics.shard_assign),
         "hll_users_per_type": _tuned(analytics.hll_users_per_type),
         # dedup family (D1 + near-dup extensions)
         "dedup_exact": _tuned(analytics.dedup_exact),
@@ -400,6 +402,8 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": analytics.video_frames_sql(),
         "language_dim_counts": analytics.language_dim_counts_sql(),
         "train_split": analytics.train_split_sql(),
+        "pack_sequences": analytics.pack_sequences_sql(),
+        "shard_assign": analytics.shard_assign_sql(),
         "hll_users_per_type": analytics.hll_users_per_type_sql(),
         "dedup_exact": analytics.dedup_exact_sql(),
         "jaccard_pairs": analytics.jaccard_pairs_sql(),

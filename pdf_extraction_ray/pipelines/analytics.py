@@ -1671,3 +1671,121 @@ SELECT train.doc_id,
        CAST(CASE WHEN coalesce(s.n_hits, 0) > 0 THEN 1 ELSE 0 END
             AS BIGINT) AS contaminated
 FROM train LEFT JOIN scored s ON train.doc_id = s.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# training-output sharding + sequence packing (distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512       # tokens per packed training sequence
+SHARD_COUNT = 16        # output shards for the deterministic shuffle
+
+
+def pack_sequences(sf_dir: str) -> rd.Dataset:
+    """Greedy-by-position sequence packing for training batches: docs in
+    doc_id order are laid head-to-tail and cut into PACK_BUDGET-token
+    sequences (seq_id = starting token offset // budget — the standard
+    concat-then-chunk packing law, so a doc spanning a boundary starts
+    the sequence its first token falls in).
+
+    Built on ``stages/scan.prefix_scan`` — the two-phase distributed
+    scan (per-partition totals -> O(P) driver prefix -> per-partition
+    local cumsum + offset). No full-data driver state at any scale;
+    partition key is the dense ``doc_id // 256`` key range."""
+    from ..functions.textstats import token_estimate
+    from ..stages.scan import prefix_scan
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = [token_estimate(t or "") for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    toks = docs.map_batches(tokens, batch_format="pyarrow")
+    scanned = prefix_scan(
+        toks, part_fn=lambda b: np.asarray(b["doc_id"]) // 256,
+        sort_cols=["doc_id"], value_col="n_tokens")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cum = np.asarray(batch["cum"])
+        ntok = np.asarray(batch["n_tokens"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": batch["n_tokens"],
+            "seq_id": pa.array((cum - ntok) // PACK_BUDGET, pa.int64()),
+        })
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def pack_sequences_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(length(text) // 4 AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id
+FROM s"""
+
+
+def shard_assign(sf_dir: str) -> rd.Dataset:
+    """Deterministic global shuffle + sharding of the training corpus:
+    a 32-bit integer mix of doc_id defines a pseudorandom total order
+    (reproducible across runs AND across engines — the SQL oracle
+    computes the identical mix), docs are ranked in that order with the
+    distributed scan, and shards are dealt round-robin. This replaces
+    ``random_shuffle`` where reproducibility matters (training-data
+    shuffles must be seedable and engine-independent).
+
+    Scale shape: the partition key is the hash's high byte — a uniform
+    range partition, so no skew; driver state is O(256)."""
+    from ..stages.scan import prefix_scan
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def mix(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["doc_id"]).astype(np.uint64)
+        h = (x * np.uint64(2654435761)) % np.uint64(1 << 32)
+        h = ((h ^ (h >> np.uint64(16))) * np.uint64(0x45D9F3B)) \
+            % np.uint64(1 << 32)
+        h = h ^ (h >> np.uint64(16))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "h": pa.array(h.astype(np.int64), pa.int64())})
+
+    hashed = docs.map_batches(mix, batch_format="pyarrow")
+    ranked = prefix_scan(
+        hashed, part_fn=lambda b: np.asarray(b["h"]) >> 24,
+        sort_cols=["h", "doc_id"], rank_col="shuffle_pos")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pos = np.asarray(batch["shuffle_pos"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "shuffle_pos": batch["shuffle_pos"],
+            "shard": pa.array(pos % SHARD_COUNT, pa.int64()),
+        })
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def shard_assign_sql() -> str:
+    return f"""
+WITH h1 AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS a FROM documents
+), h2 AS (
+  SELECT doc_id, (xor(a, a >> 16) * {0x45D9F3B}) % 4294967296 AS b FROM h1
+), h3 AS (
+  SELECT doc_id, xor(b, b >> 16) AS h FROM h2
+), r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos
+  FROM h3)
+SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+       CAST(shuffle_pos % {SHARD_COUNT} AS BIGINT) AS shard
+FROM r"""

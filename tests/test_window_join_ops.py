@@ -15,7 +15,7 @@ from tests.oracle_check import compare
     "vocab_df", "stratified_sample",
     "bigram_counts", "dup_ngram_spans", "fingerprint_docs",
     "media_phash_dups", "hll_users_per_type",
-    "pii_redact", "decontam_docs",
+    "pii_redact", "decontam_docs", "pack_sequences", "shard_assign",
 ])
 def test_new_ops_match_duckdb(ray_session, name):
     from pdf_extraction_ray.pipelines import analytics as A
@@ -449,3 +449,24 @@ def test_heavy_hitters_covered_vocab_larger_than_k(ray_session):
                         sketch_k=64).to_pandas()
     assert out["n"].tolist() == [100] * 5
     assert out["word"].tolist() == [f"w{i:02d}" for i in range(5)]
+
+
+def test_prefix_scan_semantics(ray_session):
+    """Global rank + running sum over an unsorted multi-partition input
+    equals the serial scan, and driver state stays O(partitions)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pdf_extraction_ray.stages.scan import prefix_scan
+
+    rng = np.random.RandomState(7)
+    ids = rng.permutation(1000)
+    vals = rng.randint(0, 50, size=1000)
+    ds = rd.from_arrow(pa.table({"k": pa.array(ids, pa.int64()),
+                                 "v": pa.array(vals, pa.int64())})
+                       ).repartition(13)
+    out = prefix_scan(ds, part_fn=lambda b: np.asarray(b["k"]) // 100,
+                      sort_cols=["k"], value_col="v").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    order = np.argsort(ids, kind="mergesort")
+    assert out["rank"].tolist() == list(range(1000))
+    assert out["cum"].tolist() == vals[order].cumsum().tolist()
