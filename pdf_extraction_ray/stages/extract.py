@@ -447,80 +447,174 @@ def finalize_bucket(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG,
         frags = group.slice(0, 0)
 
     out_records: list[dict] = []
+    frag_tbl: pa.Table | None = None
     if len(frags):
         import numpy as np
 
-        df = frags.select(["url", "warc_ts", "first_page"]).to_pandas()
-        df["row"] = range(len(df))
-        for (url, ts), g in df.groupby(["url", "warc_ts"], sort=True):
-            order = g.sort_values("first_page")["row"].tolist()
-            # one small gather of this url's fragment rows, then the span
-            # re-basing runs as flat-array arithmetic (the per-span
-            # as_py dict loop dominated reassembly CPU)
-            sub = frags.take(pa.array(order, pa.int64()))
-            nb = sub["n_blocks"].to_pylist()
-            texts = sub["extracted_text"].to_pylist()
+        # ONE global (url, warc_ts, first_page) sort + gather of the
+        # needed columns, then every per-document group is a zero-copy
+        # slice — the previous per-url ``frags.take`` paid a full
+        # nested-column gather (and a streams-payload copy) per document
+        # and dominated finalize CPU.
+        cols = ["url", "warc_ts", "lang", "content_type", "fallback_text",
+                "error", "extracted_text", "n_blocks", "n_pages_total",
+                "first_page", "attempts", "bucket", "spans", "elements"]
+        order = pc.sort_indices(
+            frags.select(["url", "warc_ts", "first_page"]),
+            sort_keys=[("url", "ascending"), ("warc_ts", "ascending"),
+                       ("first_page", "ascending")])
+        sf = frags.select(cols).take(order).combine_chunks()
+        n_f = len(sf)
+        urls_l = sf["url"].to_pylist()
+        ts_np = sf["warc_ts"].to_numpy(zero_copy_only=False)
+        urls_np = np.asarray(urls_l, dtype=object)
+        new_grp = np.empty(n_f, bool)
+        new_grp[0] = True
+        new_grp[1:] = (urls_np[1:] != urls_np[:-1]) | (ts_np[1:] != ts_np[:-1])
+        bounds = np.append(np.flatnonzero(new_grp), n_f)
+        # global flat views (all zero-copy): span fields + element structs
+        spans_list = sf["spans"].chunks[0]
+        sp_offs = spans_list.offsets.to_numpy(zero_copy_only=False)
+        sp_offs = sp_offs - sp_offs[0]  # flatten() trims to the list range
+        sp_flat = spans_list.flatten()
+        g_starts = sp_flat.field("start").to_numpy(zero_copy_only=False)
+        g_ends = sp_flat.field("end").to_numpy(zero_copy_only=False)
+        g_kinds = sp_flat.field("kind")
+        g_pages = sp_flat.field("page")
+        el_list = sf["elements"].chunks[0]
+        el_offs = el_list.offsets.to_numpy(zero_copy_only=False)
+        el_offs = el_offs - el_offs[0]
+        el_flat = el_list.flatten()
+        texts_l = sf["extracted_text"].to_pylist()
+        nb_np = sf["n_blocks"].to_numpy(zero_copy_only=False)
+        errors_l = sf["error"].to_pylist()
+        langs_l = sf["lang"].to_pylist()
+        cts_l = sf["content_type"].to_pylist()
+        fallback_l = sf["fallback_text"].to_pylist()
+        npt_np = sf["n_pages_total"].to_numpy(zero_copy_only=False)
+        att_np = sf["attempts"].to_numpy(zero_copy_only=False)
+        bkt_np = sf["bucket"].to_numpy(zero_copy_only=False)
+        ts_l = sf["warc_ts"].to_pylist()
+
+        # per-row parts of the reassembled spans / elements columns:
+        # route=='primary' rows reference the rebased global flat arrays,
+        # salvage rows a synthesized whole-document span, others empty
+        sp_start_parts: list = []
+        sp_end_parts: list = []
+        sp_kind_parts: list = []
+        sp_page_parts: list = []
+        sp_counts: list[int] = []
+        el_parts: list = []
+        el_counts: list[int] = []
+        for gi in range(len(bounds) - 1):
+            a, b = int(bounds[gi]), int(bounds[gi + 1])
             offs: list[int] = []
             text_parts: list[str] = []
             pos = 0
             total_lines = 0
-            for t, n in zip(texts, nb):
+            for r in range(a, b):
+                n = int(nb_np[r])
                 if n == 0:
                     offs.append(0)
                     continue
                 if total_lines > 0:
                     pos += 1  # "\n" joint between fragments
                 offs.append(pos)
-                text_parts.append(t)
-                pos += len(t)
+                text_parts.append(texts_l[r])
+                pos += len(texts_l[r])
                 total_lines += n
-            frag_errs = [e for e in sub["error"].to_pylist() if e]
+            frag_errs = [e for e in errors_l[a:b] if e]
             if frag_errs:
                 # a failed page-range shard means the document could not
                 # be fully parsed: emit a partial row (the whole-doc
                 # path's row-isolation contract), never a half-document
                 rec = finalize_row(
-                    url, sub["warc_ts"][0].as_py(), sub["lang"][0].as_py(),
-                    sub["fallback_text"][0].as_py() or "",
-                    sub["content_type"][0].as_py(), STATUS_PARTIAL,
-                    frag_errs[0], None, cfg.quality_threshold_pct,
-                    sub["attempts"][0].as_py())
-                rec["bucket"] = sub["bucket"][0].as_py()
+                    urls_l[a], ts_l[a], langs_l[a], fallback_l[a] or "",
+                    cts_l[a], STATUS_PARTIAL, frag_errs[0], None,
+                    cfg.quality_threshold_pct, int(att_np[a]))
+                rec["bucket"] = int(bkt_np[a])
                 out_records.append(rec)
+                sp_counts.append(0)
+                el_counts.append(0)
                 continue
-            spans_col = sub["spans"].combine_chunks()
-            flat = spans_col.flatten()
-            counts = np.asarray(spans_col.value_lengths(), dtype=np.int64)
-            shift = np.repeat(np.asarray(offs, np.int64), counts)
-            starts = flat.field("start").to_numpy(zero_copy_only=False) + shift
-            ends = flat.field("end").to_numpy(zero_copy_only=False) + shift
-            kinds_l = flat.field("kind").to_pylist()
-            pages_l = flat.field("page").to_numpy(zero_copy_only=False)
-            spans = [Span(int(s), int(e), k, int(p))
-                     for s, e, k, p in zip(starts, ends, kinds_l, pages_l)]
-            elements = sub["elements"].combine_chunks().flatten().to_pylist()
-            r0 = 0  # sub is already in page order
             # partitioning assumption (documented): oversized documents
             # carry no cross-shard tables, so reassembled table_row_counts
             # stay empty — per-fragment runs would otherwise need a merge
             primary = Primary(
-                text="\n".join(text_parts), spans=spans,
+                text="\n".join(text_parts), spans=[],
                 element_count=total_lines, heading_count=0,
                 table_row_counts=[],
-                n_pages=sub["n_pages_total"][r0].as_py(),
-                elements=elements)
+                n_pages=int(npt_np[a]),
+                elements=[])
             rec = finalize_row(
-                url, sub["warc_ts"][r0].as_py(), sub["lang"][r0].as_py(),
-                sub["fallback_text"][r0].as_py() or "",
-                sub["content_type"][r0].as_py(), STATUS_COMPLETED, "",
-                primary, cfg.quality_threshold_pct,
-                sub["attempts"][r0].as_py())
-            rec["bucket"] = sub["bucket"][r0].as_py()
+                urls_l[a], ts_l[a], langs_l[a], fallback_l[a] or "",
+                cts_l[a], STATUS_COMPLETED, "",
+                primary, cfg.quality_threshold_pct, int(att_np[a]))
+            rec["bucket"] = int(bkt_np[a])
             out_records.append(rec)
+            if rec["route"] == "primary":
+                fo, lo = int(sp_offs[a]), int(sp_offs[b])
+                counts = np.diff(sp_offs[a:b + 1])
+                shift = np.repeat(np.asarray(offs, np.int64), counts)
+                sp_start_parts.append(g_starts[fo:lo] + shift)
+                sp_end_parts.append(g_ends[fo:lo] + shift)
+                sp_kind_parts.append(g_kinds.slice(fo, lo - fo))
+                sp_page_parts.append(g_pages.slice(fo, lo - fo))
+                sp_counts.append(lo - fo)
+                eo, eh = int(el_offs[a]), int(el_offs[b])
+                el_parts.append(el_flat.slice(eo, eh - eo))
+                el_counts.append(eh - eo)
+            else:
+                # salvage: finalize_row's whole-document span (or none)
+                nc = rec["n_chars"]
+                if nc > 0:
+                    sp_start_parts.append(np.array([0], np.int64))
+                    sp_end_parts.append(np.array([nc], np.int64))
+                    sp_kind_parts.append(pa.array(["document"], pa.string()))
+                    sp_page_parts.append(pa.array([0], pa.int32()))
+                    sp_counts.append(1)
+                else:
+                    sp_counts.append(0)
+                el_counts.append(0)
+            rec["spans"] = ()
+            rec["elements"] = ()
+
+        frag_tbl = out_table(out_records)
+        if sp_start_parts:
+            starts_c = np.concatenate(sp_start_parts)
+            ends_c = np.concatenate(sp_end_parts)
+            kinds_c = pa.concat_arrays([a.combine_chunks()
+                                        if isinstance(a, pa.ChunkedArray)
+                                        else a for a in sp_kind_parts])
+            pages_c = pa.concat_arrays([a.combine_chunks()
+                                        if isinstance(a, pa.ChunkedArray)
+                                        else a for a in sp_page_parts])
+            span_struct = pa.StructArray.from_arrays(
+                [pa.array(starts_c, pa.int64()), pa.array(ends_c, pa.int64()),
+                 kinds_c.cast(pa.string()), pages_c.cast(pa.int32())],
+                names=["start", "end", "kind", "page"])
+            spans_col = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(sp_counts))),
+                         pa.int32()),
+                span_struct).cast(SPAN_TYPE)
+            frag_tbl = frag_tbl.set_column(
+                frag_tbl.schema.get_field_index("spans"),
+                OUT_SCHEMA.field("spans"), spans_col)
+        if any(el_counts):
+            el_struct = pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in el_parts])
+            el_col = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(el_counts))),
+                         pa.int32()),
+                el_struct).cast(ELEMENT_TYPE)
+            frag_tbl = frag_tbl.set_column(
+                frag_tbl.schema.get_field_index("elements"),
+                OUT_SCHEMA.field("elements"), el_col)
 
     out = finals.select([f.name for f in OUT_SCHEMA])
-    if out_records:
-        out = pa.concat_tables([out, out_table(out_records)])
+    if frag_tbl is not None:
+        out = pa.concat_tables([out, frag_tbl])
     if dedup and len(out):
         # exact first-wins: keep each url's minimum-warc_ts row
         # (reference: unique hash index, migrations/006:13-16).
