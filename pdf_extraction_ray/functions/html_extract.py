@@ -31,6 +31,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 from html.parser import HTMLParser
+from typing import NamedTuple
 
 # ---------------------------------------------------------------------------
 # DOM
@@ -266,8 +267,9 @@ def parse_html(payload: bytes | str, deadline: float | None = None) -> Node:
 # ---------------------------------------------------------------------------
 
 
-@dataclass
-class Span:
+class Span(NamedTuple):
+    # NamedTuple (not dataclass): one Span is built per extracted line —
+    # C-speed construction matters at corpus scale
     start: int
     end: int
     kind: str

@@ -33,6 +33,7 @@ import re
 import time
 import zlib
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 from .html_extract import Span
 from .retry_policy import DocumentTimeout
@@ -326,19 +327,25 @@ def _parse_literal(buf: bytes, i: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
-@dataclass
-class TextChunk:
+class TextChunk(NamedTuple):
+    # NamedTuple (not dataclass): C-speed construction — one is built per
+    # show operator, the single hottest allocation in the PDF parse
     x: float
     y: float
     text: str
 
 
-# fast-path scanner: the overwhelmingly common "absolute-positioned text
-# line" form (integer Tm translate + one literal + Tj). Only used when the
-# WHOLE stream provably consists of these plus BT/ET/Tf framing — anything
-# else falls back to the general operator loop below.
-_SIMPLE_TM_TJ = re.compile(
-    rb"1 0 0 1 (-?\d+) (-?\d+) Tm \(((?:[^()\\]|\\.)*+)\) Tj")
+# fast-path scanner: the two positioned-show forms the wild overwhelmingly
+# uses — an absolute integer ``Tm`` translate OR a ``0 dy Td`` relative
+# line advance, followed by either a literal ``(…) Tj`` or a one-hex-one-
+# literal kerning array ``[<hex> k (…)] TJ``. Only used when the WHOLE
+# stream provably consists of these plus BT/ET/Tf framing — anything else
+# falls back to the general operator loop below.
+_SIMPLE_SHOW = re.compile(
+    rb"(?:(BT)"          # matched (not residue) so Td runs reset with it
+    rb"|(?:1 0 0 1 (-?\d+) (-?\d+) Tm|0 (-?\d+) Td) "
+    rb"(?:\(((?:[^()\\]|\\.)*+)\) Tj"
+    rb"|\[<([0-9A-Fa-f]*+)> -?\d+ \(((?:[^()\\]|\\.)*+)\)\] TJ))")
 # possessive quantifiers: a residue MISmatch must fail fast — with
 # backtracking quantifiers a long non-matching residue is catastrophic
 _SIMPLE_RESIDUE = re.compile(
@@ -346,29 +353,55 @@ _SIMPLE_RESIDUE = re.compile(
 
 
 def _tokenize_fast(stream: bytes) -> list[TextChunk] | None:
-    matches = list(_SIMPLE_TM_TJ.finditer(stream))
-    if not matches:
-        return None
-    # validate the BETWEEN-match gaps directly instead of materializing
-    # the residue with re.sub (the sub was ~8% of whole-PDF parse time);
-    # per-gap validation is strictly conservative — a token that would
-    # only validate by spanning two gaps falls back to the full
-    # tokenizer, which handles it correctly
-    prev = 0
-    for m in matches:
-        s = m.start()
-        if s != prev and not _SIMPLE_RESIDUE.match(stream[prev:s]):
-            return None
-        prev = m.end()
-    if prev != len(stream) and not _SIMPLE_RESIDUE.match(stream[prev:]):
-        return None
+    # single pass: validate each BETWEEN-match gap as we go (the common
+    # gap is one whitespace byte — ``isspace`` short-circuits the residue
+    # regex), dispatch on ``lastindex`` (5 = literal Tj, 7 = hex-array TJ,
+    # 1 = BT) instead of fetching all seven groups. Validation is strictly
+    # conservative — any unrecognized residue falls back to the full
+    # tokenizer, which handles it correctly.
     out: list[TextChunk] = []
-    for m in matches:
-        lit = m.group(3)
-        if b"\\" in lit:
-            lit, _ = _parse_literal(b"(" + lit + b")", 0)
-        out.append(TextChunk(float(m.group(1)), float(m.group(2)),
-                             lit.decode("utf-8", errors="replace")))
+    lx = ly = 0.0
+    prev = 0
+    matched = False
+    residue = _SIMPLE_RESIDUE.match
+    parse_lit = _parse_literal
+    append = out.append
+    for m in _SIMPLE_SHOW.finditer(stream):
+        matched = True
+        s = m.start()
+        if s != prev:
+            gap = stream[prev:s]
+            if not (gap.isspace() or residue(gap)):
+                return None
+        prev = m.end()
+        li = m.lastindex
+        if li == 1:           # BT resets the text matrix
+            lx = ly = 0.0
+            continue
+        tmx = m.group(2)
+        if tmx is not None:   # absolute translate
+            lx, ly = float(tmx), float(m.group(3))
+        else:                 # 0 dy Td relative advance
+            ly += float(m.group(4))
+        if li == 5:           # (…) Tj
+            raw = m.group(5)
+            if b"\\" in raw:
+                raw = parse_lit(b"(" + raw + b")", 0)[0]
+        else:                 # [<hex> k (…)] TJ
+            hexs = m.group(6)
+            if len(hexs) & 1:
+                hexs += b"0"
+            lit2 = m.group(7)
+            if b"\\" in lit2:
+                lit2 = parse_lit(b"(" + lit2 + b")", 0)[0]
+            raw = bytes.fromhex(hexs.decode()) + lit2
+        append(TextChunk(lx, ly, raw.decode("utf-8", errors="replace")))
+    if not matched:
+        return None
+    if prev != len(stream):
+        gap = stream[prev:]
+        if not (gap.isspace() or residue(gap)):
+            return None
     return out
 
 
@@ -618,8 +651,7 @@ def mark_table_lines(lines: list[tuple[int, PdfLine]]) -> list[bool]:
     return flags
 
 
-@dataclass
-class Element:
+class Element(NamedTuple):
     """One layout element with its page and bbox (SURVEY.md §1.2
     ``elements: list<struct>``; reference: the OpenDataLoader bounding
     boxes keyed {type}_{page}_{idx},

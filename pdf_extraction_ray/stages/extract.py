@@ -56,13 +56,16 @@ _ELEMENT_PA_TYPES = (pa.string(), pa.int32(), pa.int32(), pa.int32(),
 
 
 def _elements_column(records: list[dict]) -> pa.ListArray:
-    """Flat-arrays + offsets construction of the elements column."""
+    """Flat-arrays + offsets construction of the elements column.
+
+    Elements are ``pdf_extract.Element`` NamedTuples (field order ==
+    ``_ELEMENT_FIELDS``) — accessed positionally."""
     flat: list[list] = [[] for _ in _ELEMENT_FIELDS]
     offsets = [0]
     for r in records:
         for e in r.get("elements") or ():
-            for k, field_name in enumerate(_ELEMENT_FIELDS):
-                flat[k].append(e[field_name])
+            for k in range(6):
+                flat[k].append(e[k])
         offsets.append(len(flat[0]))
     struct = pa.StructArray.from_arrays(
         [pa.array(v, t) for v, t in zip(flat, _ELEMENT_PA_TYPES)],
@@ -406,7 +409,7 @@ class ParseFragments:
                 "extracted_text": frag.text, "n_chars": len(frag.text),
                 "n_blocks": frag.element_count, "n_pages": frag.n_pages,
                 "spans": frag.spans,
-                "elements": [e.__dict__ for e in frag.elements],
+                "elements": frag.elements,
                 "text_sha256": "",
                 "attempts": batch["attempts"][i].as_py(),
                 "bucket": batch["bucket"][i].as_py(),
@@ -785,7 +788,7 @@ def _pdf_extractor(payload: bytes, cfg: PipelineConfig, attempts: int) -> Primar
     p = pdf_extract.extract_pdf(payload, cfg.line_y_tolerance,
                                 cfg.column_gap_min, deadline=_deadline(cfg))
     return Primary(p.text, p.spans, p.element_count, 0, p.table_row_counts,
-                   p.n_pages, elements=[e.__dict__ for e in p.elements])
+                   p.n_pages, elements=p.elements)
 
 
 def _text_extractor(payload: bytes, cfg: PipelineConfig, attempts: int) -> Primary:

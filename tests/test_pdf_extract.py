@@ -290,7 +290,7 @@ def test_tjhex_style_extraction_invariant():
                               text_style="tjhex")
         ea, eb = pdf_extract.extract_pdf(a), pdf_extract.extract_pdf(b)
         assert ea.text == eb.text
-        assert [s.__dict__ for s in ea.spans] == [s.__dict__ for s in eb.spans]
+        assert list(ea.spans) == list(eb.spans)
         assert ea.table_row_counts == eb.table_row_counts
 
 
