@@ -96,7 +96,9 @@ def test_jsonl_roundtrip(ray_session, pages_corpus, tmp_path):
     import ray.data as rd
     from pdf_extraction_ray.sources.readers import (read_pages_jsonl,
                                                     write_pages_jsonl)
-    src = rd.read_parquet(pages_corpus).limit(50)
+    # materialize: limit(50) re-executes per consumer and block order is not
+    # deterministic under the streaming executor, so pin the sampled rows once
+    src = rd.read_parquet(pages_corpus).limit(50).materialize()
     jdir = str(tmp_path / "jsonl")
     write_pages_jsonl(src, jdir)
     # the corpus plants duplicate urls (dedup fixtures), so url alone is
