@@ -345,7 +345,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _tuned(analytics.window_tumbling),
         "window_sliding": _tuned(analytics.window_sliding),
         "rolling_user_value": _tuned(analytics.rolling_user_value),
+        "running_user_value": _tuned(analytics.running_user_value),
         "sessions": _tuned(analytics.sessions),
+        # multi-level aggregation (rollup / pivot)
+        "orders_rollup": _tuned(relational.orders_rollup),
+        "orders_pivot": _tuned(relational.orders_pivot),
         # temporal join + corpus-stats operators
         "asof_prior_error": _tuned(analytics.asof_prior_error),
         "order_customer_join": _tuned(analytics.order_customer_join),
@@ -417,7 +421,10 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling": analytics.window_tumbling_sql(),
         "window_sliding": analytics.window_sliding_sql(),
         "rolling_user_value": analytics.rolling_user_value_sql(),
+        "running_user_value": analytics.running_user_value_sql(),
         "sessions": analytics.sessions_sql(),
+        "orders_rollup": relational.orders_rollup_sql(),
+        "orders_pivot": relational.orders_pivot_sql(),
         "asof_prior_error": analytics.asof_prior_error_sql(),
         "order_customer_join": analytics.order_customer_join_sql(),
         "vocab_df": analytics.vocab_df_sql(),

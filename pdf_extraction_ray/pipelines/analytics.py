@@ -816,6 +816,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
                        AND CURRENT ROW)"""
 
 
+def running_user_value(sf_dir: str) -> rd.Dataset:
+    """Per-user ordered running totals — the unbounded-preceding window
+    function (``ROW_NUMBER()`` / ``SUM() OVER (PARTITION BY user ORDER
+    BY ts)``) via stages/scan.py:keyed_scan: ONE key-hash shuffle,
+    vectorized per-partition groupby-cumsum, zero driver state. The
+    float ``value`` integerizes to e6 units per row BEFORE the cumsum so
+    the running sum is association-order-free (hash-safe vs the SQL
+    window oracle)."""
+    from ..stages.scan import keyed_scan
+
+    ds = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "ts", "value"])
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        units = pc.round(pc.multiply(batch["value"], 1e6)).cast(pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": batch["ts"],
+                         "value_e6": units})
+
+    out = keyed_scan(ds.map_batches(to_units, batch_format="pyarrow"),
+                     key_col="user_id", sort_cols=["ts", "event_id"],
+                     value_col="value_e6", rank_col="row_num",
+                     cum_col="run_value_e6")
+    return out.select_columns(["event_id", "row_num", "run_value_e6"])
+
+
+def running_user_value_sql() -> str:
+    return """
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_num,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS BIGINT)
+         AS run_value_e6
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
 def asof_prior_error(sf_dir: str) -> rd.Dataset:
     """As-of join: each click event gets the newest error event of the
     same user at or before its timestamp (-1 when none) — the temporal

@@ -411,3 +411,116 @@ def customers_without_orders_bloom(sf_dir: str) -> rd.Dataset:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     return bloom_anti_join(cust, orders, "c_custkey",
                            right_key_col="o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# multi-level aggregation: ROLLUP and PIVOT (combiner shape)
+# ---------------------------------------------------------------------------
+
+ROLLUP_ALL = "ALL"  # sentinel for a rolled-up level (avoids NULL-sort skew)
+
+
+def orders_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): order counts and
+    totalprice sums at three grains (priority×status, priority, grand
+    total) from ONE data pass.
+
+    Shape: the finest groupby runs distributed with the combiner pattern
+    (per-batch integer-cents partials, one small keyed shuffle); the
+    coarser levels are re-aggregations of that result, whose cardinality
+    is bounded by the KEY DOMAIN (|priorities|×|statuses| ≈ 15 rows) —
+    never by data size — so deriving them driver-side is the scale-right
+    plan at any corpus size. Money integerizes to cents per row before
+    summation (association-order-free, hash-safe vs the SQL oracle).
+    """
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "priority": batch["o_orderpriority"],
+            "status": batch["o_orderstatus"],
+            "cents": pc.round(pc.multiply(batch["o_totalprice"], 100.0))
+                       .cast(pa.int64()),
+        }).to_pandas()
+        g = df.groupby(["priority", "status"], as_index=False).agg(
+            n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+                .groupby(["priority", "status"])
+                .aggregate(Sum("n_orders", alias_name="n_orders"),
+                           Sum("sum_cents", alias_name="sum_cents"))
+                .to_pandas())
+
+    lvl1 = (finest.groupby("priority", as_index=False)
+            [["n_orders", "sum_cents"]].sum())
+    lvl1["status"] = ROLLUP_ALL
+    lvl0 = pd.DataFrame({
+        "priority": [ROLLUP_ALL], "status": [ROLLUP_ALL],
+        "n_orders": [finest["n_orders"].sum()],
+        "sum_cents": [finest["sum_cents"].sum()],
+    })
+    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)
+    out = out[["priority", "status", "n_orders", "sum_cents"]]
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def orders_rollup_sql() -> str:
+    return """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+            ELSE o_orderstatus END AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"""
+
+
+def orders_pivot(sf_dir: str) -> rd.Dataset:
+    """Pivot (crosstab): one row per o_orderpriority with per-status
+    order counts as columns — conditional aggregation, fully combiner-
+    shaped (per-batch crosstab partials, one tiny keyed shuffle; no
+    driver-side work at all). Statuses are the fixed TPC-H domain
+    {F, O, P}; an unexpected status fails loudly rather than silently
+    dropping rows."""
+    STATUSES = ("F", "O", "P")
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "priority": batch["o_orderpriority"].to_pandas(),
+            "status": batch["o_orderstatus"].to_pandas(),
+        })
+        bad = set(df["status"].unique()) - set(STATUSES)
+        if bad:
+            raise ValueError(f"unexpected o_orderstatus values: {bad}")
+        ct = pd.crosstab(df["priority"], df["status"])
+        for s in STATUSES:
+            if s not in ct.columns:
+                ct[s] = 0
+        ct = ct[list(STATUSES)].reset_index()
+        ct.columns = ["priority"] + [f"n_{s.lower()}" for s in STATUSES]
+        for c in ct.columns[1:]:
+            ct[c] = ct[c].astype(np.int64)
+        return pa.Table.from_pandas(ct, preserve_index=False)
+
+    aggs = [Sum(f"n_{s.lower()}", alias_name=f"n_{s.lower()}")
+            for s in STATUSES]
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+              .groupby("priority").aggregate(*aggs))
+
+
+def orders_pivot_sql() -> str:
+    return """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority"""

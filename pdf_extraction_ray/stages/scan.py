@@ -25,6 +25,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -99,3 +100,52 @@ def prefix_scan(ds: rd.Dataset,
 
     return tagged.groupby("_scan_p").map_groups(
         scan_partition, batch_format="pyarrow")
+
+
+def keyed_scan(ds: rd.Dataset, key_col: str, sort_cols: list[str],
+               value_col: str, rank_col: str = "row_num",
+               cum_col: str = "run_sum",
+               num_partitions: int = 32) -> rd.Dataset:
+    """Per-key ordered running aggregates — the ``ROW_NUMBER() /
+    SUM(x) OVER (PARTITION BY key ORDER BY ...)`` window-function
+    shape, without a global sort.
+
+    Unlike :func:`prefix_scan` (ONE total order spanning partitions),
+    each key's scan restarts at zero, so no cross-partition offset
+    exchange is needed: tag ``p = key % P``, ONE ``groupby(p)`` shuffle
+    co-locates every key's rows, and the per-partition body is a single
+    vectorized pandas ``sort_values`` + ``groupby(key).cumsum`` /
+    ``cumcount`` — NOT a per-key ``map_groups`` (which costs ~1 ms of
+    interpreter per group; see ROUND2_NOTES.md). Driver state is zero.
+
+    ``value_col`` must be int64 (integer running sums are
+    association-order-free, which keeps the result bit-identical to the
+    SQL window oracle; pre-integerize floats upstream). Skew bound: one
+    partition holds ~1/P of the keys — a single pathological key is the
+    limit, same as any keyed window (salt upstream if one key dominates).
+    """
+    P = num_partitions
+
+    def tag(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].cast(pa.int64()))
+        return t.append_column("_kp", pa.array(key % P, pa.int64()))
+
+    out_schema = ds.schema()
+
+    def scan_group(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            empty = {f.name: pa.array([], f.type)
+                     for f in out_schema.base_schema}
+            empty[rank_col] = pa.array([], pa.int64())
+            empty[cum_col] = pa.array([], pa.int64())
+            return pa.table(empty)
+        g = g.sort_values([key_col] + sort_cols, kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        g[rank_col] = grp.cumcount().to_numpy(np.int64) + 1
+        g[cum_col] = grp[value_col].cumsum().to_numpy(np.int64)
+        return pa.Table.from_pandas(g.drop(columns=["_kp"]),
+                                    preserve_index=False)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("_kp")
+              .map_groups(scan_group, batch_format="pandas"))

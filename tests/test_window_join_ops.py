@@ -470,3 +470,60 @@ def test_prefix_scan_semantics(ray_session):
     order = np.argsort(ids, kind="mergesort")
     assert out["rank"].tolist() == list(range(1000))
     assert out["cum"].tolist() == vals[order].cumsum().tolist()
+
+
+def test_keyed_scan_semantics(ray_session):
+    """Per-key running totals restart at each key and follow the
+    (ts, id) order regardless of block layout."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pdf_extraction_ray.stages.scan import keyed_scan
+
+    rng = np.random.RandomState(11)
+    n = 600
+    keys = rng.randint(0, 7, size=n)
+    ids = rng.permutation(n)
+    vals = rng.randint(-5, 20, size=n)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "id": pa.array(ids, pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    })).repartition(9)
+    out = (keyed_scan(ds, key_col="k", sort_cols=["id"], value_col="v",
+                      num_partitions=4)
+           .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    df = pd.DataFrame({"k": keys, "id": ids, "v": vals}).sort_values(
+        ["k", "id"], kind="mergesort").reset_index(drop=True)
+    g = df.groupby("k", sort=False)
+    assert out["row_num"].tolist() == (g.cumcount() + 1).tolist()
+    assert out["run_sum"].tolist() == g["v"].cumsum().tolist()
+
+
+@pytest.mark.parametrize("name", ["running_user_value"])
+def test_keyed_scan_matches_duckdb(ray_session, name):
+    from pdf_extraction_ray.pipelines import analytics as A
+    fn = getattr(A, name)
+    sql = getattr(A, f"{name}_sql")()
+    assert compare(name, fn(SF_SMOKE), sql, SF_SMOKE) == []
+
+
+@pytest.mark.parametrize("name", ["orders_rollup", "orders_pivot"])
+def test_rollup_pivot_match_duckdb(ray_session, name):
+    from pdf_extraction_ray.pipelines import relational as R
+    fn = getattr(R, name)
+    sql = getattr(R, f"{name}_sql")()
+    assert compare(name, fn(SF_SMOKE), sql, SF_SMOKE) == []
+
+
+def test_rollup_levels_consistent(ray_session):
+    """Every rollup level must re-aggregate exactly from the finest
+    grain, and the grand total must equal the table row count."""
+    from pdf_extraction_ray.pipelines import relational as R
+    t = R.orders_rollup(SF_SMOKE).to_pandas()
+    finest = t[(t.priority != "ALL") & (t.status != "ALL")]
+    lvl1 = t[(t.priority != "ALL") & (t.status == "ALL")]
+    total = t[(t.priority == "ALL") & (t.status == "ALL")]
+    agg = finest.groupby("priority")[["n_orders", "sum_cents"]].sum()
+    assert (lvl1.set_index("priority")[["n_orders", "sum_cents"]]
+            .sort_index().equals(agg.sort_index()))
+    assert int(total["n_orders"].iloc[0]) == int(finest["n_orders"].sum())
