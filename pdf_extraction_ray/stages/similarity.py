@@ -358,18 +358,23 @@ def kmeans(ds: rd.Dataset, k: int = 10, iters: int = 8,
                 "inertia": pa.array([inertia], pa.float64()),
             })
 
-        sums = np.zeros_like(centroids)
-        counts = np.zeros(k, dtype=np.int64)
-        inertia = 0.0
+        # fold partials in a sorted, order-independent way: block arrival
+        # order varies run-to-run, and float += in arrival order wobbles
+        # the centroids (and thus the history) at ~1e-13 rel
+        parts: list[tuple[bytes, bytes, float]] = []
         for b in (ds.map_batches(partial, batch_format="pyarrow")
                     .iter_batches(batch_format="pyarrow")):
-            for s, c, i in zip(b["sums"].to_pylist(),
-                               b["counts"].to_pylist(),
-                               b["inertia"].to_pylist()):
-                sums += np.frombuffer(s, np.float64).reshape(centroids.shape)
-                counts += np.frombuffer(c, np.int64)
-                inertia += i
-        inertia_hist.append(inertia)
+            parts.extend(zip(b["sums"].to_pylist(),
+                             b["counts"].to_pylist(),
+                             b["inertia"].to_pylist()))
+        parts.sort()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        for s, c, _ in parts:
+            sums += np.frombuffer(s, np.float64).reshape(centroids.shape)
+            counts += np.frombuffer(c, np.int64)
+        import math
+        inertia_hist.append(math.fsum(sorted(i for _, _, i in parts)))
         nonempty = counts > 0
         centroids = np.where(nonempty[:, None],
                              sums / np.maximum(counts, 1)[:, None],

@@ -166,11 +166,13 @@ def test_kmeans_monotone_and_deterministic(ray_session):
     # real progress over the farthest-point init
     assert h1[-1] < 0.8 * h1[0]
     assert df1["cluster_id"].nunique() == 10
-    # deterministic across runs (no RNG, first-min tie breaks)
+    # deterministic across runs (no RNG, first-min tie breaks); labels
+    # are exact, the cost history is reproducible to float-fold noise
+    # (per-batch partial sums depend on Ray's block boundaries)
     a2, h2 = kmeans(load(), k=10, iters=5)
     df2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert df1.equals(df2)
-    assert h1 == h2
+    assert np.allclose(h1, h2, rtol=1e-9, atol=0.0)
 
 
 @pytest.mark.parametrize("name", ["value_quantiles_hist", "event_pairs_within"])
