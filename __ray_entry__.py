@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _tuned(analytics.dedup_minhash),
         "dedup_simhash": _tuned(analytics.dedup_simhash),
         "jaccard_pairs": _tuned(analytics.jaccard_pairs),
+        "dedup_clusters": _tuned(analytics.dedup_clusters),
         "embedding_dup_pairs": _tuned(analytics.embedding_dup_pairs),
         "dedup_embedding_cells": _tuned(analytics.dedup_embedding_cells),
         # similarity search + embedding clustering
@@ -359,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _tuned(analytics.stratified_sample),
         "heavy_hitter_terms": _tuned(analytics.heavy_hitter_terms),
         "tfidf_top_terms": _tuned(analytics.tfidf_top_terms),
+        "lm_doc_scores": _tuned(analytics.lm_doc_scores),
+        "bm25_topk": _tuned(analytics.bm25_topk),
         "value_quantiles_hist": _tuned(analytics.value_quantiles_hist),
         "event_pairs_within": _tuned(analytics.event_pairs_within),
         "props_json_stats": _tuned(analytics.props_json_stats),
@@ -411,6 +414,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_per_type": analytics.hll_users_per_type_sql(),
         "dedup_exact": analytics.dedup_exact_sql(),
         "jaccard_pairs": analytics.jaccard_pairs_sql(),
+        # distributed connected-components clustering vs a DuckDB
+        # recursive-CTE transitive closure — the iterative algorithm
+        # has an exact value-hash gate
+        "dedup_clusters": analytics.dedup_clusters_sql(),
         "embedding_dup_pairs": analytics.embedding_dup_pairs_sql(),
         # the cell-partitioned variant provably finds every exact-copy
         # pair (identical vectors share all assigned cells) and verifies
@@ -433,6 +440,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": analytics.stratified_sample_sql(),
         "heavy_hitter_terms": analytics.heavy_hitter_terms_sql(),
         "tfidf_top_terms": analytics.tfidf_top_terms_sql(),
+        "lm_doc_scores": analytics.lm_doc_scores_sql(),
+        "bm25_topk": analytics.bm25_topk_sql(),
         "value_quantiles_hist": analytics.value_quantiles_hist_sql(),
         "event_pairs_within": analytics.event_pairs_within_sql(),
         "props_json_stats": analytics.props_json_stats_sql(),

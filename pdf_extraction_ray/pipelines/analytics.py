@@ -586,6 +586,72 @@ SELECT a, b, CAST(floor(100.0 * inter / uni + 0.5) AS BIGINT) AS jaccard_pct
 FROM pairs WHERE uni > 0 AND floor(100.0 * inter / uni + 0.5) >= {threshold_pct}"""
 
 
+def dedup_clusters(sf_dir: str) -> rd.Dataset:
+    """Near-dup CLUSTER assignment, exactly oracled end-to-end: verified
+    n-gram-Jaccard edges (the ``jaccard_pairs`` operator) feed the fully
+    distributed ``connected_components`` (min-label propagation +
+    pointer jumping — the iterative Ray Data algorithm), and every
+    document gets ``cluster_id`` = the minimum doc_id of its component
+    (singletons label themselves). This is the keep-one-per-cluster
+    primitive of web-scale near-dedup with a DuckDB *recursive-CTE*
+    oracle — the minhash/simhash paths share this exact clustering
+    stage, so its correctness gate covers them structurally."""
+    from ..stages.joins import hash_join
+
+    docs = _docs_with_planted_near_dups(sf_dir)
+    edges = dd.jaccard_pairs(docs, threshold_pct=80).select_columns(["a", "b"])
+    labels = dd.connected_components(edges, "a", "b")
+    ids = docs.select_columns(["doc_id"])
+    joined = hash_join(ids, labels, "doc_id", "node", [], ["label"],
+                       how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        doc = t["doc_id"].combine_chunks().cast(pa.int64())
+        lab = t["label"].combine_chunks().cast(pa.int64())
+        return pa.table({"doc_id": doc,
+                         "cluster_id": pc.coalesce(lab, doc)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_clusters_sql(threshold_pct: int = 80) -> str:
+    toks = "regexp_extract_all(lower(text), '[\\pL\\pN_]+')"
+    return f"""
+WITH RECURSIVE all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, length(text) - 12)
+  FROM documents WHERE doc_id % 5 = 0
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len({toks}) < 3
+      THEN [array_to_string({toks}, ' ')]
+      ELSE list_transform(range(1, len({toks}) - 1),
+             i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])
+    END) AS shingles
+  FROM all_docs
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(a.shingles) + len(b.shingles)
+        - len(list_intersect(a.shingles, b.shingles)) > 0
+    AND floor(100.0 * len(list_intersect(a.shingles, b.shingles))
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))
+              + 0.5) >= {threshold_pct}
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM all_docs
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node"""
+
+
 def _embeddings_with_planted_dups(sf_dir: str) -> rd.Dataset:
     base = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -1205,6 +1271,231 @@ scored AS (
 SELECT doc_id, word, CAST(score AS BIGINT) AS score,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {top}"""
+
+
+def lm_doc_scores(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
+    """Corpus-LM document scoring — the CCNet-style two-phase shape
+    (Wenzek et al. 2020: train an LM on the corpus, score every doc)
+    with an integer bigram model so Ray and SQL agree bit-for-bit:
+    ``score(doc) = Σ k(a,b|doc) * ((1e6 * c(a,b)) // c(a·))`` where
+    c(a,b) is the corpus bigram count and c(a·) the corpus prefix
+    count. High score = phrasing the corpus has seen before (fluent /
+    templated); low = out-of-distribution text — the perplexity-filter
+    analog without float logs.
+
+    ONE word-keyed shuffle does both model build and scoring: rows
+    partition by hash(prefix word), so c(a,b) and c(a·) are LOCAL
+    groupby-sums inside each partition — no broadcast LM, no second
+    model join; then a doc-keyed groupby folds term scores. Scales as
+    two keyed exchanges of (doc, gram, count) rows."""
+    from collections import Counter
+
+    from ..functions.hashing import stable_hash64
+
+    P = num_partitions
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids_o, a_o, b_o, k_o, p_o = [], [], [], [], []
+        for doc, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            words = (text or "").split(" ")
+            counts = Counter(zip(words, words[1:]))
+            for a, b in sorted(counts):
+                ids_o.append(doc)
+                a_o.append(a)
+                b_o.append(b)
+                k_o.append(counts[(a, b)])
+                p_o.append(stable_hash64(a) % P)
+        return pa.table({
+            "doc_id": pa.array(ids_o, pa.int64()),
+            "a": pa.array(a_o, pa.string()),
+            "b": pa.array(b_o, pa.string()),
+            "k": pa.array(k_o, pa.int64()),
+            "p": pa.array(p_o, pa.int64()),
+        })
+
+    def score_partition(g: pd.DataFrame) -> pa.Table:
+        # every bigram with prefix a lands here → corpus counts are
+        # partition-local sums
+        c_ab = g.groupby(["a", "b"])["k"].transform("sum").to_numpy(np.int64)
+        c_a = g.groupby("a")["k"].transform("sum").to_numpy(np.int64)
+        k = g["k"].to_numpy(np.int64)
+        s = k * ((1_000_000 * c_ab) // c_a)
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "k": pa.array(k),
+            "s": pa.array(s),
+        })
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(gram_rows, batch_format="pyarrow")
+            .groupby("p").map_groups(score_partition, batch_format="pandas")
+            .groupby("doc_id")
+            .aggregate(Sum("k", alias_name="n_bigrams"),
+                       Sum("s", alias_name="lm_score")))
+
+
+BM25_QUERIES = {  # fixed query workload for the search operator
+    1: ("hash", "join"),
+    2: ("window", "sort", "merge"),
+    3: ("fast", "scan", "customer"),
+}
+BM25_TOPK = 10
+
+
+def bm25_topk(sf_dir: str) -> rd.Dataset:
+    """Full-text search: BM25 top-k documents per query, all-integer
+    scoring (Robertson/Sparck-Jones BM25 with k1=1.2, b=0.75 as exact
+    rationals — multiplying through by the corpus token count T turns
+    the length normalization into integer arithmetic, so Ray and SQL
+    agree bit-for-bit; magnitudes stay < 2^60 for corpora ≤ ~1e9 docs):
+
+      idf(w)   = (N*1000) // df(w)
+      s(w,doc) = (idf * 22*tf*T) // (T*(10*tf + 3) + 9*dl*N)
+
+    Shape: pass A is a combiner that reduces to (N, T, df per QUERY
+    term) — a handful of integers on the driver, pruned to query terms
+    before the shuffle; pass B scores each doc against the broadcast
+    stats and keeps a per-batch partial top-k per query, merged by one
+    tiny groupby(query_id) — the ANN top-k pattern over an inverted
+    scoring kernel, no per-doc shuffle of the corpus."""
+    from collections import Counter
+
+    import ray
+
+    qterms = sorted({w for q in BM25_QUERIES.values() for w in q})
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        n, tot = 0, 0
+        df_c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            words = (text or "").split(" ")
+            n += 1
+            tot += len(words)
+            ws = set(words)
+            df_c.update(w for w in qterms if w in ws)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "tot": pa.array([tot], pa.int64()),
+            **{f"df_{w}": pa.array([df_c[w]], pa.int64()) for w in qterms},
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    N, T = 0, 0
+    df_map: Counter = Counter()
+    for b in (docs.map_batches(stats_partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+        N += int(pa.compute.sum(b["n"]).as_py())
+        T += int(pa.compute.sum(b["tot"]).as_py())
+        for w in qterms:
+            df_map[w] += int(pa.compute.sum(b[f"df_{w}"]).as_py())
+    stats_ref = ray.put((N, T, dict(df_map)))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        n_, t_, df_ = ray.get(stats_ref)
+        q_o, d_o, s_o = [], [], []
+        per_q: dict[int, list[tuple[int, int]]] = {q: []
+                                                   for q in BM25_QUERIES}
+        for doc, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            words = (text or "").split(" ")
+            dl = len(words)
+            tf = Counter(words)
+            for qid, terms in BM25_QUERIES.items():
+                s = 0
+                for w in terms:
+                    t = tf.get(w, 0)
+                    if t == 0 or df_.get(w, 0) == 0:
+                        continue
+                    idf = (n_ * 1000) // df_[w]
+                    s += (idf * 22 * t * t_) // (t_ * (10 * t + 3)
+                                                 + 9 * dl * n_)
+                if s > 0:
+                    per_q[qid].append((s, doc))
+        for qid, cand in per_q.items():
+            cand.sort(key=lambda x: (-x[0], x[1]))
+            for s, doc in cand[:BM25_TOPK]:
+                q_o.append(qid)
+                d_o.append(doc)
+                s_o.append(s)
+        return pa.table({
+            "query_id": pa.array(q_o, pa.int64()),
+            "doc_id": pa.array(d_o, pa.int64()),
+            "score": pa.array(s_o, pa.int64()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        scores = np.asarray(group["score"].to_pylist(), dtype=np.int64)
+        ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, -scores))[:BM25_TOPK]
+        return pa.table({
+            "query_id": pa.array([qid] * len(order), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score": pa.array(scores[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return (docs.map_batches(score_batch, batch_format="pyarrow")
+            .groupby("query_id").map_groups(merge, batch_format="pyarrow"))
+
+
+def bm25_topk_sql() -> str:
+    qrows = ", ".join(f"({qid}, '{w}')"
+                      for qid, terms in sorted(BM25_QUERIES.items())
+                      for w in terms)
+    return f"""
+WITH q(query_id, word) AS (VALUES {qrows}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tc AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS word FROM w)
+  GROUP BY doc_id, word
+), dl AS (SELECT doc_id, len(w) AS dl FROM w),
+n AS (SELECT count(*) AS n, sum(len(w)) AS t FROM w),
+df AS (SELECT word, count(*) AS df FROM tc
+       WHERE word IN (SELECT word FROM q) GROUP BY word),
+terms AS (
+  SELECT q.query_id, tc.doc_id,
+         (((n.n * 1000) // df.df) * 22 * tc.tf * n.t)
+           // (n.t * (10 * tc.tf + 3) + 9 * dl.dl * n.n) AS s
+  FROM q JOIN tc USING (word) JOIN df USING (word)
+  JOIN dl ON tc.doc_id = dl.doc_id CROSS JOIN n
+), scored AS (
+  SELECT query_id, doc_id, sum(s) AS score
+  FROM terms GROUP BY query_id, doc_id HAVING sum(s) > 0
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {BM25_TOPK}"""
+
+
+def lm_doc_scores_sql() -> str:
+    return """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> struct_pack(a := w[i], b := w[i+1]))) AS g
+  FROM w
+), tc AS (
+  SELECT doc_id, g.a AS a, g.b AS b, count(*) AS k
+  FROM pos GROUP BY doc_id, g.a, g.b
+), cab AS (SELECT a, b, sum(k) AS c_ab FROM tc GROUP BY a, b),
+ca AS (SELECT a, sum(k) AS c_a FROM tc GROUP BY a),
+terms AS (
+  SELECT tc.doc_id, tc.k,
+         tc.k * ((1000000 * cab.c_ab) // ca.c_a) AS s
+  FROM tc JOIN cab USING (a, b) JOIN ca USING (a)
+)
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+       CAST(sum(s) AS BIGINT) AS lm_score
+FROM terms GROUP BY doc_id"""
 
 
 def kmeans_clusters(sf_dir: str, k: int = 10, iters: int = 6) -> rd.Dataset:

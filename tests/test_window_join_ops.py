@@ -16,6 +16,7 @@ from tests.oracle_check import compare
     "bigram_counts", "dup_ngram_spans", "fingerprint_docs",
     "media_phash_dups", "hll_users_per_type",
     "pii_redact", "decontam_docs", "pack_sequences", "shard_assign",
+    "dedup_clusters",
 ])
 def test_new_ops_match_duckdb(ray_session, name):
     from pdf_extraction_ray.pipelines import analytics as A
@@ -120,7 +121,8 @@ def test_stratified_sample_rates(ray_session):
     assert frac_en < len(out)  # en is downsampled hardest
 
 
-@pytest.mark.parametrize("name", ["heavy_hitter_terms", "tfidf_top_terms"])
+@pytest.mark.parametrize("name", ["heavy_hitter_terms", "tfidf_top_terms",
+                                  "lm_doc_scores", "bm25_topk"])
 def test_term_ops_match_duckdb(ray_session, name):
     from pdf_extraction_ray.pipelines import analytics as A
     fn = getattr(A, name)
