@@ -413,6 +413,13 @@ def oracle_sql() -> dict[str, str]:
         "shard_assign": analytics.shard_assign_sql(),
         "hll_users_per_type": analytics.hll_users_per_type_sql(),
         "dedup_exact": analytics.dedup_exact_sql(),
+        # the near-dup family is value-exact in SQL: signatures are pure
+        # sha256 + wrapping-uint64 arithmetic DuckDB replicates, minhash
+        # band collisions reduce to slice equality, and the simhash
+        # chunk LSH is pigeonhole-complete for hamming<=3 so the oracle
+        # can verify the predicate over all pairs
+        "dedup_minhash": analytics.dedup_minhash_sql(),
+        "dedup_simhash": analytics.dedup_simhash_sql(),
         "jaccard_pairs": analytics.jaccard_pairs_sql(),
         # distributed connected-components clustering vs a DuckDB
         # recursive-CTE transitive closure — the iterative algorithm
@@ -445,8 +452,9 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles_hist": analytics.value_quantiles_hist_sql(),
         "event_pairs_within": analytics.event_pairs_within_sql(),
         "props_json_stats": analytics.props_json_stats_sql(),
-        # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
-        # ann_ivf, kmeans_clusters, text_embed_dups — verified in tests
-        # instead (recall / determinism / error-bound assertions,
-        # tests/test_training_ops.py, tests/test_window_join_ops.py)
+        # rows-only (non-SQL-expressible): ann_ivf, kmeans_clusters,
+        # text_embed_dups — float iterative/approximate algorithms,
+        # verified in tests instead (recall / determinism / error-bound
+        # assertions, tests/test_training_ops.py,
+        # tests/test_window_join_ops.py)
     }

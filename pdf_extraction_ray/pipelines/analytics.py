@@ -542,10 +542,92 @@ def _docs_with_planted_near_dups(sf_dir: str) -> rd.Dataset:
 
 
 def dedup_minhash(sf_dir: str) -> rd.Dataset:
-    """MinHash-LSH near-dup clustering over planted near-copies
-    (rows-only driver check; planted-pair recall asserted in tests)."""
+    """MinHash-LSH near-dup clustering over planted near-copies.
+
+    Exactly SQL-oracled: the signature family is pure sha256 + wrapping
+    uint64 arithmetic, so DuckDB replicates signatures, band collisions,
+    agreement verification, AND the connected-components labels
+    bit-for-bit (``dedup_minhash_sql``); planted-pair recall is
+    additionally asserted in tests."""
     return dd.minhash_cluster(_docs_with_planted_near_dups(sf_dir),
                               jaccard_threshold=0.5)
+
+
+# LE-uint64 of the first 8 sha256 bytes, >> 1 — the SQL replica of
+# functions.hashing.stable_hash64 over a hex column named h
+_SQL_HASH64 = ("(('0x' || " +
+               " || ".join(f"substr(h, {15 - 2 * i}, 2)" for i in range(8)) +
+               ")::UBIGINT >> 1)")
+
+
+def dedup_minhash_sql(num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5) -> str:
+    """Value-exact DuckDB replica of ``dedup_minhash``.
+
+    Replicates the whole pipeline: word-3-shingles → stable_hash64 →
+    64 (a*x+b mod 2^64 mod M61) permutation minima (the uint64 multiply
+    WRAPS before the Mersenne mod — modeled with explicit % 2^64) →
+    LSH candidates = band-slice equality (band-hash equality in the
+    engine ⟺ slice equality, sha256 collisions aside) → signature
+    agreement >= threshold → connected components via recursive CTE."""
+    from ..functions import hashing as H
+
+    pa_, pb_ = H._minhash_params(num_perm)
+    perm_vals = ", ".join(
+        f"({i}, {int(pa_[i])}::HUGEINT, {int(pb_[i])}::HUGEINT)"
+        for i in range(num_perm))
+    r = num_perm // bands
+    slice_cols = ",\n         ".join(
+        f"min(CASE WHEN i % {r} = {j} THEN s END) AS s{j}" for j in range(r))
+    slice_eq = " AND ".join(f"x.s{j} = y.s{j}" for j in range(r))
+    toks = "regexp_extract_all(lower(text), '[\\pL\\pN_]+')"
+    return f"""
+WITH RECURSIVE all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, length(text) - 12)
+  FROM documents WHERE doc_id % 5 = 0
+), shl AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len({toks}) < 3
+      THEN [array_to_string({toks}, ' ')]
+      ELSE list_transform(range(1, len({toks}) - 1),
+             i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])
+    END)) AS shingle
+  FROM all_docs
+), xs AS (
+  SELECT doc_id, {_SQL_HASH64}::HUGEINT AS x
+  FROM (SELECT doc_id, sha256(shingle) AS h FROM shl)
+), perm(i, pa, pb) AS (VALUES {perm_vals}),
+sig AS (
+  SELECT doc_id, i,
+         min((((pa * x) % 18446744073709551616 + pb) % 18446744073709551616)
+             % 2305843009213693951) AS s
+  FROM xs CROSS JOIN perm GROUP BY doc_id, i
+), bandsig AS (
+  SELECT doc_id, i // {r} AS band,
+         {slice_cols}
+  FROM sig GROUP BY doc_id, i // {r}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandsig x JOIN bandsig y ON x.band = y.band AND {slice_eq}
+  WHERE x.doc_id < y.doc_id
+), agree AS (
+  SELECT c.a, c.b, count(*) FILTER (WHERE sa.s = sb.s) AS k
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i
+  GROUP BY c.a, c.b
+), e0 AS (
+  SELECT a, b FROM agree WHERE k / {float(num_perm)} >= {threshold}
+), edges AS (
+  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM all_docs
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node"""
 
 
 def jaccard_pairs(sf_dir: str) -> rd.Dataset:
@@ -713,8 +795,68 @@ def _docs_with_planted_simhash_dups(sf_dir: str) -> rd.Dataset:
 
 
 def dedup_simhash(sf_dir: str) -> rd.Dataset:
-    """SimHash near-dup labeling (rows-only; recall asserted in tests)."""
+    """SimHash near-dup labeling. Exactly SQL-oracled: the fingerprint
+    is integer token-frequency votes over sha256 bits, and the 4-chunk
+    candidate scheme is COMPLETE for hamming <= 3 (pigeonhole), so the
+    engine's pair set equals the plain all-pairs hamming predicate that
+    DuckDB evaluates (``dedup_simhash_sql``); recall is additionally
+    asserted in tests."""
     return dd.simhash_dedup(_docs_with_planted_simhash_dups(sf_dir))
+
+
+def dedup_simhash_sql(hamming_max: int = 3) -> str:
+    """Value-exact DuckDB replica of ``dedup_simhash``.
+
+    The engine's chunk-bucket LSH emits exactly the pairs with
+    hamming(simhash_a, simhash_b) <= hamming_max (candidate completeness
+    by pigeonhole over hamming_max+1 chunks), so the oracle skips the
+    bucketing and verifies the predicate over all id-ordered pairs;
+    dup_of(x) = min(x, min neighbor a < x), matching the engine's
+    groupby-Min fold."""
+    toks = "regexp_extract_all(lower(text), '[\\pL\\pN_]+')"
+    # hamming via four 16-bit BIGINT chunks: bit_count(xor) stays in
+    # signed range regardless of the top simhash bit
+    ham = " + ".join(
+        f"bit_count(xor(CAST((x.fp >> {16 * c}) & 65535 AS BIGINT), "
+        f"CAST((y.fp >> {16 * c}) & 65535 AS BIGINT)))" for c in range(4))
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         CASE WHEN strpos(text, ' ') > 0
+              THEN substr(text, 1, length(text) - strpos(reverse(text), ' '))
+              ELSE text END || ' qqq'
+  FROM documents WHERE doc_id % 5 = 0 AND n_chars >= 300
+), tok AS (
+  SELECT doc_id, t, count(*) AS w
+  FROM (SELECT doc_id, unnest({toks}) AS t FROM all_docs)
+  GROUP BY doc_id, t
+), th AS (
+  SELECT doc_id, w, {_SQL_HASH64} AS hsh
+  FROM (SELECT doc_id, w, sha256(t) AS h FROM tok)
+), votes AS (
+  SELECT doc_id, bit,
+         sum(w::BIGINT * (2 * ((hsh >> bit::UBIGINT) & 1)::BIGINT - 1)) AS v
+  FROM th CROSS JOIN range(64) r(bit) GROUP BY doc_id, bit
+), fp0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit::UBIGINT)::HUGEINT
+             ELSE 0 END) AS fp
+  FROM votes GROUP BY doc_id
+), fp AS (
+  SELECT d.doc_id, CAST(COALESCE(f.fp, 0) AS UBIGINT) AS fp
+  FROM all_docs d LEFT JOIN fp0 f ON d.doc_id = f.doc_id
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+  WHERE {ham} <= {hamming_max}
+), nbr AS (
+  SELECT b AS doc_id, min(a) AS mn FROM pairs GROUP BY b
+)
+SELECT f.doc_id, f.fp AS simhash,
+       CAST(least(f.doc_id, COALESCE(n.mn, f.doc_id)) AS BIGINT) AS dup_of
+FROM fp f LEFT JOIN nbr n ON f.doc_id = n.doc_id"""
 
 
 # ---------------------------------------------------------------------------

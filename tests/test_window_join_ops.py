@@ -16,7 +16,7 @@ from tests.oracle_check import compare
     "bigram_counts", "dup_ngram_spans", "fingerprint_docs",
     "media_phash_dups", "hll_users_per_type",
     "pii_redact", "decontam_docs", "pack_sequences", "shard_assign",
-    "dedup_clusters",
+    "dedup_clusters", "dedup_minhash", "dedup_simhash",
 ])
 def test_new_ops_match_duckdb(ray_session, name):
     from pdf_extraction_ray.pipelines import analytics as A
