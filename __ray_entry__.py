@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _tuned(analytics.tfidf_top_terms),
         "lm_doc_scores": _tuned(analytics.lm_doc_scores),
         "bm25_topk": _tuned(analytics.bm25_topk),
+        "bm25_topk_indexed": _tuned(analytics.bm25_topk_indexed),
         "value_quantiles_hist": _tuned(analytics.value_quantiles_hist),
         "event_pairs_within": _tuned(analytics.event_pairs_within),
         "props_json_stats": _tuned(analytics.props_json_stats),
@@ -449,6 +450,11 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": analytics.tfidf_top_terms_sql(),
         "lm_doc_scores": analytics.lm_doc_scores_sql(),
         "bm25_topk": analytics.bm25_topk_sql(),
+        # the index-backed path is value-identical to the scan path
+        # (same integer BM25 kernel), so it shares the oracle — the gate
+        # proves the persisted index + pruned partition probe lose
+        # nothing
+        "bm25_topk_indexed": analytics.bm25_topk_sql(),
         "value_quantiles_hist": analytics.value_quantiles_hist_sql(),
         "event_pairs_within": analytics.event_pairs_within_sql(),
         "props_json_stats": analytics.props_json_stats_sql(),

@@ -1582,6 +1582,25 @@ def bm25_topk(sf_dir: str) -> rd.Dataset:
             .groupby("query_id").map_groups(merge, batch_format="pyarrow"))
 
 
+def bm25_topk_indexed(sf_dir: str) -> rd.Dataset:
+    """Index-backed BM25 — the search SCALE path: queries read ONLY the
+    ``part=K/`` postings partitions their terms hash into (touch
+    fraction ~|terms|/P of storage) instead of streaming the corpus as
+    ``bm25_topk`` does. Value-identical to the scan path (same integer
+    kernel over the same stats), so it shares the DuckDB oracle — the
+    gate proves index build + pruned probe lose nothing."""
+    import tempfile
+
+    from ..sources.corpus import _input_digest
+    from ..stages import textindex as ti
+
+    index_dir = os.path.join(tempfile.gettempdir(), "pdf_extraction_ray",
+                             "textindex",
+                             f"{os.path.basename(sf_dir)}-{_input_digest(sf_dir)}")
+    ti.ensure_inverted_index(_docs(sf_dir, ["doc_id", "text"]), index_dir)
+    return ti.bm25_topk_indexed(index_dir, BM25_QUERIES, BM25_TOPK)
+
+
 def bm25_topk_sql() -> str:
     qrows = ", ".join(f"({qid}, '{w}')"
                       for qid, terms in sorted(BM25_QUERIES.items())

@@ -1,0 +1,211 @@
+"""Persisted inverted text index + index-backed BM25 (the search scale
+path).
+
+``bm25_topk`` in pipelines/analytics.py is the SCAN path: every query
+streams the whole corpus. This module is the index shape a 100 TB
+corpus needs: ONE build pass writes a term-hash-partitioned postings
+index (``part=K/`` parquet directories, rows ``(term, doc_id, tf,
+dl)`` with the doc length denormalized into the posting so queries
+never join a corpus-sized side), and each query then reads ONLY the
+partitions its terms hash into — touch fraction ~|query terms|/P of
+storage, the same property ``build_ivf_index`` gives ANN. Scoring
+reuses the integer-exact BM25 kernel, so the indexed path is
+value-identical to the scan path and shares its DuckDB oracle.
+
+Freshness: like the IVF index, ``_meta.json`` carries (row count,
+XOR-of-ids) so a regenerated corpus at the same path rebuilds instead
+of answering from stale postings.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..functions.hashing import stable_hash64
+
+
+def _corpus_stats_and_fingerprint(ds: rd.Dataset, text_col: str,
+                                  id_col: str) -> tuple[int, int, int]:
+    """(n_docs, total_tokens, xor-of-ids) in ONE combiner pass."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.uint64)
+        tot = sum(len((t or "").split(" "))
+                  for t in batch[text_col].to_pylist())
+        fp = np.bitwise_xor.reduce(ids) if len(ids) else np.uint64(0)
+        return pa.table({"n": pa.array([len(ids)], pa.int64()),
+                         "tot": pa.array([tot], pa.int64()),
+                         "fp": pa.array([int(fp)], pa.uint64())})
+
+    n, tot, fp = 0, 0, 0
+    for b in (ds.select_columns([id_col, text_col])
+                .map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")):
+        n += sum(b["n"].to_pylist())
+        tot += sum(b["tot"].to_pylist())
+        for v in b["fp"].to_pylist():
+            fp ^= int(v)
+    return n, tot, fp
+
+
+def build_inverted_index(ds: rd.Dataset, index_dir: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_parts: int = 32) -> dict:
+    """One pass: docs → (term, doc_id, tf, dl) postings rows, hash-
+    partitioned by term into ``part=K/`` parquet. Atomic publish
+    (write-tmp-then-rename). Returns the meta dict."""
+    n_docs, total_tokens, id_fp = _corpus_stats_and_fingerprint(
+        ds, text_col, id_col)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        t_o, d_o, tf_o, dl_o, p_o = [], [], [], [], []
+        for doc, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            words = (text or "").split(" ")
+            dl = len(words)
+            for term, tf in Counter(words).items():
+                t_o.append(term)
+                d_o.append(doc)
+                tf_o.append(tf)
+                dl_o.append(dl)
+                p_o.append(stable_hash64(term) % num_parts)
+        return pa.table({
+            "term": pa.array(t_o, pa.string()),
+            id_col: pa.array(d_o, pa.int64()),
+            "tf": pa.array(tf_o, pa.int64()),
+            "dl": pa.array(dl_o, pa.int64()),
+            "part": pa.array(p_o, pa.int32()),
+        })
+
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (ds.select_columns([id_col, text_col])
+       .map_batches(postings, batch_format="pyarrow")
+       .write_parquet(tmp, partition_cols=["part"]))
+    meta = {"n_docs": n_docs, "total_tokens": total_tokens,
+            "id_fp": id_fp, "num_parts": num_parts}
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return meta
+
+
+def ensure_inverted_index(ds: rd.Dataset, index_dir: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          num_parts: int = 32) -> dict:
+    """Build unless a FRESH index already exists (stamp: row count +
+    XOR-of-ids + num_parts)."""
+    ds = ds.materialize()  # freshness pass + build share the lineage
+    meta_path = os.path.join(index_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("num_parts") == num_parts:
+            n, _tot, fp = _corpus_stats_and_fingerprint(ds, text_col, id_col)
+            if meta.get("n_docs") == n and meta.get("id_fp") == fp:
+                return meta
+    return build_inverted_index(ds, index_dir, text_col, id_col, num_parts)
+
+
+def bm25_topk_indexed(index_dir: str, queries: dict[int, tuple],
+                      k: int = 10, id_col: str = "doc_id") -> rd.Dataset:
+    """BM25 top-k against the persisted index: read ONLY the partitions
+    the query terms hash into, score each posting row with the
+    integer-exact kernel, fold per (query, doc) with one small keyed
+    groupby (bounded by the query terms' postings volume, never the
+    corpus), and take the per-query top-k. Value-identical to the scan
+    path ``analytics.bm25_topk``."""
+    from ray.data.aggregate import Sum
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    n_docs, total_tokens = meta["n_docs"], meta["total_tokens"]
+    num_parts = meta["num_parts"]
+
+    qterms = sorted({w for terms in queries.values() for w in terms})
+    needed = sorted({stable_hash64(w) % num_parts for w in qterms})
+    files = [f for p in needed
+             for f in sorted(glob.glob(os.path.join(index_dir, f"part={p}",
+                                                    "*.parquet")))]
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+    if not files:
+        return rd.from_arrow(empty)
+
+    postings = rd.read_parquet(files, columns=["term", id_col, "tf", "dl"])
+
+    # df per query term: postings are complete per term, so df is a tiny
+    # aggregate over the filtered rows (O(|query terms|) driver state)
+    qset = set(qterms)
+    df_map: Counter = Counter()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        c = Counter(t for t in terms if t in qset)
+        ks = sorted(c)
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "df": pa.array([c[t] for t in ks], pa.int64())})
+
+    for b in (postings.map_batches(df_partial, batch_format="pyarrow")
+                      .iter_batches(batch_format="pyarrow")):
+        for t, d in zip(b["term"].to_pylist(), b["df"].to_pylist()):
+            df_map[t] += int(d)
+    ctx = ray.put((dict(df_map), {qid: set(ts)
+                                  for qid, ts in queries.items()}))
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        df_, q_by_id = ray.get(ctx)
+        terms = batch["term"].to_pylist()
+        ids = batch[id_col].to_pylist()
+        tfs = batch["tf"].to_pylist()
+        dls = batch["dl"].to_pylist()
+        q_o, d_o, s_o = [], [], []
+        for term, doc, tf, dl in zip(terms, ids, tfs, dls):
+            if term not in df_:
+                continue
+            idf = (n_docs * 1000) // df_[term]
+            s = (idf * 22 * tf * total_tokens) // (
+                total_tokens * (10 * tf + 3) + 9 * dl * n_docs)
+            for qid, ts in q_by_id.items():
+                if term in ts:
+                    q_o.append(qid)
+                    d_o.append(doc)
+                    s_o.append(s)
+        return pa.table({"query_id": pa.array(q_o, pa.int64()),
+                         id_col: pa.array(d_o, pa.int64()),
+                         "s": pa.array(s_o, pa.int64())})
+
+    summed = (postings.map_batches(score_rows, batch_format="pyarrow")
+              .groupby(["query_id", id_col])
+              .aggregate(Sum("s", alias_name="score")))
+
+    def merge(group: pa.Table) -> pa.Table:
+        scores = np.asarray(group["score"].to_pylist(), dtype=np.int64)
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        keep = scores > 0
+        scores, ids = scores[keep], ids[keep]
+        if not len(ids):
+            return empty
+        qid = group["query_id"][0].as_py()
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table({
+            "query_id": pa.array([qid] * len(order), pa.int64()),
+            id_col: pa.array(ids[order], pa.int64()),
+            "score": pa.array(scores[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return summed.groupby("query_id").map_groups(merge,
+                                                 batch_format="pyarrow")

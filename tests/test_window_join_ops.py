@@ -130,6 +130,39 @@ def test_term_ops_match_duckdb(ray_session, name):
     assert compare(name, fn(SF_SMOKE), sql, SF_SMOKE) == []
 
 
+def test_bm25_indexed_matches_scan_oracle(ray_session):
+    """The persisted-index path is value-identical to the corpus scan."""
+    from pdf_extraction_ray.pipelines import analytics as A
+    assert compare("bm25_topk_indexed", A.bm25_topk_indexed(SF_SMOKE),
+                   A.bm25_topk_sql(), SF_SMOKE) == []
+
+
+def test_bm25_index_partition_pruning(ray_session):
+    """Queries touch only the part= dirs their terms hash into — the
+    read fraction that makes the index the 100 TB path."""
+    import glob as g
+    import os
+    import tempfile
+
+    from pdf_extraction_ray.functions.hashing import stable_hash64
+    from pdf_extraction_ray.pipelines.analytics import BM25_QUERIES, _docs
+    from pdf_extraction_ray.sources.corpus import _input_digest
+    from pdf_extraction_ray.stages import textindex as ti
+
+    index_dir = os.path.join(tempfile.gettempdir(), "pdf_extraction_ray",
+                             "textindex",
+                             f"{os.path.basename(SF_SMOKE)}-{_input_digest(SF_SMOKE)}")
+    meta = ti.ensure_inverted_index(_docs(SF_SMOKE, ["doc_id", "text"]),
+                                    index_dir)
+    n_parts_on_disk = len(g.glob(os.path.join(index_dir, "part=*")))
+    assert 0 < n_parts_on_disk <= meta["num_parts"]
+    qterms = {w for ts in BM25_QUERIES.values() for w in ts}
+    needed = {stable_hash64(w) % meta["num_parts"] for w in qterms}
+    touched = [p for p in needed
+               if g.glob(os.path.join(index_dir, f"part={p}", "*.parquet"))]
+    assert len(touched) < n_parts_on_disk  # strictly pruned read
+
+
 def test_misra_gries_guarantee():
     """Any value with frequency > n/(k+1) keeps a counter."""
     from pdf_extraction_ray.stages.sketch import _misra_gries
