@@ -403,6 +403,34 @@ WHERE n_tokens >= 20 AND 3 * n_tokens <= sum_len
   AND sum_len <= 10 * n_tokens AND 5 * sum_len >= 2 * n_chars"""
 
 
+def quality_percentile_filter(sf_dir: str, q: float = 0.5) -> rd.Dataset:
+    """Corpus-RELATIVE percentile filter (FineWeb-style "keep the top
+    half by metric"): phase 1 computes the exact global q-quantile of
+    ``n_chars`` with the histogram combiner — per-batch bincount
+    partials, O(max value) driver state, NO sort and NO shuffle
+    (stages/sketch.py:global_quantile_threshold); phase 2 streams a
+    broadcast-compare filter over a 2-column pruned read. The absolute
+    rules in ``quality_filter`` can't adapt to corpus drift; this is
+    the operator that cuts at a corpus-defined bar."""
+    import pyarrow.compute as pc
+
+    from ..stages.sketch import global_quantile_threshold
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    thr = global_quantile_threshold(ds, "n_chars", q)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_chars"], pa.scalar(thr)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def quality_percentile_filter_sql(q: float = 0.5) -> str:
+    return f"""
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_disc(n_chars, {q}) FROM documents)"""
+
+
 def lang_id(sf_dir: str) -> rd.Dataset:
     """Language identification vs the table's labeled lang."""
     def add(batch: pa.Table) -> pa.Table:

@@ -272,3 +272,37 @@ def grouped_quantiles_hist(ds: rd.Dataset, key_col: str, value_e: "callable",
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(key_col).map_groups(merge, batch_format="pandas"))
+
+
+def global_quantile_threshold(ds: rd.Dataset, col: str, q: float) -> int:
+    """EXACT global discrete quantile of a non-negative int column
+    without a sort: per-batch bincount partials stream to the driver
+    (O(max value) ints each — the documented histogram bound), merge
+    elementwise, and the threshold reads off the cumulative counts with
+    ``quantile_disc`` semantics (sorted[ceil(q*n) - 1]). This is phase 1
+    of the corpus-relative percentile FILTER (FineWeb-style "keep the
+    top X% by metric"): one cheap pruned pass for the threshold, then a
+    broadcast-compare filter — no all-to-all anywhere."""
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[col].to_pylist(), dtype=np.int64)
+        h = np.bincount(v) if len(v) else np.zeros(1, np.int64)
+        return pa.table({"hist": pa.array([h.astype(np.int64).tobytes()],
+                                          pa.large_binary())})
+
+    total = np.zeros(1, np.int64)
+    for b in (ds.select_columns([col])
+                .map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")):
+        for raw in b["hist"].to_pylist():
+            h = np.frombuffer(raw, np.int64)
+            if len(h) > len(total):
+                total = np.concatenate(
+                    [total, np.zeros(len(h) - len(total), np.int64)])
+            total[:len(h)] += h
+    cum = np.cumsum(total)
+    n = int(cum[-1])
+    if n == 0:
+        return 0
+    qk = round(q * 1000)                   # q as exact per-mille int
+    target = max(-(-qk * n // 1000), 1)    # ceil(q*n), all-integer
+    return int(np.searchsorted(cum, target, side="left"))

@@ -209,6 +209,99 @@ def invalidate_stale(out_dir: str, done: dict[int, dict],
     return stale
 
 
+def backfill_lineage(out_dir: str, refs, n_buckets: int,
+                     url_col: str = "url",
+                     ref_col: str = "source_ref") -> dict:
+    """Lineage backfill — the dedicated J5 operator (reference:
+    app/routers/batch.py:156-169 — a duplicate submission backfills the
+    missing ``scraped_file_id`` FK on the already-completed deduped
+    record instead of re-extracting).
+
+    ``refs`` is a Ray Dataset of (url, source_ref) from the new
+    submission. Urls bucket with the engine's one partitioning key, so
+    ONLY the buckets that contain a referenced url are read and
+    rewritten (atomic replace; fingerprints are over (url, warc_ts) and
+    stay valid — resume is unaffected). The column is added on first
+    touch (schema evolution), and already-set values are never
+    overwritten, so the op is idempotent. Per-bucket work runs inside
+    the groupby tasks; the driver folds only count rows.
+
+    Returns {"updated", "already_set", "unknown_url", "buckets_touched"}.
+    """
+    import ray.data as rd  # noqa: F401 (refs is a Dataset)
+
+    from ..functions.hashing import url_bucket
+
+    done = load_manifests(out_dir)
+    done_buckets = set(done)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = [url_bucket(u, n_buckets) for u in batch[url_col].to_pylist()]
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def apply_bucket(group: pa.Table) -> pa.Table:
+        bucket = group["bucket"][0].as_py()
+        # deterministic ref per url regardless of block order: min ref
+        ref_by_url: dict[str, str] = {}
+        for u, r in zip(group[url_col].to_pylist(),
+                        group[ref_col].to_pylist()):
+            if r is not None and (u not in ref_by_url or r < ref_by_url[u]):
+                ref_by_url[u] = r
+        counts = {"updated": 0, "already_set": 0, "unknown_url": 0}
+        data_path = os.path.join(bucket_dir(out_dir, bucket),
+                                 "part-0.parquet")
+        if bucket not in done_buckets or not os.path.exists(data_path):
+            counts["unknown_url"] = len(ref_by_url)
+        else:
+            t = pq.read_table(data_path)
+            if ref_col in t.column_names:
+                cur = t[ref_col].to_pylist()
+            else:
+                cur = [None] * len(t)
+            seen = set()
+            for i, u in enumerate(t[url_col].to_pylist()):
+                if u not in ref_by_url:
+                    continue
+                seen.add(u)
+                if cur[i] is None:
+                    cur[i] = ref_by_url[u]
+                    counts["updated"] += 1
+                else:
+                    counts["already_set"] += 1
+            counts["unknown_url"] = len(set(ref_by_url) - seen)
+            if counts["updated"]:
+                col = pa.array(cur, pa.string())
+                if ref_col in t.column_names:
+                    t = t.set_column(t.column_names.index(ref_col),
+                                     ref_col, col)
+                else:
+                    t = t.append_column(ref_col, col)
+                tmp = data_path + ".tmp"
+                pq.write_table(t, tmp)
+                os.replace(tmp, data_path)
+        return pa.table({
+            "bucket": pa.array([bucket], pa.int64()),
+            "updated": pa.array([counts["updated"]], pa.int64()),
+            "already_set": pa.array([counts["already_set"]], pa.int64()),
+            "unknown_url": pa.array([counts["unknown_url"]], pa.int64()),
+        })
+
+    out = {"updated": 0, "already_set": 0, "unknown_url": 0,
+           "buckets_touched": 0}
+    stats = (refs.map_batches(add_bucket, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(apply_bucket, batch_format="pyarrow"))
+    for b in stats.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            upd = int(b["updated"][i].as_py())
+            out["updated"] += upd
+            out["already_set"] += int(b["already_set"][i].as_py())
+            out["unknown_url"] += int(b["unknown_url"][i].as_py())
+            if upd:
+                out["buckets_touched"] += 1
+    return out
+
+
 def summarize_manifests(manifests: list[dict]) -> dict:
     """Counter sums over per-bucket manifests — the ONE rollup both the
     run report and the metrics endpoint read (they used to duplicate

@@ -172,3 +172,60 @@ def test_verify_resume_dedup_false_keeps_buckets(ray_session, pages_corpus,
     assert set(m2) == set(m1)
     for b in m1:  # nothing invalidated, nothing rewritten
         assert os.path.getmtime(ckpt.manifest_path(out_dir, b)) == mtimes[b]
+
+
+def test_backfill_lineage_targeted_update(ray_session, pages_corpus, out_dir):
+    """J5 analog: a re-submission's (url, source_ref) mapping backfills
+    the missing lineage column on completed rows — touching ONLY the
+    buckets containing referenced urls, never re-extracting, and never
+    overwriting an already-set ref (idempotence)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    df = _run(pages_corpus, out_dir)
+    urls = sorted(df["url"])[:6] + ["https://nowhere.example/missing"]
+    refs = rd.from_items([{"url": u, "source_ref": f"scrape-{i:03d}"}
+                          for i, u in enumerate(urls)])
+    mtimes = {b: os.path.getmtime(
+        os.path.join(ckpt.bucket_dir(out_dir, b), "part-0.parquet"))
+        for b in ckpt.load_manifests(out_dir)}
+
+    out = ckpt.backfill_lineage(out_dir, refs, CFG.n_buckets)
+    assert out["updated"] == 6
+    assert out["unknown_url"] == 1
+    assert out["already_set"] == 0
+
+    from pdf_extraction_ray.functions.hashing import url_bucket
+    touched = {url_bucket(u, CFG.n_buckets) for u in urls[:6]}
+    assert out["buckets_touched"] == len(touched)
+    for b, old in mtimes.items():  # only affected buckets rewritten
+        now = os.path.getmtime(
+            os.path.join(ckpt.bucket_dir(out_dir, b), "part-0.parquet"))
+        assert (now != old) == (b in touched)
+
+    # values landed; untouched rows carry null
+    got = {}
+    for b in touched:
+        t = pq.read_table(os.path.join(ckpt.bucket_dir(out_dir, b),
+                                       "part-0.parquet"))
+        for u, r in zip(t["url"].to_pylist(), t["source_ref"].to_pylist()):
+            got[u] = r
+    for i, u in enumerate(urls[:6]):
+        assert got[u] == f"scrape-{i:03d}"
+    assert sum(1 for r in got.values() if r is None) > 0
+
+    # fingerprints untouched: a verify_resume pass keeps every bucket
+    m2 = ckpt.load_manifests(out_dir)
+    exp = ckpt.expected_fingerprints(pages_corpus, CFG.n_buckets)
+    assert ckpt.invalidate_stale(out_dir, m2, exp) == set()
+
+    # second application is a no-op (already_set, no rewrite)
+    mtimes2 = {b: os.path.getmtime(
+        os.path.join(ckpt.bucket_dir(out_dir, b), "part-0.parquet"))
+        for b in touched}
+    out2 = ckpt.backfill_lineage(out_dir, refs, CFG.n_buckets)
+    assert out2["updated"] == 0 and out2["already_set"] == 6
+    for b in touched:
+        assert os.path.getmtime(
+            os.path.join(ckpt.bucket_dir(out_dir, b),
+                         "part-0.parquet")) == mtimes2[b]

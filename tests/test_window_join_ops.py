@@ -17,6 +17,7 @@ from tests.oracle_check import compare
     "media_phash_dups", "hll_users_per_type",
     "pii_redact", "decontam_docs", "pack_sequences", "shard_assign",
     "dedup_clusters", "dedup_minhash", "dedup_simhash",
+    "quality_percentile_filter",
 ])
 def test_new_ops_match_duckdb(ray_session, name):
     from pdf_extraction_ray.pipelines import analytics as A
