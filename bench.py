@@ -118,6 +118,15 @@ def run_bench() -> dict:
           lambda: analytics.tfidf_top_terms(sf_dir).count())
     timed("kmeans_clusters",
           lambda: analytics.kmeans_clusters(sf_dir).count())
+    # index-backed search: cold = build + pruned probe, warm = probe only
+    import shutil as _sh
+    _sh.rmtree("/tmp/pdf_extraction_ray/textindex", ignore_errors=True)
+    timed("bm25_indexed_cold",
+          lambda: analytics.bm25_topk_indexed(sf_dir).count())
+    timed("bm25_indexed_warm",
+          lambda: analytics.bm25_topk_indexed(sf_dir).count())
+    timed("quality_percentile_filter",
+          lambda: analytics.quality_percentile_filter(sf_dir).count())
 
     headline = timings["extract_ckpt"]
     result = {
