@@ -354,6 +354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temporal join + corpus-stats operators
         "asof_prior_error": _tuned(analytics.asof_prior_error),
         "order_customer_join": _tuned(analytics.order_customer_join),
+        "user_activity_full": _tuned(analytics.user_activity_full),
+        "customers_with_orders_semi":
+            _tuned(analytics.customers_with_orders_semi),
         "vocab_df": _tuned(analytics.vocab_df),
         "bigram_counts": _tuned(analytics.bigram_counts),
         "dup_ngram_spans": _tuned(analytics.dup_ngram_spans),
@@ -443,6 +446,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_pivot": relational.orders_pivot_sql(),
         "asof_prior_error": analytics.asof_prior_error_sql(),
         "order_customer_join": analytics.order_customer_join_sql(),
+        "user_activity_full": analytics.user_activity_full_sql(),
+        "customers_with_orders_semi":
+            analytics.customers_with_orders_semi_sql(),
         "vocab_df": analytics.vocab_df_sql(),
         "bigram_counts": analytics.bigram_counts_sql(),
         "dup_ngram_spans": analytics.dup_ngram_spans_sql(),

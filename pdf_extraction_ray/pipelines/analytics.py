@@ -1825,6 +1825,75 @@ SELECT o.o_custkey, o.o_orderkey, c.c_name, c.c_nationkey
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
 
 
+def user_activity_full(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER shuffle join: per-user event counts ⟗ per-customer
+    order counts on user_id = custkey — users with activity but no
+    customer record and customers with orders but no events both
+    survive with zero-filled counts (COALESCE'd so the oracle compares
+    integer-exact). Exercises the outer modes of the generic
+    partition-wise hash join."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_join
+
+    ev = (_read_table(sf_dir, "events", ["user_id"])
+          .groupby("user_id").count()
+          .map_batches(lambda t: pa.table({
+              "user_id": t["user_id"].cast(pa.int64()),
+              "n_events": t["count()"].cast(pa.int64())}),
+              batch_format="pyarrow"))
+    orders = (_read_table(sf_dir, "orders", ["o_custkey"])
+              .groupby("o_custkey").count()
+              .map_batches(lambda t: pa.table({
+                  "o_custkey": t["o_custkey"].cast(pa.int64()),
+                  "n_orders": t["count()"].cast(pa.int64())}),
+                  batch_format="pyarrow"))
+    joined = hash_join(ev, orders, "user_id", "o_custkey",
+                       ["n_events"], ["n_orders"], how="full_outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_events": pc.coalesce(t["n_events"].combine_chunks()
+                                    .cast(pa.int64()), zero),
+            "n_orders": pc.coalesce(t["n_orders"].combine_chunks()
+                                    .cast(pa.int64()), zero),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def user_activity_full_sql() -> str:
+    return """
+WITH e AS (SELECT user_id, count(*) AS n_events FROM events
+           GROUP BY user_id),
+o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+      GROUP BY o_custkey)
+SELECT COALESCE(e.user_id, o.o_custkey) AS user_id,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey"""
+
+
+def customers_with_orders_semi(sf_dir: str) -> rd.Dataset:
+    """SEMI shuffle join: customers having at least one order — the
+    existence filter as a keyed exchange (only the right side's KEY
+    moves), complementing the broadcast/bloom anti-join family."""
+    from ..stages.joins import hash_join
+
+    cust = _read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read_table(sf_dir, "orders", ["o_custkey"])
+    return hash_join(cust, orders, "c_custkey", "o_custkey",
+                     ["c_mktsegment"], [], how="semi")
+
+
+def customers_with_orders_semi_sql() -> str:
+    return """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
+
+
 def media_resize(sf_dir: str, out_w: int = 16, out_h: int = 16) -> rd.Dataset:
     """Nearest-neighbor image resize over the planted-PNG corpus
     (decode → resize → pixel stats in one actor-pool stage); the resized

@@ -138,12 +138,17 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
 
     ``left_cols`` / ``right_cols`` name the carried payload columns
     (must be disjoint); the join key comes back as ``left_on``.
-    ``how``: 'inner' or 'left' (left join emits nulls on the right).
+    ``how``: 'inner' | 'left' | 'right' | 'full_outer' (outer modes
+    emit nulls on the unmatched side) | 'semi' | 'anti' (existence
+    filters on the left side — ``right_cols`` must be empty; the right
+    side moves only its KEY through the shuffle).
     """
     if set(left_cols) & set(right_cols):
         raise ValueError("left_cols and right_cols must be disjoint")
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "right", "full_outer", "semi", "anti"):
         raise ValueError(how)
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError(f"{how} join carries no right columns")
     P = num_partitions
     rs, ls = right.schema(), left.schema()
     right_types = dict(zip(rs.names, rs.types))
@@ -184,8 +189,15 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
                .to_pandas(types_mapper=pd.ArrowDtype))
         rg = (g.filter(pc.equal(side, 1)).select(["key"] + right_cols)
                .to_pandas(types_mapper=pd.ArrowDtype))
-        m = lf.merge(rg, on="key", how=how)
-        cols = {left_on: pa.array(m["key"].to_numpy(np.int64))}
+        if how == "semi":
+            m = lf[lf["key"].isin(rg["key"].unique())]
+        elif how == "anti":
+            m = lf[~lf["key"].isin(rg["key"].unique())]
+        else:
+            m = lf.merge(rg, on="key",
+                         how="outer" if how == "full_outer" else how)
+        cols = {left_on: pa.Array.from_pandas(m["key"],
+                                              type=pa.int64())}
         for name in left_cols + right_cols:
             cols[name] = pa.Array.from_pandas(m[name],
                                               type=out_types[name])

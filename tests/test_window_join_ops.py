@@ -17,7 +17,8 @@ from tests.oracle_check import compare
     "media_phash_dups", "hll_users_per_type",
     "pii_redact", "decontam_docs", "pack_sequences", "shard_assign",
     "dedup_clusters", "dedup_minhash", "dedup_simhash",
-    "quality_percentile_filter",
+    "quality_percentile_filter", "user_activity_full",
+    "customers_with_orders_semi",
 ])
 def test_new_ops_match_duckdb(ray_session, name):
     from pdf_extraction_ray.pipelines import analytics as A
@@ -325,6 +326,24 @@ def test_hash_join_left_and_validation(ray_session):
     assert sorted(out[out["k"] == 1]["rv"].dropna().astype(int)) == [100, 101]
     with pytest.raises(ValueError):
         hash_join(left, right, "k", "k", ["x"], ["x"])
+
+    # right: unmatched right keys survive with null left payload
+    r = hash_join(left, right, "k", "k", ["lv"], ["rv"], how="right",
+                  num_partitions=4).to_pandas()
+    assert len(r) == 3 and set(r["k"]) == {1, 3}
+    # full_outer: union of keys
+    f = hash_join(left, right, "k", "k", ["lv"], ["rv"], how="full_outer",
+                  num_partitions=4).to_pandas()
+    assert set(f["k"]) == {1, 2, 3} and len(f) == 4
+    # semi/anti: left-side existence filters, no fan-out, key-only right
+    s = hash_join(left, right, "k", "k", ["lv"], [], how="semi",
+                  num_partitions=4).to_pandas()
+    assert sorted(s["k"]) == [1, 3] and sorted(s["lv"]) == [10, 30]
+    a = hash_join(left, right, "k", "k", ["lv"], [], how="anti",
+                  num_partitions=4).to_pandas()
+    assert list(a["k"]) == [2]
+    with pytest.raises(ValueError):  # semi may not carry right columns
+        hash_join(left, right, "k", "k", ["lv"], ["rv"], how="semi")
 
 
 @pytest.mark.parametrize("name", ["media_resize", "video_frames"])
