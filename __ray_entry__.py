@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": _tuned(analytics.rolling_user_value),
         "running_user_value": _tuned(analytics.running_user_value),
         "sessions": _tuned(analytics.sessions),
+        "sessions_salted": _tuned(analytics.sessions_salted),
         # multi-level aggregation (rollup / pivot)
         "orders_rollup": _tuned(relational.orders_rollup),
         "orders_pivot": _tuned(relational.orders_pivot),
@@ -442,6 +443,9 @@ def oracle_sql() -> dict[str, str]:
         "rolling_user_value": analytics.rolling_user_value_sql(),
         "running_user_value": analytics.running_user_value_sql(),
         "sessions": analytics.sessions_sql(),
+        # the salted (time-chunk + stub-merge) plan is value-identical,
+        # so it shares the oracle — the gate surfaces the skew-safe path
+        "sessions_salted": analytics.sessions_sql(),
         "orders_rollup": relational.orders_rollup_sql(),
         "orders_pivot": relational.orders_pivot_sql(),
         "asof_prior_error": analytics.asof_prior_error_sql(),

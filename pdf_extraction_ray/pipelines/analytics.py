@@ -976,6 +976,20 @@ def sessions(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
     return win.sessionize(ds, gap_s)
 
 
+def sessions_salted(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
+    """Skew-safe sessionization (time-chunk salt + stub merge,
+    stages/window.py:sessionize_salted) — value-identical to
+    ``sessions``, so it shares the oracle: the gate proves the salted
+    two-phase plan loses nothing while shrinking the hottest task from
+    O(events of hottest user) to O(sessions of hottest user)."""
+    ds = _read_table(sf_dir, "events", ["user_id", "ts"])
+    return win.sessionize_salted(ds, gap_s)
+
+
+def sessions_salted_sql(gap_s: int = 1800) -> str:
+    return sessions_sql(gap_s)  # value-identical plan, same oracle
+
+
 def sessions_sql(gap_s: int = 1800) -> str:
     return f"""
 WITH d AS (

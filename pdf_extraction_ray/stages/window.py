@@ -145,3 +145,83 @@ def sessionize(ds: rd.Dataset, gap_s: int,
 
     return ds.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
         sessions, batch_format="pandas")
+
+
+def sessionize_salted(ds: rd.Dataset, gap_s: int,
+                      key_col: str = "user_id", ts_col: str = "ts",
+                      chunk_s: int = 86400) -> rd.Dataset:
+    """Skew-safe sessionization — the SALTED form of ``sessionize``.
+
+    ``sessionize`` puts ALL of a key's events on one task (the
+    documented hot-key bound, window.py:9-12). Here the salt is a time
+    chunk: phase 1 groups by (key, chunk = ts // chunk_s) and reduces
+    each chunk to per-session STUBS (start, end, n_events); phase 2
+    groups by key over stubs only and merges consecutive stubs whose
+    gap <= gap_s (within-chunk stubs already have gap > gap_s by
+    construction, so one generic time-sorted merge handles chunk
+    boundaries AND sessions spanning many chunks). The hottest task
+    shrinks from O(events of hottest key) to O(sessions of hottest
+    key) — value-identical output, shares the ``sessions`` oracle.
+
+    ``chunk_s`` need only be >> gap_s for efficiency; correctness holds
+    for any value (pre-epoch timestamps floor correctly: int64 floor
+    division is toward -inf).
+    """
+    gap_us = np.int64(gap_s * 1_000_000)
+    chunk_us = np.int64(chunk_s * 1_000_000)
+    gap = pd.Timedelta(seconds=gap_s)
+
+    def add_chunk(t) -> "pa.Table":
+        import pyarrow as pa
+        ts = t[ts_col].combine_chunks().cast(pa.timestamp("us"))
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        chunk = us // chunk_us
+        return pa.table({key_col: t[key_col], ts_col: ts,
+                         "chunk": pa.array(chunk, pa.int64())})
+
+    def chunk_stubs(group: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+        g = group.sort_values([ts_col]).reset_index(drop=True)
+        new_session = (g[ts_col].diff() > gap).fillna(True)
+        sid = new_session.cumsum() - 1
+        out = g.groupby(sid).agg(
+            n_events=(ts_col, "size"),
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+        ).reset_index(drop=True)
+        # pa.Table return keeps iterative lineage arrow-only (see
+        # ROUND2 notes: mixed pandas/arrow blocks break sort sampling)
+        return pa.table({
+            key_col: pa.array([group[key_col].iloc[0]] * len(out)),
+            "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+            "session_start": pa.array(out["session_start"],
+                                      pa.timestamp("us")),
+            "session_end": pa.array(out["session_end"], pa.timestamp("us")),
+        })
+
+    def merge_stubs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["session_start", "session_end"]).reset_index(
+            drop=True)
+        start_us = g["session_start"].astype("int64").to_numpy()
+        end_us = g["session_end"].astype("int64").to_numpy()
+        prev_end = np.concatenate(([np.iinfo(np.int64).min], end_us[:-1]))
+        # a chunk-local stub chain merges while the boundary gap fits
+        new_session = (start_us - prev_end) > gap_us
+        new_session[0] = True
+        sid = np.cumsum(new_session) - 1
+        out = g.groupby(sid).agg(
+            n_events=("n_events", "sum"),
+            session_start=("session_start", "min"),
+            session_end=("session_end", "max"),
+        ).reset_index(drop=True)
+        out.insert(0, key_col, g[key_col].iloc[0])
+        out.insert(1, "session_idx", np.arange(len(out), dtype=np.int64))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    stubs = (ds.select_columns([key_col, ts_col])
+               .map_batches(add_chunk, batch_format="pyarrow")
+               .groupby([key_col, "chunk"])
+               .map_groups(chunk_stubs, batch_format="pandas"))
+    return stubs.groupby(key_col).map_groups(merge_stubs,
+                                             batch_format="pandas")

@@ -18,7 +18,7 @@ from tests.oracle_check import compare
     "pii_redact", "decontam_docs", "pack_sequences", "shard_assign",
     "dedup_clusters", "dedup_minhash", "dedup_simhash",
     "quality_percentile_filter", "user_activity_full",
-    "customers_with_orders_semi",
+    "customers_with_orders_semi", "sessions_salted",
 ])
 def test_new_ops_match_duckdb(ray_session, name):
     from pdf_extraction_ray.pipelines import analytics as A
@@ -163,6 +163,39 @@ def test_bm25_index_partition_pruning(ray_session):
     touched = [p for p in needed
                if g.glob(os.path.join(index_dir, f"part={p}", "*.parquet"))]
     assert len(touched) < n_parts_on_disk  # strictly pruned read
+
+
+def test_sessionize_salted_merges_chunk_boundaries(ray_session):
+    """A session spanning three chunk boundaries reassembles into ONE
+    session; separate sessions in one chunk stay separate — with a
+    chunk far smaller than real (60 s) to force many boundary merges."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages.window import (sessionize,
+                                                  sessionize_salted)
+
+    base = pd.Timestamp("2024-01-01 00:00:30")
+    rows = (
+        # one session crossing 3 one-minute chunks (gaps of 20 s)
+        [{"user_id": 1, "ts": base + pd.Timedelta(seconds=20 * i)}
+         for i in range(10)]
+        # same user, much later: separate session
+        + [{"user_id": 1, "ts": base + pd.Timedelta(hours=2)}]
+        # another user: two sessions inside one chunk
+        + [{"user_id": 2, "ts": base},
+           {"user_id": 2, "ts": base + pd.Timedelta(seconds=10)},
+           {"user_id": 2, "ts": base + pd.Timedelta(seconds=50)}]
+    )
+    ds = rd.from_items(rows)
+    kw = dict(gap_s=30, key_col="user_id", ts_col="ts")
+    plain = (sessionize(ds, **kw).to_pandas()
+             .sort_values(["user_id", "session_idx"]).reset_index(drop=True))
+    salted = (sessionize_salted(ds, chunk_s=60, **kw).to_pandas()
+              .sort_values(["user_id", "session_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
+    u1 = salted[salted.user_id == 1]
+    assert list(u1.n_events) == [10, 1]  # the spanning session merged
 
 
 def test_misra_gries_guarantee():
