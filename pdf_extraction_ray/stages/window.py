@@ -6,9 +6,11 @@ keyed groupby on a derived bucket column (vectorized Arrow arithmetic);
 session windows sort each key's rows by timestamp inside
 ``groupby(key).map_groups`` and split on inactivity gaps.
 
-Partitioning assumption (documented per north rule): one user's events fit
-one group; keys are the shuffle unit, so a single pathological user is the
-skew bound (salt by day for such keys at real scale).
+Partitioning assumption (documented per north rule): ``sessionize`` puts
+one user's events in one group, so a single pathological user is its skew
+bound; ``sessionize_salted`` IS the salt-by-time-chunk form for such keys
+(per-chunk session stubs, then a per-key merge over stubs only) and is
+value-identical — use it when any key's event volume outgrows a task.
 """
 
 from __future__ import annotations

@@ -105,3 +105,56 @@ def test_compressed_pdf_paths_never_crash(payload):
     r = pdf_extract.extract_pdf(framed)
     assert isinstance(r.text, str)
     assert pdf_extract.page_count(framed) >= 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=5_000_000),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=8))
+def test_plan_groups_properties(sizes, target_mb):
+    """Compaction planning: permutation-invariant, lossless, and every
+    multi-file group stays under target once it has >= 2 members (the
+    greedy invariant: a file only joins a group it fits into)."""
+    from unittest.mock import patch
+
+    from pdf_extraction_ray.state.compact import plan_groups
+
+    paths = [f"/fake/f{i:03d}.parquet" for i in range(len(sizes))]
+    size_of = dict(zip(paths, sizes))
+    with patch("pdf_extraction_ray.state.compact.os.path.getsize",
+               side_effect=lambda p: size_of[p]):
+        g1 = plan_groups(list(paths), target_mb)
+        g2 = plan_groups(list(reversed(paths)), target_mb)
+    assert g1 == g2
+    assert [f for g in g1 for f in g] == sorted(paths)
+    target = target_mb * 1_000_000
+    for g in g1:
+        if len(g) > 1:
+            assert sum(size_of[f] for f in g) <= target
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=3),
+                          st.integers(min_value=0, max_value=500_000)),
+                min_size=1, max_size=60),
+       st.integers(min_value=40, max_value=600))
+def test_sessionize_salted_equivalence(events, chunk_s):
+    """Property: the salted two-phase plan equals the one-group plan for
+    arbitrary event sets and chunk widths (including chunks smaller than
+    the gap)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages.window import (sessionize,
+                                                  sessionize_salted)
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [{"user_id": u, "ts": base + pd.Timedelta(seconds=s)}
+            for u, s in events]
+    ds = rd.from_items(rows)
+    kw = dict(gap_s=120, key_col="user_id", ts_col="ts")
+    plain = (sessionize(ds, **kw).to_pandas()
+             .sort_values(["user_id", "session_idx"]).reset_index(drop=True))
+    salted = (sessionize_salted(ds, chunk_s=chunk_s, **kw).to_pandas()
+              .sort_values(["user_id", "session_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
