@@ -121,11 +121,14 @@ from html import unescape as _unescape  # noqa: E402
 # raw (lazily parsed) attribute blob
 _TOKEN_RE = re.compile(
     r"<(?:"
-    r"!--.*?(?:-->|$)"                      # comment
+    # tag branch FIRST: branches are disjoint (a token starts with a
+    # letter/'/' XOR '!'/'?'), so alternation order is purely a speed
+    # choice — tags outnumber comments ~100:1
+    r"(/?)\s*([a-zA-Z][-a-zA-Z0-9:]*)"       # open/close tag name
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"    # raw attributes
+    r"|!--.*?(?:-->|$)"                      # comment
     r"|!(?:[^>]*)>"                          # doctype / CDATA-ish
     r"|\?[^>]*>"                             # processing instruction
-    r"|(/?)\s*([a-zA-Z][-a-zA-Z0-9:]*)"      # open/close tag name
-    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"    # raw attributes
     r")",
     re.S)
 
@@ -178,15 +181,16 @@ def parse_html(payload: bytes | str, deadline: float | None = None) -> Node:
             if text:
                 top.children.append(unescape(text) if "&" in text else text)
             break
-        start = m.start()
+        start, end = m.span()
         if start > pos:
             text = payload[pos:start]
             top.children.append(unescape(text) if "&" in text else text)
-        pos = m.end()
+        pos = end
         closer, tag, raw_attrs = m.group(1, 2, 3)
         if tag is None:
             continue  # comment / doctype / PI
-        tag = tag.lower()
+        if not tag.islower():  # avoid the lower() allocation per token
+            tag = tag.lower()
         if closer:  # close tag
             if tag in void_tags:
                 continue
@@ -239,7 +243,8 @@ def parse_html(payload: bytes | str, deadline: float | None = None) -> Node:
                 scloser, stag, sraw = sm.group(1, 2, 3)
                 if stag is None:
                     continue
-                stag = stag.lower()
+                if not stag.islower():
+                    stag = stag.lower()
                 sraw = sraw or ""
                 if scloser:
                     if stag not in void_tags:
@@ -381,10 +386,19 @@ _KIND_BY_TAG = {
 
 
 def _iter_nodes(node: Node):
-    for ch in node.children:
-        if isinstance(ch, Node):
-            yield ch
-            yield from _iter_nodes(ch)
+    # iterative pre-order DFS: a recursive `yield from` chain costs
+    # O(depth) per yielded node on nested boilerplate-heavy pages
+    stack = [iter(node.children)]
+    push = stack.append
+    pop = stack.pop
+    while stack:
+        for ch in stack[-1]:
+            if ch.__class__ is Node:
+                yield ch
+                push(iter(ch.children))
+                break
+        else:
+            pop()
 
 
 def _collect_block_nodes(node: Node, out: list[Node]) -> None:
@@ -448,12 +462,25 @@ def _kept_blocks(node: Node, link_density_max: float,
 
 
 def _find_content_root(root: Node, link_density_max: float) -> Node:
+    # ONE fused traversal for the semantic roots: the first non-junk
+    # <article> in document order wins immediately (nothing later can
+    # beat it); the first non-junk <main>/[role=main] is remembered for
+    # the no-article case. Junk/attr checks run only on candidate tags
+    # (the old second pass parsed attrs for every non-junk node).
+    first_main: Node | None = None
     for n in _iter_nodes(root):
-        if n.tag == "article" and not _is_junk(n):
-            return n
-    for n in _iter_nodes(root):
-        if not _is_junk(n) and (n.tag == "main" or n.attrs.get("role") == "main"):
-            return n
+        tag = n.tag
+        if tag == "article":
+            if not _is_junk(n):
+                return n
+        elif first_main is None and (
+                tag == "main"
+                or ("main" in n._raw_attrs
+                    and n.attrs.get("role") == "main")):
+            if not _is_junk(n):
+                first_main = n
+    if first_main is not None:
+        return first_main
     # density scoring in ONE pass: collect blocks globally, credit each
     # kept block's text length to its strict ancestors. (Per-candidate
     # ``_kept_blocks`` calls re-walked every subtree — O(nodes x depth)
