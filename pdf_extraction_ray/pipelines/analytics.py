@@ -403,6 +403,52 @@ WHERE n_tokens >= 20 AND 3 * n_tokens <= sum_len
   AND sum_len <= 10 * n_tokens AND 5 * sum_len >= 2 * n_chars"""
 
 
+def doc_shuffle(sf_dir: str, seed: int = 42,
+                num_partitions: int = 32) -> rd.Dataset:
+    """Deterministic global shuffle — the reshuffle a training pipeline
+    runs before sequence packing / sharding, as a RANGE-PARTITIONED
+    order (not ``random_shuffle``, whose output is irreproducible):
+    position = global rank under stable_hash64(seed, doc_id). Hash
+    values partition monotonically (hash >> k is the range partitioner),
+    so the two-phase prefix scan assigns exact positions with only a
+    P-row offset exchange on the driver; ties (hash collisions) break
+    by doc_id so the order is total and the SQL oracle bit-matches."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.scan import prefix_scan
+
+    P = num_partitions
+    width = ((1 << 63) + P - 1) // P
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        h = [stable_hash64(f"shuffle:{seed}:{d}") for d in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "h": pa.array(h, pa.int64())})
+
+    hs = _docs(sf_dir, ["doc_id"]).map_batches(add_h,
+                                               batch_format="pyarrow")
+    out = prefix_scan(hs,
+                      lambda b: np.asarray(b["h"].to_pylist(),
+                                           np.int64) // width,
+                      sort_cols=["h", "doc_id"], rank_col="pos")
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "pos": t["pos"]}),
+        batch_format="pyarrow")
+
+
+def doc_shuffle_sql(seed: int = 42) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, sha256('shuffle:{seed}:' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+), hv AS (
+  SELECT doc_id, {_sql_hash64("hx")} AS h FROM d
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM hv"""
+
+
 def quality_percentile_filter(sf_dir: str, q: float = 0.5) -> rd.Dataset:
     """Corpus-RELATIVE percentile filter (FineWeb-style "keep the top
     half by metric"): phase 1 computes the exact global q-quantile of
@@ -582,10 +628,15 @@ def dedup_minhash(sf_dir: str) -> rd.Dataset:
 
 
 # LE-uint64 of the first 8 sha256 bytes, >> 1 — the SQL replica of
-# functions.hashing.stable_hash64 over a hex column named h
-_SQL_HASH64 = ("(('0x' || " +
-               " || ".join(f"substr(h, {15 - 2 * i}, 2)" for i in range(8)) +
-               ")::UBIGINT >> 1)")
+# functions.hashing.stable_hash64 over a hex column
+def _sql_hash64(col: str = "h") -> str:
+    return ("(('0x' || " +
+            " || ".join(f"substr({col}, {15 - 2 * i}, 2)"
+                        for i in range(8)) +
+            ")::UBIGINT >> 1)")
+
+
+_SQL_HASH64 = _sql_hash64("h")
 
 
 def dedup_minhash_sql(num_perm: int = 64, bands: int = 16,
