@@ -403,6 +403,55 @@ WHERE n_tokens >= 20 AND 3 * n_tokens <= sum_len
   AND sum_len <= 10 * n_tokens AND 5 * sum_len >= 2 * n_chars"""
 
 
+def normalize_text(sf_dir: str) -> rd.Dataset:
+    """Text normalization — the standard pre-training cleaning stage:
+    NFC unicode normalization, control characters stripped, whitespace
+    runs collapsed to one space, ends trimmed. Pure map (no shuffle);
+    emits the cleaned text plus before/after lengths so the oracle
+    pins every transform. Python's unicodedata.normalize('NFC') and
+    DuckDB's nfc_normalize implement the same UAX #15 form. Oracle
+    caveat (documented): Python's \\s is Unicode-aware while RE2's is
+    ASCII — equivalent on this corpus (spec whitespace is ASCII); a
+    corpus with U+00A0-style spaces would need an explicit class."""
+    import re as _re
+    import unicodedata
+
+    ctrl = _re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
+    ws = _re.compile(r"\s+")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out = []
+        for t in batch["text"].to_pylist():
+            s = unicodedata.normalize("NFC", t or "")
+            s = ctrl.sub("", s)
+            s = ws.sub(" ", s).strip()
+            out.append(s)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "clean_text": pa.array(out, pa.string()),
+            "n_chars_clean": pa.array([len(s) for s in out], pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        clean, batch_format="pyarrow")
+
+
+def normalize_text_sql() -> str:
+    return r"""
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+             regexp_replace(nfc_normalize(text),
+                            '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+             '\s+', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+FROM c"""
+
+
 def doc_shuffle(sf_dir: str, seed: int = 42,
                 num_partitions: int = 32) -> rd.Dataset:
     """Deterministic global shuffle — the reshuffle a training pipeline
