@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile_filter": _tuned(analytics.quality_percentile_filter),
         "doc_shuffle": _tuned(analytics.doc_shuffle),
         "normalize_text": _tuned(analytics.normalize_text),
+        "doc_passages": _tuned(analytics.doc_passages),
         "bm25_topk": _tuned(analytics.bm25_topk),
         "bm25_topk_indexed": _tuned(analytics.bm25_topk_indexed),
         "value_quantiles_hist": _tuned(analytics.value_quantiles_hist),
@@ -465,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile_filter": analytics.quality_percentile_filter_sql(),
         "doc_shuffle": analytics.doc_shuffle_sql(),
         "normalize_text": analytics.normalize_text_sql(),
+        "doc_passages": analytics.doc_passages_sql(),
         "bm25_topk": analytics.bm25_topk_sql(),
         # the index-backed path is value-identical to the scan path
         # (same integer BM25 kernel), so it shares the oracle — the gate

@@ -403,6 +403,61 @@ WHERE n_tokens >= 20 AND 3 * n_tokens <= sum_len
   AND sum_len <= 10 * n_tokens AND 5 * sum_len >= 2 * n_chars"""
 
 
+def doc_passages(sf_dir: str, k: int = 32, overlap: int = 8) -> rd.Dataset:
+    """RAG-style passage chunking — the retrieval-corpus explode: each
+    document splits into overlapping ``k``-word windows at stride
+    ``k - overlap``, one output row per (doc_id, passage_idx) with the
+    passage text. Pure flat-map (rows fan out ~n_words/stride per doc,
+    no shuffle); downstream embedding/indexing stages consume these
+    rows directly. Last window rule: a doc with <= k words is one
+    passage; otherwise ceil((n - k)/stride) + 1 windows, final window
+    possibly short."""
+    stride = k - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d_o, i_o, t_o, n_o = [], [], [], []
+        for doc, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            words = (text or "").split(" ")
+            n = len(words)
+            n_pass = 1 if n <= k else -(-(n - k) // stride) + 1
+            for i in range(n_pass):
+                w = words[i * stride:i * stride + k]
+                d_o.append(doc)
+                i_o.append(i)
+                t_o.append(" ".join(w))
+                n_o.append(len(w))
+        return pa.table({
+            "doc_id": pa.array(d_o, pa.int64()),
+            "passage_idx": pa.array(i_o, pa.int64()),
+            "passage": pa.array(t_o, pa.string()),
+            "n_words": pa.array(n_o, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+def doc_passages_sql(k: int = 32, overlap: int = 8) -> str:
+    stride = k - overlap
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+  FROM documents
+), idx AS (
+  SELECT doc_id, w, n,
+         unnest(range(CASE WHEN n <= {k} THEN 1
+                           ELSE CAST(ceil((n - {k}) / {stride}.0) AS BIGINT) + 1
+                      END)) AS passage_idx
+  FROM w
+)
+SELECT doc_id, passage_idx,
+       array_to_string(w[passage_idx * {stride} + 1 :
+                         passage_idx * {stride} + {k}], ' ') AS passage,
+       CAST(least({k}, n - passage_idx * {stride}) AS BIGINT) AS n_words
+FROM idx"""
+
+
 def normalize_text(sf_dir: str) -> rd.Dataset:
     """Text normalization — the standard pre-training cleaning stage:
     NFC unicode normalization, control characters stripped, whitespace
