@@ -618,3 +618,15 @@ def test_rollup_levels_consistent(ray_session):
     assert (lvl1.set_index("priority")[["n_orders", "sum_cents"]]
             .sort_index().equals(agg.sort_index()))
     assert int(total["n_orders"].iloc[0]) == int(finest["n_orders"].sum())
+
+
+def test_entry_contract_keys():
+    """Driver contract invariants: every oracle key has a queries()
+    entry, every entry is callable, and the rows-only set stays the
+    declared float/iterative trio."""
+    import __ray_entry__ as entrymod
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert all(callable(f) for f in q.values())
+    assert set(q) - set(o) == {"ann_ivf", "kmeans_clusters",
+                               "text_embed_dups"}
