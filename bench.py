@@ -120,7 +120,9 @@ def run_bench() -> dict:
           lambda: analytics.kmeans_clusters(sf_dir).count())
     # index-backed search: cold = build + pruned probe, warm = probe only
     import shutil as _sh
-    _sh.rmtree("/tmp/pdf_extraction_ray/textindex", ignore_errors=True)
+    import tempfile as _tf
+    _sh.rmtree(os.path.join(_tf.gettempdir(), "pdf_extraction_ray",
+                            "textindex"), ignore_errors=True)
     timed("bm25_indexed_cold",
           lambda: analytics.bm25_topk_indexed(sf_dir).count())
     timed("bm25_indexed_warm",

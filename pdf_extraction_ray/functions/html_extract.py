@@ -475,7 +475,10 @@ def _find_content_root(root: Node, link_density_max: float) -> Node:
                 return n
         elif first_main is None and (
                 tag == "main"
-                or ("main" in n._raw_attrs
+                # substring prefilter on the raw blob; "&" keeps
+                # entity-escaped values (role="ma&#105;n") on the exact
+                # path, which unescapes during the attrs parse
+                or (("main" in n._raw_attrs or "&" in n._raw_attrs)
                     and n.attrs.get("role") == "main")):
             if not _is_junk(n):
                 first_main = n

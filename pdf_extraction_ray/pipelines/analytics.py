@@ -1794,7 +1794,8 @@ def bm25_topk_indexed(sf_dir: str) -> rd.Dataset:
     index_dir = os.path.join(tempfile.gettempdir(), "pdf_extraction_ray",
                              "textindex",
                              f"{os.path.basename(sf_dir)}-{_input_digest(sf_dir)}")
-    ti.ensure_inverted_index(_docs(sf_dir, ["doc_id", "text"]), index_dir)
+    ti.ensure_inverted_index(_docs(sf_dir, ["doc_id", "text"]), index_dir,
+                             stamp_ds=_docs(sf_dir, ["doc_id"]))
     return ti.bm25_topk_indexed(index_dir, BM25_QUERIES, BM25_TOPK)
 
 

@@ -303,6 +303,9 @@ def global_quantile_threshold(ds: rd.Dataset, col: str, q: float) -> int:
     n = int(cum[-1])
     if n == 0:
         return 0
-    qk = round(q * 1000)                   # q as exact per-mille int
-    target = max(-(-qk * n // 1000), 1)    # ceil(q*n), all-integer
+    import math
+    # ceil(q*n) in the same double arithmetic quantile_disc uses — a
+    # per-mille integerization would diverge for q like 1/3 where
+    # round(q*1000)/1000 != q
+    target = max(math.ceil(q * n), 1)
     return int(np.searchsorted(cum, target, side="left"))

@@ -102,19 +102,28 @@ def build_inverted_index(ds: rd.Dataset, index_dir: str,
 
 def ensure_inverted_index(ds: rd.Dataset, index_dir: str,
                           text_col: str = "text", id_col: str = "doc_id",
-                          num_parts: int = 32) -> dict:
+                          num_parts: int = 32,
+                          stamp_ds: rd.Dataset | None = None) -> dict:
     """Build unless a FRESH index already exists (stamp: row count +
-    XOR-of-ids + num_parts)."""
-    ds = ds.materialize()  # freshness pass + build share the lineage
+    XOR-of-ids + num_parts).
+
+    ``stamp_ds``: optional id-only dataset (e.g. a read pruned to the
+    id column) used for the freshness check. The warm path must stay
+    CHEAP — a select_columns on ``ds`` would not retro-prune its
+    parquet read, so without this the text column leaves storage on
+    every warm query just to be discarded."""
     meta_path = os.path.join(index_dir, "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
         if meta.get("num_parts") == num_parts:
-            n, _tot, fp = _corpus_stats_and_fingerprint(ds, text_col, id_col)
+            from .similarity import _ids_fingerprint
+            n, fp = _ids_fingerprint(stamp_ds if stamp_ds is not None
+                                     else ds, id_col)
             if meta.get("n_docs") == n and meta.get("id_fp") == fp:
                 return meta
-    return build_inverted_index(ds, index_dir, text_col, id_col, num_parts)
+    return build_inverted_index(ds.materialize(), index_dir, text_col,
+                                id_col, num_parts)
 
 
 def bm25_topk_indexed(index_dir: str, queries: dict[int, tuple],

@@ -204,8 +204,13 @@ def sessionize_salted(ds: rd.Dataset, gap_s: int,
     def merge_stubs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["session_start", "session_end"]).reset_index(
             drop=True)
-        start_us = g["session_start"].astype("int64").to_numpy()
-        end_us = g["session_end"].astype("int64").to_numpy()
+        # pin the unit before the int view: pandas may hold
+        # datetime64[us] or [ns] depending on the Arrow round-trip, and
+        # an unpinned astype("int64") would compare ns against gap_us
+        start_us = g["session_start"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        end_us = g["session_end"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
         prev_end = np.concatenate(([np.iinfo(np.int64).min], end_us[:-1]))
         # a chunk-local stub chain merges while the boundary gap fits
         new_session = (start_us - prev_end) > gap_us

@@ -51,8 +51,35 @@ def compact_parquet(in_files: list[str], out_dir: str,
     group either complete or absent, and the next run redoes only the
     absent ones.
     """
+    import glob as _glob
+    import hashlib
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
     groups = plan_groups(in_files, target_mb)
+    # resume is only valid against the SAME plan: a changed input
+    # listing renumbers groups, so existing outputs would silently mix
+    # stale and fresh contents under reused names. The plan digest
+    # (sorted (path, size) pairs + target) gates the skip; a mismatch
+    # invalidates every prior output.
+    digest = hashlib.sha256(json.dumps(
+        [(f, os.path.getsize(f)) for f in sorted(in_files)]
+        + [target_mb]).encode()).hexdigest()
+    plan_path = os.path.join(out_dir, "_plan.json")
+    prior = None
+    if os.path.exists(plan_path):
+        try:
+            with open(plan_path) as f:
+                prior = json.load(f).get("digest")
+        except (json.JSONDecodeError, OSError):
+            prior = None
+    if prior != digest:
+        for stale in _glob.glob(os.path.join(out_dir, "compact-*.parquet")):
+            os.remove(stale)
+        tmp = plan_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"digest": digest, "n_groups": len(groups)}, f)
+        os.replace(tmp, plan_path)
     rows = [{"gid": i, "paths": g, "out": os.path.join(
         out_dir, f"compact-{i:05d}.parquet")} for i, g in enumerate(groups)]
     todo = [r for r in rows if not os.path.exists(r["out"])]

@@ -56,3 +56,22 @@ def test_compact_preserves_rows_and_resumes(ray_session, tmp_path):
     for f in outs[1:]:
         assert os.path.getmtime(f) == mtimes[f]
     assert os.path.exists(outs[0])
+
+
+def test_compact_invalidates_on_changed_input(ray_session, tmp_path):
+    """A changed input listing renumbers groups — resume must NOT reuse
+    outputs from the old plan (stale/fresh mixing); the plan digest
+    invalidates them all."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    files = _write_small_files(in_dir, n=8)
+    compact_parquet(files, out_dir, target_mb=1)
+    outs1 = sorted(glob.glob(os.path.join(out_dir, "compact-*.parquet")))
+
+    files2 = files + _write_small_files(in_dir + "2", n=2)
+    res = compact_parquet(files2, out_dir, target_mb=1)
+    assert res["skipped"] == 0  # every prior output invalidated
+    outs2 = sorted(glob.glob(os.path.join(out_dir, "compact-*.parquet")))
+    before = pa.concat_tables([pq.read_table(f) for f in files2])
+    after = pa.concat_tables([pq.read_table(f) for f in outs2])
+    assert after.num_rows == before.num_rows  # no dup/missing rows
+    assert len(outs2) >= len(outs1)
