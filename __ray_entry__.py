@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": _tuned(analytics.bigram_counts),
         "dup_ngram_spans": _tuned(analytics.dup_ngram_spans),
         "stratified_sample": _tuned(analytics.stratified_sample),
+        "sample_k_per_lang": _tuned(analytics.sample_k_per_lang),
         "heavy_hitter_terms": _tuned(analytics.heavy_hitter_terms),
         "tfidf_top_terms": _tuned(analytics.tfidf_top_terms),
         "lm_doc_scores": _tuned(analytics.lm_doc_scores),
@@ -460,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_counts": analytics.bigram_counts_sql(),
         "dup_ngram_spans": analytics.dup_ngram_spans_sql(),
         "stratified_sample": analytics.stratified_sample_sql(),
+        "sample_k_per_lang": analytics.sample_k_per_lang_sql(),
         "heavy_hitter_terms": analytics.heavy_hitter_terms_sql(),
         "tfidf_top_terms": analytics.tfidf_top_terms_sql(),
         "lm_doc_scores": analytics.lm_doc_scores_sql(),

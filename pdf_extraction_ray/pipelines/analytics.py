@@ -1502,6 +1502,52 @@ WHERE {h} < (CASE lang {cases} ELSE {STRATUM_DEFAULT_PCT} END)
           * {SPLIT_MOD // 100}"""
 
 
+def sample_k_per_lang(sf_dir: str, k: int = 25, seed: int = 7) -> rd.Dataset:
+    """EXACT-k-per-group deterministic sample (balanced subset builder:
+    "give me k docs per language, reproducibly"): rank = stable hash of
+    (seed, doc_id), keep each language's k smallest. Distributed shape
+    is the partial-top-k combiner — every batch reduces to <= k rows
+    per language present, ONE tiny groupby(lang) merges partials — so
+    the exchange carries O(langs * k) rows, never the corpus. The
+    rate-based sibling (``stratified_sample``) can't hit an exact k."""
+    from ..functions.hashing import stable_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_pylist(),
+            "lang": batch["lang"].to_pylist(),
+        })
+        df["h"] = [stable_hash64(f"sample:{seed}:{d}")
+                   for d in df["doc_id"]]
+        df = (df.sort_values(["lang", "h", "doc_id"])
+                .groupby("lang", sort=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["h", "doc_id"]).head(k)
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "lang": pa.array(g["lang"].tolist(), pa.string()),
+        })
+
+    return (_docs(sf_dir, ["doc_id", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").map_groups(merge, batch_format="pandas"))
+
+
+def sample_k_per_lang_sql(k: int = 25, seed: int = 7) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         sha256('sample:{seed}:' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+), hv AS (
+  SELECT doc_id, lang, {_sql_hash64("hx")} AS h FROM d
+)
+SELECT doc_id, lang FROM hv
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= {k}"""
+
+
 def heavy_hitter_terms(sf_dir: str, k: int = 20) -> pa.Table:
     """Exact top-k corpus terms via the two-pass Misra–Gries heavy-
     hitters pattern (stages/sketch.py:heavy_hitters): bounded-memory

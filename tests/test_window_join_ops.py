@@ -19,7 +19,7 @@ from tests.oracle_check import compare
     "dedup_clusters", "dedup_minhash", "dedup_simhash",
     "quality_percentile_filter", "user_activity_full",
     "customers_with_orders_semi", "sessions_salted", "doc_shuffle",
-    "normalize_text", "doc_passages",
+    "normalize_text", "doc_passages", "sample_k_per_lang",
 ])
 def test_new_ops_match_duckdb(ray_session, name):
     from pdf_extraction_ray.pipelines import analytics as A
