@@ -126,6 +126,81 @@ def ensure_inverted_index(ds: rd.Dataset, index_dir: str,
                                 id_col, num_parts)
 
 
+def append_to_index(ds_new: rd.Dataset, index_dir: str,
+                    text_col: str = "text", id_col: str = "doc_id") -> dict:
+    """Incremental ingest: merge NEW documents' postings into the
+    existing index — the append path a standing 100 TB index needs
+    (a full rebuild per ingest batch is the thing this avoids).
+
+    Work scales with the new batch: its postings rows group by their
+    target partition, and each affected ``part=K/`` directory gains one
+    delta file (atomic rename — never a rewrite of existing postings,
+    so a killed append leaves whole files only). Doc length is
+    denormalized per posting, so old rows never change; the corpus
+    stats (n_docs, total_tokens, id_fp) fold the batch into _meta.json
+    last — an append is visible only once its stats land. Returns the
+    updated meta."""
+    meta_path = os.path.join(index_dir, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    num_parts = meta["num_parts"]
+
+    n_new, tot_new, fp_new = _corpus_stats_and_fingerprint(
+        ds_new, text_col, id_col)
+    if n_new == 0:
+        return meta
+
+    def postings(batch: pa.Table) -> pa.Table:
+        t_o, d_o, tf_o, dl_o, p_o = [], [], [], [], []
+        for doc, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            words = (text or "").split(" ")
+            dl = len(words)
+            for term, tf in Counter(words).items():
+                t_o.append(term)
+                d_o.append(doc)
+                tf_o.append(tf)
+                dl_o.append(dl)
+                p_o.append(stable_hash64(term) % num_parts)
+        return pa.table({
+            "term": pa.array(t_o, pa.string()),
+            id_col: pa.array(d_o, pa.int64()),
+            "tf": pa.array(tf_o, pa.int64()),
+            "dl": pa.array(dl_o, pa.int64()),
+            "part": pa.array(p_o, pa.int32()),
+        })
+
+    delta_tag = f"{n_new}-{fp_new & 0xFFFFFFFF:08x}"
+
+    def write_delta(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        part = int(group["part"][0].as_py())
+        pdir = os.path.join(index_dir, f"part={part}")
+        os.makedirs(pdir, exist_ok=True)
+        out = os.path.join(pdir, f"delta-{delta_tag}.parquet")
+        tmp = out + ".tmp"
+        pq.write_table(group.drop_columns(["part"]), tmp)
+        os.replace(tmp, out)
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "n": pa.array([group.num_rows], pa.int64())})
+
+    (ds_new.select_columns([id_col, text_col])
+           .map_batches(postings, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(write_delta, batch_format="pyarrow")
+           .materialize())
+
+    meta = {"n_docs": meta["n_docs"] + n_new,
+            "total_tokens": meta["total_tokens"] + tot_new,
+            "id_fp": meta["id_fp"] ^ fp_new,
+            "num_parts": num_parts}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return meta
+
+
 def bm25_topk_indexed(index_dir: str, queries: dict[int, tuple],
                       k: int = 10, id_col: str = "doc_id") -> rd.Dataset:
     """BM25 top-k against the persisted index: read ONLY the partitions

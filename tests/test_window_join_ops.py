@@ -630,3 +630,44 @@ def test_entry_contract_keys():
     assert all(callable(f) for f in q.values())
     assert set(q) - set(o) == {"ann_ivf", "kmeans_clusters",
                                "text_embed_dups"}
+
+
+def test_index_incremental_append(ray_session, tmp_path):
+    """Build the index over half the corpus, append the other half:
+    queries must hash-match the full-corpus scan oracle, and the
+    freshness stamp must recognize the appended index as current."""
+    import pyarrow as pa
+
+    from pdf_extraction_ray.pipelines.analytics import (BM25_QUERIES,
+                                                        BM25_TOPK,
+                                                        bm25_topk_sql, _docs)
+    from pdf_extraction_ray.stages import textindex as ti
+
+    index_dir = str(tmp_path / "idx")
+    docs = _docs(SF_SMOKE, ["doc_id", "text"])
+
+    def half(parity):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1),
+                                     parity))
+        return f
+
+    ti.build_inverted_index(
+        docs.map_batches(half(0), batch_format="pyarrow").materialize(),
+        index_dir)
+    ti.append_to_index(
+        docs.map_batches(half(1), batch_format="pyarrow").materialize(),
+        index_dir)
+
+    out = ti.bm25_topk_indexed(index_dir, BM25_QUERIES, BM25_TOPK)
+    assert compare("bm25_indexed_appended", out, bm25_topk_sql(),
+                   SF_SMOKE) == []
+
+    # the appended index is FRESH for the full corpus (no rebuild)
+    import os
+    mtime = os.path.getmtime(os.path.join(index_dir, "_meta.json"))
+    meta = ti.ensure_inverted_index(docs, index_dir,
+                                    stamp_ds=_docs(SF_SMOKE, ["doc_id"]))
+    assert os.path.getmtime(os.path.join(index_dir, "_meta.json")) == mtime
+    assert meta["n_docs"] == docs.count()
