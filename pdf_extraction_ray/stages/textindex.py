@@ -201,6 +201,58 @@ def append_to_index(ds_new: rd.Dataset, index_dir: str,
     return meta
 
 
+def compact_index(index_dir: str) -> dict:
+    """Merge each partition's delta files back into one base file —
+    the maintenance step after many ``append_to_index`` batches (reads
+    seek once per file per query; deltas accumulate per ingest). One
+    task per multi-file partition via the Dataset scheduler.
+
+    Crash model (documented): a kill between publishing the merged
+    file and deleting the old ones leaves BOTH visible. The merge
+    therefore dedups on (term, doc_id) — postings are unique per
+    (term, doc_id) by construction, with identical tf/dl on any
+    duplicate — so re-running compact_index converges to the correct
+    single file; queries issued INSIDE the crash window could
+    double-count, which an engine with concurrent readers would fix
+    with a manifest pointer swap. Returns
+    {"parts_compacted", "files_removed"}."""
+    import pyarrow.parquet as pq
+
+    work = []
+    for pdir in sorted(glob.glob(os.path.join(index_dir, "part=*"))):
+        files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+        if len(files) > 1:
+            work.append({"pdir": pdir, "files": files})
+    if not work:
+        return {"parts_compacted": 0, "files_removed": 0}
+
+    def merge_one(batch: pa.Table) -> pa.Table:
+        n_removed = []
+        for pdir, files in zip(batch["pdir"].to_pylist(),
+                               batch["files"].to_pylist()):
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            df = t.to_pandas().drop_duplicates(["term", "doc_id"])
+            t = pa.Table.from_pandas(df, preserve_index=False,
+                                     schema=t.schema)
+            out = os.path.join(pdir, "base-merged.parquet")
+            tmp = out + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, out)
+            for f in files:
+                if f != out:
+                    os.remove(f)
+            n_removed.append(len(files))
+        return pa.table({"n": pa.array(n_removed, pa.int64())})
+
+    removed = 0
+    for b in (rd.from_items(work)
+                .map_batches(merge_one, batch_format="pyarrow",
+                             batch_size=1)
+                .iter_batches(batch_format="pyarrow")):
+        removed += sum(b["n"].to_pylist())
+    return {"parts_compacted": len(work), "files_removed": removed}
+
+
 def bm25_topk_indexed(index_dir: str, queries: dict[int, tuple],
                       k: int = 10, id_col: str = "doc_id") -> rd.Dataset:
     """BM25 top-k against the persisted index: read ONLY the partitions

@@ -671,3 +671,55 @@ def test_index_incremental_append(ray_session, tmp_path):
                                     stamp_ds=_docs(SF_SMOKE, ["doc_id"]))
     assert os.path.getmtime(os.path.join(index_dir, "_meta.json")) == mtime
     assert meta["n_docs"] == docs.count()
+
+
+def test_index_compaction_preserves_results(ray_session, tmp_path):
+    """After appends, compaction collapses each partition to one file
+    with IDENTICAL query results; re-running is a no-op; a simulated
+    crash window (merged published, old files kept) self-heals."""
+    import glob as g
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from pdf_extraction_ray.pipelines.analytics import (BM25_QUERIES,
+                                                        BM25_TOPK,
+                                                        bm25_topk_sql, _docs)
+    from pdf_extraction_ray.stages import textindex as ti
+
+    index_dir = str(tmp_path / "idx")
+    docs = _docs(SF_SMOKE, ["doc_id", "text"])
+
+    def half(parity):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1),
+                                     parity))
+        return f
+
+    ti.build_inverted_index(
+        docs.map_batches(half(0), batch_format="pyarrow").materialize(),
+        index_dir)
+    ti.append_to_index(
+        docs.map_batches(half(1), batch_format="pyarrow").materialize(),
+        index_dir)
+
+    res = ti.compact_index(index_dir)
+    assert res["parts_compacted"] > 0
+    for pdir in g.glob(os.path.join(index_dir, "part=*")):
+        assert len(g.glob(os.path.join(pdir, "*.parquet"))) == 1
+    out = ti.bm25_topk_indexed(index_dir, BM25_QUERIES, BM25_TOPK)
+    assert compare("bm25_indexed_compacted", out, bm25_topk_sql(),
+                   SF_SMOKE) == []
+    assert ti.compact_index(index_dir)["parts_compacted"] == 0  # no-op
+
+    # crash window: duplicate a partition's base next to itself; a
+    # re-run dedups on (term, doc_id) and converges
+    pdir = sorted(g.glob(os.path.join(index_dir, "part=*")))[0]
+    base = g.glob(os.path.join(pdir, "*.parquet"))[0]
+    shutil.copy(base, os.path.join(pdir, "delta-crashed.parquet"))
+    ti.compact_index(index_dir)
+    out2 = ti.bm25_topk_indexed(index_dir, BM25_QUERIES, BM25_TOPK)
+    assert compare("bm25_indexed_healed", out2, bm25_topk_sql(),
+                   SF_SMOKE) == []
