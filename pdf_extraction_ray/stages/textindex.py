@@ -34,19 +34,28 @@ import ray.data as rd
 from ..functions.hashing import stable_hash64
 
 
-def _corpus_stats_and_fingerprint(ds: rd.Dataset, text_col: str,
-                                  id_col: str) -> tuple[int, int, int]:
-    """(n_docs, total_tokens, xor-of-ids) in ONE combiner pass."""
+_U64 = (1 << 64) - 1
+
+
+def _corpus_stats_and_fingerprint(
+        ds: rd.Dataset, text_col: str,
+        id_col: str) -> tuple[int, int, int, int]:
+    """(n_docs, total_tokens, xor-of-ids, sum-of-ids mod 2^64) in ONE
+    combiner pass. The SUM complements the XOR: aligned sequential-id
+    batches (0..3, 4..7, ...) all XOR to 0 — the sum tells them apart,
+    which the append delta tag depends on."""
     def partial(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.uint64)
         tot = sum(len((t or "").split(" "))
                   for t in batch[text_col].to_pylist())
         fp = np.bitwise_xor.reduce(ids) if len(ids) else np.uint64(0)
+        s = int(ids.sum(dtype=np.uint64)) if len(ids) else 0
         return pa.table({"n": pa.array([len(ids)], pa.int64()),
                          "tot": pa.array([tot], pa.int64()),
-                         "fp": pa.array([int(fp)], pa.uint64())})
+                         "fp": pa.array([int(fp)], pa.uint64()),
+                         "s": pa.array([s], pa.uint64())})
 
-    n, tot, fp = 0, 0, 0
+    n, tot, fp, ssum = 0, 0, 0, 0
     for b in (ds.select_columns([id_col, text_col])
                 .map_batches(partial, batch_format="pyarrow")
                 .iter_batches(batch_format="pyarrow")):
@@ -54,18 +63,15 @@ def _corpus_stats_and_fingerprint(ds: rd.Dataset, text_col: str,
         tot += sum(b["tot"].to_pylist())
         for v in b["fp"].to_pylist():
             fp ^= int(v)
-    return n, tot, fp
+        for v in b["s"].to_pylist():
+            ssum = (ssum + int(v)) & _U64
+    return n, tot, fp, ssum
 
 
-def build_inverted_index(ds: rd.Dataset, index_dir: str,
-                         text_col: str = "text", id_col: str = "doc_id",
-                         num_parts: int = 32) -> dict:
-    """One pass: docs → (term, doc_id, tf, dl) postings rows, hash-
-    partitioned by term into ``part=K/`` parquet. Atomic publish
-    (write-tmp-then-rename). Returns the meta dict."""
-    n_docs, total_tokens, id_fp = _corpus_stats_and_fingerprint(
-        ds, text_col, id_col)
-
+def _postings_fn(id_col: str, text_col: str, num_parts: int):
+    """Shared doc→postings batch fn: base build and delta ingest MUST
+    tokenize identically or compaction's (term, id) dedup assumption
+    breaks — one definition, two callers."""
     def postings(batch: pa.Table) -> pa.Table:
         t_o, d_o, tf_o, dl_o, p_o = [], [], [], [], []
         for doc, text in zip(batch[id_col].to_pylist(),
@@ -85,6 +91,18 @@ def build_inverted_index(ds: rd.Dataset, index_dir: str,
             "dl": pa.array(dl_o, pa.int64()),
             "part": pa.array(p_o, pa.int32()),
         })
+    return postings
+
+
+def build_inverted_index(ds: rd.Dataset, index_dir: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_parts: int = 32) -> dict:
+    """One pass: docs → (term, doc_id, tf, dl) postings rows, hash-
+    partitioned by term into ``part=K/`` parquet. Atomic publish
+    (write-tmp-then-rename). Returns the meta dict."""
+    n_docs, total_tokens, id_fp, _ = _corpus_stats_and_fingerprint(
+        ds, text_col, id_col)
+    postings = _postings_fn(id_col, text_col, num_parts)
 
     tmp = index_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -138,39 +156,40 @@ def append_to_index(ds_new: rd.Dataset, index_dir: str,
     so a killed append leaves whole files only). Doc length is
     denormalized per posting, so old rows never change; the corpus
     stats (n_docs, total_tokens, id_fp) fold the batch into _meta.json
-    last — an append is visible only once its stats land. Returns the
+    LAST. Visibility model (honest): each partition's delta file is
+    readable the moment it lands, so a query racing the append (or a
+    crash between deltas and the meta write) can score partial new
+    postings against the old stats — RETRYING the same append on the
+    same pre-state converges, because the delta tag is keyed on
+    (pre-state id_fp, batch stats) and os.replace overwrites the
+    partial files idempotently; an engine with concurrent readers
+    would hide the window behind a manifest pointer swap. Returns the
     updated meta."""
+    import hashlib
+
     meta_path = os.path.join(index_dir, "_meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
     num_parts = meta["num_parts"]
 
-    n_new, tot_new, fp_new = _corpus_stats_and_fingerprint(
+    ds_new = ds_new.materialize()  # stats pass + postings pass share it
+    n_new, tot_new, fp_new, sum_new = _corpus_stats_and_fingerprint(
         ds_new, text_col, id_col)
     if n_new == 0:
         return meta
 
-    def postings(batch: pa.Table) -> pa.Table:
-        t_o, d_o, tf_o, dl_o, p_o = [], [], [], [], []
-        for doc, text in zip(batch[id_col].to_pylist(),
-                             batch[text_col].to_pylist()):
-            words = (text or "").split(" ")
-            dl = len(words)
-            for term, tf in Counter(words).items():
-                t_o.append(term)
-                d_o.append(doc)
-                tf_o.append(tf)
-                dl_o.append(dl)
-                p_o.append(stable_hash64(term) % num_parts)
-        return pa.table({
-            "term": pa.array(t_o, pa.string()),
-            id_col: pa.array(d_o, pa.int64()),
-            "tf": pa.array(tf_o, pa.int64()),
-            "dl": pa.array(dl_o, pa.int64()),
-            "part": pa.array(p_o, pa.int32()),
-        })
+    postings = _postings_fn(id_col, text_col, num_parts)
 
-    delta_tag = f"{n_new}-{fp_new & 0xFFFFFFFF:08x}"
+    # tag = hash of (pre-state fingerprint, batch stats incl. the id
+    # SUM): a raw low-bits-XOR tag collided deterministically on
+    # aligned sequential-id batches (XOR of ids 4k..4k+3 is 0 AND
+    # leaves the pre-state fingerprint unchanged), silently overwriting
+    # earlier deltas — the order-insensitive id sum distinguishes those
+    # batches. A RETRY of the same batch on the same pre-state reuses
+    # the tag, overwriting its own partial deltas (crash recovery).
+    delta_tag = hashlib.sha256(
+        f"{meta['id_fp']}:{n_new}:{fp_new}:{tot_new}:{sum_new}".encode()
+    ).hexdigest()[:16]
 
     def write_delta(group: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -201,7 +220,7 @@ def append_to_index(ds_new: rd.Dataset, index_dir: str,
     return meta
 
 
-def compact_index(index_dir: str) -> dict:
+def compact_index(index_dir: str, id_col: str = "doc_id") -> dict:
     """Merge each partition's delta files back into one base file —
     the maintenance step after many ``append_to_index`` batches (reads
     seek once per file per query; deltas accumulate per ingest). One
@@ -231,17 +250,19 @@ def compact_index(index_dir: str) -> dict:
         for pdir, files in zip(batch["pdir"].to_pylist(),
                                batch["files"].to_pylist()):
             t = pa.concat_tables([pq.read_table(f) for f in files])
-            df = t.to_pandas().drop_duplicates(["term", "doc_id"])
+            df = t.to_pandas().drop_duplicates(["term", id_col])
             t = pa.Table.from_pandas(df, preserve_index=False,
                                      schema=t.schema)
             out = os.path.join(pdir, "base-merged.parquet")
             tmp = out + ".tmp"
             pq.write_table(t, tmp)
             os.replace(tmp, out)
+            removed = 0
             for f in files:
                 if f != out:
                     os.remove(f)
-            n_removed.append(len(files))
+                    removed += 1
+            n_removed.append(removed)
         return pa.table({"n": pa.array(n_removed, pa.int64())})
 
     removed = 0

@@ -632,33 +632,41 @@ def test_entry_contract_keys():
                                "text_embed_dups"}
 
 
+def _docs_where(docs, pred):
+    """Filtered, materialized view of the docs table for index tests."""
+    import pyarrow as pa
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pred(pc, t))
+
+    return docs.map_batches(f, batch_format="pyarrow").materialize()
+
+
+def _build_appended_index(tmp_path):
+    """Shared setup: index over the even half, odd half appended."""
+    from pdf_extraction_ray.pipelines.analytics import _docs
+    from pdf_extraction_ray.stages import textindex as ti
+
+    index_dir = str(tmp_path / "idx")
+    docs = _docs(SF_SMOKE, ["doc_id", "text"])
+    ti.build_inverted_index(_docs_where(docs, lambda pc, t: pc.equal(
+        pc.bit_wise_and(t["doc_id"], 1), 0)), index_dir)
+    ti.append_to_index(_docs_where(docs, lambda pc, t: pc.equal(
+        pc.bit_wise_and(t["doc_id"], 1), 1)), index_dir)
+    return index_dir, docs
+
+
 def test_index_incremental_append(ray_session, tmp_path):
     """Build the index over half the corpus, append the other half:
     queries must hash-match the full-corpus scan oracle, and the
     freshness stamp must recognize the appended index as current."""
-    import pyarrow as pa
-
     from pdf_extraction_ray.pipelines.analytics import (BM25_QUERIES,
                                                         BM25_TOPK,
                                                         bm25_topk_sql, _docs)
     from pdf_extraction_ray.stages import textindex as ti
 
-    index_dir = str(tmp_path / "idx")
-    docs = _docs(SF_SMOKE, ["doc_id", "text"])
-
-    def half(parity):
-        def f(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1),
-                                     parity))
-        return f
-
-    ti.build_inverted_index(
-        docs.map_batches(half(0), batch_format="pyarrow").materialize(),
-        index_dir)
-    ti.append_to_index(
-        docs.map_batches(half(1), batch_format="pyarrow").materialize(),
-        index_dir)
+    index_dir, docs = _build_appended_index(tmp_path)
 
     out = ti.bm25_topk_indexed(index_dir, BM25_QUERIES, BM25_TOPK)
     assert compare("bm25_indexed_appended", out, bm25_topk_sql(),
@@ -681,29 +689,12 @@ def test_index_compaction_preserves_results(ray_session, tmp_path):
     import os
     import shutil
 
-    import pyarrow as pa
-
     from pdf_extraction_ray.pipelines.analytics import (BM25_QUERIES,
                                                         BM25_TOPK,
-                                                        bm25_topk_sql, _docs)
+                                                        bm25_topk_sql)
     from pdf_extraction_ray.stages import textindex as ti
 
-    index_dir = str(tmp_path / "idx")
-    docs = _docs(SF_SMOKE, ["doc_id", "text"])
-
-    def half(parity):
-        def f(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1),
-                                     parity))
-        return f
-
-    ti.build_inverted_index(
-        docs.map_batches(half(0), batch_format="pyarrow").materialize(),
-        index_dir)
-    ti.append_to_index(
-        docs.map_batches(half(1), batch_format="pyarrow").materialize(),
-        index_dir)
+    index_dir, _docs_ds = _build_appended_index(tmp_path)
 
     res = ti.compact_index(index_dir)
     assert res["parts_compacted"] > 0
@@ -723,3 +714,31 @@ def test_index_compaction_preserves_results(ray_session, tmp_path):
     out2 = ti.bm25_topk_indexed(index_dir, BM25_QUERIES, BM25_TOPK)
     assert compare("bm25_indexed_healed", out2, bm25_topk_sql(),
                    SF_SMOKE) == []
+
+
+def test_index_sequential_batch_appends_distinct_deltas(ray_session,
+                                                        tmp_path):
+    """Regression: two consecutive aligned sequential-id ingest batches
+    (XOR of ids 4k..4k+3 is 0) must land as DISTINCT delta files — a
+    raw low-bits-XOR tag collided and silently overwrote the first
+    batch. Both batches' docs must be queryable afterward."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages import textindex as ti
+
+    def batch_ds(ids):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"zebra word{d}" for d in ids], pa.string()),
+        }))
+
+    index_dir = str(tmp_path / "idx")
+    ti.build_inverted_index(batch_ds([100]), index_dir, num_parts=4)
+    # ids 0..3 and 4..7: both XOR to 0 and have equal n/token stats
+    ti.append_to_index(batch_ds([0, 1, 2, 3]), index_dir)
+    ti.append_to_index(batch_ds([4, 5, 6, 7]), index_dir)
+
+    out = ti.bm25_topk_indexed(index_dir, {1: ("zebra",)}, k=100)
+    got = sorted(out.to_pandas()["doc_id"])
+    assert got == [0, 1, 2, 3, 4, 5, 6, 7, 100]
