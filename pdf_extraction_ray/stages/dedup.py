@@ -331,48 +331,120 @@ def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
     buckets are the shuffle key, so hot buckets (boilerplate-identical
     docs) are the skew risk — num_perm/bands control bucket granularity.
     """
-    ds = ds.materialize()  # scanned twice (banding, candidate signatures)
-    cand, cand_ids = _lsh_candidate_pairs(ds, text_col, id_col,
-                                          shingle_k, num_perm, bands)
+    # ONE signature pass (tokenize + sha256 once — the expensive part),
+    # materialized as (id, sig bytes); band rows derive from the stored
+    # signatures, and verification attaches signatures with two
+    # distributed hash joins — NO driver-side sig map and no second
+    # tokenize pass (the round-1/2 versions recomputed candidate
+    # signatures from text and broadcast a dict of them)
+    from .joins import hash_join
 
-    # second pruned pass: signatures of CANDIDATE docs only (bounded by
-    # LSH match volume), broadcast for the estimate verification
-    sig_map: dict[int, np.ndarray] = {}
-    if cand_ids:
-        ids_ref = ray.put(cand_ids)
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        out_i, out_s = [], []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            out_i.append(i)
+            out_s.append(hashing.minhash_signature(
+                hashing.shingles(t or "", shingle_k), num_perm).tobytes())
+        return pa.table({id_col: pa.array(out_i, pa.int64()),
+                         "sig": pa.array(out_s, pa.large_binary())})
 
-        def cand_sigs(batch: pa.Table) -> pa.Table:
-            wanted = ray.get(ids_ref)
-            out_i, out_s = [], []
-            for i, t in zip(batch[id_col].to_pylist(),
-                            batch[text_col].to_pylist()):
-                if i in wanted:
-                    out_i.append(i)
-                    out_s.append(hashing.minhash_signature(
-                        hashing.shingles(t or "", shingle_k),
-                        num_perm).tobytes())
-            return pa.table({id_col: pa.array(out_i, pa.int64()),
-                             "sig": pa.array(out_s, pa.large_binary())})
+    ds = ds.materialize()  # sig pass + the final identity-rows pass
+    # repartition before the joins below: sig rows arrive as hundreds
+    # of small blocks and pair lists as one tiny block per LSH bucket —
+    # per-block overhead dwarfs the work (measured 17.5s -> 1.6s for
+    # the two verify joins; the iterative-pipeline lesson, ROUND2 notes)
+    sigs = (ds.map_batches(sig_batch, batch_format="pyarrow")
+              .repartition(32).materialize())
 
-        for b in (ds.map_batches(cand_sigs, batch_format="pyarrow")
-                    .iter_batches(batch_format="pyarrow")):
-            for i, s in zip(b[id_col].to_pylist(), b["sig"].to_pylist()):
-                sig_map[i] = np.frombuffer(s, dtype=np.uint64)
-    sig_ref = ray.put(sig_map)
+    def band_rows(batch: pa.Table) -> pa.Table:
+        out_band, out_hash, out_id, out_p = [], [], [], []
+        for i, s in zip(batch[id_col].to_pylist(),
+                        batch["sig"].to_pylist()):
+            sig = np.frombuffer(s, dtype=np.uint64)
+            for b, bh in enumerate(hashing.minhash_bands(sig, bands)):
+                out_band.append(b)
+                out_hash.append(bh)
+                out_id.append(i)
+                out_p.append(bh & 63)
+        return pa.table({
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "p": pa.array(out_p, pa.int64()),
+        })
+
+    def partition_pairs(g: pd.DataFrame) -> pa.Table:
+        # PARTITION-wise bucket scan: one boundary pass over the sorted
+        # rows instead of one map_groups call per LSH bucket (~1 ms of
+        # interpreter per group; buckets are overwhelmingly singletons)
+        k1 = g["band"].to_numpy(np.int32)
+        k2 = g["band_hash"].to_numpy(np.uint64)
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, k2, k1))
+        k1s, k2s, v = k1[order], k2[order], ids[order]
+        change = np.flatnonzero((k1s[1:] != k1s[:-1])
+                                | (k2s[1:] != k2s[:-1])) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(v)]])
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                t = _upper_pairs(v[s:e])
+                a_parts.append(t["a"].to_numpy())
+                b_parts.append(t["b"].to_numpy())
+        if not a_parts:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(a_parts)),
+                         "b": pa.array(np.concatenate(b_parts))})
+
+    # no (a, b) dedup groupby here (unlike _lsh_candidate_pairs, whose
+    # pairs are user-facing): a pair colliding in several bands emits
+    # duplicate edges, which label propagation tolerates — dropping the
+    # all-to-all is worth more than the small join fan-out. Materialized
+    # so the two verify joins start from 16 packed blocks instead of
+    # appending two more shuffles to one deep streaming plan.
+    cand = (sigs.map_batches(band_rows, batch_format="pyarrow")
+                .groupby("p")
+                .map_groups(partition_pairs, batch_format="pandas")
+                .repartition(16).materialize())
+
+    def rename_sig(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({id_col: t[id_col], name: t["sig"]})
+        return fn
+
+    with_a = hash_join(cand,
+                       sigs.map_batches(rename_sig("sig_a"),
+                                        batch_format="pyarrow"),
+                       "a", id_col, ["b"], ["sig_a"])
+    with_ab = hash_join(with_a,
+                        sigs.map_batches(rename_sig("sig_b"),
+                                         batch_format="pyarrow"),
+                        "b", id_col, ["a", "sig_a"], ["sig_b"])
 
     def verify(batch: pa.Table) -> pa.Table:
-        m = ray.get(sig_ref)
         a_o, b_o = [], []
-        for a, b_ in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            sa, sb = m.get(a), m.get(b_)
-            if sa is not None and sb is not None and \
-                    float((sa == sb).mean()) >= jaccard_threshold:
+        for a, b_, sa, sb in zip(batch["a"].to_pylist(),
+                                 batch["b"].to_pylist(),
+                                 batch["sig_a"].to_pylist(),
+                                 batch["sig_b"].to_pylist()):
+            if sa is None or sb is None:
+                continue
+            va = np.frombuffer(sa, dtype=np.uint64)
+            vb = np.frombuffer(sb, dtype=np.uint64)
+            if float((va == vb).mean()) >= jaccard_threshold:
                 a_o.append(a)
                 b_o.append(b_)
         return pa.table({"a": pa.array(a_o, pa.int64()),
                          "b": pa.array(b_o, pa.int64())})
 
-    pairs = cand.map_batches(verify, batch_format="pyarrow")
+    # materialize the (candidate-bounded, tiny) verified pairs: the
+    # iterative label propagation otherwise re-executes the two-join
+    # verify lineage on every round (measured 3x total wall)
+    pairs = (with_ab.map_batches(verify, batch_format="pyarrow")
+             .materialize())
 
     # distributed connected components (hash-partitioned label
     # propagation; the driver holds only round counters — scales with
