@@ -850,9 +850,20 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
         raise ValueError("hamming_max must be in [0, 16]")
     bounds = _simhash_chunk_bounds(hamming_max + 1)
 
+    def fingerprints(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        sims = [hashing.simhash64(t or "")
+                for t in batch[text_col].to_pylist()]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "sim": pa.array(sims, pa.uint64())})
+
+    # ONE fingerprint pass, reused by both the chunk explode and the
+    # base rows below (the previous version hashed every document twice)
+    fps = ds.map_batches(fingerprints, batch_format="pyarrow").materialize()
+
     def add_sim(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        sims = [hashing.simhash64(t or "") for t in batch[text_col].to_pylist()]
+        sims = batch["sim"].to_pylist()
         rows_id, rows_chunk, rows_key, rows_sim = [], [], [], []
         for i, s in zip(ids, sims):
             for c, (shift, width) in enumerate(bounds):
@@ -867,7 +878,7 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
             "simhash": pa.array(rows_sim, pa.uint64()),
         })
 
-    exploded = ds.map_batches(add_sim, batch_format="pyarrow")
+    exploded = fps.map_batches(add_sim, batch_format="pyarrow")
 
     def bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
@@ -896,15 +907,14 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
     from ray.data.aggregate import Max, Min
 
     def with_sim(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        sims = [hashing.simhash64(t or "") for t in batch[text_col].to_pylist()]
+        ids = batch[id_col].cast(pa.int64())
         return pa.table({
-            "key": pa.array(ids, pa.int64()),
-            "sim": pa.array(sims, pa.uint64()),
-            "dup": pa.array(ids, pa.int64()),
+            "key": ids,
+            "sim": batch["sim"].cast(pa.uint64()),
+            "dup": ids,
         })
 
-    base = ds.map_batches(with_sim, batch_format="pyarrow")
+    base = fps.map_batches(with_sim, batch_format="pyarrow")
     pair_rows = dup_pairs.map_batches(
         lambda t: pa.table({"key": t["b"].cast(pa.int64()),
                             "sim": pa.array([0] * len(t), pa.uint64()),
