@@ -415,14 +415,24 @@ def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
             return pa.table({id_col: t[id_col], name: t["sig"]})
         return fn
 
-    with_a = hash_join(cand,
-                       sigs.map_batches(rename_sig("sig_a"),
-                                        batch_format="pyarrow"),
-                       "a", id_col, ["b"], ["sig_a"])
-    with_ab = hash_join(with_a,
-                        sigs.map_batches(rename_sig("sig_b"),
-                                         batch_format="pyarrow"),
-                        "b", id_col, ["a", "sig_a"], ["sig_b"])
+    if cand.count() == 0:
+        # an all-unique corpus yields zero LSH collisions; an empty
+        # materialized dataset loses its schema (schema() is None),
+        # which the joins below cannot consume — short-circuit
+        with_ab = rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "sig_a": pa.array([], pa.large_binary()),
+            "sig_b": pa.array([], pa.large_binary())}))
+    else:
+        with_a = hash_join(cand,
+                           sigs.map_batches(rename_sig("sig_a"),
+                                            batch_format="pyarrow"),
+                           "a", id_col, ["b"], ["sig_a"])
+        with_ab = hash_join(with_a,
+                            sigs.map_batches(rename_sig("sig_b"),
+                                             batch_format="pyarrow"),
+                            "b", id_col, ["a", "sig_a"], ["sig_b"])
 
     def verify(batch: pa.Table) -> pa.Table:
         a_o, b_o = [], []

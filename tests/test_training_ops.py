@@ -343,3 +343,21 @@ def test_dup_ngram_spans_flags_planted_copies(ray_session):
     # all-pairs SQL oracle is covered by the driver's hash gate
     clean = out[(out.index % 5 != 0) & (out.index < 1_000_000)]
     assert (clean.n_dup_grams == 0).mean() >= 0.85
+
+
+def test_minhash_cluster_no_candidates(ray_session):
+    """All-unique corpus: no LSH collisions → empty candidate set must
+    flow through the join-based verify and label propagation, leaving
+    every doc a singleton cluster (empty-block robustness)."""
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages.dedup import minhash_cluster
+
+    docs = rd.from_items([
+        {"doc_id": i,
+         "text": " ".join(f"u{i}w{j}" for j in range(30))}
+        for i in range(40)
+    ])
+    out = minhash_cluster(docs, jaccard_threshold=0.5).to_pandas()
+    assert len(out) == 40
+    assert (out["cluster_id"] == out["doc_id"]).all()
