@@ -76,25 +76,34 @@ def first_wins_filter(ds: rd.Dataset, keep_map: dict[str, object],
 
 
 def exact_dedup_by_hash(ds: rd.Dataset, text_col: str = "text",
-                        id_col: str = "doc_id") -> rd.Dataset:
+                        id_col: str = "doc_id",
+                        num_partitions: int = 32) -> rd.Dataset:
     """Exact content dedup: sha256(text) groups, keep the min-id row.
 
     The general (no-rare-key assumption) form: hash column added in a
-    vectorized map_batches, then a groupby shuffle partitions by hash and
-    keeps each group's first row by id — the reference's unique-index
-    semantics (migrations/006:13-16) as dataflow.
+    vectorized map_batches, then ONE hash-partition shuffle (p =
+    sha prefix % P) whose per-PARTITION body is a single vectorized
+    sort + first-of-run boundary scan — the reference's unique-index
+    semantics (migrations/006:13-16) as dataflow. A hash group lives
+    entirely in its partition, so first-per-group is local; no per-
+    group Python call (the round-2 version paid ~1 ms of interpreter
+    per distinct hash).
     """
     def add_hash(batch: pa.Table) -> pa.Table:
         hs = [hashing.sha256_hex(t or "") for t in batch[text_col].to_pylist()]
-        return batch.append_column("content_sha256", pa.array(hs, pa.string()))
+        p = np.array([int(h[:8], 16) % num_partitions for h in hs], np.int64)
+        return (batch.append_column("content_sha256",
+                                    pa.array(hs, pa.string()))
+                     .append_column("__p", pa.array(p)))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+        g = group.sort_values(["content_sha256", id_col], kind="mergesort")
+        return g[~g["content_sha256"].duplicated()].drop(columns="__p")
 
-    return hashed.groupby("content_sha256").map_groups(
-        keep_first, batch_format="pandas")
+    return hashed.groupby("__p").map_groups(keep_first,
+                                            batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -272,13 +281,12 @@ def _upper_pairs(ids_arr) -> pa.Table:
 
 def _lsh_candidate_pairs(ds: rd.Dataset, text_col: str, id_col: str,
                          shingle_k: int, num_perm: int,
-                         bands: int) -> tuple[rd.Dataset, set]:
-    """Shared banded-LSH candidate discovery (minhash_cluster and
-    jaccard_pairs both run exactly this wide pass): explode each doc to
-    (band, band_hash, id) rows — ids ONLY through the all-to-all, never
-    text/signatures — bucket by band hash, emit within-bucket pairs,
-    dedup with one vectorized groupby. Returns (candidate-pair dataset
-    with columns a/b, the candidate id set)."""
+                         bands: int) -> rd.Dataset:
+    """Banded-LSH candidate discovery (jaccard_pairs' wide pass): explode
+    each doc to (band, band_hash, id) rows — ids ONLY through the
+    all-to-all, never text/signatures — bucket by band hash, emit
+    within-bucket pairs, dedup with one vectorized groupby. Returns the
+    candidate-pair dataset with columns a/b."""
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -307,11 +315,7 @@ def _lsh_candidate_pairs(ds: rd.Dataset, text_col: str, id_col: str,
               .map_batches(lambda t: t.select(["a", "b"]),
                            batch_format="pyarrow")
               .materialize())
-    cand_ids: set = set()
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(b["a"].to_pylist())
-        cand_ids.update(b["b"].to_pylist())
-    return cand, cand_ids
+    return cand
 
 
 def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
@@ -507,20 +511,35 @@ class BloomFilter:
         k = max(1, round(n_bits / max(1, n_items) * math.log(2)))
         return cls(n_bits, min(k, 8))
 
-    def _probes(self, key) -> np.ndarray:
-        d = hashlib.sha256(str(key).encode()).digest()
-        h1 = int.from_bytes(d[:8], "little")
-        h2 = int.from_bytes(d[8:16], "little") | 1
-        return np.array([(h1 + i * h2) % self.n_bits for i in range(self.k)],
-                        dtype=np.int64)
+    @staticmethod
+    def probe_matrix(keys, n_bits: int, k: int) -> np.ndarray:
+        """(n_keys, k) probe indices, numpy-vectorized across keys: one
+        C-speed sha256 per key, then the k double-hash probes as whole-
+        array uint64 arithmetic (wrapping mod 2^64 — add and probe must
+        share this exact arithmetic)."""
+        h = np.empty((len(keys), 2), np.uint64)
+        for j, key in enumerate(keys):
+            d = hashlib.sha256(str(key).encode()).digest()
+            h[j, 0] = int.from_bytes(d[:8], "little")
+            h[j, 1] = int.from_bytes(d[8:16], "little") | 1
+        i = np.arange(k, dtype=np.uint64)
+        return ((h[:, :1] + i * h[:, 1:2]) % np.uint64(n_bits)).astype(np.int64)
+
+    @staticmethod
+    def partial_bits(keys, n_bits: int, k: int) -> np.ndarray:
+        """OR-able partial bit array for a key batch (the per-block unit
+        of the distributed build)."""
+        bits = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+        if len(keys):
+            idx = BloomFilter.probe_matrix(keys, n_bits, k)
+            np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+        return bits
 
     def add(self, key) -> None:
-        idx = self._probes(key)
-        np.bitwise_or.at(self.bits, idx // 8,
-                         (1 << (idx % 8)).astype(np.uint8))
+        self.bits |= self.partial_bits([key], self.n_bits, self.k)
 
     def __contains__(self, key) -> bool:
-        idx = self._probes(key)
+        idx = self.probe_matrix([key], self.n_bits, self.k)[0]
         return bool(np.all((self.bits[idx // 8] >> (idx % 8)) & 1))
 
 
@@ -532,8 +551,11 @@ def bloom_anti_join(ds: rd.Dataset, keys_ds: rd.Dataset, key_col: str,
 
     Scale shape — the full right key set is never shipped anywhere:
 
-    1. one streaming pass over ``keys_ds`` builds the bloom on the driver
-       (~10 bits/key), which broadcasts once;
+    1. one DISTRIBUTED pass over ``keys_ds`` builds per-block partial
+       blooms inside ``map_batches`` (vectorized double-hash probes);
+       the partials OR-merge in a task-level fan-in, so the driver
+       receives a handful of bit arrays, never per-key work (the
+       round-2 build hashed every right key on the driver);
     2. a pruned pass over ``ds`` collects the bloom-POSITIVE keys — true
        matches plus ~``fp_rate`` of the rest, small by construction;
     3. a semi-join pass over ``keys_ds`` verifies which of those are truly
@@ -548,12 +570,32 @@ def bloom_anti_join(ds: rd.Dataset, keys_ds: rd.Dataset, key_col: str,
     right_key_col = right_key_col or key_col
     n_keys = keys_ds.count()
     bloom = BloomFilter.sized_for(max(1, n_keys), fp_rate)
-    key_type = None
-    for b in keys_ds.select_columns([right_key_col]).iter_batches(
-            batch_format="pyarrow"):
-        key_type = b[right_key_col].type
-        for k in b[right_key_col].to_pylist():
-            bloom.add(k)
+    key_type = keys_ds.schema().types[
+        keys_ds.schema().names.index(right_key_col)]
+    n_bits, kk = bloom.n_bits, bloom.k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = BloomFilter.partial_bits(batch[right_key_col].to_pylist(),
+                                        n_bits, kk)
+        return pa.table({"bits": pa.array([bits.tobytes()],
+                                          pa.large_binary())})
+
+    def or_fold(batch: pa.Table) -> pa.Table:
+        acc = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+        for bb in batch["bits"].to_pylist():
+            acc |= np.frombuffer(bb, dtype=np.uint8)
+        return pa.table({"bits": pa.array([acc.tobytes()],
+                                          pa.large_binary())})
+
+    # fan-in OR tree: one partial per input block -> 8 task-level merges
+    # -> the driver ORs at most 8 arrays (never touches keys)
+    merged = (keys_ds.select_columns([right_key_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .repartition(8)
+              .map_batches(or_fold, batch_format="pyarrow", batch_size=None))
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for bb in b["bits"].to_pylist():
+            bloom.bits |= np.frombuffer(bb, dtype=np.uint8)
     bloom_ref = ray.put(bloom)
 
     def maybe_keys(batch: pa.Table) -> pa.Table:
@@ -618,50 +660,84 @@ def jaccard_pairs(ds: rd.Dataset, text_col: str = "text",
     (the round-1 version amplified every document's text x bands through
     the all-to-all). Candidate pairs dedup with one vectorized groupby.
 
-    Pass 2 (narrow): exact verification. The candidate-id set is small by
-    construction (LSH matches ≈ true near-dups), so a second pruned scan
-    collects only the candidates' shingle sets; the map over pairs reads
-    the broadcast shingle map. Driver state is bounded by candidate
-    volume — the same bound as the exact-dedup keep-map.
+    Pass 2 (narrow, fully distributed): exact verification. A semi-join
+    prunes the corpus to candidate documents (LSH matches ≈ true
+    near-dups, so the pruned side is small by construction), shingle
+    sets are computed once per candidate, and two distributed
+    ``hash_join`` passes attach them to the pair rows — the same
+    sig-join pattern as ``minhash_cluster``'s verify. NOTHING
+    per-candidate ever lands on the driver (the round-2 version
+    collected every candidate's full shingle set into a driver dict).
 
     Returns (a, b, jaccard_pct) with a < b, integer half-up percent.
     """
-    ds = ds.materialize()  # scanned twice (banding, candidate shingles)
-    cand, cand_ids = _lsh_candidate_pairs(ds, text_col, id_col,
-                                          shingle_k, num_perm, bands)
-    if not cand_ids:
-        return rd.from_arrow(pa.table({
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64()),
-            "jaccard_pct": pa.array([], pa.int64())}))
-    ids_ref = ray.put(cand_ids)
+    from .joins import hash_join
 
-    def cand_shingles(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard_pct": pa.array([], pa.int64())})
+    ds = ds.materialize()  # scanned twice (banding, candidate shingles)
+    cand = _lsh_candidate_pairs(ds, text_col, id_col,
+                                shingle_k, num_perm, bands)
+    if cand.count() == 0:
+        # an empty materialized dataset loses its schema, which the
+        # joins below cannot consume — short-circuit
+        return rd.from_arrow(empty)
+
+    def pair_ids(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([t["a"].combine_chunks().cast(pa.int64()),
+                                t["b"].combine_chunks().cast(pa.int64())])
+        return pa.table({id_col: ids})
+
+    cand_ids = cand.map_batches(pair_ids, batch_format="pyarrow")
+    # semi-join prune: only candidate docs' texts survive (the right
+    # side of the semi moves ids only; see joins.hash_join)
+    cand_docs = hash_join(ds.select_columns([id_col, text_col]), cand_ids,
+                          id_col, id_col, [text_col], [], how="semi")
+
+    def to_shingles(batch: pa.Table) -> pa.Table:
         out_i, out_sh = [], []
         for i, t in zip(batch[id_col].to_pylist(),
                         batch[text_col].to_pylist()):
-            if i in wanted:
-                out_i.append(i)
-                out_sh.append(sorted(hashing.shingles(t or "", shingle_k)))
+            out_i.append(i)
+            out_sh.append(sorted(hashing.shingles(t or "", shingle_k)))
         return pa.table({id_col: pa.array(out_i, pa.int64()),
-                         "sh": pa.array(out_sh,
-                                        pa.list_(pa.uint64()))})
+                         "sh": pa.array(out_sh, pa.list_(pa.uint64()))})
 
-    shingle_map: dict[int, frozenset] = {}
-    for b in (ds.map_batches(cand_shingles, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")):
-        for i, sh in zip(b[id_col].to_pylist(), b["sh"].to_pylist()):
-            shingle_map[i] = frozenset(sh)
-    map_ref = ray.put(shingle_map)
+    # repartition: shingle rows arrive as many near-empty blocks and
+    # pair lists as one tiny block per LSH bucket — per-block overhead
+    # dwarfs the join work (the minhash_cluster lesson, ROUND2 notes)
+    shing = (cand_docs.map_batches(to_shingles, batch_format="pyarrow")
+                      .repartition(16).materialize())
+
+    def rename_sh(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({id_col: t[id_col], name: t["sh"]})
+        return fn
+
+    with_a = hash_join(cand,
+                       shing.map_batches(rename_sh("sh_a"),
+                                         batch_format="pyarrow"),
+                       "a", id_col, ["b"], ["sh_a"])
+    with_ab = hash_join(with_a,
+                        shing.map_batches(rename_sh("sh_b"),
+                                          batch_format="pyarrow"),
+                        "b", id_col, ["a", "sh_a"], ["sh_b"])
 
     def verify(batch: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
         a_o, b_o, j_o = [], [], []
-        for a, b_ in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+        for a, b_, sa, sb in zip(batch["a"].to_pylist(),
+                                 batch["b"].to_pylist(),
+                                 batch["sh_a"].to_pylist(),
+                                 batch["sh_b"].to_pylist()):
+            if sa is None or sb is None:
+                continue
+            va = np.asarray(sa, dtype=np.uint64)
+            vb = np.asarray(sb, dtype=np.uint64)
+            inter = len(np.intersect1d(va, vb, assume_unique=True))
+            union = len(va) + len(vb) - inter
             # half-up rounding matches the SQL oracle's floor(x + 0.5)
-            jac = int(100 * hashing.jaccard(m.get(a, frozenset()),
-                                            m.get(b_, frozenset())) + 0.5)
+            jac = int(100 * inter / union + 0.5) if union else 0
             if jac >= threshold_pct:
                 a_o.append(a)
                 b_o.append(b_)
@@ -670,7 +746,7 @@ def jaccard_pairs(ds: rd.Dataset, text_col: str = "text",
                          "b": pa.array(b_o, pa.int64()),
                          "jaccard_pct": pa.array(j_o, pa.int64())})
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,39 @@ def test_jaccard_pairs_find_planted(ray_session):
     assert (planted.jaccard_pct >= 80).all()
 
 
+def test_jaccard_pairs_no_driver_broadcast(ray_session, monkeypatch):
+    """Pass 2 attaches shingle sets via distributed hash joins: the
+    driver never ray.put()s a per-candidate payload (the round-2 version
+    broadcast a dict of every candidate's full shingle set)."""
+    import ray
+    from pdf_extraction_ray.pipelines.analytics import jaccard_pairs
+    puts: list = []
+    real_put = ray.put
+    monkeypatch.setattr(ray, "put",
+                        lambda obj, **kw: (puts.append(obj),
+                                           real_put(obj, **kw))[1])
+    out = jaccard_pairs(SF_SMOKE).to_pandas()
+    assert len(out) > 0
+    assert not any(isinstance(p, (dict, set, frozenset)) for p in puts)
+
+
+def test_bloom_build_never_hashes_keys_on_driver(ray_session, monkeypatch):
+    """The bloom bit array is OR-merged from per-block partials built in
+    tasks; the driver never calls BloomFilter.add (the round-2 build
+    hashed every right key on the driver, single-threaded)."""
+    import ray.data as rd
+    from pdf_extraction_ray.stages import dedup as dd
+
+    def boom(self, key):
+        raise AssertionError("driver-side BloomFilter.add during build")
+
+    monkeypatch.setattr(dd.BloomFilter, "add", boom)
+    left = rd.from_items([{"k": f"u{i}", "v": i} for i in range(60)])
+    right = rd.from_items([{"k": f"u{i}"} for i in range(0, 60, 2)])
+    out = dd.bloom_anti_join(left, right, "k").to_pandas()
+    assert sorted(out.v.tolist()) == [i for i in range(60) if i % 2 == 1]
+
+
 def test_embedding_dup_pairs_exact(ray_session):
     from pdf_extraction_ray.pipelines.analytics import embedding_dup_pairs
     out = embedding_dup_pairs(SF_SMOKE).to_pandas()
