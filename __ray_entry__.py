@@ -282,8 +282,55 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver records CORRECTNESS rows for the first
+    # 50 entries only. Round 2 verified the legacy first-50 (47 green /
+    # 3 no_oracle); round 3 therefore leads with (a) the 28 operators
+    # that had never had a driver row, and (b) the 3 newly-oracled
+    # queries (text_embed_dups, kmeans_clusters, ann_ivf_fullprobe),
+    # then fills the window with the flagship extraction + dedup
+    # entries. Union(r02, r03) = every query externally verified.
     return {
-        # extraction family (north-rule pipeline; SURVEY.md §2 M1-M17)
+        # windowed aggregates (streaming-shaped) — never driver-verified
+        "window_tumbling": _tuned(analytics.window_tumbling),
+        "window_sliding": _tuned(analytics.window_sliding),
+        "rolling_user_value": _tuned(analytics.rolling_user_value),
+        "running_user_value": _tuned(analytics.running_user_value),
+        "sessions": _tuned(analytics.sessions),
+        "sessions_salted": _tuned(analytics.sessions_salted),
+        # multi-level aggregation (rollup / pivot)
+        "orders_rollup": _tuned(relational.orders_rollup),
+        "orders_pivot": _tuned(relational.orders_pivot),
+        # temporal join + join family
+        "asof_prior_error": _tuned(analytics.asof_prior_error),
+        "order_customer_join": _tuned(analytics.order_customer_join),
+        "user_activity_full": _tuned(analytics.user_activity_full),
+        "customers_with_orders_semi":
+            _tuned(analytics.customers_with_orders_semi),
+        "event_pairs_within": _tuned(analytics.event_pairs_within),
+        # corpus-stats / scoring operators
+        "vocab_df": _tuned(analytics.vocab_df),
+        "bigram_counts": _tuned(analytics.bigram_counts),
+        "dup_ngram_spans": _tuned(analytics.dup_ngram_spans),
+        "stratified_sample": _tuned(analytics.stratified_sample),
+        "sample_k_per_lang": _tuned(analytics.sample_k_per_lang),
+        "heavy_hitter_terms": _tuned(analytics.heavy_hitter_terms),
+        "tfidf_top_terms": _tuned(analytics.tfidf_top_terms),
+        "lm_doc_scores": _tuned(analytics.lm_doc_scores),
+        "quality_percentile_filter": _tuned(analytics.quality_percentile_filter),
+        "doc_shuffle": _tuned(analytics.doc_shuffle),
+        "normalize_text": _tuned(analytics.normalize_text),
+        "doc_passages": _tuned(analytics.doc_passages),
+        "bm25_topk": _tuned(analytics.bm25_topk),
+        "bm25_topk_indexed": _tuned(analytics.bm25_topk_indexed),
+        "value_quantiles_hist": _tuned(analytics.value_quantiles_hist),
+        "props_json_stats": _tuned(analytics.props_json_stats),
+        # newly oracled in round 3 (were rows-only in r02)
+        "text_embed_dups": _tuned(analytics.text_embed_dups),
+        "kmeans_clusters": _tuned(analytics.kmeans_clusters),
+        "ann_ivf_fullprobe": _tuned(analytics.ann_ivf_fullprobe),
+        # --- window filler: flagship extraction family (green in r02,
+        # kept inside the 50 so the headline pipeline stays externally
+        # verified every round) ---
         "extract_pipeline": _tuned(q_extract_pipeline),
         "extract_routing_stats": _tuned(q_extract_routing_stats),
         "sniff_counts": _tuned(q_sniff_counts),
@@ -291,9 +338,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_counts": _tuned(q_span_kind_counts),
         "pdf_elements": _tuned(q_pdf_elements),
         "export_markdown": _tuned(q_export_markdown),
-        "url_parts_stats": _tuned(q_url_parts_stats),
+        "canonical_names": _tuned(q_canonical_names),
         "boilerplate_lines": _tuned(q_boilerplate_lines),
         "line_dedup_docs": _tuned(q_line_dedup_docs),
+        # dedup family (D1 + near-dup extensions)
+        "dedup_exact": _tuned(analytics.dedup_exact),
+        "dedup_minhash": _tuned(analytics.dedup_minhash),
+        "dedup_simhash": _tuned(analytics.dedup_simhash),
+        "jaccard_pairs": _tuned(analytics.jaccard_pairs),
+        "dedup_clusters": _tuned(analytics.dedup_clusters),
+        "embedding_dup_pairs": _tuned(analytics.embedding_dup_pairs),
+        "dedup_embedding_cells": _tuned(analytics.dedup_embedding_cells),
+        "ann_bruteforce": _tuned(analytics.ann_bruteforce),
+        # --- entry 51+ (green in r02; no new row needed) ---
+        "url_parts_stats": _tuned(q_url_parts_stats),
         "repetition_stats": _tuned(q_repetition_stats),
         # relational family (SURVEY.md §2.4-2.7 A1/A3/A5/A6, J3/J4, O1, D3)
         "pricing_summary": _tuned(relational.pricing_summary),
@@ -309,7 +367,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": _tuned(relational.top_orders_per_segment),
         # scalar-function library as dataset ops (M3/M4/M16)
         "sha256_docs": _tuned(analytics.sha256_docs),
-        "canonical_names": _tuned(q_canonical_names),
         # text analytics (training-data operators)
         "token_stats": _tuned(analytics.token_stats),
         "quality_filter": _tuned(analytics.quality_filter),
@@ -329,52 +386,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _tuned(analytics.pack_sequences),
         "shard_assign": _tuned(analytics.shard_assign),
         "hll_users_per_type": _tuned(analytics.hll_users_per_type),
-        # dedup family (D1 + near-dup extensions)
-        "dedup_exact": _tuned(analytics.dedup_exact),
-        "dedup_minhash": _tuned(analytics.dedup_minhash),
-        "dedup_simhash": _tuned(analytics.dedup_simhash),
-        "jaccard_pairs": _tuned(analytics.jaccard_pairs),
-        "dedup_clusters": _tuned(analytics.dedup_clusters),
-        "embedding_dup_pairs": _tuned(analytics.embedding_dup_pairs),
-        "dedup_embedding_cells": _tuned(analytics.dedup_embedding_cells),
-        # similarity search + embedding clustering
-        "ann_bruteforce": _tuned(analytics.ann_bruteforce),
+        # pruned-probe IVF (approximate by design: recall vs brute force
+        # asserted in tests; its full-probe twin above IS oracled)
         "ann_ivf": _tuned(analytics.ann_ivf),
-        "kmeans_clusters": _tuned(analytics.kmeans_clusters),
-        "text_embed_dups": _tuned(analytics.text_embed_dups),
-        # windowed aggregates (streaming-shaped)
-        "window_tumbling": _tuned(analytics.window_tumbling),
-        "window_sliding": _tuned(analytics.window_sliding),
-        "rolling_user_value": _tuned(analytics.rolling_user_value),
-        "running_user_value": _tuned(analytics.running_user_value),
-        "sessions": _tuned(analytics.sessions),
-        "sessions_salted": _tuned(analytics.sessions_salted),
-        # multi-level aggregation (rollup / pivot)
-        "orders_rollup": _tuned(relational.orders_rollup),
-        "orders_pivot": _tuned(relational.orders_pivot),
-        # temporal join + corpus-stats operators
-        "asof_prior_error": _tuned(analytics.asof_prior_error),
-        "order_customer_join": _tuned(analytics.order_customer_join),
-        "user_activity_full": _tuned(analytics.user_activity_full),
-        "customers_with_orders_semi":
-            _tuned(analytics.customers_with_orders_semi),
-        "vocab_df": _tuned(analytics.vocab_df),
-        "bigram_counts": _tuned(analytics.bigram_counts),
-        "dup_ngram_spans": _tuned(analytics.dup_ngram_spans),
-        "stratified_sample": _tuned(analytics.stratified_sample),
-        "sample_k_per_lang": _tuned(analytics.sample_k_per_lang),
-        "heavy_hitter_terms": _tuned(analytics.heavy_hitter_terms),
-        "tfidf_top_terms": _tuned(analytics.tfidf_top_terms),
-        "lm_doc_scores": _tuned(analytics.lm_doc_scores),
-        "quality_percentile_filter": _tuned(analytics.quality_percentile_filter),
-        "doc_shuffle": _tuned(analytics.doc_shuffle),
-        "normalize_text": _tuned(analytics.normalize_text),
-        "doc_passages": _tuned(analytics.doc_passages),
-        "bm25_topk": _tuned(analytics.bm25_topk),
-        "bm25_topk_indexed": _tuned(analytics.bm25_topk_indexed),
-        "value_quantiles_hist": _tuned(analytics.value_quantiles_hist),
-        "event_pairs_within": _tuned(analytics.event_pairs_within),
-        "props_json_stats": _tuned(analytics.props_json_stats),
     }
 
 
@@ -442,6 +456,13 @@ def oracle_sql() -> dict[str, str]:
         # exact all-pairs oracle bit-for-bit
         "dedup_embedding_cells": analytics.embedding_dup_pairs_sql(),
         "ann_bruteforce": analytics.ann_bruteforce_sql(),
+        # full-probe IVF reads every cell of the persisted index, so it
+        # is value-identical to brute force and shares its oracle — the
+        # gate proves the index + probe plumbing lose nothing
+        "ann_ivf_fullprobe": analytics.ann_bruteforce_sql(),
+        # Lloyd's rounds unrolled in SQL (integer output; see
+        # analytics.kmeans_clusters_sql)
+        "kmeans_clusters": analytics.kmeans_clusters_sql(),
         "window_tumbling": analytics.window_tumbling_sql(),
         "window_sliding": analytics.window_sliding_sql(),
         "rolling_user_value": analytics.rolling_user_value_sql(),
@@ -478,9 +499,11 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles_hist": analytics.value_quantiles_hist_sql(),
         "event_pairs_within": analytics.event_pairs_within_sql(),
         "props_json_stats": analytics.props_json_stats_sql(),
-        # rows-only (non-SQL-expressible): ann_ivf, kmeans_clusters,
-        # text_embed_dups — float iterative/approximate algorithms,
-        # verified in tests instead (recall / determinism / error-bound
-        # assertions, tests/test_training_ops.py,
-        # tests/test_window_join_ops.py)
+        # the embedder is integer FNV buckets x a sha256-derived
+        # projection, so DuckDB recomputes the whole text->embedding->
+        # pair pipeline (round-2 had this rows-only)
+        "text_embed_dups": analytics.text_embed_dups_sql(),
+        # rows-only (non-SQL-expressible): ann_ivf (pruned-probe
+        # approximate; its full-probe variant ann_ivf_fullprobe IS
+        # oracled and the pruned path's recall is test-asserted)
     }

@@ -412,6 +412,10 @@ def doc_passages(sf_dir: str, k: int = 32, overlap: int = 8) -> rd.Dataset:
     rows directly. Last window rule: a doc with <= k words is one
     passage; otherwise ceil((n - k)/stride) + 1 windows, final window
     possibly short."""
+    if not 0 <= overlap < k:
+        raise ValueError(
+            f"doc_passages needs 0 <= overlap < k, got k={k} "
+            f"overlap={overlap} (stride {k - overlap} must be positive)")
     stride = k - overlap
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -439,6 +443,10 @@ def doc_passages(sf_dir: str, k: int = 32, overlap: int = 8) -> rd.Dataset:
 
 
 def doc_passages_sql(k: int = 32, overlap: int = 8) -> str:
+    if not 0 <= overlap < k:
+        raise ValueError(
+            f"doc_passages_sql needs 0 <= overlap < k, got k={k} "
+            f"overlap={overlap}")
     stride = k - overlap
     return f"""
 WITH w AS (
@@ -1904,14 +1912,76 @@ FROM terms GROUP BY doc_id"""
 
 
 def kmeans_clusters(sf_dir: str, k: int = 10, iters: int = 6) -> rd.Dataset:
-    """Distributed Lloyd's k-means assignment over the embeddings table
-    (rows-only: iterative float algorithm with no SQL analog; monotone
-    inertia + determinism asserted in tests). Broadcast centroids,
-    fixed-size mergeable partials — the iterative-ML shape on Ray Data
-    (stages/similarity.py:kmeans)."""
+    """Distributed Lloyd's k-means assignment over the embeddings table.
+    Broadcast centroids, fixed-size mergeable partials — the
+    iterative-ML shape on Ray Data (stages/similarity.py:kmeans).
+    Exactly SQL-oracled since round 3: init is the SQL-replicable
+    ``init_ids=[0..k-1]`` variant and every Lloyd round is deterministic
+    order-independent float64, so ``kmeans_clusters_sql`` unrolls the
+    same ``iters`` rounds in DuckDB and the integer (vec_id, cluster_id)
+    output matches exactly (assignment flips would need a point
+    equidistant to two centroids within ~1e-13 — measured margins are
+    orders wider; monotone inertia + farthest-point init stay
+    test-asserted on the default path)."""
     ds = _read_table(sf_dir, "embeddings")
-    assign, _hist = sim.kmeans(ds, k=k, iters=iters)
+    assign, _hist = sim.kmeans(ds, k=k, iters=iters,
+                               init_ids=list(range(k)))
     return assign
+
+
+def kmeans_clusters_sql(k: int = 10, iters: int = 6, dim: int = 64) -> str:
+    """DuckDB replica of ``kmeans_clusters``: centroids start as vectors
+    0..k-1, then ``iters`` unrolled Lloyd rounds (argmin assignment with
+    cluster-id tie-break, per-cluster per-dim mean, empty clusters keep
+    the previous centroid), then the final assignment."""
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           sum((v.val - c.val) * (v.val - c.val)) AS dist
+    FROM v JOIN {cents} c ON v.d = c.d
+    GROUP BY v.vec_id, c.cid)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist, cid) = 1
+)"""
+
+    parts = [f"""v AS (
+  SELECT vec_id, unnest(range({dim})) AS d,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, d, val FROM v WHERE vec_id < {k}
+)"""]
+    for i in range(iters):
+        parts.append(assign_cte(f"a{i}", f"c{i}"))
+        parts.append(f"""c{i + 1} AS (
+  SELECT p.cid, p.d, COALESCE(m.val, p.val) AS val
+  FROM c{i} p LEFT JOIN (
+    SELECT a.cid, v.d, avg(v.val) AS val
+    FROM a{i} a JOIN v ON v.vec_id = a.vec_id
+    GROUP BY a.cid, v.d) m
+  ON m.cid = p.cid AND m.d = p.d
+)""")
+    parts.append(assign_cte("afinal", f"c{iters}"))
+    return ("WITH " + ",\n".join(parts) +
+            "\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM afinal")
+
+
+def ann_ivf_fullprobe(sf_dir: str, k: int = 10,
+                      n_centroids: int = 16) -> rd.Dataset:
+    """IVF top-k with ``n_probe = n_centroids``: every cell is probed, so
+    the result is value-identical to exact brute force and SHARES
+    ``ann_bruteforce``'s oracle — proving the persisted cell-partitioned
+    index, the probe-pruned read plumbing, and the per-cell scoring lose
+    nothing. The production pruned-probe path (``ann_ivf``) keeps its
+    recall assertions in tests."""
+    from pathlib import Path
+    q, qids = _query_vectors(sf_dir)
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index_dir = os.path.join("/tmp/pdf_extraction_ray/ivf",
+                             Path(sf_dir).name or "sf")
+    return sim.topk_cosine_ivf(ds, q, qids, k=k, n_centroids=n_centroids,
+                               n_probe=n_centroids, index_dir=index_dir)
 
 
 def value_quantiles_hist(sf_dir: str) -> rd.Dataset:
@@ -1964,13 +2034,68 @@ def text_embed_dups(sf_dir: str, threshold_pct: int = 95) -> rd.Dataset:
     """End-to-end text → embedding → cosine near-dup: the actor-pool
     hashing embedder (model state per actor, stages/embed.py) feeds the
     blocked exact cosine pair detector over the planted near-dup corpus.
-    Rows-only (float embedding geometry has no SQL analog); planted-pair
-    recall and determinism are asserted in tests."""
+    Exactly SQL-oracled since round 3: the embedder's arithmetic is
+    integer FNV-1a buckets x a sha256-derived projection with closed-form
+    [-1,1) doubles (stages/embed.py:projection_matrix), so DuckDB
+    recomputes the embeddings and the pair set (``text_embed_dups_sql``);
+    the nearest pair sits >= 1e-3 from the 0.95 threshold while cross-
+    engine float noise is ~1e-7 (measured, ROUND3_NOTES)."""
     from ..stages.embed import embed_documents
 
     emb = embed_documents(_docs_with_planted_near_dups(sf_dir))
     return dd.embedding_near_dup(emb, threshold_pct=threshold_pct,
                                  id_col="doc_id")
+
+
+def text_embed_dups_sql(threshold_pct: int = 95, dim: int = 64,
+                        n_buckets: int = 4096) -> str:
+    """Value-exact DuckDB replica of ``text_embed_dups``: FNV-1a 32-bit
+    char-3-gram buckets (byte == codepoint on this ASCII corpus), the
+    sha256-derived projection, float64 forward + normalize, float32
+    rounding (CAST AS FLOAT — the engine stores list<float32>), then
+    all-pairs cosine at the same threshold."""
+    c = [f"unicode(substr(text, i + {j}, 1))::UBIGINT" for j in range(3)]
+    h = "2166136261::UBIGINT"
+    for cj in c:
+        h = f"((xor({h}, {cj}) * 16777619) % 4294967296)"
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, length(text) - 12)
+  FROM documents WHERE doc_id % 5 = 0
+), grams AS (
+  SELECT doc_id, unnest(range(1, length(text) - 1)) AS i, text
+  FROM all_docs WHERE length(text) >= 3
+), gb AS (
+  SELECT doc_id, ({h}) % {n_buckets} AS bucket FROM grams
+), counts AS (
+  SELECT doc_id, bucket, count(*)::DOUBLE AS w FROM gb
+  GROUP BY doc_id, bucket
+), proj AS (
+  SELECT b, d,
+         (({_SQL_HASH64} >> 10)::DOUBLE - 4503599627370496)
+           / 4503599627370496 AS val
+  FROM (SELECT b, d, sha256('proj:' || b || ':' || d) AS h
+        FROM (SELECT unnest(range({n_buckets})) AS b),
+             (SELECT unnest(range({dim})) AS d))
+), emb AS (
+  SELECT c.doc_id, p.d, sum(c.w * p.val) AS v
+  FROM counts c JOIN proj p ON c.bucket = p.b
+  GROUP BY c.doc_id, p.d
+), nrm AS (
+  SELECT doc_id, sqrt(sum(v * v)) AS nm FROM emb GROUP BY doc_id
+), unitv AS (
+  SELECT e.doc_id, e.d,
+         CAST(CAST(e.v / (CASE WHEN n.nm = 0 THEN 1 ELSE n.nm END)
+                   AS FLOAT) AS DOUBLE) AS uv
+  FROM emb e JOIN nrm n USING (doc_id)
+), vecs AS (
+  SELECT doc_id, list(uv ORDER BY d) AS e FROM unitv GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+WHERE list_cosine_similarity(a.e, b.e) >= {threshold_pct / 100.0}"""
 
 
 def audio_decode(sf_dir: str) -> rd.Dataset:

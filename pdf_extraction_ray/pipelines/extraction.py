@@ -154,7 +154,8 @@ def extracted_dataset(pages_path: str,
 def run_retry(pages_path: str,
               out_dir: str,
               cfg: PipelineConfig = DEFAULT_CONFIG,
-              max_attempts: int = 5) -> dict:
+              max_attempts: int = 5,
+              retry_batch_limit: int = 100_000) -> dict:
     """Semantic retry pass over a checkpointed run (reference semantics:
     duplicate found with status partial/failed → retry with retry_count+1,
     cap 5 → review queue; app/routers/extraction.py:155-190,330-355).
@@ -163,33 +164,54 @@ def run_retry(pages_path: str,
     ``max_attempts`` (attempts+1), merges them back into their buckets
     atomically, and quarantines rows that exhausted the cap into
     ``out_dir/_quarantine/`` (the review-queue analog). Returns a summary.
+
+    Driver state is BOUNDED: the partial rows stream through a capped
+    fold (only (url, attempts) pairs are kept, at most
+    ``retry_batch_limit`` of them — the targeted re-read needs the url
+    list on the driver to push the predicate into the parquet scan), so
+    a poison pattern marking a large corpus fraction partial cannot OOM
+    the driver (the round-2 version ``to_pandas()``-ed every partial
+    row). Eligible rows beyond the cap are reported as ``n_deferred``;
+    re-invoke until it reaches 0.
     """
     import shutil
 
     import ray
 
     existing = rd.read_parquet(
-        out_dir, columns=["url", "attempts", "bucket", "error", "status"])
+        out_dir, columns=["url", "attempts", "error", "status"])
 
     def failed_rows(batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch["status"], "partial")
-        return batch.filter(mask).select(["url", "attempts", "bucket", "error"])
+        return batch.filter(mask).select(["url", "attempts", "error"])
 
-    failed = existing.map_batches(failed_rows, batch_format="pyarrow").to_pandas()
-    if failed.empty:  # an all-clean run yields a column-less empty frame
-        return {"n_partial": 0, "n_retried": 0,
-                "n_quarantined": 0, "n_recovered": 0}
-    # the reference never retries permanent errors (app/utils/retry.py:21-34:
-    # 400/404/422 fail fast); deterministic parse failures are the analog
-    permanent = failed.error.str.startswith("permanent:")
-    retryable = failed[(failed.attempts < max_attempts) & ~permanent]
-    exhausted = failed[(failed.attempts >= max_attempts) | permanent]
+    # streamed capped fold — never a whole-corpus driver frame
+    n_partial = 0
+    n_eligible = 0
+    att_map: dict[str, int] = {}
+    for b in (existing.map_batches(failed_rows, batch_format="pyarrow")
+                      .iter_batches(batch_format="pyarrow")):
+        n_partial += b.num_rows
+        # the reference never retries permanent errors
+        # (app/utils/retry.py:21-34: 400/404/422 fail fast);
+        # deterministic parse failures are the analog
+        elig = b.filter(pc.and_(
+            pc.less(b["attempts"], max_attempts),
+            pc.invert(pc.starts_with(b["error"], "permanent:"))))
+        n_eligible += elig.num_rows
+        room = retry_batch_limit - len(att_map)
+        if room > 0:
+            for u, a in zip(elig["url"].to_pylist()[:room],
+                            elig["attempts"].to_pylist()[:room]):
+                att_map[u] = a + 1
 
-    summary = {"n_partial": len(failed), "n_retried": len(retryable),
-               "n_quarantined": len(exhausted), "n_recovered": 0}
+    summary = {"n_partial": n_partial, "n_retried": len(att_map),
+               "n_quarantined": 0, "n_recovered": 0,
+               "n_deferred": n_eligible - len(att_map)}
+    if n_partial == 0:
+        return summary
 
-    if len(retryable):
-        att_map = dict(zip(retryable.url, retryable.attempts + 1))
+    if att_map:
         ref = ray.put(att_map)
 
         def bump_attempts(batch: pa.Table) -> pa.Table:
@@ -218,30 +240,32 @@ def run_retry(pages_path: str,
                        .select(["url"]), batch_format="pyarrow").count()
         summary["n_recovered"] = recovered
 
-    if len(exhausted) or summary["n_retried"]:
-        # a retry can exhaust a url THIS invocation (attempts hits the
-        # cap and the row stays partial) — the quarantine pass must see
-        # the post-merge state, and the summary reports what the pass
-        # actually wrote, not the pre-merge estimate
-        def exhausted_rows(batch: pa.Table) -> pa.Table:
-            mask = pc.and_(
-                pc.equal(batch["status"], "partial"),
-                pc.or_(pc.greater_equal(batch["attempts"], max_attempts),
-                       pc.starts_with(batch["error"], "permanent:")))
-            return batch.filter(mask)
+    # a retry can exhaust a url THIS invocation (attempts hits the
+    # cap and the row stays partial) — the quarantine pass must see
+    # the post-merge state, and the summary reports what the pass
+    # actually wrote, not a pre-merge estimate; deferred (capped-out)
+    # rows match neither predicate and stay for the next invocation
+    def exhausted_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch["status"], "partial"),
+            pc.or_(pc.greater_equal(batch["attempts"], max_attempts),
+                   pc.starts_with(batch["error"], "permanent:")))
+        return batch.filter(mask)
 
-        # streamed, distributed quarantine write (never concatenated on the
-        # driver — a corpus-wide poison pattern stays bounded per task);
-        # the fresh directory swaps in after the write completes
-        qdir = os.path.join(out_dir, "_quarantine")
-        qtmp = os.path.join(out_dir, "_quarantine.tmp")
-        shutil.rmtree(qtmp, ignore_errors=True)
-        (rd.read_parquet(out_dir)
-           .map_batches(exhausted_rows, batch_format="pyarrow")
-           .write_parquet(qtmp))
-        shutil.rmtree(qdir, ignore_errors=True)
-        os.replace(qtmp, qdir)
-        summary["n_quarantined"] = rd.read_parquet(qdir).count()
+    # streamed, distributed quarantine write (never concatenated on the
+    # driver — a corpus-wide poison pattern stays bounded per task);
+    # the fresh directory swaps in after the write completes
+    qdir = os.path.join(out_dir, "_quarantine")
+    qtmp = os.path.join(out_dir, "_quarantine.tmp")
+    shutil.rmtree(qtmp, ignore_errors=True)
+    (rd.read_parquet(out_dir)
+       .map_batches(exhausted_rows, batch_format="pyarrow")
+       .write_parquet(qtmp))
+    # a zero-exhausted pass writes no files (and possibly no dir)
+    os.makedirs(qtmp, exist_ok=True)
+    shutil.rmtree(qdir, ignore_errors=True)
+    os.replace(qtmp, qdir)
+    summary["n_quarantined"] = rd.read_parquet(qdir).count()
 
     return summary
 
@@ -286,6 +310,84 @@ def load_review_queue(out_dir: str) -> rd.Dataset:
                                pa.array([r[1] for r in rows], pa.int64())))
 
     return rd.read_parquet(qdir).map_batches(attach, batch_format="pyarrow")
+
+
+def resolve_review_queue(out_dir: str, urls: list[str],
+                         resolution: str = "accept") -> dict:
+    """Review-queue RESOLUTION write-back (reference: the review_queue
+    UPDATE path, app/db/review_queue.py — a reviewer marks quarantined
+    rows resolved instead of leaving them parked forever).
+
+    Modes:
+    - ``"accept"``: the partial output is good enough — the url's
+      bucket row flips to ``status='completed'`` (error kept for audit,
+      prefixed ``resolved:``);
+    - ``"retry"``: the row re-enters the retry loop — ``attempts``
+      resets to 0 in its bucket, so the next ``run_retry`` re-extracts
+      it even if it had exhausted the cap.
+
+    Either way the rows leave ``_quarantine/`` (streamed rewrite, atomic
+    swap). Bucket rewrites run distributed inside the groupby tasks via
+    the same ``merge_bucket_group`` the retry pass uses (manifest
+    counters refresh atomically). Idempotent: unknown or already-
+    resolved urls no-op. Returns {"n_resolved", "n_remaining"}.
+    """
+    import shutil
+
+    import ray
+
+    if resolution not in ("accept", "retry"):
+        raise ValueError(f"unknown resolution {resolution!r}")
+    qdir = os.path.join(out_dir, "_quarantine")
+    if not os.path.isdir(qdir) or not any(
+            f.endswith(".parquet") for f in os.listdir(qdir)):
+        return {"n_resolved": 0, "n_remaining": 0}
+    ref = ray.put(set(urls))
+
+    def split(batch: pa.Table, keep_resolved: bool) -> pa.Table:
+        wanted = ray.get(ref)
+        mask = pa.array([(u in wanted) == keep_resolved
+                         for u in batch["url"].to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    q = rd.read_parquet(qdir)
+    resolved = q.map_batches(lambda b: split(b, True),
+                             batch_format="pyarrow")
+
+    def apply_resolution(batch: pa.Table) -> pa.Table:
+        if resolution == "accept":
+            batch = batch.set_column(
+                batch.schema.get_field_index("status"), "status",
+                pa.array(["completed"] * len(batch), pa.string()))
+            batch = batch.set_column(
+                batch.schema.get_field_index("error"), "error",
+                pa.array([f"resolved:{e}" for e in
+                          batch["error"].to_pylist()], pa.string()))
+        else:  # retry: clear the cap, keep partial status
+            batch = batch.set_column(
+                batch.schema.get_field_index("attempts"), "attempts",
+                pa.array([0] * len(batch), pa.int64()))
+        return batch
+
+    resolved = resolved.map_batches(apply_resolution,
+                                    batch_format="pyarrow").materialize()
+    n_resolved = resolved.count()
+    if n_resolved:
+        resolved.groupby("bucket").map_groups(
+            lambda g: ckpt.merge_bucket_group(g, out_dir),
+            batch_format="pyarrow").take_all()
+
+    # streamed quarantine rewrite minus the resolved rows, atomic swap
+    qtmp = os.path.join(out_dir, "_quarantine.tmp")
+    shutil.rmtree(qtmp, ignore_errors=True)
+    q.map_batches(lambda b: split(b, False),
+                  batch_format="pyarrow").write_parquet(qtmp)
+    # an all-resolved queue writes zero files (and possibly no dir)
+    os.makedirs(qtmp, exist_ok=True)
+    shutil.rmtree(qdir, ignore_errors=True)
+    os.replace(qtmp, qdir)
+    return {"n_resolved": n_resolved,
+            "n_remaining": rd.read_parquet(qdir).count()}
 
 
 def run_extraction(pages_path: str,

@@ -3,11 +3,13 @@ Data (actor pool, model state built once per actor, vectorized batch
 forward).
 
 The "model" is a deterministic feature-hashing projector: char n-grams
-hash into ``n_buckets`` counts, one dense matmul against a seeded
-projection matrix produces unit vectors. Stand-in for a real encoder
-(sentence-transformers etc. are not in this container) with the same
-plumbing: heavy state in ``__init__`` (never per batch), batch-level
-numpy forward, small batches for wide rows. Deterministic by seed, so
+hash into ``n_buckets`` counts (FNV-1a 32-bit), one dense matmul against
+a sha256-derived projection matrix produces unit vectors. Stand-in for a
+real encoder (sentence-transformers etc. are not in this container) with
+the same plumbing: heavy state in ``__init__`` (never per batch),
+batch-level numpy forward, small batches for wide rows. Every arithmetic
+step is integer-or-closed-form, so the WHOLE model is replicable in SQL
+(``analytics.text_embed_dups_sql`` recomputes it in DuckDB) and
 embeddings are reproducible across topologies and runs.
 """
 
@@ -18,10 +20,29 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.hashing import stable_hash64
+
 EMBED_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
     ("embedding", pa.list_(pa.float32())),
 ])
+
+_2_52 = float(1 << 52)
+
+
+def projection_matrix(n_buckets: int, dim: int) -> np.ndarray:
+    """Deterministic projection: proj[b, d] derives from
+    ``stable_hash64(f"proj:{b}:{d}") >> 10`` — 53 uniform bits mapped to
+    [-1, 1) as ``(u - 2^52) / 2^52``, which is EXACT in float64 (the
+    numerator is an integer of magnitude <= 2^52), so DuckDB reproduces
+    the same doubles bit-for-bit (no RNG: round 2 used
+    ``np.random.RandomState``, which nothing else can replicate)."""
+    vals = np.empty((n_buckets, dim), np.float64)
+    for b in range(n_buckets):
+        for d in range(dim):
+            u = stable_hash64(f"proj:{b}:{d}") >> 10
+            vals[b, d] = (u - _2_52) / _2_52
+    return vals
 
 
 class HashingEmbedder:
@@ -36,21 +57,22 @@ class HashingEmbedder:
     def __init__(self, dim: int = 64, n_buckets: int = 4096,
                  ngram: int = 3, seed: int = 7,
                  text_col: str = "text", id_col: str = "doc_id"):
-        rng = np.random.RandomState(seed)
-        self.proj = rng.normal(size=(n_buckets, dim)).astype(np.float32)
+        # seed kept for API compatibility; the projection is fully
+        # determined by (n_buckets, dim) so SQL oracles can replicate it
+        self.proj = projection_matrix(n_buckets, dim)
         self.n_buckets = n_buckets
         self.ngram = ngram
         self.text_col = text_col
         self.id_col = id_col
 
     def _bucket_counts(self, text: str) -> np.ndarray:
-        """Char n-gram counts hashed into buckets (FNV-1a, stable).
+        """Char n-gram counts hashed into buckets (FNV-1a 32-bit, stable).
 
         Vectorized across positions: the n FNV rounds run as n whole-
         array xor/multiply passes (windows are independent), then one
         scatter-add — no per-character Python.
         """
-        counts = np.zeros(self.n_buckets, np.float32)
+        counts = np.zeros(self.n_buckets, np.float64)
         n = self.ngram
         b = text.encode("utf-8", "replace")
         if len(b) < n:

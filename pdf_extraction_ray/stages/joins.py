@@ -140,8 +140,12 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
     (must be disjoint); the join key comes back as ``left_on``.
     ``how``: 'inner' | 'left' | 'right' | 'full_outer' (outer modes
     emit nulls on the unmatched side) | 'semi' | 'anti' (existence
-    filters on the left side — ``right_cols`` must be empty; the right
-    side moves only its KEY through the shuffle).
+    filters on the left side — ``right_cols`` must be empty). For
+    semi/anti the right side is reduced to per-block DISTINCT keys
+    before the shuffle; the union still requires one schema, so each
+    right key row also carries typed-null placeholders for the left
+    payload columns (~8 B per numeric / ~4 B per varwidth column per
+    distinct right key — bounded, but not free for very wide lefts).
     """
     if set(left_cols) & set(right_cols):
         raise ValueError("left_cols and right_cols must be disjoint")
@@ -176,6 +180,12 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
 
     lt = left.map_batches(tag(0, left_on, left_cols),
                           batch_format="pyarrow")
+    if how in ("semi", "anti"):
+        # only key EXISTENCE matters: shed duplicate right keys per
+        # block before they ride the all-to-all
+        right = right.map_batches(
+            lambda t: t.select([right_on]).group_by(right_on).aggregate([]),
+            batch_format="pyarrow")
     rt = right.map_batches(tag(1, right_on, right_cols),
                            batch_format="pyarrow")
 

@@ -289,15 +289,19 @@ def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
 
 def kmeans(ds: rd.Dataset, k: int = 10, iters: int = 8,
            vec_col: str = "embedding", id_col: str = "vec_id",
-           init_sample: int = 256) -> tuple[rd.Dataset, list[float]]:
+           init_sample: int = 256,
+           init_ids: list[int] | None = None) -> tuple[rd.Dataset, list[float]]:
     """Distributed Lloyd's k-means over an embedding column.
 
     The iterative-algorithm shape on Ray Data: centroids broadcast once
     per round (``ray.put``), every batch computes its assignments with
     one numpy matmul and reduces to a (k x dim sums, k counts, inertia)
     partial — the driver folds only those fixed-size partials, never
-    vectors. Init is deterministic farthest-point (k-center greedy) on a
-    bounded id-pruned sample, so runs are reproducible without any RNG.
+    vectors. Init is deterministic and RNG-free either way: farthest-
+    point (k-center greedy) on a bounded id-pruned sample by default, or
+    — when ``init_ids`` is given — the vectors with those ids in order
+    (centroid j = vector ``init_ids[j]``; the SQL-replicable choice the
+    oracle uses, since farthest-point needs k sequential argmax steps).
 
     Returns (assignments dataset (id_col, cluster_id), per-iteration
     inertia list — non-increasing by Lloyd's monotonicity, asserted in
@@ -310,31 +314,42 @@ def kmeans(ds: rd.Dataset, k: int = 10, iters: int = 8,
     # (iters+2 reads); at true scale persist to parquet instead
     ds = ds.materialize()
 
-    # --- deterministic farthest-point init on a bounded id-pruned sample ---
+    # --- deterministic init on a bounded id-pruned sample ---
+    id_bound = (max(init_ids) + 1) if init_ids else init_sample
     sample = ds.map_batches(
-        lambda t: t.filter(pc.less(t[id_col], init_sample)),
+        lambda t: t.filter(pc.less(t[id_col], id_bound)),
         batch_format="pyarrow")
     st = sample.take_all()
     if len(st) < k:
         raise ValueError(
             f"kmeans init sample has {len(st)} rows < k={k}: ids in "
-            f"[0, {init_sample}) are assumed to exist — raise init_sample "
+            f"[0, {id_bound}) are assumed to exist — raise init_sample "
             f"or re-key {id_col}")
     smat = np.asarray([r[vec_col] for r in st], dtype=np.float64)
     sids = np.asarray([r[id_col] for r in st], dtype=np.int64)
     order = np.argsort(sids, kind="stable")
     smat = smat[order]
-    cents = [smat[0]]
-    d2 = ((smat - cents[0]) ** 2).sum(axis=1)
-    for _ in range(1, k):
-        if d2.max() == 0.0:
-            raise ValueError(
-                "kmeans init degenerate: fewer than k distinct vectors "
-                "in the init sample — raise init_sample")
-        nxt = int(np.argmax(d2))  # first max → deterministic
-        cents.append(smat[nxt])
-        d2 = np.minimum(d2, ((smat - cents[-1]) ** 2).sum(axis=1))
-    centroids = np.stack(cents)
+    sids = sids[order]
+    if init_ids is not None:
+        if len(init_ids) != k:
+            raise ValueError(f"init_ids has {len(init_ids)} ids != k={k}")
+        pos = {int(i): p for p, i in enumerate(sids)}
+        try:
+            centroids = np.stack([smat[pos[int(i)]] for i in init_ids])
+        except KeyError as e:
+            raise ValueError(f"init id {e} not present in {id_col}") from e
+    else:
+        cents = [smat[0]]
+        d2 = ((smat - cents[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            if d2.max() == 0.0:
+                raise ValueError(
+                    "kmeans init degenerate: fewer than k distinct vectors "
+                    "in the init sample — raise init_sample")
+            nxt = int(np.argmax(d2))  # first max → deterministic
+            cents.append(smat[nxt])
+            d2 = np.minimum(d2, ((smat - cents[-1]) ** 2).sum(axis=1))
+        centroids = np.stack(cents)
 
     inertia_hist: list[float] = []
     for _ in range(iters):

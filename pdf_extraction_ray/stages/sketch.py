@@ -276,31 +276,33 @@ def grouped_quantiles_hist(ds: rd.Dataset, key_col: str, value_e: "callable",
 
 def global_quantile_threshold(ds: rd.Dataset, col: str, q: float) -> int:
     """EXACT global discrete quantile of a non-negative int column
-    without a sort: per-batch bincount partials stream to the driver
-    (O(max value) ints each — the documented histogram bound), merge
-    elementwise, and the threshold reads off the cumulative counts with
-    ``quantile_disc`` semantics (sorted[ceil(q*n) - 1]). This is phase 1
-    of the corpus-relative percentile FILTER (FineWeb-style "keep the
-    top X% by metric"): one cheap pruned pass for the threshold, then a
-    broadcast-compare filter — no all-to-all anywhere."""
+    without a sort: per-batch SPARSE (value, count) partials — one
+    ``np.unique`` per batch — stream to the driver, which folds them
+    into a value→count map and reads the threshold off the cumulative
+    counts with ``quantile_disc`` semantics (sorted[ceil(q*n) - 1]).
+    Driver state is O(distinct values observed), independent of the
+    value RANGE (the round-2 dense ``np.bincount`` partial allocated
+    max(value)+1 slots, so one ~1e8-char outlier document made every
+    partial hundreds of MB). This is phase 1 of the corpus-relative
+    percentile FILTER (FineWeb-style "keep the top X% by metric"): one
+    cheap pruned pass for the threshold, then a broadcast-compare
+    filter — no all-to-all anywhere."""
     def partial(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch[col].to_pylist(), dtype=np.int64)
-        h = np.bincount(v) if len(v) else np.zeros(1, np.int64)
-        return pa.table({"hist": pa.array([h.astype(np.int64).tobytes()],
-                                          pa.large_binary())})
+        if len(v):
+            vals, cnts = np.unique(v, return_counts=True)
+        else:
+            vals = cnts = np.zeros(0, np.int64)
+        return pa.table({"val": pa.array(vals, pa.int64()),
+                         "cnt": pa.array(cnts.astype(np.int64))})
 
-    total = np.zeros(1, np.int64)
+    counts: dict[int, int] = {}
     for b in (ds.select_columns([col])
                 .map_batches(partial, batch_format="pyarrow")
                 .iter_batches(batch_format="pyarrow")):
-        for raw in b["hist"].to_pylist():
-            h = np.frombuffer(raw, np.int64)
-            if len(h) > len(total):
-                total = np.concatenate(
-                    [total, np.zeros(len(h) - len(total), np.int64)])
-            total[:len(h)] += h
-    cum = np.cumsum(total)
-    n = int(cum[-1])
+        for v, c in zip(b["val"].to_pylist(), b["cnt"].to_pylist()):
+            counts[v] = counts.get(v, 0) + c
+    n = sum(counts.values())
     if n == 0:
         return 0
     import math
@@ -308,4 +310,6 @@ def global_quantile_threshold(ds: rd.Dataset, col: str, q: float) -> int:
     # per-mille integerization would diverge for q like 1/3 where
     # round(q*1000)/1000 != q
     target = max(math.ceil(q * n), 1)
-    return int(np.searchsorted(cum, target, side="left"))
+    vals = sorted(counts)
+    cum = np.cumsum([counts[v] for v in vals])
+    return int(vals[int(np.searchsorted(cum, target, side="left"))])

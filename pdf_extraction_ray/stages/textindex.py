@@ -110,7 +110,7 @@ def build_inverted_index(ds: rd.Dataset, index_dir: str,
        .map_batches(postings, batch_format="pyarrow")
        .write_parquet(tmp, partition_cols=["part"]))
     meta = {"n_docs": n_docs, "total_tokens": total_tokens,
-            "id_fp": id_fp, "num_parts": num_parts}
+            "id_fp": id_fp, "num_parts": num_parts, "applied": []}
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump(meta, f)
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -163,8 +163,16 @@ def append_to_index(ds_new: rd.Dataset, index_dir: str,
     same pre-state converges, because the delta tag is keyed on
     (pre-state id_fp, batch stats) and os.replace overwrites the
     partial files idempotently; an engine with concurrent readers
-    would hide the window behind a manifest pointer swap. Returns the
-    updated meta."""
+    would hide the window behind a manifest pointer swap.
+
+    At-least-once delivery (the reference's retry scenario): a
+    DUPLICATE submission arriving AFTER the meta publish would get a
+    fresh pre-state tag and silently double-ingest — _meta.json
+    therefore records the fingerprint of each applied batch
+    (``applied``, most-recent-last, capped) and an already-folded
+    batch no-ops. The cap bounds meta size; a duplicate older than
+    the window is the documented residual risk. Returns the updated
+    meta."""
     import hashlib
 
     meta_path = os.path.join(index_dir, "_meta.json")
@@ -177,6 +185,12 @@ def append_to_index(ds_new: rd.Dataset, index_dir: str,
         ds_new, text_col, id_col)
     if n_new == 0:
         return meta
+
+    batch_fp = hashlib.sha256(
+        f"batch:{n_new}:{fp_new}:{tot_new}:{sum_new}".encode()
+    ).hexdigest()[:16]
+    if batch_fp in meta.get("applied", []):
+        return meta  # at-least-once duplicate: already folded, no-op
 
     postings = _postings_fn(id_col, text_col, num_parts)
 
@@ -212,7 +226,8 @@ def append_to_index(ds_new: rd.Dataset, index_dir: str,
     meta = {"n_docs": meta["n_docs"] + n_new,
             "total_tokens": meta["total_tokens"] + tot_new,
             "id_fp": meta["id_fp"] ^ fp_new,
-            "num_parts": num_parts}
+            "num_parts": num_parts,
+            "applied": (meta.get("applied", []) + [batch_fp])[-64:]}
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)

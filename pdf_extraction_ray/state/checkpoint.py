@@ -299,7 +299,66 @@ def backfill_lineage(out_dir: str, refs, n_buckets: int,
             out["unknown_url"] += int(b["unknown_url"][i].as_py())
             if upd:
                 out["buckets_touched"] += 1
+    if out["updated"] or out["already_set"]:
+        # bucket schemas now diverge (only touched buckets carry the
+        # column) — record the evolved column so read_output() can pad
+        # untouched buckets instead of dropping/mistyping it
+        record_evolved_column(out_dir, ref_col)
     return out
+
+
+def _columns_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, "_columns.json")
+
+
+def record_evolved_column(out_dir: str, name: str,
+                          pa_type: str = "string") -> None:
+    """Register a column added by schema evolution (backfill) AFTER the
+    buckets were first written, so whole-output readers know to pad it
+    where absent. Idempotent; atomic publish."""
+    path = _columns_path(out_dir)
+    cols: dict[str, str] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            cols = json.load(f)
+    if cols.get(name) == pa_type:
+        return
+    cols[name] = pa_type
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cols, f)
+    os.replace(tmp, path)
+
+
+def read_output(out_dir: str):
+    """Whole-corpus read of a checkpointed output directory that
+    survives schema evolution: ``backfill_lineage`` adds ``source_ref``
+    only to touched buckets, so fragment schemas diverge and a plain
+    ``read_parquet`` (which infers the schema from the first fragment)
+    can silently drop or mistype the column. Evolved columns are padded
+    with typed nulls where absent."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(out_dir)
+    path = _columns_path(out_dir)
+    if not os.path.exists(path):
+        return ds
+    with open(path) as f:
+        cols = json.load(f)
+    if not cols:
+        return ds
+    types = {"string": pa.string(), "int64": pa.int64(),
+             "float64": pa.float64()}
+
+    def pad(batch: pa.Table) -> pa.Table:
+        for name, tname in cols.items():
+            if name not in batch.column_names:
+                batch = batch.append_column(
+                    name, pa.nulls(len(batch), types[tname]))
+        return batch
+
+    return ds.map_batches(pad, batch_format="pyarrow")
 
 
 def summarize_manifests(manifests: list[dict]) -> dict:

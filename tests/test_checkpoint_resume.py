@@ -229,3 +229,14 @@ def test_backfill_lineage_targeted_update(ray_session, pages_corpus, out_dir):
         assert os.path.getmtime(
             os.path.join(ckpt.bucket_dir(out_dir, b),
                          "part-0.parquet")) == mtimes2[b]
+
+    # whole-output read survives the schema divergence: untouched
+    # buckets lack source_ref on disk, read_output pads typed nulls so
+    # the column is never dropped or mistyped
+    full = ckpt.read_output(out_dir).to_pandas()
+    assert "source_ref" in full.columns
+    assert len(full) == len(df)
+    by_url = full.set_index("url")["source_ref"]
+    for i, u in enumerate(urls[:6]):
+        assert by_url[u] == f"scrape-{i:03d}"
+    assert by_url.isna().sum() == len(full) - 6

@@ -129,7 +129,89 @@ def test_retry_noop_on_clean_run(ray_session, tmp_path):
     run_extraction(pages, CFG, out_dir=out)
     s = run_retry(pages, out, CFG)
     assert s == {"n_partial": 0, "n_retried": 0,
-                 "n_quarantined": 0, "n_recovered": 0}
+                 "n_quarantined": 0, "n_recovered": 0, "n_deferred": 0}
+
+
+def test_resolve_review_queue_roundtrip(ray_session, tmp_path):
+    """Quarantine → resolve('retry') → re-extract converges to the same
+    user-visible rows as a never-quarantined clean run; resolve('accept')
+    flips rows to completed in place (reference: review_queue update
+    path, app/db/review_queue.py)."""
+    from pdf_extraction_ray.pipelines.extraction import (
+        load_review_queue, resolve_review_queue)
+
+    pages = _pages(tmp_path)
+    # clean reference run (default extractor, no flakiness)
+    clean_out = str(tmp_path / "clean")
+    clean = (run_extraction(pages, CFG, out_dir=clean_out).to_pandas()
+             .sort_values("url").reset_index(drop=True))
+
+    # flaky run with cap 1: every transient row exhausts immediately
+    out = str(tmp_path / "out")
+    run_extraction(pages, FLAKY_CFG, out_dir=out)
+    s = run_retry(pages, out, FLAKY_CFG, max_attempts=1)
+    assert s["n_retried"] == 0 and s["n_quarantined"] == 20
+
+    # resolve the transient 18 for retry; accept the 2 poison rows
+    rq = load_review_queue(out).to_pandas()
+    transient = sorted(rq[~rq.url.str.contains("poison")].url)
+    poison = sorted(rq[rq.url.str.contains("poison")].url)
+    r1 = resolve_review_queue(out, transient, resolution="retry")
+    assert r1 == {"n_resolved": 18, "n_remaining": 2}
+    r2 = resolve_review_queue(out, poison, resolution="accept")
+    assert r2 == {"n_resolved": 2, "n_remaining": 0}
+    assert load_review_queue(out).count() == 0
+
+    # attempts were reset, so the retry pass re-extracts the 18
+    # (twice: the flaky extractor succeeds from attempt 2 on)
+    s2 = run_retry(pages, out, FLAKY_CFG, max_attempts=3)
+    assert s2["n_retried"] == 18
+    s3 = run_retry(pages, out, FLAKY_CFG, max_attempts=3)
+    assert s3["n_recovered"] == 18
+    got = (rd.read_parquet(out).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    ok = got[~got.url.str.contains("poison")].reset_index(drop=True)
+    ref = clean[~clean.url.str.contains("poison")].reset_index(drop=True)
+    # user-visible content identical to the never-quarantined run
+    # (attempts differ by design: the flaky path needed extra tries)
+    for col in ("url", "status", "extracted_text", "n_chars"):
+        assert ok[col].tolist() == ref[col].tolist()
+    accepted = got[got.url.str.contains("poison")]
+    assert (accepted.status == "completed").all()
+    assert accepted.error.str.startswith("resolved:").all()
+
+    # idempotent: resolving the same urls again no-ops
+    r3 = resolve_review_queue(out, transient + poison)
+    assert r3 == {"n_resolved": 0, "n_remaining": 0}
+
+
+def test_retry_capped_driver_state_defers_overflow(ray_session, tmp_path):
+    """Poison-heavy corpus (100% partial after pass 1): the retry fold
+    keeps at most ``retry_batch_limit`` (url, attempts) pairs on the
+    driver, defers the rest, and repeated invocations drain the backlog
+    to the same end state as one uncapped pass."""
+    pages = _pages(tmp_path)
+    out = str(tmp_path / "out")
+    cfg = FLAKY_CFG
+    df = run_extraction(pages, cfg, out_dir=out).to_pandas()
+    assert (df.status == "partial").all()  # every row needs a retry
+
+    s1 = run_retry(pages, out, cfg, max_attempts=3, retry_batch_limit=5)
+    assert s1["n_retried"] == 5
+    assert s1["n_deferred"] == 13  # 18 eligible (2 poison are permanent)
+    # deferred rows are NOT quarantined (attempts below cap, not permanent)
+    assert s1["n_quarantined"] == 2
+
+    seen = s1["n_retried"]
+    for _ in range(5):
+        s = run_retry(pages, out, cfg, max_attempts=3, retry_batch_limit=5)
+        seen += s["n_retried"]
+        if s["n_deferred"] == 0 and s["n_retried"] == 0:
+            break
+    df2 = rd.read_parquet(out).to_pandas()
+    ok = df2[~df2.url.str.contains("poison")]
+    assert (ok.status == "completed").all()
+    assert seen == 18
 
 
 def test_doc_timeout_guard(ray_session):

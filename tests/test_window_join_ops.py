@@ -622,14 +622,30 @@ def test_rollup_levels_consistent(ray_session):
 
 def test_entry_contract_keys():
     """Driver contract invariants: every oracle key has a queries()
-    entry, every entry is callable, and the rows-only set stays the
-    declared float/iterative trio."""
+    entry, every entry is callable, and the only rows-only entry left is
+    the pruned-probe IVF (approximate by design; its full-probe twin is
+    oracled)."""
     import __ray_entry__ as entrymod
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert set(o) <= set(q)
     assert all(callable(f) for f in q.values())
-    assert set(q) - set(o) == {"ann_ivf", "kmeans_clusters",
-                               "text_embed_dups"}
+    assert set(q) - set(o) == {"ann_ivf"}
+    # the driver verifies the FIRST 50 entries: every query that lacked
+    # an r02 CORRECTNESS row must sit inside that window this round
+    need_r03 = {
+        "window_tumbling", "window_sliding", "rolling_user_value",
+        "running_user_value", "sessions", "sessions_salted",
+        "orders_rollup", "orders_pivot", "asof_prior_error",
+        "order_customer_join", "user_activity_full",
+        "customers_with_orders_semi", "event_pairs_within", "vocab_df",
+        "bigram_counts", "dup_ngram_spans", "stratified_sample",
+        "sample_k_per_lang", "heavy_hitter_terms", "tfidf_top_terms",
+        "lm_doc_scores", "quality_percentile_filter", "doc_shuffle",
+        "normalize_text", "doc_passages", "bm25_topk",
+        "bm25_topk_indexed", "value_quantiles_hist", "props_json_stats",
+        "text_embed_dups", "kmeans_clusters", "ann_ivf_fullprobe",
+    }
+    assert need_r03 <= set(list(q)[:50])
 
 
 def _docs_where(docs, pred):
@@ -742,3 +758,41 @@ def test_index_sequential_batch_appends_distinct_deltas(ray_session,
     out = ti.bm25_topk_indexed(index_dir, {1: ("zebra",)}, k=100)
     got = sorted(out.to_pandas()["doc_id"])
     assert got == [0, 1, 2, 3, 4, 5, 6, 7, 100]
+
+
+def test_index_duplicate_append_is_noop(ray_session, tmp_path):
+    """At-least-once delivery: re-submitting an ALREADY-FOLDED batch
+    after the meta publish must no-op — same stats, same postings,
+    same scores (the round-2 version re-ingested it under a fresh
+    pre-state tag, double-counting tf/df and inflating n_docs)."""
+    import glob as g
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages import textindex as ti
+
+    def batch_ds(ids):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"zebra word{d}" for d in ids], pa.string()),
+        }))
+
+    index_dir = str(tmp_path / "idx")
+    ti.build_inverted_index(batch_ds([100]), index_dir, num_parts=4)
+    meta1 = ti.append_to_index(batch_ds([0, 1, 2]), index_dir)
+    files1 = sorted(g.glob(os.path.join(index_dir, "part=*", "*.parquet")))
+    scores1 = (ti.bm25_topk_indexed(index_dir, {1: ("zebra",)}, k=100)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    meta2 = ti.append_to_index(batch_ds([0, 1, 2]), index_dir)  # duplicate
+    assert meta2 == meta1  # stats not inflated
+    files2 = sorted(g.glob(os.path.join(index_dir, "part=*", "*.parquet")))
+    assert files2 == files1  # no new delta files
+    scores2 = (ti.bm25_topk_indexed(index_dir, {1: ("zebra",)}, k=100)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert scores2.equals(scores1)
+    # a genuinely NEW batch still ingests
+    meta3 = ti.append_to_index(batch_ds([3, 4]), index_dir)
+    assert meta3["n_docs"] == meta1["n_docs"] + 2
