@@ -63,6 +63,7 @@ def run_bench() -> dict:
     n_pages, n_payload_bytes = int(row[0]), int(row[1])
 
     timings: dict[str, float] = {}
+    bar_pre = _barometer(num_cpus)
 
     def timed(name: str, fn) -> None:
         t0 = time.perf_counter()
@@ -87,6 +88,8 @@ def run_bench() -> dict:
             "input_mb": round(n_payload_bytes / 1e6, 1),
             "docs_per_s": round(summary["n_rows"] / headline, 1),
             "mb_per_s": round(n_payload_bytes / 1e6 / headline, 1),
+            "barometer_pre": bar_pre,
+            "barometer_post": _barometer(num_cpus),
         }
 
     # in-memory variant (no bucket shuffle / parquet write)
@@ -144,6 +147,8 @@ def run_bench() -> dict:
         "input_mb": round(n_payload_bytes / 1e6, 1),
         "docs_per_s": round(summary["n_rows"] / headline, 1),
         "mb_per_s": round(n_payload_bytes / 1e6 / headline, 1),
+        "barometer_pre": bar_pre,
+        "barometer_post": _barometer(num_cpus),
     }
     ray.shutdown()
     return result
@@ -155,6 +160,28 @@ def _spin(n: int) -> int:
     for _ in range(n):
         h = hashlib.sha256(h).digest()
     return 1
+
+
+def _barometer(num_cpus: int) -> dict:
+    """Contention barometer EMBEDDED in every bench artifact: the
+    single-core sha-spin wall (healthy ≈1.3-1.4 s on this host) and the
+    parallel spin efficiency at the bench's own worker count — a noisy
+    recording window is then self-evident in the JSON itself (the round-2
+    official artifact was recorded in a contended window with nothing in
+    the file to say so; graft-host-noise methodology)."""
+    from concurrent.futures import ProcessPoolExecutor
+    n = 2_000_000
+    t0 = time.perf_counter()
+    _spin(n)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with ProcessPoolExecutor(num_cpus) as ex:
+        list(ex.map(_spin, [n] * num_cpus))
+    tp = time.perf_counter() - t0
+    return {"spin_1core_s": round(t1, 3),
+            "spin_parallel_s": round(tp, 3),
+            "spin_parallel_workers": num_cpus,
+            "spin_parallel_eff": round(t1 / tp, 3)}
 
 
 def machine_ceiling(lo: int, hi: int) -> float:

@@ -214,17 +214,25 @@ FROM est"""
 def media_decode(sf_dir: str) -> rd.Dataset:
     """REAL image decoding over a deterministic planted-PNG corpus: one
     8-bit grayscale PNG per document (pixel law in sources/gen_media.py),
-    decoded by the pure-stdlib PNG decoder inside the actor-pool media
-    stage — dims, channels, and pixel means all verify against a
-    closed-form SQL oracle."""
-    from ..sources.gen_media import build_png
+    plus a PALETTE (color_type 3 / PLTE) PNG for every 7th doc — the
+    decoder resolves indices through the palette to RGB, closing the
+    round-2 decoder gap. All decoded by the pure-stdlib PNG decoder
+    inside the actor-pool media stage; dims, channels, and pixel means
+    verify against a closed-form SQL oracle."""
+    from ..sources.gen_media import build_png, build_png_palette
     from ..stages.multimodal import media_features
 
     def to_media(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        ids, payloads = [], []
+        for d in batch["doc_id"].to_pylist():
+            ids.append(d)
+            payloads.append(build_png(d))
+            if d % 7 == 3:
+                ids.append(d + 2_000_000)
+                payloads.append(build_png_palette(d))
         return pa.table({
             "url": pa.array([f"media://png/{d}" for d in ids], pa.string()),
-            "html": pa.array([build_png(d) for d in ids], pa.large_binary()),
+            "html": pa.array(payloads, pa.large_binary()),
         })
 
     media = _docs(sf_dir, ["doc_id"]).map_batches(to_media,
@@ -248,6 +256,11 @@ def media_decode(sf_dir: str) -> rd.Dataset:
 def media_decode_sql() -> str:
     w = "(8 + doc_id % 25)"
     h = "(8 + doc_id % 17)"
+    # palette row: idx = pixel_value % 64, RGB = ((3i)%256,(5i+1)%256,
+    # (7i+2)%256); mean over ALL RGB bytes (3 per pixel)
+    idx = f"(((doc_id + 7 * (i % {w}) + 13 * (i // {w})) % 256) % 64)"
+    rgb_sum = (f"((3 * {idx}) % 256 + (5 * {idx} + 1) % 256 "
+               f"+ (7 * {idx} + 2) % 256)")
     return f"""
 SELECT doc_id,
   CAST({w} AS BIGINT) AS width,
@@ -257,7 +270,16 @@ SELECT doc_id,
        i -> (doc_id + 7 * (i % {w}) + 13 * (i // {w})) % 256))
        // ({w} * {h}) AS BIGINT) AS mean_pixel,
   TRUE AS decoded
-FROM documents"""
+FROM documents
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id,
+  CAST({w} AS BIGINT) AS width,
+  CAST({h} AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  CAST(list_sum(list_transform(range(0, {w} * {h}),
+       i -> {rgb_sum})) // (3 * {w} * {h}) AS BIGINT) AS mean_pixel,
+  TRUE AS decoded
+FROM documents WHERE doc_id % 7 = 3"""
 
 
 def media_phash_dups(sf_dir: str) -> rd.Dataset:

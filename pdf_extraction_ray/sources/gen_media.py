@@ -62,6 +62,36 @@ def build_png_shifted(doc_id: int, delta: int = 0) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+PALETTE_SIZE = 64
+
+
+def palette_rgb(i: int) -> tuple[int, int, int]:
+    """Closed-form PLTE entry law (SQL-expressible)."""
+    return (3 * i) % 256, (5 * i + 1) % 256, (7 * i + 2) % 256
+
+
+def build_png_palette(doc_id: int) -> bytes:
+    """8-bit PALETTE PNG (color_type 3): index law
+    ``idx = pixel_value(doc_id, x, y) % PALETTE_SIZE`` with the
+    closed-form palette above — the resolved RGB pixels (and their
+    mean) stay SQL-expressible for the decode oracle."""
+    w, h = media_dims(doc_id)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter: None
+        for x in range(w):
+            raw.append(pixel_value(doc_id, x, y) % PALETTE_SIZE)
+    plte = bytearray()
+    for i in range(PALETTE_SIZE):
+        plte += bytes(palette_rgb(i))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)  # palette
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", bytes(plte))
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))
+
+
 def build_bmp(doc_id: int) -> bytes:
     """Minimal 24-bit BMP (BITMAPINFOHEADER) with the same pixel law."""
     w, h = media_dims(doc_id)

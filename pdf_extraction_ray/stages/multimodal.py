@@ -35,23 +35,26 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color_type 3 (palette) deliberately absent: returning raw palette
-# indices as pixels would poison brightness means and aHashes — those
-# payloads take the decoded=False fallback until a PLTE resolver exists
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# stream channels per color type; type 3 (palette) carries 1 index byte
+# per pixel in the IDAT stream and resolves through PLTE to RGB below
+# (tRNS alpha is out of scope: such payloads keep their RGB triple)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png(payload: bytes) -> dict | None:
-    """Pure-stdlib PNG decode (8-bit depth, non-interlaced).
+    """Pure-stdlib PNG decode (8-bit depth, non-interlaced; gray / RGB /
+    gray+alpha / RGBA / palette).
 
     Returns {width, height, channels, pixels} or None when the payload is
-    not a PNG this decoder handles.
+    not a PNG this decoder handles. Palette (color_type 3) images
+    resolve indices through PLTE and come back as channels=3 RGB.
     """
     if not payload.startswith(_PNG_SIG):
         return None
     pos = 8
     width = height = bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = b""
     n = len(payload)
     while pos + 8 <= n:
         ln = int.from_bytes(payload[pos:pos + 4], "big")
@@ -64,6 +67,8 @@ def decode_png(payload: bytes) -> dict | None:
             width, height = struct.unpack(">II", data[:8])
             bit_depth, color_type = data[8], data[9]
             interlace = data[12]
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -71,6 +76,8 @@ def decode_png(payload: bytes) -> dict | None:
     if (width is None or bit_depth != 8 or interlace
             or color_type not in _PNG_CHANNELS):
         return None
+    if color_type == 3 and (not plte or len(plte) % 3):
+        return None  # palette image without a usable PLTE
     channels = _PNG_CHANNELS[color_type]
     try:
         raw = zlib.decompress(bytes(idat))
@@ -120,6 +127,14 @@ def decode_png(payload: bytes) -> dict | None:
             line = np.frombuffer(bytes(ln), np.uint8)
         out[y] = line
         prev = line
+    if color_type == 3:
+        # resolve palette indices → RGB (vectorized gather)
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = out.reshape(-1)
+        if int(idx.max(initial=0)) >= len(pal):
+            return None  # index past palette end: corrupt payload
+        return {"width": width, "height": height, "channels": 3,
+                "pixels": pal[idx].tobytes()}
     return {"width": width, "height": height, "channels": channels,
             "pixels": out.tobytes()}
 

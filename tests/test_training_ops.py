@@ -135,6 +135,41 @@ def test_png_decoder_roundtrip_and_filters():
         bmp = decode_bmp_header(build_bmp(doc_id))
         assert (bmp["width"], bmp["height"], bmp["channels"]) == (w, h, 3)
 
+
+def test_png_palette_decode():
+    """color_type 3: indices resolve through PLTE to RGB (the round-2
+    decoder returned None for palette payloads); corrupt palettes are
+    rejected rather than emitting index-as-pixel garbage."""
+    from pdf_extraction_ray.sources.gen_media import (PALETTE_SIZE,
+                                                      build_png_palette,
+                                                      media_dims,
+                                                      palette_rgb,
+                                                      pixel_value)
+    from pdf_extraction_ray.stages.multimodal import decode_png
+
+    for doc_id in (3, 10, 59, 1234):
+        png = decode_png(build_png_palette(doc_id))
+        w, h = media_dims(doc_id)
+        assert (png["width"], png["height"], png["channels"]) == (w, h, 3)
+        expect = b"".join(
+            bytes(palette_rgb(pixel_value(doc_id, x, y) % PALETTE_SIZE))
+            for y in range(h) for x in range(w))
+        assert png["pixels"] == expect
+
+    # a palette payload whose PLTE is missing must not decode
+    payload = build_png_palette(3)
+    plte_at = payload.index(b"PLTE") - 4
+    ln = int.from_bytes(payload[plte_at:plte_at + 4], "big")
+    stripped = payload[:plte_at] + payload[plte_at + 12 + ln:]
+    assert decode_png(stripped) is None
+
+
+def test_png_filter_undo():
+    import struct
+    import zlib
+
+    from pdf_extraction_ray.stages.multimodal import decode_png
+
     # filters 1-4: encode known pixels with each filter, expect exact undo
     pixels = [[(x * 17 + y * 31) % 256 for x in range(6)] for y in range(5)]
 
