@@ -85,6 +85,49 @@ def _finalize_partitions(cfg: PipelineConfig) -> int:
     return max(8, min(cfg.n_buckets, ncpu))
 
 
+def _read_num_blocks(pages_path: str) -> int | None:
+    """Read-task count sized for wave parallelism: the fused
+    sniff→extract chain inherits the read's block granularity, and a
+    task count near the CPU count loses a whole wave to the slowest
+    block (measured: 33 tasks on 32 CPUs ran 2 full waves — 4.9 s wall
+    for 72 s of CPU; ~4 waves of smaller tasks cut the straggler tail
+    to one short task). Targets ≈4 tasks per CPU, floored so a block
+    stays ≥~2 MB (tiny test corpora keep few blocks), capped by the
+    128 MB natural split so a 100 TB corpus is NOT coalesced into
+    4×CPUs giant blocks. None (natural splitting) when sizes can't be
+    listed locally. ``GRAFT_READ_NUM_BLOCKS`` overrides: an integer
+    forces that count, ``natural`` disables the override (A/B lever for
+    bench comparisons on this noise-prone host)."""
+    import math
+
+    import ray
+
+    env = os.environ.get("GRAFT_READ_NUM_BLOCKS")
+    if env == "natural":
+        return None
+    if env:
+        return int(env)
+
+    try:
+        total = sum(e.stat().st_size for e in os.scandir(pages_path)
+                    if e.name.endswith(".parquet"))
+    except OSError:
+        return None
+    if not total:
+        return None
+    ncpu = 8
+    if ray.is_initialized():
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001 — sizing hint only
+            pass
+    # sizes are ON-DISK parquet bytes: web text compresses ~10x, so the
+    # per-block floor is 256 KB on disk (~2-4 MB decoded in memory)
+    want = max(4 * ncpu, math.ceil(total / (128 << 20)))
+    cap = max(ncpu, math.ceil(total / (256 << 10)))
+    return min(want, cap)
+
+
 def sniffed_pages(pages_path: str, cfg: PipelineConfig,
                   skip_buckets: set[int] | None = None,
                   url_filter: list[str] | None = None) -> rd.Dataset:
@@ -99,9 +142,13 @@ def sniffed_pages(pages_path: str, cfg: PipelineConfig,
         ds = rd.read_parquet(pages_path,
                              filter=pc.field("url").isin(url_filter))
     else:
-        ds = rd.read_parquet(pages_path)
+        ds = rd.read_parquet(pages_path,
+                             override_num_blocks=_read_num_blocks(pages_path))
+    # batch_size=None: one call per BLOCK, so task bundling follows the
+    # read's wave-sized blocks (a row-count batch_size here made Ray
+    # coalesce blocks into ~CPU-count bundles — the 2-wave tail above)
     ds = ds.map_batches(lambda b: ex.sniff_validate_batch(b, cfg),
-                        batch_format="pyarrow", batch_size=cfg.sniff_batch_size)
+                        batch_format="pyarrow", batch_size=None)
     if skip_buckets:
         skip = pa.array(sorted(skip_buckets), pa.int64())
 

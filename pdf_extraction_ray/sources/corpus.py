@@ -87,7 +87,9 @@ def build_pages_batch(batch: pa.Table, amplify: int = 1) -> pa.Table:
 def corpus_cache_dir(sf_dir: str, root: str = "/tmp/pdf_extraction_ray/corpus",
                      amplify: int = 1) -> Path:
     name = Path(sf_dir).name or "sf"
-    suffix = f"-x{amplify}" if amplify > 1 else ""
+    # -rg tag: row-group layout is part of the cache identity (finer row
+    # groups let read_parquet split files into wave-sized blocks)
+    suffix = (f"-x{amplify}" if amplify > 1 else "") + "-rg256"
     # the cache key carries an input identity digest (resolved path +
     # documents.parquet size/mtime): basename alone let two different
     # inputs named alike — or an in-place regenerated table — silently
@@ -145,7 +147,14 @@ def ensure_pages_corpus(sf_dir: str,
     if tmp.exists():
         shutil.rmtree(tmp)
     tmp.parent.mkdir(parents=True, exist_ok=True)
-    pages.write_parquet(str(tmp))
+    # small files: Ray's parquet read can COALESCE files into read
+    # tasks but never SPLIT one file across tasks, so ~CPU-count files
+    # capped the extract stage at file-count tasks (a 2-wave straggler
+    # tail on 32 CPUs). ~256-row files let _read_num_blocks
+    # (pipelines/extraction.py) bundle them into wave-sized tasks at
+    # any session width.
+    pages.write_parquet(str(tmp), num_rows_per_file=256,
+                        row_group_size=256)
     # atomic publish: rename, then marker (a killed builder leaves either
     # nothing or a complete marked directory, never a partial one)
     if out.exists():
