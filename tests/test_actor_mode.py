@@ -80,3 +80,29 @@ def test_whole_doc_parse_equals_sharded_path(ray_session, documents_rows):
         want = spec.expected_final_text(d["doc_id"], d["text"], d["source"])
         assert out["extracted_text"][i].as_py() == want
         assert out["n_pages"][i].as_py() > cfg.split_page_threshold
+
+
+def test_read_num_blocks_wave_sizing(ray_session, pages_corpus, tmp_path,
+                                     monkeypatch):
+    """Read-task sizing: ~4 waves per CPU for mid-size corpora, never
+    below ~256 KB on disk per block for tiny ones, natural 128 MB
+    splitting preserved for huge ones, env override honored."""
+    import os
+
+    from pdf_extraction_ray.pipelines.extraction import _read_num_blocks
+
+    n = _read_num_blocks(pages_corpus)
+    total = sum(e.stat().st_size for e in os.scandir(pages_corpus)
+                if e.name.endswith(".parquet"))
+    assert n is not None
+    assert n >= 4  # at least the session CPU floor
+    assert n <= max(4, -(-total // (256 << 10)))  # block floor respected
+
+    monkeypatch.setenv("GRAFT_READ_NUM_BLOCKS", "natural")
+    assert _read_num_blocks(pages_corpus) is None
+    monkeypatch.setenv("GRAFT_READ_NUM_BLOCKS", "17")
+    assert _read_num_blocks(pages_corpus) == 17
+    monkeypatch.delenv("GRAFT_READ_NUM_BLOCKS")
+
+    # unreadable path → natural splitting, never an exception
+    assert _read_num_blocks(str(tmp_path / "missing")) is None
