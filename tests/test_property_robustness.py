@@ -158,3 +158,55 @@ def test_sessionize_salted_equivalence(events, chunk_s):
     salted = (sessionize_salted(ds, chunk_s=chunk_s, **kw).to_pandas()
               .sort_values(["user_id", "session_idx"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=0, max_size=200))
+def test_embedder_bucket_law_matches_duckdb(text):
+    """The FNV-1a 3-gram bucket law the text_embed_dups oracle unrolls in
+    SQL must match the engine byte-for-byte on arbitrary ASCII text (the
+    planted-corpus oracle only exercises the corpus's character set)."""
+    import duckdb
+    import numpy as np
+
+    from pdf_extraction_ray.stages.embed import HashingEmbedder
+
+    e = HashingEmbedder(dim=8, n_buckets=64)
+    counts = e._bucket_counts(text)
+    h = "2166136261::UBIGINT"
+    for j in range(3):
+        h = (f"((xor({h}, unicode(substr(t.s, i + {j}, 1))::UBIGINT)"
+             f" * 16777619) % 4294967296)")
+    got = duckdb.sql(f"""
+        WITH t AS (SELECT ? AS s),
+        g AS (SELECT unnest(range(1, length(s) - 1)) AS i, s
+              FROM t WHERE length(s) >= 3)
+        SELECT ({h}) % 64 AS b, count(*) AS c
+        FROM g t GROUP BY b""", params=[text]).fetchall()
+    sql_counts = np.zeros(64)
+    for b, c in got:
+        sql_counts[int(b)] = c
+    assert (counts == sql_counts).all()
+
+
+def test_embedder_projection_matches_duckdb():
+    """projection_matrix values must be the exact doubles the SQL oracle
+    derives from sha256 (spot grid over (bucket, dim))."""
+    import duckdb
+
+    from pdf_extraction_ray.stages.embed import projection_matrix
+
+    proj = projection_matrix(16, 4)
+    rows = duckdb.sql("""
+        SELECT b, d,
+               ((('0x' || substr(h, 15, 2) || substr(h, 13, 2)
+                       || substr(h, 11, 2) || substr(h, 9, 2)
+                       || substr(h, 7, 2) || substr(h, 5, 2)
+                       || substr(h, 3, 2) || substr(h, 1, 2))::UBIGINT
+                 >> 11)::DOUBLE - 4503599627370496) / 4503599627370496 AS v
+        FROM (SELECT b, d, sha256('proj:' || b || ':' || d) AS h
+              FROM (SELECT unnest(range(16)) AS b),
+                   (SELECT unnest(range(4)) AS d))""").fetchall()
+    for b, d, v in rows:
+        assert proj[int(b), int(d)] == v
