@@ -224,6 +224,40 @@ def q_url_parts_stats(sf_dir: str) -> rd.Dataset:
                        Sum("n_chars", alias_name="sum_chars")))
 
 
+def q_url_canonical_dedup(sf_dir: str) -> rd.Dataset:
+    """Crawl-frontier URL canonicalization + dedup
+    (functions/urlnorm.py): planted messy variants — uppercased host
+    with tracking params/fragment/trailing slash for every url whose
+    length % 3 == 0, plus a permuted-query pair for length % 5 == 0 —
+    must collapse onto their canonical twin. Output is the per-canonical
+    count; the DuckDB oracle replicates the planting AND the
+    canonicalization string-for-string."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from pdf_extraction_ray.functions.urlnorm import canonical_url
+
+    def plant_and_canon(batch: pa.Table) -> pa.Table:
+        out = []
+        for u in batch["url"].to_pylist():
+            out.append(u)
+            if len(u) % 3 == 0:
+                parts = u.split("/")
+                out.append(parts[0] + "//" + parts[2].upper() + "/"
+                           + "/".join(parts[3:])
+                           + "/?utm_source=feed&utm_b=2#frag")
+            if len(u) % 5 == 0:
+                out.append(u + "?z=1&a=2")
+                out.append(u + "?a=2&z=1")
+        return pa.table({"canonical_url": pa.array(
+            [canonical_url(x) for x in out], pa.string())})
+
+    return (_extracted(sf_dir).select_columns(["url"])
+            .map_batches(plant_and_canon, batch_format="pyarrow")
+            .groupby("canonical_url")
+            .aggregate(Count(alias_name="n_urls")))
+
+
 def q_repetition_stats(sf_dir: str) -> rd.Dataset:
     """Gopher-style within-document repetition signals over the
     extracted text: duplicate-line counts and the most-frequent-bigram
@@ -349,8 +383,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _tuned(analytics.dedup_clusters),
         "embedding_dup_pairs": _tuned(analytics.embedding_dup_pairs),
         "dedup_embedding_cells": _tuned(analytics.dedup_embedding_cells),
-        "ann_bruteforce": _tuned(analytics.ann_bruteforce),
+        # new in round 3 (needs its first driver row; displaces
+        # ann_bruteforce — green in r02 — past the window)
+        "url_canonical_dedup": _tuned(q_url_canonical_dedup),
         # --- entry 51+ (green in r02; no new row needed) ---
+        "ann_bruteforce": _tuned(analytics.ann_bruteforce),
         "url_parts_stats": _tuned(q_url_parts_stats),
         "repetition_stats": _tuned(q_repetition_stats),
         # relational family (SURVEY.md §2.4-2.7 A1/A3/A5/A6, J3/J4, O1, D3)
@@ -402,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_elements": oracle.pdf_elements_sql(),
         "export_markdown": oracle.export_markdown_sql(),
         "url_parts_stats": oracle.url_parts_stats_sql(),
+        "url_canonical_dedup": oracle.url_canonical_dedup_sql(),
         "boilerplate_lines": oracle.boilerplate_lines_sql(),
         "line_dedup_docs": oracle.line_dedup_docs_sql(),
         "repetition_stats": oracle.repetition_stats_sql(),

@@ -354,6 +354,48 @@ FROM routed
 WHERE sub BETWEEN 70 AND 89 AND route = 'primary'"""
 
 
+def url_canonical_dedup_sql() -> str:
+    """Replicates q_url_canonical_dedup: the planted messy variants and
+    the canonicalization rules of functions/urlnorm.py (drop fragment,
+    lowercase scheme+host, drop utm_* params, sort survivors, strip
+    trailing slashes) as DuckDB string/list kernels."""
+    return base_cte() + """
+, variants AS (
+  SELECT url AS u FROM expected
+  UNION ALL
+  SELECT string_split(url, '/')[1] || '//' || upper(string_split(url, '/')[3])
+         || '/' || array_to_string(string_split(url, '/')[4:], '/')
+         || '/?utm_source=feed&utm_b=2#frag'
+  FROM expected WHERE length(url) % 3 = 0
+  UNION ALL
+  SELECT url || '?z=1&a=2' FROM expected WHERE length(url) % 5 = 0
+  UNION ALL
+  SELECT url || '?a=2&z=1' FROM expected WHERE length(url) % 5 = 0
+), split_q AS (
+  SELECT CASE WHEN strpos(b, '?') > 0
+              THEN substr(b, 1, strpos(b, '?') - 1) ELSE b END AS base,
+         CASE WHEN strpos(b, '?') > 0
+              THEN substr(b, strpos(b, '?') + 1) ELSE '' END AS q
+  FROM (SELECT string_split(u, '#')[1] AS b FROM variants)
+), canon AS (
+  SELECT lower(string_split(base, '/')[1]) || '//'
+         || lower(string_split(base, '/')[3])
+         || regexp_replace(
+              CASE WHEN len(string_split(base, '/')) > 3
+                   THEN '/' || array_to_string(string_split(base, '/')[4:], '/')
+                   ELSE '' END, '/+$', '') AS cbase,
+         list_sort(list_filter(string_split(q, '&'),
+                               p -> p <> '' AND NOT starts_with(p, 'utm_')))
+           AS plist
+  FROM split_q
+)
+SELECT cbase || CASE WHEN len(plist) > 0
+                     THEN '?' || array_to_string(plist, '&')
+                     ELSE '' END AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM canon GROUP BY 1"""
+
+
 def url_parts_stats_sql() -> str:
     return base_cte() + """
 SELECT string_split(url, '/')[3] AS host,
