@@ -1578,6 +1578,59 @@ SELECT doc_id, lang FROM hv
 QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= {k}"""
 
 
+def lang_balance_sample(sf_dir: str) -> rd.Dataset:
+    """Mixture-REBALANCING sampler (the data-mixing operator: resample a
+    skewed crawl to uniform per-language shares, DoReMi/Pile-style
+    mixture weighting with uniform targets): unlike
+    ``stratified_sample``'s fixed rates, the keep rate per language is
+    derived from the corpus itself — rate(lang) = min_count / count(lang)
+    — so the expected sampled mix is uniform whatever the input skew.
+
+    Scale shape: phase 1 is a tiny groupby(lang) count (combiner-sized,
+    O(langs) rows to the driver); phase 2 is a pure map-side filter —
+    keep iff stable_hash64('mix:'+doc_id) % 2^20 < thr(lang), with
+    thr = (min_count << 20) // count computed in PURE INTEGER arithmetic
+    so the SQL oracle bit-matches. The corpus itself is never shuffled
+    and passes exactly once."""
+    from ..functions.hashing import stable_hash64
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    counts = {r["lang"]: int(r["count()"])
+              for r in ds.groupby("lang").count().take_all()}
+    if not counts:
+        return ds
+    minn = min(counts.values())
+    thr = {lg: (minn << 20) // c for lg, c in counts.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        h = np.fromiter((stable_hash64(f"mix:{d}") for d in ids),
+                        np.uint64, len(ids))
+        t = np.fromiter((thr[lg] for lg in langs), np.int64, len(langs))
+        mask = (h % np.uint64(1 << 20)).astype(np.int64) < t
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def lang_balance_sample_sql() -> str:
+    return f"""
+WITH n AS (
+  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+), m AS (
+  SELECT min(cnt) AS minn FROM n
+), thr AS (
+  SELECT lang, (minn * 1048576) // cnt AS t FROM n CROSS JOIN m
+), hx AS (
+  SELECT doc_id, lang, sha256('mix:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT d.doc_id, d.lang
+FROM hx d JOIN thr ON thr.lang = d.lang
+WHERE CAST({_sql_hash64("d.h")} % 1048576 AS BIGINT) < thr.t"""
+
+
 def heavy_hitter_terms(sf_dir: str, k: int = 20) -> pa.Table:
     """Exact top-k corpus terms via the two-pass Misra–Gries heavy-
     hitters pattern (stages/sketch.py:heavy_hitters): bounded-memory
@@ -1951,11 +2004,14 @@ def kmeans_clusters(sf_dir: str, k: int = 10, iters: int = 6) -> rd.Dataset:
     return assign
 
 
-def kmeans_clusters_sql(k: int = 10, iters: int = 6, dim: int = 64) -> str:
-    """DuckDB replica of ``kmeans_clusters``: centroids start as vectors
-    0..k-1, then ``iters`` unrolled Lloyd rounds (argmin assignment with
-    cluster-id tie-break, per-cluster per-dim mean, empty clusters keep
-    the previous centroid), then the final assignment."""
+def _kmeans_sql_parts(src: str, k: int, iters: int, dim: int) -> list[str]:
+    """CTE parts unrolling the deterministic ``init_ids=[0..k-1]``
+    k-means over ``src`` (a table/CTE with (vec_id, embedding)): v =
+    unnested vectors, c0 = init centroids, a{i}/c{i+1} = Lloyd rounds
+    (argmin assignment with cluster-id tie-break, per-cluster per-dim
+    mean, empty clusters keep the previous centroid), ending with the
+    final assignment CTE ``afinal (vec_id, cid)``. Shared by
+    ``kmeans_clusters_sql`` and ``semdedup_sql``."""
     def assign_cte(name: str, cents: str) -> str:
         return f"""{name} AS (
   SELECT vec_id, cid FROM (
@@ -1970,7 +2026,7 @@ def kmeans_clusters_sql(k: int = 10, iters: int = 6, dim: int = 64) -> str:
     parts = [f"""v AS (
   SELECT vec_id, unnest(range({dim})) AS d,
          unnest(CAST(embedding AS DOUBLE[])) AS val
-  FROM embeddings
+  FROM {src}
 ), c0 AS (
   SELECT vec_id AS cid, d, val FROM v WHERE vec_id < {k}
 )"""]
@@ -1985,8 +2041,62 @@ def kmeans_clusters_sql(k: int = 10, iters: int = 6, dim: int = 64) -> str:
   ON m.cid = p.cid AND m.d = p.d
 )""")
     parts.append(assign_cte("afinal", f"c{iters}"))
+    return parts
+
+
+def kmeans_clusters_sql(k: int = 10, iters: int = 6, dim: int = 64) -> str:
+    """DuckDB replica of ``kmeans_clusters``: centroids start as vectors
+    0..k-1, then ``iters`` unrolled Lloyd rounds (argmin assignment with
+    cluster-id tie-break, per-cluster per-dim mean, empty clusters keep
+    the previous centroid), then the final assignment."""
+    parts = _kmeans_sql_parts("embeddings", k, iters, dim)
     return ("WITH " + ",\n".join(parts) +
             "\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM afinal")
+
+
+def semdedup(sf_dir: str, k: int = 8, iters: int = 4) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then cosine near-dup detection WITHIN clusters only — the pair scan
+    is quadratic in cluster population, not corpus size, which is the
+    semantic-dedup scale path (stages/dedup.py:semdedup). Runs over the
+    planted-exact-copy corpus (threshold 0.99; the corpus's natural max
+    pairwise cosine ~0.51 keeps the float threshold far from any
+    decision boundary) with the SQL-replicable ``init_ids`` k-means, so
+    the integer (vec_id, cluster_id, dup_of) output is exactly oracled.
+    Recall note: exact copies always share a cluster (identical vectors
+    → identical argmin), so planted-copy recall is 1 by construction;
+    near-pairs straddling a cluster boundary are missed — that
+    approximation IS SemDeDup."""
+    return dd.semdedup(_embeddings_with_planted_dups(sf_dir),
+                       k=k, iters=iters, threshold_pct=99)
+
+
+def semdedup_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
+    """DuckDB replica of ``semdedup``: the planted union feeds the
+    unrolled k-means CTEs (shared with ``kmeans_clusters_sql``), pairs
+    are same-cluster id-ordered with cosine >= 0.99, and dup_of folds as
+    min(self, min smaller-id neighbor) — the simhash_dedup convention."""
+    parts = [f"""all_v AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+)"""]
+    parts.extend(_kmeans_sql_parts("all_v", k, iters, dim))
+    parts.append("""pairs AS (
+  SELECT fa.vec_id AS a, fb.vec_id AS b
+  FROM afinal fa JOIN afinal fb
+    ON fa.cid = fb.cid AND fa.vec_id < fb.vec_id
+  JOIN all_v va ON va.vec_id = fa.vec_id
+  JOIN all_v vb ON vb.vec_id = fb.vec_id
+  WHERE list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+                               CAST(vb.embedding AS DOUBLE[])) >= 0.99
+), nbr AS (
+  SELECT b AS vec_id, min(a) AS mn FROM pairs GROUP BY b
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cluster_id,
+       CAST(least(f.vec_id, COALESCE(n.mn, f.vec_id)) AS BIGINT) AS dup_of
+FROM afinal f LEFT JOIN nbr n ON n.vec_id = f.vec_id""")
 
 
 def ann_ivf_fullprobe(sf_dir: str, k: int = 10,

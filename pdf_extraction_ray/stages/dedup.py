@@ -907,6 +907,92 @@ def embedding_near_dup_cells(ds: rd.Dataset, threshold_pct: int = 99,
                                                 batch_format="pandas")
 
 
+def semdedup(ds: rd.Dataset, k: int = 8, iters: int = 4,
+             threshold_pct: int = 99, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then find cosine near-duplicates WITHIN each
+    cluster only — the quadratic pair scan is bounded to cluster
+    populations instead of the corpus, which is what makes semantic
+    dedup tractable at 100 TB (vs ``embedding_near_dup``'s exact
+    all-pairs baseline).
+
+    Shape: one k-means fit (broadcast centroids, fixed-size partials —
+    stages/similarity.py:kmeans_fit, deterministic ``init_ids`` path so
+    the SQL oracle can unroll it), then ONE fused map assigns every
+    vector its cluster and unit-normalizes it, then ONE
+    ``groupby(cluster_id)`` shuffle runs a per-cluster matmul. Driver
+    holds only the k x dim centroids.
+
+    Returns (id_col, cluster_id, dup_of) where dup_of = min(id, min
+    same-cluster neighbor id with cosine >= threshold) — rows with
+    dup_of == id are the survivors (first-wins, the simhash_dedup
+    convention).
+
+    Partitioning assumption: cluster populations are balanced by the
+    k-means fit; a degenerate corpus (one semantic mode) makes one hot
+    cluster — raise k, or pre-split hot clusters by id salt and merge
+    pair sets, exactly as for ``embedding_near_dup_cells``.
+    """
+    from .similarity import kmeans_fit
+
+    # materialized once: the fit's sample scan + per-round reads and the
+    # assignment map below otherwise each re-execute the input lineage
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+    cents, _hist = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col,
+                              id_col=id_col, init_ids=list(range(k)))
+    cref = ray.put(cents)
+    thr = threshold_pct / 100.0
+
+    def assign_norm(batch: pa.Table) -> pa.Table:
+        """Fused: raw-vector argmin assignment (identical arithmetic to
+        kmeans' assign_final) + unit-normalize for the cosine stage."""
+        C = ray.get(cref)
+        if not len(batch):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64()),
+                             "unit": pa.array([], pa.list_(pa.float64()))})
+        arr = batch[vec_col].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        X = flat.astype(np.float64).reshape(len(batch), -1)
+        d = ((X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ C.T)
+             + (C * C).sum(axis=1))
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = X / norms
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "cluster_id": pa.array(np.argmin(d, axis=1).astype(np.int64)),
+            "unit": pa.FixedSizeListArray.from_arrays(
+                pa.array(unit.ravel(), pa.float64()), unit.shape[1]),
+        })
+
+    assigned = ds.map_batches(assign_norm, batch_format="pyarrow")
+
+    def prune(group: pd.DataFrame) -> pd.DataFrame:
+        cid = int(group["cluster_id"].iloc[0])
+        g = group.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack(g["unit"].to_numpy())
+        sims = mat @ mat.T
+        # rows sorted by id asc → neighbor i < j iff row(i) < row(j);
+        # first True per column IS the min-id neighbor
+        mask = np.triu(sims >= thr, k=1)
+        has = mask.any(axis=0)
+        first = mask.argmax(axis=0)
+        dup_of = np.where(has, ids[first], ids)
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "cluster_id": pd.Series(np.full(len(ids), cid), dtype="int64"),
+            "dup_of": pd.Series(dup_of, dtype="int64"),
+        })
+
+    return assigned.groupby("cluster_id").map_groups(prune,
+                                                     batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

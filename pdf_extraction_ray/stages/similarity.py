@@ -287,32 +287,18 @@ def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
                                    n_probe, vec_col, id_col)
 
 
-def kmeans(ds: rd.Dataset, k: int = 10, iters: int = 8,
-           vec_col: str = "embedding", id_col: str = "vec_id",
-           init_sample: int = 256,
-           init_ids: list[int] | None = None) -> tuple[rd.Dataset, list[float]]:
-    """Distributed Lloyd's k-means over an embedding column.
-
-    The iterative-algorithm shape on Ray Data: centroids broadcast once
-    per round (``ray.put``), every batch computes its assignments with
-    one numpy matmul and reduces to a (k x dim sums, k counts, inertia)
-    partial — the driver folds only those fixed-size partials, never
-    vectors. Init is deterministic and RNG-free either way: farthest-
-    point (k-center greedy) on a bounded id-pruned sample by default, or
-    — when ``init_ids`` is given — the vectors with those ids in order
-    (centroid j = vector ``init_ids[j]``; the SQL-replicable choice the
-    oracle uses, since farthest-point needs k sequential argmax steps).
-
-    Returns (assignments dataset (id_col, cluster_id), per-iteration
-    inertia list — non-increasing by Lloyd's monotonicity, asserted in
-    tests). Empty clusters keep their previous centroid.
+def kmeans_fit(ds: rd.Dataset, k: int = 10, iters: int = 8,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               init_sample: int = 256,
+               init_ids: list[int] | None = None,
+               ) -> tuple[np.ndarray, list[float]]:
+    """Fit Lloyd's k-means and return (centroids, inertia history) —
+    the fitting loop of :func:`kmeans`, exposed so composed operators
+    (e.g. SemDeDup's cluster-then-prune) can broadcast the centroids
+    into their own assignment maps. ``ds`` should already be
+    materialized (or cheap to re-read): every Lloyd round re-reads it.
     """
     import pyarrow.compute as pc
-
-    # materialize once: the sample scan, every Lloyd round, and the
-    # final assignment otherwise each re-execute the full input lineage
-    # (iters+2 reads); at true scale persist to parquet instead
-    ds = ds.materialize()
 
     # --- deterministic init on a bounded id-pruned sample ---
     id_bound = (max(init_ids) + 1) if init_ids else init_sample
@@ -395,6 +381,36 @@ def kmeans(ds: rd.Dataset, k: int = 10, iters: int = 8,
                              sums / np.maximum(counts, 1)[:, None],
                              centroids)
 
+    return centroids, inertia_hist
+
+
+def kmeans(ds: rd.Dataset, k: int = 10, iters: int = 8,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           init_sample: int = 256,
+           init_ids: list[int] | None = None) -> tuple[rd.Dataset, list[float]]:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    The iterative-algorithm shape on Ray Data: centroids broadcast once
+    per round (``ray.put``), every batch computes its assignments with
+    one numpy matmul and reduces to a (k x dim sums, k counts, inertia)
+    partial — the driver folds only those fixed-size partials, never
+    vectors. Init is deterministic and RNG-free either way: farthest-
+    point (k-center greedy) on a bounded id-pruned sample by default, or
+    — when ``init_ids`` is given — the vectors with those ids in order
+    (centroid j = vector ``init_ids[j]``; the SQL-replicable choice the
+    oracle uses, since farthest-point needs k sequential argmax steps).
+
+    Returns (assignments dataset (id_col, cluster_id), per-iteration
+    inertia list — non-increasing by Lloyd's monotonicity, asserted in
+    tests). Empty clusters keep their previous centroid.
+    """
+    # materialize once: the sample scan, every Lloyd round, and the
+    # final assignment otherwise each re-execute the full input lineage
+    # (iters+2 reads); at true scale persist to parquet instead
+    ds = ds.materialize()
+    centroids, inertia_hist = kmeans_fit(
+        ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+        init_sample=init_sample, init_ids=init_ids)
     cref = ray.put(centroids)
 
     def assign_final(batch: pa.Table) -> pa.Table:

@@ -396,3 +396,62 @@ def test_minhash_cluster_no_candidates(ray_session):
     out = minhash_cluster(docs, jaccard_threshold=0.5).to_pandas()
     assert len(out) == 40
     assert (out["cluster_id"] == out["doc_id"]).all()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-prune embedding dedup) + mixture rebalancing
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import semdedup, semdedup_sql
+    assert compare("semdedup", semdedup(SF_SMOKE), semdedup_sql(),
+                   SF_SMOKE) == []
+
+
+def test_semdedup_planted_copies_pruned(ray_session):
+    """Exact copies share their original's cluster (identical vectors →
+    identical argmin) and must all be flagged; originals are mutually
+    distant (natural max cosine ~0.51) so every original survives."""
+    from pdf_extraction_ray.pipelines.analytics import semdedup
+    out = semdedup(SF_SMOKE).to_pandas()
+    planted = out[out.vec_id >= 100_000]
+    originals = out[out.vec_id < 100_000]
+    assert len(planted) > 0
+    assert (planted.dup_of < planted.vec_id).all()
+    assert (originals.dup_of == originals.vec_id).all()
+    # copy and original co-clustered
+    cl = dict(zip(out.vec_id, out.cluster_id))
+    assert all(cl[v] == cl[v - 100_000] for v in planted.vec_id)
+    # row-complete: every input vector appears exactly once
+    assert len(out) == len(out.vec_id.unique())
+
+
+def test_lang_balance_sample_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        lang_balance_sample, lang_balance_sample_sql)
+    assert compare("lang_balance_sample", lang_balance_sample(SF_SMOKE),
+                   lang_balance_sample_sql(), SF_SMOKE) == []
+
+
+def test_lang_balance_sample_balances(ray_session):
+    """The smallest language is kept whole (rate 1), and every kept
+    per-lang count lands within hash noise of that minimum, whatever
+    the input skew."""
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_ray.pipelines.analytics import lang_balance_sample
+    src = pq.read_table(SF_SMOKE + "/documents.parquet",
+                        columns=["lang"]).to_pandas()
+    n_in = src.lang.value_counts()
+    out = lang_balance_sample(SF_SMOKE).to_pandas()
+    n_out = out.lang.value_counts()
+    minn = int(n_in.min())
+    assert int(n_out[n_in.idxmin()]) == minn
+    for lang, kept in n_out.items():
+        # binomial noise: expected minn, sd ~ sqrt(minn); allow 4 sd + 2
+        assert abs(int(kept) - minn) <= 4 * minn ** 0.5 + 2, (lang, kept)

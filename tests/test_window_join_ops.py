@@ -644,7 +644,7 @@ def test_entry_contract_keys():
         "normalize_text", "doc_passages", "bm25_topk",
         "bm25_topk_indexed", "value_quantiles_hist", "props_json_stats",
         "text_embed_dups", "kmeans_clusters", "ann_ivf_fullprobe",
-        "url_canonical_dedup",
+        "url_canonical_dedup", "semdedup", "lang_balance_sample",
     }
     assert need_r03 <= set(list(q)[:50])
 
