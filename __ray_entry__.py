@@ -380,14 +380,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _tuned(analytics.dedup_minhash),
         "dedup_simhash": _tuned(analytics.dedup_simhash),
         "jaccard_pairs": _tuned(analytics.jaccard_pairs),
-        "dedup_clusters": _tuned(analytics.dedup_clusters),
         # new in round 3 (need their first driver row; displace
-        # embedding_dup_pairs / dedup_embedding_cells / ann_bruteforce
-        # — all green in r02 — past the window)
+        # dedup_clusters / embedding_dup_pairs / dedup_embedding_cells /
+        # ann_bruteforce — all green in r02 — past the window)
         "semdedup": _tuned(analytics.semdedup),
         "lang_balance_sample": _tuned(analytics.lang_balance_sample),
+        "dup_span_strip": _tuned(analytics.dup_span_strip),
         "url_canonical_dedup": _tuned(q_url_canonical_dedup),
         # --- entry 51+ (green in r02; no new row needed) ---
+        "dedup_clusters": _tuned(analytics.dedup_clusters),
         "embedding_dup_pairs": _tuned(analytics.embedding_dup_pairs),
         "dedup_embedding_cells": _tuned(analytics.dedup_embedding_cells),
         "ann_bruteforce": _tuned(analytics.ann_bruteforce),
@@ -445,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_dedup": oracle.url_canonical_dedup_sql(),
         "semdedup": analytics.semdedup_sql(),
         "lang_balance_sample": analytics.lang_balance_sample_sql(),
+        "dup_span_strip": analytics.dup_span_strip_sql(),
         "boilerplate_lines": oracle.boilerplate_lines_sql(),
         "line_dedup_docs": oracle.line_dedup_docs_sql(),
         "repetition_stats": oracle.repetition_stats_sql(),

@@ -1499,6 +1499,129 @@ SELECT a.doc_id,
 FROM all_docs a LEFT JOIN per ON a.doc_id = per.doc_id"""
 
 
+def dup_span_strip(sf_dir: str) -> rd.Dataset:
+    """Duplicated-substring REMOVAL (the other half of ExactSubstr, Lee
+    et al. 2022: ``dup_ngram_spans`` detects, this rewrites): corpus-wide,
+    every duplicated word-8-gram keeps exactly ONE owning copy — the
+    minimum doc_id containing it — and every other document drops the
+    word positions covered by that gram's windows.
+
+    Shape: pass 1 reuses the detector's combiner (per-batch distinct
+    grams → one groupby folding doc-count + min-doc-id); the duplicated
+    grams broadcast once as a {gram: owner} dict; pass 2 is map-side —
+    each doc marks positions covered by a non-owned duplicated window
+    and reassembles the kept words. Same broadcast bound as
+    ``dup_ngram_spans`` (cross-document repetition only); the 100 TB
+    fallback is a gram-hash cogroup join attaching (gram, owner) to
+    (doc, window) pairs instead of the broadcast.
+
+    Returns (doc_id, n_words, n_removed, clean_text) — integers + the
+    rewritten text, exactly replicated by ``dup_span_strip_sql``."""
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Min
+
+    docs = _docs_with_planted_near_dups(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dfc: Counter = Counter()
+        owner: dict[str, int] = {}
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            words = (text or "").split(" ")
+            gs = {" ".join(words[i:i + NGRAM_N])
+                  for i in range(len(words) - NGRAM_N + 1)}
+            dfc.update(gs)
+            for g in gs:
+                if g not in owner or did < owner[g]:
+                    owner[g] = did
+        keys = sorted(dfc)
+        return pa.table({
+            "g": pa.array(keys, pa.string()),
+            "c_docs": pa.array([dfc[k] for k in keys], pa.int64()),
+            "own": pa.array([owner[k] for k in keys], pa.int64()),
+        })
+
+    folded = (docs.select_columns(["doc_id", "text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("g")
+              .aggregate(Sum("c_docs", alias_name="n_docs"),
+                         Min("own", alias_name="owner")))
+
+    dup_owner: dict[str, int] = {}
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        mask = np.asarray(b["n_docs"]) >= 2
+        for g, o in zip(np.asarray(b["g"])[mask].tolist(),
+                        np.asarray(b["owner"])[mask].tolist()):
+            dup_owner[g] = int(o)
+    dup_ref = ray.put(dup_owner)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        own = ray.get(dup_ref)
+        ids = batch["doc_id"].to_pylist()
+        out_n, out_rm, out_txt = [], [], []
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            words = (text or "").split(" ")
+            covered = np.zeros(len(words), bool)
+            for i in range(len(words) - NGRAM_N + 1):
+                g = " ".join(words[i:i + NGRAM_N])
+                o = own.get(g)
+                if o is not None and o < did:
+                    covered[i:i + NGRAM_N] = True
+            out_n.append(len(words))
+            out_rm.append(int(covered.sum()))
+            out_txt.append(" ".join(w for w, c in zip(words, covered)
+                                    if not c))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(out_n, pa.int64()),
+            "n_removed": pa.array(out_rm, pa.int64()),
+            "clean_text": pa.array(out_txt, pa.string()),
+        })
+
+    return docs.map_batches(strip, batch_format="pyarrow")
+
+
+def dup_span_strip_sql() -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(NGRAM_N))
+    gram = gram.replace("w[i+0]", "w[i]")
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, length(text) - 12)
+  FROM documents WHERE doc_id % 5 = 0
+), dw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM all_docs
+), grams AS (
+  SELECT doc_id, i, {gram} AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {NGRAM_N - 2})) AS i
+        FROM dw WHERE len(w) >= {NGRAM_N})
+), gd AS (
+  SELECT g, min(doc_id) AS own FROM grams
+  GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT grams.doc_id,
+         unnest(range(i, i + {NGRAM_N})) AS p
+  FROM grams JOIN gd USING (g) WHERE gd.own < grams.doc_id
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS p,
+         unnest(w) AS word
+  FROM dw
+), kept AS (
+  SELECT pos.doc_id,
+         coalesce(string_agg(word, ' ' ORDER BY pos.p)
+                  FILTER (WHERE cov.p IS NULL), '') AS clean_text,
+         count(*) FILTER (WHERE cov.p IS NOT NULL) AS n_removed
+  FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+  GROUP BY pos.doc_id
+)
+SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+       CAST(k.n_removed AS BIGINT) AS n_removed, k.clean_text
+FROM dw d JOIN kept k ON k.doc_id = d.doc_id"""
+
+
 STRATUM_RATE_PCT = {"en": 10}  # default stratum rate below
 STRATUM_DEFAULT_PCT = 50
 

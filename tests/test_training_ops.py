@@ -455,3 +455,35 @@ def test_lang_balance_sample_balances(ray_session):
     for lang, kept in n_out.items():
         # binomial noise: expected minn, sd ~ sqrt(minn); allow 4 sd + 2
         assert abs(int(kept) - minn) <= 4 * minn ** 0.5 + 2, (lang, kept)
+
+
+def test_dup_span_strip_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (dup_span_strip,
+                                                        dup_span_strip_sql)
+    assert compare("dup_span_strip", dup_span_strip(SF_SMOKE),
+                   dup_span_strip_sql(), SF_SMOKE) == []
+
+
+def test_dup_span_strip_keeps_one_owner_copy(ray_session):
+    """Planted copies (doc_id + 1e6, suffix-truncated) lose nearly all
+    their words — their grams are owned by the original — while the
+    originals, which own every shared gram, keep their text intact
+    unless another doc happens to share an 8-gram naturally."""
+    from pdf_extraction_ray.pipelines.analytics import dup_span_strip
+    out = dup_span_strip(SF_SMOKE).to_pandas().set_index("doc_id")
+    planted = out[out.index >= 1_000_000]
+    assert len(planted) > 0
+    # a suffix-truncated copy of a >=8-word doc is fully covered
+    big = planted[planted.n_words >= 16]
+    assert (big.n_removed >= big.n_words - 8).all()
+    # originals of the planted pairs keep everything (they own the grams)
+    originals = out.loc[[i - 1_000_000 for i in planted.index]]
+    assert (originals.n_removed == 0).mean() >= 0.95
+    # conservation: clean_text word count == n_words - n_removed
+    # ("" is ambiguous: 0 kept words, or kept words that are all empty
+    # strings — split/join can't tell them apart; both engines agree)
+    recount = out.clean_text.map(lambda t: len(t.split(" ")) if t else 0)
+    kept = out.n_words - out.n_removed
+    assert ((recount == kept) | (out.clean_text == "")).all()
