@@ -378,16 +378,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family (D1 + near-dup extensions)
         "dedup_exact": _tuned(analytics.dedup_exact),
         "dedup_minhash": _tuned(analytics.dedup_minhash),
-        "dedup_simhash": _tuned(analytics.dedup_simhash),
-        "jaccard_pairs": _tuned(analytics.jaccard_pairs),
         # new in round 3 (need their first driver row; displace
-        # dedup_clusters / embedding_dup_pairs / dedup_embedding_cells /
-        # ann_bruteforce — all green in r02 — past the window)
+        # dedup_simhash / jaccard_pairs / dedup_clusters /
+        # embedding_dup_pairs / dedup_embedding_cells / ann_bruteforce
+        # — all green in r02 — past the window)
         "semdedup": _tuned(analytics.semdedup),
         "lang_balance_sample": _tuned(analytics.lang_balance_sample),
         "dup_span_strip": _tuned(analytics.dup_span_strip),
+        "gopher_filter": _tuned(analytics.gopher_filter),
+        "snapshot_ingest_dedup": _tuned(analytics.snapshot_ingest_dedup),
         "url_canonical_dedup": _tuned(q_url_canonical_dedup),
         # --- entry 51+ (green in r02; no new row needed) ---
+        "dedup_simhash": _tuned(analytics.dedup_simhash),
+        "jaccard_pairs": _tuned(analytics.jaccard_pairs),
         "dedup_clusters": _tuned(analytics.dedup_clusters),
         "embedding_dup_pairs": _tuned(analytics.embedding_dup_pairs),
         "dedup_embedding_cells": _tuned(analytics.dedup_embedding_cells),
@@ -447,6 +450,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": analytics.semdedup_sql(),
         "lang_balance_sample": analytics.lang_balance_sample_sql(),
         "dup_span_strip": analytics.dup_span_strip_sql(),
+        "gopher_filter": analytics.gopher_filter_sql(),
+        "snapshot_ingest_dedup": analytics.snapshot_ingest_dedup_sql(),
         "boilerplate_lines": oracle.boilerplate_lines_sql(),
         "line_dedup_docs": oracle.line_dedup_docs_sql(),
         "repetition_stats": oracle.repetition_stats_sql(),

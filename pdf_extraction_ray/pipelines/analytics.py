@@ -425,6 +425,96 @@ WHERE n_tokens >= 20 AND 3 * n_tokens <= sum_len
   AND sum_len <= 10 * n_tokens AND 5 * sum_len >= 2 * n_chars"""
 
 
+GOPHER_RULES = ("too_few_tokens", "bad_mean_word_len", "too_much_nonword",
+                "top_bigram_heavy")
+
+
+def gopher_filter(sf_dir: str) -> rd.Dataset:
+    """Composite Gopher-style rule bundle WITH audit reasons (Rae et al.
+    2021 §A1.1 / Dolma-style taggers): every document gets (keep, reason)
+    where reason is the FIRST failing rule in a fixed order — the
+    operator a curation pipeline runs to tune thresholds from rejection
+    histograms, vs ``quality_filter`` which silently drops.
+
+    Rules (pure-integer comparisons, so the SQL oracle is exact):
+    1. too_few_tokens:    n_tokens < 20
+    2. bad_mean_word_len: not (3*n_tokens <= sum_len <= 10*n_tokens)
+    3. too_much_nonword:  5*sum_len < 2*n_chars
+    4. top_bigram_heavy:  5*top_bigram_n > n_bigrams (one bigram carries
+       >20% of bigram mass — the within-doc repetition signal)
+
+    Map-side only (one pass, no shuffle); reasons are a tiny dictionary
+    column at scale."""
+    from collections import Counter
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keeps, reasons = [], []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            toks = TOKEN_RE.findall(t)
+            n, s = len(toks), sum(len(w) for w in toks)
+            words = t.split(" ")
+            bc = Counter(zip(words, words[1:]))
+            n_bi = sum(bc.values())
+            top = max(bc.values(), default=0)
+            if n < 20:
+                reason = "too_few_tokens"
+            elif not (3 * n <= s <= 10 * n):
+                reason = "bad_mean_word_len"
+            elif 5 * s < 2 * len(t):
+                reason = "too_much_nonword"
+            elif 5 * top > n_bi:
+                reason = "top_bigram_heavy"
+            else:
+                reason = "pass"
+            keeps.append(reason == "pass")
+            reasons.append(reason)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "keep": pa.array(keeps, pa.bool_()),
+            "reason": pa.array(reasons, pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tag, batch_format="pyarrow")
+
+
+def gopher_filter_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS sum_len,
+         string_split(text, ' ') AS w
+  FROM documents
+), bi AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(c), 0) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(max(c), 0) AS BIGINT) AS top_bigram_n
+  FROM (
+    SELECT doc_id, bg, count(*) AS c
+    FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                i -> w[i] || chr(0) || w[i+1])) AS bg
+          FROM t)
+    GROUP BY doc_id, bg)
+  GROUP BY doc_id
+), r AS (
+  SELECT t.doc_id,
+         CASE
+           WHEN n_tokens < 20 THEN 'too_few_tokens'
+           WHEN NOT (3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens)
+             THEN 'bad_mean_word_len'
+           WHEN 5 * sum_len < 2 * n_chars THEN 'too_much_nonword'
+           WHEN 5 * coalesce(top_bigram_n, 0) > coalesce(n_bigrams, 0)
+             THEN 'top_bigram_heavy'
+           ELSE 'pass'
+         END AS reason
+  FROM t LEFT JOIN bi ON bi.doc_id = t.doc_id
+)
+SELECT doc_id, (reason = 'pass') AS keep, reason FROM r"""
+
+
 def doc_passages(sf_dir: str, k: int = 32, overlap: int = 8) -> rd.Dataset:
     """RAG-style passage chunking — the retrieval-corpus explode: each
     document splits into overlapping ``k``-word windows at stride
@@ -697,6 +787,60 @@ GROUP BY doc_id, kept"""
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
+
+
+def snapshot_ingest_dedup(sf_dir: str) -> rd.Dataset:
+    """Incremental crawl-snapshot ingestion (the CCNet/Common-Crawl
+    cross-snapshot dedup): a NEW snapshot batch is anti-joined by
+    CONTENT hash against the already-ingested corpus, so only
+    genuinely-new documents enter the pipeline. Composes the
+    distributed-bloom + exact-verify anti-join (stages/dedup.py:
+    bloom_anti_join — per-block partial blooms, task fan-in OR, bounded
+    verify broadcast), which is the right shape when the existing corpus
+    is 100 TB and the snapshot is a sliver of it.
+
+    Snapshot simulated deterministically from the documents table:
+    doc_id % 3 == 0 re-crawled UNCHANGED (must be dropped), doc_id % 3
+    == 1 re-crawled with edits (must survive). Returns (doc_id,
+    content_sha256) of the surviving snapshot rows."""
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def corpus_keys(batch: pa.Table) -> pa.Table:
+        return pa.table({"sha": pa.array(
+            [sha256_hex(t or "") for t in batch["text"].to_pylist()],
+            pa.string())})
+
+    def snapshot(batch: pa.Table) -> pa.Table:
+        ids, out_id, out_sha = batch["doc_id"].to_pylist(), [], []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            if did % 3 == 0:
+                out_id.append(did + 2_000_000)
+                out_sha.append(sha256_hex(t or ""))
+            elif did % 3 == 1:
+                out_id.append(did + 2_000_000)
+                out_sha.append(sha256_hex((t or "") + " snapshot-new"))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "content_sha256": pa.array(out_sha, pa.string()),
+        })
+
+    snap = base.map_batches(snapshot, batch_format="pyarrow")
+    keys = base.map_batches(corpus_keys, batch_format="pyarrow")
+    return dd.bloom_anti_join(snap, keys, key_col="content_sha256",
+                              right_key_col="sha")
+
+
+def snapshot_ingest_dedup_sql() -> str:
+    return """
+WITH snap AS (
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' snapshot-new'
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id, sha256(text) AS content_sha256 FROM snap
+WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents)"""
 
 
 def _docs_with_planted_exact_dups(sf_dir: str) -> rd.Dataset:

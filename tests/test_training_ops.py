@@ -487,3 +487,53 @@ def test_dup_span_strip_keeps_one_owner_copy(ray_session):
     recount = out.clean_text.map(lambda t: len(t.split(" ")) if t else 0)
     kept = out.n_words - out.n_removed
     assert ((recount == kept) | (out.clean_text == "")).all()
+
+
+def test_gopher_filter_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (gopher_filter,
+                                                        gopher_filter_sql)
+    assert compare("gopher_filter", gopher_filter(SF_SMOKE),
+                   gopher_filter_sql(), SF_SMOKE) == []
+
+
+def test_gopher_filter_reason_is_first_failing_rule(ray_session):
+    """keep == (reason == 'pass'), reasons come from the fixed rule
+    vocabulary, and the keep set equals quality_filter's doc set plus
+    the repetition rule (rules 1-3 are quality_filter's)."""
+    from pdf_extraction_ray.pipelines.analytics import (GOPHER_RULES,
+                                                        gopher_filter,
+                                                        quality_filter)
+    out = gopher_filter(SF_SMOKE).to_pandas()
+    assert set(out.reason) <= set(GOPHER_RULES) | {"pass"}
+    assert (out.keep == (out.reason == "pass")).all()
+    qf = set(quality_filter(SF_SMOKE).to_pandas().doc_id)
+    kept = set(out[out.keep].doc_id)
+    # gopher adds one more rule on top of quality_filter: kept ⊆ qf and
+    # the difference is exactly the top_bigram_heavy rejections
+    assert kept <= qf
+    extra = out[out.doc_id.isin(qf - kept)]
+    assert (extra.reason == "top_bigram_heavy").all()
+
+
+def test_snapshot_ingest_dedup_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        snapshot_ingest_dedup, snapshot_ingest_dedup_sql)
+    assert compare("snapshot_ingest_dedup", snapshot_ingest_dedup(SF_SMOKE),
+                   snapshot_ingest_dedup_sql(), SF_SMOKE) == []
+
+
+def test_snapshot_ingest_dedup_drops_only_recrawls(ray_session):
+    """Unchanged re-crawls (doc_id % 3 == 0) are all dropped; edited
+    re-crawls (doc_id % 3 == 1) all survive."""
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_ray.pipelines.analytics import snapshot_ingest_dedup
+    out = snapshot_ingest_dedup(SF_SMOKE).to_pandas()
+    ids = pq.read_table(SF_SMOKE + "/documents.parquet",
+                        columns=["doc_id"]).to_pandas().doc_id
+    expect = {int(i) + 2_000_000 for i in ids if i % 3 == 1}
+    assert set(out.doc_id) == expect

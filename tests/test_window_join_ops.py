@@ -645,7 +645,7 @@ def test_entry_contract_keys():
         "bm25_topk_indexed", "value_quantiles_hist", "props_json_stats",
         "text_embed_dups", "kmeans_clusters", "ann_ivf_fullprobe",
         "url_canonical_dedup", "semdedup", "lang_balance_sample",
-        "dup_span_strip",
+        "dup_span_strip", "gopher_filter", "snapshot_ingest_dedup",
     }
     assert need_r03 <= set(list(q)[:50])
 
