@@ -374,21 +374,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_markdown": _tuned(q_export_markdown),
         "canonical_names": _tuned(q_canonical_names),
         "boilerplate_lines": _tuned(q_boilerplate_lines),
-        "line_dedup_docs": _tuned(q_line_dedup_docs),
         # dedup family (D1 + near-dup extensions)
         "dedup_exact": _tuned(analytics.dedup_exact),
         "dedup_minhash": _tuned(analytics.dedup_minhash),
         # new in round 3 (need their first driver row; displace
-        # dedup_simhash / jaccard_pairs / dedup_clusters /
-        # embedding_dup_pairs / dedup_embedding_cells / ann_bruteforce
-        # — all green in r02 — past the window)
+        # line_dedup_docs / dedup_simhash / jaccard_pairs /
+        # dedup_clusters / embedding_dup_pairs / dedup_embedding_cells /
+        # ann_bruteforce — all green in r02 — past the window)
         "semdedup": _tuned(analytics.semdedup),
         "lang_balance_sample": _tuned(analytics.lang_balance_sample),
         "dup_span_strip": _tuned(analytics.dup_span_strip),
         "gopher_filter": _tuned(analytics.gopher_filter),
         "snapshot_ingest_dedup": _tuned(analytics.snapshot_ingest_dedup),
+        "curate_pipeline": _tuned(analytics.curate_pipeline),
         "url_canonical_dedup": _tuned(q_url_canonical_dedup),
         # --- entry 51+ (green in r02; no new row needed) ---
+        "line_dedup_docs": _tuned(q_line_dedup_docs),
         "dedup_simhash": _tuned(analytics.dedup_simhash),
         "jaccard_pairs": _tuned(analytics.jaccard_pairs),
         "dedup_clusters": _tuned(analytics.dedup_clusters),
@@ -452,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_strip": analytics.dup_span_strip_sql(),
         "gopher_filter": analytics.gopher_filter_sql(),
         "snapshot_ingest_dedup": analytics.snapshot_ingest_dedup_sql(),
+        "curate_pipeline": analytics.curate_pipeline_sql(),
         "boilerplate_lines": oracle.boilerplate_lines_sql(),
         "line_dedup_docs": oracle.line_dedup_docs_sql(),
         "repetition_stats": oracle.repetition_stats_sql(),

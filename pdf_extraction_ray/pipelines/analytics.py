@@ -429,61 +429,34 @@ GOPHER_RULES = ("too_few_tokens", "bad_mean_word_len", "too_much_nonword",
                 "top_bigram_heavy")
 
 
-def gopher_filter(sf_dir: str) -> rd.Dataset:
-    """Composite Gopher-style rule bundle WITH audit reasons (Rae et al.
-    2021 §A1.1 / Dolma-style taggers): every document gets (keep, reason)
-    where reason is the FIRST failing rule in a fixed order — the
-    operator a curation pipeline runs to tune thresholds from rejection
-    histograms, vs ``quality_filter`` which silently drops.
-
-    Rules (pure-integer comparisons, so the SQL oracle is exact):
-    1. too_few_tokens:    n_tokens < 20
-    2. bad_mean_word_len: not (3*n_tokens <= sum_len <= 10*n_tokens)
-    3. too_much_nonword:  5*sum_len < 2*n_chars
-    4. top_bigram_heavy:  5*top_bigram_n > n_bigrams (one bigram carries
-       >20% of bigram mass — the within-doc repetition signal)
-
-    Map-side only (one pass, no shuffle); reasons are a tiny dictionary
-    column at scale."""
+def _gopher_reason(text: str) -> str:
+    """First failing Gopher rule for one document ('pass' if none) —
+    pure-integer comparisons shared by ``gopher_filter`` and
+    ``curate_pipeline`` (and replicated in ``_gopher_sql_parts``)."""
     from collections import Counter
 
-    def tag(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        keeps, reasons = [], []
-        for t in batch["text"].to_pylist():
-            t = t or ""
-            toks = TOKEN_RE.findall(t)
-            n, s = len(toks), sum(len(w) for w in toks)
-            words = t.split(" ")
-            bc = Counter(zip(words, words[1:]))
-            n_bi = sum(bc.values())
-            top = max(bc.values(), default=0)
-            if n < 20:
-                reason = "too_few_tokens"
-            elif not (3 * n <= s <= 10 * n):
-                reason = "bad_mean_word_len"
-            elif 5 * s < 2 * len(t):
-                reason = "too_much_nonword"
-            elif 5 * top > n_bi:
-                reason = "top_bigram_heavy"
-            else:
-                reason = "pass"
-            keeps.append(reason == "pass")
-            reasons.append(reason)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "keep": pa.array(keeps, pa.bool_()),
-            "reason": pa.array(reasons, pa.string()),
-        })
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        tag, batch_format="pyarrow")
+    toks = TOKEN_RE.findall(text)
+    n, s = len(toks), sum(len(w) for w in toks)
+    words = text.split(" ")
+    bc = Counter(zip(words, words[1:]))
+    n_bi = sum(bc.values())
+    top = max(bc.values(), default=0)
+    if n < 20:
+        return "too_few_tokens"
+    if not (3 * n <= s <= 10 * n):
+        return "bad_mean_word_len"
+    if 5 * s < 2 * len(text):
+        return "too_much_nonword"
+    if 5 * top > n_bi:
+        return "top_bigram_heavy"
+    return "pass"
 
 
-def gopher_filter_sql() -> str:
-    return """
-WITH t AS (
-  SELECT doc_id, length(text) AS n_chars,
+def _gopher_sql_parts() -> str:
+    """The t/bi/r CTE bodies computing per-doc ``reason`` — shared by
+    ``gopher_filter_sql`` and ``curate_pipeline_sql``."""
+    return """t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
          len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
          len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS sum_len,
          string_split(text, ' ') AS w
@@ -500,7 +473,7 @@ WITH t AS (
     GROUP BY doc_id, bg)
   GROUP BY doc_id
 ), r AS (
-  SELECT t.doc_id,
+  SELECT t.doc_id, t.text,
          CASE
            WHEN n_tokens < 20 THEN 'too_few_tokens'
            WHEN NOT (3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens)
@@ -511,8 +484,41 @@ WITH t AS (
            ELSE 'pass'
          END AS reason
   FROM t LEFT JOIN bi ON bi.doc_id = t.doc_id
-)
-SELECT doc_id, (reason = 'pass') AS keep, reason FROM r"""
+)"""
+
+
+def gopher_filter(sf_dir: str) -> rd.Dataset:
+    """Composite Gopher-style rule bundle WITH audit reasons (Rae et al.
+    2021 §A1.1 / Dolma-style taggers): every document gets (keep, reason)
+    where reason is the FIRST failing rule in a fixed order — the
+    operator a curation pipeline runs to tune thresholds from rejection
+    histograms, vs ``quality_filter`` which silently drops.
+
+    Rules (pure-integer comparisons, so the SQL oracle is exact):
+    1. too_few_tokens:    n_tokens < 20
+    2. bad_mean_word_len: not (3*n_tokens <= sum_len <= 10*n_tokens)
+    3. too_much_nonword:  5*sum_len < 2*n_chars
+    4. top_bigram_heavy:  5*top_bigram_n > n_bigrams (one bigram carries
+       >20% of bigram mass — the within-doc repetition signal)
+
+    Map-side only (one pass, no shuffle); reasons are a tiny dictionary
+    column at scale."""
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        reasons = [_gopher_reason(t or "") for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "keep": pa.array([r == "pass" for r in reasons], pa.bool_()),
+            "reason": pa.array(reasons, pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tag, batch_format="pyarrow")
+
+
+def gopher_filter_sql() -> str:
+    return ("\nWITH " + _gopher_sql_parts() +
+            "\nSELECT doc_id, (reason = 'pass') AS keep, reason FROM r")
 
 
 def doc_passages(sf_dir: str, k: int = 32, overlap: int = 8) -> rd.Dataset:
@@ -3117,3 +3123,141 @@ WITH h1 AS (
 SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
        CAST(shuffle_pos % {SHARD_COUNT} AS BIGINT) AS shard
 FROM r"""
+
+
+def curate_pipeline(sf_dir: str) -> rd.Dataset:
+    """The composed end-to-end TRAINING-DATA CURATION pipeline — the
+    published playbook order (Gopher/RefinedWeb/Dolma) as ONE streaming
+    chain, each stage an operator this engine already verifies alone:
+
+      quality rules (``_gopher_reason``) + benchmark exclusion   [map]
+      → exact content dedup, first-wins (``exact_dedup_by_hash``)
+                                               [one hash shuffle]
+      → 8-gram eval-set decontamination (broadcast bench grams)  [map]
+      → deterministic shuffle + shard assignment (prefix scan)
+                                          [O(256) driver offsets]
+
+    Returns (doc_id, n_tokens, shard) for the surviving documents —
+    the training-ready manifest. The whole chain streams: two bounded
+    exchanges (the dedup hash partition, the scan's offset fold), no
+    corpus-sized driver state, no materialized intermediate."""
+    import ray
+
+    from ..stages.scan import prefix_scan
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+    m = DECONTAM_BENCH_MOD
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for i, t in zip(np.asarray(batch["doc_id"]),
+                        batch["text"].to_pylist()):
+            if int(i) % m == 0:
+                words = (t or "").split(" ")
+                out.update(" ".join(words[j:j + NGRAM_N])
+                           for j in range(len(words) - NGRAM_N + 1))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    gset: set[str] = set()
+    for b in (base.map_batches(bench_grams, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        gset.update(b["g"].to_pylist())
+    gref = ray.put(gset)
+
+    def rules(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"])
+        keep = np.fromiter(
+            ((int(i) % m != 0) and _gopher_reason(t or "") == "pass"
+             for i, t in zip(ids, batch["text"].to_pylist())),
+            bool, len(batch))
+        return batch.filter(pa.array(keep))
+
+    deduped = dd.exact_dedup_by_hash(
+        base.map_batches(rules, batch_format="pyarrow"),
+        text_col="text", id_col="doc_id")
+
+    def decontam(batch: pa.Table) -> pa.Table:
+        bench = ray.get(gref)
+        ids, ntok = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            words = (t or "").split(" ")
+            if any(" ".join(words[j:j + NGRAM_N]) in bench
+                   for j in range(len(words) - NGRAM_N + 1)):
+                continue
+            ids.append(i)
+            ntok.append(len(t or "") // 4)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(ntok, pa.int64())})
+
+    clean = deduped.map_batches(decontam, batch_format="pyarrow")
+
+    def mixh(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["doc_id"]).astype(np.uint64)
+        h = (x * np.uint64(2654435761)) % np.uint64(1 << 32)
+        h = ((h ^ (h >> np.uint64(16))) * np.uint64(0x45D9F3B)) \
+            % np.uint64(1 << 32)
+        h = h ^ (h >> np.uint64(16))
+        return batch.append_column("h", pa.array(h.astype(np.int64),
+                                                 pa.int64()))
+
+    ranked = prefix_scan(
+        clean.map_batches(mixh, batch_format="pyarrow"),
+        part_fn=lambda b: np.asarray(b["h"]) >> 24,
+        sort_cols=["h", "doc_id"], rank_col="shuffle_pos")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pos = np.asarray(batch["shuffle_pos"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": batch["n_tokens"],
+            "shard": pa.array(pos % SHARD_COUNT, pa.int64()),
+        })
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def curate_pipeline_sql() -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(NGRAM_N))
+    gram = gram.replace("w[i+0]", "w[i]")
+    m = DECONTAM_BENCH_MOD
+    return f"""
+WITH {_gopher_sql_parts()}, passed AS (
+  SELECT doc_id, text FROM r
+  WHERE reason = 'pass' AND doc_id % {m} != 0
+), dedup AS (
+  SELECT doc_id, text FROM passed
+  QUALIFY row_number() OVER (PARTITION BY sha256(text)
+                             ORDER BY doc_id) = 1
+), bench_grams AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(w) - {NGRAM_N - 2}),
+                                        i -> {gram})) AS g
+  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % {m} = 0)
+  WHERE len(w) >= {NGRAM_N}
+), doc_grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {NGRAM_N - 2}),
+                               i -> {gram})) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM dedup)
+  WHERE len(w) >= {NGRAM_N}
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM doc_grams JOIN bench_grams USING (g)
+), clean AS (
+  SELECT d.doc_id, CAST(length(d.text) // 4 AS BIGINT) AS n_tokens
+  FROM dedup d LEFT JOIN contaminated c USING (doc_id)
+  WHERE c.doc_id IS NULL
+), h1 AS (
+  SELECT doc_id, n_tokens,
+         (doc_id * 2654435761) % 4294967296 AS a FROM clean
+), h2 AS (
+  SELECT doc_id, n_tokens,
+         (xor(a, a >> 16) * {0x45D9F3B}) % 4294967296 AS b FROM h1
+), h3 AS (
+  SELECT doc_id, n_tokens, xor(b, b >> 16) AS h FROM h2
+), rk AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS pos
+  FROM h3)
+SELECT doc_id, n_tokens, CAST(pos % {SHARD_COUNT} AS BIGINT) AS shard
+FROM rk"""

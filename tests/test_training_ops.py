@@ -537,3 +537,30 @@ def test_snapshot_ingest_dedup_drops_only_recrawls(ray_session):
                         columns=["doc_id"]).to_pandas().doc_id
     expect = {int(i) + 2_000_000 for i in ids if i % 3 == 1}
     assert set(out.doc_id) == expect
+
+
+def test_curate_pipeline_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (curate_pipeline,
+                                                        curate_pipeline_sql)
+    assert compare("curate_pipeline", curate_pipeline(SF_SMOKE),
+                   curate_pipeline_sql(), SF_SMOKE) == []
+
+
+def test_curate_pipeline_stage_invariants(ray_session):
+    """Chain invariants: survivors pass the gopher rules, exclude the
+    benchmark docs, carry no benchmark 8-gram, shards are balanced to
+    within 1 (round-robin over a rank), and the doc set is a subset of
+    the standalone gopher_filter keeps."""
+    from pdf_extraction_ray.pipelines.analytics import (DECONTAM_BENCH_MOD,
+                                                        curate_pipeline,
+                                                        gopher_filter)
+    out = curate_pipeline(SF_SMOKE).to_pandas()
+    assert len(out) > 0
+    assert (out.doc_id % DECONTAM_BENCH_MOD != 0).all()
+    kept = set(gopher_filter(SF_SMOKE).to_pandas()
+               .query("keep").doc_id)
+    assert set(out.doc_id) <= kept
+    sizes = out.shard.value_counts()
+    assert sizes.max() - sizes.min() <= 1

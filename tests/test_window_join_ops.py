@@ -646,6 +646,7 @@ def test_entry_contract_keys():
         "text_embed_dups", "kmeans_clusters", "ann_ivf_fullprobe",
         "url_canonical_dedup", "semdedup", "lang_balance_sample",
         "dup_span_strip", "gopher_filter", "snapshot_ingest_dedup",
+        "curate_pipeline",
     }
     assert need_r03 <= set(list(q)[:50])
 
