@@ -132,6 +132,9 @@ def run_bench() -> dict:
           lambda: analytics.bm25_topk_indexed(sf_dir).count())
     timed("quality_percentile_filter",
           lambda: analytics.quality_percentile_filter(sf_dir).count())
+    # the composed curation chain (rules -> dedup -> decontam -> shard)
+    timed("curate_pipeline",
+          lambda: analytics.curate_pipeline(sf_dir).count())
 
     headline = timings["extract_ckpt"]
     result = {

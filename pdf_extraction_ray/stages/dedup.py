@@ -972,25 +972,34 @@ def semdedup(ds: rd.Dataset, k: int = 8, iters: int = 4,
     assigned = ds.map_batches(assign_norm, batch_format="pyarrow")
 
     def prune(group: pd.DataFrame) -> pd.DataFrame:
-        cid = int(group["cluster_id"].iloc[0])
-        g = group.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy(dtype=np.int64)
-        mat = np.stack(g["unit"].to_numpy())
-        sims = mat @ mat.T
-        # rows sorted by id asc → neighbor i < j iff row(i) < row(j);
-        # first True per column IS the min-id neighbor
-        mask = np.triu(sims >= thr, k=1)
-        has = mask.any(axis=0)
-        first = mask.argmax(axis=0)
-        dup_of = np.where(has, ids[first], ids)
-        return pd.DataFrame({
-            id_col: pd.Series(ids, dtype="int64"),
-            "cluster_id": pd.Series(np.full(len(ids), cid), dtype="int64"),
-            "dup_of": pd.Series(dup_of, dtype="int64"),
-        })
+        return semdedup_prune_cluster(group, thr, id_col)
 
     return assigned.groupby("cluster_id").map_groups(prune,
                                                      batch_format="pandas")
+
+
+def semdedup_prune_cluster(group: pd.DataFrame, thr: float,
+                           id_col: str = "vec_id") -> pd.DataFrame:
+    """One cluster's within-cluster prune (the per-group kernel of
+    :func:`semdedup`, module-level so the vectorized min-id-neighbor
+    scan is property-testable against a brute-force reference):
+    dup_of(j) = min id i with cosine(i, j) >= thr and i < j, else j."""
+    cid = int(group["cluster_id"].iloc[0])
+    g = group.sort_values(id_col, kind="mergesort")
+    ids = g[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack(g["unit"].to_numpy())
+    sims = mat @ mat.T
+    # rows sorted by id asc → neighbor i < j iff row(i) < row(j);
+    # first True per column IS the min-id neighbor
+    mask = np.triu(sims >= thr, k=1)
+    has = mask.any(axis=0)
+    first = mask.argmax(axis=0)
+    dup_of = np.where(has, ids[first], ids)
+    return pd.DataFrame({
+        id_col: pd.Series(ids, dtype="int64"),
+        "cluster_id": pd.Series(np.full(len(ids), cid), dtype="int64"),
+        "dup_of": pd.Series(dup_of, dtype="int64"),
+    })
 
 
 # ---------------------------------------------------------------------------

@@ -210,3 +210,57 @@ def test_embedder_projection_matches_duckdb():
                    (SELECT unnest(range(4)) AS d))""").fetchall()
     for b, d, v in rows:
         assert proj[int(b), int(d)] == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.floats(min_value=-8, max_value=8,
+                                   allow_nan=False, width=32),
+                         min_size=4, max_size=4),
+                min_size=1, max_size=24),
+       st.floats(min_value=0.5, max_value=0.999))
+def test_semdedup_prune_matches_bruteforce(vecs, thr):
+    """The vectorized triu/argmax min-id-neighbor scan must equal the
+    O(n^2) reference on arbitrary unit vectors: dup_of(j) = min id i<j
+    with cosine >= thr, else j."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extraction_ray.stages.dedup import semdedup_prune_cluster
+
+    mat = np.asarray(vecs, np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    # non-contiguous, shuffled ids to exercise the sort
+    ids = np.arange(len(unit))[::-1] * 3 + 1
+    g = pd.DataFrame({"vec_id": ids,
+                      "cluster_id": [5] * len(unit),
+                      "unit": list(unit)})
+    out = (semdedup_prune_cluster(g, thr)
+           .set_index("vec_id").dup_of.to_dict())
+    order = np.argsort(ids)
+    sids, smat = ids[order], unit[order]
+    sims = smat @ smat.T
+    for j in range(len(sids)):
+        expect = int(sids[j])
+        for i in range(j):
+            if sims[i, j] >= thr:
+                expect = int(sids[i])
+                break
+        assert out[int(sids[j])] == expect, (j, thr)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=600))
+def test_gopher_reason_total_and_in_vocab(text):
+    """_gopher_reason is total over arbitrary text and only ever emits
+    the fixed rule vocabulary; keep implies every rule actually holds."""
+    from pdf_extraction_ray.pipelines.analytics import (GOPHER_RULES,
+                                                        TOKEN_RE,
+                                                        _gopher_reason)
+    r = _gopher_reason(text)
+    assert r in set(GOPHER_RULES) | {"pass"}
+    if r == "pass":
+        toks = TOKEN_RE.findall(text)
+        n, s = len(toks), sum(len(w) for w in toks)
+        assert n >= 20 and 3 * n <= s <= 10 * n and 5 * s >= 2 * len(text)
