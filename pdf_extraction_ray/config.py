@@ -84,6 +84,13 @@ class PipelineConfig:
     # --- dedup ---
     dedup_enabled: bool = True
 
+    # --- run-completion notification (SURVEY S10 re-expression:
+    #     reference webhook_sender.py semantics — HMAC-signed envelope,
+    #     SSRF guard, bounded retries — delivered to an on-disk outbox
+    #     a relay would drain; None disables) ---
+    notify_url: str | None = None
+    notify_key: str | None = None
+
 
 DEFAULT_CONFIG = PipelineConfig()
 

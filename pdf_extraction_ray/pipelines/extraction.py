@@ -491,5 +491,12 @@ def run_extraction(pages_path: str,
     manifest_ds.take_all()  # tiny: one row per bucket
     wall = time.monotonic() - t0
     all_manifests = list(ckpt.load_manifests(out_dir).values())
-    ckpt.write_run_summary(out_dir, all_manifests, wall)
+    summary = ckpt.write_run_summary(out_dir, all_manifests, wall)
+    if cfg.notify_url:
+        # run-completion notification (SURVEY S10 analog): one signed
+        # envelope per run, never per document
+        from ..state.notify import notify_outbox
+        notify_outbox(os.path.join(out_dir, "_outbox"), cfg.notify_url,
+                      {"run": "extract", "out_dir": out_dir, **summary},
+                      cfg.notify_key or "")
     return rd.read_parquet(out_dir)

@@ -240,3 +240,29 @@ def test_backfill_lineage_targeted_update(ray_session, pages_corpus, out_dir):
     for i, u in enumerate(urls[:6]):
         assert by_url[u] == f"scrape-{i:03d}"
     assert by_url.isna().sum() == len(full) - 6
+
+
+def test_run_completion_notification(ray_session, pages_corpus, out_dir):
+    """cfg.notify_url set -> one signed run-completion envelope lands in
+    the outbox with the run summary as payload (SURVEY S10 analog)."""
+    import dataclasses
+    import hashlib
+    import hmac as hmac_mod
+
+    from pdf_extraction_ray.pipelines.extraction import run_extraction
+
+    cfg = dataclasses.replace(CFG, notify_url="https://example.com/done",
+                              notify_key="runkey")
+    run_extraction(pages_corpus, cfg, out_dir=out_dir)
+    outbox = os.path.join(out_dir, "_outbox")
+    files = [f for f in os.listdir(outbox) if f.endswith(".json")]
+    assert len(files) == 1
+    env = json.load(open(os.path.join(outbox, files[0])))
+    assert env["status"] == "delivered"
+    assert env["payload"]["run"] == "extract"
+    assert env["payload"]["n_rows"] > 0
+    canon = json.dumps(env["payload"], sort_keys=True,
+                       separators=(",", ":"))
+    want = hmac_mod.new(b"runkey", canon.encode(),
+                        hashlib.sha256).hexdigest()
+    assert env["signature"] == want

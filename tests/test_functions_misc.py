@@ -217,3 +217,80 @@ def test_hmac_sha256_signature():
     assert hmac_sha256_hex("k", "payload") == want
     assert hmac_sha256_hex(b"k", b"payload") == want
     assert hmac_sha256_hex("k2", "payload") != want
+
+
+# ---------------------------------------------------------------------------
+# notification outbox (SURVEY S10 re-expression)
+# ---------------------------------------------------------------------------
+
+
+def test_notify_outbox_delivers_signed_envelope(tmp_path):
+    import hashlib
+    import hmac as hmac_mod
+    import json
+    import os
+
+    from pdf_extraction_ray.state.notify import notify_outbox
+
+    payload = {"run_id": "r1", "n_docs": 500, "status": "completed"}
+    env = notify_outbox(str(tmp_path), "https://example.com/hook",
+                        payload, signature_key="s3cret")
+    assert env["status"] == "delivered"
+    assert env["attempts"] == 1
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".json")]
+    assert len(files) == 1
+    disk = json.loads((tmp_path / files[0]).read_text())
+    canon = json.dumps(payload, sort_keys=True, separators=(",", ":"))
+    want = hmac_mod.new(b"s3cret", canon.encode(),
+                        hashlib.sha256).hexdigest()
+    assert disk["signature"] == want
+    # idempotent redelivery: same envelope -> same content-addressed file
+    notify_outbox(str(tmp_path), "https://example.com/hook",
+                  payload, signature_key="s3cret")
+    assert len([f for f in os.listdir(tmp_path)
+                if f.endswith(".json")]) == 1
+
+
+def test_notify_outbox_ssrf_guard(tmp_path):
+    from pdf_extraction_ray.state.notify import notify_outbox, validate_target
+
+    assert validate_target("https://example.com/x") is None
+    bad = {
+        "http://example.com/x": "scheme_not_https",
+        "https://127.0.0.1/x": "non_public_ip:loopback",
+        "https://10.0.0.8/x": "non_public_ip:private",
+        "https://169.254.1.1/x": "non_public_ip:link_local",
+        "https://localhost/x": "blocked_host",
+        "ftp://example.com/x": "scheme_not_https",
+    }
+    for url, reason in bad.items():
+        env = notify_outbox(str(tmp_path), url, {"a": 1}, "k")
+        assert env["status"] == "rejected", url
+        assert env["error"] == reason, url
+
+
+def test_notify_outbox_retries_then_dead_letter(tmp_path):
+    import os
+
+    from pdf_extraction_ray.state.notify import notify_outbox
+
+    calls = {"n": 0}
+
+    def flaky(env):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+
+    env = notify_outbox(str(tmp_path), "https://example.com/x",
+                        {"a": 1}, "k", max_retries=3, deliver=flaky)
+    assert env["status"] == "delivered" and env["attempts"] == 3
+
+    def always_down(env):
+        raise ConnectionError("refused")
+
+    env = notify_outbox(str(tmp_path), "https://example.com/x",
+                        {"a": 2}, "k", max_retries=3, deliver=always_down)
+    assert env["status"] == "dead_letter" and env["attempts"] == 3
+    assert "refused" in env["error"]
+    dl = os.listdir(tmp_path / "_dead_letter")
+    assert len(dl) == 1
