@@ -630,25 +630,18 @@ def test_entry_contract_keys():
     assert set(o) <= set(q)
     assert all(callable(f) for f in q.values())
     assert set(q) - set(o) == {"ann_ivf"}
-    # the driver verifies the FIRST 50 entries: every query that lacked
-    # an r02 CORRECTNESS row must sit inside that window this round
-    need_r03 = {
-        "window_tumbling", "window_sliding", "rolling_user_value",
-        "running_user_value", "sessions", "sessions_salted",
-        "orders_rollup", "orders_pivot", "asof_prior_error",
-        "order_customer_join", "user_activity_full",
-        "customers_with_orders_semi", "event_pairs_within", "vocab_df",
-        "bigram_counts", "dup_ngram_spans", "stratified_sample",
-        "sample_k_per_lang", "heavy_hitter_terms", "tfidf_top_terms",
-        "lm_doc_scores", "quality_percentile_filter", "doc_shuffle",
-        "normalize_text", "doc_passages", "bm25_topk",
-        "bm25_topk_indexed", "value_quantiles_hist", "props_json_stats",
-        "text_embed_dups", "kmeans_clusters", "ann_ivf_fullprobe",
-        "url_canonical_dedup", "semdedup", "lang_balance_sample",
-        "dup_span_strip", "gopher_filter", "snapshot_ingest_dedup",
-        "curate_pipeline",
-    }
-    assert need_r03 <= set(list(q)[:50])
+    # the driver verifies the FIRST 50 entries. Union coverage law,
+    # derived from the recorded r02 artifact (not a hand-kept list):
+    # every query WITHOUT a green r02 row — including any query added
+    # after r02 — must sit inside this round's 50-entry window, so
+    # union(r02, r03) externally verifies the whole surface.
+    import json
+    with open("/root/repo/CORRECTNESS_r02.json") as f:
+        r02 = json.load(f)
+    green_r02 = {k for k, v in r02.items() if v.get("hash_match")}
+    need_r03 = set(q) - green_r02 - {"ann_ivf"}  # rows-only by design
+    window = set(list(q)[:50])
+    assert need_r03 <= window, sorted(need_r03 - window)
 
 
 def _docs_where(docs, pred):
