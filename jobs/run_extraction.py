@@ -39,6 +39,12 @@ def main() -> int:
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--retry", action="store_true",
                    help="after the main run, retry partial rows (cap 5)")
+    p.add_argument("--notify-url", default=None,
+                   help="HTTPS target for the signed run-completion "
+                        "notification (SSRF-guarded; lands in "
+                        "<output>/_outbox for a relay to drain)")
+    p.add_argument("--notify-key", default=None,
+                   help="HMAC-SHA256 key signing the notification payload")
     args = p.parse_args()
 
     import ray
@@ -50,7 +56,9 @@ def main() -> int:
     tune_data_context()
 
     cfg = PipelineConfig(max_bytes=args.max_bytes, n_buckets=args.n_buckets,
-                         split_page_threshold=args.split_pages)
+                         split_page_threshold=args.split_pages,
+                         notify_url=args.notify_url,
+                         notify_key=args.notify_key)
     run_extraction(args.input, cfg, out_dir=args.output,
                    dedup=not args.no_dedup)
     summary_path = os.path.join(args.output, "_manifests", "_run.json")
