@@ -373,7 +373,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_elements": _tuned(q_pdf_elements),
         "export_markdown": _tuned(q_export_markdown),
         "canonical_names": _tuned(q_canonical_names),
-        "boilerplate_lines": _tuned(q_boilerplate_lines),
         # dedup family (D1 + near-dup extensions)
         "dedup_exact": _tuned(analytics.dedup_exact),
         "dedup_minhash": _tuned(analytics.dedup_minhash),
@@ -384,11 +383,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _tuned(analytics.semdedup),
         "lang_balance_sample": _tuned(analytics.lang_balance_sample),
         "dup_span_strip": _tuned(analytics.dup_span_strip),
+        "dup_span_strip_join": _tuned(analytics.dup_span_strip_join),
         "gopher_filter": _tuned(analytics.gopher_filter),
         "snapshot_ingest_dedup": _tuned(analytics.snapshot_ingest_dedup),
         "curate_pipeline": _tuned(analytics.curate_pipeline),
         "url_canonical_dedup": _tuned(q_url_canonical_dedup),
         # --- entry 51+ (green in r02; no new row needed) ---
+        "boilerplate_lines": _tuned(q_boilerplate_lines),
         "line_dedup_docs": _tuned(q_line_dedup_docs),
         "dedup_simhash": _tuned(analytics.dedup_simhash),
         "jaccard_pairs": _tuned(analytics.jaccard_pairs),
@@ -451,6 +452,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": analytics.semdedup_sql(),
         "lang_balance_sample": analytics.lang_balance_sample_sql(),
         "dup_span_strip": analytics.dup_span_strip_sql(),
+        # the join mode shares the oracle: value-identical by contract
+        "dup_span_strip_join": analytics.dup_span_strip_sql(),
         "gopher_filter": analytics.gopher_filter_sql(),
         "snapshot_ingest_dedup": analytics.snapshot_ingest_dedup_sql(),
         "curate_pipeline": analytics.curate_pipeline_sql(),

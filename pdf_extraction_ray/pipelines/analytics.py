@@ -1649,21 +1649,27 @@ SELECT a.doc_id,
 FROM all_docs a LEFT JOIN per ON a.doc_id = per.doc_id"""
 
 
-def dup_span_strip(sf_dir: str) -> rd.Dataset:
+def dup_span_strip(sf_dir: str, mode: str = "broadcast") -> rd.Dataset:
     """Duplicated-substring REMOVAL (the other half of ExactSubstr, Lee
     et al. 2022: ``dup_ngram_spans`` detects, this rewrites): corpus-wide,
     every duplicated word-8-gram keeps exactly ONE owning copy — the
     minimum doc_id containing it — and every other document drops the
     word positions covered by that gram's windows.
 
-    Shape: pass 1 reuses the detector's combiner (per-batch distinct
-    grams → one groupby folding doc-count + min-doc-id); the duplicated
-    grams broadcast once as a {gram: owner} dict; pass 2 is map-side —
-    each doc marks positions covered by a non-owned duplicated window
-    and reassembles the kept words. Same broadcast bound as
-    ``dup_ngram_spans`` (cross-document repetition only); the 100 TB
-    fallback is a gram-hash cogroup join attaching (gram, owner) to
-    (doc, window) pairs instead of the broadcast.
+    Two value-identical modes sharing one oracle:
+
+    * ``broadcast`` (default at this scale): pass 1 reuses the
+      detector's combiner (per-batch distinct grams → one groupby
+      folding doc-count + min-doc-id); the duplicated grams broadcast
+      once as a {gram: owner} dict; pass 2 is map-side. Broadcast size
+      is bounded by cross-document repetition only.
+    * ``join`` (the 100 TB path when the crawl is template-heavy and
+      the duplicated set outgrows a broadcast): grams travel as
+      stable_hash64 keys; (doc, window) rows attach (owner) via ONE
+      distributed ``hash_join``, covered window-starts fold per doc,
+      and a second left join rebuilds the text — the driver never
+      holds a gram. Gram equality is by 64-bit hash (the
+      ``minhash_cluster`` sig-join trade: collision odds ~n²/2⁶⁵).
 
     Returns (doc_id, n_words, n_removed, clean_text) — integers + the
     rewritten text, exactly replicated by ``dup_span_strip_sql``."""
@@ -1673,6 +1679,10 @@ def dup_span_strip(sf_dir: str) -> rd.Dataset:
     from ray.data.aggregate import Min
 
     docs = _docs_with_planted_near_dups(sf_dir)
+    if mode == "join":
+        return _dup_span_strip_join(docs)
+    if mode != "broadcast":
+        raise ValueError(f"mode must be 'broadcast' or 'join', got {mode!r}")
 
     def partial(batch: pa.Table) -> pa.Table:
         dfc: Counter = Counter()
@@ -1731,6 +1741,128 @@ def dup_span_strip(sf_dir: str) -> rd.Dataset:
         })
 
     return docs.map_batches(strip, batch_format="pyarrow")
+
+
+def dup_span_strip_join(sf_dir: str) -> rd.Dataset:
+    """``dup_span_strip``'s distributed-join mode as its own verified
+    query (shares the oracle — the same trick as ``bm25_topk_indexed``
+    / ``ann_ivf_fullprobe``: the scale path must lose nothing)."""
+    return dup_span_strip(sf_dir, mode="join")
+
+
+def _dup_span_strip_join(docs: rd.Dataset) -> rd.Dataset:
+    """The distributed-join mode of :func:`dup_span_strip` (no driver
+    gram state): see its docstring for the shape."""
+    from ray.data.aggregate import Min
+
+    from ..functions.hashing import stable_hash64
+    from ..stages.joins import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_i, out_gh = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            words = (t or "").split(" ")
+            for i in range(len(words) - NGRAM_N + 1):
+                out_id.append(did)
+                out_i.append(i)
+                out_gh.append(stable_hash64(" ".join(words[i:i + NGRAM_N])))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "i": pa.array(out_i, pa.int64()),
+            "gh": pa.array(out_gh, pa.int64()),
+        })
+
+    windows = docs.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow").materialize()
+
+    # pass 1: per-gram-hash (distinct doc count, min owner) — combiner
+    # shape over the window rows themselves (distinct per doc first)
+    def distinct_per_doc(batch: pa.Table) -> pa.Table:
+        seen = {(d, g) for d, g in zip(batch["doc_id"].to_pylist(),
+                                       batch["gh"].to_pylist())}
+        if not seen:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "c_docs": pa.array([], pa.int64()),
+                             "own": pa.array([], pa.int64())})
+        agg: dict[int, list[int]] = {}
+        for d, g in seen:
+            cur = agg.get(g)
+            if cur is None:
+                agg[g] = [1, d]
+            else:
+                cur[0] += 1
+                if d < cur[1]:
+                    cur[1] = d
+        ghs = sorted(agg)
+        return pa.table({
+            "gh": pa.array(ghs, pa.int64()),
+            "c_docs": pa.array([agg[g][0] for g in ghs], pa.int64()),
+            "own": pa.array([agg[g][1] for g in ghs], pa.int64()),
+        })
+
+    folded = (windows.map_batches(distinct_per_doc, batch_format="pyarrow")
+              .groupby("gh")
+              .aggregate(Sum("c_docs", alias_name="n_docs"),
+                         Min("own", alias_name="owner")))
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = batch.filter(pc.greater_equal(batch["n_docs"], 2))
+        return t.select(["gh", "owner"])
+
+    dup_grams = folded.map_batches(only_dups, batch_format="pyarrow")
+
+    # pass 2: attach owners to windows; keep non-owned covered starts
+    hits = hash_join(windows, dup_grams, left_on="gh", right_on="gh",
+                     left_cols=["doc_id", "i"], right_cols=["owner"],
+                     how="inner")
+
+    def covered_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = batch.filter(pc.less(batch["owner"], batch["doc_id"]))
+        return t.select(["doc_id", "i"])
+
+    def starts_of(group: pd.DataFrame) -> pa.Table:
+        # explicit Arrow types: a pandas return would give the dataset a
+        # pandas-block schema whose python-type columns break the
+        # downstream hash_join's typed-null padding
+        return pa.table({
+            "doc_id": pa.array([int(group["doc_id"].iloc[0])], pa.int64()),
+            "starts": pa.array([sorted(set(int(x) for x in group["i"]))],
+                               pa.list_(pa.int64())),
+        })
+
+    cov = (hits.map_batches(covered_only, batch_format="pyarrow")
+           .groupby("doc_id").map_groups(starts_of, batch_format="pandas"))
+
+    # pass 3: rebuild text; docs with no covered window pass through
+    joined = hash_join(docs.select_columns(["doc_id", "text"]), cov,
+                       left_on="doc_id", right_on="doc_id",
+                       left_cols=["text"], right_cols=["starts"],
+                       how="left")
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_n, out_rm, out_txt = [], [], []
+        for t, starts in zip(batch["text"].to_pylist(),
+                             batch["starts"].to_pylist()):
+            words = (t or "").split(" ")
+            covered = np.zeros(len(words), bool)
+            for i in (starts or []):
+                covered[i:i + NGRAM_N] = True
+            out_n.append(len(words))
+            out_rm.append(int(covered.sum()))
+            out_txt.append(" ".join(w for w, c in zip(words, covered)
+                                    if not c))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(out_n, pa.int64()),
+            "n_removed": pa.array(out_rm, pa.int64()),
+            "clean_text": pa.array(out_txt, pa.string()),
+        })
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")
 
 
 def dup_span_strip_sql() -> str:

@@ -564,3 +564,15 @@ def test_curate_pipeline_stage_invariants(ray_session):
     assert set(out.doc_id) <= kept
     sizes = out.shard.value_counts()
     assert sizes.max() - sizes.min() <= 1
+
+
+def test_dup_span_strip_join_mode_identical(ray_session):
+    """The distributed-join mode (no driver gram state) must be
+    value-identical to the broadcast mode — and both share the SQL
+    oracle via the driver contract."""
+    from pdf_extraction_ray.pipelines.analytics import dup_span_strip
+    a = (dup_span_strip(SF_SMOKE).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (dup_span_strip(SF_SMOKE, mode="join").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True)[a.columns])
+    assert a.equals(b)
