@@ -1572,7 +1572,9 @@ def dup_ngram_spans(sf_dir: str) -> rd.Dataset:
     duplicated set is bounded by cross-document repetition (tiny unless
     the corpus is pathologically templated); the 100 TB fallback is a
     gram-hash cogroup join instead of the broadcast, and shipping 64-bit
-    gram hashes instead of gram strings."""
+    gram hashes instead of gram strings — IMPLEMENTED for the removal
+    op as ``_dup_span_strip_join`` (same pass-1 combiner, zero driver
+    gram state); this detector adopts it the same way if needed."""
     from collections import Counter
 
     import ray
