@@ -3259,7 +3259,7 @@ SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
 FROM r"""
 
 
-def curate_pipeline(sf_dir: str) -> rd.Dataset:
+def curate_pipeline(sf_dir: str, out_dir: str | None = None) -> rd.Dataset:
     """The composed end-to-end TRAINING-DATA CURATION pipeline — the
     published playbook order (Gopher/RefinedWeb/Dolma) as ONE streaming
     chain, each stage an operator this engine already verifies alone:
@@ -3274,7 +3274,12 @@ def curate_pipeline(sf_dir: str) -> rd.Dataset:
     Returns (doc_id, n_tokens, shard) for the surviving documents —
     the training-ready manifest. The whole chain streams: two bounded
     exchanges (the dedup hash partition, the scan's offset fold), no
-    corpus-sized driver state, no materialized intermediate."""
+    corpus-sized driver state, no materialized intermediate.
+
+    ``out_dir`` (optional) additionally lands the manifest as
+    ``shard=K/`` hive-partitioned parquet — one directory per training
+    shard, so a consumer (or a resumed loader) reads shards
+    independently and a failed downstream job skips finished ones."""
     import ray
 
     from ..stages.scan import prefix_scan
@@ -3348,7 +3353,11 @@ def curate_pipeline(sf_dir: str) -> rd.Dataset:
             "shard": pa.array(pos % SHARD_COUNT, pa.int64()),
         })
 
-    return ranked.map_batches(finish, batch_format="pyarrow")
+    out = ranked.map_batches(finish, batch_format="pyarrow")
+    if out_dir is not None:
+        out = out.materialize()  # write AND return without re-running
+        out.write_parquet(out_dir, partition_cols=["shard"])
+    return out
 
 
 def curate_pipeline_sql() -> str:

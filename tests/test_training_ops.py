@@ -576,3 +576,22 @@ def test_dup_span_strip_join_mode_identical(ray_session):
     b = (dup_span_strip(SF_SMOKE, mode="join").to_pandas()
          .sort_values("doc_id").reset_index(drop=True)[a.columns])
     assert a.equals(b)
+
+
+def test_curate_pipeline_partitioned_output(ray_session, tmp_path):
+    """out_dir lands the manifest as shard=K/ hive partitions whose
+    union round-trips to the in-memory result."""
+    import os
+
+    import ray.data as rd
+
+    from pdf_extraction_ray.pipelines.analytics import curate_pipeline
+    out_dir = str(tmp_path / "curated")
+    mem = (curate_pipeline(SF_SMOKE, out_dir=out_dir).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    dirs = sorted(d for d in os.listdir(out_dir) if d.startswith("shard="))
+    assert len(dirs) == mem.shard.nunique()
+    disk = (rd.read_parquet(out_dir).to_pandas()
+            .astype({"shard": "int64"})[mem.columns]
+            .sort_values("doc_id").reset_index(drop=True))
+    assert disk.equals(mem)
