@@ -1779,7 +1779,12 @@ def _dup_span_strip_join(docs: rd.Dataset) -> rd.Dataset:
         explode, batch_format="pyarrow").materialize()
 
     # pass 1: per-gram-hash (distinct doc count, min owner) — combiner
-    # shape over the window rows themselves (distinct per doc first)
+    # shape over the window rows themselves (distinct per doc first).
+    # If block splitting ever lands one doc's windows in two blocks, a
+    # gram can be double-counted toward n_docs — harmless: removal only
+    # depends on "exists a SMALLER-id doc holding the gram", and a
+    # self-inflated single-holder gram matches only its owner (owner <
+    # doc_id is false), so the output is unchanged.
     def distinct_per_doc(batch: pa.Table) -> pa.Table:
         seen = {(d, g) for d, g in zip(batch["doc_id"].to_pylist(),
                                        batch["gh"].to_pylist())}

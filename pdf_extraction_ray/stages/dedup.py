@@ -949,9 +949,14 @@ def semdedup(ds: rd.Dataset, k: int = 8, iters: int = 4,
         kmeans' assign_final) + unit-normalize for the cosine stage."""
         C = ray.get(cref)
         if not len(batch):
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "cluster_id": pa.array([], pa.int64()),
-                             "unit": pa.array([], pa.list_(pa.float64()))})
+            # SAME unit type as the non-empty branch (fixed_size_list):
+            # a mixed-schema block stream breaks the groupby union
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "unit": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.float64()), C.shape[1]),
+            })
         arr = batch[vec_col].combine_chunks()
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.chunk(0)
