@@ -341,6 +341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders_semi":
             _tuned(analytics.customers_with_orders_semi),
         "event_pairs_within": _tuned(analytics.event_pairs_within),
+        "event_pairs_within_salted":
+            _tuned(analytics.event_pairs_within_salted),
         # corpus-stats / scoring operators
         "vocab_df": _tuned(analytics.vocab_df),
         "bigram_counts": _tuned(analytics.bigram_counts),
@@ -372,7 +374,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_counts": _tuned(q_span_kind_counts),
         "pdf_elements": _tuned(q_pdf_elements),
         "export_markdown": _tuned(q_export_markdown),
-        "canonical_names": _tuned(q_canonical_names),
         # dedup family (D1 + near-dup extensions)
         "dedup_exact": _tuned(analytics.dedup_exact),
         "dedup_minhash": _tuned(analytics.dedup_minhash),
@@ -389,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pipeline": _tuned(analytics.curate_pipeline),
         "url_canonical_dedup": _tuned(q_url_canonical_dedup),
         # --- entry 51+ (green in r02; no new row needed) ---
+        "canonical_names": _tuned(q_canonical_names),
         "boilerplate_lines": _tuned(q_boilerplate_lines),
         "line_dedup_docs": _tuned(q_line_dedup_docs),
         "dedup_simhash": _tuned(analytics.dedup_simhash),
@@ -454,6 +456,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_strip": analytics.dup_span_strip_sql(),
         # the join mode shares the oracle: value-identical by contract
         "dup_span_strip_join": analytics.dup_span_strip_sql(),
+        # the salted band join shares event_pairs_within's oracle
+        "event_pairs_within_salted": analytics.event_pairs_within_sql(),
         "gopher_filter": analytics.gopher_filter_sql(),
         "snapshot_ingest_dedup": analytics.snapshot_ingest_dedup_sql(),
         "curate_pipeline": analytics.curate_pipeline_sql(),

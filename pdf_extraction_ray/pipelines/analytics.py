@@ -2565,6 +2565,19 @@ def event_pairs_within(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
                           id_col="event_id", window_s=window_s)
 
 
+def event_pairs_within_salted(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
+    """Skew-safe salted band self-join — value-identical to
+    ``event_pairs_within`` and SHARING its oracle: the group key gains a
+    ts//window chunk (boundary rows duplicated once, pairs emitted only
+    in the left event's home chunk), so one hyperactive user no longer
+    produces one giant task (stages/joins.py:band_self_join_salted)."""
+    from ..stages.joins import band_self_join_salted
+
+    ds = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return band_self_join_salted(ds, key_col="user_id", ts_col="ts",
+                                 id_col="event_id", window_s=window_s)
+
+
 def event_pairs_within_sql(window_s: int = 3600) -> str:
     return f"""
 SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,

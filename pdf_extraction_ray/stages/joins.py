@@ -122,6 +122,71 @@ def band_self_join(ds: rd.Dataset, key_col: str, ts_col: str,
               .groupby(key_col).map_groups(pairs, batch_format="pandas"))
 
 
+def band_self_join_salted(ds: rd.Dataset, key_col: str, ts_col: str,
+                          id_col: str, window_s: int) -> rd.Dataset:
+    """Skew-safe band self-join, value-identical to
+    :func:`band_self_join` (shares its oracle): the group key becomes
+    (key, ts // window) so a hot key's rows split across time chunks —
+    the hottest task shrinks from O(rows of hottest key) to O(rows of
+    its hottest window). A qualifying pair spans at most the NEXT chunk
+    (gap <= window), so every row is also replicated into chunk+1
+    (boundary duplication, the recursive band-partitioning idea of
+    Li et al., SIGMOD 2020 band-joins, one level deep) and a pair is
+    EMITTED only in the chunk the left event calls home — exactly-once
+    by construction, the ``sessionize_salted`` trick applied to joins.
+    Replication factor is exactly 2 regardless of skew.
+    """
+    window_us = window_s * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = (batch[ts_col].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64))
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = ts // window_us
+        # the dup copy goes to chunk-1: a left event's qualifying
+        # partners live in ITS chunk or the next one, so the home group
+        # must contain the NEXT chunk's events as non-home rows
+        return pa.table({
+            key_col: pa.array(np.concatenate([keys, keys])),
+            "_chunk": pa.array(np.concatenate([chunk, chunk - 1])),
+            "_home": pa.array(np.concatenate(
+                [np.ones(len(ts), bool), np.zeros(len(ts), bool)])),
+            "_ts_us": pa.array(np.concatenate([ts, ts])),
+            id_col: pa.array(np.concatenate([ids, ids])),
+        })
+
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["_ts_us", id_col],
+                              kind="mergesort").reset_index(drop=True)
+        ts = g["_ts_us"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        home = g["_home"].to_numpy(bool)
+        lo = np.searchsorted(ts, ts, side="right")
+        hi = np.searchsorted(ts, ts + window_us, side="right")
+        counts = np.where(home, hi - lo, 0)  # left events: home only
+        a_idx = np.repeat(np.arange(len(g)), counts)
+        if len(a_idx):
+            starts = np.repeat(lo, counts)
+            offs = np.arange(len(a_idx)) - np.repeat(
+                np.cumsum(counts) - counts, counts)
+            b_idx = starts + offs
+        else:
+            b_idx = a_idx
+        return pa.table({
+            key_col: pa.array(np.repeat(g[key_col].to_numpy(np.int64),
+                                        counts)),
+            "a_id": pa.array(ids[a_idx]),
+            "b_id": pa.array(ids[b_idx]),
+            "gap_us": pa.array(ts[b_idx] - ts[a_idx]),
+        })
+
+    return (ds.select_columns([key_col, ts_col, id_col])
+              .map_batches(explode, batch_format="pyarrow")
+              .groupby([key_col, "_chunk"])
+              .map_groups(pairs, batch_format="pandas"))
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset,
               left_on: str, right_on: str,
               left_cols: list[str], right_cols: list[str],

@@ -792,3 +792,41 @@ def test_index_duplicate_append_is_noop(ray_session, tmp_path):
     # a genuinely NEW batch still ingests
     meta3 = ti.append_to_index(batch_ds([3, 4]), index_dir)
     assert meta3["n_docs"] == meta1["n_docs"] + 2
+
+
+def test_band_self_join_salted_identical(ray_session):
+    """The salted (chunked) band join must equal the plain keyed one,
+    including pairs spanning a chunk boundary exactly at gap == window."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages.joins import (band_self_join,
+                                                 band_self_join_salted)
+    W = 100
+    ts = pd.to_datetime([
+        # same chunk, cross chunk, exactly-at-window, ties, far apart
+        0, 50, 99, 100, 150, 199, 200, 200, 350, 10_000,
+    ], unit="s")
+    df = pd.DataFrame({"user_id": [7] * 10, "ts": ts,
+                       "event_id": range(10)})
+    base = (band_self_join(rd.from_pandas(df), "user_id", "ts",
+                           "event_id", W).to_pandas()
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    salted = (band_self_join_salted(rd.from_pandas(df), "user_id", "ts",
+                                    "event_id", W).to_pandas()
+              .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    assert base.equals(salted[base.columns])
+    # sanity: the boundary pair gap == window is present exactly once
+    atw = salted[salted.gap_us == W * 1_000_000]
+    assert len(atw) == len(atw.drop_duplicates(["a_id", "b_id"]))
+    assert ((salted.gap_us > 0) & (salted.gap_us <= W * 1_000_000)).all()
+
+
+def test_event_pairs_salted_matches_sf(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        event_pairs_within, event_pairs_within_salted)
+    a = (event_pairs_within(SF_SMOKE).to_pandas()
+         .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    b = (event_pairs_within_salted(SF_SMOKE).to_pandas()
+         .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    assert a.equals(b[a.columns])
