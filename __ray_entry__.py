@@ -373,7 +373,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_counts": _tuned(q_classify_counts),
         "span_kind_counts": _tuned(q_span_kind_counts),
         "pdf_elements": _tuned(q_pdf_elements),
-        "export_markdown": _tuned(q_export_markdown),
         # dedup family (D1 + near-dup extensions)
         "dedup_exact": _tuned(analytics.dedup_exact),
         "dedup_minhash": _tuned(analytics.dedup_minhash),
@@ -382,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_clusters / embedding_dup_pairs / dedup_embedding_cells /
         # ann_bruteforce — all green in r02 — past the window)
         "semdedup": _tuned(analytics.semdedup),
+        "doc_signals": _tuned(analytics.doc_signals),
         "lang_balance_sample": _tuned(analytics.lang_balance_sample),
         "dup_span_strip": _tuned(analytics.dup_span_strip),
         "dup_span_strip_join": _tuned(analytics.dup_span_strip_join),
@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pipeline": _tuned(analytics.curate_pipeline),
         "url_canonical_dedup": _tuned(q_url_canonical_dedup),
         # --- entry 51+ (green in r02; no new row needed) ---
+        "export_markdown": _tuned(q_export_markdown),
         "canonical_names": _tuned(q_canonical_names),
         "boilerplate_lines": _tuned(q_boilerplate_lines),
         "line_dedup_docs": _tuned(q_line_dedup_docs),
@@ -458,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_strip_join": analytics.dup_span_strip_sql(),
         # the salted band join shares event_pairs_within's oracle
         "event_pairs_within_salted": analytics.event_pairs_within_sql(),
+        "doc_signals": analytics.doc_signals_sql(),
         "gopher_filter": analytics.gopher_filter_sql(),
         "snapshot_ingest_dedup": analytics.snapshot_ingest_dedup_sql(),
         "curate_pipeline": analytics.curate_pipeline_sql(),

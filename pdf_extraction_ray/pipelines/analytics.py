@@ -385,6 +385,130 @@ SELECT doc_id,
 FROM documents"""
 
 
+def doc_signals(sf_dir: str) -> rd.Dataset:
+    """One-pass WIDE quality-signals table (the RedPajama-v2 pattern:
+    emit every per-doc signal as a column ONCE, filter later from the
+    cheap signals table instead of re-reading 100 TB of text per rule).
+    Fuses the token stats, language id, bigram repetition, and the
+    Gopher rule verdict into a single map over a single read — at scale
+    this replaces four separate passes; downstream filters then read
+    ~100 B/doc instead of the corpus.
+
+    All signals are the byte-identical counterparts of the standalone
+    operators (token_stats / lang_id / gopher_filter), so the fused SQL
+    oracle is assembled from the same verified fragments."""
+    from collections import Counter
+
+    en_stop = LANG_PROFILES["en"]
+
+    def add(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        cols: dict[str, list] = {k: [] for k in (
+            "n_chars", "n_tokens", "n_stop", "n_upper", "sum_token_len",
+            "token_estimate", "lang_pred", "n_bigrams", "top_bigram_n",
+            "reason")}
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            toks = TOKEN_RE.findall(t)
+            n, s = len(toks), sum(len(w) for w in toks)
+            words = t.split(" ")
+            bc = Counter(zip(words, words[1:]))
+            n_bi = sum(bc.values())
+            top = max(bc.values(), default=0)
+            cols["n_chars"].append(len(t))
+            cols["n_tokens"].append(n)
+            cols["n_stop"].append(
+                sum(1 for w in toks if w.lower() in en_stop))
+            cols["n_upper"].append(sum(1 for c in t if c.isupper()))
+            cols["sum_token_len"].append(s)
+            cols["token_estimate"].append(len(t) // 4)
+            cols["lang_pred"].append(detect_lang(t))
+            cols["n_bigrams"].append(n_bi)
+            cols["top_bigram_n"].append(top)
+            if n < 20:
+                reason = "too_few_tokens"
+            elif not (3 * n <= s <= 10 * n):
+                reason = "bad_mean_word_len"
+            elif 5 * s < 2 * len(t):
+                reason = "too_much_nonword"
+            elif 5 * top > n_bi:
+                reason = "top_bigram_heavy"
+            else:
+                reason = "pass"
+            cols["reason"].append(reason)
+        out = {"doc_id": pa.array(ids, pa.int64())}
+        for k, v in cols.items():
+            out[k] = pa.array(v, pa.string() if k in ("lang_pred", "reason")
+                              else pa.int64())
+        return pa.table(out)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add, batch_format="pyarrow")
+
+
+def doc_signals_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES["en"]))
+
+    def hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+        return (f"len(list_filter(regexp_extract_all(lower(substr(text, 1, "
+                f"2000)), '[a-z0-9_]+'), t -> t IN ({words})))")
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                         t -> t IN ({stop}))) AS n_stop,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS sum_token_len,
+         length(regexp_replace(substr(text, 1, 2000),
+                               '[^一-鿿]', '', 'g')) AS han,
+         length(substr(text, 1, 2000)) AS slen,
+         {hits('en')} AS h_en, {hits('fr')} AS h_fr,
+         {hits('es')} AS h_es, {hits('de')} AS h_de,
+         string_split(text, ' ') AS w
+  FROM documents
+), bi AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(c), 0) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(max(c), 0) AS BIGINT) AS top_bigram_n
+  FROM (
+    SELECT doc_id, bg, count(*) AS c
+    FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                i -> w[i] || chr(0) || w[i+1])) AS bg
+          FROM t)
+    GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_stop AS BIGINT) AS n_stop,
+  CAST(n_upper AS BIGINT) AS n_upper,
+  CAST(sum_token_len AS BIGINT) AS sum_token_len,
+  CAST(n_chars // 4 AS BIGINT) AS token_estimate,
+  CASE WHEN slen = 0 THEN 'und'
+       WHEN han * 20 > slen THEN 'zh'
+       WHEN greatest(h_en, h_fr, h_es, h_de) = 0 THEN 'und'
+       WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en'
+       WHEN h_fr = greatest(h_fr, h_es, h_de) THEN 'fr'
+       WHEN h_es = greatest(h_es, h_de) THEN 'es'
+       ELSE 'de' END AS lang_pred,
+  coalesce(bi.n_bigrams, 0) AS n_bigrams,
+  coalesce(bi.top_bigram_n, 0) AS top_bigram_n,
+  CASE
+    WHEN n_tokens < 20 THEN 'too_few_tokens'
+    WHEN NOT (3 * n_tokens <= sum_token_len
+              AND sum_token_len <= 10 * n_tokens) THEN 'bad_mean_word_len'
+    WHEN 5 * sum_token_len < 2 * n_chars THEN 'too_much_nonword'
+    WHEN 5 * coalesce(bi.top_bigram_n, 0) > coalesce(bi.n_bigrams, 0)
+      THEN 'top_bigram_heavy'
+    ELSE 'pass'
+  END AS reason
+FROM t LEFT JOIN bi ON bi.doc_id = t.doc_id"""
+
+
 def quality_filter(sf_dir: str) -> rd.Dataset:
     """C4/Gopher-style quality filtering: keep documents passing integer
     threshold rules (pure-integer comparisons so the SQL oracle is exact):

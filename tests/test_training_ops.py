@@ -595,3 +595,30 @@ def test_curate_pipeline_partitioned_output(ray_session, tmp_path):
             .astype({"shard": "int64"})[mem.columns]
             .sort_values("doc_id").reset_index(drop=True))
     assert disk.equals(mem)
+
+
+def test_doc_signals_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (doc_signals,
+                                                        doc_signals_sql)
+    assert compare("doc_signals", doc_signals(SF_SMOKE),
+                   doc_signals_sql(), SF_SMOKE) == []
+
+
+def test_doc_signals_consistent_with_standalone_ops(ray_session):
+    """The fused signal columns must byte-match the standalone
+    operators they fuse (one-pass == N-pass)."""
+    from pdf_extraction_ray.pipelines.analytics import (doc_signals,
+                                                        gopher_filter,
+                                                        lang_id,
+                                                        token_stats)
+    sig = doc_signals(SF_SMOKE).to_pandas().set_index("doc_id").sort_index()
+    tok = token_stats(SF_SMOKE).to_pandas().set_index("doc_id").sort_index()
+    for c in ("n_tokens", "n_stop", "n_upper", "sum_token_len",
+              "token_estimate"):
+        assert (sig[c] == tok[c]).all(), c
+    lid = lang_id(SF_SMOKE).to_pandas().set_index("doc_id").sort_index()
+    assert (sig.lang_pred == lid.lang_pred).all()
+    gf = gopher_filter(SF_SMOKE).to_pandas().set_index("doc_id").sort_index()
+    assert (sig.reason == gf.reason).all()
