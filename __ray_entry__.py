@@ -371,7 +371,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_routing_stats": _tuned(q_extract_routing_stats),
         "sniff_counts": _tuned(q_sniff_counts),
         "classify_counts": _tuned(q_classify_counts),
-        "span_kind_counts": _tuned(q_span_kind_counts),
         "pdf_elements": _tuned(q_pdf_elements),
         # dedup family (D1 + near-dup extensions)
         "dedup_exact": _tuned(analytics.dedup_exact),
@@ -387,9 +386,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_strip_join": _tuned(analytics.dup_span_strip_join),
         "gopher_filter": _tuned(analytics.gopher_filter),
         "snapshot_ingest_dedup": _tuned(analytics.snapshot_ingest_dedup),
+        "revenue_by_nation": _tuned(relational.revenue_by_nation),
         "curate_pipeline": _tuned(analytics.curate_pipeline),
         "url_canonical_dedup": _tuned(q_url_canonical_dedup),
         # --- entry 51+ (green in r02; no new row needed) ---
+        "span_kind_counts": _tuned(q_span_kind_counts),
         "export_markdown": _tuned(q_export_markdown),
         "canonical_names": _tuned(q_canonical_names),
         "boilerplate_lines": _tuned(q_boilerplate_lines),
@@ -460,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         # the salted band join shares event_pairs_within's oracle
         "event_pairs_within_salted": analytics.event_pairs_within_sql(),
         "doc_signals": analytics.doc_signals_sql(),
+        "revenue_by_nation": relational.revenue_by_nation_sql(),
         "gopher_filter": analytics.gopher_filter_sql(),
         "snapshot_ingest_dedup": analytics.snapshot_ingest_dedup_sql(),
         "curate_pipeline": analytics.curate_pipeline_sql(),

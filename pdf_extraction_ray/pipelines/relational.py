@@ -145,6 +145,96 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name"""
 
 
+def revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q5-analog: local-supplier revenue by customer nation — the
+    multi-way analytic join real relational users run daily, composed
+    the scale-shaped way:
+
+      orders ⋈ customer   (both large → ONE distributed hash_join)
+      → lineitem ⋈ that    (both large → second hash_join)
+      → supplier nation    (dimension-sized → broadcast dict)
+      → filter c_nation == s_nation ("local supplier")
+      → nation name lookup (tiny dict) + combiner partial sums
+      → one tiny groupby(n_name)
+
+    Every read is column-pruned; the only all-to-alls are the two
+    large-side joins. Revenue emitted in 1e-4 units (the
+    pricing_summary fixed-decimal convention) so the value hash is
+    float-fold-order-proof."""
+    from ..stages.joins import hash_join
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supplier = _read(sf_dir, "supplier",
+                     ["s_suppkey", "s_nationkey"]).to_pandas()
+    snat = dict(zip(supplier["s_suppkey"], supplier["s_nationkey"]))
+    nref, sref = ray.put(nname), ray.put(snat)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    o_c = hash_join(orders, cust, left_on="o_custkey",
+                    right_on="c_custkey", left_cols=["o_orderkey"],
+                    right_cols=["c_nationkey"], how="inner")
+
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"])
+    joined = hash_join(items, o_c, left_on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols=["l_suppkey", "l_extendedprice",
+                                  "l_discount"],
+                       right_cols=["c_nationkey"], how="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sn = ray.get(sref)
+        nn = ray.get(nref)
+        c_nat = np.asarray(batch["c_nationkey"].to_pylist(), np.int64)
+        s_nat = np.fromiter((sn[k] for k in batch["l_suppkey"].to_pylist()),
+                            np.int64, len(batch))
+        keep = c_nat == s_nat
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        names = [nn[k] for k in c_nat[keep]]
+        df = pd.DataFrame({"n_name": names,
+                           "revenue": price * (1.0 - disc),
+                           "n_items": 1})
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+        g["n_items"] = g["n_items"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    summed = (joined.map_batches(partial, batch_format="pyarrow")
+              .groupby("n_name")
+              .aggregate(Sum("revenue", alias_name="revenue"),
+                         Sum("n_items", alias_name="n_items")))
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch["n_name"],
+            "revenue_e4":
+                pc.round(pc.multiply(batch["revenue"], 10000.0))
+                  .cast(pa.int64()),
+            "n_items": batch["n_items"],
+        })
+
+    return summed.map_batches(to_units, batch_format="pyarrow")
+
+
+def revenue_by_nation_sql() -> str:
+    return """
+SELECT n.n_name,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+            AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name"""
+
+
 # ---------------------------------------------------------------------------
 # O1-style top-k (sort + limit without a global sort)
 # ---------------------------------------------------------------------------

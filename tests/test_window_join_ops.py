@@ -830,3 +830,9 @@ def test_event_pairs_salted_matches_sf(ray_session):
     b = (event_pairs_within_salted(SF_SMOKE).to_pandas()
          .sort_values(["a_id", "b_id"]).reset_index(drop=True))
     assert a.equals(b[a.columns])
+
+
+def test_revenue_by_nation_matches_duckdb(ray_session):
+    from pdf_extraction_ray.pipelines import relational as R
+    assert compare("revenue_by_nation", R.revenue_by_nation(SF_SMOKE),
+                   R.revenue_by_nation_sql(), SF_SMOKE) == []
