@@ -274,12 +274,17 @@ def test_connected_components_chain_and_clique(ray_session):
     clique = [{"a": x, "b": y} for x in (100, 101, 102, 103)
               for y in (100, 101, 102, 103) if x < y]
     iso_pair = [{"a": 7, "b": 8}]
-    labels = connected_components(
-        rd.from_items(chain + clique + iso_pair)).to_pandas()
-    got = dict(zip(labels.node, labels.label))
-    assert all(got[n] == 10 for n in range(10, 26))
-    assert all(got[n] == 100 for n in (100, 101, 102, 103))
-    assert got[7] == 7 and got[8] == 7
+    # both execution paths must agree: the single-task fast path
+    # (default — this graph is far under task_cc_limit) and the
+    # distributed iterative rounds (forced with task_cc_limit=0)
+    for limit in (5_000_000, 0):
+        labels = connected_components(
+            rd.from_items(chain + clique + iso_pair),
+            task_cc_limit=limit).to_pandas()
+        got = dict(zip(labels.node, labels.label))
+        assert all(got[n] == 10 for n in range(10, 26))
+        assert all(got[n] == 100 for n in (100, 101, 102, 103))
+        assert got[7] == 7 and got[8] == 7
 
 
 def test_hll_approx_distinct_error_bound(ray_session):
