@@ -195,6 +195,16 @@ def q_line_dedup_docs(sf_dir: str) -> rd.Dataset:
     return drop_boilerplate(_extracted(sf_dir), oracle.LINE_MIN_DOCS)
 
 
+def q_c4_line_filter(sf_dir: str) -> rd.Dataset:
+    """C4-style heuristic line cleaning (Raffel et al. 2020 §2.2) over
+    the extracted corpus: per-line word-count/blocklist rules + page-
+    level ban rules, emitted as a keep-tagged cleaned table (map-side
+    only — the rule-based complement of the corpus-frequency
+    ``line_dedup_docs``)."""
+    from pdf_extraction_ray.stages.linededup import c4_line_filter
+    return c4_line_filter(_extracted(sf_dir))
+
+
 def q_url_parts_stats(sf_dir: str) -> rd.Dataset:
     """Per-(host, section, doc-tag) corpus rollup from vectorized URL
     parsing — pure ``pyarrow.compute`` string kernels (split / list
@@ -364,14 +374,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_embed_dups": _tuned(analytics.text_embed_dups),
         "kmeans_clusters": _tuned(analytics.kmeans_clusters),
         "ann_ivf_fullprobe": _tuned(analytics.ann_ivf_fullprobe),
+        # continuation wave 2: C4 line cleaning, DSIR selection,
+        # quality-aware cluster survivor (need their first driver row;
+        # displace sniff_counts / classify_counts / pdf_elements — all
+        # green in r02 — past the window)
+        "c4_line_filter": _tuned(q_c4_line_filter),
+        "dsir_select": _tuned(analytics.dsir_select),
+        "cluster_keep_best": _tuned(analytics.cluster_keep_best),
         # --- window filler: flagship extraction family (green in r02,
         # kept inside the 50 so the headline pipeline stays externally
         # verified every round) ---
         "extract_pipeline": _tuned(q_extract_pipeline),
         "extract_routing_stats": _tuned(q_extract_routing_stats),
-        "sniff_counts": _tuned(q_sniff_counts),
-        "classify_counts": _tuned(q_classify_counts),
-        "pdf_elements": _tuned(q_pdf_elements),
         # dedup family (D1 + near-dup extensions)
         "dedup_exact": _tuned(analytics.dedup_exact),
         "dedup_minhash": _tuned(analytics.dedup_minhash),
@@ -390,6 +404,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pipeline": _tuned(analytics.curate_pipeline),
         "url_canonical_dedup": _tuned(q_url_canonical_dedup),
         # --- entry 51+ (green in r02; no new row needed) ---
+        "sniff_counts": _tuned(q_sniff_counts),
+        "classify_counts": _tuned(q_classify_counts),
+        "pdf_elements": _tuned(q_pdf_elements),
         "span_kind_counts": _tuned(q_span_kind_counts),
         "export_markdown": _tuned(q_export_markdown),
         "canonical_names": _tuned(q_canonical_names),
@@ -467,6 +484,9 @@ def oracle_sql() -> dict[str, str]:
         "curate_pipeline": analytics.curate_pipeline_sql(),
         "boilerplate_lines": oracle.boilerplate_lines_sql(),
         "line_dedup_docs": oracle.line_dedup_docs_sql(),
+        "c4_line_filter": oracle.c4_line_filter_sql(),
+        "dsir_select": analytics.dsir_select_sql(),
+        "cluster_keep_best": analytics.cluster_keep_best_sql(),
         "repetition_stats": oracle.repetition_stats_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "customers_per_region": relational.customers_per_region_sql(),

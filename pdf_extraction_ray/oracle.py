@@ -451,6 +451,34 @@ FROM (
 )"""
 
 
+def c4_line_filter_sql(min_words: int = 3, min_lines: int = 5) -> str:
+    """Replicates stages/linededup.py:c4_line_filter with its defaults
+    (terminal-punct rule off — punctuation-free corpus): line survives
+    iff >= min_words space-words and no 'javascript'; page keep iff
+    >= min_lines survivors and no 'lorem ipsum' / '{{' ban."""
+    brace = "chr(123)"  # literal '{' without fighting f-string braces
+    return base_cte() + f"""
+, c4 AS (
+  SELECT url, extracted_text AS t,
+         list_filter(string_split(extracted_text, {NL}),
+                     x -> x <> '') AS all_l,
+         list_filter(string_split(extracted_text, {NL}),
+                     x -> x <> ''
+                          AND len(string_split(x, ' ')) >= {min_words}
+                          AND NOT contains(lower(x), 'javascript'))
+           AS kept
+  FROM expected
+)
+SELECT url,
+       (len(kept) >= {min_lines}
+        AND NOT contains(lower(t), 'lorem ipsum')
+        AND NOT contains(t, {brace})) AS keep,
+       coalesce(array_to_string(kept, {NL}), '') AS clean_text,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(len(all_l) - len(kept) AS BIGINT) AS n_dropped
+FROM c4"""
+
+
 def repetition_stats_sql() -> str:
     """Within-document repetition signals: line-level duplicate counts
     (empty separator lines dropped) and bigram totals/max over a plain

@@ -1221,6 +1221,157 @@ SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node"""
 
 
+# Composed argmax key: doc_id fits in 33 bits (planted ids ~1e6 at test
+# scale; 8.5e9 headroom at 100 TB needs a wider shift — documented limit),
+# so key = n_chars << 33 | (MASK - doc_id) makes Max(key) pick the
+# longest doc and, among equals, the SMALLEST doc_id. Pure integers —
+# the SQL oracle's (n_chars DESC, doc_id ASC) row_number is bit-exact.
+_SURVIVOR_SHIFT = 33
+_SURVIVOR_MASK = (1 << _SURVIVOR_SHIFT) - 1
+
+
+def cluster_keep_best(sf_dir: str) -> rd.Dataset:
+    """Quality-aware near-dup survivor selection — the curation policy
+    layered on cluster assignment (FineWeb / RefinedWeb keep one doc per
+    near-dup cluster; 'longest doc wins' is the classic heuristic, vs
+    ``dedup_exact``'s first-wins): every document gets its cluster, the
+    cluster size (the 1/size weight soft-dedup resampling uses), the
+    surviving doc_id, and an ``is_survivor`` flag.
+
+    Composition (all distributed): the oracled ``dedup_clusters``
+    assignment → one ``hash_join`` to attach integer doc length → ONE
+    ``groupby(cluster_id).aggregate(Max(key), Count())`` on a composed
+    integer argmax key → one ``hash_join`` back. No driver state beyond
+    the aggregate plumbing; cluster count << doc count so the argmax
+    groupby output is small. Planted near-copies (12 chars shorter)
+    never survive against their original — asserted in tests."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    from ..stages.joins import hash_join
+
+    clusters = dedup_clusters(sf_dir)
+    docs = _docs_with_planted_near_dups(sf_dir)
+
+    def lengths(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "n_chars": pc.utf8_length(
+                t["text"].combine_chunks()).cast(pa.int64()),
+        })
+
+    lens = docs.map_batches(lengths, batch_format="pyarrow")
+    labeled = hash_join(clusters, lens, "doc_id", "doc_id",
+                        ["cluster_id"], ["n_chars"], how="inner")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].combine_chunks().cast(pa.int64())
+        did = t["doc_id"].combine_chunks().cast(pa.int64())
+        key = pc.add(pc.shift_left(nc, _SURVIVOR_SHIFT),
+                     pc.subtract(pa.scalar(_SURVIVOR_MASK, pa.int64()), did))
+        return t.append_column("skey", key)
+
+    # keyed fans out to two consumers (argmax groupby + join back);
+    # without a checkpoint each would re-execute the whole jaccard/CC
+    # lineage. It is a 4-int-column ids table (no text), so pinning it
+    # in the object store is the bounded branch-point cache, not a
+    # full-corpus materialization.
+    keyed = labeled.map_batches(add_key, batch_format="pyarrow").materialize()
+    best = keyed.groupby("cluster_id").aggregate(
+        Max("skey", alias_name="max_skey"),
+        Count(alias_name="cluster_size"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        mk = t["max_skey"].combine_chunks().cast(pa.int64())
+        surv = pc.subtract(pa.scalar(_SURVIVOR_MASK, pa.int64()),
+                           pc.bit_wise_and(
+                               mk, pa.scalar(_SURVIVOR_MASK, pa.int64())))
+        return pa.table({
+            "cluster_id": t["cluster_id"].combine_chunks().cast(pa.int64()),
+            "survivor_id": surv,
+            "cluster_size": t["cluster_size"].combine_chunks().cast(
+                pa.int64()),
+        })
+
+    surv = best.map_batches(decode, batch_format="pyarrow")
+    out = hash_join(keyed.select_columns(["doc_id", "cluster_id", "n_chars"]),
+                    surv, "cluster_id", "cluster_id",
+                    ["doc_id", "n_chars"], ["survivor_id", "cluster_size"],
+                    how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks().cast(pa.int64())
+        sid = t["survivor_id"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "doc_id": did,
+            "cluster_id": t["cluster_id"].combine_chunks().cast(pa.int64()),
+            "cluster_size": t["cluster_size"].combine_chunks().cast(
+                pa.int64()),
+            "n_chars": t["n_chars"].combine_chunks().cast(pa.int64()),
+            "survivor_id": sid,
+            "is_survivor": pc.equal(did, sid),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def cluster_keep_best_sql(threshold_pct: int = 80) -> str:
+    """dedup_clusters_sql's recursive-CTE labels + per-cluster longest-doc
+    (tie: smallest doc_id) survivor via row_number — integer-exact."""
+    toks = "regexp_extract_all(lower(text), '[\\pL\\pN_]+')"
+    return f"""
+WITH RECURSIVE all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, length(text) - 12)
+  FROM documents WHERE doc_id % 5 = 0
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len({toks}) < 3
+      THEN [array_to_string({toks}, ' ')]
+      ELSE list_transform(range(1, len({toks}) - 1),
+             i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])
+    END) AS shingles
+  FROM all_docs
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(a.shingles) + len(b.shingles)
+        - len(list_intersect(a.shingles, b.shingles)) > 0
+    AND floor(100.0 * len(list_intersect(a.shingles, b.shingles))
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))
+              + 0.5) >= {threshold_pct}
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM all_docs
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+), lab AS (
+  SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+), sized AS (
+  SELECT l.doc_id, l.cluster_id,
+         CAST(length(d.text) AS BIGINT) AS n_chars
+  FROM lab l JOIN all_docs d USING (doc_id)
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size
+  FROM sized
+), best AS (
+  SELECT cluster_id, doc_id AS survivor_id FROM ranked WHERE rk = 1
+)
+SELECT r.doc_id, r.cluster_id, r.cluster_size, r.n_chars,
+       b.survivor_id, (r.doc_id = b.survivor_id) AS is_survivor
+FROM ranked r JOIN best b USING (cluster_id)"""
+
+
 def _embeddings_with_planted_dups(sf_dir: str) -> rd.Dataset:
     base = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -2165,6 +2316,179 @@ WITH n AS (
 SELECT d.doc_id, d.lang
 FROM hx d JOIN thr ON thr.lang = d.lang
 WHERE CAST({_sql_hash64("d.h")} % 1048576 AS BIGINT) < thr.t"""
+
+
+def _fnv1a_word(word: str) -> int:
+    """FNV-1a 32-bit over codepoints (== bytes on this ASCII corpus;
+    lockstep with the DuckDB list_reduce replica in dsir_select_sql)."""
+    h = 2166136261
+    for ch in word:
+        h = ((h ^ ord(ch)) * 16777619) % 4294967296
+    return h
+
+
+def dsir_select(sf_dir: str, n_buckets: int = 64,
+                target_lang: str = "en", frac: float = 0.25) -> rd.Dataset:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every raw document by how much its hashed
+    word-unigram profile looks like a small TARGET domain (here: the
+    ``lang = target_lang`` slice), then keep the top ``frac`` fraction.
+
+    Exactness design: the per-bucket log-likelihood-ratio score
+    ``ln((c_tgt+1)/(T+B)) - ln((c_raw+1)/(R+B))`` is quantized ONCE to
+    an integer (``floor(1e6*x + 0.5)``), so every per-document weight
+    is a pure BIGINT dot product and selection ties break on doc_id —
+    bit-exact against the DuckDB oracle (float enters only in the one
+    rounded constant per bucket, margin ~1e-9 vs the 0.5 boundary).
+
+    Scale shape (three passes, no all-to-all over documents):
+      1. combiner pass — each block folds its words into <= B+1 partial
+         rows (bucket, c_tgt, c_raw); one tiny groupby(bucket) and the
+         B-row table lands on the driver (B = ``n_buckets``).
+      2. weight pass — broadcast the B-entry integer score vector
+         (``ray.put``), map-side dot product per document.
+      3. threshold pass — sparse (weight, count) histogram picks the
+         K-th weight; boundary ties resolve by the m smallest doc_ids
+         AT the threshold via sort+limit+max on that (small) slice
+         only. Driver holds O(distinct weights) + O(1).
+    """
+    import math
+
+    import ray
+
+    B = n_buckets
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def bucket_counts(texts: list[str | None]) -> "np.ndarray":
+        c = np.zeros(B, np.int64)
+        for t in texts:
+            for w in (t or "").split(" "):
+                if w:
+                    c[_fnv1a_word(w) % B] += 1
+        return c
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        raw = bucket_counts(texts)
+        tgt = bucket_counts([t for t, l in zip(texts, langs)
+                             if l == target_lang])
+        return pa.table({
+            "bucket": pa.array(list(range(B)) + [-1], pa.int64()),
+            "c_tgt": pa.array(list(tgt) + [0], pa.int64()),
+            "c_raw": pa.array(list(raw) + [len(texts)], pa.int64()),
+        })
+
+    folded = {r["bucket"]: (r["c_tgt"], r["c_raw"])
+              for r in docs.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .aggregate(Sum("c_tgt", alias_name="c_tgt"),
+                         Sum("c_raw", alias_name="c_raw"))
+              .take_all()}
+    n_docs = folded.pop(-1)[1]
+    T = sum(ct for ct, _ in folded.values())
+    R = sum(cr for _, cr in folded.values())
+    s_int = np.zeros(B, np.int64)
+    for b in range(B):
+        ct, cr = folded.get(b, (0, 0))
+        x = (math.log(ct + 1) - math.log(cr + 1)
+             - math.log(T + B) + math.log(R + B))
+        s_int[b] = math.floor(1_000_000 * x + 0.5)
+    s_ref = ray.put(s_int)
+    k_sel = math.ceil(frac * n_docs)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        s = ray.get(s_ref)
+        ws = []
+        for t in batch["text"].to_pylist():
+            c = np.zeros(B, np.int64)
+            for w in (t or "").split(" "):
+                if w:
+                    c[_fnv1a_word(w) % B] += 1
+            ws.append(int(c @ s))
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+            "weight": pa.array(ws, pa.int64()),
+        })
+
+    # weights fan out to histogram + tie-slice + final flag: a 2-int
+    # column table, so pinning it is the bounded branch-point cache.
+    wts = docs.map_batches(weigh, batch_format="pyarrow").materialize()
+
+    hist = sorted(
+        ((r["weight"], r["n"]) for r in
+         wts.groupby("weight").aggregate(Count(alias_name="n")).take_all()),
+        key=lambda x: -x[0])
+    cum, thresh, m_at = 0, None, 0
+    for w, n in hist:
+        if cum + n >= k_sel:
+            thresh, m_at = w, k_sel - cum
+            break
+        cum += n
+    if thresh is None:       # frac >= 1: everything selected
+        thresh, m_at = hist[-1][0], hist[-1][1]
+
+    import pyarrow.compute as pc
+    ties = wts.filter(expr=f"weight == {thresh}").sort("doc_id").limit(m_at)
+    tie_cutoff = max((r["doc_id"] for r in ties.take_all()), default=-1)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        w = batch["weight"].combine_chunks()
+        d = batch["doc_id"].combine_chunks()
+        sel = pc.or_(pc.greater(w, thresh),
+                     pc.and_(pc.equal(w, thresh),
+                             pc.less_equal(d, tie_cutoff)))
+        return pa.table({"doc_id": d, "weight": w, "selected": sel})
+
+    return wts.map_batches(flag, batch_format="pyarrow")
+
+
+def dsir_select_sql(n_buckets: int = 64, target_lang: str = "en",
+                    frac: float = 0.25) -> str:
+    """Value-exact DuckDB replica of dsir_select: FNV-1a 32-bit word
+    hash via list_reduce, the same integer-quantized per-bucket score,
+    BIGINT dot product, row_number selection with doc_id tie-break."""
+    B = n_buckets
+    fnv = ("list_reduce(list_prepend(2166136261::UBIGINT, "
+           "list_transform(range(1, length(w) + 1), "
+           "i -> unicode(substr(w, i, 1))::UBIGINT)), "
+           "(h, c) -> (xor(h, c) * 16777619) % 4294967296)")
+    return f"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), wb AS (
+  SELECT doc_id, lang, CAST({fnv} % {B} AS BIGINT) AS b
+  FROM words WHERE w <> ''
+), raw AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c FROM wb GROUP BY b
+), tgt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c FROM wb
+  WHERE lang = '{target_lang}' GROUP BY b
+), tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM tgt) AS t_total,
+         (SELECT coalesce(sum(c), 0) FROM raw) AS r_total
+), s AS (
+  SELECT r.b,
+         CAST(floor(1000000 * (ln(coalesce(t.c, 0) + 1) - ln(r.c + 1)
+                               - ln(t_total + {B}) + ln(r_total + {B}))
+                    + 0.5) AS BIGINT) AS s
+  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+), dw AS (
+  SELECT d.doc_id, CAST(coalesce(sum(s.s), 0) AS BIGINT) AS weight
+  FROM documents d
+  LEFT JOIN wb ON wb.doc_id = d.doc_id
+  LEFT JOIN s ON s.b = wb.b
+  GROUP BY d.doc_id
+), rk AS (
+  SELECT doc_id, weight,
+         row_number() OVER (ORDER BY weight DESC, doc_id) AS r
+  FROM dw
+)
+SELECT doc_id, weight,
+       (r <= (SELECT CAST(ceil({frac} * count(*)) AS BIGINT)
+              FROM documents)) AS selected
+FROM rk"""
 
 
 def heavy_hitter_terms(sf_dir: str, k: int = 20) -> pa.Table:

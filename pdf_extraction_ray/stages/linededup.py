@@ -79,6 +79,70 @@ def boilerplate_lines(ds: rd.Dataset, min_docs: int,
     return line_stats(ds, text_col).map_batches(keep, batch_format="pyarrow")
 
 
+# C4 cleaning constants (Raffel et al. 2020, §2.2) — the heuristic
+# line filter, vs the corpus-frequency boilerplate filter above.
+C4_LINE_BLOCKWORD = "javascript"        # drop any line mentioning it
+C4_PAGE_BANS = ("lorem ipsum", "{")     # drop the whole page on sight
+C4_TERMINAL_PUNCT = ('.', '!', '?', '"')
+C4_MIN_WORDS = 3                        # C4: retain lines with >= 3 words
+C4_MIN_LINES = 5                        # C4: drop pages with < 5 sentences
+
+
+def c4_line_filter(ds: rd.Dataset,
+                   min_words: int = C4_MIN_WORDS,
+                   min_lines: int = C4_MIN_LINES,
+                   require_terminal_punct: bool = False,
+                   id_col: str = "url",
+                   text_col: str = "extracted_text") -> rd.Dataset:
+    """C4-style heuristic line cleaning (Raffel et al. 2020 §2.2).
+
+    Line rules (a line survives iff ALL hold):
+      1. >= ``min_words`` space-separated words (C4's 3-word rule —
+         drops tab-only table rows and stub lines on this corpus);
+      2. does not mention ``javascript`` (case-insensitive);
+      3. if ``require_terminal_punct``: ends in ``. ! ? "`` (C4's
+         sentence heuristic — OFF by default here because the corpus
+         is punctuation-free synthetic text; exercised in tests).
+    Page rules: ``keep`` is true iff >= ``min_lines`` lines survive and
+    the page contains neither ``lorem ipsum`` nor ``{``.
+
+    Emits ALL pages with a keep flag (tagger shape, like
+    ``gopher_filter``) so rejection histograms can tune thresholds:
+    (id, keep, clean_text, n_kept, n_dropped). Pure map-side — one
+    pass, no shuffle, unlike ``drop_boilerplate``'s corpus-frequency
+    pass; the two compose (C4 first, then boilerplate) in real runs."""
+
+    def clean(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        keeps, texts, kept_n, drop_n = [], [], [], []
+        for text in batch[text_col].to_pylist():
+            lines = _nonempty_lines(text)
+            kept = [
+                ln for ln in lines
+                if len(ln.split(" ")) >= min_words
+                and C4_LINE_BLOCKWORD not in ln.lower()
+                and (not require_terminal_punct
+                     or ln.endswith(C4_TERMINAL_PUNCT))
+            ]
+            low = (text or "").lower()
+            keeps.append(len(kept) >= min_lines
+                         and C4_PAGE_BANS[0] not in low
+                         and C4_PAGE_BANS[1] not in (text or ""))
+            texts.append("\n".join(kept))
+            kept_n.append(len(kept))
+            drop_n.append(len(lines) - len(kept))
+        return pa.table({
+            id_col: pa.array(ids, batch[id_col].type),
+            "keep": pa.array(keeps, pa.bool_()),
+            "clean_text": pa.array(texts, pa.string()),
+            "n_kept": pa.array(kept_n, pa.int64()),
+            "n_dropped": pa.array(drop_n, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        clean, batch_format="pyarrow")
+
+
 def drop_boilerplate(ds: rd.Dataset, min_docs: int,
                      id_col: str = "url",
                      text_col: str = "extracted_text") -> rd.Dataset:

@@ -627,3 +627,110 @@ def test_doc_signals_consistent_with_standalone_ops(ray_session):
     assert (sig.lang_pred == lid.lang_pred).all()
     gf = gopher_filter(SF_SMOKE).to_pandas().set_index("doc_id").sort_index()
     assert (sig.reason == gf.reason).all()
+
+
+def test_c4_line_filter_matches_duckdb(ray_session):
+    import __ray_entry__ as entrymod
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray import oracle
+    assert compare("c4_line_filter", entrymod.q_c4_line_filter(SF_SMOKE),
+                   oracle.c4_line_filter_sql(), SF_SMOKE) == []
+
+
+def test_c4_line_filter_rules(ray_session):
+    """Kept lines all satisfy the line rules; terminal-punct mode keeps
+    only sentence-like lines; page bans reject regardless of lines."""
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages.linededup import c4_line_filter
+
+    rows = [
+        {"url": "u1", "extracted_text":
+            "A good line here.\nshort\nAnother fine line!\n"
+            "enable javascript to view\nNo punctuation line here\n"
+            "One more full sentence.\nAnd again more words.\n"
+            "Fifth proper sentence here."},
+        {"url": "u2", "extracted_text": "lorem ipsum dolor sit amet\n"
+            + "\n".join(f"perfectly fine line number {i}." for i in range(8))},
+        {"url": "u3", "extracted_text":
+            "var x = {a: 1}\n"
+            + "\n".join(f"acceptable line number {i}." for i in range(8))},
+    ]
+    ds = rd.from_items(rows)
+    out = (c4_line_filter(ds, require_terminal_punct=True)
+           .to_pandas().set_index("url"))
+    u1 = out.loc["u1"]
+    # dropped: 'short' (<3 words), javascript line, no-punct line
+    assert u1.n_kept == 5 and u1.n_dropped == 3 and u1.keep
+    assert "javascript" not in u1.clean_text
+    assert "short" not in u1.clean_text.split("\n")
+    assert not out.loc["u2"].keep      # lorem ipsum page ban
+    assert not out.loc["u3"].keep      # '{' page ban
+    # default mode: punctuation not required
+    lax = (c4_line_filter(ds).to_pandas().set_index("url"))
+    assert lax.loc["u1"].n_kept == 6   # no-punct line survives
+
+
+def test_dsir_select_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (dsir_select,
+                                                        dsir_select_sql)
+    assert compare("dsir_select", dsir_select(SF_SMOKE),
+                   dsir_select_sql(), SF_SMOKE) == []
+
+
+def test_dsir_select_targets_the_target_domain(ray_session):
+    """Selection size is exactly ceil(frac*N); target-language docs are
+    over-represented among the selected vs their corpus share (the
+    whole point of importance resampling); weights are integers with a
+    comfortable margin at the selection boundary (no float-tie risk)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_ray.pipelines.analytics import dsir_select
+    out = dsir_select(SF_SMOKE).to_pandas()
+    docs = pq.read_table(SF_SMOKE + "/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    n = len(docs)
+    assert out.selected.sum() == math.ceil(0.25 * n)
+    merged = out.merge(docs, on="doc_id")
+    en_share_all = (merged.lang == "en").mean()
+    en_share_sel = (merged[merged.selected].lang == "en").mean()
+    assert en_share_sel > en_share_all
+    # boundary margin: K-th and (K+1)-th weights differ by >= 1 integer
+    # step unless genuinely tied (ties break on doc_id deterministically)
+    w = merged.sort_values(["weight", "doc_id"],
+                           ascending=[False, True]).weight.to_numpy()
+    k = math.ceil(0.25 * n)
+    assert w[k - 1] >= w[k]
+
+
+def test_cluster_keep_best_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        cluster_keep_best, cluster_keep_best_sql)
+    assert compare("cluster_keep_best", cluster_keep_best(SF_SMOKE),
+                   cluster_keep_best_sql(), SF_SMOKE) == []
+
+
+def test_cluster_keep_best_survivor_policy(ray_session):
+    """Exactly one survivor per cluster; the survivor is a longest doc
+    (ties -> smallest doc_id); planted near-copies (12 chars shorter)
+    never survive against their original."""
+    from pdf_extraction_ray.pipelines.analytics import cluster_keep_best
+    out = cluster_keep_best(SF_SMOKE).to_pandas()
+    per = out.groupby("cluster_id")
+    assert (per.is_survivor.sum() == 1).all()
+    assert (per.size() == per.cluster_size.first()).all()
+    for cid, grp in per:
+        best = grp.sort_values(["n_chars", "doc_id"],
+                               ascending=[False, True]).iloc[0]
+        assert best.is_survivor
+        assert (grp.survivor_id == best.doc_id).all()
+    planted = out[out.doc_id >= 1_000_000]
+    multi = planted[planted.cluster_size > 1]
+    assert len(multi) > 0 and not multi.is_survivor.any()
