@@ -146,6 +146,8 @@ def run_bench() -> dict:
     # the composed curation chain (rules -> dedup -> decontam -> shard)
     timed("curate_pipeline",
           lambda: analytics.curate_pipeline(sf_dir).count())
+    # importance-resampling selection (memoized hashed-unigram scoring)
+    timed("dsir_select", lambda: analytics.dsir_select(sf_dir).count())
 
     headline = timings["extract_ckpt"]
     result = {

@@ -2327,6 +2327,32 @@ def _fnv1a_word(word: str) -> int:
     return h
 
 
+# Per-worker word→bucket memo for the DSIR passes (task-mode module
+# state, like stages/embed.py's model singleton): distinct words are a
+# tiny fraction of token volume, so memoizing the Python FNV loop turns
+# the hot path into one dict hit per token. Capped so a 100-TB crawl's
+# long-tail vocabulary can't grow a worker's heap unboundedly — misses
+# past the cap just recompute.
+_DSIR_BUCKET_CACHE: dict[int, dict[str, int]] = {}
+_DSIR_CACHE_CAP = 1 << 20
+
+
+def _dsir_word_buckets(text: str | None, B: int) -> "np.ndarray":
+    """Bucket index per word of ``text`` (empty words dropped), memoized."""
+    cache = _DSIR_BUCKET_CACHE.setdefault(B, {})
+    out = []
+    for w in (text or "").split(" "):
+        if not w:
+            continue
+        b = cache.get(w)
+        if b is None:
+            b = _fnv1a_word(w) % B
+            if len(cache) < _DSIR_CACHE_CAP:
+                cache[w] = b
+        out.append(b)
+    return np.fromiter(out, np.int64, len(out))
+
+
 def dsir_select(sf_dir: str, n_buckets: int = 64,
                 target_lang: str = "en", frac: float = 0.25) -> rd.Dataset:
     """DSIR — Data Selection with Importance Resampling (Xie et al.,
@@ -2362,9 +2388,9 @@ def dsir_select(sf_dir: str, n_buckets: int = 64,
     def bucket_counts(texts: list[str | None]) -> "np.ndarray":
         c = np.zeros(B, np.int64)
         for t in texts:
-            for w in (t or "").split(" "):
-                if w:
-                    c[_fnv1a_word(w) % B] += 1
+            bs = _dsir_word_buckets(t, B)
+            if len(bs):
+                c += np.bincount(bs, minlength=B)
         return c
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2401,11 +2427,8 @@ def dsir_select(sf_dir: str, n_buckets: int = 64,
         s = ray.get(s_ref)
         ws = []
         for t in batch["text"].to_pylist():
-            c = np.zeros(B, np.int64)
-            for w in (t or "").split(" "):
-                if w:
-                    c[_fnv1a_word(w) % B] += 1
-            ws.append(int(c @ s))
+            bs = _dsir_word_buckets(t, B)
+            ws.append(int(s[bs].sum()) if len(bs) else 0)
         return pa.table({
             "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
             "weight": pa.array(ws, pa.int64()),
