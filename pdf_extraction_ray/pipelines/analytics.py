@@ -1789,6 +1789,69 @@ FROM (
 ) GROUP BY word"""
 
 
+def bpe_pair_counts(sf_dir: str, k: int = 64) -> rd.Dataset:
+    """BPE tokenizer-training statistics (Sennrich et al. 2016): the
+    top-``k`` adjacent character pairs inside whitespace words across
+    the corpus — exactly the count a BPE trainer computes to pick its
+    next merge rule. Each output row is a candidate merge:
+    (pair, lhs, rhs, pair_count), ordered by count desc then pair asc
+    (the deterministic tie-break the oracle replicates).
+
+    Scale shape: the wordcount combiner pattern (``vocab_df``) on an
+    even smaller key domain — per-block Counter folds every block to
+    <= alphabet² partial rows, ONE tiny groupby-sum shuffle, then a
+    sort+limit over the few-thousand-row distinct-pair table. A full
+    BPE trainer iterates this op, re-counting over the merged symbol
+    sequences; each iteration is the same combiner shape."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            for w in (text or "").split(" "):
+                for i in range(len(w) - 1):
+                    c[w[i:i + 2]] += 1
+        pairs = sorted(c)
+        return pa.table({
+            "pair": pa.array(pairs, pa.string()),
+            "c": pa.array([c[p] for p in pairs], pa.int64()),
+        })
+
+    agg = (_docs(sf_dir, ["text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("pair")
+           .aggregate(Sum("c", alias_name="pair_count")))
+
+    def split(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        p = t["pair"].combine_chunks()
+        return pa.table({
+            "pair": p,
+            "lhs": pc.utf8_slice_codeunits(p, 0, 1),
+            "rhs": pc.utf8_slice_codeunits(p, 1, 2),
+            "pair_count": t["pair_count"].combine_chunks().cast(pa.int64()),
+        })
+
+    return (agg.sort(["pair_count", "pair"], descending=[True, False])
+            .limit(k).map_batches(split, batch_format="pyarrow"))
+
+
+def bpe_pair_counts_sql(k: int = 64) -> str:
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM words)
+), agg AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY pair
+)
+SELECT pair, substr(pair, 1, 1) AS lhs, substr(pair, 2, 1) AS rhs,
+       pair_count
+FROM agg ORDER BY pair_count DESC, pair LIMIT {k}"""
+
+
 def bigram_counts(sf_dir: str) -> rd.Dataset:
     """Corpus bigram frequencies — n-gram LM statistics with the same
     combiner shape as ``vocab_df``: per-batch partial (bigram, count,

@@ -734,3 +734,33 @@ def test_cluster_keep_best_survivor_policy(ray_session):
     planted = out[out.doc_id >= 1_000_000]
     multi = planted[planted.cluster_size > 1]
     assert len(multi) > 0 and not multi.is_survivor.any()
+
+
+def test_bpe_pair_counts_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (bpe_pair_counts,
+                                                        bpe_pair_counts_sql)
+    assert compare("bpe_pair_counts", bpe_pair_counts(SF_SMOKE),
+                   bpe_pair_counts_sql(), SF_SMOKE) == []
+
+
+def test_bpe_pair_counts_is_the_merge_statistic(ray_session):
+    """Counts equal a serial recount over the raw corpus; ordering is
+    count desc then pair asc; lhs/rhs split the 2-char pair."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_ray.pipelines.analytics import bpe_pair_counts
+    out = bpe_pair_counts(SF_SMOKE, k=16).to_pandas()
+    texts = pq.read_table(SF_SMOKE + "/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    c: Counter = Counter()
+    for t in texts:
+        for w in (t or "").split(" "):
+            for i in range(len(w) - 1):
+                c[w[i:i + 2]] += 1
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+    assert list(zip(out.pair, out.pair_count)) == expect
+    assert (out.lhs + out.rhs == out.pair).all()
