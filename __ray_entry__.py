@@ -381,15 +381,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_filter": _tuned(q_c4_line_filter),
         "dsir_select": _tuned(analytics.dsir_select),
         "cluster_keep_best": _tuned(analytics.cluster_keep_best),
-        # continuation wave 3: BPE merge statistics (displaces
+        # continuation wave 3: BPE tokenizer training (displaces
         # dedup_exact — green in r02, and its semantics also run
-        # in-window inside curate_pipeline's dedup stage)
+        # in-window inside curate_pipeline's dedup stage — and
+        # extract_routing_stats, whose status/route columns are
+        # hash-verified in-window via extract_pipeline itself)
         "bpe_pair_counts": _tuned(analytics.bpe_pair_counts),
+        "bpe_train": _tuned(analytics.bpe_train),
         # --- window filler: flagship extraction family (green in r02,
         # kept inside the 50 so the headline pipeline stays externally
         # verified every round) ---
         "extract_pipeline": _tuned(q_extract_pipeline),
-        "extract_routing_stats": _tuned(q_extract_routing_stats),
         # dedup family (D1 + near-dup extensions)
         "dedup_minhash": _tuned(analytics.dedup_minhash),
         # new in round 3 (need their first driver row; displace
@@ -407,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pipeline": _tuned(analytics.curate_pipeline),
         "url_canonical_dedup": _tuned(q_url_canonical_dedup),
         # --- entry 51+ (green in r02; no new row needed) ---
+        "extract_routing_stats": _tuned(q_extract_routing_stats),
         "dedup_exact": _tuned(analytics.dedup_exact),
         "sniff_counts": _tuned(q_sniff_counts),
         "classify_counts": _tuned(q_classify_counts),
@@ -492,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": analytics.dsir_select_sql(),
         "cluster_keep_best": analytics.cluster_keep_best_sql(),
         "bpe_pair_counts": analytics.bpe_pair_counts_sql(),
+        "bpe_train": analytics.bpe_train_sql(),
         "repetition_stats": oracle.repetition_stats_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "customers_per_region": relational.customers_per_region_sql(),

@@ -1852,6 +1852,135 @@ SELECT pair, substr(pair, 1, 1) AS lhs, substr(pair, 2, 1) AS rhs,
 FROM agg ORDER BY pair_count DESC, pair LIMIT {k}"""
 
 
+# Merged BPE symbols are single private-use-area codepoints so a merge
+# rule's pair is ALWAYS a 2-codepoint string and Python str.replace ==
+# DuckDB replace() (both substitute non-overlapping occurrences
+# left-to-right — exactly BPE's greedy within-word merge pass).
+_BPE_SYM_BASE = 0xE000
+
+
+def bpe_train(sf_dir: str, n_merges: int = 8,
+              driver_word_cap: int = 2_000_000) -> rd.Dataset:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first
+    ``n_merges`` merge rules, returning the merge table
+    (step, pair, lhs, rhs, pair_count) a BPE encoder applies.
+
+    Scale shape — the published trainer's: ONE corpus pass folds to the
+    distinct-word frequency table (words << tokens; the only corpus-
+    sized exchange). The merge rounds then run over THAT table. When it
+    fits the driver (<= ``driver_word_cap`` rows — Sennrich's reference
+    trainer is exactly this in-memory loop over the word-freq dict, and
+    even web-scale vocabularies prune to this range with a min-count
+    floor), the rounds run locally in one shot; otherwise each round is
+    a distributed map-side pair count (the growing merge list applied
+    on the fly — <= n_merges cheap replaces per word, so the word table
+    materializes once), an alphabet²-bounded groupby, and a 1-row
+    argmax take. Ties break (count desc, pair asc) — bit-exact vs the
+    unrolled-CTE DuckDB oracle either way."""
+    from collections import Counter
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            for w in (text or "").split(" "):
+                if len(w) >= 2:
+                    c[w] += 1
+        ws = sorted(c)
+        return pa.table({
+            "word": pa.array(ws, pa.string()),
+            "c": pa.array([c[w] for w in ws], pa.int64()),
+        })
+
+    words = (_docs(sf_dir, ["text"])
+             .map_batches(word_partial, batch_format="pyarrow")
+             .groupby("word")
+             .aggregate(Sum("c", alias_name="n"))
+             .materialize())   # distinct-word table: the trainer's state
+
+    def count_pairs(word_n_pairs, applied) -> "Counter":
+        c: Counter = Counter()
+        for w, n in word_n_pairs:
+            for p, s in applied:
+                w = w.replace(p, s)
+            for i in range(len(w) - 1):
+                c[w[i:i + 2]] += n
+        return c
+
+    merges: list[tuple[str, str, int]] = []   # (pair, symbol, count)
+    if words.count() <= driver_word_cap:
+        vocab = [(r["word"], r["n"]) for r in words.take_all()]
+        for step in range(n_merges):
+            c = count_pairs(vocab, tuple((p, s) for p, s, _ in merges))
+            if not c:
+                break
+            pair = min(c, key=lambda p: (-c[p], p))
+            merges.append((pair, chr(_BPE_SYM_BASE + step), c[pair]))
+    else:
+        for step in range(n_merges):
+            applied = tuple((p, s) for p, s, _ in merges)
+
+            def pair_partial(batch: pa.Table,
+                             _applied=applied) -> pa.Table:
+                c = count_pairs(zip(batch["word"].to_pylist(),
+                                    batch["n"].to_pylist()), _applied)
+                pairs = sorted(c)
+                return pa.table({
+                    "pair": pa.array(pairs, pa.string()),
+                    "c": pa.array([c[p] for p in pairs], pa.int64()),
+                })
+
+            top = (words.map_batches(pair_partial, batch_format="pyarrow")
+                   .groupby("pair").aggregate(Sum("c", alias_name="cnt"))
+                   .sort(["cnt", "pair"], descending=[True, False])
+                   .limit(1).take_all())
+            if not top:
+                break
+            merges.append((top[0]["pair"], chr(_BPE_SYM_BASE + step),
+                           top[0]["cnt"]))
+
+    rows = pa.table({
+        "step": pa.array(range(len(merges)), pa.int64()),
+        "pair": pa.array([p for p, _, _ in merges], pa.string()),
+        "lhs": pa.array([p[0] for p, _, _ in merges], pa.string()),
+        "rhs": pa.array([p[1] for p, _, _ in merges], pa.string()),
+        "pair_count": pa.array([n for _, _, n in merges], pa.int64()),
+    })
+    return rd.from_arrow(rows)
+
+
+def bpe_train_sql(n_merges: int = 8) -> str:
+    """Unrolled chained-CTE replica of bpe_train (the kmeans_clusters
+    pattern): w{r} = word table after r merges, p{r} = weighted pair
+    counts, m{r} = that round's argmax merge rule."""
+    def pair_cte(r: int) -> str:
+        return f"""p{r} AS (
+  SELECT substr(w, i, 2) AS pair, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT w, n, unnest(range(1, length(w))) AS i FROM w{r})
+  GROUP BY pair
+), m{r} AS (
+  SELECT {r} AS step, pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+)"""
+
+    parts = ["""w0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2 GROUP BY w
+)""", pair_cte(0)]
+    for r in range(1, n_merges):
+        parts.append(f"""w{r} AS (
+  SELECT replace(w, (SELECT pair FROM m{r - 1}), chr({_BPE_SYM_BASE + r - 1}))
+           AS w, n
+  FROM w{r - 1}
+)""")
+        parts.append(pair_cte(r))
+    union = "\nUNION ALL ".join(f"SELECT * FROM m{r}"
+                                for r in range(n_merges))
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT step, pair, substr(pair, 1, 1) AS lhs, substr(pair, 2, 1) AS rhs,
+       cnt AS pair_count
+FROM ({union}) ORDER BY step""")
+
+
 def bigram_counts(sf_dir: str) -> rd.Dataset:
     """Corpus bigram frequencies — n-gram LM statistics with the same
     combiner shape as ``vocab_df``: per-batch partial (bigram, count,

@@ -764,3 +764,26 @@ def test_bpe_pair_counts_is_the_merge_statistic(ray_session):
     expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
     assert list(zip(out.pair, out.pair_count)) == expect
     assert (out.lhs + out.rhs == out.pair).all()
+
+
+def test_bpe_train_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (bpe_train,
+                                                        bpe_train_sql)
+    assert compare("bpe_train", bpe_train(SF_SMOKE),
+                   bpe_train_sql(), SF_SMOKE) == []
+
+
+def test_bpe_train_distributed_path_agrees(ray_session):
+    """driver_word_cap=0 forces the distributed per-round loop; it must
+    learn the identical merge table, and merge counts are
+    non-increasing across steps (each later merge's occurrences are
+    bounded by an earlier round's argmax)."""
+    from pdf_extraction_ray.pipelines.analytics import bpe_train
+    local = bpe_train(SF_SMOKE).to_pandas()
+    dist = bpe_train(SF_SMOKE, driver_word_cap=0).to_pandas()
+    assert local.equals(dist)
+    assert len(local) == 8
+    assert (local.pair_count.diff().dropna() <= 0).all()
+    assert (local.lhs + local.rhs == local.pair).all()
