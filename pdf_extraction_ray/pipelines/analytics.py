@@ -1981,6 +1981,62 @@ SELECT step, pair, substr(pair, 1, 1) AS lhs, substr(pair, 2, 1) AS rhs,
 FROM ({union}) ORDER BY step""")
 
 
+def bpe_token_counts(sf_dir: str, n_merges: int = 8) -> rd.Dataset:
+    """BPE ENCODE: tokenize every document with the merge table
+    ``bpe_train`` learns, emitting (doc_id, n_tokens, n_words) — the
+    real token counter a training-data pipeline budgets with (vs the
+    len//4 estimator, M15). Map-side: the M-rule merge table broadcasts
+    in the task closure and each word is encoded with M replaces; one
+    pass over the corpus, no shuffle after the train step's word fold."""
+    merges = [(r["pair"], chr(_BPE_SYM_BASE + r["step"]))
+              for r in bpe_train(sf_dir, n_merges).take_all()]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        toks, words = [], []
+        for text in batch["text"].to_pylist():
+            nt = nw = 0
+            for w in (text or "").split(" "):
+                if not w:
+                    continue
+                nw += 1
+                for p, s in merges:
+                    w = w.replace(p, s)
+                nt += len(w)
+            toks.append(nt)
+            words.append(nw)
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+            "n_words": pa.array(words, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow")
+
+
+def bpe_token_counts_sql(n_merges: int = 8) -> str:
+    """Recomputes the merge table via bpe_train_sql's CTE chain, then
+    applies the replaces nested per word and sums codepoint counts."""
+    train = bpe_train_sql(n_merges)
+    ctes = train[len("WITH "):train.rindex("\nSELECT step")]
+    expr = "w"
+    for r in range(n_merges):
+        expr = (f"replace({expr}, (SELECT pair FROM m{r}), "
+                f"chr({_BPE_SYM_BASE + r}))")
+    return f"""WITH {ctes}
+, enc AS (
+  SELECT doc_id, CAST(sum(length({expr})) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(e.n_tokens, 0) AS n_tokens,
+       coalesce(e.n_words, 0) AS n_words
+FROM documents d LEFT JOIN enc e USING (doc_id)"""
+
+
 def bigram_counts(sf_dir: str) -> rd.Dataset:
     """Corpus bigram frequencies — n-gram LM statistics with the same
     combiner shape as ``vocab_df``: per-batch partial (bigram, count,

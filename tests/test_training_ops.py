@@ -787,3 +787,29 @@ def test_bpe_train_distributed_path_agrees(ray_session):
     assert len(local) == 8
     assert (local.pair_count.diff().dropna() <= 0).all()
     assert (local.lhs + local.rhs == local.pair).all()
+
+
+def test_bpe_token_counts_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        bpe_token_counts, bpe_token_counts_sql)
+    assert compare("bpe_token_counts", bpe_token_counts(SF_SMOKE),
+                   bpe_token_counts_sql(), SF_SMOKE) == []
+
+
+def test_bpe_token_counts_compress(ray_session):
+    """Encoding with merges never yields more tokens than characters
+    and strictly compresses somewhere; n_words lower-bounds n_tokens
+    (each word is >= 1 symbol)."""
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_ray.pipelines.analytics import bpe_token_counts
+    out = bpe_token_counts(SF_SMOKE).to_pandas().set_index("doc_id")
+    docs = pq.read_table(SF_SMOKE + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    chars = {r.doc_id: sum(len(w) for w in r.text.split(" ") if w)
+             for r in docs.itertuples()}
+    assert (out.n_tokens <= out.index.map(chars)).all()
+    assert (out.n_tokens < out.index.map(chars)).any()
+    assert (out.n_tokens >= out.n_words).all()
