@@ -1251,7 +1251,13 @@ def cluster_keep_best(sf_dir: str) -> rd.Dataset:
 
     from ..stages.joins import hash_join
 
-    clusters = dedup_clusters(sf_dir)
+    # hash_join probes each side's schema(), which EXECUTES an
+    # un-materialized lineage — without this pin the whole
+    # jaccard+connected-components DAG runs once for the probe and
+    # again for the join shuffle. clusters is a 2-int-column ids table
+    # (one row per doc), so pinning it is the bounded branch-point
+    # cache, same as `keyed` below.
+    clusters = dedup_clusters(sf_dir).materialize()
     docs = _docs_with_planted_near_dups(sf_dir)
 
     def lengths(t: pa.Table) -> pa.Table:
