@@ -201,6 +201,13 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
     when BOTH sides are large — for a small dimension side, broadcast
     it instead (pipelines/relational.py:customers_per_region).
 
+    NOTE: this function probes ``schema()`` on BOTH sides to type the
+    null padding, and Ray executes an un-materialized lineage to answer
+    it — a side with an expensive DAG behind it (shuffles, iterative
+    ops) runs TWICE unless the caller pins it first (see
+    analytics.cluster_keep_best). Plain read->map lineages only repay
+    the read, which is cheap.
+
     ``left_cols`` / ``right_cols`` name the carried payload columns
     (must be disjoint); the join key comes back as ``left_on``.
     ``how``: 'inner' | 'left' | 'right' | 'full_outer' (outer modes
