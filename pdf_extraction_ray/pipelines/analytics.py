@@ -1865,6 +1865,39 @@ FROM agg ORDER BY pair_count DESC, pair LIMIT {k}"""
 _BPE_SYM_BASE = 0xE000
 
 
+def _bpe_count_pairs(word_n_pairs, applied):
+    """Adjacent-symbol pair counts over (word, freq) rows with the merge
+    list ``applied`` (pair -> single-codepoint symbol) replayed first.
+    str.replace's non-overlapping left-to-right substitution IS BPE's
+    greedy within-word merge pass, so this is exact, not approximate.
+    Assumes input text contains no U+E000..U+F8FF private-use chars
+    (they are the merge sentinels; the corpus convention is ASCII)."""
+    from collections import Counter
+    c: Counter = Counter()
+    for w, n in word_n_pairs:
+        for p, s in applied:
+            w = w.replace(p, s)
+        for i in range(len(w) - 1):
+            c[w[i:i + 2]] += n
+    return c
+
+
+def _bpe_merge_rounds(vocab, n_merges: int):
+    """The in-memory BPE merge loop over a (word, freq) vocab: each
+    round picks argmax-count (ties: lexicographically smallest pair)
+    and assigns the next private-use sentinel. Returns
+    [(pair, symbol, count)]. Property-tested against an independent
+    symbol-list merge reference (test_property_robustness)."""
+    merges: list[tuple[str, str, int]] = []
+    for step in range(n_merges):
+        c = _bpe_count_pairs(vocab, tuple((p, s) for p, s, _ in merges))
+        if not c:
+            break
+        pair = min(c, key=lambda p: (-c[p], p))
+        merges.append((pair, chr(_BPE_SYM_BASE + step), c[pair]))
+    return merges
+
+
 def bpe_train(sf_dir: str, n_merges: int = 8,
               driver_word_cap: int = 2_000_000) -> rd.Dataset:
     """BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first
@@ -1903,32 +1936,18 @@ def bpe_train(sf_dir: str, n_merges: int = 8,
              .aggregate(Sum("c", alias_name="n"))
              .materialize())   # distinct-word table: the trainer's state
 
-    def count_pairs(word_n_pairs, applied) -> "Counter":
-        c: Counter = Counter()
-        for w, n in word_n_pairs:
-            for p, s in applied:
-                w = w.replace(p, s)
-            for i in range(len(w) - 1):
-                c[w[i:i + 2]] += n
-        return c
-
     merges: list[tuple[str, str, int]] = []   # (pair, symbol, count)
     if words.count() <= driver_word_cap:
         vocab = [(r["word"], r["n"]) for r in words.take_all()]
-        for step in range(n_merges):
-            c = count_pairs(vocab, tuple((p, s) for p, s, _ in merges))
-            if not c:
-                break
-            pair = min(c, key=lambda p: (-c[p], p))
-            merges.append((pair, chr(_BPE_SYM_BASE + step), c[pair]))
+        merges = _bpe_merge_rounds(vocab, n_merges)
     else:
         for step in range(n_merges):
             applied = tuple((p, s) for p, s, _ in merges)
 
             def pair_partial(batch: pa.Table,
                              _applied=applied) -> pa.Table:
-                c = count_pairs(zip(batch["word"].to_pylist(),
-                                    batch["n"].to_pylist()), _applied)
+                c = _bpe_count_pairs(zip(batch["word"].to_pylist(),
+                                         batch["n"].to_pylist()), _applied)
                 pairs = sorted(c)
                 return pa.table({
                     "pair": pa.array(pairs, pa.string()),

@@ -264,3 +264,43 @@ def test_gopher_reason_total_and_in_vocab(text):
         toks = TOKEN_RE.findall(text)
         n, s = len(toks), sum(len(w) for w in toks)
         assert n >= 20 and 3 * n <= s <= 10 * n and 5 * s >= 2 * len(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(
+    st.text(alphabet="abcde", min_size=2, max_size=12),
+    st.integers(min_value=1, max_value=9)), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=6))
+def test_bpe_merge_rounds_match_symbol_list_reference(vocab, n_merges):
+    """The str.replace-based merge loop must agree with an independent
+    symbol-LIST implementation of BPE's greedy left-to-right
+    non-overlapping merge on arbitrary vocabularies — including
+    overlap-heavy runs like 'aaaa' where replace semantics are subtle."""
+    from collections import Counter
+
+    from pdf_extraction_ray.pipelines.analytics import (_BPE_SYM_BASE,
+                                                        _bpe_merge_rounds)
+
+    def ref(vocab, n_merges):
+        words = [([*w], n) for w, n in vocab]
+        merges = []
+        for step in range(n_merges):
+            c = Counter()
+            for syms, n in words:
+                for i in range(len(syms) - 1):
+                    c[syms[i] + syms[i + 1]] += n
+            if not c:
+                break
+            pair = min(c, key=lambda p: (-c[p], p))
+            sym = chr(_BPE_SYM_BASE + step)
+            merges.append((pair, sym, c[pair]))
+            for syms, _ in words:
+                i = 0
+                while i < len(syms) - 1:
+                    if syms[i] + syms[i + 1] == pair:
+                        syms[i:i + 2] = [sym]   # greedy, non-overlapping
+                    else:
+                        i += 1
+        return merges
+
+    assert _bpe_merge_rounds(vocab, n_merges) == ref(vocab, n_merges)
