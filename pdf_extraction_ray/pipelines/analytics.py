@@ -1221,6 +1221,106 @@ SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node"""
 
 
+# Deterministic planted link graph (the planted-near-dups pattern):
+# every doc u has exactly 3 out-links — (u*31+7)%N, (u*17+3)%N, and the
+# skew hub u%16 (16 hubs collect ~N/16 in-links each, the power-law-ish
+# in-degree a real web graph has). Constants mirrored in the SQL oracle.
+_PR_HUBS = 16
+
+
+def pagerank_docs(sf_dir: str, iters: int = 5, damping_pct: int = 85,
+                  scale: int = 1_000_000) -> rd.Dataset:
+    """PageRank over the planted doc→doc link graph — the crawl-
+    prioritization ranking (CommonCrawl ranks hosts by centrality over
+    the web graph) as iterated dataflow.
+
+    Exactness design: pure integer arithmetic — ranks start at
+    ``scale``, each round is ``r' = (100-d)*scale//100 +
+    d*sum(r_u // outdeg)//100`` with floor division, so every round is
+    BIGINT-exact and the unrolled-CTE DuckDB oracle hash-matches.
+
+    Scale shape: out-edges are a function of the node id, so each
+    round is ONE map-side contribution emit (numpy, 4 rows per node —
+    3 targets + a zero self-row guaranteeing presence) and ONE
+    groupby(node) sum; no join, no driver state beyond the loop
+    counter. A real edge TABLE swaps the emit for a hash_join(edges,
+    scores) — same round count, one extra exchange. Per-round
+    materialize keeps lineage linear across rounds (the CC-loop
+    lesson, stages/dedup.py)."""
+    docs = _docs(sf_dir, ["doc_id"])
+    N = docs.count()
+    base = (100 - damping_pct) * scale // 100
+
+    def init(t: pa.Table) -> pa.Table:
+        node = t["doc_id"].combine_chunks().cast(pa.int64())
+        return pa.table({"node": node,
+                         "r": pa.array(np.full(len(t), scale, np.int64))})
+
+    scores = docs.map_batches(init, batch_format="pyarrow")
+    for _ in range(iters):
+        def contrib(t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False)
+            c = t["r"].to_numpy(zero_copy_only=False) // 3
+            dst = np.concatenate([(node * 31 + 7) % N,
+                                  (node * 17 + 3) % N,
+                                  node % _PR_HUBS,
+                                  node])              # presence row
+            val = np.concatenate([c, c, c, np.zeros(len(node), np.int64)])
+            return pa.table({"node": pa.array(dst), "c": pa.array(val)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            s = t["s"].combine_chunks().cast(pa.int64())
+            import pyarrow.compute as pc
+            r = pc.add(pa.scalar(base, pa.int64()),
+                       pc.divide(pc.multiply(
+                           pa.scalar(damping_pct, pa.int64()), s),
+                           pa.scalar(100, pa.int64())))
+            return pa.table({
+                "node": t["node"].combine_chunks().cast(pa.int64()),
+                "r": r})
+
+        scores = (scores.map_batches(contrib, batch_format="pyarrow")
+                  .groupby("node").aggregate(Sum("c", alias_name="s"))
+                  .map_batches(fold, batch_format="pyarrow")
+                  .materialize())
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"].combine_chunks(),
+                         "rank": t["r"].combine_chunks()})
+
+    return scores.map_batches(finish, batch_format="pyarrow")
+
+
+def pagerank_docs_sql(iters: int = 5, damping_pct: int = 85,
+                      scale: int = 1_000_000) -> str:
+    """Unrolled-round replica: same planted edges, same integer floor-
+    division update (DuckDB // == Python // on the positive ranks)."""
+    base = (100 - damping_pct) * scale // 100
+    parts = [f"""nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), e AS (
+  SELECT doc_id AS src,
+         unnest([(doc_id * 31 + 7) % nn.n,
+                 (doc_id * 17 + 3) % nn.n,
+                 doc_id % {_PR_HUBS}]) AS dst
+  FROM documents, nn
+), r0 AS (
+  SELECT doc_id AS node, CAST({scale} AS BIGINT) AS r FROM documents
+)"""]
+    for t in range(iters):
+        parts.append(f"""r{t + 1} AS (
+  SELECT d.doc_id AS node,
+         CAST({base} + {damping_pct} * coalesce(s.c, 0) // 100
+              AS BIGINT) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.r // 3) AS BIGINT) AS c
+    FROM e JOIN r{t} r ON r.node = e.src GROUP BY e.dst
+  ) s ON s.node = d.doc_id
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node AS doc_id, r AS rank FROM r{iters}")
+
+
 # Composed argmax key: doc_id fits in 33 bits (planted ids ~1e6 at test
 # scale; 8.5e9 headroom at 100 TB needs a wider shift — documented limit),
 # so key = n_chars << 33 | (MASK - doc_id) makes Max(key) pick the

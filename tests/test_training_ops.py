@@ -813,3 +813,27 @@ def test_bpe_token_counts_compress(ray_session):
     assert (out.n_tokens <= out.index.map(chars)).all()
     assert (out.n_tokens < out.index.map(chars)).any()
     assert (out.n_tokens >= out.n_words).all()
+
+
+def test_pagerank_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (pagerank_docs,
+                                                        pagerank_docs_sql)
+    assert compare("pagerank_docs", pagerank_docs(SF_SMOKE),
+                   pagerank_docs_sql(), SF_SMOKE) == []
+
+
+def test_pagerank_hub_dominance(ray_session):
+    """The 16 planted hubs (doc_id % 16 targets) collect ~N/16 in-links
+    each and must outrank every non-hub; total rank mass stays within
+    the floor-division leak bound of N*scale."""
+    from pdf_extraction_ray.pipelines.analytics import (_PR_HUBS,
+                                                        pagerank_docs)
+    out = pagerank_docs(SF_SMOKE).to_pandas().set_index("doc_id")
+    hubs = out[out.index < _PR_HUBS]["rank"]
+    rest = out[out.index >= _PR_HUBS]["rank"]
+    assert hubs.min() > rest.max()
+    n, scale = len(out), 1_000_000
+    assert out["rank"].sum() <= n * scale
+    assert out["rank"].sum() > 0.9 * n * scale
