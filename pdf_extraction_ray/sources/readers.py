@@ -87,3 +87,99 @@ def write_pages_jsonl(ds: rd.Dataset, out_dir: str) -> None:
         })
 
     ds.map_batches(encode, batch_format="pyarrow").write_json(out_dir)
+
+
+# --- WARC interchange (the web-crawl wire format) -------------------------
+# Minimal WARC/1.0 response records: the format crawl corpora arrive in
+# (one ~1 GB .warc per shard at CommonCrawl scale; here one file per
+# output block). Only payload + language ride the record — extracted
+# text is DERIVED downstream (WET files in crawl practice), so
+# read_pages_warc lands text='' on the standard pages schema. lang uses
+# the real WARC-Identified-Content-Language header.
+
+_WARC_EPOCH_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+
+def _warc_record(url: str, ts: "datetime", payload: bytes,
+                 lang: str) -> bytes:
+    import hashlib
+    rid = hashlib.sha256(url.encode() + payload).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime(_WARC_EPOCH_FMT)}\r\n"
+        f"WARC-Record-ID: <urn:sha256:{rid}>\r\n"
+        f"WARC-Identified-Content-Language: {lang}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n").encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def write_pages_warc(ds: rd.Dataset, out_dir: str) -> int:
+    """WARC sink: one ``.warc`` file per block, written task-side with
+    the atomic temp+rename convention (state/checkpoint.py) and named
+    by content hash — idempotent re-runs land identical files. Returns
+    the number of files written."""
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        body = b"".join(
+            _warc_record(u, t, p or b"", l)
+            for u, t, p, l in zip(batch["url"].to_pylist(),
+                                  batch["warc_ts"].to_pylist(),
+                                  batch["html"].to_pylist(),
+                                  batch["lang"].to_pylist()))
+        name = hashlib.sha256(body).hexdigest()[:24]
+        path = os.path.join(out_dir, f"{name}.warc")
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_records": pa.array([len(batch)], pa.int64())})
+
+    manifest = ds.map_batches(write_block, batch_format="pyarrow")
+    return manifest.count()
+
+
+def read_pages_warc(dir_path: str) -> rd.Dataset:
+    """WARC source: one read task per ``.warc`` file (the standard
+    crawl-shard parallelism — files are the split unit, like
+    CommonCrawl's per-shard WARCs), parsed by a pure-stdlib framing
+    walker (header block to CRLFCRLF, Content-Length payload, CRLFCRLF
+    trailer) onto the canonical pages schema."""
+    files = rd.read_binary_files(dir_path, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, tss, payloads, langs = [], [], [], []
+        for blob in batch["bytes"].to_pylist():
+            pos = 0
+            while pos < len(blob):
+                hdr_end = blob.find(b"\r\n\r\n", pos)
+                if hdr_end < 0:
+                    break
+                headers = {}
+                for line in blob[pos:hdr_end].decode().split("\r\n")[1:]:
+                    k, _, v = line.partition(": ")
+                    headers[k] = v
+                n = int(headers["Content-Length"])
+                body_start = hdr_end + 4
+                urls.append(headers["WARC-Target-URI"])
+                tss.append(datetime.strptime(headers["WARC-Date"],
+                                             _WARC_EPOCH_FMT))
+                payloads.append(blob[body_start:body_start + n])
+                langs.append(
+                    headers.get("WARC-Identified-Content-Language", ""))
+                pos = body_start + n + 4          # skip CRLFCRLF trailer
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.large_binary()),
+            "text": pa.array([""] * len(urls), pa.large_string()),
+            "lang": pa.array(langs, pa.string()),
+        })
+
+    return files.map_batches(parse, batch_format="pyarrow")

@@ -198,3 +198,42 @@ def test_bloom_anti_join_broadcast_stays_small(ray_session):
     assert stats["n_present"] == overlap
     # maybe-set = true overlap + false positives near the design rate
     assert stats["n_maybe"] <= overlap + int(0.05 * n)
+
+
+def test_warc_roundtrip(ray_session, pages_corpus, tmp_path):
+    import ray.data as rd
+    from pdf_extraction_ray.sources.readers import (read_pages_warc,
+                                                    write_pages_warc)
+    src = rd.read_parquet(pages_corpus).limit(50).materialize()
+    wdir = str(tmp_path / "warc")
+    n_files = write_pages_warc(src, wdir)
+    assert n_files >= 1
+    back = read_pages_warc(wdir).to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    orig = src.to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    assert back.url.tolist() == orig.url.tolist()
+    assert (back.html == orig.html).all()
+    assert back.warc_ts.tolist() == orig.warc_ts.tolist()
+    assert back.lang.tolist() == orig.lang.tolist()
+    assert (back.text == "").all()   # text is derived, not carried
+
+
+def test_warc_framing_survives_crlf_payload(ray_session, tmp_path):
+    """Content-Length framing, not delimiter scanning: a payload
+    containing CRLFCRLF (and WARC-looking bytes) must parse intact."""
+    from datetime import datetime
+
+    import ray.data as rd
+    from pdf_extraction_ray.sources.readers import (read_pages_warc,
+                                                    write_pages_warc)
+    evil = b"a\r\n\r\nWARC/1.0\r\nContent-Length: 9\r\n\r\nb"
+    src = rd.from_items([{
+        "url": "http://x.test/evil", "warc_ts": datetime(2020, 1, 2, 3, 4, 5),
+        "html": evil, "text": "", "lang": "en"}])
+    wdir = str(tmp_path / "warc2")
+    write_pages_warc(src, wdir)
+    back = read_pages_warc(wdir).to_pandas()
+    assert len(back) == 1
+    assert back.html[0] == evil
+    assert back.lang[0] == "en"
