@@ -128,17 +128,29 @@ def _read_num_blocks(pages_path: str) -> int | None:
     return min(want, cap)
 
 
-def sniffed_pages(pages_path: str, cfg: PipelineConfig,
+def sniffed_pages(pages_path: "str | rd.Dataset", cfg: PipelineConfig,
                   skip_buckets: set[int] | None = None,
                   url_filter: list[str] | None = None) -> rd.Dataset:
-    """Read + sniff the pages corpus.
+    """Read + sniff the pages corpus (a parquet path, or any pre-built
+    pages-schema Dataset from the format readers — jsonl / glob / WARC).
 
     ``url_filter`` pushes an exact url predicate into the parquet scan
     (row-group stats prune whole groups; non-matching rows never surface)
     — the retry pass uses it so re-extracting a handful of partial rows
     does not re-sniff the whole corpus.
     """
-    if url_filter is not None:
+    if isinstance(pages_path, rd.Dataset):
+        # pre-built pages Dataset (a format reader: sources/readers.py
+        # jsonl / directory-glob / WARC). Read sizing already happened
+        # at that source; the url_filter pushdown is parquet-only, so
+        # apply it as a plain filter here.
+        ds = pages_path
+        if url_filter is not None:
+            want = pa.array(url_filter, pa.string())
+            ds = ds.map_batches(
+                lambda b: b.filter(pc.is_in(b["url"], value_set=want)),
+                batch_format="pyarrow")
+    elif url_filter is not None:
         ds = rd.read_parquet(pages_path,
                              filter=pc.field("url").isin(url_filter))
     else:
@@ -437,12 +449,13 @@ def resolve_review_queue(out_dir: str, urls: list[str],
             "n_remaining": rd.read_parquet(qdir).count()}
 
 
-def run_extraction(pages_path: str,
+def run_extraction(pages_path: "str | rd.Dataset",
                    cfg: PipelineConfig = DEFAULT_CONFIG,
                    out_dir: str | None = None,
                    dedup: bool = True,
                    verify_resume: bool = False) -> rd.Dataset:
-    """Run the flagship pipeline.
+    """Run the flagship pipeline over a parquet path or any pages-schema
+    Dataset (sources/readers.py format readers: jsonl, glob, WARC).
 
     Without ``out_dir``: returns the lazy extracted dataset (caller
     consumes it — tests, queries, benchmarks).
@@ -463,6 +476,10 @@ def run_extraction(pages_path: str,
     t0 = time.monotonic()
     done = ckpt.load_manifests(out_dir)
     if verify_resume and done:
+        if isinstance(pages_path, rd.Dataset):
+            raise ValueError(
+                "verify_resume needs a re-readable parquet path to "
+                "recompute input fingerprints; pass the path form")
         expected = ckpt.expected_fingerprints(pages_path, cfg.n_buckets,
                                               dedup=dedup)
         ckpt.invalidate_stale(out_dir, done, expected)

@@ -90,23 +90,26 @@ def write_pages_jsonl(ds: rd.Dataset, out_dir: str) -> None:
 
 
 # --- WARC interchange (the web-crawl wire format) -------------------------
-# Minimal WARC/1.0 response records: the format crawl corpora arrive in
-# (one ~1 GB .warc per shard at CommonCrawl scale; here one file per
-# output block). Only payload + language ride the record — extracted
-# text is DERIVED downstream (WET files in crawl practice), so
-# read_pages_warc lands text='' on the standard pages schema. lang uses
-# the real WARC-Identified-Content-Language header.
+# Minimal WARC/1.0 records: the format crawl corpora arrive in (one
+# ~1 GB .warc per shard at CommonCrawl scale; here one file per output
+# block). Each page is a ``response`` record (raw payload) paired with
+# a ``conversion`` record (the WARC type for extracted-text renditions,
+# i.e. WET practice) carrying the pages table's fallback ``text`` —
+# that column feeds the quality router's salvage path (SURVEY M12), so
+# a faithful round-trip must keep it. lang rides the real
+# WARC-Identified-Content-Language header.
 
 _WARC_EPOCH_FMT = "%Y-%m-%dT%H:%M:%SZ"
 
 
-def _warc_record(url: str, ts: "datetime", payload: bytes,
+def _warc_record(rec_type: str, url: str, ts: "datetime", payload: bytes,
                  lang: str) -> bytes:
     import hashlib
-    rid = hashlib.sha256(url.encode() + payload).hexdigest()
+    rid = hashlib.sha256(rec_type.encode() + url.encode()
+                         + payload).hexdigest()
     head = (
         "WARC/1.0\r\n"
-        "WARC-Type: response\r\n"
+        f"WARC-Type: {rec_type}\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {ts.strftime(_WARC_EPOCH_FMT)}\r\n"
         f"WARC-Record-ID: <urn:sha256:{rid}>\r\n"
@@ -127,11 +130,13 @@ def write_pages_warc(ds: rd.Dataset, out_dir: str) -> int:
 
     def write_block(batch: pa.Table) -> pa.Table:
         body = b"".join(
-            _warc_record(u, t, p or b"", l)
-            for u, t, p, l in zip(batch["url"].to_pylist(),
-                                  batch["warc_ts"].to_pylist(),
-                                  batch["html"].to_pylist(),
-                                  batch["lang"].to_pylist()))
+            _warc_record("response", u, t, p or b"", l)
+            + _warc_record("conversion", u, t, (x or "").encode(), l)
+            for u, t, p, l, x in zip(batch["url"].to_pylist(),
+                                     batch["warc_ts"].to_pylist(),
+                                     batch["html"].to_pylist(),
+                                     batch["lang"].to_pylist(),
+                                     batch["text"].to_pylist()))
         name = hashlib.sha256(body).hexdigest()[:24]
         path = os.path.join(out_dir, f"{name}.warc")
         tmp = path + f".tmp.{os.getpid()}"
@@ -154,7 +159,7 @@ def read_pages_warc(dir_path: str) -> rd.Dataset:
     files = rd.read_binary_files(dir_path, include_paths=True)
 
     def parse(batch: pa.Table) -> pa.Table:
-        urls, tss, payloads, langs = [], [], [], []
+        urls, tss, payloads, texts, langs = [], [], [], [], []
         for blob in batch["bytes"].to_pylist():
             pos = 0
             while pos < len(blob):
@@ -167,18 +172,25 @@ def read_pages_warc(dir_path: str) -> rd.Dataset:
                     headers[k] = v
                 n = int(headers["Content-Length"])
                 body_start = hdr_end + 4
-                urls.append(headers["WARC-Target-URI"])
-                tss.append(datetime.strptime(headers["WARC-Date"],
-                                             _WARC_EPOCH_FMT))
-                payloads.append(blob[body_start:body_start + n])
-                langs.append(
-                    headers.get("WARC-Identified-Content-Language", ""))
+                body = blob[body_start:body_start + n]
+                if headers.get("WARC-Type") == "conversion":
+                    # the paired text rendition for the PRECEDING
+                    # response (writer emits them adjacently)
+                    texts[-1] = body.decode()
+                else:
+                    urls.append(headers["WARC-Target-URI"])
+                    tss.append(datetime.strptime(headers["WARC-Date"],
+                                                 _WARC_EPOCH_FMT))
+                    payloads.append(body)
+                    texts.append("")
+                    langs.append(headers.get(
+                        "WARC-Identified-Content-Language", ""))
                 pos = body_start + n + 4          # skip CRLFCRLF trailer
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(tss, pa.timestamp("us")),
             "html": pa.array(payloads, pa.large_binary()),
-            "text": pa.array([""] * len(urls), pa.large_string()),
+            "text": pa.array(texts, pa.large_string()),
             "lang": pa.array(langs, pa.string()),
         })
 

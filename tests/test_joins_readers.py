@@ -216,7 +216,8 @@ def test_warc_roundtrip(ray_session, pages_corpus, tmp_path):
     assert (back.html == orig.html).all()
     assert back.warc_ts.tolist() == orig.warc_ts.tolist()
     assert back.lang.tolist() == orig.lang.tolist()
-    assert (back.text == "").all()   # text is derived, not carried
+    # fallback text rides the paired WARC conversion record (WET-style)
+    assert back.text.tolist() == orig.text.tolist()
 
 
 def test_warc_framing_survives_crlf_payload(ray_session, tmp_path):
@@ -237,3 +238,26 @@ def test_warc_framing_survives_crlf_payload(ray_session, tmp_path):
     assert len(back) == 1
     assert back.html[0] == evil
     assert back.lang[0] == "en"
+
+
+def test_warc_source_feeds_extraction(ray_session, pages_corpus, tmp_path):
+    """The WARC source composes with the flagship pipeline: extraction
+    over WARC-ingested pages is byte-identical to extraction over the
+    same pages read from parquet."""
+    import ray.data as rd
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.pipelines.extraction import run_extraction
+    from pdf_extraction_ray.sources import spec
+    from pdf_extraction_ray.sources.readers import (read_pages_warc,
+                                                    write_pages_warc)
+    src = rd.read_parquet(pages_corpus).limit(60).materialize()
+    wdir = str(tmp_path / "warc3")
+    write_pages_warc(src, wdir)
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES)
+    via_warc = run_extraction(read_pages_warc(wdir), cfg).to_pandas()
+    via_pq = run_extraction(src, cfg).to_pandas()
+    a = via_warc.sort_values("url").reset_index(drop=True)
+    b = via_pq.sort_values("url").reset_index(drop=True)
+    assert a.url.tolist() == b.url.tolist()
+    assert (a.extracted_text == b.extracted_text).all()
+    assert (a.status == b.status).all()
