@@ -119,7 +119,8 @@ def _warc_record(rec_type: str, url: str, ts: "datetime", payload: bytes,
     return head + payload + b"\r\n\r\n"
 
 
-def write_pages_warc(ds: rd.Dataset, out_dir: str) -> int:
+def write_pages_warc(ds: rd.Dataset, out_dir: str,
+                     compress: bool = False) -> int:
     """WARC sink: one ``.warc`` file per block, written task-side with
     the atomic temp+rename convention (state/checkpoint.py) and named
     by content hash — idempotent re-runs land identical files. Returns
@@ -129,16 +130,33 @@ def write_pages_warc(ds: rd.Dataset, out_dir: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
-        body = b"".join(
+        records = [
             _warc_record("response", u, t, p or b"", l)
             + _warc_record("conversion", u, t, (x or "").encode(), l)
             for u, t, p, l, x in zip(batch["url"].to_pylist(),
                                      batch["warc_ts"].to_pylist(),
                                      batch["html"].to_pylist(),
                                      batch["lang"].to_pylist(),
-                                     batch["text"].to_pylist()))
+                                     batch["text"].to_pylist())]
+        if compress:
+            # one gzip MEMBER per record pair (the .warc.gz shard
+            # convention: members concatenate and each record stays
+            # independently addressable); mtime=0 keeps the file a pure
+            # function of content, preserving the idempotent naming
+            import gzip
+            import io
+            body = b""
+            for rec in records:
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(rec)
+                body += buf.getvalue()
+            ext = ".warc.gz"
+        else:
+            body = b"".join(records)
+            ext = ".warc"
         name = hashlib.sha256(body).hexdigest()[:24]
-        path = os.path.join(out_dir, f"{name}.warc")
+        path = os.path.join(out_dir, name + ext)
         tmp = path + f".tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(body)
@@ -159,8 +177,11 @@ def read_pages_warc(dir_path: str) -> rd.Dataset:
     files = rd.read_binary_files(dir_path, include_paths=True)
 
     def parse(batch: pa.Table) -> pa.Table:
+        import gzip
         urls, tss, payloads, texts, langs = [], [], [], [], []
         for blob in batch["bytes"].to_pylist():
+            if blob[:2] == b"\x1f\x8b":   # gzip magic: .warc.gz shard
+                blob = gzip.decompress(blob)   # concatenated members ok
             pos = 0
             while pos < len(blob):
                 hdr_end = blob.find(b"\r\n\r\n", pos)

@@ -261,3 +261,23 @@ def test_warc_source_feeds_extraction(ray_session, pages_corpus, tmp_path):
     assert a.url.tolist() == b.url.tolist()
     assert (a.extracted_text == b.extracted_text).all()
     assert (a.status == b.status).all()
+
+
+def test_warc_gz_roundtrip(ray_session, pages_corpus, tmp_path):
+    """.warc.gz shards (per-record gzip members, the CommonCrawl
+    convention) round-trip identically to plain .warc."""
+    import ray.data as rd
+    from pdf_extraction_ray.sources.readers import (read_pages_warc,
+                                                    write_pages_warc)
+    src = rd.read_parquet(pages_corpus).limit(40).materialize()
+    wdir = str(tmp_path / "warcgz")
+    write_pages_warc(src, wdir, compress=True)
+    import glob as g
+    assert all(p.endswith(".warc.gz") for p in g.glob(wdir + "/*"))
+    back = read_pages_warc(wdir).to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    orig = src.to_pandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    assert back.url.tolist() == orig.url.tolist()
+    assert (back.html == orig.html).all()
+    assert back.text.tolist() == orig.text.tolist()
