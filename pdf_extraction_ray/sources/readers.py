@@ -105,6 +105,10 @@ _WARC_EPOCH_FMT = "%Y-%m-%dT%H:%M:%SZ"
 def _warc_record(rec_type: str, url: str, ts: "datetime", payload: bytes,
                  lang: str) -> bytes:
     import hashlib
+    if any(c in url for c in "\r\n") or any(c in lang for c in "\r\n"):
+        # a CR/LF inside a header value would corrupt the framing of
+        # every later record in the shard — fail loud at the sink
+        raise ValueError(f"CR/LF in WARC header value: url={url!r}")
     rid = hashlib.sha256(rec_type.encode() + url.encode()
                          + payload).hexdigest()
     head = (
@@ -173,7 +177,10 @@ def read_pages_warc(dir_path: str) -> rd.Dataset:
     crawl-shard parallelism — files are the split unit, like
     CommonCrawl's per-shard WARCs), parsed by a pure-stdlib framing
     walker (header block to CRLFCRLF, Content-Length payload, CRLFCRLF
-    trailer) onto the canonical pages schema."""
+    trailer) onto the canonical pages schema. A .warc.gz shard is
+    decompressed whole in the task (a 1 GB shard inflates to a few GB
+    of task heap — size shards accordingly; a member-streaming reader
+    is the upgrade path if shards must grow past that)."""
     files = rd.read_binary_files(dir_path, include_paths=True)
 
     def parse(batch: pa.Table) -> pa.Table:
@@ -196,8 +203,11 @@ def read_pages_warc(dir_path: str) -> rd.Dataset:
                 body = blob[body_start:body_start + n]
                 if headers.get("WARC-Type") == "conversion":
                     # the paired text rendition for the PRECEDING
-                    # response (writer emits them adjacently)
-                    texts[-1] = body.decode()
+                    # response (writer emits them adjacently); a
+                    # foreign WARC's orphan conversion record (no
+                    # preceding response in this shard) is skipped
+                    if texts:
+                        texts[-1] = body.decode()
                 else:
                     urls.append(headers["WARC-Target-URI"])
                     tss.append(datetime.strptime(headers["WARC-Date"],
