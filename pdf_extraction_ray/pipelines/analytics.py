@@ -1249,7 +1249,8 @@ def pagerank_docs(sf_dir: str, iters: int = 5, damping_pct: int = 85,
     lesson, stages/dedup.py)."""
     docs = _docs(sf_dir, ["doc_id"])
     N = docs.count()
-    base = (100 - damping_pct) * scale // 100
+    hubs = min(_PR_HUBS, N)   # a corpus smaller than the hub count must
+    base = (100 - damping_pct) * scale // 100   # not emit phantom nodes
 
     def init(t: pa.Table) -> pa.Table:
         node = t["doc_id"].combine_chunks().cast(pa.int64())
@@ -1263,7 +1264,7 @@ def pagerank_docs(sf_dir: str, iters: int = 5, damping_pct: int = 85,
             c = t["r"].to_numpy(zero_copy_only=False) // 3
             dst = np.concatenate([(node * 31 + 7) % N,
                                   (node * 17 + 3) % N,
-                                  node % _PR_HUBS,
+                                  node % hubs,
                                   node])              # presence row
             val = np.concatenate([c, c, c, np.zeros(len(node), np.int64)])
             return pa.table({"node": pa.array(dst), "c": pa.array(val)})
@@ -1302,7 +1303,7 @@ def pagerank_docs_sql(iters: int = 5, damping_pct: int = 85,
   SELECT doc_id AS src,
          unnest([(doc_id * 31 + 7) % nn.n,
                  (doc_id * 17 + 3) % nn.n,
-                 doc_id % {_PR_HUBS}]) AS dst
+                 doc_id % least({_PR_HUBS}, nn.n)]) AS dst
   FROM documents, nn
 ), r0 AS (
   SELECT doc_id AS node, CAST({scale} AS BIGINT) AS r FROM documents
@@ -1400,7 +1401,10 @@ def cluster_keep_best(sf_dir: str) -> rd.Dataset:
                 pa.int64()),
         })
 
-    surv = best.map_batches(decode, batch_format="pyarrow")
+    # pinned for the same reason as `clusters`: hash_join's schema
+    # probe would otherwise run the argmax groupby twice. One small
+    # row per cluster.
+    surv = best.map_batches(decode, batch_format="pyarrow").materialize()
     out = hash_join(keyed.select_columns(["doc_id", "cluster_id", "n_chars"]),
                     surv, "cluster_id", "cluster_id",
                     ["doc_id", "n_chars"], ["survivor_id", "cluster_size"],
@@ -2825,8 +2829,13 @@ def dsir_select(sf_dir: str, n_buckets: int = 64,
         thresh, m_at = hist[-1][0], hist[-1][1]
 
     import pyarrow.compute as pc
+    # the m_at-th smallest doc_id AT the threshold weight: sort+limit
+    # streams distributed and the Max aggregate returns ONE scalar —
+    # the tie slice is never pulled to the driver (on a degenerate
+    # corpus where a large fraction of docs share the threshold
+    # weight, m_at can be ~frac*N rows)
     ties = wts.filter(expr=f"weight == {thresh}").sort("doc_id").limit(m_at)
-    tie_cutoff = max((r["doc_id"] for r in ties.take_all()), default=-1)
+    tie_cutoff = ties.max("doc_id") if m_at > 0 else -1
 
     def flag(batch: pa.Table) -> pa.Table:
         w = batch["weight"].combine_chunks()

@@ -99,7 +99,15 @@ def write_pages_jsonl(ds: rd.Dataset, out_dir: str) -> None:
 # a faithful round-trip must keep it. lang rides the real
 # WARC-Identified-Content-Language header.
 
-_WARC_EPOCH_FMT = "%Y-%m-%dT%H:%M:%SZ"
+# WARC/1.1 fractional-second form — the schema's timestamp[us] column
+# round-trips losslessly (%SZ alone would silently truncate sub-second
+# values and reorder first-wins dedup downstream)
+_WARC_TS_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
+
+
+def _parse_warc_date(s: str) -> "datetime":
+    fmt = _WARC_TS_FMT if "." in s else "%Y-%m-%dT%H:%M:%SZ"
+    return datetime.strptime(s, fmt)
 
 
 def _warc_record(rec_type: str, url: str, ts: "datetime", payload: bytes,
@@ -115,7 +123,7 @@ def _warc_record(rec_type: str, url: str, ts: "datetime", payload: bytes,
         "WARC/1.0\r\n"
         f"WARC-Type: {rec_type}\r\n"
         f"WARC-Target-URI: {url}\r\n"
-        f"WARC-Date: {ts.strftime(_WARC_EPOCH_FMT)}\r\n"
+        f"WARC-Date: {ts.strftime(_WARC_TS_FMT)}\r\n"
         f"WARC-Record-ID: <urn:sha256:{rid}>\r\n"
         f"WARC-Identified-Content-Language: {lang}\r\n"
         f"Content-Length: {len(payload)}\r\n"
@@ -127,8 +135,10 @@ def write_pages_warc(ds: rd.Dataset, out_dir: str,
                      compress: bool = False) -> int:
     """WARC sink: one ``.warc`` file per block, written task-side with
     the atomic temp+rename convention (state/checkpoint.py) and named
-    by content hash — idempotent re-runs land identical files. Returns
-    the number of files written."""
+    by content hash — idempotent re-runs land identical files, and two
+    byte-identical blocks COALESCE into one file (content-addressed
+    semantics: only fully duplicate blocks collapse, never distinct
+    pages). Returns the number of distinct files on disk."""
     import hashlib
 
     os.makedirs(out_dir, exist_ok=True)
@@ -149,12 +159,13 @@ def write_pages_warc(ds: rd.Dataset, out_dir: str,
             # function of content, preserving the idempotent naming
             import gzip
             import io
-            body = b""
+            members = []
             for rec in records:
                 buf = io.BytesIO()
                 with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
                     gz.write(rec)
-                body += buf.getvalue()
+                members.append(buf.getvalue())
+            body = b"".join(members)   # one join, not O(n^2) += copies
             ext = ".warc.gz"
         else:
             body = b"".join(records)
@@ -169,7 +180,7 @@ def write_pages_warc(ds: rd.Dataset, out_dir: str,
                          "n_records": pa.array([len(batch)], pa.int64())})
 
     manifest = ds.map_batches(write_block, batch_format="pyarrow")
-    return manifest.count()
+    return len({r["path"] for r in manifest.take_all()})
 
 
 def read_pages_warc(dir_path: str) -> rd.Dataset:
@@ -189,6 +200,7 @@ def read_pages_warc(dir_path: str) -> rd.Dataset:
         for blob in batch["bytes"].to_pylist():
             if blob[:2] == b"\x1f\x8b":   # gzip magic: .warc.gz shard
                 blob = gzip.decompress(blob)   # concatenated members ok
+            blob_first = len(texts)        # first response index of THIS shard
             pos = 0
             while pos < len(blob):
                 hdr_end = blob.find(b"\r\n\r\n", pos)
@@ -201,21 +213,24 @@ def read_pages_warc(dir_path: str) -> rd.Dataset:
                 n = int(headers["Content-Length"])
                 body_start = hdr_end + 4
                 body = blob[body_start:body_start + n]
-                if headers.get("WARC-Type") == "conversion":
+                rec_type = headers.get("WARC-Type")
+                if rec_type == "conversion":
                     # the paired text rendition for the PRECEDING
-                    # response (writer emits them adjacently); a
-                    # foreign WARC's orphan conversion record (no
-                    # preceding response in this shard) is skipped
-                    if texts:
+                    # response IN THIS SHARD (writer emits them
+                    # adjacently); an orphan conversion at the start of
+                    # a foreign shard is skipped — the guard is scoped
+                    # to this blob, not the batch, so it can never
+                    # overwrite the previous file's last page
+                    if len(texts) > blob_first:
                         texts[-1] = body.decode()
-                else:
+                elif rec_type == "response":
                     urls.append(headers["WARC-Target-URI"])
-                    tss.append(datetime.strptime(headers["WARC-Date"],
-                                                 _WARC_EPOCH_FMT))
+                    tss.append(_parse_warc_date(headers["WARC-Date"]))
                     payloads.append(body)
                     texts.append("")
                     langs.append(headers.get(
                         "WARC-Identified-Content-Language", ""))
+                # warcinfo / request / metadata records: framing-skipped
                 pos = body_start + n + 4          # skip CRLFCRLF trailer
         return pa.table({
             "url": pa.array(urls, pa.string()),

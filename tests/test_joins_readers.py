@@ -281,3 +281,59 @@ def test_warc_gz_roundtrip(ray_session, pages_corpus, tmp_path):
     assert back.url.tolist() == orig.url.tolist()
     assert (back.html == orig.html).all()
     assert back.text.tolist() == orig.text.tolist()
+
+
+def test_warc_foreign_records_and_orphan_conversion(ray_session, tmp_path):
+    """Foreign shards parse safely: warcinfo/request records are
+    skipped, and an orphan conversion record at the START of a shard
+    never overwrites the previous shard's last page text."""
+    from datetime import datetime
+
+    import ray.data as rd
+    from pdf_extraction_ray.sources.readers import (_warc_record,
+                                                    read_pages_warc,
+                                                    write_pages_warc)
+    wdir = tmp_path / "warc_foreign"
+    wdir.mkdir()
+    ts = datetime(2020, 1, 2, 3, 4, 5)
+    # shard A: a normal response+conversion pair (via the real writer)
+    src = rd.from_items([{
+        "url": "http://a.test/1", "warc_ts": ts,
+        "html": b"payload-a", "text": "text-a", "lang": "en"}])
+    write_pages_warc(src, str(wdir))
+    # shard B: warcinfo (no Target-URI), an ORPHAN conversion, a request,
+    # then one genuine response — hand-built foreign shard
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Length: 4\r\n\r\ninfo\r\n\r\n")
+    orphan = _warc_record("conversion", "http://b.test/x", ts,
+                          b"SHOULD-NOT-LAND-ANYWHERE", "xx")
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Target-URI: http://b.test/2\r\n"
+           b"WARC-Date: 2020-01-02T03:04:05.000000Z\r\n"
+           b"Content-Length: 3\r\n\r\nGET\r\n\r\n")
+    resp = _warc_record("response", "http://b.test/2", ts, b"payload-b", "de")
+    (wdir / "zz-foreign.warc").write_bytes(info + orphan + req + resp)
+    out = read_pages_warc(str(wdir)).to_pandas().set_index("url")
+    assert len(out) == 2
+    assert out.loc["http://a.test/1"].text == "text-a"   # not clobbered
+    assert out.loc["http://b.test/2"].html == b"payload-b"
+    assert out.loc["http://b.test/2"].text == ""          # orphan dropped
+    assert out.loc["http://b.test/2"].lang == "de"
+
+
+def test_warc_subsecond_timestamp_roundtrip(ray_session, tmp_path):
+    """timestamp[us] values with sub-second components survive the
+    WARC-Date header (WARC/1.1 fractional form)."""
+    from datetime import datetime
+
+    import ray.data as rd
+    from pdf_extraction_ray.sources.readers import (read_pages_warc,
+                                                    write_pages_warc)
+    ts = datetime(2020, 1, 2, 3, 4, 5, 678901)
+    src = rd.from_items([{
+        "url": "http://s.test/1", "warc_ts": ts,
+        "html": b"x", "text": "t", "lang": "en"}])
+    wdir = str(tmp_path / "warc_us")
+    write_pages_warc(src, wdir)
+    back = read_pages_warc(wdir).to_pandas()
+    assert back.warc_ts[0].to_pydatetime() == ts

@@ -700,12 +700,15 @@ def test_dsir_select_targets_the_target_domain(ray_session):
     en_share_all = (merged.lang == "en").mean()
     en_share_sel = (merged[merged.selected].lang == "en").mean()
     assert en_share_sel > en_share_all
-    # boundary margin: K-th and (K+1)-th weights differ by >= 1 integer
-    # step unless genuinely tied (ties break on doc_id deterministically)
+    # weights are pure BIGINTs (the quantized-score design): no float
+    # ever reaches the selection comparison, so ties are exact and
+    # break on doc_id deterministically
+    assert out.weight.dtype == "int64"
     w = merged.sort_values(["weight", "doc_id"],
-                           ascending=[False, True]).weight.to_numpy()
+                           ascending=[False, True])
     k = math.ceil(0.25 * n)
-    assert w[k - 1] >= w[k]
+    sel_ids = set(merged[merged.selected].doc_id)
+    assert sel_ids == set(w.head(k).doc_id)   # exactly the top-k rows
 
 
 def test_cluster_keep_best_matches_duckdb(ray_session):
