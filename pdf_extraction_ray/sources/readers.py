@@ -132,55 +132,141 @@ def _warc_record(rec_type: str, url: str, ts: "datetime", payload: bytes,
 
 
 def write_pages_warc(ds: rd.Dataset, out_dir: str,
-                     compress: bool = False) -> int:
+                     compress: bool = False,
+                     cdx: bool = False) -> int:
     """WARC sink: one ``.warc`` file per block, written task-side with
     the atomic temp+rename convention (state/checkpoint.py) and named
     by content hash — idempotent re-runs land identical files, and two
     byte-identical blocks COALESCE into one file (content-addressed
     semantics: only fully duplicate blocks collapse, never distinct
-    pages). Returns the number of distinct files on disk."""
+    pages). With ``cdx``, each shard gets a ``.cdx`` JSONL sidecar
+    (url, ts, offset, length per page unit — the crawl-index practice)
+    enabling :func:`fetch_warc_record` point reads without scanning the
+    shard. Returns the number of distinct shard files on disk."""
     import hashlib
+    import json
 
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
+        meta = list(zip(batch["url"].to_pylist(),
+                        batch["warc_ts"].to_pylist()))
         records = [
             _warc_record("response", u, t, p or b"", l)
             + _warc_record("conversion", u, t, (x or "").encode(), l)
-            for u, t, p, l, x in zip(batch["url"].to_pylist(),
-                                     batch["warc_ts"].to_pylist(),
-                                     batch["html"].to_pylist(),
-                                     batch["lang"].to_pylist(),
-                                     batch["text"].to_pylist())]
+            for (u, t), p, l, x in zip(meta,
+                                       batch["html"].to_pylist(),
+                                       batch["lang"].to_pylist(),
+                                       batch["text"].to_pylist())]
         if compress:
-            # one gzip MEMBER per record pair (the .warc.gz shard
-            # convention: members concatenate and each record stays
+            # one gzip MEMBER per page unit (the .warc.gz shard
+            # convention: members concatenate and each unit stays
             # independently addressable); mtime=0 keeps the file a pure
             # function of content, preserving the idempotent naming
             import gzip
             import io
-            members = []
+            units = []
             for rec in records:
                 buf = io.BytesIO()
                 with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
                     gz.write(rec)
-                members.append(buf.getvalue())
-            body = b"".join(members)   # one join, not O(n^2) += copies
+                units.append(buf.getvalue())
             ext = ".warc.gz"
         else:
-            body = b"".join(records)
+            units = records
             ext = ".warc"
+        body = b"".join(units)   # one join, not O(n^2) += copies
         name = hashlib.sha256(body).hexdigest()[:24]
         path = os.path.join(out_dir, name + ext)
         tmp = path + f".tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(body)
         os.replace(tmp, path)
+        if cdx:
+            off, lines = 0, []
+            for (u, t), unit in zip(meta, units):
+                lines.append(json.dumps({
+                    "url": u, "ts": t.strftime(_WARC_TS_FMT),
+                    "offset": off, "length": len(unit)}))
+                off += len(unit)
+            ctmp = path + f".cdx.tmp.{os.getpid()}"
+            with open(ctmp, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            os.replace(ctmp, path + ".cdx")
         return pa.table({"path": pa.array([path], pa.string()),
                          "n_records": pa.array([len(batch)], pa.int64())})
 
     manifest = ds.map_batches(write_block, batch_format="pyarrow")
     return len({r["path"] for r in manifest.take_all()})
+
+
+def fetch_warc_record(path: str, offset: int, length: int) -> dict:
+    """Point read of ONE page unit from a WARC shard via its ``.cdx``
+    coordinates: seek + read ``length`` bytes (gunzip if the unit is a
+    gzip member) + frame-parse — the shard is never scanned. Returns
+    the page row as a dict on the canonical schema (the targeted-retry
+    analog at the WARC layer)."""
+    import gzip
+    with open(path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    if blob[:2] == b"\x1f\x8b":
+        blob = gzip.decompress(blob)
+    row = {"url": "", "warc_ts": None, "html": b"", "text": "", "lang": ""}
+    pos = 0
+    while pos < len(blob):
+        hdr_end = blob.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers = {}
+        for line in blob[pos:hdr_end].decode().split("\r\n")[1:]:
+            k, _, v = line.partition(": ")
+            headers[k] = v
+        n = int(headers["Content-Length"])
+        body = blob[hdr_end + 4:hdr_end + 4 + n]
+        if headers.get("WARC-Type") == "response":
+            row["url"] = headers["WARC-Target-URI"]
+            row["warc_ts"] = _parse_warc_date(headers["WARC-Date"])
+            row["html"] = body
+            row["lang"] = headers.get("WARC-Identified-Content-Language", "")
+        elif headers.get("WARC-Type") == "conversion":
+            row["text"] = body.decode()
+        pos = hdr_end + 4 + n + 4
+    return row
+
+
+def warc_cdx_index(dir_path: str) -> rd.Dataset:
+    """The crawl index as a Dataset: one row per page unit across every
+    ``.cdx`` sidecar in ``dir_path`` — (url, ts, path, offset, length).
+    Joins against a url list to drive targeted :func:`fetch_warc_record`
+    reads (re-crawls, spot audits) without touching shard bodies."""
+    import glob as globmod
+    import json
+
+    sidecars = sorted(globmod.glob(os.path.join(dir_path, "*.cdx")))
+    files = rd.from_items([{"cdx": p} for p in sidecars])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, tss, paths, offs, lens = [], [], [], [], []
+        for cdx_path in batch["cdx"].to_pylist():
+            shard = cdx_path[:-len(".cdx")]
+            with open(cdx_path) as f:
+                for line in f:
+                    d = json.loads(line)
+                    urls.append(d["url"])
+                    tss.append(_parse_warc_date(d["ts"]))
+                    paths.append(shard)
+                    offs.append(d["offset"])
+                    lens.append(d["length"])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "path": pa.array(paths, pa.string()),
+            "offset": pa.array(offs, pa.int64()),
+            "length": pa.array(lens, pa.int64()),
+        })
+
+    return files.map_batches(parse, batch_format="pyarrow")
 
 
 def read_pages_warc(dir_path: str) -> rd.Dataset:
@@ -192,7 +278,8 @@ def read_pages_warc(dir_path: str) -> rd.Dataset:
     decompressed whole in the task (a 1 GB shard inflates to a few GB
     of task heap — size shards accordingly; a member-streaming reader
     is the upgrade path if shards must grow past that)."""
-    files = rd.read_binary_files(dir_path, include_paths=True)
+    files = rd.read_binary_files(dir_path, include_paths=True,
+                                 file_extensions=["warc", "gz"])
 
     def parse(batch: pa.Table) -> pa.Table:
         import gzip

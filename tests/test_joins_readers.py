@@ -337,3 +337,29 @@ def test_warc_subsecond_timestamp_roundtrip(ray_session, tmp_path):
     write_pages_warc(src, wdir)
     back = read_pages_warc(wdir).to_pandas()
     assert back.warc_ts[0].to_pydatetime() == ts
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_warc_cdx_point_fetch(ray_session, pages_corpus, tmp_path, compress):
+    """The .cdx sidecar's (path, offset, length) coordinates fetch any
+    single page unit byte-identically to the full shard read — for both
+    plain and per-member-gzip shards."""
+    import ray.data as rd
+    from pdf_extraction_ray.sources.readers import (fetch_warc_record,
+                                                    read_pages_warc,
+                                                    warc_cdx_index,
+                                                    write_pages_warc)
+    src = rd.read_parquet(pages_corpus).limit(30).materialize()
+    wdir = str(tmp_path / f"warc_cdx_{compress}")
+    write_pages_warc(src, wdir, compress=compress, cdx=True)
+    idx = warc_cdx_index(wdir).to_pandas()
+    full = read_pages_warc(wdir).to_pandas().set_index(["url", "warc_ts"])
+    assert len(idx) == len(full) == 30
+    # point-fetch every 7th entry and compare against the scan read
+    for _, e in idx.iloc[::7].iterrows():
+        row = fetch_warc_record(e.path, int(e.offset), int(e.length))
+        want = full.loc[(e.url, e.warc_ts)]
+        assert row["url"] == e.url
+        assert row["html"] == want.html
+        assert row["text"] == want.text
+        assert row["lang"] == want.lang
