@@ -304,3 +304,44 @@ def test_bpe_merge_rounds_match_symbol_list_reference(vocab, n_merges):
         return merges
 
     assert _bpe_merge_rounds(vocab, n_merges) == ref(vocab, n_merges)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+            min_size=1, max_size=60),
+    st.binary(max_size=512),
+    st.text(alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+            max_size=200),
+    st.text(alphabet="abcdefgh-", max_size=8),
+)
+def test_warc_record_roundtrip_fuzz(url, payload, text, lang):
+    """Arbitrary (control-char-free) urls, binary payloads, and unicode
+    text survive a response+conversion pair through the frame parser —
+    Content-Length framing must never depend on payload bytes."""
+    from datetime import datetime
+
+    from pdf_extraction_ray.sources.readers import (_parse_warc_date,
+                                                    _warc_record)
+    ts = datetime(2021, 6, 7, 8, 9, 10, 123456)
+    blob = (_warc_record("response", url, ts, payload, lang)
+            + _warc_record("conversion", url, ts, text.encode(), lang))
+    # walk with the same framing rules as read_pages_warc
+    pos, rows = 0, []
+    while pos < len(blob):
+        hdr_end = blob.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers = {}
+        for line in blob[pos:hdr_end].decode().split("\r\n")[1:]:
+            k, _, v = line.partition(": ")
+            headers[k] = v
+        n = int(headers["Content-Length"])
+        rows.append((headers["WARC-Type"], headers["WARC-Target-URI"],
+                     _parse_warc_date(headers["WARC-Date"]),
+                     blob[hdr_end + 4:hdr_end + 4 + n]))
+        pos = hdr_end + 4 + n + 4
+    assert [r[0] for r in rows] == ["response", "conversion"]
+    assert rows[0][1] == url and rows[0][2] == ts
+    assert rows[0][3] == payload
+    assert rows[1][3].decode() == text
