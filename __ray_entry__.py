@@ -20,7 +20,8 @@ import ray.data as rd
 
 from pdf_extraction_ray import oracle
 from pdf_extraction_ray.config import PipelineConfig, tune_data_context
-from pdf_extraction_ray.pipelines import analytics, extraction, relational
+from pdf_extraction_ray.pipelines import (analytics, extraction, linkgraph,
+                                          relational)
 from pdf_extraction_ray.sources import corpus, spec
 
 _CFG = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
@@ -465,7 +466,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pruned-probe IVF (approximate by design: recall vs brute force
         # asserted in tests; its full-probe twin above IS oracled)
         "ann_ivf": _tuned(analytics.ann_ivf),
+        # --- AWAITING_SLOT (added after the round-3 window saturated;
+        # every one oracled + driver-sim-verified, queued for an r4
+        # window slot — see test_entry_contract_keys) ---
+        "pagerank_docs": _tuned(analytics.pagerank_docs),
+        "anchor_text_index": _tuned(linkgraph.anchor_text_index),
+        "page_links_sample": _tuned(linkgraph.page_links_sample),
+        "link_graph": _tuned(linkgraph.link_graph),
+        "pagerank_links": _tuned(linkgraph.pagerank_links),
     }
+
+
+# Queries added AFTER this round's 50-entry driver window saturated:
+# each is fully oracled and locally driver-sim-verified (DRIVER_SIM
+# artifacts), and MUST take a window slot next round. The contract test
+# derives the window law from CORRECTNESS_r02.json and this list — a
+# query can only skip the window by being named here, which is an
+# auditable diff, never a silent reorder.
+AWAITING_SLOT = (
+    "pagerank_docs",
+    "anchor_text_index",
+    "page_links_sample",
+    "link_graph",
+    "pagerank_links",
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -601,4 +625,12 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible): ann_ivf (pruned-probe
         # approximate; its full-probe variant ann_ivf_fullprobe IS
         # oracled and the pruned path's recall is test-asserted)
+        # link-graph family (AWAITING_SLOT): planted-derivation oracles
+        # over documents (the anchors are pure functions of doc_id —
+        # pipelines/linkgraph.py), PageRank rounds unrolled as CTEs
+        "pagerank_docs": analytics.pagerank_docs_sql(),
+        "anchor_text_index": linkgraph.anchor_text_index_sql(),
+        "page_links_sample": linkgraph.page_links_sample_sql(),
+        "link_graph": linkgraph.link_graph_sql(),
+        "pagerank_links": linkgraph.pagerank_links_sql(),
     }

@@ -141,7 +141,8 @@ _RAWTEXT_CLOSE = {
 }
 
 
-def parse_html(payload: bytes | str, deadline: float | None = None) -> Node:
+def parse_html(payload: bytes | str, deadline: float | None = None,
+               prune_boilerplate: bool = True) -> Node:
     """Parse HTML bytes/str into a lightweight DOM tree (lenient).
 
     A single-regex scanner (3-4x faster and far lighter on allocation than
@@ -149,6 +150,13 @@ def parse_html(payload: bytes | str, deadline: float | None = None) -> Node:
     text runs, attribute blobs parse lazily, raw-text elements
     (script/style/...) skip straight to their close tag. ``deadline``
     (monotonic seconds) is the cooperative per-document timeout.
+
+    ``prune_boilerplate=True`` (the content-extraction default) skips
+    whole ``_STRIP_TAGS`` subtrees (header/nav/aside/footer/...) without
+    building nodes — the extractor would discard them anyway. Pass
+    ``False`` when those regions ARE the payload (link extraction walks
+    nav/footer anchors: pipelines/linkgraph.py); raw-text elements
+    (script/style/title) stay content-free either way.
     """
     if isinstance(payload, bytes):
         payload = payload.decode("utf-8", errors="replace")
@@ -230,7 +238,7 @@ def parse_html(payload: bytes | str, deadline: float | None = None) -> Node:
             # (they are _STRIP_TAGS); for textarea it would be re-added here
             pos = cm.end() if cm else n
             continue
-        if tag in strip_tags and not self_closing:
+        if tag in strip_tags and not self_closing and prune_boilerplate:
             # tag-level boilerplate: skip the whole subtree without
             # building nodes (the extractor would prune it anyway)
             depth = 1

@@ -1,0 +1,513 @@
+"""Link-graph analytics over the pages corpus — WAT-style anchor
+extraction, an anchor-text index, the extracted page->page edge table,
+and PageRank over those REAL edges.
+
+CommonCrawl publishes exactly this family next to its WARC/WET payloads:
+the WAT metadata sidecar (every <a href> with its anchor text), and a
+host-level web graph ranked by centrality. Here the chain is built from
+the engine's own primitives: the flagship pipeline's sniff gate feeds
+the REAL HTML tokenizer (functions/html_extract.parse_html — the same
+tree the content extractor walks), anchors stream out as a light edge
+table, and every downstream exchange moves ids + short strings only,
+never payload bytes.
+
+Scale shapes:
+* anchor extraction is map-side over sniffed pages (parse cost is the
+  compute; the corpus' html bytes never shuffle);
+* duplicate-url pages (the corpus' planted ~2% re-crawls) are dropped
+  AFTER extraction by one hash-partition distinct over the edge table —
+  deduping first would shuffle payloads, deduping the light edges is
+  the bounded exchange;
+* PageRank rounds are one hash_join (scores x edges) + one groupby(dst)
+  sum each — the "real edge TABLE" variant of analytics.pagerank_docs'
+  planted-edge emit, as that docstring promises.
+
+Oracles: the corpus is a pure function of ``documents`` (sources/spec.py),
+so every operator here has an exact DuckDB value-hash oracle deriving the
+expected anchors analytically (the gen_html._word formula re-expressed in
+SQL). Integer PageRank uses the same floor-division update as
+analytics.pagerank_docs, making the unrolled-CTE oracle bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from ..config import PipelineConfig
+from ..functions.html_extract import Node, parse_html
+from ..functions.sniff import CT_HTML
+from ..sources import corpus as corpus_mod
+from ..sources import spec
+from ..stages.joins import hash_join
+
+_CFG = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
+                      split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# anchor extraction
+
+
+def resolve_href(base_url: str, href: str) -> str:
+    """Minimal RFC-3986-style reference resolution for http(s) pages:
+    absolute / protocol-relative / path-absolute / path-relative forms,
+    fragment stripped. Query strings are kept verbatim."""
+    href = href.split("#", 1)[0]
+    if "://" in href[:10]:
+        return href
+    scheme, rest = base_url.split("://", 1)
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    host, _, path = rest.partition("/")
+    origin = f"{scheme}://{host}"
+    if href.startswith("/"):
+        return origin + href
+    if not href:
+        return origin + "/" + path
+    base_dir = ("/" + path).rsplit("/", 1)[0]
+    segs = (base_dir + "/" + href).split("/")
+    out: list[str] = []
+    for s in segs:
+        if s == "..":
+            if len(out) > 1:
+                out.pop()
+        elif s != ".":
+            out.append(s)
+    return origin + "/".join(out)
+
+
+def _anchor_text(node: Node) -> str:
+    """All descendant text of an <a>, whitespace preserved verbatim
+    (generator anchors are single text runs; nesting handled anyway)."""
+    parts: list[str] = []
+
+    def walk(n: Node) -> None:
+        for c in n.children:
+            if isinstance(c, str):
+                parts.append(c)
+            else:
+                walk(c)
+
+    walk(node)
+    text = "".join(parts)
+    if "&" in text:
+        from html import unescape
+        text = unescape(text)
+    return text
+
+
+def anchors_of_html(payload: bytes | str, base_url: str) -> list[dict]:
+    """Every <a href> in document order — including inside junk
+    (nav/footer/aside) containers: link extraction wants ALL links, the
+    opposite selection from content extraction."""
+    root = parse_html(payload, prune_boilerplate=False)
+    out: list[dict] = []
+
+    def walk(n: Node) -> None:
+        if n.tag == "a":
+            href = n.attrs.get("href")
+            if href is not None:
+                out.append({
+                    "link_i": len(out),
+                    "href": resolve_href(base_url, href),
+                    "anchor": _anchor_text(n),
+                })
+        for c in n.children:
+            if isinstance(c, Node):
+                walk(c)
+
+    walk(root)
+    return out
+
+
+def _doc_id_of_url(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized page-url -> doc_id (spec.url_of embeds a 7-digit id)."""
+    ex = pc.extract_regex(urls, pattern=r"/d(?P<id>\d{7})(?:-memo|-qp)?$")
+    if isinstance(ex, pa.ChunkedArray):
+        ex = ex.combine_chunks()
+    return pc.struct_field(ex, "id").cast(pa.int64())
+
+
+def page_anchors(pages: "str | rd.Dataset", cfg: PipelineConfig = _CFG,
+                 num_partitions: int = 32) -> rd.Dataset:
+    """(url, src_doc_id, link_i, href, anchor) for every anchor of every
+    DISTINCT valid HTML page.
+
+    Pipeline: the flagship sniff gate (size cap + magic-byte dispatch,
+    stages/extract.sniff_validate_batch) -> per-row parse with the real
+    tokenizer -> flat anchor rows -> ONE hash-partition distinct on
+    (url, link_i) dropping re-crawled duplicate pages (identical bytes,
+    so any row of a (url, link_i) group carries identical values — the
+    exact_dedup_by_hash partition shape, edges-only through the
+    shuffle)."""
+    from .extraction import sniffed_pages
+
+    sniffed = sniffed_pages(pages, cfg)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(batch["status"], "completed"),
+                       pc.equal(batch["content_type"], CT_HTML))
+        batch = batch.filter(keep)
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        rows: list[dict] = []
+        for url, payload in zip(urls, payloads):
+            for a in anchors_of_html(payload, url):
+                a["url"] = url
+                rows.append(a)
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("url", pa.string()),
+            ("link_i", pa.int64()),
+            ("href", pa.string()),
+            ("anchor", pa.string()),
+        ]))
+
+    anchors = sniffed.map_batches(extract, batch_format="pyarrow")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_of_url(batch["url"])
+        p = pc.cast(pc.bit_wise_and(ids, num_partitions - 1), pa.int64())
+        return (batch.append_column("src_doc_id", ids)
+                     .append_column("__p", p))
+
+    def distinct(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["url", "link_i"], kind="mergesort")
+        return g[~g[["url", "link_i"]].duplicated()].drop(columns="__p")
+
+    return (anchors.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__p").map_groups(distinct, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# sf-dir operator surface (driver queries)
+
+
+def _corpus_pages(sf_dir: str) -> str:
+    return corpus_mod.ensure_pages_corpus(sf_dir)
+
+
+def anchor_text_index(sf_dir: str) -> rd.Dataset:
+    """Per-target anchor aggregation — the classic anchor-text relevance
+    signal (one row per distinct resolved href): in-link count, distinct
+    linking pages, total anchor chars, lexicographically-first anchor.
+
+    One groupby over the already-distinct anchor table; target count is
+    tiny (site chrome collapses to a few dozen hrefs), so the aggregate
+    output is driver-safe at any corpus scale."""
+    anchors = page_anchors(_corpus_pages(sf_dir))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "href": batch["href"],
+            "src_doc_id": batch["src_doc_id"],
+            "anchor_chars": pc.utf8_length(
+                batch["anchor"].combine_chunks()).cast(pa.int64()),
+            "anchor": batch["anchor"],
+        })
+
+    # distinct-count via two chained groupbys (combiner shape): fold to
+    # one row per (href, page) first, then count pages / sum partials
+    # per href — no count-distinct state on any single node.
+    per_page = (anchors.map_batches(widen, batch_format="pyarrow")
+                .groupby(["href", "src_doc_id"]).aggregate(
+                    Count(alias_name="n"),
+                    Sum("anchor_chars", alias_name="chars"),
+                    Min("anchor", alias_name="a0"),
+                ))
+    return per_page.groupby("href").aggregate(
+        Sum("n", alias_name="n_links"),
+        Count(alias_name="n_pages"),
+        Sum("chars", alias_name="sum_anchor_chars"),
+        Min("a0", alias_name="first_anchor"),
+    )
+
+
+def page_links_sample(sf_dir: str, mod: int = 17) -> rd.Dataset:
+    """Full anchor listing for the doc_id % mod == 0 page sample — the
+    row-level WAT rendition, bounded to ~1/mod of pages so the full
+    listing is compare-sized at any sf."""
+    anchors = page_anchors(_corpus_pages(sf_dir))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["src_doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % mod == 0))
+        return t.select(["url", "link_i", "href", "anchor"])
+
+    return anchors.map_batches(pick, batch_format="pyarrow")
+
+
+def link_graph(sf_dir: str) -> rd.Dataset:
+    """DISTINCT page->page edge table extracted from the corpus html:
+    /doc/d{id} permalinks parsed back to target doc ids, then dead links
+    pruned with a semi hash_join against the corpus' own page ids (a
+    no-op on the planted graph — hubs always exist — but load-bearing on
+    any real crawl, and on synthetic pages in tests)."""
+    anchors = page_anchors(_corpus_pages(sf_dir))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["href"].combine_chunks(),
+                              pattern=r"/doc/d(?P<id>\d{7})$")
+        dst = pc.struct_field(ex, "id")
+        keep = pc.is_valid(dst)
+        return pa.table({
+            "src_doc_id": batch["src_doc_id"].combine_chunks().filter(keep),
+            "dst_doc_id": dst.filter(keep).cast(pa.int64()),
+        })
+
+    edges = anchors.map_batches(to_edges, batch_format="pyarrow")
+
+    def distinct_edges(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.drop(columns="__p")
+                .drop_duplicates(["src_doc_id", "dst_doc_id"]))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        p = pc.cast(pc.bit_wise_and(batch["src_doc_id"], 31), pa.int64())
+        return batch.append_column("__p", p)
+
+    # pinned: hash_join probes schema() (executes lineage) and then
+    # shuffles — without the pin the whole parse DAG would run twice.
+    # Ids-only table, the bounded branch-point cache.
+    edges = (edges.map_batches(add_part, batch_format="pyarrow")
+             .groupby("__p").map_groups(distinct_edges,
+                                        batch_format="pandas")
+             .materialize())
+
+    # dead-link prune: keep edges whose target exists as a corpus page
+    pages = rd.read_parquet(_corpus_pages(sf_dir), columns=["url"])
+
+    def page_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": _doc_id_of_url(batch["url"])})
+
+    nodes = pages.map_batches(page_ids, batch_format="pyarrow")
+    joined = hash_join(edges, nodes, "dst_doc_id", "doc_id",
+                       ["src_doc_id"], [], how="semi")
+    return joined.select_columns(["src_doc_id", "dst_doc_id"])
+
+
+def pagerank_links(sf_dir: str, iters: int = 5, damping_pct: int = 85,
+                   scale: int = 1_000_000) -> rd.Dataset:
+    """Integer PageRank over the EXTRACTED edge table — the promised
+    real-edge-table variant of analytics.pagerank_docs (same BIGINT
+    floor-division update, bit-exact vs the unrolled-CTE oracle).
+
+    Per round: ONE hash_join (scores x outdeg-weighted edges on src) +
+    ONE groupby(dst) sum + a LEFT hash_join back onto the node set for
+    the no-inlink base term. Edge table and node set are pinned ONCE
+    before the loop (ids only); rounds move (node, contrib) pairs."""
+    edges = link_graph(sf_dir).materialize()   # pinned: joined twice below
+    outdeg = edges.groupby("src_doc_id").aggregate(
+        Count(alias_name="outdeg")).materialize()
+    edges_w = hash_join(edges, outdeg, "src_doc_id", "src_doc_id",
+                        ["dst_doc_id"], ["outdeg"], how="inner").materialize()
+
+    pages = rd.read_parquet(_corpus_pages(sf_dir), columns=["url"])
+
+    def page_ids(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_of_url(batch["url"])
+        return pa.table({"node": ids})
+
+    def distinct_nodes(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop(columns="__p").drop_duplicates(["node"])
+
+    nodes = (pages.map_batches(page_ids, batch_format="pyarrow")
+             .map_batches(lambda b: b.append_column(
+                 "__p", pc.cast(pc.bit_wise_and(b["node"], 31), pa.int64())),
+                 batch_format="pyarrow")
+             .groupby("__p").map_groups(distinct_nodes,
+                                        batch_format="pandas")
+             .materialize())
+
+    base = (100 - damping_pct) * scale // 100
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "r": pa.array(np.full(len(t), scale, np.int64))})
+
+    # zero presence rows guarantee every node survives the groupby even
+    # with no in-links (the pagerank_docs pattern) — this replaces a
+    # per-round LEFT join back onto the node set. Static; pinned once.
+    def zero(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "c": pa.array(np.zeros(len(t), np.int64))})
+
+    presence = nodes.map_batches(zero, batch_format="pyarrow").materialize()
+
+    scores = nodes.map_batches(init, batch_format="pyarrow")
+    for _ in range(iters):
+        contrib = hash_join(edges_w, scores, "src_doc_id", "node",
+                            ["dst_doc_id", "outdeg"], ["r"], how="inner")
+
+        def emit(t: pa.Table) -> pa.Table:
+            c = pc.divide(t["r"].combine_chunks().cast(pa.int64()),
+                          t["outdeg"].combine_chunks().cast(pa.int64()))
+            return pa.table({
+                "node": t["dst_doc_id"].combine_chunks().cast(pa.int64()),
+                "c": c})
+
+        def fold(t: pa.Table) -> pa.Table:
+            s = t["s"].combine_chunks().cast(pa.int64())
+            r = pc.add(pa.scalar(base, pa.int64()),
+                       pc.divide(pc.multiply(
+                           pa.scalar(damping_pct, pa.int64()), s),
+                           pa.scalar(100, pa.int64())))
+            return pa.table({
+                "node": t["node"].combine_chunks().cast(pa.int64()),
+                "r": r})
+
+        # ONE join + ONE groupby per round; materialize keeps lineage
+        # linear across rounds (the CC-loop lesson, stages/dedup.py)
+        scores = (contrib.map_batches(emit, batch_format="pyarrow")
+                  .union(presence)
+                  .groupby("node").aggregate(Sum("c", alias_name="s"))
+                  .map_batches(fold, batch_format="pyarrow")
+                  .materialize())
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"].combine_chunks(),
+                         "rank": t["r"].combine_chunks()})
+
+    return scores.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (analytic derivation of the planted anchors)
+
+_WS_SQL = ("['alpha','beta','gamma','delta','epsilon','zeta','eta','theta',"
+           "'iota','kappa','lambda','mu','nu','xi','omicron','pi']")
+
+
+def _word_sql(doc: str, idx: str) -> str:
+    """gen_html._word re-expressed: WORDS[(doc_id*31 + i*7) % 16]."""
+    return f"ws.w[(({doc}) * 31 + ({idx}) * 7) % 16 + 1]"
+
+
+def _anchors_cte() -> str:
+    """CTE ``anch(doc_id, link_i, href, anchor)``: every anchor of every
+    valid-HTML corpus page, in document order, hrefs resolved absolute.
+
+    Layout derivation (gen_html.build_html):
+    * standard kinds (sub <= 49, 60-69, 90, 91, 94): header links
+      (4 @ salt 100) -> nav (20) -> ad (6 @ 200) -> sidebar (8 @ 300)
+      -> footer (5 @ 400) -> related permalinks (3, spec.REL_PARAMS);
+    * div-soup (50-59): two link-soup blocks (7 @ 500, 7 @ 600);
+    * oversize (99) carries anchors in its bytes but fails the size
+      gate; garbage/empty/pdf kinds sniff away.
+    """
+    origin = "'https://corpus.example'"
+    rel_rows = ", ".join(f"({j}, {a}, {b})"
+                         for j, (a, b) in enumerate(spec.REL_PARAMS))
+    return f"""ws AS (SELECT {_WS_SQL} AS w),
+std AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 100 <= 49 OR (doc_id % 100 BETWEEN 60 AND 69)
+     OR doc_id % 100 IN (90, 91, 94)
+), soup AS (
+  SELECT doc_id FROM documents WHERE doc_id % 100 BETWEEN 50 AND 59
+), anch AS (
+  SELECT d.doc_id, CAST(seg.off + r.range AS BIGINT) AS link_i,
+         {origin} || '/x/' || seg.salt || '/' || r.range AS href,
+         {_word_sql('d.doc_id', 'seg.salt + 2 * r.range')} || ' ' ||
+         {_word_sql('d.doc_id', 'seg.salt + 2 * r.range + 1')} AS anchor
+  FROM std d, ws,
+       (VALUES (100, 4, 0), (200, 6, 24), (300, 8, 30), (400, 5, 38))
+         seg(salt, cnt, off),
+       range(0, 8) r
+  WHERE r.range < seg.cnt
+  UNION ALL
+  SELECT d.doc_id, CAST(4 + r.range AS BIGINT),
+         {origin} || '/nav/' || r.range,
+         {_word_sql('d.doc_id', 'r.range')} || ' ' ||
+         {_word_sql('d.doc_id', 'r.range + 1')}
+  FROM std d, ws, range(0, 20) r
+  UNION ALL
+  SELECT d.doc_id, CAST(43 + p.j AS BIGINT),
+         {origin} || '/doc/d' ||
+           lpad(CAST((d.doc_id * p.a + p.b) % {spec.REL_HUBS} AS VARCHAR),
+                7, '0'),
+         {_word_sql('d.doc_id', f'{spec.REL_SALT} + 2 * p.j')} || ' ' ||
+         {_word_sql('d.doc_id', f'{spec.REL_SALT} + 2 * p.j + 1')}
+  FROM std d, ws, (VALUES {rel_rows}) p(j, a, b)
+  UNION ALL
+  SELECT d.doc_id, CAST(seg.off + r.range AS BIGINT),
+         {origin} || '/x/' || seg.salt || '/' || r.range,
+         {_word_sql('d.doc_id', 'seg.salt + 2 * r.range')} || ' ' ||
+         {_word_sql('d.doc_id', 'seg.salt + 2 * r.range + 1')}
+  FROM soup d, ws, (VALUES (500, 7, 0), (600, 7, 7)) seg(salt, cnt, off),
+       range(0, 7) r
+)"""
+
+
+def anchor_text_index_sql() -> str:
+    return "WITH " + _anchors_cte() + """
+SELECT href,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+       CAST(sum(length(anchor)) AS BIGINT) AS sum_anchor_chars,
+       min(anchor) AS first_anchor
+FROM anch GROUP BY href"""
+
+
+def page_links_sample_sql(mod: int = 17) -> str:
+    return "WITH " + _anchors_cte() + f"""
+SELECT 'https://corpus.example/' || d.source || '/d'
+         || lpad(CAST(d.doc_id AS VARCHAR), 7, '0')
+         || (CASE WHEN d.doc_id % 10 = 3 THEN '-memo'
+                  WHEN d.doc_id % 10 = 7 THEN '-qp' ELSE '' END) AS url,
+       a.link_i, a.href, a.anchor
+FROM anch a JOIN documents d ON d.doc_id = a.doc_id
+WHERE a.doc_id % {mod} = 0"""
+
+
+def _edges_sql() -> str:
+    rel_rows = ", ".join(f"({a}, {b})" for a, b in spec.REL_PARAMS)
+    return f"""e AS (
+  SELECT DISTINCT d.doc_id AS src_doc_id,
+         CAST((d.doc_id * p.a + p.b) % {spec.REL_HUBS} AS BIGINT)
+           AS dst_doc_id
+  FROM (SELECT doc_id FROM documents
+        WHERE doc_id % 100 <= 49 OR (doc_id % 100 BETWEEN 60 AND 69)
+           OR doc_id % 100 IN (90, 91, 94)) d,
+       (VALUES {rel_rows}) p(a, b)
+)"""
+
+
+def link_graph_sql() -> str:
+    return "WITH " + _edges_sql() + """
+SELECT src_doc_id, dst_doc_id FROM e"""
+
+
+def pagerank_links_sql(iters: int = 5, damping_pct: int = 85,
+                       scale: int = 1_000_000) -> str:
+    """Unrolled-round replica over the derived edge table (the
+    analytics.pagerank_docs_sql pattern with a per-src outdeg join)."""
+    base = (100 - damping_pct) * scale // 100
+    parts = [_edges_sql(), f"""ew AS (
+  SELECT e.src_doc_id, e.dst_doc_id, o.outdeg
+  FROM e JOIN (SELECT src_doc_id, CAST(count(*) AS BIGINT) AS outdeg
+               FROM e GROUP BY src_doc_id) o
+    ON o.src_doc_id = e.src_doc_id
+), r0 AS (
+  SELECT doc_id AS node, CAST({scale} AS BIGINT) AS r FROM documents
+)"""]
+    for t in range(iters):
+        parts.append(f"""r{t + 1} AS (
+  SELECT d.doc_id AS node,
+         CAST({base} + {damping_pct} * coalesce(s.c, 0) // 100
+              AS BIGINT) AS r
+  FROM documents d LEFT JOIN (
+    SELECT ew.dst_doc_id AS node,
+           CAST(sum(r.r // ew.outdeg) AS BIGINT) AS c
+    FROM ew JOIN r{t} r ON r.node = ew.src_doc_id
+    GROUP BY ew.dst_doc_id
+  ) s ON s.node = d.doc_id
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node AS doc_id, r AS rank FROM r{iters}")

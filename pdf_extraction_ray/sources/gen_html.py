@@ -46,10 +46,24 @@ def _boilerplate_top(doc_id: int, source: str) -> str:
     )
 
 
+def _related(doc_id: int) -> str:
+    """Planted inter-page permalinks (spec.REL_* — the extracted link
+    graph's edges). Inside <footer>, so content extraction never sees
+    them; linkgraph.page_anchors does."""
+    parts = []
+    for j, hub in enumerate(spec.rel_hubs_of(doc_id)):
+        w1 = _word(doc_id, spec.REL_SALT + 2 * j)
+        w2 = _word(doc_id, spec.REL_SALT + 2 * j + 1)
+        parts.append(f'<a class="rel" href="/doc/d{hub:07d}">{w1} {w2}</a>')
+    return " &middot; ".join(parts)
+
+
 def _boilerplate_bottom(doc_id: int) -> str:
     return (
         f"<aside class=\"sidebar\"><ul><li>{_links(doc_id, 8, 300)}</li></ul></aside>"
-        f"<footer><p>{_links(doc_id, 5, 400)}</p><p>&copy; corpus.example</p></footer>"
+        f"<footer><p>{_links(doc_id, 5, 400)}</p>"
+        f"<p>related: {_related(doc_id)}</p>"
+        f"<p>&copy; corpus.example</p></footer>"
     )
 
 

@@ -68,8 +68,26 @@ CORPUS_QUALITY_THRESHOLD_PCT = 70  # routing threshold (reference: quality < 0.7
 # oversized PDFs are >= ceil(150/45)=4 pages; normal PDFs are <= 2 pages,
 # so threshold 3 cleanly routes pdf_big (and only pdf_big) to the shard path
 CORPUS_SPLIT_PAGE_THRESHOLD = 3
-SPEC_VERSION = "v8"        # bump to invalidate cached generated corpora
+SPEC_VERSION = "v9"        # bump to invalidate cached generated corpora
 SESSION = "May/June"       # metadata header session value
+
+# --- planted inter-page link graph (pipelines/linkgraph.py) ----------------
+# Non-divsoup HTML pages carry a "related" block in the footer boilerplate:
+# 3 site-internal permalinks /doc/d{hub:07d} to hub pages. Hub ids are pure
+# functions of doc_id in 0..REL_HUBS-1 (always-valid targets on any corpus
+# with >= REL_HUBS documents), giving the extracted link graph the same
+# 16-hub skew topology as analytics.pagerank_docs' planted edges. Links sit
+# INSIDE <footer> so the content extractor strips them — extracted text is
+# byte-identical to the pre-link spec (golden suite pins this).
+REL_HUBS = 16
+REL_PARAMS = ((1, 0), (7, 3), (13, 5))   # hub_j = (doc_id*a + b) % REL_HUBS
+REL_SALT = 700                           # anchor-word salt (gen_html._word)
+
+
+def rel_hubs_of(doc_id: int) -> list[int]:
+    """Target hub ids of the planted related-links, in document order
+    (duplicates kept: parallel edges collapse only in link_graph)."""
+    return [(doc_id * a + b) % REL_HUBS for a, b in REL_PARAMS]
 
 
 # --- kind assignment --------------------------------------------------------

@@ -1,0 +1,179 @@
+"""Link-graph family (pipelines/linkgraph.py): anchor extraction vs the
+analytic derivation, href resolution, dup-page dedup, dead-link pruning,
+and the DuckDB value-hash oracles for all four driver queries."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_check import compare
+
+
+# ---------------------------------------------------------------------------
+# serial units (no Ray)
+
+
+def test_resolve_href_forms():
+    from pdf_extraction_ray.pipelines.linkgraph import resolve_href
+    base = "https://host.example/a/b"
+    assert resolve_href(base, "/z") == "https://host.example/z"
+    assert resolve_href(base, "c/d") == "https://host.example/a/c/d"
+    assert resolve_href(base, "../up") == "https://host.example/up"
+    assert resolve_href(base, "./here") == "https://host.example/a/here"
+    assert resolve_href(base, "https://o.y/p#frag") == "https://o.y/p"
+    assert resolve_href(base, "//cdn.x/f.js") == "https://cdn.x/f.js"
+    assert resolve_href(base, "x?q=1#f") == "https://host.example/a/x?q=1"
+    assert resolve_href(base, "") == "https://host.example/a/b"
+
+
+def test_anchors_of_handcrafted_page():
+    from pdf_extraction_ray.pipelines.linkgraph import anchors_of_html
+    html = (b"<html><body><nav><a href='/n'>in <b>nav</b></a></nav>"
+            b"<p><a name='x'>no href</a>"
+            b"<a href='/e'>amp &amp; lt</a></p>"
+            b"<footer><a href='rel/p'>deep</a></footer></body></html>")
+    a = anchors_of_html(html, "https://h.x/dir/page")
+    assert [r["href"] for r in a] == [
+        "https://h.x/n", "https://h.x/e", "https://h.x/dir/rel/p"]
+    assert a[0]["anchor"] == "in nav"          # nested markup flattens
+    assert a[1]["anchor"] == "amp & lt"        # entities resolve
+    assert [r["link_i"] for r in a] == [0, 1, 2]
+
+
+def test_anchors_match_sql_derivation():
+    """The real tokenizer's anchors == the oracle CTE, row for row, for
+    every kind (incl. div-soup's different layout and the related
+    permalinks), across a doc_id sample covering all residues."""
+    from pdf_extraction_ray.pipelines import linkgraph as lg
+    from pdf_extraction_ray.sources import gen_html, spec
+
+    doc_ids = list(range(0, 120)) + [12345, 54321]
+    docs = pd.DataFrame({"doc_id": doc_ids,
+                         "source": ["History"] * len(doc_ids)})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(
+        "WITH " + lg._anchors_cte()
+        + "\nSELECT doc_id, link_i, href, anchor FROM anch"
+        " ORDER BY doc_id, link_i").df()
+    con.close()
+
+    rows = []
+    for did in doc_ids:
+        if not spec.kind_of(did).startswith("html_"):
+            continue
+        url = spec.url_of(did, "History")
+        page = gen_html.build_html(did, "text " * 40, "History")
+        for a in lg.anchors_of_html(page, url):
+            rows.append({"doc_id": did, **a})
+    got = (pd.DataFrame(rows)[["doc_id", "link_i", "href", "anchor"]]
+           .sort_values(["doc_id", "link_i"]).reset_index(drop=True))
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_related_links_never_reach_extracted_text():
+    """The planted permalinks live in footer boilerplate: content
+    extraction must not see them (byte-identity north rule)."""
+    from pdf_extraction_ray.functions.html_extract import extract_html
+    from pdf_extraction_ray.sources import gen_html
+
+    page = gen_html.build_html(12, "real content here " * 20, "History")
+    assert b"/doc/d" in page
+    out = extract_html(page)
+    assert "related:" not in out.text
+    assert "/doc/d" not in out.text
+
+
+# ---------------------------------------------------------------------------
+# Ray dataflow
+
+
+def _tiny_pages(rows):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pdf_extraction_ray.sources.corpus import PAGES_SCHEMA
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA))
+
+
+def test_page_anchors_dedupes_recrawled_pages(ray_session):
+    from datetime import datetime, timedelta
+
+    from pdf_extraction_ray.pipelines.linkgraph import page_anchors
+
+    html = (b"<!DOCTYPE html>\n<html><body>"
+            b"<p><a href='/t'>one</a><a href='/t'>two</a></p>"
+            b"</body></html>")
+    row = {"url": "https://c.x/s/d0000005", "warc_ts": datetime(2020, 1, 1),
+           "html": html, "text": "", "lang": "en"}
+    dup = dict(row, warc_ts=row["warc_ts"] + timedelta(hours=1))
+    out = page_anchors(_tiny_pages([row, dup])).to_pandas()
+    # two anchors, each once — the re-crawl's identical rows collapse
+    assert len(out) == 2
+    assert sorted(out.link_i) == [0, 1]
+    assert set(out.anchor) == {"one", "two"}
+
+
+def test_link_graph_prunes_dead_links(ray_session):
+    from datetime import datetime
+
+    from pdf_extraction_ray.pipelines import linkgraph as lg
+
+    def page(did, targets):
+        body = "".join(f"<a href='/doc/d{t:07d}'>t</a>" for t in targets)
+        return {"url": f"https://c.x/s/d{did:07d}",
+                "warc_ts": datetime(2020, 1, 1),
+                "html": f"<!DOCTYPE html>\n<html><body><p>{body}</p>"
+                        f"</body></html>".encode(),
+                "text": "", "lang": "en"}
+
+    # page 1 -> 2 (alive), page 1 -> 9999999 (dead), page 2 -> 1
+    pages = _tiny_pages([page(1, [2, 9999999]), page(2, [1])])
+    anchors = lg.page_anchors(pages)
+    # run the edge path directly against these synthetic pages
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["href"].combine_chunks(),
+                              pattern=r"/doc/d(?P<id>\d{7})$")
+        dst = pc.struct_field(ex, "id")
+        keep = pc.is_valid(dst)
+        return pa.table({
+            "src_doc_id": batch["src_doc_id"].combine_chunks().filter(keep),
+            "dst_doc_id": dst.filter(keep).cast(pa.int64())})
+
+    from pdf_extraction_ray.stages.joins import hash_join
+    edges = anchors.map_batches(to_edges,
+                                batch_format="pyarrow").materialize()
+    nodes = _tiny_pages([page(1, []), page(2, [])]).map_batches(
+        lambda b: pa.table({"doc_id": lg._doc_id_of_url(b["url"])}),
+        batch_format="pyarrow")
+    pruned = hash_join(edges, nodes, "dst_doc_id", "doc_id",
+                       ["src_doc_id"], [], how="semi").to_pandas()
+    got = set(zip(pruned.src_doc_id, pruned.dst_doc_id))
+    assert got == {(1, 2), (2, 1)}  # the dead 9999999 edge is gone
+
+
+@pytest.mark.parametrize("name", ["anchor_text_index", "page_links_sample",
+                                  "link_graph", "pagerank_links"])
+def test_linkgraph_queries_match_oracle(ray_session, name):
+    import __ray_entry__ as entrymod
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert compare(name, q[name](SF_SMOKE), o[name], SF_SMOKE) == []
+
+
+def test_pagerank_links_hubs_rank_highest(ray_session):
+    """The planted related-links topology concentrates rank on the 16
+    hub pages — the skew the operator exists to surface."""
+    from pdf_extraction_ray.pipelines.linkgraph import pagerank_links
+    from pdf_extraction_ray.sources import spec
+
+    out = pagerank_links(SF_SMOKE).to_pandas().sort_values(
+        "rank", ascending=False)
+    top = set(out.head(spec.REL_HUBS).doc_id)
+    assert top == set(range(spec.REL_HUBS))

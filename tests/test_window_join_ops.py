@@ -641,7 +641,15 @@ def test_entry_contract_keys():
     green_r02 = {k for k, v in r02.items() if v.get("hash_match")}
     need_r03 = set(q) - green_r02 - {"ann_ivf"}  # rows-only by design
     window = set(list(q)[:50])
-    assert need_r03 <= window, sorted(need_r03 - window)
+    # queries added AFTER the window saturated may only skip it via the
+    # explicit AWAITING_SLOT list (an auditable diff, not a silent
+    # reorder), and every one of those must be oracled and queued at
+    # the END of queries() so it cannot displace a window entry.
+    awaiting = set(entrymod.AWAITING_SLOT)
+    assert awaiting <= set(o), sorted(awaiting - set(o))
+    assert awaiting.isdisjoint(window)
+    assert list(q)[-len(awaiting):] == list(entrymod.AWAITING_SLOT)
+    assert need_r03 - awaiting <= window, sorted(need_r03 - awaiting - window)
 
 
 def _docs_where(docs, pred):
