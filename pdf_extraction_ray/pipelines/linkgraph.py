@@ -36,6 +36,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
@@ -290,21 +291,61 @@ def link_graph(sf_dir: str) -> rd.Dataset:
     return joined.select_columns(["src_doc_id", "dst_doc_id"])
 
 
+@ray.remote
+def _pr_one_task(iters: int, damping_pct: int, scale: int,
+                 n_node_blocks: int, *blocks: pa.Table) -> pa.Table:
+    """All PageRank rounds in one task: vectorized integer update over
+    dense-remapped ids (np.add.at keeps the BIGINT sums exact). Only
+    dispatched when the edge count is under ``task_pr_limit`` — the
+    _cc_one_task lesson (stages/dedup.py): on small graphs each
+    distributed round is an all-to-all that dwarfs the actual work."""
+    node_tabs = [t for t in blocks[:n_node_blocks] if t.num_rows]
+    edge_tabs = [t for t in blocks[n_node_blocks:] if t.num_rows]
+    nodes = np.sort(np.unique(np.concatenate(
+        [t["node"].to_numpy(zero_copy_only=False) for t in node_tabs])
+        if node_tabs else np.array([], np.int64)).astype(np.int64))
+    n = len(nodes)
+    if edge_tabs:
+        et = pa.concat_tables(
+            [t.select(["src_doc_id", "dst_doc_id"]) for t in edge_tabs])
+        src = et["src_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = et["dst_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        src = dst = np.array([], np.int64)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, si, 1)
+    outdeg = deg[si]
+    base = (100 - damping_pct) * scale // 100
+    r = np.full(n, scale, np.int64)
+    for _ in range(iters):
+        s = np.zeros(n, np.int64)
+        np.add.at(s, di, r[si] // outdeg)
+        r = base + damping_pct * s // 100
+    return pa.table({"doc_id": pa.array(nodes), "rank": pa.array(r)})
+
+
 def pagerank_links(sf_dir: str, iters: int = 5, damping_pct: int = 85,
-                   scale: int = 1_000_000) -> rd.Dataset:
+                   scale: int = 1_000_000,
+                   task_pr_limit: int = 5_000_000) -> rd.Dataset:
     """Integer PageRank over the EXTRACTED edge table — the promised
     real-edge-table variant of analytics.pagerank_docs (same BIGINT
     floor-division update, bit-exact vs the unrolled-CTE oracle).
 
-    Per round: ONE hash_join (scores x outdeg-weighted edges on src) +
-    ONE groupby(dst) sum + a LEFT hash_join back onto the node set for
-    the no-inlink base term. Edge table and node set are pinned ONCE
-    before the loop (ids only); rounds move (node, contrib) pairs."""
+    Small graphs (edge count <= ``task_pr_limit``, ~80 MB of int64
+    pairs at the default) run every round in ONE Ray task — on a
+    verified link graph orders of magnitude smaller than its corpus,
+    per-round all-to-alls dwarf the arithmetic (measured: 292 s
+    distributed vs <2 s one-task on a 1k-edge graph at 32 CPUs; the
+    _cc_one_task precedent). Above the limit the distributed rounds
+    engage unchanged: per round ONE hash_join (scores x outdeg-weighted
+    edges on src) + ONE groupby(dst) sum, zero-presence rows replacing
+    a per-round left join, and a fixed-width repartition so round N's
+    block count never compounds into round N+1 (sort-shuffle outputs
+    roughly double their input block count — the connected_components
+    lesson, stages/dedup.py)."""
     edges = link_graph(sf_dir).materialize()   # pinned: joined twice below
-    outdeg = edges.groupby("src_doc_id").aggregate(
-        Count(alias_name="outdeg")).materialize()
-    edges_w = hash_join(edges, outdeg, "src_doc_id", "src_doc_id",
-                        ["dst_doc_id"], ["outdeg"], how="inner").materialize()
 
     pages = rd.read_parquet(_corpus_pages(sf_dir), columns=["url"])
 
@@ -322,6 +363,18 @@ def pagerank_links(sf_dir: str, iters: int = 5, damping_pct: int = 85,
              .groupby("__p").map_groups(distinct_nodes,
                                         batch_format="pandas")
              .materialize())
+
+    if edges.count() <= task_pr_limit:
+        node_refs = nodes.to_arrow_refs()
+        edge_refs = edges.to_arrow_refs()
+        return rd.from_arrow_refs([_pr_one_task.remote(
+            iters, damping_pct, scale, len(node_refs),
+            *node_refs, *edge_refs)])
+
+    outdeg = edges.groupby("src_doc_id").aggregate(
+        Count(alias_name="outdeg")).materialize()
+    edges_w = hash_join(edges, outdeg, "src_doc_id", "src_doc_id",
+                        ["dst_doc_id"], ["outdeg"], how="inner").materialize()
 
     base = (100 - damping_pct) * scale // 100
 
@@ -362,12 +415,15 @@ def pagerank_links(sf_dir: str, iters: int = 5, damping_pct: int = 85,
                 "node": t["node"].combine_chunks().cast(pa.int64()),
                 "r": r})
 
-        # ONE join + ONE groupby per round; materialize keeps lineage
-        # linear across rounds (the CC-loop lesson, stages/dedup.py)
+        # ONE join + ONE groupby per round; the fixed-width repartition
+        # stops shuffle-output block counts compounding round over
+        # round, and materialize keeps lineage linear (the CC-loop
+        # lessons, stages/dedup.py)
         scores = (contrib.map_batches(emit, batch_format="pyarrow")
                   .union(presence)
                   .groupby("node").aggregate(Sum("c", alias_name="s"))
                   .map_batches(fold, batch_format="pyarrow")
+                  .repartition(32)
                   .materialize())
 
     def finish(t: pa.Table) -> pa.Table:

@@ -167,6 +167,17 @@ def test_linkgraph_queries_match_oracle(ray_session, name):
     assert compare(name, q[name](SF_SMOKE), o[name], SF_SMOKE) == []
 
 
+def test_pagerank_links_distributed_path_matches(ray_session):
+    """task_pr_limit=0 forces the per-round hash_join/groupby path; it
+    must be bit-identical to the one-task fast path (and the oracle)."""
+    import __ray_entry__ as entrymod
+
+    from pdf_extraction_ray.pipelines.linkgraph import pagerank_links
+    out = pagerank_links(SF_SMOKE, task_pr_limit=0)
+    assert compare("pagerank_links_dist", out,
+                   entrymod.oracle_sql()["pagerank_links"], SF_SMOKE) == []
+
+
 def test_pagerank_links_hubs_rank_highest(ray_session):
     """The planted related-links topology concentrates rank on the 16
     hub pages — the skew the operator exists to surface."""
