@@ -148,6 +148,11 @@ def run_bench() -> dict:
           lambda: analytics.curate_pipeline(sf_dir).count())
     # importance-resampling selection (memoized hashed-unigram scoring)
     timed("dsir_select", lambda: analytics.dsir_select(sf_dir).count())
+    # WAT-style anchor extraction over the AMPLIFIED corpus (full-tree
+    # parse incl. boilerplate regions + the edges-only distinct)
+    from pdf_extraction_ray.pipelines import linkgraph
+    timed("page_anchors",
+          lambda: linkgraph.page_anchors(pages).count())
 
     headline = timings["extract_ckpt"]
     result = {

@@ -188,3 +188,46 @@ def test_pagerank_links_hubs_rank_highest(ray_session):
         "rank", ascending=False)
     top = set(out.head(spec.REL_HUBS).doc_id)
     assert top == set(range(spec.REL_HUBS))
+
+
+# ---------------------------------------------------------------------------
+# robustness (serial, no Ray)
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=4096))
+def test_anchors_never_crash_on_garbage(payload):
+    from pdf_extraction_ray.pipelines.linkgraph import anchors_of_html
+    out = anchors_of_html(payload, "https://h.x/a/b")
+    assert [r["link_i"] for r in out] == list(range(len(out)))
+    assert all(isinstance(r["href"], str) and isinstance(r["anchor"], str)
+               for r in out)
+
+
+_href_chars = st.text(
+    alphabet=st.characters(blacklist_characters="\"'<>&#",
+                           min_codepoint=32, max_codepoint=126),
+    max_size=24)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_href_chars, st.text(max_size=16)), max_size=8),
+       st.booleans())
+def test_anchors_roundtrip_synthetic_markup(links, nest):
+    """Anchors written into arbitrary markup come back in order with
+    their hrefs resolved and text flattened."""
+    import html as _h
+
+    from pdf_extraction_ray.pipelines.linkgraph import (anchors_of_html,
+                                                        resolve_href)
+    body = "".join(
+        (f"<div><a href=\"{h}\"><b>{_h.escape(t)}</b></a></div>" if nest
+         else f"<a href=\"{h}\">{_h.escape(t)}</a>")
+        for h, t in links)
+    out = anchors_of_html(f"<html><body>{body}</body></html>", "https://h.x/p")
+    assert len(out) == len(links)
+    for r, (h, t) in zip(out, links):
+        assert r["href"] == resolve_href("https://h.x/p", h)
+        assert r["anchor"] == t
