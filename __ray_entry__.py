@@ -235,6 +235,44 @@ def q_url_parts_stats(sf_dir: str) -> rd.Dataset:
                        Sum("n_chars", alias_name="sum_chars")))
 
 
+def q_section_quality_stats(sf_dir: str) -> rd.Dataset:
+    """Per-site-section extraction rollup — the FineWeb-style
+    domain-level quality aggregation (the url's first path segment
+    stands in for the domain on the single-host corpus): page counts by
+    outcome plus quality/char mass, the table domain-level filters and
+    crawl budgets are tuned from."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["url"].combine_chunks(),
+                              pattern=r"corpus\.example/(?P<s>[^/]+)/")
+        return pa.table({
+            "section": pc.struct_field(ex, "s"),
+            "completed": pc.cast(pc.equal(t["status"], "completed"),
+                                 pa.int64()),
+            "rejected": pc.cast(pc.equal(t["status"], "rejected"),
+                                pa.int64()),
+            "quality_pct": t["quality_pct"],
+            "n_chars": t["n_chars"],
+        })
+
+    return (_extracted(sf_dir).map_batches(prep, batch_format="pyarrow")
+            .groupby("section").aggregate(
+                Count(alias_name="n_pages"),
+                Sum("completed", alias_name="n_completed"),
+                Sum("rejected", alias_name="n_rejected"),
+                Sum("quality_pct", alias_name="sum_quality"),
+                Sum("n_chars", alias_name="sum_chars")))
+
+
+def q_crawl_frontier(sf_dir: str) -> rd.Dataset:
+    """Link centrality x extraction quality -> top-k re-crawl priority
+    (pipelines/linkgraph.crawl_frontier — the link family capstone)."""
+    return linkgraph.crawl_frontier(sf_dir, _extracted(sf_dir))
+
+
 def q_url_canonical_dedup(sf_dir: str) -> rd.Dataset:
     """Crawl-frontier URL canonicalization + dedup
     (functions/urlnorm.py): planted messy variants — uppercased host
@@ -474,6 +512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_links_sample": _tuned(linkgraph.page_links_sample),
         "link_graph": _tuned(linkgraph.link_graph),
         "pagerank_links": _tuned(linkgraph.pagerank_links),
+        "section_quality_stats": _tuned(q_section_quality_stats),
+        "crawl_frontier": _tuned(q_crawl_frontier),
     }
 
 
@@ -489,6 +529,8 @@ AWAITING_SLOT = (
     "page_links_sample",
     "link_graph",
     "pagerank_links",
+    "section_quality_stats",
+    "crawl_frontier",
 )
 
 
@@ -633,4 +675,6 @@ def oracle_sql() -> dict[str, str]:
         "page_links_sample": linkgraph.page_links_sample_sql(),
         "link_graph": linkgraph.link_graph_sql(),
         "pagerank_links": linkgraph.pagerank_links_sql(),
+        "section_quality_stats": oracle.section_quality_stats_sql(),
+        "crawl_frontier": linkgraph.crawl_frontier_sql(),
     }

@@ -234,6 +234,21 @@ FROM expected
 GROUP BY content_type, status, route"""
 
 
+def section_quality_stats_sql() -> str:
+    """Per-site-section extraction rollup (q_section_quality_stats):
+    the url's first path segment IS ``source`` by construction."""
+    return base_cte() + """
+SELECT source AS section,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN status = 'completed' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_completed,
+       CAST(sum(CASE WHEN status = 'rejected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rejected,
+       CAST(sum(quality_pct) AS BIGINT) AS sum_quality,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM expected GROUP BY source"""
+
+
 def sniff_counts_sql() -> str:
     return base_cte() + """
 SELECT content_type, CAST(count(*) AS BIGINT) AS n_docs

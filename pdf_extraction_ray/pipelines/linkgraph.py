@@ -433,6 +433,48 @@ def pagerank_links(sf_dir: str, iters: int = 5, damping_pct: int = 85,
     return scores.map_batches(finish, batch_format="pyarrow")
 
 
+def crawl_frontier(sf_dir: str, extracted: rd.Dataset, k: int = 100,
+                   iters: int = 5, damping_pct: int = 85,
+                   scale: int = 1_000_000) -> rd.Dataset:
+    """Re-crawl prioritization — the link family's capstone and the
+    actual CommonCrawl use of a host graph: rank pages by link
+    centrality x extraction quality, keep the top-k.
+
+    priority = rank * quality_pct (both BIGINT — exact; at scale=1e6
+    the product stays inside int64 up to ~9e16 total rank mass, ample
+    for any corpus this engine addresses; shrink ``scale`` beyond
+    that). Composition is ONE hash_join of the two family outputs
+    (ids + url only) + the partial-top-k shape (per-block top-k, then
+    one small sort+limit — never a global sort of every row:
+    relational.top_orders)."""
+    ranks = pagerank_links(sf_dir, iters=iters, damping_pct=damping_pct,
+                           scale=scale).materialize()
+
+    def qual(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": _doc_id_of_url(t["url"]),
+            "url": t["url"],
+            "quality_pct": t["quality_pct"].combine_chunks().cast(pa.int64()),
+        })
+
+    quality = extracted.map_batches(qual, batch_format="pyarrow")
+    joined = hash_join(ranks, quality, "doc_id", "doc_id",
+                       ["rank"], ["url", "quality_pct"], how="inner")
+
+    def score(t: pa.Table) -> pa.Table:
+        pr = pc.multiply(t["rank"].combine_chunks().cast(pa.int64()),
+                         t["quality_pct"].combine_chunks().cast(pa.int64()))
+        t = t.append_column("priority", pr)
+        pri = pr.to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -pri))[:k]       # per-block partial top-k
+        return t.take(pa.array(order))
+
+    return (joined.map_batches(score, batch_format="pyarrow")
+            .sort(["priority", "doc_id"], descending=[True, False])
+            .limit(k))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (analytic derivation of the planted anchors)
 
@@ -540,10 +582,11 @@ def link_graph_sql() -> str:
 SELECT src_doc_id, dst_doc_id FROM e"""
 
 
-def pagerank_links_sql(iters: int = 5, damping_pct: int = 85,
-                       scale: int = 1_000_000) -> str:
-    """Unrolled-round replica over the derived edge table (the
-    analytics.pagerank_docs_sql pattern with a per-src outdeg join)."""
+def _pagerank_cte_parts(iters: int = 5, damping_pct: int = 85,
+                        scale: int = 1_000_000) -> list[str]:
+    """Unrolled-round CTEs over the derived edge table (the
+    analytics.pagerank_docs_sql pattern with a per-src outdeg join);
+    shared by pagerank_links_sql and crawl_frontier_sql."""
     base = (100 - damping_pct) * scale // 100
     parts = [_edges_sql(), f"""ew AS (
   SELECT e.src_doc_id, e.dst_doc_id, o.outdeg
@@ -565,5 +608,23 @@ def pagerank_links_sql(iters: int = 5, damping_pct: int = 85,
     GROUP BY ew.dst_doc_id
   ) s ON s.node = d.doc_id
 )""")
+    return parts
+
+
+def pagerank_links_sql(iters: int = 5, damping_pct: int = 85,
+                       scale: int = 1_000_000) -> str:
+    parts = _pagerank_cte_parts(iters, damping_pct, scale)
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node AS doc_id, r AS rank FROM r{iters}")
+
+
+def crawl_frontier_sql(k: int = 100, iters: int = 5) -> str:
+    """base_cte (per-url quality) x the PageRank CTEs, top-k by the
+    integer priority product."""
+    from .. import oracle
+    parts = _pagerank_cte_parts(iters)
+    return (oracle.base_cte() + ", " + ",\n".join(parts) + f"""
+SELECT x.doc_id, x.url, r.r AS rank, x.quality_pct,
+       r.r * x.quality_pct AS priority
+FROM expected x JOIN r{iters} r ON r.node = x.doc_id
+ORDER BY priority DESC, x.doc_id LIMIT {k}""")

@@ -160,7 +160,8 @@ def test_link_graph_prunes_dead_links(ray_session):
 
 
 @pytest.mark.parametrize("name", ["anchor_text_index", "page_links_sample",
-                                  "link_graph", "pagerank_links"])
+                                  "link_graph", "pagerank_links",
+                                  "section_quality_stats", "crawl_frontier"])
 def test_linkgraph_queries_match_oracle(ray_session, name):
     import __ray_entry__ as entrymod
     q, o = entrymod.queries(), entrymod.oracle_sql()
@@ -176,6 +177,20 @@ def test_pagerank_links_distributed_path_matches(ray_session):
     out = pagerank_links(SF_SMOKE, task_pr_limit=0)
     assert compare("pagerank_links_dist", out,
                    entrymod.oracle_sql()["pagerank_links"], SF_SMOKE) == []
+
+
+def test_crawl_frontier_tops_out_at_a_quality_hub(ray_session):
+    """The highest re-crawl priority must be a hub page (rank mass) that
+    also extracted with nonzero quality — the product semantics."""
+    import __ray_entry__ as entrymod
+
+    from pdf_extraction_ray.sources import spec
+    out = entrymod.queries()["crawl_frontier"](SF_SMOKE).to_pandas()
+    top = out.sort_values(["priority", "doc_id"],
+                          ascending=[False, True]).iloc[0]
+    assert top.doc_id < spec.REL_HUBS
+    assert top.quality_pct > 0
+    assert top.priority == top["rank"] * top.quality_pct
 
 
 def test_pagerank_links_hubs_rank_highest(ray_session):
