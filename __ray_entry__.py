@@ -501,9 +501,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _tuned(analytics.pack_sequences),
         "shard_assign": _tuned(analytics.shard_assign),
         "hll_users_per_type": _tuned(analytics.hll_users_per_type),
-        # pruned-probe IVF (approximate by design: recall vs brute force
-        # asserted in tests; its full-probe twin above IS oracled)
-        "ann_ivf": _tuned(analytics.ann_ivf),
         # --- AWAITING_SLOT (added after the round-3 window saturated;
         # every one oracled + driver-sim-verified, queued for an r4
         # window slot — see test_entry_contract_keys) ---
@@ -514,6 +511,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_links": _tuned(linkgraph.pagerank_links),
         "section_quality_stats": _tuned(q_section_quality_stats),
         "crawl_frontier": _tuned(q_crawl_frontier),
+        # pruned-probe IVF — VALUE-ORACLED since the integer-quantizer
+        # rewrite (was the last rows-only entry): the whole index build
+        # + probe pipeline replays bit-exactly in SQL
+        "ann_ivf": _tuned(analytics.ann_ivf),
     }
 
 
@@ -531,6 +532,7 @@ AWAITING_SLOT = (
     "pagerank_links",
     "section_quality_stats",
     "crawl_frontier",
+    "ann_ivf",
 )
 
 
@@ -664,9 +666,10 @@ def oracle_sql() -> dict[str, str]:
         # projection, so DuckDB recomputes the whole text->embedding->
         # pair pipeline (round-2 had this rows-only)
         "text_embed_dups": analytics.text_embed_dups_sql(),
-        # rows-only (non-SQL-expressible): ann_ivf (pruned-probe
-        # approximate; its full-probe variant ann_ivf_fullprobe IS
-        # oracled and the pruned path's recall is test-asserted)
+        # pruned-probe IVF: the integer-exact coarse quantizer makes
+        # cell membership + probe sets SQL-derivable, so the LAST
+        # rows-only entry is now value-oracled (recall tests remain)
+        "ann_ivf": analytics.ann_ivf_sql(),
         # link-graph family (AWAITING_SLOT): planted-derivation oracles
         # over documents (the anchors are pure functions of doc_id —
         # pipelines/linkgraph.py), PageRank rounds unrolled as CTEs

@@ -1649,13 +1649,118 @@ FROM ranked WHERE rank <= {k}"""
 def ann_ivf(sf_dir: str, k: int = 10) -> rd.Dataset:
     """IVF approximate top-k against a persisted cell-partitioned index
     (built once per sf dir; probes read only matching cell directories).
-    Rows-only; recall vs brute force asserted in tests."""
+
+    Value-oracled since the integer-quantizer rewrite: the coarse
+    quantizer is BIGINT-exact (quantized unit codes, int dot products,
+    floor-division means — stages/similarity.fit_centroids), so cell
+    membership and the pruned probe set derive bit-for-bit in SQL and
+    ``ann_ivf_sql`` replays the whole index+probe pipeline. Recall vs
+    brute force stays test-asserted."""
     from pathlib import Path
     q, qids = _query_vectors(sf_dir)
     ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     index_dir = os.path.join("/tmp/pdf_extraction_ray/ivf",
                              Path(sf_dir).name or "sf")
     return sim.topk_cosine_ivf(ds, q, qids, k=k, index_dir=index_dir)
+
+
+def ann_ivf_sql(k: int = 10, n_centroids: int = 16, iters: int = 10,
+                n_probe: int = 4, sample_rows: int = 2048,
+                dim: int = 64, n_queries: int = 5) -> str:
+    """DuckDB replica of the FULL IVF pipeline: quantized unit codes
+    (floor(unit*2^20) — cross-engine-safe, margin asserted in tests),
+    integer-linspace init over the id-ordered sample, ``iters`` unrolled
+    integer k-means rounds (argmax int dot with cell-id tie-break,
+    floor-division mean, empty cells keep their centroid), cell
+    assignment for every vector, top-``n_probe`` cells per query by int
+    dot, then exact cosine top-k over the probed candidates only."""
+    Q = sim.IVF_QSCALE
+    # MATERIALIZED: the pipeline references the table ~6 times; without
+    # it each reference re-opens the parquet (fd exhaustion inside a
+    # Ray-heavy process) and re-scans
+    parts = [f"""emb AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+), allv AS MATERIALIZED (
+  SELECT vec_id, unnest(range({dim})) AS d,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM emb
+), nrm AS (
+  SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM allv GROUP BY vec_id
+), qz AS MATERIALIZED (
+  SELECT a.vec_id, a.d,
+         CAST(floor(a.val / (CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END)
+                    * {Q}) AS BIGINT) AS val
+  FROM allv a JOIN nrm n ON n.vec_id = a.vec_id
+), smp AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS pos
+  FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {sample_rows})
+), sz AS MATERIALIZED (
+  SELECT z.vec_id, z.d, z.val FROM qz z JOIN smp s ON s.vec_id = z.vec_id
+), ic AS (
+  SELECT j.j AS cid, s.vec_id
+  FROM (SELECT unnest(range({n_centroids})) AS j) j,
+       (SELECT count(*) AS n FROM smp) c
+  JOIN smp s ON s.pos = (j.j * (c.n - 1)) // {n_centroids - 1}
+), c0 AS MATERIALIZED (
+  SELECT i.cid, z.d, z.val FROM ic i JOIN qz z ON z.vec_id = i.vec_id
+)"""]
+
+    def assign_cte(name: str, cents: str, vecs: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT z.vec_id, c.cid, sum(z.val * c.val) AS dot
+    FROM {vecs} z JOIN {cents} c ON c.d = z.d
+    GROUP BY z.vec_id, c.cid)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dot DESC, cid) = 1
+)"""
+
+    for i in range(iters):
+        parts.append(assign_cte(f"a{i}", f"c{i}", "sz"))
+        parts.append(f"""c{i + 1} AS MATERIALIZED (
+  SELECT p.cid, p.d, COALESCE(m.val, p.val) AS val
+  FROM c{i} p LEFT JOIN (
+    SELECT a.cid, z.d,
+           CAST(floor(CAST(sum(z.val) AS DOUBLE) / count(*)) AS BIGINT)
+             AS val
+    FROM a{i} a JOIN sz z ON z.vec_id = a.vec_id
+    GROUP BY a.cid, z.d) m
+  ON m.cid = p.cid AND m.d = p.d
+)""")
+    cf = f"c{iters}"
+    parts.append(assign_cte("cellof", cf, "qz"))
+    parts.append(f"""qsel AS (
+  SELECT vec_id AS query_id FROM emb ORDER BY vec_id LIMIT {n_queries}
+), probe AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, cid) AS rn
+    FROM (SELECT qs.query_id, c.cid, sum(z.val * c.val) AS dot
+          FROM qsel qs JOIN qz z ON z.vec_id = qs.query_id
+          JOIN {cf} c ON c.d = z.d
+          GROUP BY qs.query_id, c.cid))
+  WHERE rn <= {n_probe}
+), qvec AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM emb ORDER BY vec_id LIMIT {n_queries}
+), scored AS (
+  SELECT p.query_id, ce.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM probe p
+  JOIN cellof ce ON ce.cid = p.cid
+  JOIN qvec q ON q.query_id = p.query_id
+  JOIN emb e ON e.vec_id = ce.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}""")
 
 
 # ---------------------------------------------------------------------------

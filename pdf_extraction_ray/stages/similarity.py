@@ -93,29 +93,79 @@ def topk_cosine(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
 # ---------------------------------------------------------------------------
 
 
+# quantization scale for the integer-exact coarse quantizer: unit-row
+# components land in [-Q, Q]; int64 dot products are exact up to
+# dim * Q^2 = dim * 2^40 (dim <= 4M before overflow — ample)
+IVF_QSCALE = 1 << 20
+
+
+def quantize_unit_rows(mat: np.ndarray) -> np.ndarray:
+    """floor(unit_row * Q) as int64 — the SQL-replicable vector code.
+
+    The float64 unit rows carry summation-order ulp noise (~1e-16)
+    between numpy and DuckDB, but a component only mis-floors when
+    unit*Q sits within that noise of an integer — empirically the
+    nearest boundary distance is ~1e-5 on this corpus (margin asserted
+    in tests), so the int codes are bit-identical cross-engine."""
+    return np.floor(_unit_rows(np.asarray(mat, np.float64))
+                    * IVF_QSCALE).astype(np.int64)
+
+
 def fit_centroids(sample: np.ndarray, n_centroids: int = 16,
                   iters: int = 10) -> np.ndarray:
-    """Deterministic k-means-lite on a sample (fixed seeding by index)."""
-    sample = _unit_rows(np.asarray(sample, dtype=np.float64))
-    idx = np.linspace(0, len(sample) - 1, n_centroids).astype(int)
-    cents = sample[idx].copy()
+    """Deterministic INTEGER k-means-lite on an id-ordered sample: codes
+    are quantized unit rows (``quantize_unit_rows``), init picks the
+    integer-linspace positions ``j*(n-1)//(C-1)``, assignment is argmax
+    of exact int64 dot products (ties -> lowest cell id), and the update
+    is an element-wise floor-division mean (empty cells keep their
+    centroid). Every operation is BIGINT-exact, so the DuckDB oracle
+    (analytics.ann_ivf_sql) unrolls the rounds bit-for-bit — this is
+    what makes the pruned-probe IVF query value-oracled rather than
+    rows-only. Returns int64 (n_centroids, dim)."""
+    qs = quantize_unit_rows(sample)
+    n = len(qs)
+    if n_centroids > 1:
+        idx = (np.arange(n_centroids, dtype=np.int64) * (n - 1)) \
+            // (n_centroids - 1)
+    else:
+        idx = np.zeros(1, np.int64)
+    cents = qs[idx].copy()
     for _ in range(iters):
-        assign = np.argmax(sample @ cents.T, axis=1)
+        assign = np.argmax(qs @ cents.T, axis=1)   # first-max tie-break
         for c in range(n_centroids):
-            members = sample[assign == c]
+            members = qs[assign == c]
             if len(members):
-                v = members.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cents[c] = v / n
+                cents[c] = np.floor_divide(members.sum(axis=0,
+                                                       dtype=np.int64),
+                                           len(members))
     return cents
 
 
+def probe_order(cents: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """Per-query cell ranking by exact int dot (desc), cell id asc on
+    ties — the deterministic probe rule shared with the SQL oracle."""
+    qz = quantize_unit_rows(queries)
+    dots = qz @ cents.T
+    # stable argsort of -dots keeps ascending cell id within ties
+    return np.argsort(-dots, axis=1, kind="stable")
+
+
 def sample_for_centroids(ds: rd.Dataset, vec_col: str,
-                         sample_rows: int = 2048) -> np.ndarray:
-    """Bounded sample for quantizer fitting — only the sampled rows'
+                         sample_rows: int = 2048,
+                         id_col: str = "vec_id") -> np.ndarray:
+    """Quantizer-fitting sample = the ``sample_rows`` SMALLEST ids, in
+    id order — deterministic whatever the block layout (a plain
+    ``limit`` sampled file order, which no oracle can see). Per-block
+    partial bottom-k, then one tiny sort+limit; only the winners'
     vectors reach the driver."""
-    sample = ds.limit(sample_rows).to_pandas()
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")[:sample_rows]
+        return batch.take(pa.array(order))
+
+    sample = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .sort(id_col).limit(sample_rows).to_pandas())
     return np.stack(sample[vec_col].to_numpy())
 
 
@@ -163,7 +213,9 @@ def build_ivf_index(ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
 
     def assign(batch: pa.Table) -> pa.Table:
         cc = ray.get(cref)
-        mat = _unit_rows(_batch_matrix(batch, vec_col))
+        mat = quantize_unit_rows(_batch_matrix(batch, vec_col))
+        # exact int64 dots; argmax first-max tie-break (= oracle's
+        # row_number over (dot DESC, cid ASC))
         cell = np.argmax(mat @ cc.T, axis=1).astype(np.int32)
         # `cell` becomes the partition directory; `cell_id` stays a plain
         # column so file-list reads need no partition inference
@@ -179,7 +231,8 @@ def build_ivf_index(ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
     import json
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump({"n_rows": n_rows, "id_fp": id_fp,
-                   "n_centroids": n_centroids}, f)
+                   "n_centroids": n_centroids,
+                   "quantizer": "int20-v1"}, f)
     shutil.rmtree(index_dir, ignore_errors=True)
     os.replace(tmp, index_dir)
     return cents
@@ -202,7 +255,8 @@ def topk_cosine_ivf_indexed(index_dir: str, queries: np.ndarray,
 
     cents = load_ivf_centroids(index_dir)
     qmat = _unit_rows(np.asarray(queries, dtype=np.float64))
-    probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]
+    probe = probe_order(cents, np.asarray(queries,
+                                          dtype=np.float64))[:, :n_probe]
     needed = sorted({int(c) for row in probe for c in row})
     files = [f for c in needed
              for f in sorted(glob.glob(os.path.join(index_dir,
@@ -277,7 +331,8 @@ def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
             os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        if meta.get("n_centroids") == n_centroids:
+        if (meta.get("n_centroids") == n_centroids
+                and meta.get("quantizer") == "int20-v1"):
             n, fp = _ids_fingerprint(ds, id_col)
             fresh = (meta.get("n_rows") == n and meta.get("id_fp") == fp)
     if not fresh:

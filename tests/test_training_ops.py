@@ -63,6 +63,32 @@ def test_ann_ivf_recall_vs_bruteforce(ray_session):
     assert np.mean(recalls) >= 0.5, recalls
 
 
+def test_ann_ivf_matches_oracle(ray_session):
+    """The pruned-probe IVF is value-oracled since the integer-quantizer
+    rewrite: the SQL replays sample -> integer k-means -> cell assign ->
+    probe -> candidate top-k bit-for-bit."""
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import ann_ivf, ann_ivf_sql
+    assert compare("ann_ivf", ann_ivf(SF_SMOKE), ann_ivf_sql(),
+                   SF_SMOKE) == []
+
+
+def test_ivf_quantization_margin():
+    """Cross-engine safety of the quantized codes: a component only
+    mis-floors if unit*Q sits within float summation noise (~1e-10) of
+    an integer boundary — assert the corpus keeps a wide margin."""
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_ray.stages.similarity import IVF_QSCALE, _unit_rows
+
+    t = pq.read_table(SF_SMOKE + "/embeddings.parquet")
+    mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    scaled = _unit_rows(mat) * IVF_QSCALE
+    dist = np.abs(scaled - np.round(scaled))
+    assert dist.min() > 1e-7, dist.min()
+
+
 def test_ann_bruteforce_self_hit(ray_session):
     from pdf_extraction_ray.pipelines.analytics import ann_bruteforce
     bf = ann_bruteforce(SF_SMOKE).to_pandas()

@@ -622,14 +622,14 @@ def test_rollup_levels_consistent(ray_session):
 
 def test_entry_contract_keys():
     """Driver contract invariants: every oracle key has a queries()
-    entry, every entry is callable, and the only rows-only entry left is
-    the pruned-probe IVF (approximate by design; its full-probe twin is
-    oracled)."""
+    entry, every entry is callable, and EVERY query is value-oracled
+    (the last rows-only entry, pruned-probe IVF, gained an oracle with
+    the integer-quantizer rewrite)."""
     import __ray_entry__ as entrymod
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert set(o) <= set(q)
     assert all(callable(f) for f in q.values())
-    assert set(q) - set(o) == {"ann_ivf"}
+    assert set(q) - set(o) == set()
     # the driver verifies the FIRST 50 entries. Union coverage law,
     # derived from the recorded r02 artifact (not a hand-kept list):
     # every query WITHOUT a green r02 row — including any query added
@@ -639,7 +639,7 @@ def test_entry_contract_keys():
     with open("/root/repo/CORRECTNESS_r02.json") as f:
         r02 = json.load(f)
     green_r02 = {k for k, v in r02.items() if v.get("hash_match")}
-    need_r03 = set(q) - green_r02 - {"ann_ivf"}  # rows-only by design
+    need_r03 = set(q) - green_r02
     window = set(list(q)[:50])
     # queries added AFTER the window saturated may only skip it via the
     # explicit AWAITING_SLOT list (an auditable diff, not a silent
