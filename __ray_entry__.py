@@ -267,6 +267,13 @@ def q_section_quality_stats(sf_dir: str) -> rd.Dataset:
                 Sum("n_chars", alias_name="sum_chars")))
 
 
+def q_page_metadata(sf_dir: str) -> rd.Dataset:
+    """WAT Head-Metas/Title rendition over the pages corpus
+    (pipelines/linkgraph.page_metadata)."""
+    from pdf_extraction_ray.pipelines.linkgraph import _corpus_pages
+    return linkgraph.page_metadata(_corpus_pages(sf_dir))
+
+
 def q_crawl_frontier(sf_dir: str) -> rd.Dataset:
     """Link centrality x extraction quality -> top-k re-crawl priority
     (pipelines/linkgraph.crawl_frontier — the link family capstone)."""
@@ -511,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_links": _tuned(linkgraph.pagerank_links),
         "section_quality_stats": _tuned(q_section_quality_stats),
         "crawl_frontier": _tuned(q_crawl_frontier),
+        "page_metadata": _tuned(q_page_metadata),
         # pruned-probe IVF — VALUE-ORACLED since the integer-quantizer
         # rewrite (was the last rows-only entry): the whole index build
         # + probe pipeline replays bit-exactly in SQL
@@ -532,6 +540,7 @@ AWAITING_SLOT = (
     "pagerank_links",
     "section_quality_stats",
     "crawl_frontier",
+    "page_metadata",
     "ann_ivf",
 )
 
@@ -680,4 +689,5 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_links": linkgraph.pagerank_links_sql(),
         "section_quality_stats": oracle.section_quality_stats_sql(),
         "crawl_frontier": linkgraph.crawl_frontier_sql(),
+        "page_metadata": linkgraph.page_metadata_sql(),
     }

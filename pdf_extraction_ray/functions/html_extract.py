@@ -235,7 +235,15 @@ def parse_html(payload: bytes | str, deadline: float | None = None,
             top.children.append(node)
             cm = rawtext_close[tag].search(payload, pos)
             # raw content is intentionally dropped for script/style/title
-            # (they are _STRIP_TAGS); for textarea it would be re-added here
+            # (they are _STRIP_TAGS); for textarea it would be re-added
+            # here. Metadata extraction (prune_boilerplate=False) keeps
+            # TITLE text — the most-used head field in webtext pipelines
+            # (pipelines/linkgraph.page_metadata).
+            if not prune_boilerplate and tag == "title":
+                text = payload[pos:cm.start()] if cm else payload[pos:]
+                if text:
+                    node.children.append(
+                        unescape(text) if "&" in text else text)
             pos = cm.end() if cm else n
             continue
         if tag in strip_tags and not self_closing and prune_boilerplate:

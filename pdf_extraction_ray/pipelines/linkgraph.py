@@ -433,6 +433,84 @@ def pagerank_links(sf_dir: str, iters: int = 5, damping_pct: int = 85,
     return scores.map_batches(finish, batch_format="pyarrow")
 
 
+def head_metadata(payload: bytes | str) -> dict:
+    """<title> text + <meta> inventory from the head — with
+    ``page_anchors`` this completes the WAT record trio (Links, Title,
+    Head-Metas). Title text is kept by the tokenizer only in
+    metadata/link mode (prune_boilerplate=False)."""
+    root = parse_html(payload, prune_boilerplate=False)
+    title = ""
+    charset = ""
+    n_meta = 0
+
+    def walk(n: Node) -> None:
+        nonlocal title, charset, n_meta
+        if n.tag == "title" and not title:
+            title = "".join(c for c in n.children if isinstance(c, str))
+        elif n.tag == "meta":
+            n_meta += 1
+            if not charset and "charset" in n.attrs:
+                charset = n.attrs["charset"]
+        for c in n.children:
+            if isinstance(c, Node):
+                walk(c)
+
+    walk(root)
+    return {"title": title, "charset": charset, "n_meta": n_meta}
+
+
+def page_metadata(pages: "str | rd.Dataset",
+                  cfg: PipelineConfig = _CFG) -> rd.Dataset:
+    """(url, title, charset, n_meta) for every DISTINCT valid HTML page
+    — same sniff gate + hash-partition distinct as ``page_anchors``
+    (key = url alone: one metadata row per page)."""
+    from .extraction import sniffed_pages
+
+    sniffed = sniffed_pages(pages, cfg)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(batch["status"], "completed"),
+                       pc.equal(batch["content_type"], CT_HTML))
+        batch = batch.filter(keep)
+        rows = [dict(head_metadata(p), url=u)
+                for u, p in zip(batch["url"].to_pylist(),
+                                batch["html"].to_pylist())]
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("title", pa.string()), ("charset", pa.string()),
+            ("n_meta", pa.int64()), ("url", pa.string())]))
+
+    meta = sniffed.map_batches(extract, batch_format="pyarrow")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_of_url(batch["url"])
+        p = pc.cast(pc.bit_wise_and(ids, 31), pa.int64())
+        return batch.append_column("__p", p)
+
+    def distinct(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("url", kind="mergesort")
+        return g[~g["url"].duplicated()].drop(columns="__p")
+
+    return (meta.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__p").map_groups(distinct, batch_format="pandas")
+            .select_columns(["url", "title", "charset", "n_meta"]))
+
+
+def page_metadata_sql() -> str:
+    """Planted derivation: gen_html._head writes
+    ``<title>{source} d{doc_id}</title>`` + one charset meta for every
+    HTML kind (div-soup included)."""
+    return """
+SELECT 'https://corpus.example/' || source || '/d'
+         || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+         || (CASE WHEN doc_id % 10 = 3 THEN '-memo'
+                  WHEN doc_id % 10 = 7 THEN '-qp' ELSE '' END) AS url,
+       source || ' d' || CAST(doc_id AS VARCHAR) AS title,
+       'utf-8' AS charset,
+       CAST(1 AS BIGINT) AS n_meta
+FROM documents
+WHERE doc_id % 100 <= 69 OR doc_id % 100 IN (90, 91, 94)"""
+
+
 def crawl_frontier(sf_dir: str, extracted: rd.Dataset, k: int = 100,
                    iters: int = 5, damping_pct: int = 85,
                    scale: int = 1_000_000) -> rd.Dataset:

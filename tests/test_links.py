@@ -246,3 +246,30 @@ def test_anchors_roundtrip_synthetic_markup(links, nest):
     for r, (h, t) in zip(out, links):
         assert r["href"] == resolve_href("https://h.x/p", h)
         assert r["anchor"] == t
+
+
+def test_head_metadata_units():
+    from pdf_extraction_ray.pipelines.linkgraph import head_metadata
+    m = head_metadata(b"<html><head><meta charset='x'>"
+                      b"<meta name='a' content='b'>"
+                      b"<title>T &amp; t</title></head><body></body></html>")
+    assert m == {"title": "T & t", "charset": "x", "n_meta": 2}
+    # no head fields at all
+    assert head_metadata(b"<p>x</p>") == {"title": "", "charset": "",
+                                          "n_meta": 0}
+
+
+def test_title_stays_out_of_content_extraction():
+    """prune_boilerplate=True (the content path) must still DROP title
+    rawtext — the metadata-mode change must not leak into extraction."""
+    from pdf_extraction_ray.functions.html_extract import extract_html
+    out = extract_html(b"<html><head><title>NOT CONTENT</title></head>"
+                       b"<body><p>real body text here</p></body></html>")
+    assert "NOT CONTENT" not in out.text
+
+
+def test_page_metadata_matches_oracle(ray_session):
+    import __ray_entry__ as entrymod
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert compare("page_metadata", q["page_metadata"](SF_SMOKE),
+                   o["page_metadata"], SF_SMOKE) == []
