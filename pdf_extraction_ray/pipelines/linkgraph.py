@@ -31,6 +31,8 @@ analytics.pagerank_docs, making the unrolled-CTE oracle bit-exact.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -55,12 +57,18 @@ _CFG = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
 # anchor extraction
 
 
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
+
+
 def resolve_href(base_url: str, href: str) -> str:
     """Minimal RFC-3986-style reference resolution for http(s) pages:
-    absolute / protocol-relative / path-absolute / path-relative forms,
+    absolute (any scheme — mailto:/javascript:/data: included, RFC 3986
+    §4.2: a first segment containing ':' is a scheme, never a relative
+    path) / protocol-relative / path-absolute / path-relative forms,
     fragment stripped. Query strings are kept verbatim."""
     href = href.split("#", 1)[0]
-    if "://" in href[:10]:
+    m = _SCHEME_RE.match(href)
+    if m and "/" not in href[:m.end()]:
         return href
     scheme, rest = base_url.split("://", 1)
     if href.startswith("//"):
@@ -85,7 +93,9 @@ def resolve_href(base_url: str, href: str) -> str:
 
 def _anchor_text(node: Node) -> str:
     """All descendant text of an <a>, whitespace preserved verbatim
-    (generator anchors are single text runs; nesting handled anyway)."""
+    (generator anchors are single text runs; nesting handled anyway).
+    Text runs arrive already entity-decoded by the tokenizer — do NOT
+    unescape again (a second pass over-decodes '&amp;amp;')."""
     parts: list[str] = []
 
     def walk(n: Node) -> None:
@@ -96,18 +106,43 @@ def _anchor_text(node: Node) -> str:
                 walk(c)
 
     walk(node)
-    text = "".join(parts)
-    if "&" in text:
-        from html import unescape
-        text = unescape(text)
-    return text
+    return "".join(parts)
 
 
-def anchors_of_html(payload: bytes | str, base_url: str) -> list[dict]:
+def _hash_partition_distinct(ds: rd.Dataset, keys: list[str],
+                             part_col: str,
+                             num_partitions: int = 32) -> rd.Dataset:
+    """ONE hash-partition shuffle + per-partition vectorized
+    first-of-group — the shared distinct used by every linkgraph op
+    (anchors, edges, nodes, metadata): only the light derived rows ride
+    the all-to-all, never page payloads. ``part_col`` must be int64 and
+    functionally determined by ``keys`` (rows of one key group land in
+    one partition); ``num_partitions`` must be a power of two (bit
+    mask)."""
+    if num_partitions & (num_partitions - 1):
+        raise ValueError("num_partitions must be a power of two")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        p = pc.cast(pc.bit_wise_and(batch[part_col], num_partitions - 1),
+                    pa.int64())
+        return batch.append_column("__p", p)
+
+    def distinct(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(keys, kind="mergesort")
+        return g[~g[keys].duplicated()].drop(columns="__p")
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__p").map_groups(distinct, batch_format="pandas"))
+
+
+def anchors_of_html(payload: bytes | str, base_url: str,
+                    deadline: float | None = None) -> list[dict]:
     """Every <a href> in document order — including inside junk
     (nav/footer/aside) containers: link extraction wants ALL links, the
-    opposite selection from content extraction."""
-    root = parse_html(payload, prune_boilerplate=False)
+    opposite selection from content extraction. ``deadline`` is the
+    cooperative per-document timeout (monotonic seconds), same contract
+    as the extraction path."""
+    root = parse_html(payload, prune_boilerplate=False, deadline=deadline)
     out: list[dict] = []
 
     def walk(n: Node) -> None:
@@ -136,7 +171,8 @@ def _doc_id_of_url(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def page_anchors(pages: "str | rd.Dataset", cfg: PipelineConfig = _CFG,
-                 num_partitions: int = 32) -> rd.Dataset:
+                 num_partitions: int = 32,
+                 doc_id_mod: int | None = None) -> rd.Dataset:
     """(url, src_doc_id, link_i, href, anchor) for every anchor of every
     DISTINCT valid HTML page.
 
@@ -146,8 +182,15 @@ def page_anchors(pages: "str | rd.Dataset", cfg: PipelineConfig = _CFG,
     (url, link_i) dropping re-crawled duplicate pages (identical bytes,
     so any row of a (url, link_i) group carries identical values — the
     exact_dedup_by_hash partition shape, edges-only through the
-    shuffle)."""
+    shuffle).
+
+    ``doc_id_mod``: keep only pages with doc_id % mod == 0, applied
+    BEFORE parsing (the id derives from the url alone) — samplers must
+    not pay full-corpus parse cost for a 1/mod slice. Per-row parse
+    failures/timeouts (cfg.doc_timeout_s) drop that page's anchors,
+    never the task (row isolation, the extract-stage rule)."""
     from .extraction import sniffed_pages
+    from ..stages.extract import _deadline
 
     sniffed = sniffed_pages(pages, cfg)
 
@@ -155,11 +198,19 @@ def page_anchors(pages: "str | rd.Dataset", cfg: PipelineConfig = _CFG,
         keep = pc.and_(pc.equal(batch["status"], "completed"),
                        pc.equal(batch["content_type"], CT_HTML))
         batch = batch.filter(keep)
+        if doc_id_mod is not None:
+            ids = _doc_id_of_url(batch["url"]).to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(ids % doc_id_mod == 0))
         urls = batch["url"].to_pylist()
         payloads = batch["html"].to_pylist()
         rows: list[dict] = []
         for url, payload in zip(urls, payloads):
-            for a in anchors_of_html(payload, url):
+            try:
+                page_rows = anchors_of_html(payload, url,
+                                            deadline=_deadline(cfg))
+            except Exception:  # noqa: BLE001 — row isolation
+                continue
+            for a in page_rows:
                 a["url"] = url
                 rows.append(a)
         return pa.Table.from_pylist(rows, schema=pa.schema([
@@ -171,18 +222,13 @@ def page_anchors(pages: "str | rd.Dataset", cfg: PipelineConfig = _CFG,
 
     anchors = sniffed.map_batches(extract, batch_format="pyarrow")
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        ids = _doc_id_of_url(batch["url"])
-        p = pc.cast(pc.bit_wise_and(ids, num_partitions - 1), pa.int64())
-        return (batch.append_column("src_doc_id", ids)
-                     .append_column("__p", p))
+    def add_id(batch: pa.Table) -> pa.Table:
+        return batch.append_column("src_doc_id",
+                                   _doc_id_of_url(batch["url"]))
 
-    def distinct(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["url", "link_i"], kind="mergesort")
-        return g[~g[["url", "link_i"]].duplicated()].drop(columns="__p")
-
-    return (anchors.map_batches(add_part, batch_format="pyarrow")
-            .groupby("__p").map_groups(distinct, batch_format="pandas"))
+    return _hash_partition_distinct(
+        anchors.map_batches(add_id, batch_format="pyarrow"),
+        ["url", "link_i"], "src_doc_id", num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -232,15 +278,13 @@ def anchor_text_index(sf_dir: str) -> rd.Dataset:
 def page_links_sample(sf_dir: str, mod: int = 17) -> rd.Dataset:
     """Full anchor listing for the doc_id % mod == 0 page sample — the
     row-level WAT rendition, bounded to ~1/mod of pages so the full
-    listing is compare-sized at any sf."""
-    anchors = page_anchors(_corpus_pages(sf_dir))
-
-    def pick(batch: pa.Table) -> pa.Table:
-        ids = batch["src_doc_id"].to_numpy(zero_copy_only=False)
-        t = batch.filter(pa.array(ids % mod == 0))
-        return t.select(["url", "link_i", "href", "anchor"])
-
-    return anchors.map_batches(pick, batch_format="pyarrow")
+    listing is compare-sized at any sf. The mod filter pushes into
+    page_anchors AHEAD of parsing (ids derive from urls), so the query
+    pays 1/mod of the parse cost, not all of it."""
+    anchors = page_anchors(_corpus_pages(sf_dir), doc_id_mod=mod)
+    return anchors.map_batches(
+        lambda t: t.select(["url", "link_i", "href", "anchor"]),
+        batch_format="pyarrow")
 
 
 def link_graph(sf_dir: str) -> rd.Dataset:
@@ -263,21 +307,11 @@ def link_graph(sf_dir: str) -> rd.Dataset:
 
     edges = anchors.map_batches(to_edges, batch_format="pyarrow")
 
-    def distinct_edges(group: pd.DataFrame) -> pd.DataFrame:
-        return (group.drop(columns="__p")
-                .drop_duplicates(["src_doc_id", "dst_doc_id"]))
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        p = pc.cast(pc.bit_wise_and(batch["src_doc_id"], 31), pa.int64())
-        return batch.append_column("__p", p)
-
     # pinned: hash_join probes schema() (executes lineage) and then
     # shuffles — without the pin the whole parse DAG would run twice.
     # Ids-only table, the bounded branch-point cache.
-    edges = (edges.map_batches(add_part, batch_format="pyarrow")
-             .groupby("__p").map_groups(distinct_edges,
-                                        batch_format="pandas")
-             .materialize())
+    edges = _hash_partition_distinct(
+        edges, ["src_doc_id", "dst_doc_id"], "src_doc_id").materialize()
 
     # dead-link prune: keep edges whose target exists as a corpus page
     pages = rd.read_parquet(_corpus_pages(sf_dir), columns=["url"])
@@ -353,16 +387,9 @@ def pagerank_links(sf_dir: str, iters: int = 5, damping_pct: int = 85,
         ids = _doc_id_of_url(batch["url"])
         return pa.table({"node": ids})
 
-    def distinct_nodes(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop(columns="__p").drop_duplicates(["node"])
-
-    nodes = (pages.map_batches(page_ids, batch_format="pyarrow")
-             .map_batches(lambda b: b.append_column(
-                 "__p", pc.cast(pc.bit_wise_and(b["node"], 31), pa.int64())),
-                 batch_format="pyarrow")
-             .groupby("__p").map_groups(distinct_nodes,
-                                        batch_format="pandas")
-             .materialize())
+    nodes = _hash_partition_distinct(
+        pages.map_batches(page_ids, batch_format="pyarrow"),
+        ["node"], "node").materialize()
 
     if edges.count() <= task_pr_limit:
         node_refs = nodes.to_arrow_refs()
@@ -433,12 +460,28 @@ def pagerank_links(sf_dir: str, iters: int = 5, damping_pct: int = 85,
     return scores.map_batches(finish, batch_format="pyarrow")
 
 
-def head_metadata(payload: bytes | str) -> dict:
-    """<title> text + <meta> inventory from the head — with
+def _find_head(root: Node) -> Node | None:
+    for c in root.children:
+        if isinstance(c, Node):
+            if c.tag == "head":
+                return c
+            found = _find_head(c)
+            if found is not None:
+                return found
+    return None
+
+
+def head_metadata(payload: bytes | str,
+                  deadline: float | None = None) -> dict:
+    """<title> text + <meta> inventory from the HEAD — with
     ``page_anchors`` this completes the WAT record trio (Links, Title,
     Head-Metas). Title text is kept by the tokenizer only in
-    metadata/link mode (prune_boilerplate=False)."""
-    root = parse_html(payload, prune_boilerplate=False)
+    metadata/link mode (prune_boilerplate=False). The walk is scoped to
+    the <head> subtree when one exists (body-level microdata metas and
+    inline <svg><title> must not count as head fields); a head-less
+    lenient parse falls back to the whole tree."""
+    root = parse_html(payload, prune_boilerplate=False, deadline=deadline)
+    scope = _find_head(root) or root
     title = ""
     charset = ""
     n_meta = 0
@@ -455,7 +498,7 @@ def head_metadata(payload: bytes | str) -> dict:
             if isinstance(c, Node):
                 walk(c)
 
-    walk(root)
+    walk(scope)
     return {"title": title, "charset": charset, "n_meta": n_meta}
 
 
@@ -468,30 +511,32 @@ def page_metadata(pages: "str | rd.Dataset",
 
     sniffed = sniffed_pages(pages, cfg)
 
+    from ..stages.extract import _deadline
+
     def extract(batch: pa.Table) -> pa.Table:
         keep = pc.and_(pc.equal(batch["status"], "completed"),
                        pc.equal(batch["content_type"], CT_HTML))
         batch = batch.filter(keep)
-        rows = [dict(head_metadata(p), url=u)
-                for u, p in zip(batch["url"].to_pylist(),
-                                batch["html"].to_pylist())]
+        rows = []
+        for u, p in zip(batch["url"].to_pylist(),
+                        batch["html"].to_pylist()):
+            try:  # row isolation + cfg.doc_timeout_s, like page_anchors
+                rows.append(dict(head_metadata(p, deadline=_deadline(cfg)),
+                                 url=u))
+            except Exception:  # noqa: BLE001
+                continue
         return pa.Table.from_pylist(rows, schema=pa.schema([
             ("title", pa.string()), ("charset", pa.string()),
             ("n_meta", pa.int64()), ("url", pa.string())]))
 
     meta = sniffed.map_batches(extract, batch_format="pyarrow")
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        ids = _doc_id_of_url(batch["url"])
-        p = pc.cast(pc.bit_wise_and(ids, 31), pa.int64())
-        return batch.append_column("__p", p)
+    def add_id(batch: pa.Table) -> pa.Table:
+        return batch.append_column("doc_id", _doc_id_of_url(batch["url"]))
 
-    def distinct(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("url", kind="mergesort")
-        return g[~g["url"].duplicated()].drop(columns="__p")
-
-    return (meta.map_batches(add_part, batch_format="pyarrow")
-            .groupby("__p").map_groups(distinct, batch_format="pandas")
+    return (_hash_partition_distinct(
+                meta.map_batches(add_id, batch_format="pyarrow"),
+                ["url"], "doc_id")
             .select_columns(["url", "title", "charset", "n_meta"]))
 
 

@@ -27,6 +27,12 @@ def test_resolve_href_forms():
     assert resolve_href(base, "//cdn.x/f.js") == "https://cdn.x/f.js"
     assert resolve_href(base, "x?q=1#f") == "https://host.example/a/x?q=1"
     assert resolve_href(base, "") == "https://host.example/a/b"
+    # non-hierarchical schemes are absolute URIs, never relative paths
+    assert resolve_href(base, "mailto:x@y.z") == "mailto:x@y.z"
+    assert resolve_href(base, "javascript:void(0)") == "javascript:void(0)"
+    assert resolve_href(base, "tel:+1-555") == "tel:+1-555"
+    # but a ':' AFTER a slash is just path data
+    assert resolve_href(base, "a/b:c") == "https://host.example/a/a/b:c"
 
 
 def test_anchors_of_handcrafted_page():
@@ -41,6 +47,40 @@ def test_anchors_of_handcrafted_page():
     assert a[0]["anchor"] == "in nav"          # nested markup flattens
     assert a[1]["anchor"] == "amp & lt"        # entities resolve
     assert [r["link_i"] for r in a] == [0, 1, 2]
+
+
+def test_anchor_text_unescapes_exactly_once():
+    """Tokenizer already decodes entities; anchor assembly must not
+    decode a second time ('&amp;amp;' means the literal text '&amp;')."""
+    from pdf_extraction_ray.pipelines.linkgraph import anchors_of_html
+    a = anchors_of_html(b"<a href='/p'>Tom &amp;amp; Jerry</a>",
+                        "https://h.x/")
+    assert a[0]["anchor"] == "Tom &amp; Jerry"
+
+
+def test_page_anchors_row_isolation_on_timeout(ray_session):
+    """cfg.doc_timeout_s bounds the per-page parse: a pathological page
+    drops ITS anchors, never the task (extract-stage row isolation)."""
+    from datetime import datetime
+
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.pipelines.linkgraph import page_anchors
+    from pdf_extraction_ray.sources import spec
+
+    big = ("<!DOCTYPE html>\n<html><body>"
+           + "<p><a href='/x'>t</a></p>" * 3000
+           + "</body></html>").encode()
+    rows = [{"url": "https://c.x/s/d0000001", "warc_ts": datetime(2020, 1, 1),
+             "html": big, "text": "", "lang": "en"},
+            {"url": "https://c.x/s/d0000002", "warc_ts": datetime(2020, 1, 1),
+             "html": b"<!DOCTYPE html>\n<html><body><p>"
+                     b"<a href='/ok'>fine</a></p></body></html>",
+             "text": "", "lang": "en"}]
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES, doc_timeout_s=0.0)
+    out = page_anchors(_tiny_pages(rows), cfg).to_pandas()
+    # the giant page timed out and contributed nothing; the small page
+    # survived (its parse finishes before the first deadline probe)
+    assert set(out.anchor) == {"fine"}
 
 
 def test_anchors_match_sql_derivation():
@@ -257,6 +297,12 @@ def test_head_metadata_units():
     # no head fields at all
     assert head_metadata(b"<p>x</p>") == {"title": "", "charset": "",
                                           "n_meta": 0}
+    # body-level microdata metas / inline svg titles are NOT head fields
+    m = head_metadata(b"<html><head><title>real</title></head><body>"
+                      b"<p itemscope><meta itemprop='x' content='y'></p>"
+                      b"<svg><title>shape label</title></svg>"
+                      b"</body></html>")
+    assert m == {"title": "real", "charset": "", "n_meta": 0}
 
 
 def test_title_stays_out_of_content_extraction():
