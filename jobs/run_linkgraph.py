@@ -1,0 +1,78 @@
+"""Cluster job entrypoint: ``ray job submit -- python jobs/run_linkgraph.py …``
+
+Runs the link-analytics chain over a pages corpus: WAT-style anchor
+extraction + head metadata -> page->page edge table (dead-link pruned)
+-> integer PageRank — each landed as parquet under ``--output``; with
+``--frontier-from <extracted-dir>`` also the rank x quality re-crawl
+priority list. This script OWNS its Ray session (the library never
+calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description="Run link-graph analytics")
+    p.add_argument("--input", required=True,
+                   help="pages parquet directory (url, warc_ts, html, ...)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--iters", type=int, default=5, help="PageRank rounds")
+    p.add_argument("--frontier-from", default=None,
+                   help="extraction output dir (url, quality_pct) -> also "
+                        "write the top-k re-crawl priority list")
+    p.add_argument("--frontier-k", type=int, default=100)
+    args = p.parse_args()
+
+    import ray
+    ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    from pdf_extraction_ray.config import tune_data_context
+    from pdf_extraction_ray.pipelines import linkgraph as lg
+    tune_data_context()
+
+    anchors = lg.page_anchors(args.input)
+    anchors.write_parquet(os.path.join(args.output, "anchors"))
+    meta = lg.page_metadata(args.input)
+    meta.write_parquet(os.path.join(args.output, "metadata"))
+    edges = lg.link_graph_pages(args.input)
+    edges.write_parquet(os.path.join(args.output, "edges"))
+    ranks = lg.pagerank_links_pages(args.input, iters=args.iters)
+    ranks.write_parquet(os.path.join(args.output, "ranks"))
+
+    import ray.data as rd
+    summary = {
+        "output": args.output,
+        "n_anchors": rd.read_parquet(
+            os.path.join(args.output, "anchors")).count(),
+        "n_pages_with_metadata": rd.read_parquet(
+            os.path.join(args.output, "metadata")).count(),
+        "n_edges": rd.read_parquet(
+            os.path.join(args.output, "edges")).count(),
+        "n_ranked": rd.read_parquet(
+            os.path.join(args.output, "ranks")).count(),
+    }
+
+    if args.frontier_from:
+        extracted = rd.read_parquet(args.frontier_from)
+        frontier = lg.crawl_frontier_pages(args.input, extracted,
+                                           k=args.frontier_k,
+                                           iters=args.iters)
+        frontier.write_parquet(os.path.join(args.output, "frontier"))
+        summary["n_frontier"] = rd.read_parquet(
+            os.path.join(args.output, "frontier")).count()
+
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -288,12 +288,18 @@ def page_links_sample(sf_dir: str, mod: int = 17) -> rd.Dataset:
 
 
 def link_graph(sf_dir: str) -> rd.Dataset:
-    """DISTINCT page->page edge table extracted from the corpus html:
+    """sf-dir driver-query wrapper over ``link_graph_pages``."""
+    return link_graph_pages(_corpus_pages(sf_dir))
+
+
+def link_graph_pages(pages_path: str,
+                     cfg: PipelineConfig = _CFG) -> rd.Dataset:
+    """DISTINCT page->page edge table extracted from a pages corpus:
     /doc/d{id} permalinks parsed back to target doc ids, then dead links
     pruned with a semi hash_join against the corpus' own page ids (a
     no-op on the planted graph — hubs always exist — but load-bearing on
     any real crawl, and on synthetic pages in tests)."""
-    anchors = page_anchors(_corpus_pages(sf_dir))
+    anchors = page_anchors(pages_path, cfg)
 
     def to_edges(batch: pa.Table) -> pa.Table:
         ex = pc.extract_regex(batch["href"].combine_chunks(),
@@ -314,7 +320,7 @@ def link_graph(sf_dir: str) -> rd.Dataset:
         edges, ["src_doc_id", "dst_doc_id"], "src_doc_id").materialize()
 
     # dead-link prune: keep edges whose target exists as a corpus page
-    pages = rd.read_parquet(_corpus_pages(sf_dir), columns=["url"])
+    pages = rd.read_parquet(pages_path, columns=["url"])
 
     def page_ids(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": _doc_id_of_url(batch["url"])})
@@ -363,6 +369,16 @@ def _pr_one_task(iters: int, damping_pct: int, scale: int,
 def pagerank_links(sf_dir: str, iters: int = 5, damping_pct: int = 85,
                    scale: int = 1_000_000,
                    task_pr_limit: int = 5_000_000) -> rd.Dataset:
+    """sf-dir driver-query wrapper over ``pagerank_links_pages``."""
+    return pagerank_links_pages(_corpus_pages(sf_dir), iters=iters,
+                                damping_pct=damping_pct, scale=scale,
+                                task_pr_limit=task_pr_limit)
+
+
+def pagerank_links_pages(pages_path: str, iters: int = 5,
+                         damping_pct: int = 85, scale: int = 1_000_000,
+                         task_pr_limit: int = 5_000_000,
+                         cfg: PipelineConfig = _CFG) -> rd.Dataset:
     """Integer PageRank over the EXTRACTED edge table — the promised
     real-edge-table variant of analytics.pagerank_docs (same BIGINT
     floor-division update, bit-exact vs the unrolled-CTE oracle).
@@ -379,9 +395,10 @@ def pagerank_links(sf_dir: str, iters: int = 5, damping_pct: int = 85,
     block count never compounds into round N+1 (sort-shuffle outputs
     roughly double their input block count — the connected_components
     lesson, stages/dedup.py)."""
-    edges = link_graph(sf_dir).materialize()   # pinned: joined twice below
+    # pinned: joined twice below
+    edges = link_graph_pages(pages_path, cfg).materialize()
 
-    pages = rd.read_parquet(_corpus_pages(sf_dir), columns=["url"])
+    pages = rd.read_parquet(pages_path, columns=["url"])
 
     def page_ids(batch: pa.Table) -> pa.Table:
         ids = _doc_id_of_url(batch["url"])
@@ -559,6 +576,16 @@ WHERE doc_id % 100 <= 69 OR doc_id % 100 IN (90, 91, 94)"""
 def crawl_frontier(sf_dir: str, extracted: rd.Dataset, k: int = 100,
                    iters: int = 5, damping_pct: int = 85,
                    scale: int = 1_000_000) -> rd.Dataset:
+    """sf-dir driver-query wrapper over ``crawl_frontier_pages``."""
+    return crawl_frontier_pages(_corpus_pages(sf_dir), extracted, k=k,
+                                iters=iters, damping_pct=damping_pct,
+                                scale=scale)
+
+
+def crawl_frontier_pages(pages_path: str, extracted: rd.Dataset,
+                         k: int = 100, iters: int = 5,
+                         damping_pct: int = 85,
+                         scale: int = 1_000_000) -> rd.Dataset:
     """Re-crawl prioritization — the link family's capstone and the
     actual CommonCrawl use of a host graph: rank pages by link
     centrality x extraction quality, keep the top-k.
@@ -570,8 +597,9 @@ def crawl_frontier(sf_dir: str, extracted: rd.Dataset, k: int = 100,
     (ids + url only) + the partial-top-k shape (per-block top-k, then
     one small sort+limit — never a global sort of every row:
     relational.top_orders)."""
-    ranks = pagerank_links(sf_dir, iters=iters, damping_pct=damping_pct,
-                           scale=scale).materialize()
+    ranks = pagerank_links_pages(pages_path, iters=iters,
+                                 damping_pct=damping_pct,
+                                 scale=scale).materialize()
 
     def qual(t: pa.Table) -> pa.Table:
         return pa.table({
