@@ -523,6 +523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rewrite (was the last rows-only entry): the whole index build
         # + probe pipeline replays bit-exactly in SQL
         "ann_ivf": _tuned(analytics.ann_ivf),
+        # cross-snapshot url lifecycle diff (content-hash full-outer)
+        "pages_delta": _tuned(analytics.pages_delta),
     }
 
 
@@ -542,6 +544,7 @@ AWAITING_SLOT = (
     "crawl_frontier",
     "page_metadata",
     "ann_ivf",
+    "pages_delta",
 )
 
 
@@ -690,4 +693,5 @@ def oracle_sql() -> dict[str, str]:
         "section_quality_stats": oracle.section_quality_stats_sql(),
         "crawl_frontier": linkgraph.crawl_frontier_sql(),
         "page_metadata": linkgraph.page_metadata_sql(),
+        "pages_delta": analytics.pages_delta_sql(),
     }

@@ -973,6 +973,126 @@ SELECT doc_id, sha256(text) AS content_sha256 FROM snap
 WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents)"""
 
 
+# text-invariant payload kinds: build_page_row ignores `text` for these
+# (scanned PDFs have no text ops; the empty-body HTML kind renders no
+# text; garbage/empty bytes are id-only), so an
+# edited re-crawl produces IDENTICAL bytes and the content-hash diff
+# correctly reports them unchanged — the oracle replicates the exception
+_DELTA_TEXT_INVARIANT_SUBS = (92, 93, 94, 95, 96, 97, 98)
+_DELTA_REMOVED_MOD, _DELTA_REMOVED_REM = 5, 1
+_DELTA_CHANGED_MOD, _DELTA_CHANGED_REM = 7, 2
+_DELTA_ADDED_MOD, _DELTA_ADDED_REM = 11, 3
+_DELTA_ADD_OFFSET = 3_000_000   # multiple of 100: kind mix preserved
+
+
+def pages_delta(sf_dir: str) -> rd.Dataset:
+    """Cross-snapshot URL LIFECYCLE diff — the complement of
+    ``snapshot_ingest_dedup`` (content-level novelty): given two crawl
+    snapshots of the same site, classify every url as added / removed /
+    changed / unchanged by CONTENT HASH, the table a crawl scheduler
+    builds its re-visit policy from.
+
+    Scale shape: each side folds to (doc_id, sha64) ids-only rows
+    map-side (payload bytes never shuffle; snapshot A's re-crawl dup
+    rows collapse via the first-wins hash-partition distinct), then ONE
+    full-outer hash_join + a map computes the status column.
+
+    Snapshot B is simulated deterministically from ``documents``:
+    doc_id % 5 == 1 dropped (removed), doc_id % 7 == 2 re-built with
+    edited text (changed — except the text-invariant payload kinds,
+    which hash identical and MUST report unchanged; the oracle encodes
+    the same exception), doc_id % 11 == 3 contributes a brand-new url
+    at doc_id + 3e6 (added)."""
+    import hashlib as _hl
+
+    from ..pipelines.linkgraph import (_doc_id_of_url,
+                                       _hash_partition_distinct)
+    from ..sources import corpus as corpus_mod
+    from ..sources.corpus import build_page_row
+    from ..stages.joins import hash_join
+
+    pages_a = rd.read_parquet(corpus_mod.ensure_pages_corpus(sf_dir),
+                              columns=["url", "warc_ts", "html"])
+
+    def sha64(payload: bytes) -> int:
+        return int.from_bytes(_hl.sha256(payload).digest()[:8], "big",
+                              signed=True)
+
+    def a_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": _doc_id_of_url(batch["url"]),
+            "ts_us": batch["warc_ts"].combine_chunks().cast(pa.int64()),
+            "sha_a": pa.array([sha64(p) for p in batch["html"].to_pylist()],
+                              pa.int64()),
+        })
+
+    side_a = _hash_partition_distinct(
+        pages_a.map_batches(a_rows, batch_format="pyarrow"),
+        ["doc_id"], "doc_id", order=["ts_us"]).select_columns(
+            ["doc_id", "sha_a"]).materialize()
+
+    def b_rows(batch: pa.Table) -> pa.Table:
+        out_id, out_sha = [], []
+        for did, text, src, lang in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist(),
+                batch["source"].to_pylist(), batch["lang"].to_pylist()):
+            if did % _DELTA_ADDED_MOD == _DELTA_ADDED_REM:
+                # brand-new url in B, regardless of the source doc's fate
+                new_id = did + _DELTA_ADD_OFFSET
+                out_id.append(new_id)
+                out_sha.append(sha64(
+                    build_page_row(new_id, text, src, lang)["html"]))
+            if did % _DELTA_REMOVED_MOD == _DELTA_REMOVED_REM:
+                continue
+            # PREPENDED edit: the tiny-HTML kind renders text[:80], so a
+            # suffix edit would be invisible to its bytes
+            t = ("changed-rev " + text
+                 if did % _DELTA_CHANGED_MOD == _DELTA_CHANGED_REM else text)
+            out_id.append(did)
+            out_sha.append(sha64(build_page_row(did, t, src, lang)["html"]))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "sha_b": pa.array(out_sha, pa.int64())})
+
+    side_b = (_docs(sf_dir, ["doc_id", "text", "source", "lang"])
+              .map_batches(b_rows, batch_format="pyarrow").materialize())
+
+    joined = hash_join(side_a, side_b, "doc_id", "doc_id",
+                       ["sha_a"], ["sha_b"], how="full_outer")
+
+    def status(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        a = t["sha_a"].combine_chunks()
+        b = t["sha_b"].combine_chunks()
+        changed = pc.and_(pc.and_(pc.is_valid(a), pc.is_valid(b)),
+                          pc.not_equal(pc.fill_null(a, 0),
+                                       pc.fill_null(b, 0)))
+        st = pc.if_else(
+            pc.is_null(a), pa.scalar("added"),
+            pc.if_else(pc.is_null(b), pa.scalar("removed"),
+                       pc.if_else(changed, pa.scalar("changed"),
+                                  pa.scalar("unchanged"))))
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "status": st})
+
+    return joined.map_batches(status, batch_format="pyarrow")
+
+
+def pages_delta_sql() -> str:
+    invariant = ", ".join(str(s) for s in _DELTA_TEXT_INVARIANT_SUBS)
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % {_DELTA_REMOVED_MOD} = {_DELTA_REMOVED_REM}
+              THEN 'removed'
+            WHEN doc_id % {_DELTA_CHANGED_MOD} = {_DELTA_CHANGED_REM}
+                 AND doc_id % 100 NOT IN ({invariant}) THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM documents
+UNION ALL
+SELECT doc_id + {_DELTA_ADD_OFFSET}, 'added'
+FROM documents WHERE doc_id % {_DELTA_ADDED_MOD} = {_DELTA_ADDED_REM}"""
+
+
 def _docs_with_planted_exact_dups(sf_dir: str) -> rd.Dataset:
     """documents ∪ exact copies (doc_id+1e6 for doc_id%7==0)."""
     base = _docs(sf_dir, ["doc_id", "text"])

@@ -111,14 +111,16 @@ def _anchor_text(node: Node) -> str:
 
 def _hash_partition_distinct(ds: rd.Dataset, keys: list[str],
                              part_col: str,
-                             num_partitions: int = 32) -> rd.Dataset:
+                             num_partitions: int = 32,
+                             order: list[str] | None = None) -> rd.Dataset:
     """ONE hash-partition shuffle + per-partition vectorized
     first-of-group — the shared distinct used by every linkgraph op
     (anchors, edges, nodes, metadata): only the light derived rows ride
     the all-to-all, never page payloads. ``part_col`` must be int64 and
     functionally determined by ``keys`` (rows of one key group land in
     one partition); ``num_partitions`` must be a power of two (bit
-    mask)."""
+    mask). ``order`` breaks ties within a key group (first-wins by the
+    minimal order tuple — e.g. earliest warc_ts)."""
     if num_partitions & (num_partitions - 1):
         raise ValueError("num_partitions must be a power of two")
 
@@ -128,7 +130,7 @@ def _hash_partition_distinct(ds: rd.Dataset, keys: list[str],
         return batch.append_column("__p", p)
 
     def distinct(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(keys, kind="mergesort")
+        g = group.sort_values(keys + (order or []), kind="mergesort")
         return g[~g[keys].duplicated()].drop(columns="__p")
 
     return (ds.map_batches(add_part, batch_format="pyarrow")

@@ -866,3 +866,29 @@ def test_pagerank_hub_dominance(ray_session):
     n, scale = len(out), 1_000_000
     assert out["rank"].sum() <= n * scale
     assert out["rank"].sum() > 0.9 * n * scale
+
+
+def test_pages_delta_matches_oracle(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (pages_delta,
+                                                        pages_delta_sql)
+    assert compare("pages_delta", pages_delta(SF_SMOKE), pages_delta_sql(),
+                   SF_SMOKE) == []
+
+
+def test_pages_delta_statuses_cover_all_classes(ray_session):
+    """Every lifecycle class is populated, text-invariant kinds report
+    unchanged even when 'edited', and counts reconcile with the planted
+    predicates."""
+    from pdf_extraction_ray.pipelines.analytics import (
+        _DELTA_ADD_OFFSET, _DELTA_TEXT_INVARIANT_SUBS, pages_delta)
+    out = pages_delta(SF_SMOKE).to_pandas()
+    by = out.groupby("status").size()
+    assert set(by.index) == {"added", "removed", "changed", "unchanged"}
+    added = out[out.status == "added"]
+    assert (added.doc_id >= _DELTA_ADD_OFFSET).all()
+    # an 'edited' scanned-pdf doc hashes identical -> unchanged
+    inv = out[(out.doc_id % 7 == 2) & (out.doc_id % 5 != 1)
+              & (out.doc_id % 100).isin(_DELTA_TEXT_INVARIANT_SUBS)]
+    assert len(inv) > 0 and (inv.status == "unchanged").all()
