@@ -38,36 +38,35 @@ def main() -> int:
     from pdf_extraction_ray.pipelines import linkgraph as lg
     tune_data_context()
 
-    anchors = lg.page_anchors(args.input)
+    # each stage REUSES the one before it (anchors -> edges -> ranks ->
+    # frontier): the corpus is sniffed+parsed exactly once, PageRank
+    # runs exactly once
+    anchors = lg.page_anchors(args.input).materialize()
     anchors.write_parquet(os.path.join(args.output, "anchors"))
-    meta = lg.page_metadata(args.input)
+    meta = lg.page_metadata(args.input).materialize()
     meta.write_parquet(os.path.join(args.output, "metadata"))
-    edges = lg.link_graph_pages(args.input)
+    nodes = lg.page_nodes(args.input)
+    edges = lg.link_graph_from_anchors(anchors, nodes).materialize()
     edges.write_parquet(os.path.join(args.output, "edges"))
-    ranks = lg.pagerank_links_pages(args.input, iters=args.iters)
+    ranks = lg.pagerank_from_edges(edges, nodes,
+                                   iters=args.iters).materialize()
     ranks.write_parquet(os.path.join(args.output, "ranks"))
 
-    import ray.data as rd
     summary = {
         "output": args.output,
-        "n_anchors": rd.read_parquet(
-            os.path.join(args.output, "anchors")).count(),
-        "n_pages_with_metadata": rd.read_parquet(
-            os.path.join(args.output, "metadata")).count(),
-        "n_edges": rd.read_parquet(
-            os.path.join(args.output, "edges")).count(),
-        "n_ranked": rd.read_parquet(
-            os.path.join(args.output, "ranks")).count(),
+        "n_anchors": anchors.count(),
+        "n_pages_with_metadata": meta.count(),
+        "n_edges": edges.count(),
+        "n_ranked": ranks.count(),
     }
 
     if args.frontier_from:
+        import ray.data as rd
         extracted = rd.read_parquet(args.frontier_from)
-        frontier = lg.crawl_frontier_pages(args.input, extracted,
-                                           k=args.frontier_k,
-                                           iters=args.iters)
+        frontier = lg.frontier_from_ranks(ranks, extracted,
+                                          k=args.frontier_k).materialize()
         frontier.write_parquet(os.path.join(args.output, "frontier"))
-        summary["n_frontier"] = rd.read_parquet(
-            os.path.join(args.output, "frontier")).count()
+        summary["n_frontier"] = frontier.count()
 
     print(json.dumps(summary))
     ray.shutdown()

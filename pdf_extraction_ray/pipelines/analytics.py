@@ -1026,6 +1026,11 @@ def pages_delta(sf_dir: str) -> rd.Dataset:
                               pa.int64()),
         })
 
+    # order=["ts_us"]: on THIS corpus re-crawl dups are byte-identical
+    # (any pick would do), but on a real crawl the re-crawled bytes
+    # differ and the kept sha would otherwise depend on partition
+    # arrival order — earliest-crawl-wins keeps the diff deterministic
+    # and matches the flagship's first-wins url dedup
     side_a = _hash_partition_distinct(
         pages_a.map_batches(a_rows, batch_format="pyarrow"),
         ["doc_id"], "doc_id", order=["ts_us"]).select_columns(

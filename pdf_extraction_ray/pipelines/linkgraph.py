@@ -301,8 +301,18 @@ def link_graph_pages(pages_path: str,
     pruned with a semi hash_join against the corpus' own page ids (a
     no-op on the planted graph — hubs always exist — but load-bearing on
     any real crawl, and on synthetic pages in tests)."""
-    anchors = page_anchors(pages_path, cfg)
+    pages = rd.read_parquet(pages_path, columns=["url"])
+    nodes = pages.map_batches(
+        lambda b: pa.table({"node": _doc_id_of_url(b["url"])}),
+        batch_format="pyarrow")
+    return link_graph_from_anchors(page_anchors(pages_path, cfg), nodes)
 
+
+def link_graph_from_anchors(anchors: rd.Dataset,
+                            nodes: rd.Dataset) -> rd.Dataset:
+    """The edge-table core over an ALREADY-EXTRACTED anchor table and a
+    (node,) page-id table — callers that land anchors as parquet (the
+    run_linkgraph job) reuse them instead of re-parsing the corpus."""
     def to_edges(batch: pa.Table) -> pa.Table:
         ex = pc.extract_regex(batch["href"].combine_chunks(),
                               pattern=r"/doc/d(?P<id>\d{7})$")
@@ -322,13 +332,7 @@ def link_graph_pages(pages_path: str,
         edges, ["src_doc_id", "dst_doc_id"], "src_doc_id").materialize()
 
     # dead-link prune: keep edges whose target exists as a corpus page
-    pages = rd.read_parquet(pages_path, columns=["url"])
-
-    def page_ids(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": _doc_id_of_url(batch["url"])})
-
-    nodes = pages.map_batches(page_ids, batch_format="pyarrow")
-    joined = hash_join(edges, nodes, "dst_doc_id", "doc_id",
+    joined = hash_join(edges, nodes, "dst_doc_id", "node",
                        ["src_doc_id"], [], how="semi")
     return joined.select_columns(["src_doc_id", "dst_doc_id"])
 
@@ -399,17 +403,34 @@ def pagerank_links_pages(pages_path: str, iters: int = 5,
     lesson, stages/dedup.py)."""
     # pinned: joined twice below
     edges = link_graph_pages(pages_path, cfg).materialize()
+    nodes = page_nodes(pages_path)
+    return pagerank_from_edges(edges, nodes, iters=iters,
+                               damping_pct=damping_pct, scale=scale,
+                               task_pr_limit=task_pr_limit)
 
+
+def page_nodes(pages_path: str) -> rd.Dataset:
+    """Distinct (node,) doc-id table of a pages corpus (MATERIALIZED —
+    it feeds multiple join probes)."""
     pages = rd.read_parquet(pages_path, columns=["url"])
 
     def page_ids(batch: pa.Table) -> pa.Table:
         ids = _doc_id_of_url(batch["url"])
         return pa.table({"node": ids})
 
-    nodes = _hash_partition_distinct(
+    return _hash_partition_distinct(
         pages.map_batches(page_ids, batch_format="pyarrow"),
         ["node"], "node").materialize()
 
+
+def pagerank_from_edges(edges: rd.Dataset, nodes: rd.Dataset,
+                        iters: int = 5, damping_pct: int = 85,
+                        scale: int = 1_000_000,
+                        task_pr_limit: int = 5_000_000) -> rd.Dataset:
+    """The PageRank core over ALREADY-BUILT (materialized) edge and
+    node tables — callers that land intermediate tables (the
+    run_linkgraph job) reuse them instead of re-deriving the whole
+    parse chain per output."""
     if edges.count() <= task_pr_limit:
         node_refs = nodes.to_arrow_refs()
         edge_refs = edges.to_arrow_refs()
@@ -602,7 +623,13 @@ def crawl_frontier_pages(pages_path: str, extracted: rd.Dataset,
     ranks = pagerank_links_pages(pages_path, iters=iters,
                                  damping_pct=damping_pct,
                                  scale=scale).materialize()
+    return frontier_from_ranks(ranks, extracted, k=k)
 
+
+def frontier_from_ranks(ranks: rd.Dataset, extracted: rd.Dataset,
+                        k: int = 100) -> rd.Dataset:
+    """The frontier core over an ALREADY-COMPUTED (materialized) rank
+    table — the run_linkgraph job reuses the ranks it just landed."""
     def qual(t: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": _doc_id_of_url(t["url"]),

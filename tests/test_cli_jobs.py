@@ -32,11 +32,9 @@ def test_run_curation_cli(tmp_path):
     assert any(d.startswith("shard=") for d in os.listdir(out))
 
 
-def test_run_linkgraph_cli(ray_session, tmp_path):
-    from pdf_extraction_ray.sources.corpus import ensure_pages_corpus
-    pages = ensure_pages_corpus(SF_SMOKE)
+def test_run_linkgraph_cli(pages_corpus, tmp_path):
     out = str(tmp_path / "lg")
-    summary = _run(["jobs/run_linkgraph.py", "--input", pages,
+    summary = _run(["jobs/run_linkgraph.py", "--input", pages_corpus,
                     "--output", out, "--iters", "2"])
     assert summary["n_anchors"] > 0
     assert summary["n_edges"] > 0

@@ -173,28 +173,12 @@ def test_link_graph_prunes_dead_links(ray_session):
 
     # page 1 -> 2 (alive), page 1 -> 9999999 (dead), page 2 -> 1
     pages = _tiny_pages([page(1, [2, 9999999]), page(2, [1])])
-    anchors = lg.page_anchors(pages)
-    # run the edge path directly against these synthetic pages
     import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def to_edges(batch: pa.Table) -> pa.Table:
-        ex = pc.extract_regex(batch["href"].combine_chunks(),
-                              pattern=r"/doc/d(?P<id>\d{7})$")
-        dst = pc.struct_field(ex, "id")
-        keep = pc.is_valid(dst)
-        return pa.table({
-            "src_doc_id": batch["src_doc_id"].combine_chunks().filter(keep),
-            "dst_doc_id": dst.filter(keep).cast(pa.int64())})
-
-    from pdf_extraction_ray.stages.joins import hash_join
-    edges = anchors.map_batches(to_edges,
-                                batch_format="pyarrow").materialize()
     nodes = _tiny_pages([page(1, []), page(2, [])]).map_batches(
-        lambda b: pa.table({"doc_id": lg._doc_id_of_url(b["url"])}),
+        lambda b: pa.table({"node": lg._doc_id_of_url(b["url"])}),
         batch_format="pyarrow")
-    pruned = hash_join(edges, nodes, "dst_doc_id", "doc_id",
-                       ["src_doc_id"], [], how="semi").to_pandas()
+    pruned = lg.link_graph_from_anchors(lg.page_anchors(pages),
+                                        nodes).to_pandas()
     got = set(zip(pruned.src_doc_id, pruned.dst_doc_id))
     assert got == {(1, 2), (2, 1)}  # the dead 9999999 edge is gone
 
