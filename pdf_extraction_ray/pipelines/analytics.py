@@ -973,96 +973,117 @@ SELECT doc_id, sha256(text) AS content_sha256 FROM snap
 WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents)"""
 
 
-# text-invariant payload kinds: build_page_row ignores `text` for these
-# (scanned PDFs have no text ops; the empty-body HTML kind renders no
-# text; garbage/empty bytes are id-only), so an
-# edited re-crawl produces IDENTICAL bytes and the content-hash diff
-# correctly reports them unchanged — the oracle replicates the exception
-_DELTA_TEXT_INVARIANT_SUBS = (92, 93, 94, 95, 96, 97, 98)
+# text-invariant ROW kinds: a page row's content identity is payload
+# bytes PLUS the pre-extracted fallback text column (the salvage route
+# consumes it, so extraction output depends on both — the refresh test
+# caught a scanned-PDF whose bytes were identical but whose fallback
+# changed). For these kinds BOTH are text-independent (empty-body HTML
+# renders no text and carries fallback ''; garbage/empty rows are
+# id-only), so an edited re-crawl is correctly 'unchanged' — the
+# oracle replicates the exception. Scanned PDFs are NOT here: their
+# bytes are text-free but their fallback carries text[:100]
+_DELTA_TEXT_INVARIANT_SUBS = (94, 95, 96, 97, 98)
 _DELTA_REMOVED_MOD, _DELTA_REMOVED_REM = 5, 1
 _DELTA_CHANGED_MOD, _DELTA_CHANGED_REM = 7, 2
 _DELTA_ADDED_MOD, _DELTA_ADDED_REM = 11, 3
 _DELTA_ADD_OFFSET = 3_000_000   # multiple of 100: kind mix preserved
 
 
-def pages_delta(sf_dir: str) -> rd.Dataset:
-    """Cross-snapshot URL LIFECYCLE diff — the complement of
-    ``snapshot_ingest_dedup`` (content-level novelty): given two crawl
-    snapshots of the same site, classify every url as added / removed /
-    changed / unchanged by CONTENT HASH, the table a crawl scheduler
-    builds its re-visit policy from.
-
-    Scale shape: each side folds to (doc_id, sha64) ids-only rows
-    map-side (payload bytes never shuffle; snapshot A's re-crawl dup
-    rows collapse via the first-wins hash-partition distinct), then ONE
-    full-outer hash_join + a map computes the status column.
-
-    Snapshot B is simulated deterministically from ``documents``:
-    doc_id % 5 == 1 dropped (removed), doc_id % 7 == 2 re-built with
-    edited text (changed — except the text-invariant payload kinds,
-    which hash identical and MUST report unchanged; the oracle encodes
-    the same exception), doc_id % 11 == 3 contributes a brand-new url
-    at doc_id + 3e6 (added)."""
-    import hashlib as _hl
-
-    from ..pipelines.linkgraph import (_doc_id_of_url,
-                                       _hash_partition_distinct)
-    from ..sources import corpus as corpus_mod
-    from ..sources.corpus import build_page_row
-    from ..stages.joins import hash_join
-
-    pages_a = rd.read_parquet(corpus_mod.ensure_pages_corpus(sf_dir),
-                              columns=["url", "warc_ts", "html"])
-
-    def sha64(payload: bytes) -> int:
-        return int.from_bytes(_hl.sha256(payload).digest()[:8], "big",
-                              signed=True)
-
-    def a_rows(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": _doc_id_of_url(batch["url"]),
-            "ts_us": batch["warc_ts"].combine_chunks().cast(pa.int64()),
-            "sha_a": pa.array([sha64(p) for p in batch["html"].to_pylist()],
-                              pa.int64()),
-        })
-
-    # order=["ts_us"]: on THIS corpus re-crawl dups are byte-identical
-    # (any pick would do), but on a real crawl the re-crawled bytes
-    # differ and the kept sha would otherwise depend on partition
-    # arrival order — earliest-crawl-wins keeps the diff deterministic
-    # and matches the flagship's first-wins url dedup
-    side_a = _hash_partition_distinct(
-        pages_a.map_batches(a_rows, batch_format="pyarrow"),
-        ["doc_id"], "doc_id", order=["ts_us"]).select_columns(
-            ["doc_id", "sha_a"]).materialize()
+def snapshot_b_pages(sf_dir: str) -> rd.Dataset:
+    """The simulated SECOND crawl snapshot as a real pages-schema table
+    (documents -> build_page_row variants): doc_id % 5 == 1 dropped,
+    doc_id % 7 == 2 re-crawled with a PREPENDED edit (the tiny-HTML kind
+    renders text[:80], so a suffix edit would be invisible to its
+    bytes), doc_id % 11 == 3 also contributes a brand-new url at
+    doc_id + 3e6. Shared by the pages_delta query and the
+    refresh_extraction test."""
+    from ..sources.corpus import PAGES_SCHEMA, build_page_row
 
     def b_rows(batch: pa.Table) -> pa.Table:
-        out_id, out_sha = [], []
+        rows = []
         for did, text, src, lang in zip(
                 batch["doc_id"].to_pylist(), batch["text"].to_pylist(),
                 batch["source"].to_pylist(), batch["lang"].to_pylist()):
             if did % _DELTA_ADDED_MOD == _DELTA_ADDED_REM:
                 # brand-new url in B, regardless of the source doc's fate
-                new_id = did + _DELTA_ADD_OFFSET
-                out_id.append(new_id)
-                out_sha.append(sha64(
-                    build_page_row(new_id, text, src, lang)["html"]))
+                rows.append(build_page_row(did + _DELTA_ADD_OFFSET, text,
+                                           src, lang))
             if did % _DELTA_REMOVED_MOD == _DELTA_REMOVED_REM:
                 continue
-            # PREPENDED edit: the tiny-HTML kind renders text[:80], so a
-            # suffix edit would be invisible to its bytes
             t = ("changed-rev " + text
                  if did % _DELTA_CHANGED_MOD == _DELTA_CHANGED_REM else text)
-            out_id.append(did)
-            out_sha.append(sha64(build_page_row(did, t, src, lang)["html"]))
-        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "sha_b": pa.array(out_sha, pa.int64())})
+            rows.append(build_page_row(did, t, src, lang))
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
-    side_b = (_docs(sf_dir, ["doc_id", "text", "source", "lang"])
-              .map_batches(b_rows, batch_format="pyarrow").materialize())
+    return _docs(sf_dir, ["doc_id", "text", "source", "lang"]).map_batches(
+        b_rows, batch_format="pyarrow")
 
-    joined = hash_join(side_a, side_b, "doc_id", "doc_id",
-                       ["sha_a"], ["sha_b"], how="full_outer")
+
+def pages_delta_tables(pages_a: "str | rd.Dataset",
+                       pages_b: "str | rd.Dataset") -> rd.Dataset:
+    """Cross-snapshot URL LIFECYCLE diff core — the complement of
+    ``snapshot_ingest_dedup`` (content-level novelty): given two crawl
+    snapshots, classify every url as added / removed / changed /
+    unchanged by CONTENT HASH, the table a crawl scheduler builds its
+    re-visit policy from (and refresh_extraction acts on).
+
+    Scale shape: each side folds map-side to (url-hash, url, sha64)
+    ids-only rows (payload bytes never shuffle; re-crawl dup rows
+    collapse via the first-wins hash-partition distinct — see the
+    determinism note below), then ONE full-outer hash_join on the
+    64-bit url hash + a map computes the status column. Returns
+    (url, status)."""
+    import hashlib as _hl
+
+    from ..functions.hashing import stable_hash64
+    from ..pipelines.linkgraph import _hash_partition_distinct
+    from ..stages.joins import hash_join
+
+    def side(pages, tag: str) -> rd.Dataset:
+        ds = rd.read_parquet(pages) if isinstance(pages, str) else pages
+
+        def fold(batch: pa.Table) -> pa.Table:
+            urls = batch["url"].to_pylist()
+            return pa.table({
+                "h": pa.array([stable_hash64("delta:" + u) for u in urls],
+                              pa.int64()),
+                f"url_{tag}": batch["url"],
+                "ts_us": batch["warc_ts"].combine_chunks().cast(pa.int64()),
+                # row identity = payload bytes + fallback text (the
+                # salvage route consumes the text column, so extraction
+                # output depends on both)
+                f"sha_{tag}": pa.array(
+                    [int.from_bytes(
+                        _hl.sha256(p + b"\x00"
+                                   + (t or "").encode()).digest()[:8],
+                        "big", signed=True)
+                     for p, t in zip(batch["html"].to_pylist(),
+                                     batch["text"].to_pylist())],
+                    pa.int64()),
+            })
+
+        # order=["ts_us"]: on the synthetic corpus re-crawl dups are
+        # byte-identical (any pick would do), but on a real crawl the
+        # re-crawled bytes differ and the kept sha would otherwise
+        # depend on partition arrival order — earliest-crawl-wins keeps
+        # the diff deterministic and matches the flagship's first-wins
+        # url dedup
+        # the arrow-format projection ALSO converts the distinct's
+        # pandas blocks back to Arrow — hash_join types its null
+        # padding from schema(), and a pandas-block string column
+        # reports <class 'str'> instead of a pa.DataType
+        return (_hash_partition_distinct(
+                    ds.map_batches(fold, batch_format="pyarrow"),
+                    [f"url_{tag}"], "h", order=["ts_us"])
+                .map_batches(
+                    lambda t, c=(f"url_{tag}", f"sha_{tag}"):
+                        t.select(["h", *c]),
+                    batch_format="pyarrow")
+                .materialize())
+
+    joined = hash_join(side(pages_a, "a"), side(pages_b, "b"), "h", "h",
+                       ["url_a", "sha_a"], ["url_b", "sha_b"],
+                       how="full_outer")
 
     def status(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1076,15 +1097,35 @@ def pages_delta(sf_dir: str) -> rd.Dataset:
             pc.if_else(pc.is_null(b), pa.scalar("removed"),
                        pc.if_else(changed, pa.scalar("changed"),
                                   pa.scalar("unchanged"))))
-        return pa.table({
-            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
-            "status": st})
+        url = pc.coalesce(t["url_a"].combine_chunks(),
+                          t["url_b"].combine_chunks())
+        return pa.table({"url": url, "status": st})
 
     return joined.map_batches(status, batch_format="pyarrow")
 
 
+def pages_delta(sf_dir: str) -> rd.Dataset:
+    """Driver query: the lifecycle diff of the corpus vs its simulated
+    second snapshot, projected to (doc_id, status) for the planted
+    oracle. The text-invariant payload kinds (scanned PDFs, empty-body
+    HTML, garbage/empty bytes — _DELTA_TEXT_INVARIANT_SUBS) hash
+    identical under an "edit" and MUST report unchanged; the oracle
+    encodes the same exception."""
+    from ..pipelines.linkgraph import _doc_id_of_url
+    from ..sources import corpus as corpus_mod
+
+    delta = pages_delta_tables(corpus_mod.ensure_pages_corpus(sf_dir),
+                               snapshot_b_pages(sf_dir))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": _doc_id_of_url(t["url"]),
+                         "status": t["status"]})
+
+    return delta.map_batches(project, batch_format="pyarrow")
+
+
 def pages_delta_sql() -> str:
-    invariant = ", ".join(str(s) for s in _DELTA_TEXT_INVARIANT_SUBS)
+    invariant = ", ".join(str(x) for x in _DELTA_TEXT_INVARIANT_SUBS)
     return f"""
 SELECT doc_id,
        CASE WHEN doc_id % {_DELTA_REMOVED_MOD} = {_DELTA_REMOVED_REM}

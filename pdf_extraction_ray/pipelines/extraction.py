@@ -371,6 +371,80 @@ def load_review_queue(out_dir: str) -> rd.Dataset:
     return rd.read_parquet(qdir).map_batches(attach, batch_format="pyarrow")
 
 
+def refresh_extraction(old_pages_path: str, new_pages_path: str,
+                       out_dir: str,
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       delta_batch_limit: int = 100_000) -> dict:
+    """Incremental SNAPSHOT REFRESH of a checkpointed run: given the
+    pages the existing output was extracted from and a NEW crawl
+    snapshot, re-extract ONLY the delta — the incremental-crawl story
+    that makes a 100 TB re-crawl pay for its changes, not its size.
+
+    1. ``analytics.pages_delta_tables(old, new)`` classifies every url
+       (added / removed / changed / unchanged) by content hash —
+       ids-only exchanges, payloads never shuffle.
+    2. removed + changed urls are DROPPED from their buckets (targeted
+       atomic rewrites, the backfill_lineage shape).
+    3. added + changed urls are re-extracted FROM THE NEW SNAPSHOT with
+       the url predicate pushed into the scan (the run_retry shape) and
+       merged into their buckets atomically.
+    Unchanged urls are never read, parsed, or rewritten.
+
+    Driver state is BOUNDED like run_retry: at most
+    ``delta_batch_limit`` delta urls are acted on per invocation
+    (reported as ``n_deferred``; re-invoke until 0 — the pass is
+    idempotent, a crash mid-refresh re-drops no-ops and re-merges
+    identical rows). Returns a summary dict."""
+    from .analytics import pages_delta_tables
+
+    delta = pages_delta_tables(old_pages_path, new_pages_path)
+
+    counts = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+    stale: list[str] = []      # rows to drop from the output
+    new_work: list[str] = []   # urls to (re-)extract from the snapshot
+    n_deferred = 0
+    for b in delta.iter_batches(batch_format="pyarrow"):
+        for url, st in zip(b["url"].to_pylist(), b["status"].to_pylist()):
+            counts[st] += 1
+            if st == "unchanged":
+                continue
+            if len(stale) + len(new_work) >= 2 * delta_batch_limit:
+                n_deferred += 1
+                continue
+            if st in ("removed", "changed"):
+                stale.append(url)
+            if st in ("added", "changed"):
+                new_work.append(url)
+
+    summary = {"n_" + k: v for k, v in counts.items()}
+    summary["n_deferred"] = n_deferred
+
+    # targeted drops: group stale urls by the engine's one partitioning
+    # key; only touched buckets are rewritten
+    from collections import defaultdict
+
+    from ..functions.hashing import url_bucket
+    by_bucket: dict[int, set] = defaultdict(set)
+    for u in stale:
+        by_bucket[url_bucket(u, cfg.n_buckets)].add(u)
+    summary["n_dropped"] = sum(
+        ckpt.drop_urls_from_bucket(out_dir, bkt, us)
+        for bkt, us in sorted(by_bucket.items()))
+
+    summary["n_reextracted"] = 0
+    if new_work:
+        fresh = (sniffed_pages(new_pages_path, cfg, url_filter=new_work)
+                 .map_batches(ex.ExtractorActor(cfg), batch_format="pyarrow",
+                              batch_size=cfg.extract_batch_size)
+                 .materialize())
+        (fresh.groupby("bucket")
+              .map_groups(lambda g: ckpt.merge_bucket_group(g, out_dir),
+                          batch_format="pyarrow")
+              .take_all())
+        summary["n_reextracted"] = fresh.count()
+    return summary
+
+
 def resolve_review_queue(out_dir: str, urls: list[str],
                          resolution: str = "accept") -> dict:
     """Review-queue RESOLUTION write-back (reference: the review_queue

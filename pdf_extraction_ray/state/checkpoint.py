@@ -58,13 +58,18 @@ def manifest_path(out_dir: str, bucket: int) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, f"bucket-{bucket:05d}.json")
 
 
-def write_bucket_group(group: pa.Table, out_dir: str) -> pa.Table:
+def write_bucket_group(group: pa.Table, out_dir: str,
+                       bucket: int | None = None) -> pa.Table:
     """groupby(bucket) writer: durable data file, then durable manifest.
 
     Returns the one-row manifest table (the run's metrics stream).
+    ``bucket`` overrides the id read from the group's first row — needed
+    when the group may be EMPTY (a refresh that drops every row of a
+    bucket still rewrites file + manifest so resume stays consistent).
     """
     t0 = time.monotonic()
-    bucket = group["bucket"][0].as_py()
+    if bucket is None:
+        bucket = group["bucket"][0].as_py()
     bdir = bucket_dir(out_dir, bucket)
     os.makedirs(bdir, exist_ok=True)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
@@ -207,6 +212,26 @@ def invalidate_stale(out_dir: str, done: dict[int, dict],
             pass
         done.pop(b, None)
     return stale
+
+
+def drop_urls_from_bucket(out_dir: str, bucket: int,
+                          urls: set[str]) -> int:
+    """Remove the given urls' rows from ONE bucket, atomically, and
+    refresh its manifest (the snapshot-refresh 'removed/changed url'
+    rewrite — same targeted-bucket shape as backfill_lineage). Returns
+    the number of rows dropped; a bucket emptied entirely keeps an
+    empty data file + manifest so resume stays consistent."""
+    data_path = os.path.join(bucket_dir(out_dir, bucket), "part-0.parquet")
+    if not os.path.exists(data_path):
+        return 0
+    old = pq.read_table(data_path)
+    mask = [u not in urls for u in old["url"].to_pylist()]
+    n_drop = len(mask) - sum(mask)
+    if n_drop == 0:
+        return 0
+    kept = old.filter(pa.array(mask, pa.bool_()))
+    write_bucket_group(kept, out_dir, bucket=bucket)
+    return n_drop
 
 
 def backfill_lineage(out_dir: str, refs, n_buckets: int,

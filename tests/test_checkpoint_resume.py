@@ -266,3 +266,81 @@ def test_run_completion_notification(ray_session, pages_corpus, out_dir):
     want = hmac_mod.new(b"runkey", canon.encode(),
                         hashlib.sha256).hexdigest()
     assert env["signature"] == want
+
+
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+
+def test_refresh_extraction_matches_clean_run(ray_session, pages_corpus,
+                                              tmp_path):
+    """Incremental snapshot refresh: drop removed/changed urls,
+    re-extract added/changed from the new snapshot only — final output
+    must equal a from-scratch extraction of the new snapshot."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.pipelines.analytics import snapshot_b_pages
+    from pdf_extraction_ray.pipelines.extraction import (refresh_extraction,
+                                                         run_extraction)
+    from pdf_extraction_ray.sources import spec
+
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
+                         split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
+    out = str(tmp_path / "out")
+    run_extraction(pages_corpus, cfg, out_dir=out)
+
+    bdir = str(tmp_path / "snapB")
+    snapshot_b_pages(SF_SMOKE).write_parquet(bdir)
+
+    summary = refresh_extraction(pages_corpus, bdir, out, cfg)
+    assert summary["n_deferred"] == 0
+    for k in ("n_added", "n_removed", "n_changed", "n_unchanged"):
+        assert summary[k] > 0, summary
+    assert summary["n_dropped"] >= summary["n_removed"]
+    assert summary["n_reextracted"] >= summary["n_added"]
+
+    clean = str(tmp_path / "clean")
+    run_extraction(bdir, cfg, out_dir=clean)
+
+    def frame(path):
+        df = rd.read_parquet(path).to_pandas()
+        cols = sorted(c for c in df.columns
+                      if not df[c].map(lambda v: isinstance(v, (list,)))
+                                   .any())
+        return (df[cols].sort_values("url").reset_index(drop=True))
+
+    got, want = frame(out), frame(clean)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_refresh_extraction_idempotent(ray_session, pages_corpus, tmp_path):
+    """A second refresh over the same snapshot pair is a no-op on the
+    output (crash-retry safety)."""
+    import ray.data as rd
+
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.pipelines.analytics import snapshot_b_pages
+    from pdf_extraction_ray.pipelines.extraction import (refresh_extraction,
+                                                         run_extraction)
+    from pdf_extraction_ray.sources import spec
+
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
+                         split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
+    out = str(tmp_path / "out")
+    run_extraction(pages_corpus, cfg, out_dir=out)
+    bdir = str(tmp_path / "snapB")
+    snapshot_b_pages(SF_SMOKE).write_parquet(bdir)
+
+    refresh_extraction(pages_corpus, bdir, out, cfg)
+    before = (rd.read_parquet(out).to_pandas()[["url", "status", "n_chars"]]
+              .sort_values("url").reset_index(drop=True))
+    s2 = refresh_extraction(pages_corpus, bdir, out, cfg)
+    after = (rd.read_parquet(out).to_pandas()[["url", "status", "n_chars"]]
+             .sort_values("url").reset_index(drop=True))
+    assert before.equals(after)
+    # second pass: removed urls are already gone, so only the changed
+    # urls (still present, now with their new content) re-drop before
+    # re-merging identical rows
+    assert s2["n_dropped"] == s2["n_changed"]

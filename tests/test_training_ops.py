@@ -888,7 +888,8 @@ def test_pages_delta_statuses_cover_all_classes(ray_session):
     assert set(by.index) == {"added", "removed", "changed", "unchanged"}
     added = out[out.status == "added"]
     assert (added.doc_id >= _DELTA_ADD_OFFSET).all()
-    # an 'edited' scanned-pdf doc hashes identical -> unchanged
+    # an 'edited' empty-body/garbage/empty doc has text-independent
+    # payload AND fallback -> hashes identical -> unchanged
     # (exclude added rows: an added id can satisfy the same residues)
     inv = out[(out.doc_id < _DELTA_ADD_OFFSET)
               & (out.doc_id % 7 == 2) & (out.doc_id % 5 != 1)
