@@ -39,6 +39,11 @@ def main() -> int:
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--retry", action="store_true",
                    help="after the main run, retry partial rows (cap 5)")
+    p.add_argument("--refresh-old-pages", default=None,
+                   help="treat --input as a NEW crawl snapshot of this "
+                        "older pages corpus: skip the full run and apply "
+                        "only the content-hash delta to --output "
+                        "(targeted drops + re-extraction)")
     p.add_argument("--notify-url", default=None,
                    help="HTTPS target for the signed run-completion "
                         "notification (SSRF-guarded; lands in "
@@ -59,10 +64,15 @@ def main() -> int:
                          split_page_threshold=args.split_pages,
                          notify_url=args.notify_url,
                          notify_key=args.notify_key)
-    run_extraction(args.input, cfg, out_dir=args.output,
-                   dedup=not args.no_dedup)
-    summary_path = os.path.join(args.output, "_manifests", "_run.json")
-    summary = json.load(open(summary_path))
+    if args.refresh_old_pages:
+        from pdf_extraction_ray.pipelines.extraction import refresh_extraction
+        summary = refresh_extraction(args.refresh_old_pages, args.input,
+                                     args.output, cfg)
+    else:
+        run_extraction(args.input, cfg, out_dir=args.output,
+                       dedup=not args.no_dedup)
+        summary_path = os.path.join(args.output, "_manifests", "_run.json")
+        summary = json.load(open(summary_path))
     if args.retry:
         summary["retry"] = run_retry(args.input, args.output, cfg)
     print(json.dumps(summary))

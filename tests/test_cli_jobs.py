@@ -42,3 +42,30 @@ def test_run_linkgraph_cli(pages_corpus, tmp_path):
     assert summary["n_pages_with_metadata"] > 0
     for sub in ("anchors", "edges", "ranks", "metadata"):
         assert os.listdir(os.path.join(out, sub))
+
+
+def test_run_extraction_cli_refresh_mode(ray_session, pages_corpus,
+                                         tmp_path):
+    """--refresh-old-pages applies only the snapshot delta via the CLI."""
+    import ray.data as rd
+
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.pipelines.analytics import snapshot_b_pages
+    from pdf_extraction_ray.pipelines.extraction import run_extraction
+    from pdf_extraction_ray.sources import spec
+
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
+                         split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
+    out = str(tmp_path / "out")
+    run_extraction(pages_corpus, cfg, out_dir=out)
+    bdir = str(tmp_path / "snapB")
+    snapshot_b_pages(SF_SMOKE).write_parquet(bdir)
+
+    summary = _run(["jobs/run_extraction.py", "--input", bdir,
+                    "--output", out, "--refresh-old-pages", pages_corpus,
+                    "--max-bytes", str(spec.CORPUS_MAX_BYTES),
+                    "--split-pages", str(spec.CORPUS_SPLIT_PAGE_THRESHOLD)])
+    assert summary["n_reextracted"] > 0 and summary["n_dropped"] > 0
+    # output rows = the new snapshot's distinct urls
+    n_b_urls = snapshot_b_pages(SF_SMOKE).to_pandas()["url"].nunique()
+    assert rd.read_parquet(out).count() == n_b_urls
