@@ -344,3 +344,62 @@ def test_refresh_extraction_idempotent(ray_session, pages_corpus, tmp_path):
     # urls (still present, now with their new content) re-drop before
     # re-merging identical rows
     assert s2["n_dropped"] == s2["n_changed"]
+
+
+def test_pages_delta_tables_random_snapshots(ray_session):
+    """The generic two-table delta core vs a pure-Python reference over
+    randomized (seeded) snapshot pairs: arbitrary adds/removes/edits and
+    re-crawl dup rows on both sides."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pdf_extraction_ray.pipelines.analytics import pages_delta_tables
+    from pdf_extraction_ray.sources.corpus import PAGES_SCHEMA
+
+    rng = random.Random(1234)
+    base = datetime(2021, 1, 1)
+
+    def row(i, payload, text, bump=0):
+        return {"url": f"https://t.x/p/{i}", "warc_ts": base + timedelta(
+                    seconds=bump), "html": payload, "text": text,
+                "lang": "en"}
+
+    for trial in range(5):
+        urls = list(range(40))
+        a_rows, b_rows, expect = [], [], {}
+        for i in urls:
+            pay = f"payload-{trial}-{i}".encode()
+            txt = f"text-{i}"
+            in_a = rng.random() < 0.85
+            in_b = rng.random() < 0.85
+            edit = rng.random() < 0.4
+            if in_a:
+                a_rows.append(row(i, pay, txt))
+                if rng.random() < 0.2:      # re-crawl dup in A
+                    a_rows.append(row(i, pay, txt, bump=3600))
+            if in_b:
+                if edit and rng.random() < 0.5:
+                    b_rows.append(row(i, pay + b"!", txt))       # byte edit
+                elif edit:
+                    b_rows.append(row(i, pay, txt + " v2"))      # text edit
+                else:
+                    b_rows.append(row(i, pay, txt))
+            if in_a and in_b:
+                expect[f"https://t.x/p/{i}"] = ("changed" if edit
+                                                else "unchanged")
+            elif in_a:
+                expect[f"https://t.x/p/{i}"] = "removed"
+            elif in_b:
+                expect[f"https://t.x/p/{i}"] = "added"
+
+        a = rd.from_arrow(pa.Table.from_pylist(a_rows, schema=PAGES_SCHEMA))
+        b = rd.from_arrow(pa.Table.from_pylist(b_rows, schema=PAGES_SCHEMA))
+        df = pages_delta_tables(a, b).to_pandas()
+        got = dict(zip(df.url, df.status))
+        assert got == expect, (trial, {k: (got.get(k), v)
+                                       for k, v in expect.items()
+                                       if got.get(k) != v})
