@@ -525,6 +525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _tuned(analytics.ann_ivf),
         # cross-snapshot url lifecycle diff (content-hash full-outer)
         "pages_delta": _tuned(analytics.pages_delta),
+        # RefinedWeb-style URL frontier filter (blocklist + badword score)
+        "url_blocklist_filter": _tuned(analytics.url_blocklist_filter),
     }
 
 
@@ -545,6 +547,7 @@ AWAITING_SLOT = (
     "page_metadata",
     "ann_ivf",
     "pages_delta",
+    "url_blocklist_filter",
 )
 
 
@@ -694,4 +697,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": linkgraph.crawl_frontier_sql(),
         "page_metadata": linkgraph.page_metadata_sql(),
         "pages_delta": analytics.pages_delta_sql(),
+        "url_blocklist_filter": analytics.url_blocklist_filter_sql(),
     }

@@ -645,6 +645,102 @@ def gopher_filter_sql() -> str:
             "\nSELECT doc_id, (reason = 'pass') AS keep, reason FROM r")
 
 
+# RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1): a curation
+# pipeline's FIRST gate, run over the crawl frontier before any payload
+# is fetched or parsed. Two rules, fixed order (first-failing wins, the
+# gopher_filter audit-reason shape):
+#   1. blocked_section — the url's site section (first path segment;
+#      the single-host corpus' stand-in for the domain) is on the
+#      blocklist. The real operator carries a multi-million-domain set:
+#      broadcast it once (ray.put / actor __init__), probe per batch
+#      with one vectorized is_in — never re-ship per block.
+#   2. badword_score — weighted soft score over url substrings
+#      (RefinedWeb's word-based scoring); reject at >= reject_at.
+# The planted corpus exercises every outcome: sections src3/src5 are
+# blocked ('src3' ids end in 3, so those urls ALSO score 2 — proving
+# rule precedence), '-memo' urls score 2 (reject), '-qp' urls score 1
+# (keep) unless doc_id < 100 where the 'd00000' zero-run adds 1 (reject).
+URL_BLOCK_SECTIONS = ("src3", "src5")
+URL_BADWORDS = (("-memo", 2), ("-qp", 1), ("00000", 1))
+URL_SCORE_REJECT = 2
+
+
+def url_blocklist_filter(sf_dir: str,
+                         blocked: tuple = URL_BLOCK_SECTIONS,
+                         badwords: tuple = URL_BADWORDS,
+                         reject_at: int = URL_SCORE_REJECT) -> rd.Dataset:
+    """URL blocklist + bad-word-score frontier filter with audit reasons.
+
+    Map-side only (one pass, no shuffle): urls derive vectorized from
+    (doc_id, source) via pyarrow string kernels; the section probe is
+    one ``is_in`` against the (broadcast) blocklist and the score is
+    k vectorized ``match_substring`` passes for a k-word list — no
+    Python loop over rows. Output (doc_id, url, section, score, keep,
+    reason) feeds the same rejection-histogram tuning loop as
+    ``gopher_filter``."""
+    import pyarrow.compute as pc
+    block_set = pa.array(sorted(set(blocked)), pa.string())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        pad = pc.utf8_lpad(pc.cast(ids, pa.string()), 7, "0")
+        last = ids.to_numpy() % 10
+        suffix = pa.array(
+            np.where(last == 3, "-memo",
+                     np.where(last == 7, "-qp", "")).tolist(), pa.string())
+        dpart = pc.binary_join_element_wise(
+            pa.scalar("d"), pad, suffix, pa.scalar(""))
+        urls = pc.binary_join_element_wise(
+            pa.scalar("https://corpus.example"), batch["source"], dpart,
+            pa.scalar("/"))
+        score = np.zeros(len(batch), np.int64)
+        for w, wt in badwords:
+            score += wt * pc.match_substring(urls, w).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        blk = pc.is_in(batch["source"], value_set=block_set).to_numpy(
+            zero_copy_only=False)
+        reason = np.where(blk, "blocked_section",
+                          np.where(score >= reject_at, "badword_score",
+                                   "pass"))
+        return pa.table({
+            "doc_id": ids,
+            "url": urls,
+            "section": batch["source"],
+            "score": pa.array(score, pa.int64()),
+            "keep": pa.array((reason == "pass").tolist(), pa.bool_()),
+            "reason": pa.array(reason.tolist(), pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        tag, batch_format="pyarrow")
+
+
+def url_blocklist_filter_sql(blocked: tuple = URL_BLOCK_SECTIONS,
+                             badwords: tuple = URL_BADWORDS,
+                             reject_at: int = URL_SCORE_REJECT) -> str:
+    blk = ", ".join(f"'{s}'" for s in sorted(set(blocked)))
+    terms = " + ".join(
+        f"(CASE WHEN contains(url, '{w}') THEN {wt} ELSE 0 END)"
+        for w, wt in badwords)
+    return f"""
+WITH u AS (
+  SELECT doc_id, source AS section,
+         'https://corpus.example/' || source || '/d'
+           || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           || (CASE WHEN doc_id % 10 = 3 THEN '-memo'
+                    WHEN doc_id % 10 = 7 THEN '-qp' ELSE '' END) AS url
+  FROM documents
+), s AS (
+  SELECT doc_id, url, section, CAST({terms} AS BIGINT) AS score FROM u
+)
+SELECT doc_id, url, section, score,
+       (section NOT IN ({blk}) AND score < {reject_at}) AS keep,
+       (CASE WHEN section IN ({blk}) THEN 'blocked_section'
+             WHEN score >= {reject_at} THEN 'badword_score'
+             ELSE 'pass' END) AS reason
+FROM s"""
+
+
 def doc_passages(sf_dir: str, k: int = 32, overlap: int = 8) -> rd.Dataset:
     """RAG-style passage chunking — the retrieval-corpus explode: each
     document splits into overlapping ``k``-word windows at stride

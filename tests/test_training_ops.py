@@ -895,3 +895,39 @@ def test_pages_delta_statuses_cover_all_classes(ray_session):
               & (out.doc_id % 7 == 2) & (out.doc_id % 5 != 1)
               & (out.doc_id % 100).isin(_DELTA_TEXT_INVARIANT_SUBS)]
     assert len(inv) > 0 and (inv.status == "unchanged").all()
+
+
+def test_url_blocklist_filter_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        url_blocklist_filter, url_blocklist_filter_sql)
+    assert compare("url_blocklist_filter", url_blocklist_filter(SF_SMOKE),
+                   url_blocklist_filter_sql(), SF_SMOKE) == []
+
+
+def test_url_blocklist_filter_rules_and_reasons(ray_session):
+    """First-failing-rule semantics: blocked sections win over score,
+    keep == (reason == 'pass'), every planted outcome is populated, and
+    the score decomposes as the documented badword sum."""
+    from pdf_extraction_ray.pipelines.analytics import (URL_BLOCK_SECTIONS,
+                                                        url_blocklist_filter)
+    out = url_blocklist_filter(SF_SMOKE).to_pandas()
+    assert set(out.reason) == {"pass", "blocked_section", "badword_score"}
+    assert (out.keep == (out.reason == "pass")).all()
+    blocked = out[out.section.isin(URL_BLOCK_SECTIONS)]
+    assert len(blocked) > 0 and (blocked.reason == "blocked_section").all()
+    # blocked_section wins even when the score alone would also reject
+    hot = blocked[blocked.score >= 2]
+    assert len(hot) > 0 and (hot.reason == "blocked_section").all()
+    free = out[~out.section.isin(URL_BLOCK_SECTIONS)]
+    assert (free.reason == np.where(free.score >= 2, "badword_score",
+                                    "pass")).all()
+    # score decomposition: -memo=2, -qp=1, zero-run '00000' (ids<100)=1
+    expect = (2 * free.url.str.contains("-memo")
+              + free.url.str.contains("-qp")
+              + free.url.str.contains("00000"))
+    assert (free.score == expect).all()
+    # both keep outcomes exist among '-qp' urls (the summation case)
+    qp = free[free.url.str.endswith("-qp")]
+    assert set(qp.keep) == {True, False}
