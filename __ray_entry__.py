@@ -527,6 +527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_delta": _tuned(analytics.pages_delta),
         # RefinedWeb-style URL frontier filter (blocklist + badword score)
         "url_blocklist_filter": _tuned(analytics.url_blocklist_filter),
+        # persisted MinHash-LSH index probe: fuzzy cross-snapshot ingest
+        "snapshot_neardup_ingest": _tuned(analytics.snapshot_neardup_ingest),
     }
 
 
@@ -548,6 +550,7 @@ AWAITING_SLOT = (
     "ann_ivf",
     "pages_delta",
     "url_blocklist_filter",
+    "snapshot_neardup_ingest",
 )
 
 
@@ -698,4 +701,5 @@ def oracle_sql() -> dict[str, str]:
         "page_metadata": linkgraph.page_metadata_sql(),
         "pages_delta": analytics.pages_delta_sql(),
         "url_blocklist_filter": analytics.url_blocklist_filter_sql(),
+        "snapshot_neardup_ingest": analytics.snapshot_neardup_ingest_sql(),
     }

@@ -1069,6 +1069,132 @@ SELECT doc_id, sha256(text) AS content_sha256 FROM snap
 WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents)"""
 
 
+def snapshot_neardup_ingest(sf_dir: str) -> rd.Dataset:
+    """Incremental NEAR-dup snapshot ingestion against a persisted
+    MinHash-LSH index — the fuzzy complement of ``snapshot_ingest_dedup``
+    (exact content hash): a re-crawl with small edits hashes differently
+    but must still be recognized as already-ingested. The corpus'
+    signatures + LSH postings persist ONCE
+    (stages/dedup.py:build_minhash_index — atomic publish, freshness
+    stamp); each new snapshot is signed once and probes them through
+    ids-only hash joins, so nothing over the old corpus recomputes
+    (stages/dedup.py:probe_minhash_index documents the shuffle shape).
+
+    Snapshot simulated deterministically from documents (ids +4e6):
+    doc_id % 5 == 0 re-crawled with a 12-char truncation (near-dup —
+    the exact-hash path would MISS it), % 5 == 1 re-crawled
+    byte-identical (agree_k = num_perm), % 5 == 2 brand-new text
+    (novel). Returns one decision row per snapshot doc:
+    (doc_id, status 'dup'|'novel', dup_of, agree_k); admit 'novel'."""
+    from ..sources.corpus import _input_digest
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+    index_dir = os.path.join("/tmp/pdf_extraction_ray/minhash",
+                             f"{os.path.basename(sf_dir)}-{_input_digest(sf_dir)}")
+    dd.ensure_minhash_index(base, index_dir,
+                            stamp_ds=_docs(sf_dir, ["doc_id"]))
+
+    def snapshot(batch: pa.Table) -> pa.Table:
+        out_id, out_t = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            r = did % 5
+            if r == 0:
+                out_id.append(did + 4_000_000)
+                out_t.append((t or "")[:-12])
+            elif r == 1:
+                out_id.append(did + 4_000_000)
+                out_t.append(t or "")
+            elif r == 2:
+                out_id.append(did + 4_000_000)
+                out_t.append(f"snapshot only page {did} fresh crawl content")
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_t, pa.large_string())})
+
+    snap = base.map_batches(snapshot, batch_format="pyarrow")
+    return dd.snapshot_neardup_statuses(snap, index_dir,
+                                        jaccard_threshold=0.5)
+
+
+def snapshot_neardup_ingest_sql(num_perm: int = 64, bands: int = 16,
+                                threshold: float = 0.5) -> str:
+    """Value-exact DuckDB replica of ``snapshot_neardup_ingest``:
+    replays signatures for BOTH sides (the ``dedup_minhash_sql``
+    machinery), snapshot->corpus band-slice candidates, >= threshold
+    signature-agreement verify, then best-match selection (max k, tie
+    -> smallest indexed id) and the novel/dup decision padding."""
+    from ..functions import hashing as H
+
+    pa_, pb_ = H._minhash_params(num_perm)
+    perm_vals = ", ".join(
+        f"({i}, {int(pa_[i])}::HUGEINT, {int(pb_[i])}::HUGEINT)"
+        for i in range(num_perm))
+    r = num_perm // bands
+    slice_cols = ",\n         ".join(
+        f"min(CASE WHEN i % {r} = {j} THEN s END) AS s{j}" for j in range(r))
+    slice_eq = " AND ".join(f"x.s{j} = y.s{j}" for j in range(r))
+    toks = "regexp_extract_all(lower(text), '[\\pL\\pN_]+')"
+    return f"""
+WITH snap AS (
+  SELECT doc_id + 4000000 AS doc_id,
+         substr(text, 1, length(text) - 12) AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id + 4000000,
+         'snapshot only page ' || doc_id || ' fresh crawl content'
+  FROM documents WHERE doc_id % 5 = 2
+), all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM snap
+), shl AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len({toks}) < 3
+      THEN [array_to_string({toks}, ' ')]
+      ELSE list_transform(range(1, len({toks}) - 1),
+             i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])
+    END)) AS shingle
+  FROM all_docs
+), xs AS (
+  SELECT doc_id, {_sql_hash64()}::HUGEINT AS x
+  FROM (SELECT doc_id, sha256(shingle) AS h FROM shl)
+), perm(i, pa, pb) AS (VALUES {perm_vals}),
+sig AS (
+  SELECT doc_id, i,
+         min((((pa * x) % 18446744073709551616 + pb) % 18446744073709551616)
+             % 2305843009213693951) AS s
+  FROM xs CROSS JOIN perm GROUP BY doc_id, i
+), bandsig AS (
+  SELECT doc_id, i // {r} AS band,
+         {slice_cols}
+  FROM sig GROUP BY doc_id, i // {r}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS nid, y.doc_id AS oid
+  FROM bandsig x JOIN bandsig y ON x.band = y.band AND {slice_eq}
+  WHERE x.doc_id >= 4000000 AND y.doc_id < 4000000
+), agree AS (
+  SELECT c.nid, c.oid, count(*) FILTER (WHERE sn.s = so.s) AS k
+  FROM cand c
+  JOIN sig sn ON sn.doc_id = c.nid
+  JOIN sig so ON so.doc_id = c.oid AND so.i = sn.i
+  GROUP BY c.nid, c.oid
+), ok AS (
+  SELECT * FROM agree WHERE k / {float(num_perm)} >= {threshold}
+), best AS (
+  SELECT nid, max(k) AS k_max FROM ok GROUP BY nid
+), pick AS (
+  SELECT o.nid, min(o.oid) AS dup_of, b.k_max
+  FROM ok o JOIN best b ON o.nid = b.nid AND o.k = b.k_max
+  GROUP BY o.nid, b.k_max
+)
+SELECT s.doc_id,
+       CASE WHEN p.dup_of IS NULL THEN 'novel' ELSE 'dup' END AS status,
+       CAST(coalesce(p.dup_of, -1) AS BIGINT) AS dup_of,
+       CAST(coalesce(p.k_max, 0) AS BIGINT) AS agree_k
+FROM snap s LEFT JOIN pick p ON s.doc_id = p.nid"""
+
+
 # text-invariant ROW kinds: a page row's content identity is payload
 # bytes PLUS the pre-extracted fallback text column (the salvage route
 # consumes it, so extraction output depends on both — the refresh test

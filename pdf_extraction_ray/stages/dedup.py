@@ -536,6 +536,260 @@ def minhash_cluster(ds: rd.Dataset, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# Persisted MinHash-LSH index + incremental near-dup snapshot ingest
+# ---------------------------------------------------------------------------
+# The cross-snapshot FUZZY dedup story (FineWeb/CCNet ingest loops):
+# ``snapshot_ingest_dedup`` admits only content-hash-novel pages; this
+# family admits only pages with no verified NEAR-duplicate in the
+# already-ingested corpus, without recomputing anything over the old
+# corpus — its signatures and LSH postings persist once and every new
+# snapshot probes them with two ids-only hash joins.
+
+
+def _minhash_sig_fn(id_col: str, text_col: str, shingle_k: int,
+                    num_perm: int):
+    """(id, sig bytes) batch fn — the ONE expensive pass (tokenize +
+    sha256); shared by index build and probe so both sides hash
+    identically."""
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        out_i, out_s = [], []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            out_i.append(i)
+            out_s.append(hashing.minhash_signature(
+                hashing.shingles(t or "", shingle_k), num_perm).tobytes())
+        return pa.table({id_col: pa.array(out_i, pa.int64()),
+                         "sig": pa.array(out_s, pa.large_binary())})
+    return sig_batch
+
+
+def _band_key_rows_fn(id_col: str, bands: int, out_id: str,
+                      with_part: bool = False):
+    """sig rows → (bkey, id[, p]) LSH posting rows. The band INDEX is
+    mixed into the key (sha256 over band||slice), so one uint64 equality
+    ⟺ (band, slice) equality and the candidate join needs no composite
+    key."""
+    def band_rows(batch: pa.Table) -> pa.Table:
+        out_k, out_i = [], []
+        for i, s in zip(batch[id_col].to_pylist(),
+                        batch["sig"].to_pylist()):
+            sig = np.frombuffer(s, dtype=np.uint64)
+            r = len(sig) // bands
+            for b in range(bands):
+                out_k.append(hashing.stable_hash64(
+                    b.to_bytes(4, "little")
+                    + sig[b * r:(b + 1) * r].tobytes()))
+                out_i.append(i)
+        cols = {"bkey": pa.array(out_k, pa.uint64()),
+                out_id: pa.array(out_i, pa.int64())}
+        if with_part:
+            cols["p"] = pa.array([k & 31 for k in out_k], pa.int64())
+        return pa.table(cols)
+    return band_rows
+
+
+def build_minhash_index(ds: rd.Dataset, index_dir: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_perm: int = 64, bands: int = 16,
+                        shingle_k: int = 3) -> dict:
+    """Persist the corpus' MinHash-LSH state: ``sigs/`` (id, signature —
+    the verification side) and ``bands/p=K/`` (bkey, id — the LSH
+    postings, hash-partitioned for parallel IO). Atomic publish
+    (write-tmp-then-rename, the textindex pattern); ``_meta.json``
+    records the signature-family parameters plus an id fingerprint so
+    ``ensure_minhash_index`` can detect staleness."""
+    import json
+    import os
+    import shutil
+
+    from .similarity import _ids_fingerprint
+
+    n_docs, id_fp = _ids_fingerprint(ds, id_col)
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    sigs = (ds.select_columns([id_col, text_col])
+              .map_batches(_minhash_sig_fn(id_col, text_col, shingle_k,
+                                           num_perm),
+                           batch_format="pyarrow")
+              .materialize())
+    sigs.write_parquet(os.path.join(tmp, "sigs"))
+    (sigs.map_batches(_band_key_rows_fn(id_col, bands, id_col,
+                                        with_part=True),
+                      batch_format="pyarrow")
+         .write_parquet(os.path.join(tmp, "bands"), partition_cols=["p"]))
+    meta = {"n_docs": n_docs, "id_fp": id_fp, "num_perm": num_perm,
+            "bands": bands, "shingle_k": shingle_k, "id_col": id_col}
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return meta
+
+
+def ensure_minhash_index(ds: rd.Dataset, index_dir: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_perm: int = 64, bands: int = 16,
+                         shingle_k: int = 3,
+                         stamp_ds: rd.Dataset | None = None) -> dict:
+    """Build unless a fresh index exists (stamp: row count + XOR-of-ids
+    + the signature-family parameters)."""
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta.get("num_perm"), meta.get("bands"),
+                meta.get("shingle_k")) == (num_perm, bands, shingle_k):
+            from .similarity import _ids_fingerprint
+            n, fp = _ids_fingerprint(stamp_ds if stamp_ds is not None
+                                     else ds, id_col)
+            if meta.get("n_docs") == n and meta.get("id_fp") == fp:
+                return meta
+    return build_minhash_index(ds, index_dir, text_col, id_col, num_perm,
+                               bands, shingle_k)
+
+
+def probe_minhash_index(new_ds: rd.Dataset, index_dir: str,
+                        jaccard_threshold: float = 0.5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> rd.Dataset:
+    """Best verified near-match in the persisted index per new doc:
+    (id_col, dup_of, agree_k) — max signature agreement, tie → smallest
+    indexed id; new docs with no verified match are absent.
+
+    Scale shape: the new snapshot is signed ONCE; candidates come from
+    one ids-only hash join of new band keys against the persisted
+    postings; verification attaches both signature sides with two more
+    hash joins (the minhash_cluster pattern — no driver state, texts
+    never shuffle). Best-match selection is two pair-bounded groupbys
+    (max k, then min id at max), no bit-packed key-width assumption."""
+    import json
+    import os
+
+    from ray.data.aggregate import Max
+
+    from .joins import hash_join
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    num_perm, bands = meta["num_perm"], meta["bands"]
+    shingle_k = meta["shingle_k"]
+
+    new_sigs = (new_ds.select_columns([id_col, text_col])
+                .map_batches(_minhash_sig_fn(id_col, text_col, shingle_k,
+                                             num_perm),
+                             batch_format="pyarrow")
+                .repartition(32).materialize())
+    new_bands = new_sigs.map_batches(
+        _band_key_rows_fn(id_col, bands, "nid"), batch_format="pyarrow")
+    old_postings = (rd.read_parquet(os.path.join(index_dir, "bands"),
+                                    columns=["bkey", id_col])
+                    .map_batches(lambda t: pa.table({
+                        "bkey": t["bkey"], "oid": t[id_col]}),
+                        batch_format="pyarrow"))
+    cand = (hash_join(new_bands, old_postings, "bkey", "bkey",
+                      ["nid"], ["oid"])
+            .groupby(["nid", "oid"]).count()
+            .map_batches(lambda t: t.select(["nid", "oid"]),
+                         batch_format="pyarrow")
+            .repartition(16).materialize())
+
+    empty = pa.table({"nid": pa.array([], pa.int64()),
+                      "dup_of": pa.array([], pa.int64()),
+                      "agree_k": pa.array([], pa.int64())})
+    if cand.count() == 0:
+        return rd.from_arrow(empty)
+
+    def rename_sig(key, name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({key: t[id_col], name: t["sig"]})
+        return fn
+
+    old_sigs = rd.read_parquet(os.path.join(index_dir, "sigs"))
+    # pin each join's output before it feeds the next hash_join —
+    # hash_join probes schema() on its inputs and re-executes an
+    # un-pinned lineage (stages/joins.py NOTE); these tables are
+    # pair-bounded, so the materialize is small by construction
+    with_n = hash_join(cand,
+                       new_sigs.map_batches(rename_sig("nid", "sig_n"),
+                                            batch_format="pyarrow"),
+                       "nid", "nid", ["oid"], ["sig_n"]).materialize()
+    with_no = hash_join(with_n,
+                        old_sigs.map_batches(rename_sig("oid", "sig_o"),
+                                             batch_format="pyarrow"),
+                        "oid", "oid", ["nid", "sig_n"], ["sig_o"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n_o, o_o, k_o = [], [], []
+        for n, o, sn, so in zip(batch["nid"].to_pylist(),
+                                batch["oid"].to_pylist(),
+                                batch["sig_n"].to_pylist(),
+                                batch["sig_o"].to_pylist()):
+            if sn is None or so is None:
+                continue
+            k = int((np.frombuffer(sn, np.uint64)
+                     == np.frombuffer(so, np.uint64)).sum())
+            if k / num_perm >= jaccard_threshold:
+                n_o.append(n)
+                o_o.append(o)
+                k_o.append(k)
+        return pa.table({"nid": pa.array(n_o, pa.int64()),
+                         "oid": pa.array(o_o, pa.int64()),
+                         "agree_k": pa.array(k_o, pa.int64())})
+
+    pairs = with_no.map_batches(verify, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+    best_k = pairs.groupby("nid").aggregate(Max("agree_k",
+                                                alias_name="k_max"))
+    at_max = hash_join(pairs, best_k, "nid", "nid", ["oid", "agree_k"],
+                       ["k_max"])
+
+    def keep_max(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["agree_k"], t["k_max"])
+        f = t.filter(m)
+        return pa.table({"nid": f["nid"], "oid": f["oid"],
+                         "agree_k": f["agree_k"]})
+
+    return (at_max.map_batches(keep_max, batch_format="pyarrow")
+            .groupby("nid")
+            .aggregate(Min("oid", alias_name="dup_of"),
+                       Max("agree_k", alias_name="agree_k"))
+            .materialize())  # one row per matched new doc — tiny
+
+
+def snapshot_neardup_statuses(new_ds: rd.Dataset, index_dir: str,
+                              jaccard_threshold: float = 0.5,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> rd.Dataset:
+    """Every new-snapshot doc tagged (status 'dup'|'novel', dup_of,
+    agree_k) — the ingest decision table; admit rows with status
+    'novel'. dup_of = -1 / agree_k = 0 for novel rows (no nullable
+    columns, so downstream writers keep one schema)."""
+    from .joins import hash_join
+
+    matched = probe_minhash_index(new_ds, index_dir, jaccard_threshold,
+                                  text_col, id_col)
+    new_ids = new_ds.select_columns([id_col])
+    joined = hash_join(new_ids, matched, id_col, "nid", [],
+                       ["dup_of", "agree_k"], how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        dup = pc.fill_null(t["dup_of"], -1)
+        return pa.table({
+            id_col: t[id_col],
+            "status": pc.if_else(pc.equal(dup, -1), pa.scalar("novel"),
+                                 pa.scalar("dup")),
+            "dup_of": dup.cast(pa.int64()),
+            "agree_k": pc.fill_null(t["agree_k"], 0).cast(pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter semi/anti join (scale path when the key set outgrows an
 # exact broadcast set)
 # ---------------------------------------------------------------------------

@@ -570,6 +570,116 @@ def test_snapshot_ingest_dedup_drops_only_recrawls(ray_session):
     assert set(out.doc_id) == expect
 
 
+def test_snapshot_neardup_ingest_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        snapshot_neardup_ingest, snapshot_neardup_ingest_sql)
+    assert compare("snapshot_neardup_ingest",
+                   snapshot_neardup_ingest(SF_SMOKE),
+                   snapshot_neardup_ingest_sql(), SF_SMOKE) == []
+
+
+def test_snapshot_neardup_ingest_planted_decisions(ray_session):
+    """Exact re-crawls (% 5 == 1) match their original with full
+    signature agreement; truncated re-crawls (% 5 == 0) — which the
+    exact-hash path would ADMIT as novel — are caught as near-dups with
+    high recall; brand-new docs (% 5 == 2) are all novel."""
+    from pdf_extraction_ray.pipelines.analytics import snapshot_neardup_ingest
+    out = snapshot_neardup_ingest(SF_SMOKE).to_pandas()
+    out["orig"] = out.doc_id - 4_000_000
+
+    exact = out[out.orig % 5 == 1]
+    assert (exact.status == "dup").all()
+    assert (exact.agree_k == 64).all()
+    # tie-break = smallest indexed id at max agreement: the corpus
+    # plants exact-duplicate texts, so dup_of can be an EARLIER
+    # identical doc rather than the original — never a later one
+    assert (exact.dup_of <= exact.orig).all()
+    assert (exact.dup_of == exact.orig).mean() >= 0.8
+
+    near = out[out.orig % 5 == 0]
+    hit = near[near.status == "dup"]
+    assert len(hit) >= 0.9 * len(near)
+    assert (hit.dup_of == hit.orig).mean() >= 0.9
+
+    novel = out[out.orig % 5 == 2]
+    assert (novel.status == "novel").all()
+    assert (novel.dup_of == -1).all()
+    assert (novel.agree_k == 0).all()
+
+
+def test_minhash_index_freshness_and_rebuild(ray_session, tmp_path):
+    """ensure_minhash_index is a no-op on a fresh index (same ids, same
+    signature family) and rebuilds when the corpus or the family
+    changes; a probe against the persisted index finds exact and near
+    dups and ignores novel text."""
+    import os
+
+    import ray.data as rd
+    from pdf_extraction_ray.stages import dedup as dd
+
+    docs = [{"doc_id": i,
+             "text": " ".join(f"w{i}t{j}" for j in range(40))}
+            for i in range(30)]
+    ds = rd.from_items(docs)
+    idx = str(tmp_path / "mh")
+    meta1 = dd.ensure_minhash_index(ds, idx)
+    stamp = os.stat(os.path.join(idx, "_meta.json")).st_mtime_ns
+    meta2 = dd.ensure_minhash_index(ds, idx)
+    assert meta1 == meta2
+    assert os.stat(os.path.join(idx, "_meta.json")).st_mtime_ns == stamp
+
+    # different signature family -> rebuild
+    dd.ensure_minhash_index(ds, idx, num_perm=32, bands=8)
+    assert os.stat(os.path.join(idx, "_meta.json")).st_mtime_ns != stamp
+
+    # different corpus (one extra id) -> rebuild back to the default family
+    ds2 = rd.from_items(docs + [{"doc_id": 99, "text": "zz yy xx " * 20}])
+    meta3 = dd.ensure_minhash_index(ds2, idx)
+    assert meta3["n_docs"] == 31 and meta3["num_perm"] == 64
+
+    probe = rd.from_items([
+        {"doc_id": 1000, "text": docs[3]["text"]},                # exact
+        {"doc_id": 1001,
+         "text": " ".join(f"w7t{j}" for j in range(38))},         # near of 7
+        {"doc_id": 1002, "text": "totally different page body"},  # novel
+    ])
+    st = (dd.snapshot_neardup_statuses(probe, idx)
+          .to_pandas().set_index("doc_id"))
+    assert st.loc[1000, "status"] == "dup"
+    assert st.loc[1000, "dup_of"] == 3
+    assert st.loc[1000, "agree_k"] == 64
+    assert st.loc[1001, "status"] == "dup"
+    assert st.loc[1001, "dup_of"] == 7
+    assert st.loc[1002, "status"] == "novel"
+
+
+def test_minhash_probe_no_driver_broadcast(ray_session, monkeypatch):
+    """The probe attaches both signature sides via distributed hash
+    joins — the driver never ray.put()s a signature map or shingle
+    payload."""
+    import ray
+    import ray.data as rd
+    from pdf_extraction_ray.stages import dedup as dd
+
+    puts: list = []
+    real_put = ray.put
+    monkeypatch.setattr(ray, "put",
+                        lambda obj, **kw: (puts.append(obj),
+                                           real_put(obj, **kw))[1])
+    docs = [{"doc_id": i, "text": " ".join(f"q{i}x{j}" for j in range(30))}
+            for i in range(20)]
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        idx = td + "/mh"
+        dd.build_minhash_index(rd.from_items(docs), idx)
+        probe = rd.from_items([{"doc_id": 500, "text": docs[5]["text"]}])
+        out = dd.snapshot_neardup_statuses(probe, idx).to_pandas()
+    assert out.status.tolist() == ["dup"]
+    assert not any(isinstance(p, (dict, set, frozenset)) for p in puts)
+
+
 def test_curate_pipeline_matches_duckdb(ray_session):
     from tests.oracle_check import compare
 
