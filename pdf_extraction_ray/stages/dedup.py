@@ -651,6 +651,178 @@ def ensure_minhash_index(ds: rd.Dataset, index_dir: str,
                                bands, shingle_k)
 
 
+def _ids_stats(ds: rd.Dataset, id_col: str) -> tuple[int, int, int]:
+    """(count, XOR of ids, wrapping uint64 SUM of ids) in one pass —
+    the append-batch fingerprint inputs. XOR alone collides on aligned
+    sequential-id batches (the textindex.append_to_index lesson); the
+    order-insensitive sum distinguishes them."""
+    n, fp, s = 0, 0, 0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.uint64)
+        x = np.bitwise_xor.reduce(ids) if len(ids) else np.uint64(0)
+        return pa.table({"n": pa.array([len(ids)], pa.int64()),
+                         "fp": pa.array([int(x)], pa.uint64()),
+                         "s": pa.array([int(ids.sum(dtype=np.uint64))],
+                                       pa.uint64())})
+
+    for b in (ds.select_columns([id_col])
+                .map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")):
+        for i in range(b.num_rows):
+            n += b["n"][i].as_py()
+            fp ^= b["fp"][i].as_py()
+            s = (s + b["s"][i].as_py()) & 0xFFFFFFFFFFFFFFFF
+    return n, fp, s
+
+
+def append_to_minhash_index(ds_new: rd.Dataset, index_dir: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> dict:
+    """Incremental ingest into the persisted MinHash-LSH index — the
+    admit half of the snapshot loop (probe -> keep 'novel' -> append),
+    so the NEXT snapshot probes an index that already contains this
+    one. Work scales with the batch: its signatures land as one delta
+    file per id-partition under ``sigs/`` and its postings as one delta
+    per touched ``bands/p=K/`` directory (atomic renames, never a
+    rewrite of existing files); corpus stats fold into ``_meta.json``
+    LAST.
+
+    At-least-once-safe exactly like textindex.append_to_index:
+    ``applied`` batch fingerprints make a duplicate submission after
+    the meta publish a no-op, and a RETRY on the same pre-state reuses
+    the (pre-state fp, batch stats) delta tag, overwriting its own
+    partial files idempotently. Returns the updated meta."""
+    import hashlib as _hl
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    num_perm, bands = meta["num_perm"], meta["bands"]
+    shingle_k = meta["shingle_k"]
+
+    ds_new = ds_new.materialize()   # stats + sig passes share it
+    n_new, fp_new, sum_new = _ids_stats(ds_new, id_col)
+    if n_new == 0:
+        return meta
+    batch_fp = _hl.sha256(
+        f"mh:{n_new}:{fp_new}:{sum_new}".encode()).hexdigest()[:16]
+    if batch_fp in meta.get("applied", []):
+        return meta  # at-least-once duplicate: already folded, no-op
+    delta_tag = _hl.sha256(
+        f"{meta['id_fp']}:{n_new}:{fp_new}:{sum_new}".encode()
+    ).hexdigest()[:16]
+
+    def write_delta(path_of):
+        def fn(group: pa.Table) -> pa.Table:
+            part = int(group["p"][0].as_py())
+            out = os.path.join(index_dir, path_of(part))
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            tmp = out + ".tmp"
+            pq.write_table(group.drop_columns(["p"]), tmp)
+            os.replace(tmp, out)
+            return pa.table({"p": pa.array([part], pa.int64()),
+                             "n": pa.array([group.num_rows], pa.int64())})
+        return fn
+
+    sigs = (ds_new.select_columns([id_col, text_col])
+            .map_batches(_minhash_sig_fn(id_col, text_col, shingle_k,
+                                         num_perm),
+                         batch_format="pyarrow")
+            .materialize())
+
+    def sig_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "p", pc.bit_wise_and(batch[id_col], 31).cast(pa.int64()))
+
+    (sigs.map_batches(sig_part, batch_format="pyarrow")
+         .groupby("p")
+         .map_groups(write_delta(
+             lambda part: f"sigs/delta-{delta_tag}-p{part}.parquet"),
+             batch_format="pyarrow")
+         .materialize())
+    (sigs.map_batches(_band_key_rows_fn(id_col, bands, id_col,
+                                        with_part=True),
+                      batch_format="pyarrow")
+         .groupby("p")
+         .map_groups(write_delta(
+             lambda part: f"bands/p={part}/delta-{delta_tag}.parquet"),
+             batch_format="pyarrow")
+         .materialize())
+
+    meta = {**meta,
+            "n_docs": meta["n_docs"] + n_new,
+            "id_fp": meta["id_fp"] ^ fp_new,
+            "applied": (meta.get("applied", []) + [batch_fp])[-64:]}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def compact_minhash_index(index_dir: str, id_col: str = "doc_id") -> dict:
+    """Merge each ``bands/p=K/`` (and ``sigs/``) directory's delta
+    files into one base file — the maintenance step after many
+    ``append_to_minhash_index`` batches (the textindex.compact_index
+    shape: one task per multi-file directory via the Dataset
+    scheduler).
+
+    Crash model (documented): a kill between publishing the merged
+    file and deleting the olds leaves both visible; the merge dedups
+    on the natural key — (bkey, id) for postings, (id) for signatures,
+    duplicates being byte-identical by construction — so a re-run
+    converges. Returns {"dirs_compacted", "files_removed"}."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    work = []
+    for pdir in ([os.path.join(index_dir, "sigs")]
+                 + sorted(glob.glob(os.path.join(index_dir, "bands",
+                                                 "p=*")))):
+        files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+        if len(files) > 1:
+            work.append({"pdir": pdir, "files": files})
+    if not work:
+        return {"dirs_compacted": 0, "files_removed": 0}
+
+    def merge_one(batch: pa.Table) -> pa.Table:
+        n_removed = []
+        for pdir, files in zip(batch["pdir"].to_pylist(),
+                               batch["files"].to_pylist()):
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            key = [id_col] if os.path.basename(pdir) == "sigs" \
+                else ["bkey", id_col]
+            df = t.to_pandas().drop_duplicates(key)
+            t = pa.Table.from_pandas(df, preserve_index=False,
+                                     schema=t.schema)
+            out = os.path.join(pdir, "base-merged.parquet")
+            tmp = out + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, out)
+            removed = 0
+            for f in files:
+                if f != out:
+                    os.remove(f)
+                    removed += 1
+            n_removed.append(removed)
+        return pa.table({"n": pa.array(n_removed, pa.int64())})
+
+    removed = 0
+    for b in (rd.from_items(work)
+                .map_batches(merge_one, batch_format="pyarrow",
+                             batch_size=1)
+                .iter_batches(batch_format="pyarrow")):
+        removed += sum(b["n"].to_pylist())
+    return {"dirs_compacted": len(work), "files_removed": removed}
+
+
 def probe_minhash_index(new_ds: rd.Dataset, index_dir: str,
                         jaccard_threshold: float = 0.5,
                         text_col: str = "text",

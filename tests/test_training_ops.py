@@ -655,6 +655,90 @@ def test_minhash_index_freshness_and_rebuild(ray_session, tmp_path):
     assert st.loc[1002, "status"] == "novel"
 
 
+def test_minhash_index_append_and_reprobe(ray_session, tmp_path):
+    """The admit half of the snapshot loop: append novel docs into the
+    persisted index (delta files, no rebuild) and the next probe finds
+    them; duplicate submissions no-op; a same-pre-state retry reuses
+    the delta tag (idempotent overwrite); incremental == rebuilt."""
+    import glob
+    import json
+    import os
+    from functools import reduce
+
+    import pandas as pd
+    import ray.data as rd
+    from pdf_extraction_ray.stages import dedup as dd
+
+    docs = [{"doc_id": i, "text": " ".join(f"a{i}b{j}" for j in range(30))}
+            for i in range(20)]
+    novel = [{"doc_id": 100 + i,
+              "text": " ".join(f"n{i}m{j}" for j in range(30))}
+             for i in range(5)]
+    idx = str(tmp_path / "mh")
+    dd.build_minhash_index(rd.from_items(docs), idx)
+
+    st = dd.snapshot_neardup_statuses(rd.from_items(novel), idx).to_pandas()
+    assert (st.status == "novel").all()
+
+    meta1 = dd.append_to_minhash_index(rd.from_items(novel), idx)
+    assert meta1["n_docs"] == 25
+    st2 = (dd.snapshot_neardup_statuses(rd.from_items(novel), idx)
+           .to_pandas().set_index("doc_id"))
+    assert (st2.status == "dup").all()
+    assert (st2.agree_k == 64).all()
+    assert (st2.dup_of == st2.index).all()
+
+    # the appended index is FRESH for the grown corpus: ensure no-ops
+    assert dd.ensure_minhash_index(rd.from_items(docs + novel),
+                                   idx) == meta1
+
+    # duplicate submission after the meta publish no-ops entirely
+    files = sorted(glob.glob(idx + "/**/*.parquet", recursive=True))
+    assert dd.append_to_minhash_index(rd.from_items(novel), idx) == meta1
+    assert sorted(glob.glob(idx + "/**/*.parquet", recursive=True)) == files
+
+    # a RETRY on the same pre-state reuses the delta tag — files
+    # overwrite in place, never duplicate (simulate a crash before the
+    # meta publish by restoring the pre-append meta)
+    mp = os.path.join(idx, "_meta.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m["applied"] = []
+    m["n_docs"] -= len(novel)
+    m["id_fp"] ^= reduce(lambda a, b: a ^ b, (d["doc_id"] for d in novel))
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    meta3 = dd.append_to_minhash_index(rd.from_items(novel), idx)
+    assert meta3["n_docs"] == 25
+    assert sorted(glob.glob(idx + "/**/*.parquet", recursive=True)) == files
+
+    # incremental index == fresh rebuild over the grown corpus
+    idx2 = str(tmp_path / "mh2")
+    dd.build_minhash_index(rd.from_items(docs + novel), idx2)
+    mixed = rd.from_items([
+        {"doc_id": 900, "text": docs[3]["text"]},
+        {"doc_id": 901, "text": novel[2]["text"]},
+        {"doc_id": 902, "text": "completely other thing"}])
+    a = (dd.snapshot_neardup_statuses(mixed, idx).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (dd.snapshot_neardup_statuses(mixed, idx2).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a.status.tolist() == ["dup", "dup", "novel"]
+
+    # compaction merges base + deltas per directory, probe unchanged;
+    # a second compact is a no-op
+    stats = dd.compact_minhash_index(idx)
+    assert stats["dirs_compacted"] > 0 and stats["files_removed"] > 0
+    for d in glob.glob(idx + "/bands/p=*") + [idx + "/sigs"]:
+        assert len(glob.glob(d + "/*.parquet")) == 1
+    c = (dd.snapshot_neardup_statuses(mixed, idx).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, c)
+    assert dd.compact_minhash_index(idx) == {"dirs_compacted": 0,
+                                             "files_removed": 0}
+
+
 def test_minhash_probe_no_driver_broadcast(ray_session, monkeypatch):
     """The probe attaches both signature sides via distributed hash
     joins — the driver never ray.put()s a signature map or shingle
