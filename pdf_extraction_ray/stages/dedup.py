@@ -617,7 +617,12 @@ def build_minhash_index(ds: rd.Dataset, index_dir: str,
                                         with_part=True),
                       batch_format="pyarrow")
          .write_parquet(os.path.join(tmp, "bands"), partition_cols=["p"]))
-    meta = {"n_docs": n_docs, "id_fp": id_fp, "num_perm": num_perm,
+    # base_n/base_fp stamp the BUILD corpus and never change; append
+    # folds batches into n_docs/id_fp only — ensure_minhash_index
+    # accepts a caller corpus matching EITHER (an appended index is a
+    # superset of its base, not stale)
+    meta = {"n_docs": n_docs, "id_fp": id_fp,
+            "base_n": n_docs, "base_fp": id_fp, "num_perm": num_perm,
             "bands": bands, "shingle_k": shingle_k, "id_col": id_col}
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump(meta, f)
@@ -632,7 +637,10 @@ def ensure_minhash_index(ds: rd.Dataset, index_dir: str,
                          shingle_k: int = 3,
                          stamp_ds: rd.Dataset | None = None) -> dict:
     """Build unless a fresh index exists (stamp: row count + XOR-of-ids
-    + the signature-family parameters)."""
+    + the signature-family parameters). The caller's corpus may match
+    either the index's BASE build stamp or its post-append folded
+    stats — an index that has absorbed snapshot batches is a superset
+    of its base corpus, not a stale one."""
     import json
     import os
 
@@ -645,7 +653,9 @@ def ensure_minhash_index(ds: rd.Dataset, index_dir: str,
             from .similarity import _ids_fingerprint
             n, fp = _ids_fingerprint(stamp_ds if stamp_ds is not None
                                      else ds, id_col)
-            if meta.get("n_docs") == n and meta.get("id_fp") == fp:
+            if ((meta.get("n_docs") == n and meta.get("id_fp") == fp)
+                    or (meta.get("base_n") == n
+                        and meta.get("base_fp") == fp)):
                 return meta
     return build_minhash_index(ds, index_dir, text_col, id_col, num_perm,
                                bands, shingle_k)

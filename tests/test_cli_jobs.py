@@ -69,3 +69,47 @@ def test_run_extraction_cli_refresh_mode(ray_session, pages_corpus,
     # output rows = the new snapshot's distinct urls
     n_b_urls = snapshot_b_pages(SF_SMOKE).to_pandas()["url"].nunique()
     assert rd.read_parquet(out).count() == n_b_urls
+
+
+def test_run_snapshot_ingest_cli(ray_session, tmp_path):
+    """Near-dup ingest CLI: exact + truncated re-crawls are rejected,
+    novel docs are admitted; --append makes a re-run of the SAME
+    snapshot reject everything (the index now contains it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(os.path.join(SF_SMOKE, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pylist()
+    snap_rows = []
+    for d in docs[:60]:
+        i, t = d["doc_id"], d["text"]
+        if i % 3 == 0:
+            snap_rows.append({"doc_id": i + 500_000, "text": t})        # exact
+        elif i % 3 == 1:
+            snap_rows.append({"doc_id": i + 500_000, "text": t[:-12]})  # near
+        else:
+            snap_rows.append({"doc_id": i + 500_000,
+                              "text": f"fresh snapshot page {i} body"})  # novel
+    snap = str(tmp_path / "snap.parquet")
+    pq.write_table(pa.Table.from_pylist(snap_rows), snap)
+    idx = str(tmp_path / "mh")
+    out = str(tmp_path / "ingest")
+
+    summary = _run(["jobs/run_snapshot_ingest.py", "--corpus", SF_SMOKE,
+                    "--snapshot", snap, "--index-dir", idx,
+                    "--output", out, "--append"])
+    n_novel = sum(1 for r in snap_rows if "fresh snapshot" in r["text"])
+    assert summary["n_snapshot"] == len(snap_rows)
+    assert summary["n_admitted"] == n_novel
+    assert summary["n_rejected"] == len(snap_rows) - n_novel
+    assert summary["index_n_docs"] == len(docs) + n_novel
+    assert os.listdir(os.path.join(out, "admitted"))
+    assert os.listdir(os.path.join(out, "decisions"))
+
+    # the same snapshot again: everything now near-dups the index
+    out2 = str(tmp_path / "ingest2")
+    summary2 = _run(["jobs/run_snapshot_ingest.py", "--corpus", SF_SMOKE,
+                     "--snapshot", snap, "--index-dir", idx,
+                     "--output", out2])
+    assert summary2["n_admitted"] == 0
+    assert summary2["n_rejected"] == len(snap_rows)

@@ -688,9 +688,12 @@ def test_minhash_index_append_and_reprobe(ray_session, tmp_path):
     assert (st2.agree_k == 64).all()
     assert (st2.dup_of == st2.index).all()
 
-    # the appended index is FRESH for the grown corpus: ensure no-ops
+    # the appended index is FRESH for the grown corpus AND for its
+    # base corpus (the ingest-loop caller keeps passing the base):
+    # ensure no-ops on both
     assert dd.ensure_minhash_index(rd.from_items(docs + novel),
                                    idx) == meta1
+    assert dd.ensure_minhash_index(rd.from_items(docs), idx) == meta1
 
     # duplicate submission after the meta publish no-ops entirely
     files = sorted(glob.glob(idx + "/**/*.parquet", recursive=True))
