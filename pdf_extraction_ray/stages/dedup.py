@@ -564,11 +564,13 @@ def _minhash_sig_fn(id_col: str, text_col: str, shingle_k: int,
 
 
 def _band_key_rows_fn(id_col: str, bands: int, out_id: str,
-                      with_part: bool = False):
+                      num_parts: int | None = None):
     """sig rows → (bkey, id[, p]) LSH posting rows. The band INDEX is
     mixed into the key (sha256 over band||slice), so one uint64 equality
     ⟺ (band, slice) equality and the candidate join needs no composite
-    key."""
+    key. ``num_parts`` adds the storage-partition column p = bkey %
+    num_parts — size it so one partition is a sane parallel-read unit
+    at the corpus' scale (postings are n_docs × bands ids-only rows)."""
     def band_rows(batch: pa.Table) -> pa.Table:
         out_k, out_i = [], []
         for i, s in zip(batch[id_col].to_pylist(),
@@ -582,8 +584,9 @@ def _band_key_rows_fn(id_col: str, bands: int, out_id: str,
                 out_i.append(i)
         cols = {"bkey": pa.array(out_k, pa.uint64()),
                 out_id: pa.array(out_i, pa.int64())}
-        if with_part:
-            cols["p"] = pa.array([k & 31 for k in out_k], pa.int64())
+        if num_parts is not None:
+            cols["p"] = pa.array([k % num_parts for k in out_k],
+                                 pa.int64())
         return pa.table(cols)
     return band_rows
 
@@ -591,7 +594,7 @@ def _band_key_rows_fn(id_col: str, bands: int, out_id: str,
 def build_minhash_index(ds: rd.Dataset, index_dir: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 64, bands: int = 16,
-                        shingle_k: int = 3) -> dict:
+                        shingle_k: int = 3, num_parts: int = 32) -> dict:
     """Persist the corpus' MinHash-LSH state: ``sigs/`` (id, signature —
     the verification side) and ``bands/p=K/`` (bkey, id — the LSH
     postings, hash-partitioned for parallel IO). Atomic publish
@@ -614,7 +617,7 @@ def build_minhash_index(ds: rd.Dataset, index_dir: str,
               .materialize())
     sigs.write_parquet(os.path.join(tmp, "sigs"))
     (sigs.map_batches(_band_key_rows_fn(id_col, bands, id_col,
-                                        with_part=True),
+                                        num_parts=num_parts),
                       batch_format="pyarrow")
          .write_parquet(os.path.join(tmp, "bands"), partition_cols=["p"]))
     # base_n/base_fp stamp the BUILD corpus and never change; append
@@ -623,7 +626,8 @@ def build_minhash_index(ds: rd.Dataset, index_dir: str,
     # superset of its base, not stale)
     meta = {"n_docs": n_docs, "id_fp": id_fp,
             "base_n": n_docs, "base_fp": id_fp, "num_perm": num_perm,
-            "bands": bands, "shingle_k": shingle_k, "id_col": id_col}
+            "bands": bands, "shingle_k": shingle_k, "id_col": id_col,
+            "num_parts": num_parts}
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump(meta, f)
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -634,7 +638,7 @@ def build_minhash_index(ds: rd.Dataset, index_dir: str,
 def ensure_minhash_index(ds: rd.Dataset, index_dir: str,
                          text_col: str = "text", id_col: str = "doc_id",
                          num_perm: int = 64, bands: int = 16,
-                         shingle_k: int = 3,
+                         shingle_k: int = 3, num_parts: int = 32,
                          stamp_ds: rd.Dataset | None = None) -> dict:
     """Build unless a fresh index exists (stamp: row count + XOR-of-ids
     + the signature-family parameters). The caller's corpus may match
@@ -648,8 +652,9 @@ def ensure_minhash_index(ds: rd.Dataset, index_dir: str,
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        if (meta.get("num_perm"), meta.get("bands"),
-                meta.get("shingle_k")) == (num_perm, bands, shingle_k):
+        if (meta.get("num_perm"), meta.get("bands"), meta.get("shingle_k"),
+                meta.get("num_parts")) == (num_perm, bands, shingle_k,
+                                           num_parts):
             from .similarity import _ids_fingerprint
             n, fp = _ids_fingerprint(stamp_ds if stamp_ds is not None
                                      else ds, id_col)
@@ -658,7 +663,7 @@ def ensure_minhash_index(ds: rd.Dataset, index_dir: str,
                         and meta.get("base_fp") == fp)):
                 return meta
     return build_minhash_index(ds, index_dir, text_col, id_col, num_perm,
-                               bands, shingle_k)
+                               bands, shingle_k, num_parts)
 
 
 def _ids_stats(ds: rd.Dataset, id_col: str) -> tuple[int, int, int]:
@@ -756,7 +761,8 @@ def append_to_minhash_index(ds_new: rd.Dataset, index_dir: str,
              batch_format="pyarrow")
          .materialize())
     (sigs.map_batches(_band_key_rows_fn(id_col, bands, id_col,
-                                        with_part=True),
+                                        num_parts=meta.get("num_parts",
+                                                           32)),
                       batch_format="pyarrow")
          .groupby("p")
          .map_groups(write_delta(
