@@ -848,11 +848,13 @@ def probe_minhash_index(new_ds: rd.Dataset, index_dir: str,
     indexed id; new docs with no verified match are absent.
 
     Scale shape: the new snapshot is signed ONCE; candidates come from
-    one ids-only hash join of new band keys against the persisted
-    postings; verification attaches both signature sides with two more
-    hash joins (the minhash_cluster pattern — no driver state, texts
-    never shuffle). Best-match selection is two pair-bounded groupbys
-    (max k, then min id at max), no bit-packed key-width assumption."""
+    one ids-only hash join of new band keys against a PARTITION-PRUNED
+    postings read (only the bands/p=K/ dirs the snapshot's keys hash
+    into are touched); verification attaches both signature sides with
+    two more hash joins (the minhash_cluster pattern — no driver
+    state, texts never shuffle). Best-match selection is two
+    pair-bounded groupbys (max k, then min id at max), no bit-packed
+    key-width assumption."""
     import json
     import os
 
@@ -870,10 +872,28 @@ def probe_minhash_index(new_ds: rd.Dataset, index_dir: str,
                                              num_perm),
                              batch_format="pyarrow")
                 .repartition(32).materialize())
+    num_parts = meta.get("num_parts", 32)
     new_bands = new_sigs.map_batches(
-        _band_key_rows_fn(id_col, bands, "nid"), batch_format="pyarrow")
-    old_postings = (rd.read_parquet(os.path.join(index_dir, "bands"),
-                                    columns=["bkey", id_col])
+        _band_key_rows_fn(id_col, bands, "nid", num_parts=num_parts),
+        batch_format="pyarrow").materialize()
+
+    # partition-pruned postings read (the bm25_topk_indexed trick):
+    # only the bands/p=K/ directories the snapshot's own band keys hash
+    # into are touched — with num_parts sized to the corpus, a small
+    # snapshot probe is O(snapshot), not O(corpus). Driver state =
+    # one int per touched partition (<= num_parts, bounded).
+    import glob as _glob
+    parts = sorted(r["p"] for r in
+                   new_bands.groupby("p").count().take_all())
+    files = [f for p_ in parts
+             for f in sorted(_glob.glob(os.path.join(
+                 index_dir, "bands", f"p={p_}", "*.parquet")))]
+    if not files:
+        return rd.from_arrow(pa.table(
+            {"nid": pa.array([], pa.int64()),
+             "dup_of": pa.array([], pa.int64()),
+             "agree_k": pa.array([], pa.int64())}))
+    old_postings = (rd.read_parquet(files, columns=["bkey", id_col])
                     .map_batches(lambda t: pa.table({
                         "bkey": t["bkey"], "oid": t[id_col]}),
                         batch_format="pyarrow"))

@@ -742,6 +742,42 @@ def test_minhash_index_append_and_reprobe(ray_session, tmp_path):
                                              "files_removed": 0}
 
 
+def test_minhash_probe_prunes_posting_partitions(ray_session, monkeypatch):
+    """A one-doc probe against a num_parts=64 index reads ONLY the
+    bands/p=K/ files its own <=16 band keys hash into — O(snapshot)
+    IO, not O(corpus) — and still finds the right match."""
+    import ray.data as rd
+    from pdf_extraction_ray.stages import dedup as dd
+
+    docs = [{"doc_id": i, "text": " ".join(f"c{i}d{j}" for j in range(30))}
+            for i in range(25)]
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        idx = td + "/mh"
+        dd.build_minhash_index(rd.from_items(docs), idx, num_parts=64)
+
+        read_paths = []
+        real_read = dd.rd.read_parquet
+
+        def spy(paths, **kw):
+            if isinstance(paths, list):
+                read_paths.append(list(paths))
+            return real_read(paths, **kw)
+
+        monkeypatch.setattr(dd.rd, "read_parquet", spy)
+        probe = rd.from_items([{"doc_id": 700, "text": docs[9]["text"]}])
+        out = dd.snapshot_neardup_statuses(probe, idx).to_pandas()
+        assert out.status.tolist() == ["dup"]
+        assert out.dup_of.tolist() == [9]
+
+        band_lists = [ps for ps in read_paths
+                      if any("/bands/" in p for p in ps)]
+        assert band_lists, "probe no longer list-reads the postings"
+        touched = {p.split("/p=")[1].split("/")[0]
+                   for ps in band_lists for p in ps}
+        assert len(touched) <= 16  # one doc -> at most 16 band keys
+
+
 def test_minhash_probe_no_driver_broadcast(ray_session, monkeypatch):
     """The probe attaches both signature sides via distributed hash
     joins — the driver never ray.put()s a signature map or shingle
