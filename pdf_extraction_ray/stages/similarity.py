@@ -229,8 +229,13 @@ def build_ivf_index(ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
        .write_parquet(tmp, partition_cols=["cell"]))
     np.save(os.path.join(tmp, "_centroids.npy"), cents)
     import json
+    # base_n/base_fp stamp the BUILD corpus and never change; append
+    # folds batches into n_rows/id_fp only — the freshness check accepts
+    # a caller corpus matching EITHER (an appended index is a superset
+    # of its base, not stale — the minhash-index lesson)
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump({"n_rows": n_rows, "id_fp": id_fp,
+                   "base_n": n_rows, "base_fp": id_fp,
                    "n_centroids": n_centroids,
                    "quantizer": "int20-v1"}, f)
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -316,17 +321,30 @@ def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
     if index_dir is None:
         index_dir = os.path.join(tempfile.gettempdir(),
                                  "pdf_extraction_ray", "ivf-scratch")
-    # reuse only a FRESH index: a stale one (different dataset at the
-    # same path, regenerated corpus) would silently answer queries from
-    # the wrong corpus. The stamp is (row count, XOR-of-ids,
-    # n_centroids); any mismatch rebuilds. One materialize up front —
-    # the freshness pass, centroid sample, and assign/write otherwise
-    # each re-execute the read lineage.
-    import json
-
+    # One materialize up front — the freshness pass, centroid sample,
+    # and assign/write otherwise each re-execute the read lineage.
     ds = ds.materialize()
+    ensure_ivf_index(ds, index_dir, n_centroids, vec_col, id_col,
+                     sample_rows)
+    return topk_cosine_ivf_indexed(index_dir, queries, query_ids, k,
+                                   n_probe, vec_col, id_col)
+
+
+def ensure_ivf_index(ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     sample_rows: int = 2048) -> None:
+    """Build unless a FRESH index exists: a stale one (different dataset
+    at the same path, regenerated corpus) would silently answer queries
+    from the wrong corpus. The stamp is (row count, XOR-of-ids,
+    n_centroids, quantizer tag); the caller's corpus may match either
+    the immutable BASE build stamp or the post-append folded stats — an
+    index that has absorbed ``append_to_ivf_index`` batches is a
+    superset of its base corpus, not a stale one (rebuilding would wipe
+    every admitted batch)."""
+    import json
+    import os
+
     meta_path = os.path.join(index_dir, "_meta.json")
-    fresh = False
     if os.path.exists(os.path.join(index_dir, "_centroids.npy")) and \
             os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -334,12 +352,151 @@ def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
         if (meta.get("n_centroids") == n_centroids
                 and meta.get("quantizer") == "int20-v1"):
             n, fp = _ids_fingerprint(ds, id_col)
-            fresh = (meta.get("n_rows") == n and meta.get("id_fp") == fp)
-    if not fresh:
-        build_ivf_index(ds, index_dir, n_centroids, vec_col, id_col,
-                        sample_rows)
-    return topk_cosine_ivf_indexed(index_dir, queries, query_ids, k,
-                                   n_probe, vec_col, id_col)
+            if ((meta.get("n_rows") == n and meta.get("id_fp") == fp)
+                    or (meta.get("base_n") == n
+                        and meta.get("base_fp") == fp)):
+                return
+    build_ivf_index(ds, index_dir, n_centroids, vec_col, id_col,
+                    sample_rows)
+
+
+def append_to_ivf_index(ds_new: rd.Dataset, index_dir: str,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> dict:
+    """Incremental ingest into the persisted IVF index — the admit half
+    of an embedding ingest loop, completing the index-family symmetry
+    (textindex.append_to_index, dedup.append_to_minhash_index). The
+    coarse quantizer is FROZEN: new vectors assign against the
+    build-time centroids (standard IVF discipline — recall drifts as
+    the appended mass grows; ``n_appended`` in the meta tracks the
+    drift so callers can schedule a re-train, which is a rebuild).
+
+    Work scales with the batch: each touched ``cell=K/`` directory
+    gains ONE delta parquet (atomic tmp-then-rename, never a rewrite of
+    existing files) whose schema matches the base files, so
+    ``topk_cosine_ivf_indexed``'s per-cell glob sees appended vectors
+    with no probe-side change. Corpus stats fold into ``_meta.json``
+    LAST.
+
+    At-least-once-safe exactly like the other two indexes: ``applied``
+    batch fingerprints make a duplicate submission after the meta
+    publish a no-op, and a retry on the same pre-state reuses the
+    (pre-state fp, batch stats) delta tag, overwriting its own partial
+    files idempotently. Returns the updated meta."""
+    import hashlib as _hl
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .dedup import _ids_stats
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    cents = load_ivf_centroids(index_dir)
+
+    ds_new = ds_new.materialize()   # stats + assign passes share it
+    n_new, fp_new, sum_new = _ids_stats(ds_new, id_col)
+    if n_new == 0:
+        return meta
+    batch_fp = _hl.sha256(
+        f"ivf:{n_new}:{fp_new}:{sum_new}".encode()).hexdigest()[:16]
+    if batch_fp in meta.get("applied", []):
+        return meta  # at-least-once duplicate: already folded, no-op
+    delta_tag = _hl.sha256(
+        f"{meta['id_fp']}:{n_new}:{fp_new}:{sum_new}".encode()
+    ).hexdigest()[:16]
+
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        mat = quantize_unit_rows(_batch_matrix(batch, vec_col))
+        cell = np.argmax(mat @ cc.T, axis=1).astype(np.int32)
+        return batch.append_column("cell_id", pa.array(cell, pa.int32()))
+
+    def write_delta(group: pa.Table) -> pa.Table:
+        cell = int(group["cell_id"][0].as_py())
+        out = os.path.join(index_dir, f"cell={cell}",
+                           f"delta-{delta_tag}.parquet")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = out + ".tmp"
+        pq.write_table(group, tmp)
+        os.replace(tmp, out)
+        return pa.table({"cell": pa.array([cell], pa.int64()),
+                         "n": pa.array([group.num_rows], pa.int64())})
+
+    (ds_new.select_columns([id_col, vec_col])
+           .map_batches(assign, batch_format="pyarrow")
+           .groupby("cell_id")
+           .map_groups(write_delta, batch_format="pyarrow")
+           .materialize())
+
+    meta = {**meta,
+            "n_rows": meta["n_rows"] + n_new,
+            "id_fp": meta["id_fp"] ^ fp_new,
+            "n_appended": meta.get("n_appended", 0) + n_new,
+            "applied": (meta.get("applied", []) + [batch_fp])[-64:]}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def compact_ivf_index(index_dir: str, id_col: str = "vec_id") -> dict:
+    """Merge each ``cell=K/`` directory's files into one base file —
+    the maintenance step after many ``append_to_ivf_index`` batches
+    (the textindex.compact_index shape: one task per multi-file
+    directory via the Dataset scheduler).
+
+    Crash model (documented): a kill between publishing the merged file
+    and deleting the olds leaves both visible; the merge dedups on the
+    natural key (``id_col`` — duplicates are byte-identical by
+    construction), so a re-run converges. Returns
+    {"dirs_compacted", "files_removed"}."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    work = []
+    for pdir in sorted(glob.glob(os.path.join(index_dir, "cell=*"))):
+        files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+        if len(files) > 1:
+            work.append({"pdir": pdir, "files": files})
+    if not work:
+        return {"dirs_compacted": 0, "files_removed": 0}
+
+    def merge_one(batch: pa.Table) -> pa.Table:
+        n_removed = []
+        for pdir, files in zip(batch["pdir"].to_pylist(),
+                               batch["files"].to_pylist()):
+            t = pa.concat_tables([pq.read_table(f) for f in files],
+                                 promote_options="default")
+            df = t.to_pandas().drop_duplicates([id_col])
+            t = pa.Table.from_pandas(df, preserve_index=False,
+                                     schema=t.schema)
+            out = os.path.join(pdir, "base-merged.parquet")
+            tmp = out + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, out)
+            removed = 0
+            for f in files:
+                if f != out:
+                    os.remove(f)
+                    removed += 1
+            n_removed.append(removed)
+        return pa.table({"n": pa.array(n_removed, pa.int64())})
+
+    removed = 0
+    for b in (rd.from_items(work)
+                .map_batches(merge_one, batch_format="pyarrow",
+                             batch_size=1)
+                .iter_batches(batch_format="pyarrow")):
+        removed += sum(b["n"].to_pylist())
+    return {"dirs_compacted": len(work), "files_removed": removed}
 
 
 def kmeans_fit(ds: rd.Dataset, k: int = 10, iters: int = 8,

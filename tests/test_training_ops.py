@@ -265,6 +265,107 @@ def test_ivf_index_is_persisted_and_pruned(ray_session, tmp_path):
         assert sub[sub["rank"] == 1].neighbor_id.iloc[0] == qid
 
 
+def test_ivf_index_append_compact_and_reprobe(ray_session, tmp_path):
+    """The admit half of an embedding ingest loop: append new vectors
+    into the persisted IVF index (per-cell delta files, frozen
+    quantizer, no rebuild) and the next probe finds them; ensure
+    accepts both the base and the grown corpus (no rebuild wipe);
+    duplicate submissions no-op; a same-pre-state retry reuses the
+    delta tag; full-probe results == a fresh rebuild over the union ==
+    brute force; compaction preserves probes."""
+    import glob
+    import json
+    import os
+    from functools import reduce
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages import similarity as sim
+
+    base_df = pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+    base = [{"vec_id": int(r.vec_id),
+             "embedding": [float(x) for x in r.embedding]}
+            for r in base_df.itertuples()]
+    # new vectors: reversed components + id-dependent shift — distinct
+    # from every corpus vector, so each one's own nearest neighbor is
+    # itself
+    new = [{"vec_id": 1_000_000 + i,
+            "embedding": [float(x) + 0.01 * (i + 1)
+                          for x in reversed(base[i]["embedding"])]}
+           for i in range(5)]
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(rd.from_items(base), idx, n_centroids=8)
+
+    meta1 = sim.append_to_ivf_index(rd.from_items(new), idx)
+    assert meta1["n_rows"] == len(base) + 5
+    assert meta1["n_appended"] == 5
+
+    q = np.stack([np.asarray(d["embedding"]) for d in new])
+    qids = [d["vec_id"] for d in new]
+    got = sim.topk_cosine_ivf_indexed(idx, q, qids, k=4,
+                                      n_probe=8).to_pandas()
+    for qid in qids:
+        sub = got[got.query_id == qid]
+        assert sub[sub["rank"] == 1].neighbor_id.iloc[0] == qid
+
+    # ensure no-ops for BOTH the grown corpus and the base corpus (the
+    # ingest-loop caller keeps passing the base); meta is untouched
+    files = sorted(glob.glob(idx + "/**/*.parquet", recursive=True))
+    sim.ensure_ivf_index(rd.from_items(base + new), idx, n_centroids=8)
+    sim.ensure_ivf_index(rd.from_items(base), idx, n_centroids=8)
+    with open(os.path.join(idx, "_meta.json")) as f:
+        assert json.load(f) == meta1
+    assert sorted(glob.glob(idx + "/**/*.parquet", recursive=True)) == files
+
+    # duplicate submission after the meta publish no-ops entirely
+    assert sim.append_to_ivf_index(rd.from_items(new), idx) == meta1
+    assert sorted(glob.glob(idx + "/**/*.parquet", recursive=True)) == files
+
+    # a RETRY on the same pre-state reuses the delta tag — files
+    # overwrite in place, never duplicate (simulate a crash before the
+    # meta publish by restoring the pre-append meta)
+    mp = os.path.join(idx, "_meta.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m["applied"] = []
+    m["n_rows"] -= len(new)
+    m["n_appended"] -= len(new)
+    m["id_fp"] ^= reduce(lambda a, b: a ^ b, (d["vec_id"] for d in new))
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    assert sim.append_to_ivf_index(rd.from_items(new), idx)["n_rows"] \
+        == len(base) + 5
+    assert sorted(glob.glob(idx + "/**/*.parquet", recursive=True)) == files
+
+    # full probe over the incremental index == fresh rebuild over the
+    # union == brute force (full probe is brute force whatever the
+    # centroids, so the frozen quantizer costs nothing here)
+    idx2 = str(tmp_path / "ivf2")
+    sim.build_ivf_index(rd.from_items(base + new), idx2, n_centroids=8)
+    key = lambda df: (df.sort_values(["query_id", "rank"])  # noqa: E731
+                        .reset_index(drop=True))
+    fresh = sim.topk_cosine_ivf_indexed(idx2, q, qids, k=4,
+                                        n_probe=8).to_pandas()
+    brute = sim.topk_cosine(rd.from_items(base + new), q, qids,
+                            k=4).to_pandas()
+    pd.testing.assert_frame_equal(key(got), key(fresh))
+    pd.testing.assert_frame_equal(key(got), key(brute))
+
+    # compaction merges each multi-file cell dir, probe unchanged;
+    # a second compact is a no-op
+    stats = sim.compact_ivf_index(idx)
+    assert stats["dirs_compacted"] > 0 and stats["files_removed"] > 0
+    for d in glob.glob(idx + "/cell=*"):
+        assert len(glob.glob(d + "/*.parquet")) == 1
+    after = sim.topk_cosine_ivf_indexed(idx, q, qids, k=4,
+                                        n_probe=8).to_pandas()
+    pd.testing.assert_frame_equal(key(got), key(after))
+    assert sim.compact_ivf_index(idx) == {"dirs_compacted": 0,
+                                          "files_removed": 0}
+
+
 def test_embedding_cells_matches_exact_pairs(ray_session):
     """The cell-partitioned near-dup path finds exactly the pairs the
     blocked exact baseline finds on planted copies."""
