@@ -529,6 +529,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist_filter": _tuned(analytics.url_blocklist_filter),
         # persisted MinHash-LSH index probe: fuzzy cross-snapshot ingest
         "snapshot_neardup_ingest": _tuned(analytics.snapshot_neardup_ingest),
+        # IVF ingest loop: build on corpus-minus-holdout, append the
+        # holdout incrementally (frozen quantizer, per-cell delta files),
+        # full-probe == brute force (shares ann_bruteforce's oracle)
+        "ann_ivf_incremental": _tuned(analytics.ann_ivf_incremental),
     }
 
 
@@ -551,6 +555,7 @@ AWAITING_SLOT = (
     "pages_delta",
     "url_blocklist_filter",
     "snapshot_neardup_ingest",
+    "ann_ivf_incremental",
 )
 
 
@@ -641,6 +646,9 @@ def oracle_sql() -> dict[str, str]:
         # is value-identical to brute force and shares its oracle — the
         # gate proves the index + probe plumbing lose nothing
         "ann_ivf_fullprobe": analytics.ann_bruteforce_sql(),
+        # build-on-base + incremental append + full probe == brute force
+        # over the union — the append/delta path proven lossless
+        "ann_ivf_incremental": analytics.ann_bruteforce_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -3874,6 +3874,43 @@ def ann_ivf_fullprobe(sf_dir: str, k: int = 10,
                                n_probe=n_centroids, index_dir=index_dir)
 
 
+def ann_ivf_incremental(sf_dir: str, k: int = 10, n_centroids: int = 16,
+                        holdout: int = 64) -> rd.Dataset:
+    """The IVF ingest loop end-to-end: build the persisted index on the
+    corpus MINUS its ``holdout`` largest vec_ids, append the holdout as
+    an incremental batch (frozen quantizer, per-cell delta files —
+    stages/similarity.append_to_ivf_index), then probe every cell.
+    A full probe is value-identical to brute force over the union, so
+    this SHARES ``ann_bruteforce``'s oracle — proving the delta-file
+    append and the probe's base+delta glob lose nothing (the
+    ``ann_ivf_fullprobe`` trick, applied to the ingest path)."""
+    import pyarrow.compute as pc
+    import shutil
+    from pathlib import Path
+
+    q, qids = _query_vectors(sf_dir)
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()
+    if not 0 < holdout < n:
+        raise ValueError(f"holdout {holdout} out of range for {n} vectors")
+    thr = n - holdout
+    base = ds.map_batches(
+        lambda t, _thr=thr: t.filter(pc.less(t["vec_id"], _thr)),
+        batch_format="pyarrow")
+    batch = ds.map_batches(
+        lambda t, _thr=thr: t.filter(pc.greater_equal(t["vec_id"], _thr)),
+        batch_format="pyarrow")
+    index_dir = os.path.join("/tmp/pdf_extraction_ray/ivf-incr",
+                             Path(sf_dir).name or "sf")
+    # always rebuild from the base split: this query's point is the
+    # append path itself, so a stale union index must not short-circuit it
+    shutil.rmtree(index_dir, ignore_errors=True)
+    sim.build_ivf_index(base, index_dir, n_centroids)
+    sim.append_to_ivf_index(batch, index_dir)
+    return sim.topk_cosine_ivf_indexed(index_dir, q, qids, k=k,
+                                       n_probe=n_centroids)
+
+
 def value_quantiles_hist(sf_dir: str) -> rd.Dataset:
     """Exact per-type value percentiles WITHOUT a global sort — the
     histogram-combiner scale path (stages/sketch.py:

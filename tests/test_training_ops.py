@@ -366,6 +366,18 @@ def test_ivf_index_append_compact_and_reprobe(ray_session, tmp_path):
                                           "files_removed": 0}
 
 
+def test_ann_ivf_incremental_matches_bruteforce_oracle(ray_session):
+    """Build on corpus-minus-holdout + incremental append + full probe
+    must equal brute force over the whole table (the query shares
+    ann_bruteforce's oracle — the driver's exact check)."""
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        ann_bruteforce_sql, ann_ivf_incremental)
+    assert compare("ann_ivf_incremental", ann_ivf_incremental(SF_SMOKE),
+                   ann_bruteforce_sql(), SF_SMOKE) == []
+
+
 def test_embedding_cells_matches_exact_pairs(ray_session):
     """The cell-partitioned near-dup path finds exactly the pairs the
     blocked exact baseline finds on planted copies."""
