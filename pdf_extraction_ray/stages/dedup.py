@@ -1379,46 +1379,68 @@ def embedding_near_dup_cells(ds: rd.Dataset, threshold_pct: int = 99,
         cc = ray.get(cref)
         mat = _unit_matrix_batch(batch, vec_col)
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.table({
+                "cell": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "unit": pa.array([], pa.list_(pa.float64())),
+                "cells": pa.array([], pa.list_(pa.int32())),
+            })
         near = np.argsort(-(mat @ cc.T), axis=1)[:, :n_assign]
-        out_cell, out_id, out_vec = [], [], []
-        for r in range(len(ids)):
-            for c in near[r]:
-                out_cell.append(int(c))
-                out_id.append(int(ids[r]))
-                out_vec.append(mat[r].tolist())
+        d = mat.shape[1]
+        # fully vectorized n_assign-way replication (no per-row loop):
+        # unit vectors as one flat buffer + offsets, the cell LIST of
+        # each vector rides along so the pair scan can pick the pair's
+        # single owning cell (min common cell) without a dedup shuffle
+        rep = np.repeat(mat, n_assign, axis=0)
+        unit = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n * n_assign + 1) * d, d,
+                               dtype=np.int64), pa.int32()),
+            pa.array(rep.ravel(), pa.float64()))
+        cells = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n * n_assign + 1) * n_assign,
+                               n_assign, dtype=np.int64), pa.int32()),
+            pa.array(np.repeat(near, n_assign, axis=0).ravel()
+                     .astype(np.int32), pa.int32()))
         return pa.table({
-            "cell": pa.array(out_cell, pa.int32()),
-            id_col: pa.array(out_id, pa.int64()),
-            "unit": pa.array(out_vec, pa.list_(pa.float64())),
+            "cell": pa.array(near.ravel().astype(np.int32), pa.int32()),
+            id_col: pa.array(np.repeat(ids, n_assign), pa.int64()),
+            "unit": unit,
+            "cells": cells,
         })
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
     def cell_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
         if len(group) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
+            return empty
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()
         mat = np.stack(g["unit"].to_numpy())
+        cellsets = np.stack(g["cells"].to_numpy()).astype(np.int64)
+        here = int(g["cell"].iloc[0])
         sims = mat @ mat.T
-        rows, cols = np.where(sims >= thr)
-        a_o, b_o = [], []
-        for r, c in zip(rows, cols):
-            if ids[r] < ids[c]:
-                a_o.append(int(ids[r]))
-                b_o.append(int(ids[c]))
-        return pd.DataFrame({"a": pd.Series(a_o, dtype="int64"),
-                             "b": pd.Series(b_o, dtype="int64")})
+        rows, cols = np.nonzero(sims >= thr)
+        keep = ids[rows] < ids[cols]
+        rows, cols = rows[keep], cols[keep]
+        if not len(rows):
+            return empty
+        # a pair straddling k shared cells is found k times; it EMITS
+        # only in its minimum common cell, so no second shuffle is
+        # needed to dedup pairs (both endpoints are exploded into every
+        # common cell, so the owning cell always sees the pair)
+        A, B = cellsets[rows], cellsets[cols]          # (m, n_assign)
+        has = (A[:, :, None] == B[:, None, :]).any(axis=2)
+        min_common = np.where(has, A, np.iinfo(np.int64).max).min(axis=1)
+        own = min_common == here
+        return pd.DataFrame({"a": pd.Series(ids[rows[own]], dtype="int64"),
+                             "b": pd.Series(ids[cols[own]], dtype="int64")})
 
-    pairs = exploded.groupby("cell").map_groups(cell_pairs,
-                                                batch_format="pandas")
-
-    def dedup_batch(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["a", "b"]).map_groups(dedup_batch,
-                                                batch_format="pandas")
+    return exploded.groupby("cell").map_groups(cell_pairs,
+                                               batch_format="pandas")
 
 
 def semdedup(ds: rd.Dataset, k: int = 8, iters: int = 4,
