@@ -533,6 +533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holdout incrementally (frozen quantizer, per-cell delta files),
         # full-probe == brute force (shares ann_bruteforce's oracle)
         "ann_ivf_incremental": _tuned(analytics.ann_ivf_incremental),
+        # trained Naive-Bayes language classifier (one combiner pass +
+        # broadcast integer log-prob matvec; dsir quantization pattern)
+        "nb_lang_classify": _tuned(analytics.nb_lang_classify),
     }
 
 
@@ -556,6 +559,7 @@ AWAITING_SLOT = (
     "url_blocklist_filter",
     "snapshot_neardup_ingest",
     "ann_ivf_incremental",
+    "nb_lang_classify",
 )
 
 
@@ -649,6 +653,8 @@ def oracle_sql() -> dict[str, str]:
         # build-on-base + incremental append + full probe == brute force
         # over the union — the append/delta path proven lossless
         "ann_ivf_incremental": analytics.ann_bruteforce_sql(),
+        # NB training counts + quantized log-probs + argmax replayed in SQL
+        "nb_lang_classify": analytics.nb_lang_classify_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

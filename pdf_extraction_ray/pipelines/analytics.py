@@ -3389,6 +3389,172 @@ SELECT doc_id, weight,
 FROM rk"""
 
 
+def nb_lang_classify(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
+    """Multinomial Naive Bayes language classifier, trained AND applied
+    in one job — the trained-model counterpart of the heuristic
+    ``lang_id`` (and the statistical sibling of the M8/M9 rule
+    classifiers): the standard fastText-shaped "train a tiny text
+    classifier on weak labels, score the corpus" curation stage.
+
+    Train = ONE combiner pass: each block folds its words into
+    <= L*(B+1) partial rows (lang, bucket, count) + per-lang doc
+    counts; one tiny ``groupby((lang, bucket))`` lands the L x B count
+    table on the driver (L = distinct langs, B = ``n_buckets`` — KB,
+    never documents). Per-class bucket log-probs and priors are
+    quantized ONCE to integers (``floor(1e6*x + 0.5)``, the
+    dsir_select exactness pattern), so inference is a pure BIGINT
+    matvec: ``score_l = prior_l + sum_b cnt_b * s[l,b]``, pred =
+    argmax (tie -> lexicographically smallest lang) — bit-exact vs the
+    DuckDB oracle, float entering only in the L*(B+1) rounded
+    constants (boundary margin asserted in tests).
+
+    Inference = ONE broadcast (``ray.put`` of the L x B int matrix) +
+    map-side dot products — no shuffle over documents at all.
+    Returns (doc_id, lang, pred_lang)."""
+    import math
+
+    import ray
+
+    B = n_buckets
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        texts = batch["text"].to_pylist()
+        acc: dict[str, np.ndarray] = {}
+        nd: dict[str, int] = {}
+        for t, lg in zip(texts, langs):
+            a = acc.get(lg)
+            if a is None:
+                a = acc[lg] = np.zeros(B, np.int64)
+                nd[lg] = 0
+            nd[lg] += 1
+            bs = _dsir_word_buckets(t, B)
+            if len(bs):
+                a += np.bincount(bs, minlength=B)
+        out_l: list[str] = []
+        out_b: list[int] = []
+        out_c: list[int] = []
+        for lg, a in acc.items():
+            nz = np.nonzero(a)[0]
+            out_l.extend([lg] * (len(nz) + 1))
+            out_b.extend(nz.tolist() + [-1])          # -1 = doc count row
+            out_c.extend(a[nz].tolist() + [nd[lg]])
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "bucket": pa.array(out_b, pa.int64()),
+                         "c": pa.array(out_c, pa.int64())})
+
+    rows = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "bucket"])
+            .aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    counts: dict[str, np.ndarray] = {}
+    nd: dict[str, int] = {}
+    for r in rows:
+        if r["bucket"] == -1:
+            nd[r["lang"]] = int(r["c"])
+        else:
+            counts.setdefault(r["lang"],
+                              np.zeros(B, np.int64))[r["bucket"]] = int(r["c"])
+    langs_sorted = sorted(nd)
+    n_all, n_cls = sum(nd.values()), len(langs_sorted)
+    smat = np.zeros((n_cls, B), np.int64)
+    prior = np.zeros(n_cls, np.int64)
+    for i, lg in enumerate(langs_sorted):
+        c = counts.get(lg, np.zeros(B, np.int64))
+        tot = int(c.sum())
+        for b in range(B):
+            x = math.log(int(c[b]) + 1) - math.log(tot + B)
+            smat[i, b] = math.floor(1_000_000 * x + 0.5)
+        prior[i] = math.floor(
+            1_000_000 * (math.log(nd[lg] + 1) - math.log(n_all + n_cls))
+            + 0.5)
+    ref = ray.put((smat, prior, langs_sorted))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        sm, pr, ls = ray.get(ref)
+        preds = []
+        for t in batch["text"].to_pylist():
+            bs = _dsir_word_buckets(t, B)
+            if len(bs):
+                cnt = np.bincount(bs, minlength=B)
+                scores = pr + sm @ cnt
+            else:
+                scores = pr
+            # first max == smallest index == lang ASC (sorted above) —
+            # the oracle's ORDER BY score DESC, lang tie-break
+            preds.append(ls[int(np.argmax(scores))])
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+            "lang": batch["lang"].combine_chunks(),
+            "pred_lang": pa.array(preds, pa.string()),
+        })
+
+    return docs.map_batches(classify, batch_format="pyarrow")
+
+
+def nb_lang_classify_sql(n_buckets: int = 64) -> str:
+    """Value-exact DuckDB replica of nb_lang_classify: same FNV-1a word
+    buckets as dsir_select_sql, the training counts re-derived in SQL,
+    the SAME integer quantization of log-probs/priors, BIGINT doc
+    scores, argmax via row_number (score DESC, lang ASC)."""
+    B = n_buckets
+    fnv = ("list_reduce(list_prepend(2166136261::UBIGINT, "
+           "list_transform(range(1, length(w) + 1), "
+           "i -> unicode(substr(w, i, 1))::UBIGINT)), "
+           "(h, c) -> (xor(h, c) * 16777619) % 4294967296)")
+    return f"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), wb AS (
+  SELECT doc_id, lang, CAST({fnv} % {B} AS BIGINT) AS b
+  FROM words WHERE w <> ''
+), cls AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY lang
+), consts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_all,
+         (SELECT CAST(count(*) AS BIGINT) FROM cls) AS n_cls
+), cb AS (
+  SELECT lang, b, CAST(count(*) AS BIGINT) AS c FROM wb GROUP BY lang, b
+), tot AS (
+  SELECT cls.lang, CAST(coalesce(sum(cb.c), 0) AS BIGINT) AS t
+  FROM cls LEFT JOIN cb USING (lang) GROUP BY cls.lang
+), grid AS (
+  SELECT cls.lang, CAST(r.range AS BIGINT) AS b
+  FROM cls CROSS JOIN range(0, {B}) r
+), s AS (
+  SELECT g.lang, g.b,
+         CAST(floor(1000000 * (ln(coalesce(cb.c, 0) + 1) - ln(t.t + {B}))
+                    + 0.5) AS BIGINT) AS s
+  FROM grid g
+  LEFT JOIN cb ON cb.lang = g.lang AND cb.b = g.b
+  JOIN tot t ON t.lang = g.lang
+), prior AS (
+  SELECT cls.lang,
+         CAST(floor(1000000 * (ln(nd + 1) - ln(n_all + n_cls)) + 0.5)
+              AS BIGINT) AS p
+  FROM cls CROSS JOIN consts
+), dbc AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM wb
+  GROUP BY doc_id, b
+), score AS (
+  SELECT d.doc_id, pr.lang,
+         pr.p + CAST(coalesce(sum(dbc.c * s.s), 0) AS BIGINT) AS sc
+  FROM documents d CROSS JOIN prior pr
+  LEFT JOIN dbc ON dbc.doc_id = d.doc_id
+  LEFT JOIN s ON s.lang = pr.lang AND s.b = dbc.b
+  GROUP BY d.doc_id, pr.lang, pr.p
+), pred AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sc DESC, lang) AS rn
+  FROM score
+)
+SELECT d.doc_id, d.lang, p.lang AS pred_lang
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id AND p.rn = 1"""
+
+
 def heavy_hitter_terms(sf_dir: str, k: int = 20) -> pa.Table:
     """Exact top-k corpus terms via the two-pass Misra–Gries heavy-
     hitters pattern (stages/sketch.py:heavy_hitters): bounded-memory

@@ -1044,6 +1044,64 @@ def test_c4_line_filter_rules(ray_session):
     assert lax.loc["u1"].n_kept == 6   # no-punct line survives
 
 
+def test_nb_lang_classify_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        nb_lang_classify, nb_lang_classify_sql)
+    assert compare("nb_lang_classify", nb_lang_classify(SF_SMOKE),
+                   nb_lang_classify_sql(), SF_SMOKE) == []
+
+
+def test_nb_lang_classify_sane_and_margin_safe(ray_session):
+    """The trained classifier covers every doc, predicts only real
+    classes, does at least as well as the majority baseline on its own
+    training corpus (the synthetic corpus' lang-text signal is weak, so
+    this is an empirical floor, not a model claim), and every quantized
+    log-prob constant keeps a wide margin to its rounding boundary —
+    the cross-engine exactness precondition (the dsir pattern)."""
+    import math
+
+    import duckdb
+
+    from pdf_extraction_ray.pipelines.analytics import nb_lang_classify
+    out = nb_lang_classify(SF_SMOKE).to_pandas()
+    docs = duckdb.sql(
+        f"SELECT lang, count(*) n FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet') GROUP BY lang"
+    ).df()
+    assert len(out) == int(docs.n.sum())
+    classes = set(docs.lang)
+    assert set(out.pred_lang) <= classes
+    acc = (out.lang == out.pred_lang).mean()
+    maj = docs.n.max() / docs.n.sum()
+    assert acc >= maj
+
+    # quantization boundary margin over every (class, bucket) constant
+    B = 64
+    con = duckdb.connect()
+    cb = con.sql(f"""
+        WITH words AS (SELECT lang, unnest(string_split(text, ' ')) w
+                       FROM read_parquet('{SF_SMOKE}/documents.parquet')),
+        wb AS (SELECT lang,
+                      list_reduce(list_prepend(2166136261::UBIGINT,
+                        list_transform(range(1, length(w) + 1),
+                          i -> unicode(substr(w, i, 1))::UBIGINT)),
+                        (h, c) -> (xor(h, c) * 16777619) % 4294967296)
+                      % {B} AS b
+               FROM words WHERE w <> '')
+        SELECT lang, b, count(*) c FROM wb GROUP BY lang, b""").fetchall()
+    con.close()
+    tot: dict[str, int] = {}
+    for lang, _, c in cb:
+        tot[lang] = tot.get(lang, 0) + c
+    worst = 1.0
+    for lang, _, c in cb:
+        x = 1_000_000 * (math.log(c + 1) - math.log(tot[lang] + B)) + 0.5
+        worst = min(worst, abs(x - round(x)))
+    assert worst > 1e-6, worst
+
+
 def test_dsir_select_matches_duckdb(ray_session):
     from tests.oracle_check import compare
 
