@@ -280,6 +280,13 @@ def q_crawl_frontier(sf_dir: str) -> rd.Dataset:
     return linkgraph.crawl_frontier(sf_dir, _extracted(sf_dir))
 
 
+def q_frontier_schedule(sf_dir: str) -> rd.Dataset:
+    """Politeness-aware fetch schedule: wave = ROW_NUMBER per url
+    section (host stand-in) over the whole ranked frontier
+    (pipelines/linkgraph.schedule_from_ranks)."""
+    return linkgraph.frontier_schedule(sf_dir, _extracted(sf_dir))
+
+
 def q_url_canonical_dedup(sf_dir: str) -> rd.Dataset:
     """Crawl-frontier URL canonicalization + dedup
     (functions/urlnorm.py): planted messy variants — uppercased host
@@ -536,6 +543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trained Naive-Bayes language classifier (one combiner pass +
         # broadcast integer log-prob matvec; dsir quantization pattern)
         "nb_lang_classify": _tuned(analytics.nb_lang_classify),
+        # politeness-aware crawl schedule (one-url-per-host waves over
+        # the ranked frontier; keyed-window scan with a string key)
+        "frontier_schedule": _tuned(q_frontier_schedule),
     }
 
 
@@ -560,6 +570,7 @@ AWAITING_SLOT = (
     "snapshot_neardup_ingest",
     "ann_ivf_incremental",
     "nb_lang_classify",
+    "frontier_schedule",
 )
 
 
@@ -655,6 +666,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_incremental": analytics.ann_bruteforce_sql(),
         # NB training counts + quantized log-probs + argmax replayed in SQL
         "nb_lang_classify": analytics.nb_lang_classify_sql(),
+        # priority join + per-section ROW_NUMBER politeness window
+        "frontier_schedule": linkgraph.frontier_schedule_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -626,10 +626,10 @@ def crawl_frontier_pages(pages_path: str, extracted: rd.Dataset,
     return frontier_from_ranks(ranks, extracted, k=k)
 
 
-def frontier_from_ranks(ranks: rd.Dataset, extracted: rd.Dataset,
-                        k: int = 100) -> rd.Dataset:
-    """The frontier core over an ALREADY-COMPUTED (materialized) rank
-    table — the run_linkgraph job reuses the ranks it just landed."""
+def _priority_table(ranks: rd.Dataset, extracted: rd.Dataset) -> rd.Dataset:
+    """(doc_id, url, rank, quality_pct, priority = rank * quality_pct) —
+    the shared frontier composition: ONE hash_join of the two family
+    outputs with ids + url only riding the exchange."""
     def qual(t: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": _doc_id_of_url(t["url"]),
@@ -644,15 +644,93 @@ def frontier_from_ranks(ranks: rd.Dataset, extracted: rd.Dataset,
     def score(t: pa.Table) -> pa.Table:
         pr = pc.multiply(t["rank"].combine_chunks().cast(pa.int64()),
                          t["quality_pct"].combine_chunks().cast(pa.int64()))
-        t = t.append_column("priority", pr)
-        pri = pr.to_numpy(zero_copy_only=False)
+        return t.append_column("priority", pr)
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def frontier_from_ranks(ranks: rd.Dataset, extracted: rd.Dataset,
+                        k: int = 100) -> rd.Dataset:
+    """The frontier core over an ALREADY-COMPUTED (materialized) rank
+    table — the run_linkgraph job reuses the ranks it just landed."""
+    def topk(t: pa.Table) -> pa.Table:
+        pri = t["priority"].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, -pri))[:k]       # per-block partial top-k
         return t.take(pa.array(order))
 
-    return (joined.map_batches(score, batch_format="pyarrow")
+    return (_priority_table(ranks, extracted)
+            .map_batches(topk, batch_format="pyarrow")
             .sort(["priority", "doc_id"], descending=[True, False])
             .limit(k))
+
+
+def schedule_from_ranks(ranks: rd.Dataset, extracted: rd.Dataset,
+                        num_partitions: int = 32) -> rd.Dataset:
+    """Politeness-aware fetch schedule over the WHOLE ranked frontier —
+    what a crawler actually consumes: fetching at most ONE url per host
+    per round gives ``wave = ROW_NUMBER() OVER (PARTITION BY host ORDER
+    BY priority DESC, doc_id)``; wave w is the w-th politeness round's
+    fetch set. The url's first path section stands in for the host on
+    the single-host corpus (the section_quality_stats convention).
+
+    Shape: the shared priority join, then the keyed-window scan shape
+    with a STRING key — tag ``_kp = hash(section) & (P-1)``, ONE
+    ``groupby(_kp)`` co-locates every host's rows, per-partition body is
+    a single vectorized pandas sort + cumcount (never per-host Python).
+    Skew bound: one partition holds ~1/P of the hosts; a single
+    pathological host is the limit, same as any keyed window. Returns
+    (doc_id, url, section, priority, wave)."""
+    from ..functions.hashing import stable_hash64
+
+    P = num_partitions
+    if P & (P - 1):
+        raise ValueError("num_partitions must be a power of two")
+
+    def sect(t: pa.Table) -> pa.Table:
+        urls = t["url"].combine_chunks()
+        ex = pc.extract_regex(urls, pattern=r"corpus\.example/(?P<s>[^/]+)/")
+        s = pc.struct_field(ex, "s")
+        cache: dict[str, int] = {}
+        kp = np.fromiter(
+            (cache.get(x) if x in cache
+             else cache.setdefault(x, stable_hash64(x or "") & (P - 1))
+             for x in s.to_pylist()), np.int64, len(t))
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "url": urls,
+            "section": s,
+            "priority": t["priority"].combine_chunks().cast(pa.int64()),
+            "_kp": pa.array(kp, pa.int64()),
+        })
+
+    def waves(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "url": pd.Series([], dtype="object"),
+                "section": pd.Series([], dtype="object"),
+                "priority": pd.Series([], dtype="int64"),
+                "wave": pd.Series([], dtype="int64")})
+        g = g.sort_values(["section", "priority", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["wave"] = (g.groupby("section", sort=False).cumcount()
+                     .to_numpy(np.int64) + 1)
+        return g.drop(columns=["_kp"])
+
+    return (_priority_table(ranks, extracted)
+            .map_batches(sect, batch_format="pyarrow")
+            .groupby("_kp").map_groups(waves, batch_format="pandas"))
+
+
+def frontier_schedule(sf_dir: str, extracted: rd.Dataset, iters: int = 5,
+                      damping_pct: int = 85,
+                      scale: int = 1_000_000) -> rd.Dataset:
+    """sf-dir driver-query wrapper over ``schedule_from_ranks``."""
+    ranks = pagerank_links_pages(_corpus_pages(sf_dir), iters=iters,
+                                 damping_pct=damping_pct,
+                                 scale=scale).materialize()
+    return schedule_from_ranks(ranks, extracted)
 
 
 # ---------------------------------------------------------------------------
@@ -808,3 +886,23 @@ SELECT x.doc_id, x.url, r.r AS rank, x.quality_pct,
        r.r * x.quality_pct AS priority
 FROM expected x JOIN r{iters} r ON r.node = x.doc_id
 ORDER BY priority DESC, x.doc_id LIMIT {k}""")
+
+
+def frontier_schedule_sql(iters: int = 5) -> str:
+    """The schedule oracle: the same priority join, then the politeness
+    window — ROW_NUMBER per url section ordered by (priority DESC,
+    doc_id)."""
+    from .. import oracle
+    parts = _pagerank_cte_parts(iters)
+    return (oracle.base_cte() + ", " + ",\n".join(parts) + f""",
+sched AS (
+  SELECT x.doc_id, x.url,
+         regexp_extract(x.url, 'corpus\\.example/([^/]+)/', 1) AS section,
+         r.r * x.quality_pct AS priority
+  FROM expected x JOIN r{iters} r ON r.node = x.doc_id
+)
+SELECT doc_id, url, section, priority,
+       CAST(row_number() OVER (PARTITION BY section
+                               ORDER BY priority DESC, doc_id)
+            AS BIGINT) AS wave
+FROM sched""")

@@ -185,7 +185,8 @@ def test_link_graph_prunes_dead_links(ray_session):
 
 @pytest.mark.parametrize("name", ["anchor_text_index", "page_links_sample",
                                   "link_graph", "pagerank_links",
-                                  "section_quality_stats", "crawl_frontier"])
+                                  "section_quality_stats", "crawl_frontier",
+                                  "frontier_schedule"])
 def test_linkgraph_queries_match_oracle(ray_session, name):
     import __ray_entry__ as entrymod
     q, o = entrymod.queries(), entrymod.oracle_sql()
@@ -215,6 +216,20 @@ def test_crawl_frontier_tops_out_at_a_quality_hub(ray_session):
     assert top.doc_id < spec.REL_HUBS
     assert top.quality_pct > 0
     assert top.priority == top["rank"] * top.quality_pct
+
+
+def test_frontier_schedule_is_polite(ray_session):
+    """Exactly one url per (section, wave); waves are contiguous 1..n
+    within each section; priority never increases as waves advance —
+    the politeness contract a crawler consumes."""
+    import __ray_entry__ as entrymod
+    out = entrymod.queries()["frontier_schedule"](SF_SMOKE).to_pandas()
+    assert len(out) > 0
+    assert (out.groupby(["section", "wave"]).size() == 1).all()
+    for _, g in out.groupby("section"):
+        g = g.sort_values("wave")
+        assert g.wave.tolist() == list(range(1, len(g) + 1))
+        assert (g.priority.diff().dropna() <= 0).all()
 
 
 def test_pagerank_links_hubs_rank_highest(ray_session):
