@@ -383,6 +383,7 @@ def append_to_ivf_index(ds_new: rd.Dataset, index_dir: str,
     publish a no-op, and a retry on the same pre-state reuses the
     (pre-state fp, batch stats) delta tag, overwriting its own partial
     files idempotently. Returns the updated meta."""
+    import glob
     import hashlib as _hl
     import json
     import os
@@ -395,6 +396,12 @@ def append_to_ivf_index(ds_new: rd.Dataset, index_dir: str,
     with open(meta_path) as f:
         meta = json.load(f)
     cents = load_ivf_centroids(index_dir)
+    # delta files must carry the INDEX's physical schema, or a later
+    # compaction/read concats list<float> base files with list<double>
+    # deltas and fails — cast the batch to the on-disk types up front
+    base_files = sorted(glob.glob(os.path.join(index_dir, "cell=*",
+                                               "*.parquet")))
+    disk = pq.read_schema(base_files[0]) if base_files else None
 
     ds_new = ds_new.materialize()   # stats + assign passes share it
     n_new, fp_new, sum_new = _ids_stats(ds_new, id_col)
@@ -414,7 +421,11 @@ def append_to_ivf_index(ds_new: rd.Dataset, index_dir: str,
         cc = ray.get(cref)
         mat = quantize_unit_rows(_batch_matrix(batch, vec_col))
         cell = np.argmax(mat @ cc.T, axis=1).astype(np.int32)
-        return batch.append_column("cell_id", pa.array(cell, pa.int32()))
+        out = batch.append_column("cell_id", pa.array(cell, pa.int32()))
+        if disk is not None:
+            out = pa.table({f.name: out[f.name].cast(f.type)
+                            for f in disk})
+        return out
 
     def write_delta(group: pa.Table) -> pa.Table:
         cell = int(group["cell_id"][0].as_py())

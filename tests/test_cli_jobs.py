@@ -71,6 +71,47 @@ def test_run_extraction_cli_refresh_mode(ray_session, pages_corpus,
     assert rd.read_parquet(out).count() == n_b_urls
 
 
+def test_run_ann_cli(tmp_path):
+    """IVF similarity job: build the index, answer queries; a second run
+    with --append folds a new vector batch in (delta files + compaction)
+    and the appended vectors immediately answer their own queries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"]).to_pylist()
+    out = str(tmp_path / "ann")
+    idx = str(tmp_path / "ivf")
+    summary = _run(["jobs/run_ann.py", "--corpus", SF_SMOKE,
+                    "--index-dir", idx, "--output", out, "--k", "5"])
+    assert summary["n_queries"] == 5
+    assert summary["n_neighbors"] == 25
+    nb = pq.read_table(os.path.join(out, "neighbors")).to_pandas()
+    # each query's rank-1 neighbor is itself (full-fidelity index)
+    r1 = nb[nb["rank"] == 1].set_index("query_id")
+    assert (r1.neighbor_id == r1.index).all()
+
+    # append a distinct new batch, compact, query the new ids
+    new = [{"vec_id": 900_000 + i,
+            "embedding": [float(x) + 0.02 * (i + 1)
+                          for x in reversed(base[i]["embedding"])]}
+           for i in range(4)]
+    newp = str(tmp_path / "new.parquet")
+    pq.write_table(pa.Table.from_pylist(new), newp)
+    out2 = str(tmp_path / "ann2")
+    summary2 = _run(["jobs/run_ann.py", "--corpus", SF_SMOKE,
+                     "--index-dir", idx, "--output", out2,
+                     "--append", newp, "--compact", "--queries", newp,
+                     "--k", "3", "--n-probe", "16"])
+    assert summary2["index_n_rows"] == len(base) + 4
+    assert summary2["index_n_appended"] == 4
+    assert summary2["compacted"]["dirs_compacted"] >= 1
+    nb2 = pq.read_table(os.path.join(out2, "neighbors")).to_pandas()
+    r1 = nb2[nb2["rank"] == 1].set_index("query_id")
+    assert sorted(r1.index) == [d["vec_id"] for d in new]
+    assert (r1.neighbor_id == r1.index).all()
+
+
 def test_run_snapshot_ingest_cli(ray_session, tmp_path):
     """Near-dup ingest CLI: exact + truncated re-crawls are rejected,
     novel docs are admitted; --append makes a re-run of the SAME
