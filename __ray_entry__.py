@@ -546,6 +546,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # politeness-aware crawl schedule (one-url-per-host waves over
         # the ranked frontier; keyed-window scan with a string key)
         "frontier_schedule": _tuned(q_frontier_schedule),
+        # fuzzy eval-set decontamination: MinHash index over the (small)
+        # benchmark side, corpus signed once and probed against it
+        "decontam_neardup": _tuned(analytics.decontam_neardup),
     }
 
 
@@ -571,6 +574,7 @@ AWAITING_SLOT = (
     "ann_ivf_incremental",
     "nb_lang_classify",
     "frontier_schedule",
+    "decontam_neardup",
 )
 
 
@@ -668,6 +672,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_lang_classify": analytics.nb_lang_classify_sql(),
         # priority join + per-section ROW_NUMBER politeness window
         "frontier_schedule": linkgraph.frontier_schedule_sql(),
+        # two-side signature replay, roles inverted (bench side indexed)
+        "decontam_neardup": analytics.decontam_neardup_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

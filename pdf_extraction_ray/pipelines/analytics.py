@@ -1116,13 +1116,19 @@ def snapshot_neardup_ingest(sf_dir: str) -> rd.Dataset:
                                         jaccard_threshold=0.5)
 
 
-def snapshot_neardup_ingest_sql(num_perm: int = 64, bands: int = 16,
-                                threshold: float = 0.5) -> str:
-    """Value-exact DuckDB replica of ``snapshot_neardup_ingest``:
-    replays signatures for BOTH sides (the ``dedup_minhash_sql``
-    machinery), snapshot->corpus band-slice candidates, >= threshold
-    signature-agreement verify, then best-match selection (max k, tie
-    -> smallest indexed id) and the novel/dup decision padding."""
+def _minhash_probe_replay_sql(new_sql: str, old_sql: str,
+                              final_select: str,
+                              num_perm: int = 64, bands: int = 16,
+                              threshold: float = 0.5) -> str:
+    """The shared signature-replay oracle builder: given CTE bodies for
+    the PROBE side (``new_sql``) and the INDEXED side (``old_sql``) —
+    ids must be disjoint across the union — replays both sides'
+    MinHash signatures (the ``dedup_minhash_sql`` machinery), finds
+    new->old band-slice candidates, verifies >= ``threshold`` signature
+    agreement, and picks the best match per probe doc (max k, tie ->
+    smallest indexed id) into ``pick(nid, dup_of, k_max)``.
+    ``final_select`` closes the query (it can reference ``newdocs``,
+    ``olddocs`` and ``pick``)."""
     from ..functions import hashing as H
 
     pa_, pb_ = H._minhash_params(num_perm)
@@ -1135,44 +1141,38 @@ def snapshot_neardup_ingest_sql(num_perm: int = 64, bands: int = 16,
     slice_eq = " AND ".join(f"x.s{j} = y.s{j}" for j in range(r))
     toks = "regexp_extract_all(lower(text), '[\\pL\\pN_]+')"
     return f"""
-WITH snap AS (
-  SELECT doc_id + 4000000 AS doc_id,
-         substr(text, 1, length(text) - 12) AS text
-  FROM documents WHERE doc_id % 5 = 0
-  UNION ALL
-  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 5 = 1
-  UNION ALL
-  SELECT doc_id + 4000000,
-         'snapshot only page ' || doc_id || ' fresh crawl content'
-  FROM documents WHERE doc_id % 5 = 2
+WITH newdocs AS (
+{new_sql}
+), olddocs AS (
+{old_sql}
 ), all_docs AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text, 'o' AS side FROM olddocs
   UNION ALL
-  SELECT doc_id, text FROM snap
+  SELECT doc_id, text, 'n' AS side FROM newdocs
 ), shl AS (
-  SELECT doc_id, unnest(list_distinct(CASE WHEN len({toks}) < 3
+  SELECT doc_id, side, unnest(list_distinct(CASE WHEN len({toks}) < 3
       THEN [array_to_string({toks}, ' ')]
       ELSE list_transform(range(1, len({toks}) - 1),
              i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])
     END)) AS shingle
   FROM all_docs
 ), xs AS (
-  SELECT doc_id, {_sql_hash64()}::HUGEINT AS x
-  FROM (SELECT doc_id, sha256(shingle) AS h FROM shl)
+  SELECT doc_id, side, {_sql_hash64()}::HUGEINT AS x
+  FROM (SELECT doc_id, side, sha256(shingle) AS h FROM shl)
 ), perm(i, pa, pb) AS (VALUES {perm_vals}),
 sig AS (
-  SELECT doc_id, i,
+  SELECT doc_id, side, i,
          min((((pa * x) % 18446744073709551616 + pb) % 18446744073709551616)
              % 2305843009213693951) AS s
-  FROM xs CROSS JOIN perm GROUP BY doc_id, i
+  FROM xs CROSS JOIN perm GROUP BY doc_id, side, i
 ), bandsig AS (
-  SELECT doc_id, i // {r} AS band,
+  SELECT doc_id, side, i // {r} AS band,
          {slice_cols}
-  FROM sig GROUP BY doc_id, i // {r}
+  FROM sig GROUP BY doc_id, side, i // {r}
 ), cand AS (
   SELECT DISTINCT x.doc_id AS nid, y.doc_id AS oid
   FROM bandsig x JOIN bandsig y ON x.band = y.band AND {slice_eq}
-  WHERE x.doc_id >= 4000000 AND y.doc_id < 4000000
+  WHERE x.side = 'n' AND y.side = 'o'
 ), agree AS (
   SELECT c.nid, c.oid, count(*) FILTER (WHERE sn.s = so.s) AS k
   FROM cand c
@@ -1188,11 +1188,123 @@ sig AS (
   FROM ok o JOIN best b ON o.nid = b.nid AND o.k = b.k_max
   GROUP BY o.nid, b.k_max
 )
+{final_select}"""
+
+
+def snapshot_neardup_ingest_sql(num_perm: int = 64, bands: int = 16,
+                                threshold: float = 0.5) -> str:
+    """Value-exact DuckDB replica of ``snapshot_neardup_ingest``:
+    replays signatures for BOTH sides (the shared
+    ``_minhash_probe_replay_sql`` builder), snapshot->corpus band-slice
+    candidates, >= threshold signature-agreement verify, then
+    best-match selection (max k, tie -> smallest indexed id) and the
+    novel/dup decision padding."""
+    new_sql = """
+  SELECT doc_id + 4000000 AS doc_id,
+         substr(text, 1, length(text) - 12) AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id + 4000000,
+         'snapshot only page ' || doc_id || ' fresh crawl content'
+  FROM documents WHERE doc_id % 5 = 2"""
+    old_sql = "  SELECT doc_id, text FROM documents"
+    final = """
 SELECT s.doc_id,
        CASE WHEN p.dup_of IS NULL THEN 'novel' ELSE 'dup' END AS status,
        CAST(coalesce(p.dup_of, -1) AS BIGINT) AS dup_of,
        CAST(coalesce(p.k_max, 0) AS BIGINT) AS agree_k
-FROM snap s LEFT JOIN pick p ON s.doc_id = p.nid"""
+FROM newdocs s LEFT JOIN pick p ON s.doc_id = p.nid"""
+    return _minhash_probe_replay_sql(new_sql, old_sql, final,
+                                     num_perm, bands, threshold)
+
+
+DECONTAM_ND_PLANT_OFFSET = 5_000_000
+
+
+def decontam_neardup(sf_dir: str,
+                     jaccard_threshold: float = 0.5) -> rd.Dataset:
+    """FUZZY eval-set decontamination — the near-duplicate complement of
+    ``decontam_docs`` (exact word-8-gram overlap): a training document
+    that is a lightly-edited COPY of a benchmark document shares most
+    of its shingles but not necessarily a verbatim 8-gram run, and the
+    published pipelines (Llama-style) therefore also run a MinHash
+    screen against the eval suites. Benchmark = ``doc_id % 97 == 0``
+    (the decontam_docs convention); contamination is planted
+    deterministically (even benchmark docs get a 12-char-truncated copy
+    into the training side at +5e6) so the oracle can mirror the plant.
+
+    Scale shape: the roles INVERT the snapshot ingest — the persisted
+    MinHash index is built over the (small) benchmark side, the corpus
+    is signed once and probes it (stages/dedup.py:probe_minhash_index:
+    ids-only hash joins, partition-pruned postings read) — so the
+    screen costs one signature pass over the corpus however many eval
+    suites accumulate. Returns one row per training doc:
+    (doc_id, contaminated, bench_ref, agree_k)."""
+    from ..sources.corpus import _input_digest
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+    bench = base.map_batches(
+        lambda t: t.filter(pa.array(
+            np.asarray(t["doc_id"], dtype=np.int64) % 97 == 0)),
+        batch_format="pyarrow")
+
+    def train_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        out_id, out_t = [], []
+        for did, t in zip(ids.tolist(), texts):
+            if did % 97 != 0:
+                out_id.append(did)
+                out_t.append(t or "")
+            elif did % 2 == 0:
+                # planted contamination: truncated benchmark copy
+                out_id.append(did + DECONTAM_ND_PLANT_OFFSET)
+                out_t.append((t or "")[:-12])
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_t, pa.large_string())})
+
+    train = base.map_batches(train_rows, batch_format="pyarrow")
+    index_dir = os.path.join(
+        "/tmp/pdf_extraction_ray/minhash-bench",
+        f"{os.path.basename(sf_dir)}-{_input_digest(sf_dir)}")
+    dd.ensure_minhash_index(bench, index_dir)
+    st = dd.snapshot_neardup_statuses(train, index_dir,
+                                      jaccard_threshold=jaccard_threshold)
+
+    def decide(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "contaminated": pc.equal(t["status"], "dup"),
+            "bench_ref": t["dup_of"].combine_chunks().cast(pa.int64()),
+            "agree_k": t["agree_k"].combine_chunks().cast(pa.int64()),
+        })
+
+    return st.map_batches(decide, batch_format="pyarrow")
+
+
+def decontam_neardup_sql(num_perm: int = 64, bands: int = 16,
+                         threshold: float = 0.5) -> str:
+    """Oracle for ``decontam_neardup``: the shared signature-replay
+    builder with the roles inverted — olddocs = the benchmark slice,
+    newdocs = the training side incl. the planted truncated copies."""
+    off = DECONTAM_ND_PLANT_OFFSET
+    new_sql = f"""
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + {off}, substr(text, 1, length(text) - 12)
+  FROM documents WHERE doc_id % 97 = 0 AND doc_id % 2 = 0"""
+    old_sql = "  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0"
+    final = """
+SELECT t.doc_id,
+       (p.dup_of IS NOT NULL) AS contaminated,
+       CAST(coalesce(p.dup_of, -1) AS BIGINT) AS bench_ref,
+       CAST(coalesce(p.k_max, 0) AS BIGINT) AS agree_k
+FROM newdocs t LEFT JOIN pick p ON t.doc_id = p.nid"""
+    return _minhash_probe_replay_sql(new_sql, old_sql, final,
+                                     num_perm, bands, threshold)
 
 
 # text-invariant ROW kinds: a page row's content identity is payload

@@ -1102,6 +1102,36 @@ def test_nb_lang_classify_sane_and_margin_safe(ray_session):
     assert worst > 1e-6, worst
 
 
+def test_decontam_neardup_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        decontam_neardup, decontam_neardup_sql)
+    assert compare("decontam_neardup", decontam_neardup(SF_SMOKE),
+                   decontam_neardup_sql(), SF_SMOKE) == []
+
+
+def test_decontam_neardup_flags_planted_copies(ray_session):
+    """Every planted truncated benchmark copy is flagged contaminated
+    with its source benchmark doc as bench_ref — the fuzzy case the
+    exact 8-gram decontam pass can miss on edited copies."""
+    from pdf_extraction_ray.pipelines.analytics import (
+        DECONTAM_ND_PLANT_OFFSET, decontam_neardup)
+    out = decontam_neardup(SF_SMOKE).to_pandas()
+    plants = out[out.doc_id >= DECONTAM_ND_PLANT_OFFSET]
+    assert len(plants) > 0
+    assert plants.contaminated.all()
+    assert (plants.bench_ref
+            == plants.doc_id - DECONTAM_ND_PLANT_OFFSET).all()
+    # the training side is padded complete: every non-benchmark doc has
+    # a decision row
+    n_train = (out.doc_id < DECONTAM_ND_PLANT_OFFSET).sum()
+    import pyarrow.parquet as pq
+    ids = pq.read_table(SF_SMOKE + "/documents.parquet",
+                        columns=["doc_id"]).to_pandas().doc_id
+    assert n_train == int((ids % 97 != 0).sum())
+
+
 def test_dsir_select_matches_duckdb(ray_session):
     from tests.oracle_check import compare
 
