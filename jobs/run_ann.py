@@ -74,8 +74,9 @@ def main() -> int:
         batch = rd.read_parquet(_emb_path(args.append),
                                 columns=["vec_id", "embedding"])
         meta = sim.append_to_ivf_index(batch, args.index_dir)
-        if args.compact:
-            compact_stats = sim.compact_ivf_index(args.index_dir)
+    if args.compact:
+        # also valid WITHOUT --append: merge deltas left by earlier runs
+        compact_stats = sim.compact_ivf_index(args.index_dir)
 
     if args.queries:
         qdf = rd.read_parquet(_emb_path(args.queries),

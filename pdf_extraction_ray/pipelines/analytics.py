@@ -4167,7 +4167,12 @@ def ann_ivf_incremental(sf_dir: str, k: int = 10, n_centroids: int = 16,
     from pathlib import Path
 
     q, qids = _query_vectors(sf_dir)
-    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # materialize once: count, the build's id-fingerprint pass, the
+    # centroid sample, the assign/write pass, and the append's stats
+    # pass otherwise each re-execute the read+filter lineage (~5 scans;
+    # the topk_cosine_ivf hazard)
+    ds = _read_table(sf_dir, "embeddings",
+                     ["vec_id", "embedding"]).materialize()
     n = ds.count()
     if not 0 < holdout < n:
         raise ValueError(f"holdout {holdout} out of range for {n} vectors")

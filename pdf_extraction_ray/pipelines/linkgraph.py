@@ -690,7 +690,10 @@ def schedule_from_ranks(ranks: rd.Dataset, extracted: rd.Dataset,
     def sect(t: pa.Table) -> pa.Table:
         urls = t["url"].combine_chunks()
         ex = pc.extract_regex(urls, pattern=r"corpus\.example/(?P<s>[^/]+)/")
-        s = pc.struct_field(ex, "s")
+        # non-matching urls -> '' (one shared pseudo-host), matching the
+        # SQL oracle's regexp_extract; a null here would be DROPPED by
+        # pandas groupby and int-cast its wave to garbage
+        s = pc.fill_null(pc.struct_field(ex, "s"), "")
         cache: dict[str, int] = {}
         kp = np.fromiter(
             (cache.get(x) if x in cache

@@ -1431,7 +1431,13 @@ def embedding_near_dup_cells(ds: rd.Dataset, threshold_pct: int = 99,
         # a pair straddling k shared cells is found k times; it EMITS
         # only in its minimum common cell, so no second shuffle is
         # needed to dedup pairs (both endpoints are exploded into every
-        # common cell, so the owning cell always sees the pair)
+        # common cell, so the owning cell always sees the pair).
+        # Caveat (accepted): a pair whose cosine sits within one ulp of
+        # thr could round differently in different cells' matmuls — the
+        # owning cell's verdict is the only one that counts now, where
+        # the old emit-anywhere path kept any cell's positive. Planted
+        # dups sit at sim ~1 and thresholds are percent-quantized, so
+        # the boundary is unpopulated on real inputs.
         A, B = cellsets[rows], cellsets[cols]          # (m, n_assign)
         has = (A[:, :, None] == B[:, None, :]).any(axis=2)
         min_common = np.where(has, A, np.iinfo(np.int64).max).min(axis=1)

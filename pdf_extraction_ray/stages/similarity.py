@@ -380,9 +380,13 @@ def append_to_ivf_index(ds_new: rd.Dataset, index_dir: str,
 
     At-least-once-safe exactly like the other two indexes: ``applied``
     batch fingerprints make a duplicate submission after the meta
-    publish a no-op, and a retry on the same pre-state reuses the
-    (pre-state fp, batch stats) delta tag, overwriting its own partial
-    files idempotently. Returns the updated meta."""
+    publish a no-op — within a 64-batch redelivery horizon (the
+    textindex convention: fingerprints older than the last 64 appends
+    age out, so redeliveries must arrive within that window, which any
+    real at-least-once queue satisfies) — and a retry on the same
+    pre-state reuses the (pre-state fp, batch stats) delta tag,
+    overwriting its own partial files idempotently. Returns the
+    updated meta."""
     import glob
     import hashlib as _hl
     import json

@@ -232,6 +232,28 @@ def test_frontier_schedule_is_polite(ray_session):
         assert (g.priority.diff().dropna() <= 0).all()
 
 
+def test_frontier_schedule_handles_foreign_urls(ray_session):
+    """A url without the corpus section pattern schedules under the ''
+    pseudo-host (matching the SQL oracle's regexp_extract) — a null
+    section would be dropped by the pandas groupby and int-cast its
+    wave to garbage."""
+    import ray.data as rd
+
+    from pdf_extraction_ray.pipelines.linkgraph import schedule_from_ranks
+    ranks = rd.from_items([{"doc_id": i, "rank": 100 - i}
+                           for i in range(3)])
+    ext = rd.from_items(
+        [{"url": f"https://corpus.example/srcA/d{i:07d}",
+          "quality_pct": 50} for i in range(2)]
+        + [{"url": "https://other.host/path/d0000002", "quality_pct": 50}])
+    out = schedule_from_ranks(ranks, ext).to_pandas()
+    row = out[out.doc_id == 2]
+    assert len(row) == 1
+    assert row.section.iloc[0] == ""
+    assert row.wave.iloc[0] == 1
+    assert (out.wave >= 1).all()
+
+
 def test_pagerank_links_hubs_rank_highest(ray_session):
     """The planted related-links topology concentrates rank on the 16
     hub pages — the skew the operator exists to surface."""

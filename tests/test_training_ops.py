@@ -1099,6 +1099,12 @@ def test_nb_lang_classify_sane_and_margin_safe(ray_session):
     for lang, _, c in cb:
         x = 1_000_000 * (math.log(c + 1) - math.log(tot[lang] + B)) + 0.5
         worst = min(worst, abs(x - round(x)))
+    # the per-class PRIOR constants must keep the same margin
+    n_all, n_cls = int(docs.n.sum()), len(docs)
+    for nd in docs.n:
+        x = 1_000_000 * (math.log(int(nd) + 1)
+                         - math.log(n_all + n_cls)) + 0.5
+        worst = min(worst, abs(x - round(x)))
     assert worst > 1e-6, worst
 
 
