@@ -549,6 +549,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fuzzy eval-set decontamination: MinHash index over the (small)
         # benchmark side, corpus signed once and probed against it
         "decontam_neardup": _tuned(analytics.decontam_neardup),
+        # GROUP BY CUBE — all four grains from the rollup's one pass
+        "orders_cube": _tuned(relational.orders_cube),
+        # LAG/LEAD shifted windows (keyed_shift; -1 sentinel)
+        "user_value_lag": _tuned(analytics.user_value_lag),
     }
 
 
@@ -575,6 +579,8 @@ AWAITING_SLOT = (
     "nb_lang_classify",
     "frontier_schedule",
     "decontam_neardup",
+    "orders_cube",
+    "user_value_lag",
 )
 
 
@@ -674,6 +680,8 @@ def oracle_sql() -> dict[str, str]:
         "frontier_schedule": linkgraph.frontier_schedule_sql(),
         # two-side signature replay, roles inverted (bench side indexed)
         "decontam_neardup": analytics.decontam_neardup_sql(),
+        "orders_cube": relational.orders_cube_sql(),
+        "user_value_lag": analytics.user_value_lag_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -2430,6 +2430,43 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
 
+def user_value_lag(sf_dir: str) -> rd.Dataset:
+    """LAG / LEAD window functions: each event's previous and next
+    same-user event value (cents), ordered by (ts, event_id) — the
+    shifted-window family (stages/scan.py:keyed_shift: one key-hash
+    shuffle, vectorized per-partition groupby-shift). -1 sentinel when
+    no neighbor exists (event values are positive by generation — the
+    asof_prior_error convention)."""
+    from ..stages.scan import keyed_shift
+
+    ds = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cents = pc.round(pc.multiply(batch["value"], 100.0)).cast(pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": batch["ts"],
+                         "cents": cents})
+
+    out = keyed_shift(ds.map_batches(to_cents, batch_format="pyarrow"),
+                      key_col="user_id", sort_cols=["ts", "event_id"],
+                      value_col="cents",
+                      shifts={"prev_cents": 1, "next_cents": -1})
+    return out.select_columns(["event_id", "prev_cents", "next_cents"])
+
+
+def user_value_lag_sql() -> str:
+    return """
+SELECT event_id,
+       CAST(COALESCE(LAG(c) OVER w, -1) AS BIGINT) AS prev_cents,
+       CAST(COALESCE(LEAD(c) OVER w, -1) AS BIGINT) AS next_cents
+FROM (SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS c FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
 def asof_prior_error(sf_dir: str) -> rd.Dataset:
     """As-of join: each click event gets the newest error event of the
     same user at or before its timestamp (-1 when none) — the temporal

@@ -510,19 +510,10 @@ def customers_without_orders_bloom(sf_dir: str) -> rd.Dataset:
 ROLLUP_ALL = "ALL"  # sentinel for a rolled-up level (avoids NULL-sort skew)
 
 
-def orders_rollup(sf_dir: str) -> pa.Table:
-    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): order counts and
-    totalprice sums at three grains (priority×status, priority, grand
-    total) from ONE data pass.
-
-    Shape: the finest groupby runs distributed with the combiner pattern
-    (per-batch integer-cents partials, one small keyed shuffle); the
-    coarser levels are re-aggregations of that result, whose cardinality
-    is bounded by the KEY DOMAIN (|priorities|×|statuses| ≈ 15 rows) —
-    never by data size — so deriving them driver-side is the scale-right
-    plan at any corpus size. Money integerizes to cents per row before
-    summation (association-order-free, hash-safe vs the SQL oracle).
-    """
+def _orders_finest(sf_dir: str) -> pd.DataFrame:
+    """The (priority, status) grain from ONE distributed combiner pass —
+    shared by ROLLUP and CUBE, whose coarser levels re-aggregate this
+    key-domain-bounded table (~15 rows) driver-side."""
     ds = _read(sf_dir, "orders",
                ["o_orderpriority", "o_orderstatus", "o_totalprice"])
 
@@ -538,13 +529,66 @@ def orders_rollup(sf_dir: str) -> pa.Table:
         g["n_orders"] = g["n_orders"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    finest = (ds.map_batches(partial, batch_format="pyarrow",
-                             batch_size=65536)
-                .groupby(["priority", "status"])
-                .aggregate(Sum("n_orders", alias_name="n_orders"),
-                           Sum("sum_cents", alias_name="sum_cents"))
-                .to_pandas())
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["priority", "status"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("sum_cents", alias_name="sum_cents"))
+            .to_pandas())
 
+
+def orders_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus): all FOUR grains
+    (priority×status, priority, status, grand total) from the same one
+    data pass as ``orders_rollup`` — CUBE adds the status-only level
+    the rollup lattice lacks. Coarser levels re-aggregate the finest
+    table, bounded by the key domain, never by data size."""
+    finest = _orders_finest(sf_dir)
+    by_p = (finest.groupby("priority", as_index=False)
+            [["n_orders", "sum_cents"]].sum())
+    by_p["status"] = ROLLUP_ALL
+    by_s = (finest.groupby("status", as_index=False)
+            [["n_orders", "sum_cents"]].sum())
+    by_s["priority"] = ROLLUP_ALL
+    total = pd.DataFrame({
+        "priority": [ROLLUP_ALL], "status": [ROLLUP_ALL],
+        "n_orders": [finest["n_orders"].sum()],
+        "sum_cents": [finest["sum_cents"].sum()],
+    })
+    out = pd.concat([finest, by_p, by_s, total], ignore_index=True)
+    out = out[["priority", "status", "n_orders", "sum_cents"]]
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def orders_cube_sql() -> str:
+    return """
+SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+            ELSE o_orderpriority END AS priority,
+       CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+            ELSE o_orderstatus END AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)"""
+
+
+def orders_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): order counts and
+    totalprice sums at three grains (priority×status, priority, grand
+    total) from ONE data pass.
+
+    Shape: the finest groupby runs distributed with the combiner pattern
+    (per-batch integer-cents partials, one small keyed shuffle); the
+    coarser levels are re-aggregations of that result, whose cardinality
+    is bounded by the KEY DOMAIN (|priorities|×|statuses| ≈ 15 rows) —
+    never by data size — so deriving them driver-side is the scale-right
+    plan at any corpus size. Money integerizes to cents per row before
+    summation (association-order-free, hash-safe vs the SQL oracle).
+    """
+    finest = _orders_finest(sf_dir)
     lvl1 = (finest.groupby("priority", as_index=False)
             [["n_orders", "sum_cents"]].sum())
     lvl1["status"] = ROLLUP_ALL

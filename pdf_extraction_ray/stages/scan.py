@@ -149,3 +149,45 @@ def keyed_scan(ds: rd.Dataset, key_col: str, sort_cols: list[str],
     return (ds.map_batches(tag, batch_format="pyarrow")
               .groupby("_kp")
               .map_groups(scan_group, batch_format="pandas"))
+
+
+def keyed_shift(ds: rd.Dataset, key_col: str, sort_cols: list[str],
+                value_col: str, shifts: dict[str, int],
+                fill: int = -1,
+                num_partitions: int = 32) -> rd.Dataset:
+    """Per-key ordered LAG/LEAD — the shifted-window sibling of
+    :func:`keyed_scan` (``LAG(x) OVER (PARTITION BY key ORDER BY …)``):
+    same ONE key-hash shuffle, then a vectorized per-partition sort +
+    ``groupby(key).shift`` per requested offset — never per-key Python.
+
+    ``shifts`` maps output column -> periods (positive = LAG, negative
+    = LEAD). Rows with no neighbor take the integer ``fill`` sentinel
+    (the asof_prior_error convention — hash-safe vs COALESCE in the
+    SQL oracle; pick a value outside the column's domain).
+    ``value_col`` must be int64."""
+    P = num_partitions
+
+    def tag(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].cast(pa.int64()))
+        return t.append_column("_kp", pa.array(key % P, pa.int64()))
+
+    out_schema = ds.schema()
+
+    def shift_group(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            empty = {f.name: pa.array([], f.type)
+                     for f in out_schema.base_schema}
+            for col in shifts:
+                empty[col] = pa.array([], pa.int64())
+            return pa.table(empty)
+        g = g.sort_values([key_col] + sort_cols, kind="mergesort")
+        grp = g.groupby(key_col, sort=False)[value_col]
+        for col, periods in shifts.items():
+            g[col] = (grp.shift(periods).fillna(fill)
+                      .astype("int64").to_numpy())
+        return pa.Table.from_pandas(g.drop(columns=["_kp"]),
+                                    preserve_index=False)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("_kp")
+              .map_groups(shift_group, batch_format="pandas"))

@@ -590,7 +590,7 @@ def test_keyed_scan_semantics(ray_session):
     assert out["run_sum"].tolist() == g["v"].cumsum().tolist()
 
 
-@pytest.mark.parametrize("name", ["running_user_value"])
+@pytest.mark.parametrize("name", ["running_user_value", "user_value_lag"])
 def test_keyed_scan_matches_duckdb(ray_session, name):
     from pdf_extraction_ray.pipelines import analytics as A
     fn = getattr(A, name)
@@ -598,7 +598,22 @@ def test_keyed_scan_matches_duckdb(ray_session, name):
     assert compare(name, fn(SF_SMOKE), sql, SF_SMOKE) == []
 
 
-@pytest.mark.parametrize("name", ["orders_rollup", "orders_pivot"])
+def test_keyed_shift_lag_lead_inverse(ray_session):
+    """LAG and LEAD are inverses within a key: if event B's prev is A,
+    then A's next is B — and first/last rows carry the -1 sentinel."""
+    from pdf_extraction_ray.pipelines import analytics as A
+    out = A.user_value_lag(SF_SMOKE).to_pandas()
+    assert (out.prev_cents == -1).sum() > 0
+    assert (out.next_cents == -1).sum() > 0
+    # reconstruct: for every event with a prev value, some event in the
+    # same corpus has that value as its own cents — spot-check symmetry
+    # via counts: #rows with prev sentinel == #rows with next sentinel
+    # (both equal the number of per-user chains)
+    assert (out.prev_cents == -1).sum() == (out.next_cents == -1).sum()
+
+
+@pytest.mark.parametrize("name", ["orders_rollup", "orders_pivot",
+                                  "orders_cube"])
 def test_rollup_pivot_match_duckdb(ray_session, name):
     from pdf_extraction_ray.pipelines import relational as R
     fn = getattr(R, name)
@@ -618,6 +633,22 @@ def test_rollup_levels_consistent(ray_session):
     assert (lvl1.set_index("priority")[["n_orders", "sum_cents"]]
             .sort_index().equals(agg.sort_index()))
     assert int(total["n_orders"].iloc[0]) == int(finest["n_orders"].sum())
+
+
+def test_cube_adds_status_level(ray_session):
+    """CUBE = ROLLUP's three grains plus the status-only level, every
+    coarse grain re-aggregating exactly from the finest."""
+    from pdf_extraction_ray.pipelines import relational as R
+    cube = R.orders_cube(SF_SMOKE).to_pandas()
+    roll = R.orders_rollup(SF_SMOKE).to_pandas()
+    key = ["priority", "status", "n_orders", "sum_cents"]
+    cube_rows = set(map(tuple, cube[key].itertuples(index=False)))
+    assert set(map(tuple, roll[key].itertuples(index=False))) <= cube_rows
+    by_s = cube[(cube.priority == "ALL") & (cube.status != "ALL")]
+    finest = cube[(cube.priority != "ALL") & (cube.status != "ALL")]
+    agg = finest.groupby("status")[["n_orders", "sum_cents"]].sum()
+    assert (by_s.set_index("status")[["n_orders", "sum_cents"]]
+            .sort_index().equals(agg.sort_index()))
 
 
 def test_entry_contract_keys():
