@@ -598,6 +598,36 @@ def test_keyed_scan_matches_duckdb(ray_session, name):
     assert compare(name, fn(SF_SMOKE), sql, SF_SMOKE) == []
 
 
+def test_keyed_shift_matches_pandas_reference(ray_session):
+    """Randomized (seeded) keys/timestamps/values: keyed_shift equals a
+    single-node pandas groupby().shift reference for LAG and LEAD,
+    whatever the block layout."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages.scan import keyed_shift
+    rng = np.random.default_rng(7)
+    n = 2000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 37, n).astype(np.int64),
+        "t": rng.integers(0, 50, n).astype(np.int64),
+        "v": rng.integers(-5, 100, n).astype(np.int64),
+    })
+    out = (keyed_shift(rd.from_pandas(df).repartition(num_blocks=7),
+                       "k", ["t", "id"], "v",
+                       shifts={"prev": 1, "nxt": -1}, fill=-999)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    ref = df.sort_values(["k", "t", "id"], kind="mergesort")
+    grp = ref.groupby("k", sort=False)["v"]
+    ref = ref.assign(prev=grp.shift(1).fillna(-999).astype("int64"),
+                     nxt=grp.shift(-1).fillna(-999).astype("int64"))
+    ref = ref.sort_values("id").reset_index(drop=True)
+    assert out["prev"].tolist() == ref["prev"].tolist()
+    assert out["nxt"].tolist() == ref["nxt"].tolist()
+
+
 def test_keyed_shift_lag_lead_inverse(ray_session):
     """LAG and LEAD are inverses within a key: if event B's prev is A,
     then A's next is B — and first/last rows carry the -1 sentinel."""
