@@ -109,8 +109,13 @@ def build_inverted_index(ds: rd.Dataset, index_dir: str,
     (ds.select_columns([id_col, text_col])
        .map_batches(postings, batch_format="pyarrow")
        .write_parquet(tmp, partition_cols=["part"]))
+    # base_n/base_fp stamp the BUILD corpus and never change; append
+    # folds batches into n_docs/id_fp only — ensure_inverted_index
+    # accepts a caller corpus matching EITHER (an appended index is a
+    # superset of its base, not stale; the minhash-index lesson)
     meta = {"n_docs": n_docs, "total_tokens": total_tokens,
-            "id_fp": id_fp, "num_parts": num_parts, "applied": []}
+            "id_fp": id_fp, "base_n": n_docs, "base_fp": id_fp,
+            "num_parts": num_parts, "applied": []}
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump(meta, f)
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -138,7 +143,9 @@ def ensure_inverted_index(ds: rd.Dataset, index_dir: str,
             from .similarity import _ids_fingerprint
             n, fp = _ids_fingerprint(stamp_ds if stamp_ds is not None
                                      else ds, id_col)
-            if meta.get("n_docs") == n and meta.get("id_fp") == fp:
+            if ((meta.get("n_docs") == n and meta.get("id_fp") == fp)
+                    or (meta.get("base_n") == n
+                        and meta.get("base_fp") == fp)):
                 return meta
     return build_inverted_index(ds.materialize(), index_dir, text_col,
                                 id_col, num_parts)
@@ -223,7 +230,8 @@ def append_to_index(ds_new: rd.Dataset, index_dir: str,
            .map_groups(write_delta, batch_format="pyarrow")
            .materialize())
 
-    meta = {"n_docs": meta["n_docs"] + n_new,
+    meta = {**meta,
+            "n_docs": meta["n_docs"] + n_new,
             "total_tokens": meta["total_tokens"] + tot_new,
             "id_fp": meta["id_fp"] ^ fp_new,
             "num_parts": num_parts,

@@ -112,6 +112,45 @@ def test_run_ann_cli(tmp_path):
     assert (r1.neighbor_id == r1.index).all()
 
 
+def test_run_search_cli(tmp_path):
+    """BM25 search job: build the index, answer a query; a second run
+    folds a new doc batch in (--append --compact) and a THIRD run that
+    passes only the BASE corpus must reuse the appended index (ensure
+    accepts the base stamp — a rebuild would wipe the appended docs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    idx = str(tmp_path / "inv")
+    out = str(tmp_path / "s1")
+    summary = _run(["jobs/run_search.py", "--corpus", SF_SMOKE,
+                    "--index-dir", idx, "--output", out,
+                    "--query", "batch table", "--k", "5"])
+    assert summary["n_queries"] == 1 and summary["n_hits"] > 0
+    assert os.listdir(os.path.join(out, "hits"))
+
+    new = [{"doc_id": 800_000 + i,
+            "text": f"zzzuniqword appended body {i}"} for i in range(3)]
+    newp = str(tmp_path / "new.parquet")
+    pq.write_table(pa.Table.from_pylist(new), newp)
+    out2 = str(tmp_path / "s2")
+    summary2 = _run(["jobs/run_search.py", "--corpus", SF_SMOKE,
+                     "--index-dir", idx, "--output", out2,
+                     "--append", newp, "--compact",
+                     "--query", "zzzuniqword", "--k", "5"])
+    assert summary2["index_n_docs"] is not None
+    assert summary2["compacted"]["parts_compacted"] >= 1
+    hits2 = pq.read_table(os.path.join(out2, "hits")).to_pandas()
+    assert set(hits2.doc_id) == {d["doc_id"] for d in new}
+
+    # base corpus again: the appended index must be accepted as fresh
+    out3 = str(tmp_path / "s3")
+    _run(["jobs/run_search.py", "--corpus", SF_SMOKE,
+          "--index-dir", idx, "--output", out3,
+          "--query", "zzzuniqword", "--k", "5"])
+    hits3 = pq.read_table(os.path.join(out3, "hits")).to_pandas()
+    assert set(hits3.doc_id) == {d["doc_id"] for d in new}
+
+
 def test_run_snapshot_ingest_cli(ray_session, tmp_path):
     """Near-dup ingest CLI: exact + truncated re-crawls are rejected,
     novel docs are admitted; --append makes a re-run of the SAME
