@@ -553,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": _tuned(relational.orders_cube),
         # LAG/LEAD shifted windows (keyed_shift; -1 sentinel)
         "user_value_lag": _tuned(analytics.user_value_lag),
+        # exact COUNT(DISTINCT) per group — hll_users_per_type's twin
+        "users_per_type_exact": _tuned(analytics.users_per_type_exact),
     }
 
 
@@ -581,6 +583,7 @@ AWAITING_SLOT = (
     "decontam_neardup",
     "orders_cube",
     "user_value_lag",
+    "users_per_type_exact",
 )
 
 
@@ -682,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_neardup": analytics.decontam_neardup_sql(),
         "orders_cube": relational.orders_cube_sql(),
         "user_value_lag": analytics.user_value_lag_sql(),
+        "users_per_type_exact": analytics.users_per_type_exact_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

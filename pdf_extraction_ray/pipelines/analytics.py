@@ -163,6 +163,44 @@ def hll_users_per_type(sf_dir: str) -> rd.Dataset:
     return approx_distinct_by_key(ds, "event_type", "user_id")
 
 
+def users_per_type_exact(sf_dir: str,
+                         num_partitions: int = 32) -> rd.Dataset:
+    """EXACT distinct users per event type — the exactness twin of
+    ``hll_users_per_type`` and the chained-combiner distinct-count
+    shape (the anchor_text_index pattern as a standalone op): per-batch
+    (type, user) dedup is the combiner, ONE user-hash partition
+    exchange co-locates each pair exactly once, the per-partition body
+    is a vectorized distinct + per-type partial count, and a tiny
+    ``groupby(type)`` sums the ≤ P×|types| partials. No count-distinct
+    state ever centralizes — at 10^12 events the only all-to-all
+    carries batch-distinct (type, user) pairs."""
+    P = num_partitions
+    ds = _read_table(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates(["event_type", "user_id"])
+        df["__p"] = df["user_id"].to_numpy(np.int64) % P
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = (d.groupby("event_type", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out[["event_type", "n"]]
+
+    part = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__p").map_groups(count_part, batch_format="pandas"))
+    return part.groupby("event_type").aggregate(
+        Sum("n", alias_name="n_users"))
+
+
+def users_per_type_exact_sql() -> str:
+    return """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type"""
+
+
 def hll_users_per_type_sql(p: int = 10) -> str:
     """SQL twin of the HLL pipeline: rebuild the 64-bit little-endian
     hash from DuckDB's sha256 hex, derive (register index, rank), fold

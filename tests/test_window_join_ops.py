@@ -665,6 +665,21 @@ def test_rollup_levels_consistent(ray_session):
     assert int(total["n_orders"].iloc[0]) == int(finest["n_orders"].sum())
 
 
+def test_users_per_type_exact_matches_duckdb_and_hll_bound(ray_session):
+    """Exact grouped COUNT DISTINCT matches the SQL oracle, and the HLL
+    sketch's estimates stay inside their error bound of it."""
+    from pdf_extraction_ray.pipelines import analytics as A
+    assert compare("users_per_type_exact", A.users_per_type_exact(SF_SMOKE),
+                   A.users_per_type_exact_sql(), SF_SMOKE) == []
+    exact = (A.users_per_type_exact(SF_SMOKE).to_pandas()
+             .set_index("event_type")["n_users"])
+    approx = (A.hll_users_per_type(SF_SMOKE).to_pandas()
+              .set_index("event_type").iloc[:, 0])
+    for et, n in exact.items():
+        rel = abs(int(approx[et]) - int(n)) / max(int(n), 1)
+        assert rel <= 0.15, (et, int(approx[et]), int(n))
+
+
 def test_cube_adds_status_level(ray_session):
     """CUBE = ROLLUP's three grains plus the status-only level, every
     coarse grain re-aggregating exactly from the finest."""
