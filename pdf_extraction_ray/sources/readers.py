@@ -21,6 +21,109 @@ import ray.data as rd
 from .corpus import PAGES_SCHEMA
 
 
+class PagesParquetDatasource:
+    """Row-group-planned parquet source: one ReadTask per wave-sized
+    row-group range, each a straight ``pq.read_row_groups`` — measured
+    ~2-3x less read-stage CPU than Ray's generic parquet datasource on
+    the pages corpus (the generic path pays per-batch iteration + block
+    re-building a direct row-group read skips).
+
+    Implemented as a REAL ``ray.data.Datasource`` because the naive
+    variant (``from_items(units) -> map_batches(read)``) collapsed: Ray
+    bundles map inputs by INPUT row count, so the fused chain inherited
+    downstream batch_size as its bundling floor and 100+ one-row unit
+    blocks ran as ~3 tasks. ReadTasks ARE the block sources — bundling
+    never applies (ROUND3_NOTES, 'custom reader' negative result).
+
+    Plan with :func:`plan_pages_read_units`; fall back to
+    ``rd.read_parquet`` when planning returns None (non-local path, too
+    many files for a driver-side metadata pass)."""
+
+    def __new__(cls, units: list[dict]):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import Datasource, ReadTask
+
+        class _Impl(Datasource):
+            def __init__(self, units):
+                self._units = units
+                self._size = sum(u["n_bytes"] for u in units)
+
+            def estimate_inmemory_data_size(self):
+                return self._size
+
+            def get_name(self):
+                return "PagesParquet"
+
+            def get_read_tasks(self, parallelism):
+                tasks = []
+                for u in self._units:
+                    path, a, b = u["path"], u["rg0"], u["rg1"]
+
+                    def fn(path=path, a=a, b=b):
+                        import pyarrow.parquet as pq
+                        return [pq.ParquetFile(path)
+                                .read_row_groups(list(range(a, b + 1)))]
+
+                    tasks.append(ReadTask(fn, BlockMetadata(
+                        num_rows=u["n_rows"], size_bytes=u["n_bytes"],
+                        exec_stats=None, input_files=[path])))
+                return tasks
+
+        return _Impl(units)
+
+
+def plan_pages_read_units(path: str, target_blocks: int,
+                          max_files: int = 10_000) -> list[dict] | None:
+    """Plan (file, row-group range) read units totalling ~target_blocks:
+    greedily fold consecutive row groups up to total_rows/target (a unit
+    never splits a row group, so a block overshoots by at most one
+    row group of the writer's row_group_size). Returns None when the
+    path isn't a local parquet file/dir, has no rows, or has more files
+    than a driver-side metadata pass should touch (at that scale Ray's
+    reader plans metadata distributed — the right trade)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    elif os.path.isfile(path):
+        files = [path]
+    else:
+        return None
+    if not files or len(files) > max_files:
+        return None
+    metas: list[tuple[str, list[tuple[int, int]]]] = []
+    total = 0
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            rgs = [(md.row_group(i).num_rows,
+                    md.row_group(i).total_byte_size)
+                   for i in range(md.num_row_groups)]
+            metas.append((f, rgs))
+            total += sum(n for n, _ in rgs)
+    except Exception:  # noqa: BLE001 — any planning failure -> Ray reader
+        return None
+    if total == 0:
+        return None
+    per_block = max(1, total // max(target_blocks, 1))
+    units: list[dict] = []
+    for f, rgs in metas:
+        start, acc_n, acc_b = 0, 0, 0
+        for i, (n, nb) in enumerate(rgs):
+            acc_n += n
+            acc_b += nb
+            if acc_n >= per_block:
+                units.append({"path": f, "rg0": start, "rg1": i,
+                              "n_rows": acc_n, "n_bytes": acc_b})
+                start, acc_n, acc_b = i + 1, 0, 0
+        if start < len(rgs):
+            units.append({"path": f, "rg0": start, "rg1": len(rgs) - 1,
+                          "n_rows": acc_n, "n_bytes": acc_b})
+    return units
+
+
 def read_pages_parquet(path: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(path, columns=columns)
 
