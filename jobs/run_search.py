@@ -62,7 +62,13 @@ def main() -> int:
 
     corpus = rd.read_parquet(_docs_path(args.corpus),
                              columns=["doc_id", "text"])
-    ti.ensure_inverted_index(corpus, args.index_dir)
+    # stamp_ds: the warm-path freshness check must read ONLY the id
+    # column (select_columns on `corpus` would not retro-prune its
+    # parquet read — ensure_inverted_index's documented hazard)
+    ti.ensure_inverted_index(
+        corpus, args.index_dir,
+        stamp_ds=rd.read_parquet(_docs_path(args.corpus),
+                                 columns=["doc_id"]))
 
     meta = None
     compact_stats = None

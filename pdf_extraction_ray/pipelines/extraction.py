@@ -136,7 +136,8 @@ def _plain_pages_read(pages_path: str) -> rd.Dataset:
     ``rd.read_parquet`` whenever planning declines
     (non-local/unlistable paths, >10k files, GRAFT_READ_NUM_BLOCKS
     override in force for A/B runs)."""
-    from ..sources.readers import PagesParquetDatasource, plan_pages_read_units
+    from ..sources.readers import (pages_parquet_datasource,
+                                   plan_pages_read_units)
 
     target = _read_num_blocks(pages_path)
     units = None
@@ -144,7 +145,7 @@ def _plain_pages_read(pages_path: str) -> rd.Dataset:
         units = plan_pages_read_units(pages_path, target)
     if units is None:
         return rd.read_parquet(pages_path, override_num_blocks=target)
-    return rd.read_datasource(PagesParquetDatasource(units))
+    return rd.read_datasource(pages_parquet_datasource(units))
 
 
 def sniffed_pages(pages_path: "str | rd.Dataset", cfg: PipelineConfig,

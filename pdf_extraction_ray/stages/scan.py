@@ -124,31 +124,13 @@ def keyed_scan(ds: rd.Dataset, key_col: str, sort_cols: list[str],
     partition holds ~1/P of the keys — a single pathological key is the
     limit, same as any keyed window (salt upstream if one key dominates).
     """
-    P = num_partitions
-
-    def tag(t: pa.Table) -> pa.Table:
-        key = np.asarray(t[key_col].cast(pa.int64()))
-        return t.append_column("_kp", pa.array(key % P, pa.int64()))
-
-    out_schema = ds.schema()
-
-    def scan_group(g: pd.DataFrame) -> pa.Table:
-        if not len(g):
-            empty = {f.name: pa.array([], f.type)
-                     for f in out_schema.base_schema}
-            empty[rank_col] = pa.array([], pa.int64())
-            empty[cum_col] = pa.array([], pa.int64())
-            return pa.table(empty)
-        g = g.sort_values([key_col] + sort_cols, kind="mergesort")
+    def body(g: pd.DataFrame) -> None:
         grp = g.groupby(key_col, sort=False)
         g[rank_col] = grp.cumcount().to_numpy(np.int64) + 1
         g[cum_col] = grp[value_col].cumsum().to_numpy(np.int64)
-        return pa.Table.from_pandas(g.drop(columns=["_kp"]),
-                                    preserve_index=False)
 
-    return (ds.map_batches(tag, batch_format="pyarrow")
-              .groupby("_kp")
-              .map_groups(scan_group, batch_format="pandas"))
+    return _keyed_window(ds, key_col, sort_cols, [rank_col, cum_col],
+                         body, num_partitions)
 
 
 def keyed_shift(ds: rd.Dataset, key_col: str, sort_cols: list[str],
@@ -165,6 +147,27 @@ def keyed_shift(ds: rd.Dataset, key_col: str, sort_cols: list[str],
     (the asof_prior_error convention — hash-safe vs COALESCE in the
     SQL oracle; pick a value outside the column's domain).
     ``value_col`` must be int64."""
+    def body(g: pd.DataFrame) -> None:
+        grp = g.groupby(key_col, sort=False)[value_col]
+        for col, periods in shifts.items():
+            # fill_value keeps the dtype int64 END-TO-END: a plain
+            # shift() injects NaN (float64), and values >= 2^53 would
+            # round-trip through float corruptly
+            g[col] = grp.shift(periods, fill_value=fill).to_numpy(np.int64)
+
+    return _keyed_window(ds, key_col, sort_cols, list(shifts), body,
+                         num_partitions)
+
+
+def _keyed_window(ds: rd.Dataset, key_col: str, sort_cols: list[str],
+                  out_int_cols: list[str], body,
+                  num_partitions: int) -> rd.Dataset:
+    """The shared keyed-window shuffle shape (keyed_scan / keyed_shift):
+    tag ``_kp = key % P``, ONE ``groupby(_kp)`` shuffle co-locating
+    every key's rows, per-partition vectorized mergesort by
+    ``(key, *sort_cols)``, then ``body(g)`` appends the window columns
+    in place (all int64, named ``out_int_cols`` — the list also shapes
+    the empty-partition schema)."""
     P = num_partitions
 
     def tag(t: pa.Table) -> pa.Table:
@@ -173,21 +176,18 @@ def keyed_shift(ds: rd.Dataset, key_col: str, sort_cols: list[str],
 
     out_schema = ds.schema()
 
-    def shift_group(g: pd.DataFrame) -> pa.Table:
+    def run(g: pd.DataFrame) -> pa.Table:
         if not len(g):
             empty = {f.name: pa.array([], f.type)
                      for f in out_schema.base_schema}
-            for col in shifts:
+            for col in out_int_cols:
                 empty[col] = pa.array([], pa.int64())
             return pa.table(empty)
         g = g.sort_values([key_col] + sort_cols, kind="mergesort")
-        grp = g.groupby(key_col, sort=False)[value_col]
-        for col, periods in shifts.items():
-            g[col] = (grp.shift(periods).fillna(fill)
-                      .astype("int64").to_numpy())
+        body(g)
         return pa.Table.from_pandas(g.drop(columns=["_kp"]),
                                     preserve_index=False)
 
     return (ds.map_batches(tag, batch_format="pyarrow")
               .groupby("_kp")
-              .map_groups(shift_group, batch_format="pandas"))
+              .map_groups(run, batch_format="pandas"))

@@ -629,17 +629,33 @@ def test_keyed_shift_matches_pandas_reference(ray_session):
 
 
 def test_keyed_shift_lag_lead_inverse(ray_session):
-    """LAG and LEAD are inverses within a key: if event B's prev is A,
-    then A's next is B — and first/last rows carry the -1 sentinel."""
+    """LAG and LEAD are true inverses within a key: walking each user's
+    events in (ts, event_id) order, row i's next_cents must equal row
+    i+1's own cents and row i+1's prev_cents must equal row i's cents —
+    and exactly the first/last row of each chain carries the -1
+    sentinel. (A prev/next column swap or a wrong-column shift fails
+    this; sentinel counting alone would not.)"""
+    import duckdb
+
     from pdf_extraction_ray.pipelines import analytics as A
-    out = A.user_value_lag(SF_SMOKE).to_pandas()
-    assert (out.prev_cents == -1).sum() > 0
-    assert (out.next_cents == -1).sum() > 0
-    # reconstruct: for every event with a prev value, some event in the
-    # same corpus has that value as its own cents — spot-check symmetry
-    # via counts: #rows with prev sentinel == #rows with next sentinel
-    # (both equal the number of per-user chains)
-    assert (out.prev_cents == -1).sum() == (out.next_cents == -1).sum()
+    out = (A.user_value_lag(SF_SMOKE).to_pandas()
+           .set_index("event_id"))
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) c"
+        f" FROM read_parquet('{SF_SMOKE}/events.parquet')"
+        f" ORDER BY user_id, ts, event_id").df()
+    n_chains = ev.user_id.nunique()
+    assert (out.prev_cents == -1).sum() == n_chains
+    assert (out.next_cents == -1).sum() == n_chains
+    for _, g in ev.groupby("user_id", sort=False):
+        ids = g.event_id.to_numpy()
+        cents = g.c.to_numpy()
+        assert out.loc[ids[0], "prev_cents"] == -1
+        assert out.loc[ids[-1], "next_cents"] == -1
+        assert (out.loc[ids[:-1], "next_cents"].to_numpy()
+                == cents[1:]).all()
+        assert (out.loc[ids[1:], "prev_cents"].to_numpy()
+                == cents[:-1]).all()
 
 
 @pytest.mark.parametrize("name", ["orders_rollup", "orders_pivot",
