@@ -555,6 +555,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_lag": _tuned(analytics.user_value_lag),
         # exact COUNT(DISTINCT) per group — hll_users_per_type's twin
         "users_per_type_exact": _tuned(analytics.users_per_type_exact),
+        # robots.txt frontier gate (RFC 9309 parser; planted per-section
+        # robots bodies, decisions re-derived analytically in SQL)
+        "robots_gate": _tuned(analytics.robots_gate),
     }
 
 
@@ -584,6 +587,7 @@ AWAITING_SLOT = (
     "orders_cube",
     "user_value_lag",
     "users_per_type_exact",
+    "robots_gate",
 )
 
 
@@ -686,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": relational.orders_cube_sql(),
         "user_value_lag": analytics.user_value_lag_sql(),
         "users_per_type_exact": analytics.users_per_type_exact_sql(),
+        "robots_gate": analytics.robots_gate_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -779,6 +779,160 @@ SELECT doc_id, url, section, score,
 FROM s"""
 
 
+# robots.txt gate — the crawl loop's access-control stage, completing
+# the frontier family: url_blocklist_filter is what the OPERATOR won't
+# fetch; this is what the SITE forbids (RFC 9309). A real crawler
+# resolves robots per HOST; the single-host corpus' url sections stand
+# in for hosts (the section_quality_stats convention), and the robots
+# bodies are synthesized deterministically per section — the planted-
+# derivation pattern: the ENGINE must parse real robots.txt text
+# (groups, precedence, wildcards, $-anchors — functions/robots.py),
+# while the oracle re-derives the expected DECISION analytically from
+# the section seed. The seed uses only ascii()/length() of the section
+# string so the SQL replicates it exactly.
+ROBOTS_AGENT = "graftbot"
+
+
+def _robots_seed(section: str) -> int:
+    return (ord(section[0]) * 31 + ord(section[-1]) * 7
+            + 13 * len(section)) % 16
+
+
+def synth_robots_txt(section: str) -> str:
+    """Deterministic per-section robots.txt (the fetched-response stand-in).
+
+    Branches by seed: s%4==0 -> the ``*`` group disallows everything;
+    s%4==2 -> the ``*`` group bans ``-memo`` urls; odd s -> a graftbot
+    group overrides the ``*`` group entirely (RFC 9309 group selection)
+    with a -qp ban, a LONGER allow for ``77-qp`` urls, and (s&4) a
+    still-longer id-range disallow that beats the allow — so
+    longest-match precedence is exercised in both directions. Junk the
+    parser must tolerate is planted too: comments, an ignored otherbot
+    group, empty Disallow, mixed directive case, Crawl-delay/Sitemap.
+    """
+    s = _robots_seed(section)
+    lines = [
+        f"# synthetic robots.txt for section {section} (seed {s})",
+        "Sitemap: https://corpus.example/sitemap.xml",
+        "",
+        "User-agent: otherbot",
+        "Disallow: /",
+        "",
+        "User-AGENT: *",
+        "Disallow:",                       # empty = allow-all no-op
+        f"Disallow: /{section}/tmp/",      # never matches corpus urls
+    ]
+    if s % 4 == 0:
+        lines.append("Disallow: /")
+    elif s % 4 == 2:
+        lines.append("Disallow: /*-memo$")
+    lines.append(f"Crawl-delay: {s % 7 + 1}")
+    if s % 2 == 1:
+        lines += ["",
+                  f"User-agent: {ROBOTS_AGENT}",
+                  "Allow: /*77-qp$",
+                  "Disallow: /*-qp$"]
+        if s & 4:
+            lines.append(f"Disallow: /*/d0000{s % 10}")
+    return "\n".join(lines) + "\n"
+
+
+def robots_gate(sf_dir: str, agent: str = ROBOTS_AGENT,
+                robots_txt_of=synth_robots_txt) -> rd.Dataset:
+    """Per-url robots verdict over the corpus frontier: (doc_id, url,
+    section, allowed, rule) where ``rule`` is the winning Allow/Disallow
+    line ('' = no rule matched, default allow) — the gopher_filter
+    audit-reason shape, so rejection histograms tune crawl scope.
+
+    Map-side only (one pass, no shuffle): urls/paths derive vectorized
+    from (doc_id, source); each batch groups rows by section and runs
+    one compiled-regex pass per rule over that section's path array
+    (functions/robots.py:evaluate_paths). Robots bodies parse once per
+    distinct section per batch — O(sections-in-batch) tiny parses; at
+    real scale (millions of hosts) hold the parsed-rule cache in an
+    actor pool's ``__init__``-owned dict keyed by host, or hash-partition
+    urls by host and attach rules per partition."""
+    import pyarrow.compute as pc
+    from ..functions.robots import (evaluate_paths, parse_robots_txt,
+                                    rules_for_agent)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        pad = pc.utf8_lpad(pc.cast(ids, pa.string()), 7, "0")
+        last = ids.to_numpy() % 10
+        suffix = pa.array(
+            np.where(last == 3, "-memo",
+                     np.where(last == 7, "-qp", "")).tolist(), pa.string())
+        dpart = pc.binary_join_element_wise(
+            pa.scalar("d"), pad, suffix, pa.scalar(""))
+        paths_arr = pc.binary_join_element_wise(
+            pa.scalar(""), batch["source"], dpart, pa.scalar("/"))
+        urls = pc.binary_join_element_wise(
+            pa.scalar("https://corpus.example"), paths_arr, pa.scalar(""))
+        paths = np.asarray(paths_arr.to_pylist(), dtype=object)
+        sections = np.asarray(batch["source"].to_pylist(), dtype=object)
+        allowed = np.ones(len(batch), dtype=bool)
+        rule = np.full(len(batch), "", dtype=object)
+        for sec in np.unique(sections):
+            idx = np.nonzero(sections == sec)[0]
+            rules = rules_for_agent(
+                parse_robots_txt(robots_txt_of(str(sec))), agent)
+            allowed[idx], rule[idx] = evaluate_paths(rules, paths[idx])
+        return pa.table({
+            "doc_id": ids,
+            "url": urls,
+            "section": batch["source"],
+            "allowed": pa.array(allowed.tolist(), pa.bool_()),
+            "rule": pa.array(rule.tolist(), pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        tag, batch_format="pyarrow")
+
+
+def robots_gate_sql() -> str:
+    """Analytic re-derivation of the planted robots decisions.
+
+    Replays synth_robots_txt's branch logic per section seed; the
+    longest-match precedence (9-char id-range Disallow > 8-char 77-qp
+    Allow > 6-char -qp Disallow) is encoded as CASE order."""
+    return """
+WITH u AS (
+  SELECT doc_id, source AS section,
+         'https://corpus.example/' || source || '/d'
+           || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           || (CASE WHEN doc_id % 10 = 3 THEN '-memo'
+                    WHEN doc_id % 10 = 7 THEN '-qp' ELSE '' END) AS url,
+         doc_id % 10 AS l, doc_id % 100 AS l2, doc_id // 100 AS h
+  FROM documents
+), sd AS (
+  SELECT *, (ascii(substr(section, 1, 1)) * 31
+             + ascii(substr(section, length(section), 1)) * 7
+             + 13 * length(section)) % 16 AS s
+  FROM u
+)
+SELECT doc_id, url, section,
+  CASE
+    WHEN s % 2 = 1 THEN CASE
+      WHEN (s // 4) % 2 = 1 AND h = s % 10 THEN FALSE
+      WHEN l2 = 77 THEN TRUE
+      WHEN l = 7 THEN FALSE
+      ELSE TRUE END
+    WHEN s % 4 = 0 THEN FALSE
+    ELSE (l != 3) END AS allowed,
+  CASE
+    WHEN s % 2 = 1 THEN CASE
+      WHEN (s // 4) % 2 = 1 AND h = s % 10
+        THEN 'Disallow: /*/d0000' || CAST(s % 10 AS VARCHAR)
+      WHEN l2 = 77 THEN 'Allow: /*77-qp$'
+      WHEN l = 7 THEN 'Disallow: /*-qp$'
+      ELSE '' END
+    WHEN s % 4 = 0 THEN 'Disallow: /'
+    WHEN l = 3 THEN 'Disallow: /*-memo$'
+    ELSE '' END AS rule
+FROM sd"""
+
+
 def doc_passages(sf_dir: str, k: int = 32, overlap: int = 8) -> rd.Dataset:
     """RAG-style passage chunking — the retrieval-corpus explode: each
     document splits into overlapping ``k``-word windows at stride

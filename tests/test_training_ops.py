@@ -1371,3 +1371,115 @@ def test_url_blocklist_filter_rules_and_reasons(ray_session):
     # both keep outcomes exist among '-qp' urls (the summation case)
     qp = free[free.url.str.endswith("-qp")]
     assert set(qp.keep) == {True, False}
+
+
+# ---------------------------------------------------------------------------
+# robots.txt gate (RFC 9309 subset)
+
+
+def test_robots_parser_semantics():
+    """Handwritten-fixture coverage of the RFC 9309 subset: group
+    selection, longest-match precedence, allow-wins-tie, wildcards,
+    $-anchors, empty Disallow, case-insensitive directives/agents,
+    unknown directives, comments, default allow."""
+    import numpy as np
+
+    from pdf_extraction_ray.functions.robots import (evaluate_paths,
+                                                     parse_robots_txt,
+                                                     rules_for_agent)
+
+    text = "\n".join([
+        "# comment only line",
+        "Sitemap: https://x/sitemap.xml",
+        "User-agent: otherbot",
+        "Disallow: /",
+        "",
+        "USER-AGENT: *",
+        "disallow:",                 # empty value: no-op
+        "Disallow: /private/",
+        "Crawl-delay: 3",            # unknown directive: skipped
+        "",
+        "User-agent: GraftBot  # agent tokens are case-insensitive",
+        "User-agent: elsebot",       # multi-agent group header
+        "Allow: /private/ok",
+        "Disallow: /private/",
+        "Disallow: /*.zip$",
+        "Allow: /a",
+        "Disallow: /a$",
+    ])
+    parsed = parse_robots_txt(text)
+
+    # exact-agent group overrides * entirely; otherbot's Disallow: /
+    # never applies to graftbot
+    rules = rules_for_agent(parsed, "graftbot")
+    pats = [r.text for r in rules]
+    assert "Disallow: /" not in pats
+    paths = np.array(["/private/ok/file", "/private/no", "/pkg/x.zip",
+                      "/a", "/ab", "/other"], dtype=object)
+    allowed, rule = evaluate_paths(rules, paths)
+    # longest match: Allow /private/ok (11) beats Disallow /private/ (9)
+    assert allowed[0] and rule[0] == "Allow: /private/ok"
+    assert not allowed[1] and rule[1] == "Disallow: /private/"
+    # wildcard + $ anchor
+    assert not allowed[2] and rule[2] == "Disallow: /*.zip$"
+    # tie (len 2): Allow /a vs Disallow /a$ both match '/a' at len 2..3;
+    # '/a$' (3) is longer for the exact path -> disallowed; '/ab' only
+    # matches Allow /a -> allowed
+    assert not allowed[3] and rule[3] == "Disallow: /a$"
+    assert allowed[4] and rule[4] == "Allow: /a"
+    # no matching rule: default allow with empty rule text
+    assert allowed[5] and rule[5] == ""
+
+    # elsebot shares the group (multi-agent header)
+    assert [r.text for r in rules_for_agent(parsed, "ELSEBOT")] == pats
+    # unknown agent falls back to the * group (empty Disallow dropped)
+    star = rules_for_agent(parsed, "strangerbot")
+    assert [r.text for r in star] == ["Disallow: /private/"]
+    # allow-wins-tie at EQUAL length
+    tie = rules_for_agent(parse_robots_txt(
+        "User-agent: *\nAllow: /x\nDisallow: /y"), "any")
+    a, r = evaluate_paths(tie, np.array(["/x", "/y"], dtype=object))
+    assert a[0] and not a[1]
+    tie2 = rules_for_agent(parse_robots_txt(
+        "User-agent: *\nDisallow: /ab\nAllow: /ab"), "any")
+    a2, r2 = evaluate_paths(tie2, np.array(["/abc"], dtype=object))
+    assert a2[0] and r2[0] == "Allow: /ab"
+
+
+def test_robots_gate_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (robots_gate,
+                                                        robots_gate_sql)
+    assert compare("robots_gate", robots_gate(SF_SMOKE),
+                   robots_gate_sql(), SF_SMOKE) == []
+
+
+def test_robots_gate_planted_branches(ray_session):
+    """Every planted rule branch fires at sf0.001: whole-host block,
+    -memo ban, -qp ban, the longer 77-qp allow override, the id-range
+    disallow, and default allow — and group selection means a section
+    WITH a graftbot group never applies the * group's rules."""
+    from pdf_extraction_ray.pipelines.analytics import (_robots_seed,
+                                                        robots_gate)
+    out = robots_gate(SF_SMOKE).to_pandas()
+    assert set(out.rule) == {"", "Disallow: /", "Disallow: /*-memo$",
+                             "Disallow: /*-qp$", "Allow: /*77-qp$",
+                             "Disallow: /*/d00003"}
+    assert (out.allowed == out.rule.str.startswith(("Allow", ""))
+            & ~out.rule.str.startswith("Disallow")).all()
+    seeds = out.section.map(_robots_seed)
+    # whole-host sections: every url blocked by 'Disallow: /'
+    whole = out[seeds % 4 == 0]
+    assert len(whole) and (whole.rule == "Disallow: /").all()
+    # odd-seed sections carry a graftbot group: the * group's rules
+    # (including 'Disallow: /') never appear there
+    odd = out[seeds % 2 == 1]
+    assert len(odd) and not odd.rule.isin(
+        ["Disallow: /", "Disallow: /*-memo$"]).any()
+    # precedence: allow-override fires only for ids ending 77
+    over = out[out.rule == "Allow: /*77-qp$"]
+    assert len(over) and (over.doc_id % 100 == 77).all() and over.allowed.all()
+    # id-range rule: exactly ids with doc_id//100 == 3 in s&4 odd sections
+    rng = out[out.rule == "Disallow: /*/d00003"]
+    assert len(rng) and (rng.doc_id // 100 == 3).all() and (~rng.allowed).all()
