@@ -28,6 +28,10 @@ def main() -> int:
                    help="extraction output dir (url, quality_pct) -> also "
                         "write the top-k re-crawl priority list")
     p.add_argument("--frontier-k", type=int, default=100)
+    p.add_argument("--robots-agent", default=None,
+                   help="gate the frontier through robots.txt decisions "
+                        "for this user-agent (drops disallowed urls; "
+                        "writes the full audit to frontier_robots)")
     args = p.parse_args()
 
     import ray
@@ -65,6 +69,19 @@ def main() -> int:
         extracted = rd.read_parquet(args.frontier_from)
         frontier = lg.frontier_from_ranks(ranks, extracted,
                                           k=args.frontier_k).materialize()
+        if args.robots_agent:
+            # site-side access control over the re-crawl list: tag every
+            # candidate with its robots verdict (audit trail), then drop
+            # the disallowed ones from the actionable frontier
+            from pdf_extraction_ray.pipelines.analytics import \
+                robots_tag_urls
+            tagged = robots_tag_urls(
+                frontier, agent=args.robots_agent).materialize()
+            tagged.write_parquet(os.path.join(args.output,
+                                              "frontier_robots"))
+            frontier = tagged.filter(lambda r: r["allowed"]).drop_columns(
+                ["allowed", "rule"]).materialize()
+            summary["n_robots_blocked"] = tagged.count() - frontier.count()
         frontier.write_parquet(os.path.join(args.output, "frontier"))
         summary["n_frontier"] = frontier.count()
 

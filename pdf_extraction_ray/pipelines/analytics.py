@@ -810,6 +810,8 @@ def synth_robots_txt(section: str) -> str:
     parser must tolerate is planted too: comments, an ignored otherbot
     group, empty Disallow, mixed directive case, Crawl-delay/Sitemap.
     """
+    if not section:
+        return ""          # no host section -> no robots -> default allow
     s = _robots_seed(section)
     lines = [
         f"# synthetic robots.txt for section {section} (seed {s})",
@@ -837,6 +839,51 @@ def synth_robots_txt(section: str) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _robots_eval(paths: np.ndarray, sections: np.ndarray, agent: str,
+                 robots_txt_of) -> tuple[np.ndarray, np.ndarray]:
+    """Shared per-batch robots evaluation: group rows by section, parse
+    that section's robots body once, run one compiled-regex pass per
+    rule over its path array. Returns (allowed, rule_text) arrays."""
+    from ..functions.robots import (evaluate_paths, parse_robots_txt,
+                                    rules_for_agent)
+    allowed = np.ones(len(paths), dtype=bool)
+    rule = np.full(len(paths), "", dtype=object)
+    for sec in np.unique(sections):
+        idx = np.nonzero(sections == sec)[0]
+        rules = rules_for_agent(
+            parse_robots_txt(robots_txt_of(str(sec))), agent)
+        allowed[idx], rule[idx] = evaluate_paths(rules, paths[idx])
+    return allowed, rule
+
+
+def robots_tag_urls(ds: rd.Dataset, agent: str = ROBOTS_AGENT,
+                    robots_txt_of=synth_robots_txt,
+                    url_col: str = "url") -> rd.Dataset:
+    """Generic robots verdict over ANY url-bearing Dataset (the
+    composition surface — run_linkgraph's ``--robots-agent`` gates the
+    re-crawl frontier through this): appends (allowed, rule) columns,
+    deriving path and section (host stand-in = first path segment) from
+    the url string itself. Map-side only."""
+    import pyarrow.compute as pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        urls = t[url_col].combine_chunks()
+        ex = pc.extract_regex(
+            urls, pattern=r"^[a-z][a-z0-9+.-]*://[^/]*(?P<p>/.*)$")
+        paths_arr = pc.fill_null(pc.struct_field(ex, "p"), "/")
+        sec_ex = pc.extract_regex(paths_arr, pattern=r"^/(?P<s>[^/]+)/")
+        secs = pc.fill_null(pc.struct_field(sec_ex, "s"), "")
+        allowed, rule = _robots_eval(
+            np.asarray(paths_arr.to_pylist(), dtype=object),
+            np.asarray(secs.to_pylist(), dtype=object),
+            agent, robots_txt_of)
+        return (t.append_column("allowed",
+                                pa.array(allowed.tolist(), pa.bool_()))
+                 .append_column("rule", pa.array(rule.tolist(), pa.string())))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def robots_gate(sf_dir: str, agent: str = ROBOTS_AGENT,
                 robots_txt_of=synth_robots_txt) -> rd.Dataset:
     """Per-url robots verdict over the corpus frontier: (doc_id, url,
@@ -853,8 +900,6 @@ def robots_gate(sf_dir: str, agent: str = ROBOTS_AGENT,
     actor pool's ``__init__``-owned dict keyed by host, or hash-partition
     urls by host and attach rules per partition."""
     import pyarrow.compute as pc
-    from ..functions.robots import (evaluate_paths, parse_robots_txt,
-                                    rules_for_agent)
 
     def tag(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"]
@@ -869,15 +914,10 @@ def robots_gate(sf_dir: str, agent: str = ROBOTS_AGENT,
             pa.scalar(""), batch["source"], dpart, pa.scalar("/"))
         urls = pc.binary_join_element_wise(
             pa.scalar("https://corpus.example"), paths_arr, pa.scalar(""))
-        paths = np.asarray(paths_arr.to_pylist(), dtype=object)
-        sections = np.asarray(batch["source"].to_pylist(), dtype=object)
-        allowed = np.ones(len(batch), dtype=bool)
-        rule = np.full(len(batch), "", dtype=object)
-        for sec in np.unique(sections):
-            idx = np.nonzero(sections == sec)[0]
-            rules = rules_for_agent(
-                parse_robots_txt(robots_txt_of(str(sec))), agent)
-            allowed[idx], rule[idx] = evaluate_paths(rules, paths[idx])
+        allowed, rule = _robots_eval(
+            np.asarray(paths_arr.to_pylist(), dtype=object),
+            np.asarray(batch["source"].to_pylist(), dtype=object),
+            agent, robots_txt_of)
         return pa.table({
             "doc_id": ids,
             "url": urls,

@@ -310,18 +310,9 @@ def write_pages_warc(ds: rd.Dataset, out_dir: str,
     return len({r["path"] for r in manifest.take_all()})
 
 
-def fetch_warc_record(path: str, offset: int, length: int) -> dict:
-    """Point read of ONE page unit from a WARC shard via its ``.cdx``
-    coordinates: seek + read ``length`` bytes (gunzip if the unit is a
-    gzip member) + frame-parse — the shard is never scanned. Returns
-    the page row as a dict on the canonical schema (the targeted-retry
-    analog at the WARC layer)."""
-    import gzip
-    with open(path, "rb") as f:
-        f.seek(offset)
-        blob = f.read(length)
-    if blob[:2] == b"\x1f\x8b":
-        blob = gzip.decompress(blob)
+def _parse_page_unit(blob: bytes) -> dict:
+    """Frame-parse ONE page unit (response + conversion record pair,
+    already gunzipped) into a canonical-schema page row."""
     row = {"url": "", "warc_ts": None, "html": b"", "text": "", "lang": ""}
     pos = 0
     while pos < len(blob):
@@ -343,6 +334,69 @@ def fetch_warc_record(path: str, offset: int, length: int) -> dict:
             row["text"] = body.decode()
         pos = hdr_end + 4 + n + 4
     return row
+
+
+def fetch_warc_record(path: str, offset: int, length: int) -> dict:
+    """Point read of ONE page unit from a WARC shard via its ``.cdx``
+    coordinates: seek + read ``length`` bytes (gunzip if the unit is a
+    gzip member) + frame-parse — the shard is never scanned. Returns
+    the page row as a dict on the canonical schema (the targeted-retry
+    analog at the WARC layer)."""
+    import gzip
+    with open(path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    if blob[:2] == b"\x1f\x8b":
+        blob = gzip.decompress(blob)
+    return _parse_page_unit(blob)
+
+
+def read_pages_warc_select(dir_path: str, urls) -> rd.Dataset:
+    """Targeted BULK retrieval from a WARC corpus via its crawl index:
+    read ONLY the requested urls' byte ranges, one task per touched
+    shard — the distributed form of :func:`fetch_warc_record` (the
+    CommonCrawl cdx-server access pattern: index lookup, then ranged
+    GETs against the shard objects; shards are never scanned).
+
+    Shape: the tiny ``.cdx`` index filters map-side against the
+    (broadcast) wanted-url set, ONE ``groupby(path)`` co-locates each
+    shard's hits, and the per-shard body opens the file once and reads
+    its ranges in offset order (sequential-friendly). Unknown urls are
+    simply absent from the result. Shard files must be reachable from
+    workers (shared store / local FS)."""
+    import gzip
+
+    import pyarrow.compute as pc
+
+    want = pa.array(sorted(set(urls)), pa.string())
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["url"], value_set=want))
+
+    def fetch_shard(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("offset", "ascending")])
+        group = group.take(order)
+        rows = []
+        path = group["path"][0].as_py()
+        with open(path, "rb") as f:
+            for off, ln in zip(group["offset"].to_pylist(),
+                               group["length"].to_pylist()):
+                f.seek(off)
+                blob = f.read(ln)
+                if blob[:2] == b"\x1f\x8b":
+                    blob = gzip.decompress(blob)
+                rows.append(_parse_page_unit(blob))
+        return pa.table({
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.large_binary()),
+            "text": pa.array([r["text"] for r in rows], pa.large_string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        })
+
+    idx = warc_cdx_index(dir_path).map_batches(keep, batch_format="pyarrow")
+    return idx.groupby("path").map_groups(fetch_shard, batch_format="pyarrow")
 
 
 def warc_cdx_index(dir_path: str) -> rd.Dataset:

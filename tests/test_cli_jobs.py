@@ -44,6 +44,44 @@ def test_run_linkgraph_cli(pages_corpus, tmp_path):
         assert os.listdir(os.path.join(out, sub))
 
 
+def test_run_linkgraph_cli_robots_frontier(pages_corpus, tmp_path):
+    """--frontier-from + --robots-agent: the re-crawl list is gated
+    through per-section robots decisions; disallowed urls are dropped
+    from frontier/ and the full audit lands in frontier_robots/."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_ray.sources import spec
+
+    docs = pq.read_table(os.path.join(SF_SMOKE, "documents.parquet"),
+                         columns=["doc_id", "source"]).to_pylist()
+    pq.write_table(pa.table({
+        "url": pa.array([spec.url_of(d["doc_id"], d["source"])
+                         for d in docs], pa.string()),
+        "quality_pct": pa.array([(d["doc_id"] * 13) % 100 + 1
+                                 for d in docs], pa.int64()),
+    }), str(tmp_path / "extracted.parquet"))
+
+    out = str(tmp_path / "lgr")
+    summary = _run(["jobs/run_linkgraph.py", "--input", pages_corpus,
+                    "--output", out, "--iters", "2",
+                    "--frontier-from", str(tmp_path / "extracted.parquet"),
+                    "--frontier-k", "50",
+                    "--robots-agent", "graftbot"])
+    assert summary["n_robots_blocked"] > 0
+    assert summary["n_frontier"] + summary["n_robots_blocked"] == 50
+
+    import pandas as pd
+    audit = pd.concat(
+        pd.read_parquet(os.path.join(out, "frontier_robots", f))
+        for f in os.listdir(os.path.join(out, "frontier_robots")))
+    kept = pd.concat(
+        pd.read_parquet(os.path.join(out, "frontier", f))
+        for f in os.listdir(os.path.join(out, "frontier")))
+    assert set(kept.url) == set(audit[audit.allowed].url)
+    assert "allowed" not in kept.columns
+
+
 def test_run_extraction_cli_refresh_mode(ray_session, pages_corpus,
                                          tmp_path):
     """--refresh-old-pages applies only the snapshot delta via the CLI."""

@@ -363,3 +363,28 @@ def test_warc_cdx_point_fetch(ray_session, pages_corpus, tmp_path, compress):
         assert row["html"] == want.html
         assert row["text"] == want.text
         assert row["lang"] == want.lang
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_warc_select_bulk_fetch(ray_session, pages_corpus, tmp_path,
+                                compress):
+    """read_pages_warc_select reads ONLY the requested urls' byte ranges
+    (one task per touched shard) and matches the full-scan read
+    byte-for-byte; urls absent from the corpus are silently skipped."""
+    import ray.data as rd
+    from pdf_extraction_ray.sources.readers import (read_pages_warc,
+                                                    read_pages_warc_select,
+                                                    write_pages_warc)
+    src = rd.read_parquet(pages_corpus).limit(40).materialize()
+    wdir = str(tmp_path / f"warc_sel_{compress}")
+    write_pages_warc(src, wdir, compress=compress, cdx=True)
+    full = read_pages_warc(wdir).to_pandas()
+    want_urls = sorted(full.url)[::3] + ["http://nowhere.test/ghost"]
+    got = (read_pages_warc_select(wdir, want_urls)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    exp = (full[full.url.isin(want_urls)]
+           .sort_values("url").reset_index(drop=True))
+    assert list(got.url) == list(exp.url) and len(got) == len(full) // 3 + (
+        1 if len(full) % 3 else 0)
+    for c in ("warc_ts", "html", "text", "lang"):
+        assert (got[c] == exp[c]).all(), c

@@ -1483,3 +1483,25 @@ def test_robots_gate_planted_branches(ray_session):
     # id-range rule: exactly ids with doc_id//100 == 3 in s&4 odd sections
     rng = out[out.rule == "Disallow: /*/d00003"]
     assert len(rng) and (rng.doc_id // 100 == 3).all() and (~rng.allowed).all()
+
+
+def test_robots_tag_urls_consistent_with_gate(ray_session):
+    """The generic url-table tagger (section parsed from the url string)
+    agrees with robots_gate's (doc_id, source)-derived decisions row for
+    row, and a sectionless/foreign url default-allows."""
+    import ray.data as rd
+
+    from pdf_extraction_ray.pipelines.analytics import (robots_gate,
+                                                        robots_tag_urls)
+    gate = robots_gate(SF_SMOKE).to_pandas()
+    urls = rd.from_pandas(gate[["url"]])
+    tagged = (robots_tag_urls(urls).to_pandas()
+              .sort_values("url").reset_index(drop=True))
+    gate = gate.sort_values("url").reset_index(drop=True)
+    assert (tagged.url == gate.url).all()
+    assert (tagged.allowed == gate.allowed).all()
+    assert (tagged.rule == gate.rule).all()
+    foreign = robots_tag_urls(rd.from_items(
+        [{"url": "https://other.example/nosection"},
+         {"url": "not a url at all"}])).to_pandas()
+    assert foreign.allowed.all() and (foreign.rule == "").all()
