@@ -558,6 +558,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robots.txt frontier gate (RFC 9309 parser; planted per-section
         # robots bodies, decisions re-derived analytically in SQL)
         "robots_gate": _tuned(analytics.robots_gate),
+        # budgeted training-mix selection: quality-ordered global prefix
+        # sum (two keyed shuffles, O(quality-levels) driver state), cut
+        # at the token budget
+        "token_budget_select": _tuned(analytics.token_budget_select),
     }
 
 
@@ -588,6 +592,7 @@ AWAITING_SLOT = (
     "user_value_lag",
     "users_per_type_exact",
     "robots_gate",
+    "token_budget_select",
 )
 
 
@@ -691,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_lag": analytics.user_value_lag_sql(),
         "users_per_type_exact": analytics.users_per_type_exact_sql(),
         "robots_gate": analytics.robots_gate_sql(),
+        "token_budget_select": analytics.token_budget_select_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

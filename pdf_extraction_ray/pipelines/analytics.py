@@ -423,6 +423,82 @@ SELECT doc_id,
 FROM documents"""
 
 
+def token_budget_select(sf_dir: str, budget: int = 12_000) -> rd.Dataset:
+    """Budgeted corpus selection — the training-mix construction step:
+    admit documents in quality order (best first) until a global TOKEN
+    budget is exhausted, emitting each kept doc's admission rank and the
+    running token total. Real mixes are built exactly this way ("take
+    the best N-billion tokens"), not by a per-doc threshold — the cut
+    point depends on the whole corpus' quality distribution.
+
+    Quality = per-mille stopword density ``(1000*n_stop)//max(n_tokens,
+    1)`` (integer; ties -> doc_id ASC). The global ordered running sum
+    is :func:`stages.scan.prefix_scan`: quality is bounded (0..1000),
+    so ``1000 - q`` is a PERFECT monotone partition key — two keyed
+    shuffles, O(1001) driver state, never a global sort. Output
+    (doc_id, q, n_tokens, sel_rank, cum_tokens) for cum <= budget."""
+    import pyarrow.compute as pc
+
+    from ..stages.scan import prefix_scan
+
+    en_stop = LANG_PROFILES["en"]
+
+    def feats(batch: pa.Table) -> pa.Table:
+        n_tok, n_stop = [], []
+        for t in batch["text"].to_pylist():
+            toks = TOKEN_RE.findall(t)
+            n_tok.append(len(toks))
+            n_stop.append(sum(1 for w in toks if w.lower() in en_stop))
+        n_tok = np.asarray(n_tok, np.int64)
+        q = (1000 * np.asarray(n_stop, np.int64)) // np.maximum(n_tok, 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "q": pa.array(q, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "_negq": pa.array(1000 - q, pa.int64()),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        feats, batch_format="pyarrow")
+    scanned = prefix_scan(ds,
+                          part_fn=lambda t: np.asarray(t["_negq"]),
+                          sort_cols=["_negq", "doc_id"],
+                          value_col="n_tokens",
+                          rank_col="sel_rank", cum_col="cum_tokens")
+
+    def cut(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t["cum_tokens"], budget)
+        return t.filter(keep).drop_columns(["_negq"])
+
+    return scanned.map_batches(cut, batch_format="pyarrow")
+
+
+def token_budget_select_sql(budget: int = 12_000) -> str:
+    stop = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES["en"]))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+      AS n_tokens,
+    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                         w -> w IN ({stop}))) AS BIGINT) AS n_stop
+  FROM documents
+), q AS (
+  SELECT doc_id, n_tokens,
+         (1000 * n_stop) // GREATEST(n_tokens, 1) AS q
+  FROM t
+), w AS (
+  SELECT doc_id, q, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) - 1 AS sel_rank,
+         CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, q, n_tokens, CAST(sel_rank AS BIGINT) AS sel_rank,
+       cum_tokens
+FROM w WHERE cum_tokens <= {budget}"""
+
+
 def doc_signals(sf_dir: str) -> rd.Dataset:
     """One-pass WIDE quality-signals table (the RedPajama-v2 pattern:
     emit every per-doc signal as a column ONCE, filter later from the

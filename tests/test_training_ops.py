@@ -1505,3 +1505,38 @@ def test_robots_tag_urls_consistent_with_gate(ray_session):
         [{"url": "https://other.example/nosection"},
          {"url": "not a url at all"}])).to_pandas()
     assert foreign.allowed.all() and (foreign.rule == "").all()
+
+
+# ---------------------------------------------------------------------------
+# budgeted training-mix selection
+
+
+def test_token_budget_select_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        token_budget_select, token_budget_select_sql)
+    assert compare("token_budget_select", token_budget_select(SF_SMOKE),
+                   token_budget_select_sql(), SF_SMOKE) == []
+
+
+def test_token_budget_select_invariants(ray_session):
+    """The selection is the MAXIMAL quality-ordered prefix under the
+    budget: ranks are contiguous from 0, quality is non-increasing along
+    the admission order, the running sum is exact and <= budget, and
+    admitting the next-best excluded doc would bust the budget."""
+    from pdf_extraction_ray.pipelines.analytics import token_budget_select
+    budget = 5_000
+    out = (token_budget_select(SF_SMOKE, budget=budget).to_pandas()
+           .sort_values("sel_rank").reset_index(drop=True))
+    assert 0 < len(out) < 500
+    assert list(out.sel_rank) == list(range(len(out)))
+    assert (out.q.diff().dropna() <= 0).all()
+    assert (out.n_tokens.cumsum() == out.cum_tokens).all()
+    assert out.cum_tokens.iloc[-1] <= budget
+    # maximality: re-derive the full order in pandas; the first doc NOT
+    # selected would exceed the budget
+    full = (token_budget_select(SF_SMOKE, budget=1 << 60).to_pandas()
+            .sort_values("sel_rank").reset_index(drop=True))
+    nxt = full.iloc[len(out)]
+    assert out.cum_tokens.iloc[-1] + nxt.n_tokens > budget
