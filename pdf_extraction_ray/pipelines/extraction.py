@@ -191,8 +191,21 @@ def sniffed_pages(pages_path: "str | rd.Dataset", cfg: PipelineConfig,
 
 
 def _work_stream(pages_path: str, cfg: PipelineConfig,
-                 skip_buckets: set[int] | None = None) -> rd.Dataset:
+                 skip_buckets: set[int] | None = None,
+                 exclude_urls: set[str] | None = None) -> rd.Dataset:
     base = sniffed_pages(pages_path, cfg, skip_buckets)
+    if exclude_urls:
+        # takedown registry enforcement: a recomputed bucket must not
+        # resurrect removed urls (broadcast once; request-sized set)
+        import ray
+        banned_ref = ray.put(frozenset(exclude_urls))
+
+        def drop_banned(batch: pa.Table) -> pa.Table:
+            banned = ray.get(banned_ref)
+            keep = [u not in banned for u in batch["url"].to_pylist()]
+            return batch.filter(pa.array(keep, pa.bool_()))
+
+        base = base.map_batches(drop_banned, batch_format="pyarrow")
     if cfg.use_actors:
         kwargs = dict(concurrency=cfg.extract_concurrency, num_cpus=1)
         work = base.map_batches(ex.ExtractOrSplit, fn_constructor_args=(cfg,),
@@ -417,6 +430,9 @@ def refresh_extraction(old_pages_path: str, new_pages_path: str,
     from .analytics import pages_delta_tables
 
     delta = pages_delta_tables(old_pages_path, new_pages_path)
+    # takedown registry: a removed url whose content CHANGED in the new
+    # snapshot must not be re-admitted by the refresh
+    banned = ckpt.load_takedown_urls(out_dir)
 
     counts = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
     stale: list[str] = []      # rows to drop from the output
@@ -432,7 +448,7 @@ def refresh_extraction(old_pages_path: str, new_pages_path: str,
                 continue
             if st in ("removed", "changed"):
                 stale.append(url)
-            if st in ("added", "changed"):
+            if st in ("added", "changed") and url not in banned:
                 new_work.append(url)
 
     summary = {"n_" + k: v for k, v in counts.items()}
@@ -462,6 +478,59 @@ def refresh_extraction(old_pages_path: str, new_pages_path: str,
               .take_all())
         summary["n_reextracted"] = fresh.count()
     return summary
+
+
+def takedown(out_dir: str,
+             cfg: PipelineConfig = DEFAULT_CONFIG,
+             urls: list[str] | None = None,
+             text_sha256: list[str] | None = None,
+             reason: str = "takedown") -> dict:
+    """Compliance removal (opt-out / right-to-be-forgotten / DMCA) from
+    a checkpointed run: drop the requested rows AND make the removal
+    stick across every later maintenance pass.
+
+    Request by ``urls`` directly, and/or by ``text_sha256`` content
+    hashes (the removal notice often identifies content, not location —
+    a distributed column-pruned scan resolves hashes to urls; every url
+    carrying a listed hash is removed).
+
+    Order of operations is the crash-safety contract: the request is
+    REGISTERED first (``_manifests/_takedowns/``, content-addressed —
+    ``state/checkpoint.py:record_takedown``), then the targeted
+    per-bucket drops run (atomic rewrites, the backfill_lineage shape).
+    A crash between the two self-heals: re-running the takedown (or any
+    resume) re-applies the drops as no-ops. ``run_extraction`` resume /
+    ``verify_resume`` / ``refresh_extraction`` all honor the registry,
+    so a bucket invalidation or snapshot refresh can never resurrect a
+    removed url. Idempotent; returns a summary."""
+    from collections import defaultdict
+
+    from ..functions.hashing import url_bucket
+
+    want_urls: set[str] = set(urls or [])
+    if text_sha256:
+        want_hash = pa.array(sorted(set(text_sha256)), pa.string())
+
+        def match(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["text_sha256"],
+                                     value_set=want_hash)).select(["url"])
+
+        hits = (rd.read_parquet(out_dir, columns=["url", "text_sha256"])
+                .map_batches(match, batch_format="pyarrow"))
+        for b in hits.iter_batches(batch_format="pyarrow"):
+            want_urls.update(b["url"].to_pylist())
+
+    if not want_urls:
+        return {"n_requested": 0, "n_dropped": 0, "registry_path": None}
+
+    registry_path = ckpt.record_takedown(out_dir, sorted(want_urls), reason)
+    by_bucket: dict[int, set] = defaultdict(set)
+    for u in want_urls:
+        by_bucket[url_bucket(u, cfg.n_buckets)].add(u)
+    n_dropped = sum(ckpt.drop_urls_from_bucket(out_dir, bkt, us)
+                    for bkt, us in sorted(by_bucket.items()))
+    return {"n_requested": len(want_urls), "n_dropped": n_dropped,
+            "registry_path": registry_path}
 
 
 def resolve_review_queue(out_dir: str, urls: list[str],
@@ -568,16 +637,21 @@ def run_extraction(pages_path: "str | rd.Dataset",
 
     t0 = time.monotonic()
     done = ckpt.load_manifests(out_dir)
+    banned = ckpt.load_takedown_urls(out_dir)
     if verify_resume and done:
         if isinstance(pages_path, rd.Dataset):
             raise ValueError(
                 "verify_resume needs a re-readable parquet path to "
                 "recompute input fingerprints; pass the path form")
+        # takedown-aware expectation: a bucket that diverges from the
+        # input ONLY by its taken-down rows is correct, not stale
         expected = ckpt.expected_fingerprints(pages_path, cfg.n_buckets,
-                                              dedup=dedup)
+                                              dedup=dedup,
+                                              exclude_urls=banned)
         ckpt.invalidate_stale(out_dir, done, expected)
     with _shuffle_ctx(cfg):
-        work = _work_stream(pages_path, cfg, skip_buckets=set(done))
+        work = _work_stream(pages_path, cfg, skip_buckets=set(done),
+                            exclude_urls=banned)
         if cfg.finalize_shuffle == "hash":
             # stale straddle-guard claims from a killed run must not
             # block re-extraction of their (unfinished) buckets

@@ -154,7 +154,9 @@ def load_manifests(out_dir: str) -> dict[int, dict]:
 
 
 def expected_fingerprints(pages_path: str, n_buckets: int,
-                          dedup: bool = True) -> dict[int, int]:
+                          dedup: bool = True,
+                          exclude_urls: set[str] | None = None
+                          ) -> dict[int, int]:
     """Recompute each bucket's lineage fingerprint from the CURRENT input.
 
     Cheap metadata pass: only (url, warc_ts) leave storage. With
@@ -165,13 +167,28 @@ def expected_fingerprints(pages_path: str, n_buckets: int,
     every bucket of a non-dedup run forever. Partial XORs are combined
     per bucket on the driver (n_buckets ints of state — O(1) per
     partition, never row data).
+
+    ``exclude_urls`` (the takedown registry) removes those urls from the
+    expectation: a bucket whose only divergence from the input is its
+    taken-down rows is CORRECT, not stale — without this, verify_resume
+    would invalidate it and resurrect the removed urls.
     """
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Min
 
     from ..functions.hashing import url_bucket
 
     meta = rd.read_parquet(pages_path, columns=["url", "warc_ts"])
+    if exclude_urls:
+        banned_ref = ray.put(frozenset(exclude_urls))
+
+        def drop_banned(batch: pa.Table) -> pa.Table:
+            banned = ray.get(banned_ref)
+            keep = [u not in banned for u in batch["url"].to_pylist()]
+            return batch.filter(pa.array(keep, pa.bool_()))
+
+        meta = meta.map_batches(drop_banned, batch_format="pyarrow")
     if dedup:
         uniq = meta.groupby("url").aggregate(
             Min("warc_ts", alias_name="warc_ts"))
@@ -212,6 +229,50 @@ def invalidate_stale(out_dir: str, done: dict[int, dict],
             pass
         done.pop(b, None)
     return stale
+
+
+TAKEDOWN_SUBDIR = "_takedowns"
+
+
+def record_takedown(out_dir: str, urls: list[str], reason: str) -> str:
+    """Durably register a takedown request (opt-out / right-to-be-
+    forgotten / DMCA removal) BEFORE any rows are dropped: the registry
+    is the standing exclusion list every later resume / verify-resume /
+    refresh honors, so an invalidated bucket can never resurrect a
+    removed url. One content-addressed JSON per request (atomic rename;
+    re-recording the same request is a byte-identical no-op)."""
+    import hashlib
+
+    tdir = os.path.join(out_dir, MANIFEST_DIR, TAKEDOWN_SUBDIR)
+    os.makedirs(tdir, exist_ok=True)
+    blob = json.dumps({"urls": sorted(set(urls)), "reason": reason},
+                      sort_keys=True)
+    name = hashlib.sha256(blob.encode()).hexdigest()[:16]
+    path = os.path.join(tdir, f"takedown-{name}.json")
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return path
+
+
+def load_takedown_urls(out_dir: str) -> set[str]:
+    """Union of every registered takedown's urls (empty set if none).
+    Driver-resident by design: a takedown list is request-sized (a
+    legal/compliance artifact), never corpus-sized."""
+    tdir = os.path.join(out_dir, MANIFEST_DIR, TAKEDOWN_SUBDIR)
+    out: set[str] = set()
+    if not os.path.isdir(tdir):
+        return out
+    for name in sorted(os.listdir(tdir)):
+        if not (name.startswith("takedown-") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(tdir, name)) as f:
+                out.update(json.load(f)["urls"])
+        except (json.JSONDecodeError, OSError, KeyError):
+            continue  # torn file (should be impossible post-rename)
+    return out
 
 
 def drop_urls_from_bucket(out_dir: str, bucket: int,

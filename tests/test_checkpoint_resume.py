@@ -403,3 +403,91 @@ def test_pages_delta_tables_random_snapshots(ray_session):
         assert got == expect, (trial, {k: (got.get(k), v)
                                        for k, v in expect.items()
                                        if got.get(k) != v})
+
+
+# ---------------------------------------------------------------------------
+# takedown (compliance removal) — drop + registry + resurrection guards
+
+
+def test_takedown_by_url_is_durable_and_idempotent(ray_session,
+                                                   pages_corpus, out_dir):
+    """takedown drops the urls' rows, registers the request, and NO
+    later pass resurrects them: plain resume, bucket-invalidating
+    verify_resume, and a re-applied identical request all keep the
+    output equal to the clean run minus the removed urls."""
+    from pdf_extraction_ray.pipelines.extraction import (run_extraction,
+                                                         takedown)
+    clean = _run(pages_corpus, out_dir)
+    victims = sorted(clean.url)[::97][:5]
+    assert len(victims) == 5
+
+    s1 = takedown(out_dir, CFG, urls=victims, reason="gdpr-erasure")
+    assert s1["n_requested"] == 5 and s1["n_dropped"] == 5
+    assert os.path.exists(s1["registry_path"])
+    after = _run(pages_corpus, out_dir)        # plain resume
+    assert set(after.url) == set(clean.url) - set(victims)
+
+    # identical re-request: byte-identical registry file, zero drops
+    s2 = takedown(out_dir, CFG, urls=victims, reason="gdpr-erasure")
+    assert s2["n_dropped"] == 0
+    assert s2["registry_path"] == s1["registry_path"]
+
+    # verify_resume: the takedown-aware expectation keeps the touched
+    # buckets valid (no recompute, no resurrection) ...
+    df3 = run_extraction(pages_corpus, CFG, out_dir=out_dir,
+                         verify_resume=True).to_pandas()
+    assert set(df3.url) == set(clean.url) - set(victims)
+    # ... and even a FORCED invalidation (delete the victim buckets'
+    # manifests so they recompute from the raw input) re-extracts the
+    # bucket WITHOUT the banned urls
+    from pdf_extraction_ray.functions.hashing import url_bucket
+    for b in {url_bucket(u, CFG.n_buckets) for u in victims}:
+        os.remove(ckpt.manifest_path(out_dir, b))
+    df4 = run_extraction(pages_corpus, CFG, out_dir=out_dir).to_pandas()
+    assert set(df4.url) == set(clean.url) - set(victims)
+
+
+def test_takedown_by_content_hash(ray_session, pages_corpus, out_dir):
+    """A hash-identified notice removes EVERY row carrying the hash."""
+    from pdf_extraction_ray.pipelines.extraction import takedown
+    clean = _run(pages_corpus, out_dir)
+    nonempty = clean[clean.text_sha256 != ""]
+    h = nonempty.text_sha256.mode().iloc[0]
+    n_with = int((clean.text_sha256 == h).sum())
+    s = takedown(out_dir, CFG, text_sha256=[h], reason="dmca")
+    assert s["n_dropped"] == n_with >= 1
+    after = _run(pages_corpus, out_dir)
+    assert (after.text_sha256 != h).all()
+    assert len(after) == len(clean) - n_with
+
+
+def test_takedown_survives_snapshot_refresh(ray_session, pages_corpus,
+                                            out_dir, tmp_path):
+    """A taken-down url whose content CHANGES in the next crawl snapshot
+    stays out: the refresh drops its stale row (a no-op) and must NOT
+    re-extract it from the new snapshot."""
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_ray.pipelines.extraction import (refresh_extraction,
+                                                         takedown)
+    clean = _run(pages_corpus, out_dir)
+    victim = sorted(clean.url)[7]
+    takedown(out_dir, CFG, urls=[victim], reason="optout")
+
+    # snapshot B: the victim's bytes change (prepend keeps tiny-HTML
+    # kinds visible), everything else identical
+    old = pq.read_table(pages_corpus)
+    rows = old.to_pylist()
+    for r in rows:
+        if r["url"] == victim:
+            r["html"] = b"<!-- recrawled -->" + (r["html"] or b"")
+    import pyarrow as pa
+    bdir = str(tmp_path / "snapB")
+    pq.write_table(pa.Table.from_pylist(rows, schema=old.schema),
+                   os.path.join(os.makedirs(bdir, exist_ok=True) or bdir,
+                                "pages.parquet"))
+
+    summary = refresh_extraction(pages_corpus, bdir, out_dir, CFG)
+    assert summary["n_changed"] == 1 and summary["n_reextracted"] == 0
+    import ray.data as rd
+    assert victim not in set(rd.read_parquet(out_dir).to_pandas().url)

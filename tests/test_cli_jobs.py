@@ -231,3 +231,30 @@ def test_run_snapshot_ingest_cli(ray_session, tmp_path):
                      "--output", out2])
     assert summary2["n_admitted"] == 0
     assert summary2["n_rejected"] == len(snap_rows)
+
+
+def test_run_takedown_cli(ray_session, pages_corpus, tmp_path):
+    """Takedown job: removes urls from a checkpointed run via the CLI;
+    a second identical submission is an idempotent no-op."""
+    import ray.data as rd
+
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.pipelines.extraction import run_extraction
+    from pdf_extraction_ray.sources import spec
+
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES,
+                         split_page_threshold=spec.CORPUS_SPLIT_PAGE_THRESHOLD)
+    out = str(tmp_path / "out")
+    clean = run_extraction(pages_corpus, cfg, out_dir=out).to_pandas()
+    victims = sorted(clean.url)[:3]
+    uf = str(tmp_path / "urls.txt")
+    with open(uf, "w") as f:
+        f.write("\n".join(victims) + "\n")
+
+    summary = _run(["jobs/run_takedown.py", "--output", out,
+                    "--urls-file", uf, "--reason", "optout"])
+    assert summary["n_dropped"] == 3
+    assert not set(victims) & set(rd.read_parquet(out).to_pandas().url)
+    again = _run(["jobs/run_takedown.py", "--output", out,
+                  "--urls-file", uf, "--reason", "optout"])
+    assert again["n_dropped"] == 0
