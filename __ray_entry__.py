@@ -562,6 +562,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sum (two keyed shuffles, O(quality-levels) driver state), cut
         # at the token budget
         "token_budget_select": _tuned(analytics.token_budget_select),
+        # per-domain document cap (anti-single-source-domination):
+        # keyed-window scan with a string key, quality-ordered
+        "section_quota_sample": _tuned(analytics.section_quota_sample),
     }
 
 
@@ -593,6 +596,7 @@ AWAITING_SLOT = (
     "users_per_type_exact",
     "robots_gate",
     "token_budget_select",
+    "section_quota_sample",
 )
 
 
@@ -697,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "users_per_type_exact": analytics.users_per_type_exact_sql(),
         "robots_gate": analytics.robots_gate_sql(),
         "token_budget_select": analytics.token_budget_select_sql(),
+        "section_quota_sample": analytics.section_quota_sample_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -499,6 +499,84 @@ SELECT doc_id, q, n_tokens, CAST(sel_rank AS BIGINT) AS sel_rank,
 FROM w WHERE cum_tokens <= {budget}"""
 
 
+def section_quota_sample(sf_dir: str, quota: int = 12) -> rd.Dataset:
+    """Per-domain document cap — the anti-single-source-domination
+    policy (cap how much any one site contributes to the mix): keep at
+    most ``quota`` docs per section (the domain stand-in), best quality
+    first, ties -> doc_id. Emits (doc_id, section, q, sect_rank) for the
+    kept rows with the 1-based within-section admission rank.
+
+    Shape: the keyed-window scan with a STRING key (the
+    frontier_schedule waves pattern): tag ``_kp = hash(section)&(P-1)``,
+    ONE groupby(_kp) co-locates every section's rows (the hash only
+    routes — ranking is per actual section string, so hash collisions
+    cannot merge quotas), per-partition vectorized sort + cumcount.
+    Quality rides as an integer (the token_budget_select per-mille
+    stopword density), so there is no float anywhere."""
+    from ..functions.hashing import stable_hash64
+
+    P = 32
+    en_stop = LANG_PROFILES["en"]
+
+    def feats(batch: pa.Table) -> pa.Table:
+        n_tok, n_stop = [], []
+        for t in batch["text"].to_pylist():
+            toks = TOKEN_RE.findall(t)
+            n_tok.append(len(toks))
+            n_stop.append(sum(1 for w in toks if w.lower() in en_stop))
+        n_tok = np.asarray(n_tok, np.int64)
+        q = (1000 * np.asarray(n_stop, np.int64)) // np.maximum(n_tok, 1)
+        secs = batch["source"].to_pylist()
+        kp = np.fromiter((stable_hash64(s) & (P - 1) for s in secs),
+                         np.int64, len(secs))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "section": batch["source"],
+            "q": pa.array(q, pa.int64()),
+            "_kp": pa.array(kp, pa.int64()),
+        })
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "section": pd.Series([], dtype="object"),
+                "q": pd.Series([], dtype="int64"),
+                "sect_rank": pd.Series([], dtype="int64")})
+        g = g.sort_values(["section", "q", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["sect_rank"] = (g.groupby("section", sort=False).cumcount()
+                          .to_numpy(np.int64) + 1)
+        return g[g.sect_rank <= quota].drop(columns=["_kp"])
+
+    return (_docs(sf_dir, ["doc_id", "source", "text"])
+            .map_batches(feats, batch_format="pyarrow")
+            .groupby("_kp").map_groups(cap, batch_format="pandas"))
+
+
+def section_quota_sample_sql(quota: int = 12) -> str:
+    stop = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES["en"]))
+    return f"""
+WITH t AS (
+  SELECT doc_id, source AS section,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+      AS n_tokens,
+    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                         w -> w IN ({stop}))) AS BIGINT) AS n_stop
+  FROM documents
+), q AS (
+  SELECT doc_id, section,
+         (1000 * n_stop) // GREATEST(n_tokens, 1) AS q
+  FROM t
+), r AS (
+  SELECT doc_id, section, q,
+         CAST(ROW_NUMBER() OVER (PARTITION BY section
+              ORDER BY q DESC, doc_id) AS BIGINT) AS sect_rank
+  FROM q
+)
+SELECT doc_id, section, q, sect_rank FROM r WHERE sect_rank <= {quota}"""
+
+
 def doc_signals(sf_dir: str) -> rd.Dataset:
     """One-pass WIDE quality-signals table (the RedPajama-v2 pattern:
     emit every per-doc signal as a column ONCE, filter later from the

@@ -1540,3 +1540,48 @@ def test_token_budget_select_invariants(ray_session):
             .sort_values("sel_rank").reset_index(drop=True))
     nxt = full.iloc[len(out)]
     assert out.cum_tokens.iloc[-1] + nxt.n_tokens > budget
+
+
+def test_section_quota_sample_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        section_quota_sample, section_quota_sample_sql)
+    assert compare("section_quota_sample", section_quota_sample(SF_SMOKE),
+                   section_quota_sample_sql(), SF_SMOKE) == []
+
+
+def test_section_quota_sample_invariants(ray_session):
+    """At most `quota` docs per section, quality-ordered admission with
+    contiguous 1-based ranks, and the kept set per section is exactly
+    the top-q (ties -> lowest doc_id) of that section."""
+    from pdf_extraction_ray.pipelines.analytics import (
+        section_quota_sample, token_budget_select)
+    quota = 5
+    out = section_quota_sample(SF_SMOKE, quota=quota).to_pandas()
+    per = out.groupby("section")
+    assert (per.size() <= quota).all() and (per.size() == quota).any()
+    for _, g in per:
+        g = g.sort_values("sect_rank")
+        assert list(g.sect_rank) == list(range(1, len(g) + 1))
+        assert (g.q.diff().dropna() <= 0).all()
+    # cross-check admission against the full quality table (unbudgeted
+    # token_budget_select emits every doc's q with the same definition;
+    # sections come from the documents table itself, so the non-kept
+    # side is fully populated — every section has 25 docs vs quota 5)
+    import os
+
+    import pyarrow.parquet as pq
+    src = pq.read_table(os.path.join(SF_SMOKE, "documents.parquet"),
+                        columns=["doc_id", "source"]).to_pandas()
+    full = (token_budget_select(SF_SMOKE, budget=1 << 60).to_pandas()
+            .merge(src.rename(columns={"source": "section"}), on="doc_id"))
+    docs = full.set_index("doc_id")
+    kept = set(out.doc_id)
+    for sec, g in out.groupby("section"):
+        worst_kept = docs.loc[list(g.doc_id)].q.min()
+        others = [d for d in full[full.section == sec].doc_id
+                  if d not in kept]
+        assert len(others) > 0
+        # every doc of this section NOT kept has q <= worst kept q
+        assert all(docs.loc[d].q <= worst_kept for d in others)
