@@ -28,6 +28,9 @@ def main() -> int:
                    help="file with one text_sha256 to remove per line "
                         "(resolved to urls by a column-pruned scan)")
     p.add_argument("--reason", default="takedown")
+    p.add_argument("--n-buckets", type=int, default=None,
+                   help="override the bucket count (default: the value "
+                        "the run stamped into _manifests/_run.json)")
     args = p.parse_args()
     if not args.urls_file and not args.hashes_file:
         p.error("need --urls-file and/or --hashes-file")
@@ -42,11 +45,13 @@ def main() -> int:
     ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
              include_dashboard=False, ignore_reinit_error=True,
              logging_level="ERROR")
-    from pdf_extraction_ray.config import tune_data_context
+    from pdf_extraction_ray.config import PipelineConfig, tune_data_context
     from pdf_extraction_ray.pipelines.extraction import takedown
     tune_data_context()
 
-    summary = takedown(args.output,
+    cfg = (PipelineConfig(n_buckets=args.n_buckets)
+           if args.n_buckets else None)
+    summary = takedown(args.output, cfg,
                        urls=read_lines(args.urls_file),
                        text_sha256=read_lines(args.hashes_file),
                        reason=args.reason)

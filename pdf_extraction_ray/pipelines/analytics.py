@@ -423,6 +423,41 @@ SELECT doc_id,
 FROM documents"""
 
 
+def _quality_feats(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Shared per-doc quality features for the mix-policy operators
+    (token_budget_select / section_quota_sample): (n_tokens, q) where
+    q = per-mille stopword density ``(1000*n_stop)//max(n_tokens,1)``.
+    One definition, one SQL counterpart (:func:`_quality_cte`) — the
+    engine/oracle pairs cannot silently diverge."""
+    en_stop = LANG_PROFILES["en"]
+    n_tok, n_stop = [], []
+    for t in texts:
+        toks = TOKEN_RE.findall(t)
+        n_tok.append(len(toks))
+        n_stop.append(sum(1 for w in toks if w.lower() in en_stop))
+    n_tok = np.asarray(n_tok, np.int64)
+    q = (1000 * np.asarray(n_stop, np.int64)) // np.maximum(n_tok, 1)
+    return n_tok, q
+
+
+def _quality_cte(extra_cols: str = "") -> str:
+    """SQL counterpart of :func:`_quality_feats`: CTEs ``t`` (counts)
+    and ``q`` (doc_id, n_tokens, q[, extra_cols])."""
+    stop = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES["en"]))
+    return f"""t AS (
+  SELECT doc_id,{extra_cols}
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+      AS n_tokens,
+    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                         w -> w IN ({stop}))) AS BIGINT) AS n_stop
+  FROM documents
+), q AS (
+  SELECT * EXCLUDE (n_stop),
+         (1000 * n_stop) // GREATEST(n_tokens, 1) AS q
+  FROM t
+)"""
+
+
 def token_budget_select(sf_dir: str, budget: int = 12_000) -> rd.Dataset:
     """Budgeted corpus selection — the training-mix construction step:
     admit documents in quality order (best first) until a global TOKEN
@@ -441,16 +476,8 @@ def token_budget_select(sf_dir: str, budget: int = 12_000) -> rd.Dataset:
 
     from ..stages.scan import prefix_scan
 
-    en_stop = LANG_PROFILES["en"]
-
     def feats(batch: pa.Table) -> pa.Table:
-        n_tok, n_stop = [], []
-        for t in batch["text"].to_pylist():
-            toks = TOKEN_RE.findall(t)
-            n_tok.append(len(toks))
-            n_stop.append(sum(1 for w in toks if w.lower() in en_stop))
-        n_tok = np.asarray(n_tok, np.int64)
-        q = (1000 * np.asarray(n_stop, np.int64)) // np.maximum(n_tok, 1)
+        n_tok, q = _quality_feats(batch["text"].to_pylist())
         return pa.table({
             "doc_id": batch["doc_id"],
             "q": pa.array(q, pa.int64()),
@@ -474,20 +501,8 @@ def token_budget_select(sf_dir: str, budget: int = 12_000) -> rd.Dataset:
 
 
 def token_budget_select_sql(budget: int = 12_000) -> str:
-    stop = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES["en"]))
     return f"""
-WITH t AS (
-  SELECT doc_id,
-    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
-      AS n_tokens,
-    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
-                         w -> w IN ({stop}))) AS BIGINT) AS n_stop
-  FROM documents
-), q AS (
-  SELECT doc_id, n_tokens,
-         (1000 * n_stop) // GREATEST(n_tokens, 1) AS q
-  FROM t
-), w AS (
+WITH {_quality_cte()}, w AS (
   SELECT doc_id, q, n_tokens,
          ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) - 1 AS sel_rank,
          CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
@@ -516,16 +531,9 @@ def section_quota_sample(sf_dir: str, quota: int = 12) -> rd.Dataset:
     from ..functions.hashing import stable_hash64
 
     P = 32
-    en_stop = LANG_PROFILES["en"]
 
     def feats(batch: pa.Table) -> pa.Table:
-        n_tok, n_stop = [], []
-        for t in batch["text"].to_pylist():
-            toks = TOKEN_RE.findall(t)
-            n_tok.append(len(toks))
-            n_stop.append(sum(1 for w in toks if w.lower() in en_stop))
-        n_tok = np.asarray(n_tok, np.int64)
-        q = (1000 * np.asarray(n_stop, np.int64)) // np.maximum(n_tok, 1)
+        _, q = _quality_feats(batch["text"].to_pylist())
         secs = batch["source"].to_pylist()
         kp = np.fromiter((stable_hash64(s) & (P - 1) for s in secs),
                          np.int64, len(secs))
@@ -555,20 +563,8 @@ def section_quota_sample(sf_dir: str, quota: int = 12) -> rd.Dataset:
 
 
 def section_quota_sample_sql(quota: int = 12) -> str:
-    stop = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES["en"]))
     return f"""
-WITH t AS (
-  SELECT doc_id, source AS section,
-    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
-      AS n_tokens,
-    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
-                         w -> w IN ({stop}))) AS BIGINT) AS n_stop
-  FROM documents
-), q AS (
-  SELECT doc_id, section,
-         (1000 * n_stop) // GREATEST(n_tokens, 1) AS q
-  FROM t
-), r AS (
+WITH {_quality_cte(" source AS section,")}, r AS (
   SELECT doc_id, section, q,
          CAST(ROW_NUMBER() OVER (PARTITION BY section
               ORDER BY q DESC, doc_id) AS BIGINT) AS sect_rank
@@ -1022,8 +1018,10 @@ def robots_tag_urls(ds: rd.Dataset, agent: str = ROBOTS_AGENT,
 
     def tag(t: pa.Table) -> pa.Table:
         urls = t[url_col].combine_chunks()
+        # RFC 3986 schemes are case-insensitive — 'HTTPS://...' must not
+        # fall through to the sectionless default-allow path
         ex = pc.extract_regex(
-            urls, pattern=r"^[a-z][a-z0-9+.-]*://[^/]*(?P<p>/.*)$")
+            urls, pattern=r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(?P<p>/.*)$")
         paths_arr = pc.fill_null(pc.struct_field(ex, "p"), "/")
         sec_ex = pc.extract_regex(paths_arr, pattern=r"^/(?P<s>[^/]+)/")
         secs = pc.fill_null(pc.struct_field(sec_ex, "s"), "")

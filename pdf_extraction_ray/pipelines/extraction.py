@@ -26,6 +26,7 @@ is high enough to justify two passes.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from contextlib import contextmanager
@@ -196,16 +197,9 @@ def _work_stream(pages_path: str, cfg: PipelineConfig,
     base = sniffed_pages(pages_path, cfg, skip_buckets)
     if exclude_urls:
         # takedown registry enforcement: a recomputed bucket must not
-        # resurrect removed urls (broadcast once; request-sized set)
-        import ray
-        banned_ref = ray.put(frozenset(exclude_urls))
-
-        def drop_banned(batch: pa.Table) -> pa.Table:
-            banned = ray.get(banned_ref)
-            keep = [u not in banned for u in batch["url"].to_pylist()]
-            return batch.filter(pa.array(keep, pa.bool_()))
-
-        base = base.map_batches(drop_banned, batch_format="pyarrow")
+        # resurrect removed urls (broadcast once; one vectorized is_in)
+        base = base.map_batches(ckpt.banned_url_filter(exclude_urls),
+                                batch_format="pyarrow")
     if cfg.use_actors:
         kwargs = dict(concurrency=cfg.extract_concurrency, num_cpus=1)
         work = base.map_batches(ex.ExtractOrSplit, fn_constructor_args=(cfg,),
@@ -431,8 +425,10 @@ def refresh_extraction(old_pages_path: str, new_pages_path: str,
 
     delta = pages_delta_tables(old_pages_path, new_pages_path)
     # takedown registry: a removed url whose content CHANGED in the new
-    # snapshot must not be re-admitted by the refresh
-    banned = ckpt.load_takedown_urls(out_dir)
+    # snapshot must not be re-admitted by the refresh (banned hashes
+    # sweep at pass end — an ADDED url carrying banned content has no
+    # hash until it is extracted)
+    banned, banned_hashes = ckpt.load_takedowns(out_dir)
 
     counts = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
     stale: list[str] = []      # rows to drop from the output
@@ -477,11 +473,72 @@ def refresh_extraction(old_pages_path: str, new_pages_path: str,
                           batch_format="pyarrow")
               .take_all())
         summary["n_reextracted"] = fresh.count()
+    if banned_hashes:
+        # sweep hash-identified takedowns: an ADDED/CHANGED url whose
+        # extracted text carries a banned hash must not survive the pass
+        summary["n_hash_swept"] = _drop_banned_urls(
+            out_dir, cfg.n_buckets,
+            _resolve_banned_hashes(out_dir, banned_hashes))
     return summary
 
 
+def _output_n_buckets(out_dir: str, cfg: "PipelineConfig | None") -> int:
+    """The bucket count a checkpointed output was written with: explicit
+    cfg wins, else the recorded value in ``_run.json`` (write_run_summary
+    stamps it), else the library default. A takedown against the wrong
+    count would open the wrong bucket dirs and silently drop nothing —
+    which is why the run stamps it."""
+    if cfg is not None:
+        return cfg.n_buckets
+    p = os.path.join(out_dir, ckpt.MANIFEST_DIR, "_run.json")
+    try:
+        with open(p) as f:
+            rec = json.load(f)
+        if "n_buckets" in rec:
+            return int(rec["n_buckets"])
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
+    return DEFAULT_CONFIG.n_buckets
+
+
+def _drop_banned_urls(out_dir: str, n_buckets: int,
+                      urls: "set[str]") -> int:
+    """Targeted per-bucket drops for a banned-url set (atomic rewrites,
+    the backfill_lineage shape); idempotent — absent urls no-op."""
+    from collections import defaultdict
+
+    from ..functions.hashing import url_bucket
+
+    by_bucket: dict[int, set] = defaultdict(set)
+    for u in urls:
+        by_bucket[url_bucket(u, n_buckets)].add(u)
+    return sum(ckpt.drop_urls_from_bucket(out_dir, bkt, us)
+               for bkt, us in sorted(by_bucket.items()))
+
+
+def _resolve_banned_hashes(out_dir: str,
+                           hashes: "set[str]") -> "set[str]":
+    """Distributed column-pruned scan: every url in the output whose
+    ``text_sha256`` is on the banned list (the notice identifies
+    CONTENT; location resolves here)."""
+    if not hashes:
+        return set()
+    want_hash = pa.array(sorted(hashes), pa.string())
+
+    def match(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["text_sha256"],
+                                 value_set=want_hash)).select(["url"])
+
+    out: set[str] = set()
+    hits = (rd.read_parquet(out_dir, columns=["url", "text_sha256"])
+            .map_batches(match, batch_format="pyarrow"))
+    for b in hits.iter_batches(batch_format="pyarrow"):
+        out.update(b["url"].to_pylist())
+    return out
+
+
 def takedown(out_dir: str,
-             cfg: PipelineConfig = DEFAULT_CONFIG,
+             cfg: "PipelineConfig | None" = None,
              urls: list[str] | None = None,
              text_sha256: list[str] | None = None,
              reason: str = "takedown") -> dict:
@@ -490,46 +547,30 @@ def takedown(out_dir: str,
     stick across every later maintenance pass.
 
     Request by ``urls`` directly, and/or by ``text_sha256`` content
-    hashes (the removal notice often identifies content, not location —
-    a distributed column-pruned scan resolves hashes to urls; every url
-    carrying a listed hash is removed).
+    hashes (the removal notice often identifies content, not location).
+    BOTH forms persist in the registry: urls are enforced everywhere a
+    row enters the output, and hashes re-resolve at the end of every
+    extraction/refresh pass — so banned content cannot re-enter under a
+    NEW url either.
 
     Order of operations is the crash-safety contract: the request is
     REGISTERED first (``_manifests/_takedowns/``, content-addressed —
-    ``state/checkpoint.py:record_takedown``), then the targeted
-    per-bucket drops run (atomic rewrites, the backfill_lineage shape).
-    A crash between the two self-heals: re-running the takedown (or any
-    resume) re-applies the drops as no-ops. ``run_extraction`` resume /
-    ``verify_resume`` / ``refresh_extraction`` all honor the registry,
-    so a bucket invalidation or snapshot refresh can never resurrect a
-    removed url. Idempotent; returns a summary."""
-    from collections import defaultdict
-
-    from ..functions.hashing import url_bucket
-
-    want_urls: set[str] = set(urls or [])
-    if text_sha256:
-        want_hash = pa.array(sorted(set(text_sha256)), pa.string())
-
-        def match(b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b["text_sha256"],
-                                     value_set=want_hash)).select(["url"])
-
-        hits = (rd.read_parquet(out_dir, columns=["url", "text_sha256"])
-                .map_batches(match, batch_format="pyarrow"))
-        for b in hits.iter_batches(batch_format="pyarrow"):
-            want_urls.update(b["url"].to_pylist())
-
-    if not want_urls:
+    ``state/checkpoint.py:record_takedown``), then hashes resolve to
+    urls (column-pruned scan) and the targeted per-bucket drops run
+    (atomic rewrites). A crash between the two self-heals: the next
+    resume / verify_resume / refresh / re-run reads the registry and
+    re-applies the drops as no-ops. ``cfg=None`` derives the bucket
+    count from the run's own ``_run.json`` stamp. Idempotent."""
+    urls = sorted(set(urls or []))
+    hashes = sorted(set(text_sha256 or []))
+    if not urls and not hashes:
         return {"n_requested": 0, "n_dropped": 0, "registry_path": None}
-
-    registry_path = ckpt.record_takedown(out_dir, sorted(want_urls), reason)
-    by_bucket: dict[int, set] = defaultdict(set)
-    for u in want_urls:
-        by_bucket[url_bucket(u, cfg.n_buckets)].add(u)
-    n_dropped = sum(ckpt.drop_urls_from_bucket(out_dir, bkt, us)
-                    for bkt, us in sorted(by_bucket.items()))
-    return {"n_requested": len(want_urls), "n_dropped": n_dropped,
+    n_buckets = _output_n_buckets(out_dir, cfg)
+    registry_path = ckpt.record_takedown(out_dir, urls, reason,
+                                         text_sha256=hashes)
+    want = set(urls) | _resolve_banned_hashes(out_dir, set(hashes))
+    n_dropped = _drop_banned_urls(out_dir, n_buckets, want)
+    return {"n_requested": len(want), "n_dropped": n_dropped,
             "registry_path": registry_path}
 
 
@@ -637,7 +678,15 @@ def run_extraction(pages_path: "str | rd.Dataset",
 
     t0 = time.monotonic()
     done = ckpt.load_manifests(out_dir)
-    banned = ckpt.load_takedown_urls(out_dir)
+    banned, banned_hashes = ckpt.load_takedowns(out_dir)
+    if banned:
+        # crash-window heal: a takedown killed between its registry
+        # write and its drops leaves victim rows in completed buckets a
+        # plain resume would otherwise skip forever — re-apply the
+        # registry's url drops up front (targeted, idempotent no-ops
+        # when already clean; bounded by registry size)
+        _drop_banned_urls(out_dir, cfg.n_buckets, banned)
+        done = ckpt.load_manifests(out_dir)
     if verify_resume and done:
         if isinstance(pages_path, rd.Dataset):
             raise ValueError(
@@ -673,9 +722,16 @@ def run_extraction(pages_path: "str | rd.Dataset",
                     ex.finalize_bucket(g, cfg, dd), out_dir),
                 batch_format="pyarrow")
     manifest_ds.take_all()  # tiny: one row per bucket
+    if banned_hashes:
+        # hash-identified takedowns re-resolve at pass end: content that
+        # re-entered under a NEW url (same banned text_sha256) is swept
+        # before the run reports complete
+        _drop_banned_urls(out_dir, cfg.n_buckets,
+                          _resolve_banned_hashes(out_dir, banned_hashes))
     wall = time.monotonic() - t0
     all_manifests = list(ckpt.load_manifests(out_dir).values())
-    summary = ckpt.write_run_summary(out_dir, all_manifests, wall)
+    summary = ckpt.write_run_summary(out_dir, all_manifests, wall,
+                                     extra={"n_buckets": cfg.n_buckets})
     if cfg.notify_url:
         # run-completion notification (SURVEY S10 analog): one signed
         # envelope per run, never per document

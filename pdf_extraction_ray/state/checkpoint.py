@@ -181,14 +181,8 @@ def expected_fingerprints(pages_path: str, n_buckets: int,
 
     meta = rd.read_parquet(pages_path, columns=["url", "warc_ts"])
     if exclude_urls:
-        banned_ref = ray.put(frozenset(exclude_urls))
-
-        def drop_banned(batch: pa.Table) -> pa.Table:
-            banned = ray.get(banned_ref)
-            keep = [u not in banned for u in batch["url"].to_pylist()]
-            return batch.filter(pa.array(keep, pa.bool_()))
-
-        meta = meta.map_batches(drop_banned, batch_format="pyarrow")
+        meta = meta.map_batches(banned_url_filter(exclude_urls),
+                                batch_format="pyarrow")
     if dedup:
         uniq = meta.groupby("url").aggregate(
             Min("warc_ts", alias_name="warc_ts"))
@@ -234,18 +228,22 @@ def invalidate_stale(out_dir: str, done: dict[int, dict],
 TAKEDOWN_SUBDIR = "_takedowns"
 
 
-def record_takedown(out_dir: str, urls: list[str], reason: str) -> str:
+def record_takedown(out_dir: str, urls: list[str], reason: str,
+                    text_sha256: list[str] | None = None) -> str:
     """Durably register a takedown request (opt-out / right-to-be-
     forgotten / DMCA removal) BEFORE any rows are dropped: the registry
     is the standing exclusion list every later resume / verify-resume /
     refresh honors, so an invalidated bucket can never resurrect a
-    removed url. One content-addressed JSON per request (atomic rename;
+    removed url. Hash-identified notices register their HASHES too —
+    a url-only record would let the same content re-enter under a new
+    url. One content-addressed JSON per request (atomic rename;
     re-recording the same request is a byte-identical no-op)."""
     import hashlib
 
     tdir = os.path.join(out_dir, MANIFEST_DIR, TAKEDOWN_SUBDIR)
     os.makedirs(tdir, exist_ok=True)
-    blob = json.dumps({"urls": sorted(set(urls)), "reason": reason},
+    blob = json.dumps({"urls": sorted(set(urls)), "reason": reason,
+                       "text_sha256": sorted(set(text_sha256 or []))},
                       sort_keys=True)
     name = hashlib.sha256(blob.encode()).hexdigest()[:16]
     path = os.path.join(tdir, f"takedown-{name}.json")
@@ -256,23 +254,56 @@ def record_takedown(out_dir: str, urls: list[str], reason: str) -> str:
     return path
 
 
-def load_takedown_urls(out_dir: str) -> set[str]:
-    """Union of every registered takedown's urls (empty set if none).
-    Driver-resident by design: a takedown list is request-sized (a
-    legal/compliance artifact), never corpus-sized."""
+def load_takedowns(out_dir: str) -> tuple[set[str], set[str]]:
+    """(banned urls, banned text_sha256 hashes) — the union over every
+    registered takedown. Driver-resident by design: a takedown list is
+    request-sized (a legal/compliance artifact), never corpus-sized.
+
+    A corrupt registry file RAISES instead of being skipped: unlike a
+    torn manifest (worst case: wasted recompute), a silently ignored
+    takedown record would let legally removed rows resurrect."""
     tdir = os.path.join(out_dir, MANIFEST_DIR, TAKEDOWN_SUBDIR)
-    out: set[str] = set()
+    urls: set[str] = set()
+    hashes: set[str] = set()
     if not os.path.isdir(tdir):
-        return out
+        return urls, hashes
     for name in sorted(os.listdir(tdir)):
         if not (name.startswith("takedown-") and name.endswith(".json")):
             continue
+        path = os.path.join(tdir, name)
         try:
-            with open(os.path.join(tdir, name)) as f:
-                out.update(json.load(f)["urls"])
-        except (json.JSONDecodeError, OSError, KeyError):
-            continue  # torn file (should be impossible post-rename)
-    return out
+            with open(path) as f:
+                rec = json.load(f)
+            urls.update(rec["urls"])
+            hashes.update(rec.get("text_sha256", []))
+        except (json.JSONDecodeError, OSError, KeyError) as e:
+            raise ValueError(
+                f"corrupt takedown registry file {path!r}: {e} — refusing "
+                "to proceed (ignoring it could resurrect removed rows); "
+                "restore or remove the file explicitly") from e
+    return urls, hashes
+
+
+def load_takedown_urls(out_dir: str) -> set[str]:
+    """Back-compat wrapper: just the banned urls."""
+    return load_takedowns(out_dir)[0]
+
+
+def banned_url_filter(banned: set[str]):
+    """Shared takedown-enforcement batch filter: drops rows whose url is
+    in the (broadcast) banned set with ONE vectorized ``is_in`` pass —
+    used by the work stream and the expected-fingerprint pass."""
+    import pyarrow.compute as pc
+
+    import ray
+    banned_ref = ray.put(pa.array(sorted(banned), pa.string()))
+
+    def drop_banned(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(batch["url"],
+                                  value_set=ray.get(banned_ref)))
+        return batch.filter(keep)
+
+    return drop_banned
 
 
 def drop_urls_from_bucket(out_dir: str, bucket: int,
@@ -464,10 +495,14 @@ def summarize_manifests(manifests: list[dict]) -> dict:
 
 
 def write_run_summary(out_dir: str, manifests: list[dict],
-                      wall_s: float) -> dict:
+                      wall_s: float,
+                      extra: dict | None = None) -> dict:
     """Aggregate per-bucket manifests into the run report
     (reference analog: ``_batch_summary.json``,
-    app/services/batch_processor.py:203-206)."""
+    app/services/batch_processor.py:203-206). ``extra`` records run
+    parameters later maintenance passes need (e.g. ``n_buckets`` — a
+    takedown against the wrong bucket count would silently drop
+    nothing)."""
     summary = summarize_manifests(manifests)
     total_rows = summary["n_rows"]
     total_bytes = summary["n_text_bytes"]
@@ -475,6 +510,7 @@ def write_run_summary(out_dir: str, manifests: list[dict],
         "wall_s": wall_s,
         "docs_per_s": total_rows / wall_s if wall_s > 0 else 0.0,
         "mb_per_s": total_bytes / wall_s / 1e6 if wall_s > 0 else 0.0,
+        **(extra or {}),
     })
     path = os.path.join(out_dir, MANIFEST_DIR, "_run.json")
     tmp = path + ".tmp"

@@ -491,3 +491,95 @@ def test_takedown_survives_snapshot_refresh(ray_session, pages_corpus,
     assert summary["n_changed"] == 1 and summary["n_reextracted"] == 0
     import ray.data as rd
     assert victim not in set(rd.read_parquet(out_dir).to_pandas().url)
+
+
+def test_takedown_crash_window_heals_on_plain_resume(ray_session,
+                                                     pages_corpus, out_dir):
+    """A takedown killed between its registry write and its drops (the
+    crash window) self-heals on the next PLAIN resume: completed buckets
+    are re-checked against the registry up front, not skipped."""
+    clean = _run(pages_corpus, out_dir)
+    victims = sorted(clean.url)[10:13]
+    # simulate the crash: registry lands, drops never ran — the victim
+    # rows are still physically present in their (completed) buckets
+    ckpt.record_takedown(out_dir, victims, "crash-sim")
+    import ray.data as rd
+    assert set(victims) <= set(rd.read_parquet(out_dir).to_pandas().url)
+    after = _run(pages_corpus, out_dir)      # plain resume, no verify
+    assert set(after.url) == set(clean.url) - set(victims)
+
+
+def test_takedown_registry_corruption_fails_loud(ray_session,
+                                                 pages_corpus, out_dir):
+    """A corrupt registry file raises instead of being silently skipped
+    (ignoring it would resurrect legally removed rows)."""
+    import pytest as _pytest
+
+    from pdf_extraction_ray.pipelines.extraction import takedown
+    clean = _run(pages_corpus, out_dir)
+    s = takedown(out_dir, CFG, urls=[sorted(clean.url)[0]])
+    with open(s["registry_path"], "w") as f:
+        f.write("{ not json")
+    with _pytest.raises(ValueError, match="corrupt takedown registry"):
+        ckpt.load_takedowns(out_dir)
+    with _pytest.raises(ValueError, match="corrupt takedown registry"):
+        _run(pages_corpus, out_dir)
+
+
+def test_takedown_hash_blocks_reentry_under_new_url(ray_session,
+                                                    pages_corpus, out_dir,
+                                                    tmp_path):
+    """A hash-identified takedown persists the HASH: when a snapshot
+    refresh admits a NEW url whose extracted text carries the banned
+    hash, the pass-end sweep removes it before the refresh reports
+    complete."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_extraction_ray.pipelines.extraction import (refresh_extraction,
+                                                         takedown)
+    clean = _run(pages_corpus, out_dir)
+    donor = clean[clean.text_sha256 != ""].iloc[3]
+    s = takedown(out_dir, CFG, text_sha256=[donor.text_sha256],
+                 reason="dmca")
+    assert s["n_dropped"] >= 1
+
+    # snapshot B = A + one NEW url whose bytes are the donor's payload
+    # (same extracted text -> same banned text_sha256)
+    old = pq.read_table(pages_corpus)
+    rows = old.to_pylist()
+    donor_row = next(r for r in rows if r["url"] == donor.url)
+    mirror = dict(donor_row,
+                  url="https://corpus.example/mirror/stolen-copy",
+                  warc_ts=donor_row["warc_ts"])
+    bdir = str(tmp_path / "snapB")
+    os.makedirs(bdir, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows + [mirror], schema=old.schema),
+                   os.path.join(bdir, "pages.parquet"))
+
+    summary = refresh_extraction(pages_corpus, bdir, out_dir, CFG)
+    assert summary["n_added"] == 1 and summary["n_hash_swept"] == 1
+    out = rd.read_parquet(out_dir).to_pandas()
+    assert "https://corpus.example/mirror/stolen-copy" not in set(out.url)
+    assert (out.text_sha256 != donor.text_sha256).all()
+
+
+def test_takedown_derives_bucket_count_from_run_stamp(ray_session,
+                                                      pages_corpus,
+                                                      out_dir):
+    """cfg=None: takedown reads n_buckets from the run's _run.json stamp
+    (CFG here uses a NON-default 16, so a DEFAULT_CONFIG fallback would
+    open the wrong buckets and drop nothing)."""
+    import json as _json
+
+    from pdf_extraction_ray.config import DEFAULT_CONFIG
+    from pdf_extraction_ray.pipelines.extraction import takedown
+    assert CFG.n_buckets != DEFAULT_CONFIG.n_buckets
+    clean = _run(pages_corpus, out_dir)
+    stamp = _json.load(open(os.path.join(out_dir, "_manifests",
+                                         "_run.json")))
+    assert stamp["n_buckets"] == CFG.n_buckets
+    victims = sorted(clean.url)[5:8]
+    s = takedown(out_dir, urls=victims)        # no cfg passed
+    assert s["n_dropped"] == 3

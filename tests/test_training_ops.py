@@ -1585,3 +1585,18 @@ def test_section_quota_sample_invariants(ray_session):
         assert len(others) > 0
         # every doc of this section NOT kept has q <= worst kept q
         assert all(docs.loc[d].q <= worst_kept for d in others)
+
+
+def test_robots_tag_urls_uppercase_scheme(ray_session):
+    """RFC 3986 schemes are case-insensitive: an uppercase-scheme url
+    must resolve its section and be gated, not default-allow through."""
+    import ray.data as rd
+
+    from pdf_extraction_ray.pipelines.analytics import robots_tag_urls
+    # src3 seed -> the * group bans -memo urls
+    out = robots_tag_urls(rd.from_items([
+        {"url": "HTTPS://corpus.example/src3/d0000003-memo"},
+        {"url": "https://corpus.example/src3/d0000003-memo"},
+    ])).to_pandas()
+    assert (~out.allowed).all()
+    assert (out.rule == "Disallow: /*-memo$").all()
