@@ -565,6 +565,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-domain document cap (anti-single-source-domination):
         # keyed-window scan with a string key, quality-ordered
         "section_quota_sample": _tuned(analytics.section_quota_sample),
+        # temperature-T=2 mixture smoothing over lang (XLM-R-style
+        # count^(1/T) shares; fractional-power sampling in pure
+        # integers — h^2*c < c_min*2^40)
+        "lang_temperature_sample": _tuned(analytics.lang_temperature_sample),
+        # distributed grep: literal phrase count + first offset per doc
+        # (Arrow count_substring/find_substring kernels)
+        "phrase_match_stats": _tuned(analytics.phrase_match_stats),
+        # sitemap-driven url discovery (real XML parse incl. recursive
+        # sitemapindex trees) LEFT-joined against the crawled corpus
+        "sitemap_urls": _tuned(analytics.sitemap_urls),
     }
 
 
@@ -597,6 +607,9 @@ AWAITING_SLOT = (
     "robots_gate",
     "token_budget_select",
     "section_quota_sample",
+    "lang_temperature_sample",
+    "phrase_match_stats",
+    "sitemap_urls",
 )
 
 
@@ -702,6 +715,9 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate": analytics.robots_gate_sql(),
         "token_budget_select": analytics.token_budget_select_sql(),
         "section_quota_sample": analytics.section_quota_sample_sql(),
+        "lang_temperature_sample": analytics.lang_temperature_sample_sql(),
+        "phrase_match_stats": analytics.phrase_match_stats_sql(),
+        "sitemap_urls": analytics.sitemap_urls_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -573,6 +573,271 @@ WITH {_quality_cte(" source AS section,")}, r AS (
 SELECT doc_id, section, q, sect_rank FROM r WHERE sect_rank <= {quota}"""
 
 
+def lang_temperature_sample(sf_dir: str) -> rd.Dataset:
+    """Temperature-smoothed mixture sampling (T = 2, the multilingual-
+    pretraining rebalance of Conneau et al. / XLM-R: sampled share per
+    language \u221d count^(1/T)): keep each doc of language ``d`` with
+    probability (c_min / c_d)^(1/2) \u2014 over-represented languages are
+    DAMPED toward, but not flattened to, uniform (contrast
+    ``lang_balance_sample``'s T = \u221e uniform target over the same
+    column; this corpus's en slice is ~3x the rarest, so en really is
+    cut to ~sqrt(1/3)).
+
+    Exactness design \u2014 fractional-power sampling in PURE INTEGERS: keep
+    iff h^2 * c_d < c_min * 2^40 with h = stable_hash64('temp:'+doc_id)
+    % 2^20, which is exactly P(keep) = sqrt(c_min/c_d) with zero float
+    anywhere. The engine precomputes the equivalent per-language cutoff
+    thr_d = isqrt((c_min * 2^40 - 1) // c_d) + 1 driver-side in Python
+    bigints (h < thr_d \u27fa h^2 c_d < c_min 2^40, both directions), so the
+    map side is one int64 compare per row; the oracle states the
+    product inequality directly in HUGEINT. Phase 1 is a tiny
+    groupby(lang) count (O(langs) to the driver); phase 2 is map-side
+    only \u2014 the corpus is never shuffled and passes once. Any rational
+    temperature 1/T = a/b generalizes the same way: h^b c^a < c_min^a
+    2^(20b)."""
+    from math import isqrt
+
+    from ..functions.hashing import stable_hash64
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    counts = {r["lang"]: int(r["count()"])
+              for r in ds.groupby("lang").count().take_all()}
+    if not counts:
+        return ds
+    minn = min(counts.values())
+    thr = {s: isqrt(((minn << 40) - 1) // c) + 1 for s, c in counts.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        h = np.fromiter((stable_hash64(f"temp:{d}") for d in ids),
+                        np.uint64, len(ids))
+        t = np.fromiter((thr[s] for s in langs), np.int64, len(langs))
+        mask = (h % np.uint64(1 << 20)).astype(np.int64) < t
+        out = batch.filter(pa.array(mask))
+        return pa.table({"doc_id": out["doc_id"],
+                         "lang": out["lang"]})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def lang_temperature_sample_sql() -> str:
+    return f"""
+WITH n AS (
+  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+), m AS (
+  SELECT min(cnt) AS minn FROM n
+), hx AS (
+  SELECT doc_id, lang,
+         CAST({_sql_hash64("sha256('temp:' || CAST(doc_id AS VARCHAR))")}
+              % 1048576 AS BIGINT) AS h20
+  FROM documents
+)
+SELECT d.doc_id, d.lang
+FROM hx d JOIN n ON n.lang = d.lang CROSS JOIN m
+WHERE CAST(d.h20 AS HUGEINT) * d.h20 * n.cnt
+      < CAST(m.minn AS HUGEINT) * 1099511627776"""
+
+
+def phrase_match_stats(sf_dir: str, phrase: str = "data stream") -> rd.Dataset:
+    """Literal phrase search over the corpus — the distributed-grep
+    primitive (contamination spot checks, boilerplate hunting, "which
+    docs say X" audits run this before anything indexed): (doc_id,
+    n_hits, first_pos) for every doc containing ``phrase``. Counts are
+    non-overlapping left-to-right and first_pos is 0-based chars —
+    both semantics shared bit-exactly by the Arrow kernels and the SQL
+    replace()/position() replica.
+
+    Map-side only, fully vectorized: one ``count_substring`` + one
+    ``find_substring`` Arrow kernel call per batch, zero Python per
+    row; the text column is the only payload read."""
+    import pyarrow.compute as pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = pc.count_substring(t["text"], pattern=phrase)
+        f = pc.find_substring(t["text"], pattern=phrase)
+        out = pa.table({"doc_id": t["doc_id"],
+                        "n_hits": pc.cast(n, pa.int64()),
+                        "first_pos": pc.cast(f, pa.int64())})
+        return out.filter(pc.greater(out["n_hits"], 0))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow")
+
+
+def phrase_match_stats_sql(phrase: str = "data stream") -> str:
+    p = phrase.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, '{p}', '')))
+            // {len(phrase)} AS BIGINT) AS n_hits,
+       CAST(position('{p}' IN text) - 1 AS BIGINT) AS first_pos
+FROM documents
+WHERE position('{p}' IN text) > 0"""
+
+
+def synth_sitemap_xml(section: str, part: int | None = None) -> str:
+    """Deterministic per-section sitemap XML (the fetched-response
+    stand-in, same device as ``synth_robots_txt`` — the oracle
+    re-derives the DISCOVERED entries analytically from the section
+    seed while the engine must really parse).
+
+    Seed ``s = _robots_seed(section)``; entries are i = 0..(4 + s%5)-1
+    with j = (s*131 + 37*i) % 800 (37 ⊥ 800 ⇒ distinct), loc =
+    corpus-url(section, j), lastmod '' for i == 0 (optional-field
+    tolerance) else 2026-MM-DD from j, priority '0.'+(j%9+1).
+    Structure branches: s % 3 == 0 ⇒ a <sitemapindex> of two child
+    urlsets splitting entries by i parity (``part`` 0/1 selects the
+    child; the recursive resolve path is exercised), else one flat
+    urlset. Junk planted for the parser: xmlns namespace, comments, an
+    unknown <generator> element, mixed whitespace."""
+    s = _robots_seed(section) if section else 0
+    if not section:
+        return "<urlset/>"
+    if part is None and s % 3 == 0:
+        children = "\n".join(
+            f"  <sitemap><loc>https://corpus.example/{section}"
+            f"/sitemap-{k}.xml</loc></sitemap>" for k in (0, 1))
+        return ("<?xml version='1.0' encoding='UTF-8'?>\n"
+                "<sitemapindex xmlns='http://www.sitemaps.org/schemas"
+                "/sitemap/0.9'>\n"
+                f"  <!-- synthetic index for {section} (seed {s}) -->\n"
+                f"{children}\n</sitemapindex>\n")
+    rows = []
+    for i in range(4 + s % 5):
+        if part is not None and i % 2 != part:
+            continue
+        j = (s * 131 + 37 * i) % 800
+        lastmod = ("" if i == 0 else
+                   f"2026-{j % 12 + 1:02d}-{j % 28 + 1:02d}")
+        lm = f"<lastmod>{lastmod}</lastmod>" if lastmod else ""
+        rows.append(
+            f"  <url>\n    <loc>https://corpus.example/{section}"
+            f"/d{j:07d}</loc>\n    {lm}"
+            f"<priority>0.{j % 9 + 1}</priority>\n  </url>")
+    body = "\n".join(rows)
+    return ("<?xml version='1.0' encoding='UTF-8'?>\n"
+            "<!-- synthetic urlset -->\n"
+            "<urlset xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'>\n"
+            "  <generator>graft-synth</generator>\n"
+            f"{body}\n</urlset>\n")
+
+
+def sitemap_urls(sf_dir: str,
+                 sitemap_xml_of=synth_sitemap_xml) -> rd.Dataset:
+    """Sitemap-driven url DISCOVERY — the crawl-frontier growth side
+    (``robots_gate`` is the access side; ``crawl_frontier`` ranks what
+    both emit): each site section's sitemap tree is fetched and parsed
+    map-side (real XML via functions/sitemap.py, <sitemapindex> docs
+    resolved breadth-first with bounded depth/doc-count), then the
+    discovered urls LEFT-join the crawled corpus to flag already-crawled
+    vs net-new — (section, url, lastmod, priority, in_corpus).
+
+    Scale shape: the parse stage's input is one row per DISTINCT
+    section (a tiny groupby count vs the corpus — millions of hosts,
+    not trillions of pages), each batch parsing its sections
+    independently (actor-poolable for connection reuse); membership is
+    the existing partition-wise ``hash_join`` on
+    stable_hash64(section/dNNNNNNN) — no driver-side url set ever
+    exists."""
+    from ..functions.hashing import stable_hash64
+    from ..functions.sitemap import resolve_sitemap_entries
+    from ..stages.joins import hash_join
+
+    def fetch(loc: str) -> str:
+        # loc ↔ (section, part) for the synthetic tree; a real fetcher
+        # would GET the loc (actor-pool stage owning an HTTP session).
+        tail = loc.rsplit("/", 2)
+        section = tail[-2] if len(tail) >= 2 else ""
+        name = tail[-1]
+        part = (int(name[len("sitemap-"):-len(".xml")])
+                if name.startswith("sitemap-") else None)
+        return sitemap_xml_of(section, part)
+
+    def discover(t: pa.Table) -> pa.Table:
+        secs, urls, mods, pris, keys = [], [], [], [], []
+        for sec in t["source"].to_pylist():
+            entries = resolve_sitemap_entries(
+                fetch, f"https://corpus.example/{sec}/sitemap.xml")
+            for loc, lastmod, priority in entries:
+                secs.append(sec)
+                urls.append(loc)
+                mods.append(lastmod)
+                pris.append(priority)
+                keys.append(stable_hash64(loc.rsplit("/", 2)[-2] + "/"
+                                          + loc.rsplit("/", 1)[-1]))
+        return pa.table({
+            "section": pa.array(secs, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "lastmod": pa.array(mods, pa.string()),
+            "priority": pa.array(pris, pa.string()),
+            "k": pa.array(keys, pa.int64()),
+        })
+
+    def corpus_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        last = pc.cast(t["doc_id"], pa.int64()).to_numpy() % 10
+        keep = (last != 3) & (last != 7)
+        ids = t["doc_id"].to_numpy()[keep]
+        srcs = np.asarray(t["source"].to_pylist(), dtype=object)[keep]
+        ks = [stable_hash64(f"{s}/d{d:07d}") for s, d in zip(srcs, ids)]
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "mark": pa.array(np.ones(len(ks), np.int64))})
+
+    sections = _docs(sf_dir, ["source"]).groupby("source").count()
+    discovered = sections.map_batches(discover, batch_format="pyarrow")
+    marks = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        corpus_keys, batch_format="pyarrow")
+    joined = hash_join(discovered, marks, "k", "k",
+                       ["section", "url", "lastmod", "priority"],
+                       ["mark"], how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "section": t["section"],
+            "url": t["url"],
+            "lastmod": t["lastmod"],
+            "priority": t["priority"],
+            "in_corpus": pc.fill_null(
+                pc.equal(t["mark"], pa.scalar(1, pa.int64())), False),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def sitemap_urls_sql() -> str:
+    """Analytic re-derivation of the synthetic sitemap trees: entries
+    from the section seed (the index/urlset structural branch changes
+    only HOW the engine fetches, never WHICH entries exist), membership
+    via a correlated EXISTS against documents (suffixed corpus urls —
+    doc_id % 10 in (3,7) — never match a sitemap loc)."""
+    return """
+WITH secs AS (
+  SELECT DISTINCT source AS section FROM documents
+), sd AS (
+  SELECT section, (ascii(substr(section, 1, 1)) * 31
+         + ascii(substr(section, length(section), 1)) * 7
+         + 13 * length(section)) % 16 AS s
+  FROM secs
+), e AS (
+  SELECT section, s, g.i, (s * 131 + 37 * g.i) % 800 AS j
+  FROM sd CROSS JOIN generate_series(0, 8) g(i)
+  WHERE g.i < 4 + s % 5
+)
+SELECT section,
+  'https://corpus.example/' || section || '/d'
+    || lpad(CAST(j AS VARCHAR), 7, '0') AS url,
+  CASE WHEN i = 0 THEN '' ELSE
+    '2026-' || lpad(CAST(j % 12 + 1 AS VARCHAR), 2, '0')
+    || '-' || lpad(CAST(j % 28 + 1 AS VARCHAR), 2, '0') END AS lastmod,
+  '0.' || CAST(j % 9 + 1 AS VARCHAR) AS priority,
+  EXISTS(SELECT 1 FROM documents d
+         WHERE d.doc_id = e.j AND d.source = e.section
+           AND e.j % 10 NOT IN (3, 7)) AS in_corpus
+FROM e"""
+
+
 def doc_signals(sf_dir: str) -> rd.Dataset:
     """One-pass WIDE quality-signals table (the RedPajama-v2 pattern:
     emit every per-doc signal as a column ONCE, filter later from the
