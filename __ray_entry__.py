@@ -575,6 +575,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sitemap-driven url discovery (real XML parse incl. recursive
         # sitemapindex trees) LEFT-joined against the crawled corpus
         "sitemap_urls": _tuned(analytics.sitemap_urls),
+        # broadcast range (interval) join — events priced into per-type
+        # value tiers (the third custom join family after as-of and
+        # equality; stages/joins.broadcast_range_join)
+        "value_band_join": _tuned(analytics.value_band_join),
+        # HITS hubs/authorities over the EXTRACTED link graph (integer
+        # max-rescale rounds; PageRank's companion centrality)
+        "hits_scores": _tuned(linkgraph.hits_scores),
+        # bounded-radius BFS crawl depth from seed pages (-1 unreached)
+        "bfs_depth_docs": _tuned(analytics.bfs_depth_docs),
+        # CCNet head/middle/tail per-lang perplexity terciles over the
+        # integer corpus-LM score (threshold-based, tie-stable)
+        "ccnet_buckets": _tuned(analytics.ccnet_buckets),
     }
 
 
@@ -610,6 +622,10 @@ AWAITING_SLOT = (
     "lang_temperature_sample",
     "phrase_match_stats",
     "sitemap_urls",
+    "value_band_join",
+    "hits_scores",
+    "bfs_depth_docs",
+    "ccnet_buckets",
 )
 
 
@@ -718,6 +734,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_temperature_sample": analytics.lang_temperature_sample_sql(),
         "phrase_match_stats": analytics.phrase_match_stats_sql(),
         "sitemap_urls": analytics.sitemap_urls_sql(),
+        "value_band_join": analytics.value_band_join_sql(),
+        "hits_scores": linkgraph.hits_scores_sql(),
+        "bfs_depth_docs": analytics.bfs_depth_docs_sql(),
+        "ccnet_buckets": analytics.ccnet_buckets_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.classify import MEMO_PHRASES, QP_PHRASES  # noqa: F401 (parity)
 from ..functions.hashing import rolling_fingerprint, sha256_hex
@@ -2471,6 +2471,101 @@ def pagerank_docs_sql(iters: int = 5, damping_pct: int = 85,
             + f"\nSELECT node AS doc_id, r AS rank FROM r{iters}")
 
 
+def bfs_depth_docs(sf_dir: str, rounds: int = 6,
+                   seed_mod: int = 499) -> rd.Dataset:
+    """Bounded-radius BFS — crawl-depth analysis (how many clicks from
+    the seed list reaches each page; crawlers cap this: Heritrix
+    max-hops, CommonCrawl's per-seed depth budget) over the SAME
+    planted expander graph as ``pagerank_docs`` (3 out-edges per node —
+    two mixing permutations + a hub edge), seeds = doc_id % seed_mod
+    == 0. Unreached pages (within ``rounds`` hops) report -1.
+
+    Iterated-dataflow shape, all integer: the frontier table (node,
+    depth) re-emits itself plus its 3 out-neighbors at depth+1 each
+    round, then ONE groupby(node).Min folds — label-propagation with
+    min, the ``connected_components`` update with depth instead of
+    label (and like pagerank_docs, a function-of-node edge set makes
+    the join a map-side emit; a real edge TABLE swaps in one
+    hash_join — see linkgraph.bfs_depth_from_edges). Frontier rows ≤
+    corpus rows, rounds are fixed, driver holds a loop counter."""
+    docs = _docs(sf_dir, ["doc_id"])
+    N = docs.count()
+    hubs = min(_PR_HUBS, N)
+    BIG = 1 << 62
+
+    def init(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seeds = ids[ids % seed_mod == 0]
+        return pa.table({"node": pa.array(seeds),
+                         "d": pa.array(np.zeros(len(seeds), np.int64))})
+
+    dist = docs.map_batches(init, batch_format="pyarrow")
+    for _ in range(rounds):
+        def expand(t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False)
+            d = t["d"].to_numpy(zero_copy_only=False)
+            dst = np.concatenate([node,            # keep current depth
+                                  (node * 31 + 7) % N,
+                                  (node * 17 + 3) % N,
+                                  node % hubs])
+            dd = np.concatenate([d, d + 1, d + 1, d + 1])
+            return pa.table({"node": pa.array(dst), "d": pa.array(dd)})
+
+        dist = (dist.map_batches(expand, batch_format="pyarrow")
+                .groupby("node").aggregate(Min("d", alias_name="dm"))
+                .map_batches(lambda t: pa.table(
+                    {"node": t["node"], "d": t["dm"]}),
+                    batch_format="pyarrow")
+                .materialize())
+
+    # unreached -> -1 via the zero-presence union (never a driver join)
+    def pres(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().cast(pa.int64())
+        return pa.table({"node": ids,
+                         "d": pa.array(np.full(len(t), BIG, np.int64))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["dm"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["node"].combine_chunks(),
+                         "depth": pa.array(np.where(d >= BIG, -1, d))})
+
+    return (dist.union(docs.map_batches(pres, batch_format="pyarrow"))
+            .groupby("node").aggregate(Min("d", alias_name="dm"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def bfs_depth_docs_sql(rounds: int = 6, seed_mod: int = 499) -> str:
+    """Unrolled BFS rounds over the derived edge table (the
+    pagerank_docs_sql edge CTE); min-fold per round, LEFT JOIN +
+    coalesce(-1) for unreached."""
+    parts = [f"""nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), e AS (
+  SELECT doc_id AS src,
+         unnest([(doc_id * 31 + 7) % nn.n,
+                 (doc_id * 17 + 3) % nn.n,
+                 doc_id % least({_PR_HUBS}, nn.n)]) AS dst
+  FROM documents, nn
+), d0 AS (
+  SELECT doc_id AS node, CAST(0 AS BIGINT) AS d FROM documents
+  WHERE doc_id % {seed_mod} = 0
+)"""]
+    # MATERIALIZED: each round reads the prior one twice (self + join);
+    # un-materialized CTEs re-inline 2^rounds times (the ann_ivf lesson)
+    for t in range(rounds):
+        parts.append(f"""d{t + 1} AS MATERIALIZED (
+  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+    SELECT node, d FROM d{t}
+    UNION ALL
+    SELECT e.dst AS node, x.d + 1 AS d
+    FROM d{t} x JOIN e ON e.src = x.node
+  ) GROUP BY node
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT d.doc_id, CAST(coalesce(x.d, -1) AS BIGINT) AS depth
+FROM documents d LEFT JOIN d{rounds} x ON x.node = d.doc_id""")
+
+
 # Composed argmax key: doc_id fits in 33 bits (planted ids ~1e6 at test
 # scale; 8.5e9 headroom at 100 TB needs a wider shift — documented limit),
 # so key = n_chars << 33 | (MASK - doc_id) makes Max(key) pick the
@@ -3114,6 +3209,90 @@ SELECT event_id,
 FROM (SELECT event_id, user_id, ts,
              CAST(round(value * 100) AS BIGINT) AS c FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
+def event_value_bands(types: list[str]) -> "pa.Table":
+    """The per-type value-tier DIMENSION (rate-card shape) as a pure
+    function of the type list, so the SQL oracle re-derives it: per
+    type, 4 quadratic-width bands over cents — step = 1000 +
+    100·(len(type) % 7); band j covers [j²·step, (j+1)²·step), except
+    band 0 starts at 500 (cents below 500 fall in NO band — the
+    inner-join drop path carries real traffic, ~10% of events) and
+    band 3 is unbounded (hi = -1 sentinel)."""
+    rows = {"key": [], "band": [], "lo": [], "hi": []}
+    for t in types:
+        step = 1000 + 100 * (len(t) % 7)
+        for j in range(4):
+            rows["key"].append(t)
+            rows["band"].append(j)
+            rows["lo"].append(j * j * step if j else 500)
+            rows["hi"].append((j + 1) * (j + 1) * step if j < 3 else -1)
+    return pa.table({"key": pa.array(rows["key"], pa.string()),
+                     "band": pa.array(rows["band"], pa.int64()),
+                     "lo": pa.array(rows["lo"], pa.int64()),
+                     "hi": pa.array(rows["hi"], pa.int64())})
+
+
+def value_band_join(sf_dir: str) -> rd.Dataset:
+    """Range (interval) join — events priced into per-type value tiers:
+    each event matches the band of its type whose half-open cents range
+    contains it (band 3 unbounded; cents < 500 match nothing and DROP —
+    inner semantics). The third custom join family next to as-of and
+    equality (stages/joins.broadcast_range_join): the tier table is a
+    driver-built dimension (O(types·bands) rows), validated +
+    searchsorted-indexed once, broadcast once via ``ray.put``; the
+    event table streams map-side through one vectorized binary-search
+    probe per batch and never shuffles."""
+    from ..stages.joins import broadcast_range_join
+
+    ds = _read_table(sf_dir, "events", ["event_id", "event_type", "value"])
+    types = sorted(r["event_type"] for r in
+                   ds.groupby("event_type").count().take_all())
+    bands = event_value_bands(types)
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cents = pc.round(pc.multiply(batch["value"], 100.0)).cast(pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "value_cents": cents})
+
+    return broadcast_range_join(
+        ds.map_batches(to_cents, batch_format="pyarrow"), bands,
+        key_col="event_type", value_col="value_cents",
+        left_cols=["event_id", "event_type", "value_cents"],
+        interval_cols=["band", "lo", "hi"],
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["event_id", "event_type", "value_cents",
+             "band", "band_lo", "band_hi"]),
+        batch_format="pyarrow")
+
+
+def value_band_join_sql() -> str:
+    return """
+WITH types AS (
+  SELECT DISTINCT event_type FROM events
+), bands AS (
+  SELECT event_type, CAST(g.j AS BIGINT) AS band,
+         CAST(CASE WHEN g.j = 0 THEN 500
+              ELSE g.j * g.j * (1000 + 100 * (length(event_type) % 7))
+              END AS BIGINT) AS lo,
+         CAST(CASE WHEN g.j = 3 THEN -1
+              ELSE (g.j + 1) * (g.j + 1)
+                   * (1000 + 100 * (length(event_type) % 7))
+              END AS BIGINT) AS hi
+  FROM types CROSS JOIN generate_series(0, 3) g(j)
+), ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents FROM events
+)
+SELECT e.event_id, e.event_type, e.value_cents,
+       b.band, b.lo AS band_lo, b.hi AS band_hi
+FROM ev e JOIN bands b
+  ON b.event_type = e.event_type
+ AND e.value_cents >= b.lo
+ AND (b.hi = -1 OR e.value_cents < b.hi)"""
 
 
 def asof_prior_error(sf_dir: str) -> rd.Dataset:
@@ -4706,6 +4885,113 @@ terms AS (
 SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
        CAST(sum(s) AS BIGINT) AS lm_score
 FROM terms GROUP BY doc_id"""
+
+
+def ccnet_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3: per
+    language, order documents by LM perplexity and cut into terciles —
+    'head' trains, 'tail' is usually dropped) over this engine's
+    integer corpus-LM score: norm_score = lm_score // n_bigrams (the
+    per-token-perplexity analog, BIGINT floor so SQL bit-matches), and
+    the bucket is threshold-based — t_q = the SMALLEST norm score whose
+    per-lang cumulative count reaches ceil(q·n) — so two equal-scoring
+    docs always land in the same bucket (a pure rank split would tear
+    ties across buckets and be unreproducible map-side).
+
+    Shape: ``lm_doc_scores``'s two keyed exchanges (materialized once —
+    hash_join probes schema and would re-run the LM lineage otherwise),
+    ONE ids-only hash_join to attach lang, a sparse (lang, score,
+    count) histogram fold for thresholds — driver state O(distinct
+    scores), the accepted global_quantile_threshold bound — then a
+    broadcast map-side tag. Docs with no bigram (empty/1-word text)
+    have no LM score and are absent, as in CCNet. Output (doc_id,
+    lang, norm_score, bucket)."""
+    import ray
+
+    from ..stages.joins import hash_join
+
+    scored = lm_doc_scores(sf_dir).materialize()
+    langs = _docs(sf_dir, ["doc_id", "lang"])
+    with_lang = hash_join(scored, langs, "doc_id", "doc_id",
+                          ["n_bigrams", "lm_score"], ["lang"], how="inner")
+
+    def norm(t: pa.Table) -> pa.Table:
+        ls = t["lm_score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"].combine_chunks(),
+                         "lang": t["lang"].combine_chunks(),
+                         "norm_score": pa.array(ls // nb)})
+
+    ns = with_lang.map_batches(norm, batch_format="pyarrow").materialize()
+
+    hist: dict[str, dict[int, int]] = {}
+    for b in (ns.groupby(["lang", "norm_score"]).count()
+              .iter_batches(batch_format="pyarrow")):
+        for lang, s, c in zip(b["lang"].to_pylist(),
+                              b["norm_score"].to_pylist(),
+                              b["count()"].to_pylist()):
+            hist.setdefault(lang, {})[int(s)] = int(c)
+    thr: dict[str, tuple[int, int]] = {}
+    for lang, sc in hist.items():
+        n = sum(sc.values())
+        k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+        cum, t1, t2 = 0, None, None
+        for s in sorted(sc):
+            cum += sc[s]
+            if t1 is None and cum >= k1:
+                t1 = s
+            if t2 is None and cum >= k2:
+                t2 = s
+        thr[lang] = (t1, t2)
+    tref = ray.put(thr)
+
+    def tag(t: pa.Table) -> pa.Table:
+        th = ray.get(tref)
+        langs_v = t["lang"].to_pylist()
+        s = t["norm_score"].to_numpy(zero_copy_only=False)
+        t1 = np.fromiter((th[x][0] for x in langs_v), np.int64, len(langs_v))
+        t2 = np.fromiter((th[x][1] for x in langs_v), np.int64, len(langs_v))
+        bucket = np.where(s <= t1, "tail",
+                          np.where(s <= t2, "middle", "head"))
+        return t.append_column("bucket", pa.array(bucket.tolist(),
+                                                  pa.string()))
+
+    return ns.map_batches(tag, batch_format="pyarrow")
+
+
+def ccnet_buckets_sql() -> str:
+    """The LM-score CTEs + per-lang cumulative-count tercile thresholds
+    (smallest score reaching ceil(q·n)) + the threshold CASE."""
+    lm = lm_doc_scores_sql()
+    body = lm.split("WITH", 1)[1].rsplit("SELECT", 1)[0].rstrip()
+    return f"""
+WITH {body},
+scored AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS nb,
+         CAST(sum(s) AS BIGINT) AS ls
+  FROM terms GROUP BY doc_id
+), ns AS MATERIALIZED (
+  SELECT s.doc_id, d.lang, CAST(s.ls // s.nb AS BIGINT) AS norm_score
+  FROM scored s JOIN documents d USING (doc_id)
+), h AS (
+  SELECT lang, norm_score, count(*) AS c FROM ns GROUP BY lang, norm_score
+), cc AS MATERIALIZED (
+  SELECT lang, norm_score,
+         sum(c) OVER (PARTITION BY lang ORDER BY norm_score) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM h
+), t1 AS (
+  SELECT lang, min(norm_score) AS t FROM cc
+  WHERE cum >= (n + 2) // 3 GROUP BY lang
+), t2 AS (
+  SELECT lang, min(norm_score) AS t FROM cc
+  WHERE cum >= (2 * n + 2) // 3 GROUP BY lang
+)
+SELECT ns.doc_id, ns.lang, ns.norm_score,
+       CASE WHEN ns.norm_score <= t1.t THEN 'tail'
+            WHEN ns.norm_score <= t2.t THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM ns JOIN t1 USING (lang) JOIN t2 USING (lang)"""
 
 
 def kmeans_clusters(sf_dir: str, k: int = 10, iters: int = 6) -> rd.Dataset:

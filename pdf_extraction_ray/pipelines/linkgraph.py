@@ -909,3 +909,237 @@ SELECT doc_id, url, section, priority,
                                ORDER BY priority DESC, doc_id)
             AS BIGINT) AS wave
 FROM sched""")
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg hubs & authorities) over the extracted edge table
+
+
+@ray.remote
+def _hits_one_task(iters: int, scale: int, n_node_blocks: int,
+                   *blocks: pa.Table) -> pa.Table:
+    """All HITS rounds in one task (the _pr_one_task small-graph
+    dispatch): vectorized integer updates over dense-remapped ids."""
+    node_tabs = [t for t in blocks[:n_node_blocks] if t.num_rows]
+    edge_tabs = [t for t in blocks[n_node_blocks:] if t.num_rows]
+    nodes = np.sort(np.unique(np.concatenate(
+        [t["node"].to_numpy(zero_copy_only=False) for t in node_tabs])
+        if node_tabs else np.array([], np.int64)).astype(np.int64))
+    n = len(nodes)
+    if edge_tabs:
+        et = pa.concat_tables(
+            [t.select(["src_doc_id", "dst_doc_id"]) for t in edge_tabs])
+        src = et["src_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = et["dst_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        src = dst = np.array([], np.int64)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    h = np.full(n, scale, np.int64)
+    a = np.zeros(n, np.int64)
+    for _ in range(iters):
+        a_raw = np.zeros(n, np.int64)
+        np.add.at(a_raw, di, h[si])
+        am = int(a_raw.max(initial=0))
+        a = a_raw * scale // am if am else np.zeros(n, np.int64)
+        h_raw = np.zeros(n, np.int64)
+        np.add.at(h_raw, si, a[di])
+        hm = int(h_raw.max(initial=0))
+        h = h_raw * scale // hm if hm else np.zeros(n, np.int64)
+    return pa.table({"doc_id": pa.array(nodes),
+                     "hub": pa.array(h), "authority": pa.array(a)})
+
+
+def hits_scores(sf_dir: str, iters: int = 5, scale: int = 1_000_000,
+                task_limit: int = 5_000_000) -> rd.Dataset:
+    """sf-dir driver-query wrapper over ``hits_from_edges``."""
+    edges = link_graph_pages(_corpus_pages(sf_dir)).materialize()
+    return hits_from_edges(edges, page_nodes(_corpus_pages(sf_dir)),
+                           iters=iters, scale=scale, task_limit=task_limit)
+
+
+def hits_from_edges(edges: rd.Dataset, nodes: rd.Dataset,
+                    iters: int = 5, scale: int = 1_000_000,
+                    task_limit: int = 5_000_000) -> rd.Dataset:
+    """Kleinberg's HITS over a (materialized) edge table — PageRank's
+    companion centrality (authority = linked-to by good hubs, hub =
+    links to good authorities; the ranking the anchor-text index feeds
+    in classic web search). Returns (doc_id, hub, authority) over every
+    corpus node after ``iters`` mutual-reinforcement rounds.
+
+    Exactness design — normalization WITHOUT floats: the textbook L2
+    norm is replaced by max-rescale, ``x*scale // max(x)`` (BIGINT
+    floor division, rank-order preserving), so every round is
+    integer-exact against the unrolled-CTE DuckDB oracle. Bound:
+    max_indegree·scale² < 2^63 (shrink ``scale`` for denser graphs —
+    documented, like crawl_frontier's priority product).
+
+    Scale shape mirrors ``pagerank_from_edges``: small graphs run all
+    rounds in ONE task; above ``task_limit`` each half-round is ONE
+    hash_join (edges x scores) + ONE groupby sum + a zero-presence
+    union, and the round max is a driver SCALAR (``Dataset.max`` — the
+    global-aggregate O(1)-driver-state shape), then a map-side rescale.
+    Per-round materialize + fixed-width repartition stop lineage and
+    block-count compounding (the CC-loop lessons)."""
+    if edges.count() <= task_limit:
+        node_refs = nodes.to_arrow_refs()
+        edge_refs = edges.to_arrow_refs()
+        return rd.from_arrow_refs([_hits_one_task.remote(
+            iters, scale, len(node_refs), *node_refs, *edge_refs)])
+
+    def zero(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "c": pa.array(np.zeros(len(t), np.int64))})
+
+    presence = nodes.map_batches(zero, batch_format="pyarrow").materialize()
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "r": pa.array(np.full(len(t), scale, np.int64))})
+
+    def half_round(scores: rd.Dataset, key: str, out: str) -> rd.Dataset:
+        """sum scores over edges grouped by ``out`` side, max-rescale."""
+        contrib = hash_join(edges, scores, key, "node",
+                            [out], ["r"], how="inner")
+
+        def emit(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t[out].combine_chunks().cast(pa.int64()),
+                "c": t["r"].combine_chunks().cast(pa.int64())})
+
+        raw = (contrib.map_batches(emit, batch_format="pyarrow")
+               .union(presence)
+               .groupby("node").aggregate(Sum("c", alias_name="s"))
+               .repartition(32)
+               .materialize())
+        m = raw.max("s")
+        m = int(m) if m is not None else 0
+
+        def rescale(t: pa.Table) -> pa.Table:
+            s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            r = s * scale // m if m else np.zeros(len(s), np.int64)
+            return pa.table({
+                "node": t["node"].combine_chunks().cast(pa.int64()),
+                "r": pa.array(r)})
+
+        return raw.map_batches(rescale, batch_format="pyarrow").materialize()
+
+    h = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(iters):
+        a = half_round(h, "src_doc_id", "dst_doc_id")   # authorities
+        h = half_round(a, "dst_doc_id", "src_doc_id")   # hubs
+
+    def hub_t(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"].combine_chunks(),
+                         "hub": t["r"].combine_chunks()})
+
+    def auth_t(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"].combine_chunks(),
+                         "authority": t["r"].combine_chunks()})
+
+    both = hash_join(h.map_batches(hub_t, batch_format="pyarrow"),
+                     a.map_batches(auth_t, batch_format="pyarrow"),
+                     "node", "node", ["hub"], ["authority"], how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"].combine_chunks(),
+                         "hub": t["hub"].combine_chunks(),
+                         "authority": t["authority"].combine_chunks()})
+
+    return both.map_batches(finish, batch_format="pyarrow")
+
+
+def hits_scores_sql(iters: int = 5, scale: int = 1_000_000) -> str:
+    """Unrolled mutual-reinforcement rounds over the derived edge table;
+    HUGEINT intermediates for the rescale product, BIGINT results (the
+    engine's int64 bound is documented in hits_from_edges)."""
+    # MATERIALIZED is load-bearing: each round references the prior one
+    # twice (sum + max), so an un-materialized chain re-inlines 2^rounds
+    # times (the ann_ivf_sql lesson)
+    parts = [_edges_sql(), f"""h0 AS MATERIALIZED (
+  SELECT doc_id AS node, CAST({scale} AS BIGINT) AS r FROM documents
+)"""]
+    for t in range(iters):
+        parts.append(f"""a{t + 1}raw AS MATERIALIZED (
+  SELECT d.doc_id AS node, CAST(coalesce(s.c, 0) AS BIGINT) AS raw
+  FROM documents d LEFT JOIN (
+    SELECT e.dst_doc_id AS node, CAST(sum(h.r) AS BIGINT) AS c
+    FROM e JOIN h{t} h ON h.node = e.src_doc_id GROUP BY e.dst_doc_id
+  ) s ON s.node = d.doc_id
+), a{t + 1} AS MATERIALIZED (
+  SELECT node, CAST(coalesce(
+    CAST(raw AS HUGEINT) * {scale} // NULLIF((SELECT max(raw)
+      FROM a{t + 1}raw), 0), 0) AS BIGINT) AS r
+  FROM a{t + 1}raw
+), h{t + 1}raw AS MATERIALIZED (
+  SELECT d.doc_id AS node, CAST(coalesce(s.c, 0) AS BIGINT) AS raw
+  FROM documents d LEFT JOIN (
+    SELECT e.src_doc_id AS node, CAST(sum(a.r) AS BIGINT) AS c
+    FROM e JOIN a{t + 1} a ON a.node = e.dst_doc_id
+    GROUP BY e.src_doc_id
+  ) s ON s.node = d.doc_id
+), h{t + 1} AS MATERIALIZED (
+  SELECT node, CAST(coalesce(
+    CAST(raw AS HUGEINT) * {scale} // NULLIF((SELECT max(raw)
+      FROM h{t + 1}raw), 0), 0) AS BIGINT) AS r
+  FROM h{t + 1}raw
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT h.node AS doc_id, h.r AS hub, a.r AS authority
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node""")
+
+
+def bfs_depth_from_edges(edges: rd.Dataset, nodes: rd.Dataset,
+                         seeds: rd.Dataset, rounds: int = 6) -> rd.Dataset:
+    """Bounded-radius BFS over a REAL (materialized) edge table — the
+    edge-table variant analytics.bfs_depth_docs' docstring promises
+    (that one's edges are a function of the node id, so its round is a
+    map-side emit; here each round is ONE hash_join(dist x edges on
+    src) + ONE groupby(node).Min fold). ``seeds`` is a (node,) table at
+    depth 0; returns (doc_id, depth) over every node in ``nodes``,
+    -1 = unreached within ``rounds`` hops.
+
+    Per-round materialize + fixed-width repartition stop lineage/block
+    compounding (the CC-loop lessons, stages/dedup.py)."""
+    BIG = 1 << 62
+
+    def at_zero(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "d": pa.array(np.zeros(len(t), np.int64))})
+
+    dist = seeds.map_batches(at_zero, batch_format="pyarrow").materialize()
+    for _ in range(rounds):
+        cand = hash_join(edges, dist, "src_doc_id", "node",
+                         ["dst_doc_id"], ["d"], how="inner")
+
+        def step(t: pa.Table) -> pa.Table:
+            d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "node": t["dst_doc_id"].combine_chunks().cast(pa.int64()),
+                "d": pa.array(d + 1)})
+
+        dist = (dist.union(cand.map_batches(step, batch_format="pyarrow"))
+                .groupby("node").aggregate(Min("d", alias_name="dm"))
+                .map_batches(lambda t: pa.table(
+                    {"node": t["node"], "d": t["dm"]}),
+                    batch_format="pyarrow")
+                .repartition(32)
+                .materialize())
+
+    def pres(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "d": pa.array(np.full(len(t), BIG, np.int64))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["dm"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["node"].combine_chunks(),
+                         "depth": pa.array(np.where(d >= BIG, -1, d))})
+
+    return (dist.union(nodes.map_batches(pres, batch_format="pyarrow"))
+            .groupby("node").aggregate(Min("d", alias_name="dm"))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -286,3 +286,119 @@ def hash_join(left: rd.Dataset, right: rd.Dataset,
         return pa.table(cols)
 
     return lt.union(rt).groupby("p").map_groups(grp, batch_format="pyarrow")
+
+
+def broadcast_range_join(left: rd.Dataset, intervals: pa.Table,
+                         key_col: str, value_col: str,
+                         left_cols: list[str], interval_cols: list[str],
+                         int_key_col: str = "key",
+                         lo_col: str = "lo", hi_col: str = "hi",
+                         ) -> rd.Dataset:
+    """Broadcast range (interval) join — the third custom join family
+    next to ``asof_join`` (temporal point lookup) and ``hash_join``
+    (equality): every left row matches the interval row of the same key
+    whose half-open range ``[lo, hi)`` contains ``left[value_col]``
+    (``hi == -1`` = unbounded, the repo's sentinel convention). Inner
+    semantics: left rows covered by no interval drop.
+
+    Shape (the broadcast-dimension rule, SURVEY custom-operator path b):
+    the interval table is a DIMENSION — rate cards, value tiers, SLA
+    bands — small by nature, so it is validated and indexed ONCE on the
+    driver, shipped ONCE via ``ray.put``, and each map task probes it
+    with a vectorized ``np.searchsorted`` over the key's sorted lo
+    boundaries: O(rows·log intervals) per batch, zero Python per row,
+    and the fact table NEVER shuffles. (An interval side too big to
+    broadcast needs the partition-wise cogroup shape instead — split by
+    key hash like ``hash_join`` and searchsorted per partition.)
+
+    Contract: per key the intervals must be non-overlapping (validated
+    driver-side, ValueError otherwise) — that is what makes the sorted
+    binary search exact. Overlapping tiers are the union of
+    non-overlapping layers; join each layer and union.
+
+    ``value_col`` and the bounds must be integers (exactness: the
+    containment compares are int64, never float — the repo's oracle
+    discipline).
+    """
+    import ray as _ray
+
+    names = set(intervals.column_names)
+    for c in (int_key_col, lo_col, hi_col, *interval_cols):
+        if c not in names:
+            raise ValueError(f"intervals table lacks column {c!r}")
+    # driver-side index build: key -> (sorted los, his, payload arrays)
+    tbl = intervals.sort_by([(int_key_col, "ascending"),
+                             (lo_col, "ascending")])
+    keys = tbl[int_key_col].to_pylist()
+    los = tbl[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    his = tbl[hi_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payload = {c: np.asarray(tbl[c].to_pylist(), dtype=object)
+               for c in interval_cols}
+    index: dict = {}
+    start = 0
+    for i in range(1, len(keys) + 1):
+        if i == len(keys) or keys[i] != keys[start]:
+            klos, khis = los[start:i], his[start:i]
+            for j in range(len(klos) - 1):
+                if khis[j] == -1 or khis[j] > klos[j + 1]:
+                    raise ValueError(
+                        f"overlapping intervals for key {keys[start]!r}")
+            for j in range(len(klos)):
+                if khis[j] != -1 and khis[j] <= klos[j]:
+                    raise ValueError(
+                        f"empty interval for key {keys[start]!r}")
+            index[keys[start]] = (
+                klos, khis,
+                {c: payload[c][start:i] for c in interval_cols})
+            start = i
+    ref = _ray.put(index)
+    int_types = dict(zip(tbl.column_names, tbl.schema.types))
+
+    def probe(t: pa.Table) -> pa.Table:
+        idx = _ray.get(ref)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(
+            np.asarray(t[key_col].to_pylist(), dtype=object))
+        take_left: list[np.ndarray] = []
+        take_int: list[np.ndarray] = []
+        uid_of: list = []
+        for u, key in enumerate(uniq):
+            ent = idx.get(key)
+            if ent is None:
+                continue
+            klos, khis, _pay = ent
+            rows = np.nonzero(codes == u)[0]
+            v = vals[rows]
+            pos = np.searchsorted(klos, v, side="right") - 1
+            ok = pos >= 0
+            p = np.where(ok, pos, 0)
+            hi = khis[p]
+            ok &= (hi == -1) | (v < hi)
+            take_left.append(rows[ok])
+            take_int.append(p[ok])
+            uid_of.append(key)
+        if take_left:
+            li = np.concatenate(take_left)
+            order = np.argsort(li, kind="stable")
+            li = li[order]
+            ii = np.concatenate(take_int)[order]
+            # rebuild per-row key lookup for payload gather
+            key_rows = np.concatenate(
+                [np.full(len(a), k, dtype=np.int64)
+                 for k, a in enumerate(take_left)])[order]
+        else:
+            li = np.array([], np.int64)
+            ii = np.array([], np.int64)
+            key_rows = np.array([], np.int64)
+        out = t.select(left_cols).take(pa.array(li, pa.int64()))
+        cols = {c: out[c] for c in left_cols}
+        for c in interval_cols:
+            vals_c = np.empty(len(li), dtype=object)
+            for k, key in enumerate(uid_of):
+                m = key_rows == k
+                if m.any():
+                    vals_c[m] = idx[key][2][c][ii[m]]
+            cols[c] = pa.array(vals_c.tolist(), int_types[c])
+        return pa.table(cols)
+
+    return left.map_batches(probe, batch_format="pyarrow")

@@ -1,0 +1,247 @@
+"""Tests for the session-5 operators: broadcast range join, HITS,
+bounded-radius BFS, and CCNet perplexity terciles."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# broadcast_range_join (the generic stage)
+
+
+def _toy_intervals() -> pa.Table:
+    # key 'a': [0,10) band0, [10,20) band1, gap [20,30), [30,-1) band3
+    # key 'b': single unbounded band starting at 5
+    return pa.table({
+        "key": pa.array(["a", "a", "a", "b"]),
+        "band": pa.array([0, 1, 3, 0], pa.int64()),
+        "lo": pa.array([0, 10, 30, 5], pa.int64()),
+        "hi": pa.array([10, 20, -1, -1], pa.int64()),
+    })
+
+
+def test_broadcast_range_join_semantics(ray_session):
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages.joins import broadcast_range_join
+
+    left = rd.from_items([
+        {"id": 0, "k": "a", "v": 0},     # band 0 (lo inclusive)
+        {"id": 1, "k": "a", "v": 9},     # band 0
+        {"id": 2, "k": "a", "v": 10},    # band 1 (hi exclusive above)
+        {"id": 3, "k": "a", "v": 25},    # gap -> drop
+        {"id": 4, "k": "a", "v": 30},    # band 3
+        {"id": 5, "k": "a", "v": 10**9},  # unbounded band 3
+        {"id": 6, "k": "b", "v": 4},     # below b's lo -> drop
+        {"id": 7, "k": "b", "v": 5},     # b band 0
+        {"id": 8, "k": "c", "v": 7},     # key with no intervals -> drop
+    ])
+    out = broadcast_range_join(
+        left, _toy_intervals(), key_col="k", value_col="v",
+        left_cols=["id", "k", "v"], interval_cols=["band", "lo", "hi"],
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert out.id.tolist() == [0, 1, 2, 4, 5, 7]
+    assert out.band.tolist() == [0, 0, 1, 3, 3, 0]
+    # containment really holds row by row
+    for _, r in out.iterrows():
+        assert r.v >= r.lo and (r.hi == -1 or r.v < r.hi)
+
+
+def test_broadcast_range_join_rejects_bad_intervals(ray_session):
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages.joins import broadcast_range_join
+
+    left = rd.from_items([{"id": 0, "k": "a", "v": 1}])
+    overlapping = pa.table({
+        "key": pa.array(["a", "a"]),
+        "band": pa.array([0, 1], pa.int64()),
+        "lo": pa.array([0, 5], pa.int64()),
+        "hi": pa.array([10, 20], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="overlap"):
+        broadcast_range_join(left, overlapping, "k", "v",
+                             ["id"], ["band"])
+    # an unbounded interval BELOW another is an overlap too
+    unbounded_mid = pa.table({
+        "key": pa.array(["a", "a"]),
+        "band": pa.array([0, 1], pa.int64()),
+        "lo": pa.array([0, 5], pa.int64()),
+        "hi": pa.array([-1, 20], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="overlap"):
+        broadcast_range_join(left, unbounded_mid, "k", "v",
+                             ["id"], ["band"])
+    empty = pa.table({
+        "key": pa.array(["a"]),
+        "band": pa.array([0], pa.int64()),
+        "lo": pa.array([10], pa.int64()),
+        "hi": pa.array([10], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="empty"):
+        broadcast_range_join(left, empty, "k", "v", ["id"], ["band"])
+
+
+def test_value_band_join_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        value_band_join, value_band_join_sql)
+    assert compare("value_band_join", value_band_join(SF_SMOKE),
+                   value_band_join_sql(), SF_SMOKE) == []
+
+
+def test_value_band_join_coverage_and_drops(ray_session):
+    """Inner semantics carry real traffic: sub-500-cent events drop,
+    every band 0..3 is populated, and each row's band contains it."""
+    from pdf_extraction_ray.pipelines.analytics import value_band_join
+
+    ev = pd.read_parquet(os.path.join(SF_SMOKE, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    cents = (ev.value * 100).round().astype("int64")
+    out = value_band_join(SF_SMOKE).to_pandas()
+    assert set(out.band) == {0, 1, 2, 3}
+    n_dropped = int((cents < 500).sum())
+    assert n_dropped > 0
+    assert len(out) == len(ev) - n_dropped
+    step = 1000 + 100 * (out.event_type.str.len() % 7)
+    j = out.band.to_numpy()
+    lo = np.where(j == 0, 500, j * j * step.to_numpy())
+    assert (out.band_lo.to_numpy() == lo).all()
+    ok_hi = (out.band_hi.to_numpy() == -1) | (
+        out.value_cents.to_numpy() < out.band_hi.to_numpy())
+    assert ((out.value_cents.to_numpy() >= lo) & ok_hi).all()
+
+
+# ---------------------------------------------------------------------------
+# HITS
+
+
+def test_hits_scores_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.linkgraph import (
+        hits_scores, hits_scores_sql)
+    assert compare("hits_scores", hits_scores(SF_SMOKE),
+                   hits_scores_sql(), SF_SMOKE) == []
+
+
+def test_hits_distributed_path_matches_one_task(ray_session):
+    """task_limit=0 forces the per-round join/groupby/max path; it must
+    be bit-identical to the one-task fast path (and so to the oracle)."""
+    from pdf_extraction_ray.pipelines.linkgraph import hits_scores
+
+    fast = (hits_scores(SF_SMOKE).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    dist = (hits_scores(SF_SMOKE, task_limit=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_hits_planted_structure(ray_session):
+    """On the planted graph the 16 hub pages collect all in-links:
+    every positive authority sits on a hub doc_id (< 16), and pages
+    with out-links have positive hub scores (they all point at hubs)."""
+    from pdf_extraction_ray.pipelines.linkgraph import hits_scores
+    from pdf_extraction_ray.sources import spec
+
+    out = hits_scores(SF_SMOKE).to_pandas()
+    pos_auth = out[out.authority > 0]
+    assert len(pos_auth) > 0
+    assert (pos_auth.doc_id < spec.REL_HUBS).all()
+    assert out.hub.max() == 1_000_000  # max-rescale pins the top hub
+
+
+# ---------------------------------------------------------------------------
+# BFS depth
+
+
+def test_bfs_depth_docs_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        bfs_depth_docs, bfs_depth_docs_sql)
+    assert compare("bfs_depth_docs", bfs_depth_docs(SF_SMOKE),
+                   bfs_depth_docs_sql(), SF_SMOKE) == []
+
+
+def test_bfs_depth_docs_semantics(ray_session):
+    """Seeds sit at depth 0; the expander yields a spread of depths
+    (not just 0/1); any non-seed reached depth is >= 1."""
+    from pdf_extraction_ray.pipelines.analytics import bfs_depth_docs
+
+    out = bfs_depth_docs(SF_SMOKE).to_pandas()
+    seeds = out[out.doc_id % 499 == 0]
+    assert (seeds.depth == 0).all() and len(seeds) >= 1
+    reached = out[out.depth >= 0]
+    assert reached.depth.max() >= 2
+    non_seed = reached[reached.doc_id % 499 != 0]
+    assert (non_seed.depth >= 1).all()
+
+
+def test_bfs_depth_from_edges_chain(ray_session):
+    """Synthetic multi-hop graph: a 0->1->...->9 chain plus a branch
+    and a disconnected island — depths equal hop counts, the island
+    reports -1, and the round budget truncates honestly."""
+    import ray.data as rd
+
+    from pdf_extraction_ray.pipelines.linkgraph import bfs_depth_from_edges
+
+    chain = [{"src_doc_id": i, "dst_doc_id": i + 1} for i in range(9)]
+    chain.append({"src_doc_id": 2, "dst_doc_id": 20})   # branch at 2
+    edges = rd.from_items(chain)
+    nodes = rd.from_items([{"node": i} for i in
+                           list(range(10)) + [20, 99]])  # 99 = island
+    seeds = rd.from_items([{"node": 0}])
+    out = (bfs_depth_from_edges(edges, nodes, seeds, rounds=6)
+           .to_pandas().set_index("doc_id").depth.to_dict())
+    for i in range(7):
+        assert out[i] == i
+    assert out[20] == 3          # via the branch at 2
+    # rounds=6 reaches depth <= 6: 7..9 truncate honestly
+    assert out[7] == -1 and out[8] == -1 and out[9] == -1
+    assert out[99] == -1
+
+
+# ---------------------------------------------------------------------------
+# CCNet buckets
+
+
+def test_ccnet_buckets_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        ccnet_buckets, ccnet_buckets_sql)
+    assert compare("ccnet_buckets", ccnet_buckets(SF_SMOKE),
+                   ccnet_buckets_sql(), SF_SMOKE) == []
+
+
+def test_ccnet_buckets_semantics(ray_session):
+    """Per lang: all three buckets populated, tercile sizes within the
+    tie slack (ties never split — equal scores share a bucket), and the
+    bucket boundaries respect score order (every tail score <= every
+    middle score <= every head score)."""
+    from pdf_extraction_ray.pipelines.analytics import ccnet_buckets
+
+    out = ccnet_buckets(SF_SMOKE).to_pandas()
+    assert set(out.bucket) <= {"head", "middle", "tail"}
+    for lang, g in out.groupby("lang"):
+        per = g.bucket.value_counts().to_dict()
+        assert set(per) == {"head", "middle", "tail"}, lang
+        # ties share buckets: same norm_score -> same bucket
+        assert (g.groupby("norm_score").bucket.nunique() == 1).all()
+        assert g[g.bucket == "tail"].norm_score.max() \
+            <= g[g.bucket == "middle"].norm_score.min()
+        assert g[g.bucket == "middle"].norm_score.max() \
+            <= g[g.bucket == "head"].norm_score.min()
+        n = len(g)
+        # threshold cut is ceil(n/3) up to tie mass: sizes within ties
+        assert per["tail"] >= (n + 2) // 3 - 0  # at least the cut
