@@ -287,6 +287,14 @@ def q_frontier_schedule(sf_dir: str) -> rd.Dataset:
     return linkgraph.frontier_schedule(sf_dir, _extracted(sf_dir))
 
 
+def q_discovery_frontier(sf_dir: str) -> rd.Dataset:
+    """Unified crawl plan: sitemap discoveries (never-crawled urls)
+    outrank quality-weighted re-crawl priorities; global top-k
+    (pipelines/linkgraph.discovery_frontier — the crawl-loop capstone
+    joining the sitemap and link-graph families)."""
+    return linkgraph.discovery_frontier(sf_dir, _extracted(sf_dir))
+
+
 def q_url_canonical_dedup(sf_dir: str) -> rd.Dataset:
     """Crawl-frontier URL canonicalization + dedup
     (functions/urlnorm.py): planted messy variants — uppercased host
@@ -587,6 +595,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet head/middle/tail per-lang perplexity terciles over the
         # integer corpus-LM score (threshold-based, tie-stable)
         "ccnet_buckets": _tuned(analytics.ccnet_buckets),
+        # per-page in/out degree over the extracted edges (union+sum,
+        # no join; isolated pages report 0/0)
+        "link_degree_stats": _tuned(linkgraph.link_degree_stats),
+        # web-graph component census (giant component + singleton
+        # tail); unrolled label-propagation oracle
+        "link_components": _tuned(linkgraph.link_components),
+        # unified crawl plan: sitemap discoveries over re-crawl
+        # priorities, global top-k (the crawl-loop capstone)
+        "discovery_frontier": _tuned(q_discovery_frontier),
     }
 
 
@@ -626,6 +643,9 @@ AWAITING_SLOT = (
     "hits_scores",
     "bfs_depth_docs",
     "ccnet_buckets",
+    "link_degree_stats",
+    "link_components",
+    "discovery_frontier",
 )
 
 
@@ -738,6 +758,9 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": linkgraph.hits_scores_sql(),
         "bfs_depth_docs": analytics.bfs_depth_docs_sql(),
         "ccnet_buckets": analytics.ccnet_buckets_sql(),
+        "link_degree_stats": linkgraph.link_degree_stats_sql(),
+        "link_components": linkgraph.link_components_sql(),
+        "discovery_frontier": linkgraph.discovery_frontier_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

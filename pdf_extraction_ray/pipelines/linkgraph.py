@@ -1143,3 +1143,211 @@ def bfs_depth_from_edges(edges: rd.Dataset, nodes: rd.Dataset,
     return (dist.union(nodes.map_batches(pres, batch_format="pyarrow"))
             .groupby("node").aggregate(Min("d", alias_name="dm"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# graph stats + components + the discovery capstone
+
+
+def link_degree_stats(sf_dir: str) -> rd.Dataset:
+    """Per-page in/out degree over the extracted edge table — the
+    host-graph degree product CommonCrawl ships next to its ranks
+    (isolated pages report 0/0). ONE union of three light emits (out
+    per edge src, in per edge dst, zero presence per node) + ONE
+    groupby(node) sum — no join at all."""
+    edges = link_graph_pages(_corpus_pages(sf_dir))
+    nodes = page_nodes(_corpus_pages(sf_dir))
+
+    def out_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "node": t["src_doc_id"].combine_chunks().cast(pa.int64()),
+            "o": pa.array(np.ones(n, np.int64)),
+            "i": pa.array(np.zeros(n, np.int64))})
+
+    def in_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "node": t["dst_doc_id"].combine_chunks().cast(pa.int64()),
+            "o": pa.array(np.zeros(n, np.int64)),
+            "i": pa.array(np.ones(n, np.int64))})
+
+    def pres(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "o": z, "i": z})
+
+    # edges feed two emits — materialize so the parse chain runs once
+    edges = edges.materialize()
+    return (edges.map_batches(out_rows, batch_format="pyarrow")
+            .union(edges.map_batches(in_rows, batch_format="pyarrow"))
+            .union(nodes.map_batches(pres, batch_format="pyarrow"))
+            .groupby("node").aggregate(Sum("o", alias_name="outdeg"),
+                                       Sum("i", alias_name="indeg"))
+            .map_batches(lambda t: pa.table(
+                {"doc_id": t["node"], "outdeg": t["outdeg"],
+                 "indeg": t["indeg"]}), batch_format="pyarrow"))
+
+
+def link_degree_stats_sql() -> str:
+    return "WITH " + _edges_sql() + """
+SELECT d.doc_id,
+       CAST(coalesce(o.c, 0) AS BIGINT) AS outdeg,
+       CAST(coalesce(i.c, 0) AS BIGINT) AS indeg
+FROM documents d
+LEFT JOIN (SELECT src_doc_id, count(*) AS c FROM e GROUP BY src_doc_id) o
+  ON o.src_doc_id = d.doc_id
+LEFT JOIN (SELECT dst_doc_id, count(*) AS c FROM e GROUP BY dst_doc_id) i
+  ON i.dst_doc_id = d.doc_id"""
+
+
+def link_components(sf_dir: str) -> rd.Dataset:
+    """Connected components of the extracted link graph — the
+    web-graph component census (CommonCrawl reports a giant component
+    + a long singleton tail; this corpus reproduces exactly that: the
+    permalink-carrying kinds collapse into one hub-bridged component,
+    link-free kinds are singletons). component_id = the component's
+    minimum doc_id.
+
+    Engine: the verified distributed CC (stages/dedup.py
+    connected_components — min-label propagation + pointer jumping,
+    one-task dispatch on small graphs), then one groupby-min union
+    with a self-label presence row per page so isolated pages come
+    back as their own singleton component (never a join)."""
+    edges = link_graph_pages(_corpus_pages(sf_dir))
+    nodes = page_nodes(_corpus_pages(sf_dir))
+    from ..stages.dedup import connected_components
+
+    cc = connected_components(edges, "src_doc_id", "dst_doc_id")
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "l": t["label"].combine_chunks().cast(pa.int64())})
+
+    def selfrow(t: pa.Table) -> pa.Table:
+        n = t["node"].combine_chunks().cast(pa.int64())
+        return pa.table({"node": n, "l": n})
+
+    return (cc.map_batches(lab, batch_format="pyarrow")
+            .union(nodes.map_batches(selfrow, batch_format="pyarrow"))
+            .groupby("node").aggregate(Min("l", alias_name="lm"))
+            .map_batches(lambda t: pa.table(
+                {"doc_id": t["node"], "component_id": t["lm"]}),
+                batch_format="pyarrow"))
+
+
+def link_components_sql(rounds: int = 10) -> str:
+    """Min-label propagation UNROLLED (structure-agnostic — no planted
+    shortcuts): label0 = own id, each round takes the min over
+    neighbors; ``rounds`` exceeds the planted graph's eccentricity
+    (docs sit one hop from hubs, hubs bridge through shared docs), and
+    an unconverged round count fails the value-hash loudly rather than
+    passing approximately. MATERIALIZED per round (each round reads
+    the prior twice — the ann_ivf lesson)."""
+    parts = [_edges_sql(), """ee AS MATERIALIZED (
+  SELECT src_doc_id AS a, dst_doc_id AS b FROM e
+  UNION ALL
+  SELECT dst_doc_id AS a, src_doc_id AS b FROM e
+), l0 AS MATERIALIZED (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+)"""]
+    for t in range(rounds):
+        parts.append(f"""l{t + 1} AS MATERIALIZED (
+  SELECT n.node, least(n.label, coalesce(m.ml, n.label)) AS label
+  FROM l{t} n LEFT JOIN (
+    SELECT ee.a AS node, min(l.label) AS ml
+    FROM ee JOIN l{t} l ON l.node = ee.b GROUP BY ee.a
+  ) m ON m.node = n.node
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT node AS doc_id, CAST(label AS BIGINT) AS component_id
+FROM l{rounds}""")
+
+
+DISCOVER_PRI_BASE = 10 ** 15   # sitemap discoveries outrank any recrawl
+# priority (rank*quality <= 1e6*100); the crawl-loop convention: fetch
+# never-seen content before refreshing known content
+
+
+def discovery_frontier(sf_dir: str, extracted: rd.Dataset,
+                       k: int = 200, iters: int = 5,
+                       damping_pct: int = 85,
+                       scale: int = 1_000_000) -> rd.Dataset:
+    """The crawl loop's unified fetch plan — the capstone that joins
+    the two frontier sources: sitemap DISCOVERY (net-new urls the
+    corpus has never crawled, analytics.sitemap_urls) and re-crawl
+    PRIORITIZATION (link centrality x extraction quality,
+    crawl_frontier). Discoveries rank above every recrawl
+    (priority = DISCOVER_PRI_BASE + the sitemap priority digit);
+    recrawls keep their rank*quality product. Top-k by (priority DESC,
+    url ASC) via the partial-top-k shape — per-block top-k, one small
+    sort+limit, never a global sort. Returns (url, kind, priority).
+
+    The two sources are url-disjoint by construction (discoveries are
+    exactly the not-in-corpus locs), so the union needs no dedup."""
+    from .analytics import sitemap_urls
+
+    ranks = pagerank_links_pages(_corpus_pages(sf_dir), iters=iters,
+                                 damping_pct=damping_pct,
+                                 scale=scale).materialize()
+    recrawl = _priority_table(ranks, extracted)
+
+    def rec_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "url": t["url"],
+            "kind": pa.array(["recrawl"] * n, pa.string()),
+            "priority": t["priority"].combine_chunks().cast(pa.int64())})
+
+    def disc_rows(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["in_corpus"], False)
+        t = t.filter(keep)
+        digit = pc.cast(pc.utf8_slice_codeunits(
+            t["priority"].combine_chunks(), 2, 3), pa.int64())
+        pri = pc.add(pa.scalar(DISCOVER_PRI_BASE, pa.int64()), digit)
+        n = t.num_rows
+        return pa.table({
+            "url": t["url"],
+            "kind": pa.array(["discover"] * n, pa.string()),
+            "priority": pri})
+
+    plan = (sitemap_urls(sf_dir).map_batches(disc_rows,
+                                             batch_format="pyarrow")
+            .union(recrawl.map_batches(rec_rows, batch_format="pyarrow")))
+
+    def topk(t: pa.Table) -> pa.Table:
+        pri = t["priority"].to_numpy(zero_copy_only=False)
+        urls = np.asarray(t["url"].to_pylist(), dtype=object)
+        order = np.lexsort((urls, -pri))[:k]
+        return t.take(pa.array(order))
+
+    return (plan.map_batches(topk, batch_format="pyarrow")
+            .sort(["priority", "url"], descending=[True, False])
+            .limit(k))
+
+
+def discovery_frontier_sql(k: int = 200, iters: int = 5) -> str:
+    """The sitemap-discovery derivation UNION the frontier CTEs, global
+    top-k."""
+    from .. import oracle
+    from .analytics import sitemap_urls_sql
+
+    parts = _pagerank_cte_parts(iters)
+    disc = sitemap_urls_sql().strip()
+    return (oracle.base_cte() + ", " + ",\n".join(parts) + f""",
+disc AS ({disc}),
+plan AS (
+  SELECT url, 'discover' AS kind,
+         CAST({DISCOVER_PRI_BASE} + CAST(substr(priority, 3, 1) AS BIGINT)
+              AS BIGINT) AS priority
+  FROM disc WHERE NOT in_corpus
+  UNION ALL
+  SELECT x.url, 'recrawl' AS kind,
+         CAST(r.r * x.quality_pct AS BIGINT) AS priority
+  FROM expected x JOIN r{iters} r ON r.node = x.doc_id
+)
+SELECT url, kind, priority FROM plan
+ORDER BY priority DESC, url LIMIT {k}""")

@@ -245,3 +245,84 @@ def test_ccnet_buckets_semantics(ray_session):
         n = len(g)
         # threshold cut is ceil(n/3) up to tie mass: sizes within ties
         assert per["tail"] >= (n + 2) // 3 - 0  # at least the cut
+
+
+# ---------------------------------------------------------------------------
+# degree stats / components / discovery frontier
+
+
+def test_link_degree_stats_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.linkgraph import (
+        link_degree_stats, link_degree_stats_sql)
+    assert compare("link_degree_stats", link_degree_stats(SF_SMOKE),
+                   link_degree_stats_sql(), SF_SMOKE) == []
+
+
+def test_link_degree_stats_structure(ray_session):
+    """Permalink kinds emit <=3 distinct out-edges; in-links concentrate
+    on the 16 hubs; link-free kinds report 0/0."""
+    from pdf_extraction_ray.pipelines.linkgraph import link_degree_stats
+    from pdf_extraction_ray.sources import spec
+
+    out = link_degree_stats(SF_SMOKE).to_pandas()
+    assert (out.outdeg <= 3).all()
+    assert (out[out.indeg > 0].doc_id < spec.REL_HUBS).all()
+    assert (out.outdeg == 0).any() and (out.outdeg > 0).any()
+    # mass balance: total out == total in
+    assert out.outdeg.sum() == out.indeg.sum()
+
+
+def test_link_components_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.linkgraph import (
+        link_components, link_components_sql)
+    assert compare("link_components", link_components(SF_SMOKE),
+                   link_components_sql(), SF_SMOKE) == []
+
+
+def test_link_components_census(ray_session):
+    """The planted graph yields exactly the web-graph shape: ONE giant
+    component (all permalink-carrying pages, labeled by its min doc_id)
+    plus singletons for every link-free page."""
+    from pdf_extraction_ray.pipelines.linkgraph import link_components
+
+    out = link_components(SF_SMOKE).to_pandas()
+    sizes = out.component_id.value_counts()
+    giant = sizes.index[0]
+    assert sizes.iloc[0] > len(out) // 2
+    assert (sizes.iloc[1:] == 1).all()
+    members = out[out.component_id == giant]
+    assert giant == members.doc_id.min()
+    singles = out[out.component_id != giant]
+    assert (singles.component_id == singles.doc_id).all()
+
+
+def test_discovery_frontier_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    import __ray_entry__ as entry
+    from pdf_extraction_ray.pipelines.linkgraph import discovery_frontier_sql
+    assert compare("discovery_frontier",
+                   entry.q_discovery_frontier(SF_SMOKE),
+                   discovery_frontier_sql(), SF_SMOKE) == []
+
+
+def test_discovery_frontier_ordering(ray_session):
+    """Every discovery outranks every recrawl, priorities are
+    non-increasing, and both kinds appear in the plan."""
+    import __ray_entry__ as entry
+    from pdf_extraction_ray.pipelines.linkgraph import DISCOVER_PRI_BASE
+
+    out = entry.q_discovery_frontier(SF_SMOKE).to_pandas()
+    assert set(out.kind) == {"discover", "recrawl"}
+    pri = out.priority.to_numpy()
+    assert (pri[:-1] >= pri[1:]).all()
+    disc = out[out.kind == "discover"]
+    rec = out[out.kind == "recrawl"]
+    assert disc.priority.min() >= DISCOVER_PRI_BASE
+    assert rec.priority.max() < DISCOVER_PRI_BASE
+    # discoveries are never-crawled urls: disjoint from recrawl urls
+    assert not (set(disc.url) & set(rec.url))
