@@ -604,6 +604,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unified crawl plan: sitemap discoveries over re-crawl
         # priorities, global top-k (the crawl-loop capstone)
         "discovery_frontier": _tuned(q_discovery_frontier),
+        # quoted-phrase search via the persisted POSITIONAL index
+        # (reads only the phrase words' partitions; adjacency as one
+        # shifted-start groupby — zero per-doc Python)
+        "phrase_search_indexed": _tuned(analytics.phrase_search_indexed),
     }
 
 
@@ -646,6 +650,7 @@ AWAITING_SLOT = (
     "link_degree_stats",
     "link_components",
     "discovery_frontier",
+    "phrase_search_indexed",
 )
 
 
@@ -761,6 +766,7 @@ def oracle_sql() -> dict[str, str]:
         "link_degree_stats": linkgraph.link_degree_stats_sql(),
         "link_components": linkgraph.link_components_sql(),
         "discovery_frontier": linkgraph.discovery_frontier_sql(),
+        "phrase_search_indexed": analytics.phrase_search_indexed_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -676,6 +676,53 @@ FROM documents
 WHERE position('{p}' IN text) > 0"""
 
 
+def phrase_search_indexed(sf_dir: str,
+                          phrase: str = "data stream") -> rd.Dataset:
+    """Quoted-phrase search against the persisted POSITIONAL inverted
+    index — the scale path ``phrase_match_stats`` (full-corpus
+    substring scan) motivates: the index is built once (one corpus
+    pass, the textindex discipline: atomic publish, freshness stamp,
+    delta append), and each phrase query reads ONLY the partitions its
+    words hash into, resolving adjacency with two groupbys and zero
+    per-doc Python (stages/textindex.phrase_search_indexed). Word-level
+    semantics (token adjacency, 0-based token indices) — the SQL oracle
+    derives the same from string_split, independent of the index."""
+    import tempfile
+
+    from ..sources.corpus import _input_digest
+    from ..stages import textindex as ti
+
+    index_dir = os.path.join(tempfile.gettempdir(), "pdf_extraction_ray",
+                             "posindex",
+                             f"{os.path.basename(sf_dir)}-{_input_digest(sf_dir)}")
+    ti.ensure_inverted_index(_docs(sf_dir, ["doc_id", "text"]), index_dir,
+                             stamp_ds=_docs(sf_dir, ["doc_id"]),
+                             positions=True)
+    return ti.phrase_search_indexed(index_dir, phrase)
+
+
+def phrase_search_indexed_sql(phrase: str = "data stream") -> str:
+    """Independent word-level derivation: every token start i with
+    w[i+j] = phrase[j] for all j (DuckDB lists are 1-based; output
+    token indices are 0-based)."""
+    words = phrase.split(" ")
+    K = len(words)
+    conds = " AND ".join(
+        f"w[i + {j}] = '{w.replace(chr(39), chr(39) * 2)}'"
+        for j, w in enumerate(words))
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+hits AS (
+  SELECT doc_id,
+         list_filter(range(1, greatest(len(w) - {K} + 2, 1)),
+                     i -> {conds}) AS ss
+  FROM w
+)
+SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_hits,
+       CAST(ss[1] - 1 AS BIGINT) AS first_tok
+FROM hits WHERE len(ss) > 0"""
+
+
 def synth_sitemap_xml(section: str, part: int | None = None) -> str:
     """Deterministic per-section sitemap XML (the fetched-response
     stand-in, same device as ``synth_robots_txt`` — the oracle

@@ -68,41 +68,60 @@ def _corpus_stats_and_fingerprint(
     return n, tot, fp, ssum
 
 
-def _postings_fn(id_col: str, text_col: str, num_parts: int):
+def _postings_fn(id_col: str, text_col: str, num_parts: int,
+                 positions: bool = False):
     """Shared doc→postings batch fn: base build and delta ingest MUST
     tokenize identically or compaction's (term, id) dedup assumption
-    breaks — one definition, two callers."""
+    breaks — one definition, two callers. ``positions=True`` adds a
+    ``pos`` list<int32> column (ascending token indices of the term in
+    the doc) — the positional-index variant phrase search needs; tf
+    stays denormalized so BM25 reads are unchanged."""
     def postings(batch: pa.Table) -> pa.Table:
         t_o, d_o, tf_o, dl_o, p_o = [], [], [], [], []
+        pos_o: list = []
         for doc, text in zip(batch[id_col].to_pylist(),
                              batch[text_col].to_pylist()):
             words = (text or "").split(" ")
             dl = len(words)
-            for term, tf in Counter(words).items():
+            if positions:
+                posmap: dict[str, list[int]] = {}
+                for i, w in enumerate(words):
+                    posmap.setdefault(w, []).append(i)
+                items = [(t, len(ps)) for t, ps in posmap.items()]
+            else:
+                posmap = {}
+                items = list(Counter(words).items())
+            for term, tf in items:
                 t_o.append(term)
                 d_o.append(doc)
                 tf_o.append(tf)
                 dl_o.append(dl)
                 p_o.append(stable_hash64(term) % num_parts)
-        return pa.table({
+                if positions:
+                    pos_o.append(posmap[term])
+        cols = {
             "term": pa.array(t_o, pa.string()),
             id_col: pa.array(d_o, pa.int64()),
             "tf": pa.array(tf_o, pa.int64()),
             "dl": pa.array(dl_o, pa.int64()),
-            "part": pa.array(p_o, pa.int32()),
-        })
+        }
+        if positions:
+            cols["pos"] = pa.array(pos_o, pa.list_(pa.int32()))
+        cols["part"] = pa.array(p_o, pa.int32())
+        return pa.table(cols)
     return postings
 
 
 def build_inverted_index(ds: rd.Dataset, index_dir: str,
                          text_col: str = "text", id_col: str = "doc_id",
-                         num_parts: int = 32) -> dict:
+                         num_parts: int = 32,
+                         positions: bool = False) -> dict:
     """One pass: docs → (term, doc_id, tf, dl) postings rows, hash-
     partitioned by term into ``part=K/`` parquet. Atomic publish
     (write-tmp-then-rename). Returns the meta dict."""
     n_docs, total_tokens, id_fp, _ = _corpus_stats_and_fingerprint(
         ds, text_col, id_col)
-    postings = _postings_fn(id_col, text_col, num_parts)
+    postings = _postings_fn(id_col, text_col, num_parts, positions)
 
     tmp = index_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -115,7 +134,7 @@ def build_inverted_index(ds: rd.Dataset, index_dir: str,
     # superset of its base, not stale; the minhash-index lesson)
     meta = {"n_docs": n_docs, "total_tokens": total_tokens,
             "id_fp": id_fp, "base_n": n_docs, "base_fp": id_fp,
-            "num_parts": num_parts, "applied": []}
+            "num_parts": num_parts, "positions": positions, "applied": []}
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump(meta, f)
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -126,7 +145,8 @@ def build_inverted_index(ds: rd.Dataset, index_dir: str,
 def ensure_inverted_index(ds: rd.Dataset, index_dir: str,
                           text_col: str = "text", id_col: str = "doc_id",
                           num_parts: int = 32,
-                          stamp_ds: rd.Dataset | None = None) -> dict:
+                          stamp_ds: rd.Dataset | None = None,
+                          positions: bool = False) -> dict:
     """Build unless a FRESH index already exists (stamp: row count +
     XOR-of-ids + num_parts).
 
@@ -139,7 +159,8 @@ def ensure_inverted_index(ds: rd.Dataset, index_dir: str,
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        if meta.get("num_parts") == num_parts:
+        if (meta.get("num_parts") == num_parts
+                and bool(meta.get("positions", False)) == positions):
             from .similarity import _ids_fingerprint
             n, fp = _ids_fingerprint(stamp_ds if stamp_ds is not None
                                      else ds, id_col)
@@ -148,7 +169,7 @@ def ensure_inverted_index(ds: rd.Dataset, index_dir: str,
                         and meta.get("base_fp") == fp)):
                 return meta
     return build_inverted_index(ds.materialize(), index_dir, text_col,
-                                id_col, num_parts)
+                                id_col, num_parts, positions)
 
 
 def append_to_index(ds_new: rd.Dataset, index_dir: str,
@@ -199,7 +220,8 @@ def append_to_index(ds_new: rd.Dataset, index_dir: str,
     if batch_fp in meta.get("applied", []):
         return meta  # at-least-once duplicate: already folded, no-op
 
-    postings = _postings_fn(id_col, text_col, num_parts)
+    postings = _postings_fn(id_col, text_col, num_parts,
+                            bool(meta.get("positions", False)))
 
     # tag = hash of (pre-state fingerprint, batch stats incl. the id
     # SUM): a raw low-bits-XOR tag collided deterministically on
@@ -389,3 +411,82 @@ def bm25_topk_indexed(index_dir: str, queries: dict[int, tuple],
 
     return summed.groupby("query_id").map_groups(merge,
                                                  batch_format="pyarrow")
+
+
+def phrase_search_indexed(index_dir: str, phrase: str,
+                          id_col: str = "doc_id") -> rd.Dataset:
+    """Word-level phrase search against a POSITIONAL index (the search
+    engine's quoted-query path): reads ONLY the ``part=K/`` partitions
+    the phrase words hash into, then resolves adjacency WITHOUT any
+    per-doc Python — every posting of word i at token position p emits
+    a candidate start s = p - i, and a phrase hit at s is exactly a
+    (doc, s) group of size len(phrase words): ONE groupby(doc, s)
+    count + ONE groupby(doc) fold. Emitted rows are unique per (doc,
+    s, i) by construction (positions within a posting are distinct and
+    each (term, doc) posting appears once), so the group count IS the
+    number of phrase words found at s. Counts every starting position
+    (self-overlapping phrases included); returns (doc_id, n_hits,
+    first_tok) with 0-based token indices, hit docs only.
+
+    Requires an index built with ``positions=True`` (ValueError
+    otherwise — a tf-only index cannot answer adjacency)."""
+    from ray.data.aggregate import Count, Min
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    if not meta.get("positions", False):
+        raise ValueError("phrase search needs a positional index "
+                         "(build with positions=True)")
+    num_parts = meta["num_parts"]
+
+    words = phrase.split(" ")
+    K = len(words)
+    widx: dict[str, list[int]] = {}
+    for i, w in enumerate(words):
+        widx.setdefault(w, []).append(i)
+
+    needed = sorted({stable_hash64(w) % num_parts for w in widx})
+    files = [f for p in needed
+             for f in sorted(glob.glob(os.path.join(index_dir, f"part={p}",
+                                                    "*.parquet")))]
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_hits": pa.array([], pa.int64()),
+                      "first_tok": pa.array([], pa.int64())})
+    if not files:
+        return rd.from_arrow(empty)
+
+    postings = rd.read_parquet(files, columns=["term", id_col, "pos"])
+
+    def starts(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        ids = batch[id_col].to_pylist()
+        poss = batch["pos"].to_pylist()
+        d_o: list[np.ndarray] = []
+        s_o: list[np.ndarray] = []
+        for term, doc, pos in zip(terms, ids, poss):
+            offs = widx.get(term)
+            if not offs:
+                continue
+            p = np.asarray(pos, dtype=np.int64)
+            for i in offs:
+                s = p - i
+                s = s[s >= 0]
+                d_o.append(np.full(len(s), doc, np.int64))
+                s_o.append(s)
+        if d_o:
+            d = np.concatenate(d_o)
+            s = np.concatenate(s_o)
+        else:
+            d = s = np.array([], np.int64)
+        return pa.table({id_col: pa.array(d), "s": pa.array(s)})
+
+    grouped = (postings.map_batches(starts, batch_format="pyarrow")
+               .groupby([id_col, "s"]).aggregate(Count(alias_name="k")))
+
+    def hits_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["k"], K)).select([id_col, "s"])
+
+    return (grouped.map_batches(hits_only, batch_format="pyarrow")
+            .groupby(id_col).aggregate(Count(alias_name="n_hits"),
+                                       Min("s", alias_name="first_tok")))

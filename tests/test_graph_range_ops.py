@@ -326,3 +326,90 @@ def test_discovery_frontier_ordering(ray_session):
     assert rec.priority.max() < DISCOVER_PRI_BASE
     # discoveries are never-crawled urls: disjoint from recrawl urls
     assert not (set(disc.url) & set(rec.url))
+
+
+# ---------------------------------------------------------------------------
+# positional index phrase search
+
+
+def test_phrase_search_indexed_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        phrase_search_indexed, phrase_search_indexed_sql)
+    assert compare("phrase_search_indexed", phrase_search_indexed(SF_SMOKE),
+                   phrase_search_indexed_sql(), SF_SMOKE) == []
+
+
+def test_phrase_search_indexed_equals_python_scan(ray_session):
+    """Indexed word-level results == a direct token scan of the raw
+    table (count of all starting positions + first 0-based start)."""
+    from pdf_extraction_ray.pipelines.analytics import phrase_search_indexed
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    words = ["data", "stream"]
+    want = {}
+    for _, r in docs.iterrows():
+        toks = (r.text or "").split(" ")
+        ss = [i for i in range(len(toks) - 1)
+              if toks[i] == words[0] and toks[i + 1] == words[1]]
+        if ss:
+            want[r.doc_id] = (len(ss), ss[0])
+    out = phrase_search_indexed(SF_SMOKE).to_pandas()
+    got = {r.doc_id: (r.n_hits, r.first_tok) for _, r in out.iterrows()}
+    assert got == want and len(want) > 0
+
+
+def test_phrase_search_requires_positions(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages import textindex as ti
+
+    ds = rd.from_items([{"doc_id": 0, "text": "a b c"}])
+    idx = str(tmp_path / "tfonly")
+    ti.build_inverted_index(ds, idx)          # positions=False
+    with pytest.raises(ValueError, match="positional"):
+        ti.phrase_search_indexed(idx, "a b")
+    # and ensure() with positions=True rebuilds rather than answering
+    # from the tf-only index
+    meta = ti.ensure_inverted_index(ds, idx, positions=True)
+    assert meta["positions"] is True
+    out = ti.phrase_search_indexed(idx, "a b").to_pandas()
+    assert out.n_hits.tolist() == [1] and out.first_tok.tolist() == [0]
+
+
+def test_phrase_search_append_path_and_duplicate_words(ray_session, tmp_path):
+    """A positional index grown by append answers phrases identically
+    to a fresh full build; self-overlapping phrases count every start;
+    duplicate-word phrases need every slot satisfied."""
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages import textindex as ti
+
+    rows = [{"doc_id": 0, "text": "x a b a b a y"},
+            {"doc_id": 1, "text": "a a a a"},
+            {"doc_id": 2, "text": "b a b"},
+            {"doc_id": 3, "text": "no match here"}]
+    full = rd.from_items(rows)
+    base = rd.from_items(rows[:2])
+    delta = rd.from_items(rows[2:])
+
+    idx_full = str(tmp_path / "full")
+    ti.build_inverted_index(full, idx_full, positions=True)
+    idx_inc = str(tmp_path / "inc")
+    ti.build_inverted_index(base, idx_inc, positions=True)
+    ti.append_to_index(delta, idx_inc)
+    ti.compact_index(idx_inc)
+
+    for phrase in ("a b", "a a", "a b a"):
+        a = (ti.phrase_search_indexed(idx_full, phrase).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (ti.phrase_search_indexed(idx_inc, phrase).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    aa = ti.phrase_search_indexed(idx_full, "a a").to_pandas()
+    assert aa.set_index("doc_id").n_hits.to_dict() == {1: 3}  # overlaps
+    aba = ti.phrase_search_indexed(idx_full, "a b a").to_pandas()
+    assert aba.set_index("doc_id").n_hits.to_dict() == {0: 2}
