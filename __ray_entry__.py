@@ -608,6 +608,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (reads only the phrase words' partitions; adjacency as one
         # shifted-start groupby — zero per-doc Python)
         "phrase_search_indexed": _tuned(analytics.phrase_search_indexed),
+        # SQ8 embedding quantization (per-vector max-abs scale; the 4x
+        # ANN storage/network scale path) — identical float64 op chain
+        # in both engines, bit-exact
+        "embedding_quantize": _tuned(analytics.embedding_quantize),
+        # per-page triangle participation (degree-oriented wedges +
+        # one semi join; orientation-invariant triple-join oracle)
+        "triangle_counts": _tuned(linkgraph.triangle_counts),
     }
 
 
@@ -651,6 +658,8 @@ AWAITING_SLOT = (
     "link_components",
     "discovery_frontier",
     "phrase_search_indexed",
+    "embedding_quantize",
+    "triangle_counts",
 )
 
 
@@ -767,6 +776,8 @@ def oracle_sql() -> dict[str, str]:
         "link_components": linkgraph.link_components_sql(),
         "discovery_frontier": linkgraph.discovery_frontier_sql(),
         "phrase_search_indexed": analytics.phrase_search_indexed_sql(),
+        "embedding_quantize": analytics.embedding_quantize_sql(),
+        "triangle_counts": linkgraph.triangle_counts_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -2937,6 +2937,56 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def embedding_quantize(sf_dir: str) -> rd.Dataset:
+    """Scalar int8 quantization (SQ8, per-vector max-abs scale) — the
+    embedding STORAGE scale path (FAISS's SQ8: 4x less object store
+    and network per ANN probe; recall cost is pytest-asserted via a
+    dequantized top-k). code_i = floor(x_i * 127 / scale) with scale =
+    max|x| — codes in [-127, 127] (a -scale element lands exactly on
+    -127), zero vectors code to zeros.
+
+    Exactness design: both engines run the IDENTICAL float64 op chain
+    — widen float32 x, multiply by 127, divide by the float64-widened
+    float32 max-abs, floor — so results match bit-for-bit with no
+    margin argument needed (same IEEE ops in the same order; the
+    list_transform replica states the same expression). Pure map-side,
+    one numpy pass per batch."""
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        X = np.asarray(t["embedding"].to_pylist(), np.float32)
+        s32 = np.abs(X).max(axis=1)            # float32 max, like SQL
+        s = s32.astype(np.float64)
+        X64 = X.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = np.floor(X64 * 127.0 / s[:, None])
+        C = np.where(s[:, None] == 0.0, 0.0, C).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "scale": pa.array(s, pa.float64()),
+            "codes": pa.array(C.tolist(), pa.list_(pa.int64())),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def embedding_quantize_sql() -> str:
+    return """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, e -> abs(e)))
+              AS DOUBLE) AS scale
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       list_transform(embedding,
+         e -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(CAST(e AS DOUBLE) * 127 / scale)
+                        AS BIGINT) END) AS codes
+FROM s"""
+
+
 def ann_ivf(sf_dir: str, k: int = 10) -> rd.Dataset:
     """IVF approximate top-k against a persisted cell-partitioned index
     (built once per sf dir; probes read only matching cell directories).

@@ -1351,3 +1351,195 @@ plan AS (
 )
 SELECT url, kind, priority FROM plan
 ORDER BY priority DESC, url LIMIT {k}""")
+
+
+@ray.remote
+def _tri_one_task(*blocks: pa.Table) -> pa.Table:
+    """All triangle counting in one task (the _pr_one_task small-graph
+    dispatch): degree-oriented wedge scan over packed-int edge arrays,
+    np.isin membership probe — same algorithm, zero exchanges."""
+    tabs = [t for t in blocks if t.num_rows]
+    if not tabs:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_triangles": pa.array([], pa.int64())})
+    et = pa.concat_tables([t.select(["a", "b"]) for t in tabs])
+    a = et["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = et["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(a) and max(int(a.max()), int(b.max())) >= (1 << 31):
+        raise ValueError("doc ids exceed the 31-bit pair pack")
+    packed = np.unique((a << 31) | b)
+    deg: dict[int, int] = {}
+    for n in np.concatenate([a, b]):
+        deg[int(n)] = deg.get(int(n), 0) + 1
+    a_first = np.array([(deg[int(x)], int(x)) < (deg[int(y)], int(y))
+                        for x, y in zip(a, b)])
+    f = np.where(a_first, a, b)
+    t_ = np.where(a_first, b, a)
+    order = np.argsort(f, kind="stable")
+    f, t_ = f[order], t_[order]
+    counts: dict[int, int] = {}
+    starts = np.searchsorted(f, np.unique(f))
+    bounds = np.append(starts, len(f))
+    uniq = np.unique(f)
+    for ui in range(len(uniq)):
+        ns = np.sort(t_[bounds[ui]:bounds[ui + 1]])
+        if len(ns) < 2:
+            continue
+        i, j = np.triu_indices(len(ns), k=1)
+        hit = np.isin((ns[i] << 31) | ns[j], packed)
+        if not hit.any():
+            continue
+        node = int(uniq[ui])
+        counts[node] = counts.get(node, 0) + int(hit.sum())
+        for x in np.concatenate([ns[i][hit], ns[j][hit]]):
+            counts[int(x)] = counts.get(int(x), 0) + 1
+    ks = sorted(counts)
+    return pa.table({"doc_id": pa.array(ks, pa.int64()),
+                     "n_triangles": pa.array([counts[k] for k in ks],
+                                             pa.int64())})
+
+
+def triangle_counts(sf_dir: str, task_limit: int = 5_000_000) -> rd.Dataset:
+    """Per-page triangle participation over the (undirected) extracted
+    link graph — the clustering-coefficient numerator of web-graph
+    analytics (a page in many triangles sits in a densely interlinked
+    neighborhood; spam farms light this up). Returns (doc_id,
+    n_triangles) for pages in at least one triangle.
+
+    Algorithm: degree orientation (the distributed-triangle standard):
+    each undirected edge orients from its lower-(degree, id) endpoint,
+    bounding every out-list by O(sqrt(edges)) — on this graph the
+    low-degree DOCS orient toward their few hubs, so wedge generation
+    is ~C(6,2) per doc instead of C(in-degree, 2) per hub. Stages: one
+    hash-partition distinct (canonical a<b edges), ONE groupby for
+    degrees, two hash_joins to attach them, a keyed-partition wedge
+    emit, and ONE semi hash_join of wedges against the edge set on a
+    packed (b<<31|c) pair key (doc ids must fit 31 bits — asserted;
+    widen the pack for larger id spaces). Per-node credit is one final
+    groupby over 3 emits per triangle. The count is
+    orientation-invariant, so the SQL oracle verifies with a plain
+    ordered triple join."""
+    from ray.data.aggregate import Count
+
+    edges = link_graph_pages(_corpus_pages(sf_dir))
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src_doc_id"].to_numpy(zero_copy_only=False)
+        d = t["dst_doc_id"].to_numpy(zero_copy_only=False)
+        keep = s != d                       # self-links form no triangle
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    ue = _hash_partition_distinct(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"], "a").materialize()
+    if ue.count() <= task_limit:
+        return rd.from_arrow_refs(
+            [_tri_one_task.remote(*ue.to_arrow_refs())])
+
+    def ends(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.int64())
+        b = t["b"].combine_chunks().cast(pa.int64())
+        return pa.table({"n": pa.chunked_array([a, b]).combine_chunks()})
+
+    deg = (ue.map_batches(ends, batch_format="pyarrow")
+           .groupby("n").aggregate(Count(alias_name="deg"))).materialize()
+
+    with_da = hash_join(ue, deg, "a", "n", ["b"], ["deg"], how="inner")
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"b": t["b"].combine_chunks().cast(pa.int64()),
+                         "a2": t["a"].combine_chunks().cast(pa.int64()),
+                         "deg_a": t["deg"].combine_chunks().cast(pa.int64())})
+
+    # pinned: hash_join probes schema() (executes lineage), so the
+    # first join's shuffle must not re-run for the second's probe
+    swapped = (with_da.map_batches(swap, batch_format="pyarrow")
+               .materialize())
+    both = hash_join(swapped, deg, "b", "n",
+                     ["a2", "deg_a"], ["deg"], how="inner")
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a2"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da = t["deg_a"].to_numpy(zero_copy_only=False)
+        db = t["deg"].to_numpy(zero_copy_only=False)
+        if len(a) and max(int(a.max()), int(b.max())) >= (1 << 31):
+            raise ValueError("doc ids exceed the 31-bit pair pack")
+        a_first = (da < db) | ((da == db) & (a < b))
+        f = np.where(a_first, a, b)
+        to = np.where(a_first, b, a)
+        return pa.table({"f": pa.array(f), "t": pa.array(to),
+                         "_kp": pa.array(f & 31)})
+
+    oriented = both.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        a_o, b_o, c_o = [], [], []
+        for f, grp in g.groupby("f", sort=False):
+            ns = np.sort(grp["t"].to_numpy(np.int64))
+            if len(ns) < 2:
+                continue
+            i, j = np.triu_indices(len(ns), k=1)
+            a_o.append(np.full(len(i), f, np.int64))
+            b_o.append(ns[i])
+            c_o.append(ns[j])
+        if a_o:
+            a = np.concatenate(a_o)
+            b = np.concatenate(b_o)
+            c = np.concatenate(c_o)
+        else:
+            a = b = c = np.array([], np.int64)
+        return pa.table({"wa": pa.array(a), "wb": pa.array(b),
+                         "wc": pa.array(c),
+                         "k": pa.array((b << 31) | c)})
+
+    # pinned: the semi hash_join probes schema() (executes lineage)
+    # before shuffling — without the pin the wedge chain runs twice
+    w = (oriented.groupby("_kp")
+         .map_groups(wedges, batch_format="pandas").materialize())
+
+    def ekey(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array((a << 31) | b)})
+
+    tri = hash_join(w, ue.map_batches(ekey, batch_format="pyarrow"),
+                    "k", "k", ["wa", "wb", "wc"], [], how="semi")
+
+    def credit(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate([t["wa"].to_numpy(zero_copy_only=False),
+                                t["wb"].to_numpy(zero_copy_only=False),
+                                t["wc"].to_numpy(zero_copy_only=False)])
+        return pa.table({"n": pa.array(nodes)})
+
+    return (tri.map_batches(credit, batch_format="pyarrow")
+            .groupby("n").aggregate(Count(alias_name="n_triangles"))
+            .map_batches(lambda t: pa.table(
+                {"doc_id": t["n"], "n_triangles": t["n_triangles"]}),
+                batch_format="pyarrow"))
+
+
+def triangle_counts_sql() -> str:
+    """Orientation-invariant verification: ordered x<y<z triple join
+    over the canonical undirected derived edges, 3 credits per
+    triangle."""
+    return "WITH " + _edges_sql() + """,
+ue AS MATERIALIZED (
+  SELECT DISTINCT least(src_doc_id, dst_doc_id) AS a,
+         greatest(src_doc_id, dst_doc_id) AS b
+  FROM e WHERE src_doc_id <> dst_doc_id
+), tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ue e1
+  JOIN ue e2 ON e2.a = e1.b
+  JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+), picks AS (
+  SELECT x AS n FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT n AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM picks GROUP BY n"""

@@ -413,3 +413,104 @@ def test_phrase_search_append_path_and_duplicate_words(ray_session, tmp_path):
     assert aa.set_index("doc_id").n_hits.to_dict() == {1: 3}  # overlaps
     aba = ti.phrase_search_indexed(idx_full, "a b a").to_pandas()
     assert aba.set_index("doc_id").n_hits.to_dict() == {0: 2}
+
+
+# ---------------------------------------------------------------------------
+# SQ8 embedding quantization
+
+
+def test_embedding_quantize_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        embedding_quantize, embedding_quantize_sql)
+    assert compare("embedding_quantize", embedding_quantize(SF_SMOKE),
+                   embedding_quantize_sql(), SF_SMOKE) == []
+
+
+def test_embedding_quantize_range_and_recall(ray_session):
+    """Codes stay in [-127, 127] with the max-magnitude element pinned
+    at +/-127; dequantized cosine top-10 keeps >= 0.9 recall vs the
+    float top-10 (the SQ8 quality bar)."""
+    from pdf_extraction_ray.pipelines.analytics import (
+        ann_bruteforce, embedding_quantize)
+
+    out = embedding_quantize(SF_SMOKE).to_pandas()
+    C = np.asarray(out.codes.tolist(), dtype=np.int64)
+    assert C.min() >= -127 and C.max() <= 127
+    assert (np.abs(C).max(axis=1) == 127).all()   # scale element pinned
+
+    emb = pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    order = np.argsort(out.vec_id.to_numpy())
+    C = C[order]
+    s = out.scale.to_numpy()[order]
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    Xq = C * (s[:, None] / 127.0)
+
+    want = ann_bruteforce(SF_SMOKE).to_pandas()
+    ids = emb.vec_id.to_numpy()
+    nq = Xq / np.maximum(np.linalg.norm(Xq, axis=1, keepdims=True), 1e-12)
+    hits = tot = 0
+    for qid, grp in want.groupby("query_id"):
+        qi = np.searchsorted(ids, qid)
+        sims = nq @ nq[qi]
+        top = ids[np.lexsort((ids, -sims))[:10]]
+        hits += len(set(top) & set(grp.neighbor_id))
+        tot += len(grp)
+    assert hits / tot >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+
+
+def test_triangle_counts_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.linkgraph import (
+        triangle_counts, triangle_counts_sql)
+    assert compare("triangle_counts", triangle_counts(SF_SMOKE),
+                   triangle_counts_sql(), SF_SMOKE) == []
+
+
+def test_triangle_counts_brute_force(ray_session):
+    """Engine counts == a brute-force enumeration over the derived
+    planted edge set (independent of both the oracle SQL and the
+    degree-orientation algorithm)."""
+    from itertools import combinations
+
+    from pdf_extraction_ray.pipelines.linkgraph import (
+        link_graph, triangle_counts)
+
+    ue = set()
+    for _, r in link_graph(SF_SMOKE).to_pandas().iterrows():
+        if r.src_doc_id != r.dst_doc_id:
+            ue.add((min(r.src_doc_id, r.dst_doc_id),
+                    max(r.src_doc_id, r.dst_doc_id)))
+    adj: dict[int, set[int]] = {}
+    for a, b in ue:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    for n, ns in adj.items():
+        for u, v in combinations(sorted(ns), 2):
+            if (min(u, v), max(u, v)) in ue:
+                want[n] = want.get(n, 0) + 1
+    # per-node credit counts each triangle once per corner: the wedge
+    # scan above visits each triangle exactly once per corner too
+    got = (triangle_counts(SF_SMOKE).to_pandas()
+           .set_index("doc_id").n_triangles.to_dict())
+    assert got == want and len(want) > 0
+
+
+def test_triangle_counts_distributed_path_matches(ray_session):
+    """task_limit=0 forces the full join/wedge/semi-join chain; it must
+    equal the one-task fast path exactly."""
+    from pdf_extraction_ray.pipelines.linkgraph import triangle_counts
+
+    fast = (triangle_counts(SF_SMOKE).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    dist = (triangle_counts(SF_SMOKE, task_limit=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, dist)
