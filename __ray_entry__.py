@@ -615,6 +615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-page triangle participation (degree-oriented wedges +
         # one semi join; orientation-invariant triple-join oracle)
         "triangle_counts": _tuned(linkgraph.triangle_counts),
+        # soft dedup: keep each doc with prob 1/cluster_size (expected
+        # one copy per near-dup cluster, diversity-preserving)
+        "soft_dedup_sample": _tuned(analytics.soft_dedup_sample),
     }
 
 
@@ -660,6 +663,7 @@ AWAITING_SLOT = (
     "phrase_search_indexed",
     "embedding_quantize",
     "triangle_counts",
+    "soft_dedup_sample",
 )
 
 
@@ -778,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search_indexed": analytics.phrase_search_indexed_sql(),
         "embedding_quantize": analytics.embedding_quantize_sql(),
         "triangle_counts": linkgraph.triangle_counts_sql(),
+        "soft_dedup_sample": analytics.soft_dedup_sample_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

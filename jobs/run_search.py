@@ -47,6 +47,12 @@ def main() -> int:
     p.add_argument("--query", action="append", default=[],
                    help="whitespace-separated query terms; repeatable — "
                         "query_id = position")
+    p.add_argument("--phrase", action="append", default=[],
+                   help="quoted-phrase query (token adjacency); needs a "
+                        "POSITIONAL index — implies --positions")
+    p.add_argument("--positions", action="store_true",
+                   help="build/require the positional index variant "
+                        "(phrase-capable; larger postings)")
     p.add_argument("--k", type=int, default=10)
     args = p.parse_args()
 
@@ -68,7 +74,8 @@ def main() -> int:
     ti.ensure_inverted_index(
         corpus, args.index_dir,
         stamp_ds=rd.read_parquet(_docs_path(args.corpus),
-                                 columns=["doc_id"]))
+                                 columns=["doc_id"]),
+        positions=bool(args.positions or args.phrase))
 
     meta = None
     compact_stats = None
@@ -87,10 +94,31 @@ def main() -> int:
         hits.write_parquet(os.path.join(args.output, "hits"))
         n_hits = int(hits.count())
 
+    n_phrase_hits = 0
+    if args.phrase:
+        import pyarrow as pa
+        parts = []
+        for pid, phrase in enumerate(args.phrase):
+            t = (ti.phrase_search_indexed(args.index_dir, phrase)
+                 .materialize())
+            parts.append(t.map_batches(
+                lambda b, pid=pid: b.append_column(
+                    "phrase_id", pa.array([pid] * b.num_rows,
+                                          pa.int64())),
+                batch_format="pyarrow"))
+        ph = parts[0]
+        for extra in parts[1:]:
+            ph = ph.union(extra)
+        ph = ph.materialize()
+        ph.write_parquet(os.path.join(args.output, "phrase_hits"))
+        n_phrase_hits = int(ph.count())
+
     print(json.dumps({
         "output": args.output,
         "n_queries": len(queries),
         "n_hits": n_hits,
+        "n_phrases": len(args.phrase),
+        "n_phrase_hits": n_phrase_hits,
         "index_n_docs": None if meta is None else int(meta["n_docs"]),
         "compacted": compact_stats,
     }))

@@ -2717,6 +2717,65 @@ def cluster_keep_best(sf_dir: str) -> rd.Dataset:
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def soft_dedup_sample(sf_dir: str) -> rd.Dataset:
+    """SOFT deduplication — keep each document with probability
+    1/cluster_size instead of hard keep-one (the 1/size resampling
+    ``cluster_keep_best``'s cluster_size column exists for: expected
+    one surviving copy per near-dup cluster while every copy keeps a
+    chance, preserving within-cluster diversity; singletons always
+    survive). Pure-integer rule both engines share: keep iff
+    stable_hash64('soft:'+doc_id) % 2^20 < 2^20 // cluster_size.
+
+    Shape: the oracled ``dedup_clusters`` assignment (materialized —
+    the ids-only branch-point pin), ONE groupby for sizes, ONE
+    hash_join back, then a map-side hash filter. Returns (doc_id,
+    cluster_id, cluster_size) for kept docs."""
+    from ray.data.aggregate import Count as _Count
+
+    from ..functions.hashing import stable_hash64
+    from ..stages.joins import hash_join
+
+    clusters = dedup_clusters(sf_dir).materialize()
+    sizes = (clusters.groupby("cluster_id")
+             .aggregate(_Count(alias_name="cluster_size")).materialize())
+    joined = hash_join(clusters, sizes, "cluster_id", "cluster_id",
+                       ["doc_id"], ["cluster_size"], how="inner")
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        size = t["cluster_size"].to_numpy(zero_copy_only=False)
+        h = np.fromiter((stable_hash64(f"soft:{d}") for d in ids),
+                        np.uint64, len(ids))
+        thr = (1 << 20) // size.astype(np.int64)
+        mask = (h % np.uint64(1 << 20)).astype(np.int64) < thr
+        out = t.filter(pa.array(mask))
+        return pa.table({
+            "doc_id": out["doc_id"].combine_chunks().cast(pa.int64()),
+            "cluster_id": out["cluster_id"].combine_chunks().cast(
+                pa.int64()),
+            "cluster_size": out["cluster_size"].combine_chunks().cast(
+                pa.int64())})
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def soft_dedup_sample_sql() -> str:
+    dc = dedup_clusters_sql().strip()
+    return f"""
+WITH dc AS ({dc}),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM dc GROUP BY cluster_id
+), hx AS (
+  SELECT d.doc_id, d.cluster_id, s.cluster_size,
+         CAST({_sql_hash64("sha256('soft:' || CAST(d.doc_id AS VARCHAR))")}
+              % 1048576 AS BIGINT) AS h20
+  FROM dc d JOIN sizes s USING (cluster_id)
+)
+SELECT doc_id, cluster_id, cluster_size
+FROM hx WHERE h20 < 1048576 // cluster_size"""
+
+
 def cluster_keep_best_sql(threshold_pct: int = 80) -> str:
     """dedup_clusters_sql's recursive-CTE labels + per-cluster longest-doc
     (tie: smallest doc_id) survivor via row_number — integer-exact."""

@@ -258,3 +258,27 @@ def test_run_takedown_cli(ray_session, pages_corpus, tmp_path):
     again = _run(["jobs/run_takedown.py", "--output", out,
                   "--urls-file", uf, "--reason", "optout"])
     assert again["n_dropped"] == 0
+
+
+def test_run_search_cli_phrase(tmp_path):
+    """--phrase builds the POSITIONAL index variant, answers token-
+    adjacency queries, and the phrase-capable index still serves BM25
+    term queries from the same run."""
+    import pyarrow.parquet as pq
+
+    idx = str(tmp_path / "pos")
+    out = str(tmp_path / "p1")
+    summary = _run(["jobs/run_search.py", "--corpus", SF_SMOKE,
+                    "--index-dir", idx, "--output", out,
+                    "--phrase", "data stream",
+                    "--query", "batch table", "--k", "5"])
+    assert summary["n_phrases"] == 1 and summary["n_phrase_hits"] > 0
+    assert summary["n_hits"] > 0
+    ph = pq.read_table(os.path.join(out, "phrase_hits")).to_pandas()
+    assert set(ph.columns) == {"doc_id", "n_hits", "first_tok", "phrase_id"}
+    docs = pq.read_table(os.path.join(SF_SMOKE, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    txt = docs.set_index("doc_id").text.to_dict()
+    for _, r in ph.iterrows():
+        toks = txt[r.doc_id].split(" ")
+        assert toks[r.first_tok] == "data" and toks[r.first_tok + 1] == "stream"

@@ -514,3 +514,42 @@ def test_triangle_counts_distributed_path_matches(ray_session):
     dist = (triangle_counts(SF_SMOKE, task_limit=0).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, dist)
+
+
+# ---------------------------------------------------------------------------
+# soft dedup sampling
+
+
+def test_soft_dedup_sample_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        soft_dedup_sample, soft_dedup_sample_sql)
+    assert compare("soft_dedup_sample", soft_dedup_sample(SF_SMOKE),
+                   soft_dedup_sample_sql(), SF_SMOKE) == []
+
+
+def test_soft_dedup_sample_semantics(ray_session):
+    """Singletons always survive; multi-doc clusters keep ~1 copy in
+    expectation; the kept mask is exactly the integer hash rule."""
+    from pdf_extraction_ray.functions.hashing import stable_hash64
+    from pdf_extraction_ray.pipelines.analytics import (
+        dedup_clusters, soft_dedup_sample)
+
+    clusters = dedup_clusters(SF_SMOKE).to_pandas()
+    sizes = clusters.cluster_id.value_counts().to_dict()
+    out = soft_dedup_sample(SF_SMOKE).to_pandas()
+    kept = set(out.doc_id)
+    for _, r in clusters.iterrows():
+        size = sizes[r.cluster_id]
+        h = stable_hash64(f"soft:{r.doc_id}") % (1 << 20)
+        assert ((r.doc_id in kept)
+                == (h < (1 << 20) // size)), r.doc_id
+    singles = clusters[clusters.cluster_id.map(sizes) == 1]
+    assert set(singles.doc_id) <= kept
+    multi = clusters[clusters.cluster_id.map(sizes) > 1]
+    assert len(multi) > 0
+    # expected survivors ~ number of multi clusters (loose 4-sigma-ish)
+    n_multi_clusters = multi.cluster_id.nunique()
+    survivors = len(kept) - len(singles)
+    assert survivors <= n_multi_clusters * 3 + 8
