@@ -618,6 +618,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # soft dedup: keep each doc with prob 1/cluster_size (expected
         # one copy per near-dup cluster, diversity-preserving)
         "soft_dedup_sample": _tuned(analytics.soft_dedup_sample),
+        # ordered funnel (signup -> click -> purchase): first-completion
+        # chain per user, lexicographic (ts, event_id) strictness
+        "event_funnel": _tuned(analytics.event_funnel),
     }
 
 
@@ -664,6 +667,7 @@ AWAITING_SLOT = (
     "embedding_quantize",
     "triangle_counts",
     "soft_dedup_sample",
+    "event_funnel",
 )
 
 
@@ -783,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": analytics.embedding_quantize_sql(),
         "triangle_counts": linkgraph.triangle_counts_sql(),
         "soft_dedup_sample": analytics.soft_dedup_sample_sql(),
+        "event_funnel": analytics.event_funnel_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

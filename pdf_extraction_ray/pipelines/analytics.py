@@ -3485,6 +3485,118 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
   ON a.user_id = b.user_id AND a.ts >= b.ts"""
 
 
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def event_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS,
+                 num_partitions: int = 32) -> rd.Dataset:
+    """Ordered-funnel analysis — the classic product-analytics
+    operator: per user, the FIRST completion chain (earliest step-1
+    event, then the earliest step-2 event strictly after it, then the
+    earliest step-3 after that; strictness is lexicographic on
+    (ts, event_id) so equal timestamps cannot double-count one event
+    or reorder nondeterministically). Returns one row per user:
+    (user_id, steps_completed, convert_us) with convert_us = step-N
+    minus step-1 in microseconds (-1 unless the funnel completed) —
+    every value integer, bit-exact vs the row-comparison SQL replica.
+
+    Shape: the keyed-window scan (ONE user-hash shuffle; per-partition
+    body is len(steps) vectorized sort+groupby-first passes + merges —
+    funnels are per-user sequential by definition, but nothing here is
+    per-user Python). Skew bound: one partition holds ~1/P of users."""
+    P = num_partitions
+    if P & (P - 1):
+        raise ValueError("num_partitions must be a power of two")
+
+    ds = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "ts", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kp = pc.bit_wise_and(t["user_id"].combine_chunks().cast(pa.int64()),
+                             P - 1)
+        return t.append_column("_kp", kp)
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({"user_id": g["user_id"].unique()})
+        prev = None   # per-user frame with ts/id of the last step hit
+        reached = None
+        for si, step in enumerate(steps):
+            ev = g[g["event_type"] == step][["user_id", "ts", "event_id"]]
+            if prev is not None:
+                ev = ev.merge(prev, on="user_id", how="inner",
+                              suffixes=("", "_p"))
+                after = (ev["ts"] > ev["ts_p"]) | (
+                    (ev["ts"] == ev["ts_p"])
+                    & (ev["event_id"] > ev["event_id_p"]))
+                ev = ev[after][["user_id", "ts", "event_id", "ts0"]]
+            first = (ev.sort_values(["ts", "event_id"], kind="mergesort")
+                     .groupby("user_id", sort=False).head(1))
+            if si == 0:
+                first = first.assign(ts0=first["ts"])
+            cur = first[["user_id", "ts", "event_id", "ts0"]]
+            prev = cur.rename(columns={"ts": "ts_p",
+                                       "event_id": "event_id_p"})
+            reached = (cur.assign(steps_completed=si + 1)
+                       if reached is None else
+                       pd.concat([reached[~reached["user_id"]
+                                          .isin(cur["user_id"])],
+                                  cur.assign(steps_completed=si + 1)]))
+        out = users.merge(reached, on="user_id", how="left")
+        sc = out["steps_completed"].fillna(0).astype("int64")
+        done = sc == len(steps)
+        epoch = pd.Timestamp(0)
+        dt = (out["ts"].fillna(epoch).astype("datetime64[us]")
+              .astype("int64")
+              - out["ts0"].fillna(epoch).astype("datetime64[us]")
+              .astype("int64"))
+        conv = np.where(done, dt, -1).astype(np.int64)
+        return pd.DataFrame({"user_id": out["user_id"].astype("int64"),
+                             "steps_completed": sc,
+                             "convert_us": conv})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_kp").map_groups(funnel, batch_format="pandas"))
+
+
+def event_funnel_sql(steps: tuple = FUNNEL_STEPS) -> str:
+    parts = []
+    for si, step in enumerate(steps):
+        if si == 0:
+            inner = f"""SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = '{step}'"""
+        else:
+            inner = f"""SELECT e.user_id, e.ts, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN s{si} p ON p.user_id = e.user_id
+    WHERE e.event_type = '{step}'
+      AND (e.ts > p.ts OR (e.ts = p.ts AND e.event_id > p.event_id))"""
+        parts.append(f"""s{si + 1} AS MATERIALIZED (
+  SELECT user_id, ts, event_id FROM (
+    {inner}
+  ) WHERE rn = 1
+)""")
+    n = len(steps)
+    case = " ".join(
+        f"WHEN s{si}.user_id IS NOT NULL THEN {si}"
+        for si in range(n, 0, -1))
+    joins = "\n".join(
+        f"LEFT JOIN s{si} ON s{si}.user_id = u.user_id"
+        for si in range(1, n + 1))
+    return ("WITH " + ",\n".join(parts) + f""",
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE {case} ELSE 0 END AS BIGINT) AS steps_completed,
+       CAST(CASE WHEN s{n}.user_id IS NOT NULL
+            THEN date_diff('microsecond', s1.ts, s{n}.ts)
+            ELSE -1 END AS BIGINT) AS convert_us
+FROM u
+{joins}""")
+
+
 def vocab_df(sf_dir: str) -> rd.Dataset:
     """Corpus vocabulary with term + document frequencies — the
     wordcount-with-combiner shape: per-batch partial (word, count,

@@ -553,3 +553,57 @@ def test_soft_dedup_sample_semantics(ray_session):
     n_multi_clusters = multi.cluster_id.nunique()
     survivors = len(kept) - len(singles)
     assert survivors <= n_multi_clusters * 3 + 8
+
+
+# ---------------------------------------------------------------------------
+# event funnel
+
+
+def test_event_funnel_matches_duckdb(ray_session):
+    from tests.oracle_check import compare
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        event_funnel, event_funnel_sql)
+    assert compare("event_funnel", event_funnel(SF_SMOKE),
+                   event_funnel_sql(), SF_SMOKE) == []
+
+
+def test_event_funnel_python_replay(ray_session):
+    """Engine output == a direct per-user Python replay of the
+    first-completion semantics (independent of both SQL and the
+    partitioned pandas implementation)."""
+    from pdf_extraction_ray.pipelines.analytics import (
+        FUNNEL_STEPS, event_funnel)
+
+    ev = pd.read_parquet(os.path.join(SF_SMOKE, "events.parquet"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        cur = None
+        steps_done = 0
+        t1 = None
+        for step in FUNNEL_STEPS:
+            cand = g[g.event_type == step]
+            if cur is not None:
+                after = (cand.ts > cur[0]) | ((cand.ts == cur[0])
+                                              & (cand.event_id > cur[1]))
+                cand = cand[after]
+            if not len(cand):
+                break
+            r = cand.iloc[0]
+            cur = (r.ts, r.event_id)
+            if t1 is None:
+                t1 = r.ts
+            steps_done += 1
+        conv = -1
+        if steps_done == len(FUNNEL_STEPS):
+            conv = int((cur[0] - t1) / pd.Timedelta(microseconds=1))
+        want[uid] = (steps_done, conv)
+    out = event_funnel(SF_SMOKE).to_pandas()
+    got = {r.user_id: (r.steps_completed, r.convert_us)
+           for _, r in out.iterrows()}
+    assert got == want
+    assert any(v[0] == 3 for v in want.values())      # completions exist
+    assert all(v[1] > 0 for v in want.values() if v[0] == 3)
