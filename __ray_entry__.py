@@ -621,6 +621,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered funnel (signup -> click -> purchase): first-completion
         # chain per user, lexicographic (ts, event_id) strictness
         "event_funnel": _tuned(analytics.event_funnel),
+        # cohort retention grid (first-event week x weeks-since) — the
+        # funnel's companion; keyed-window scan emitting partial cells
+        "retention_cohorts": _tuned(analytics.retention_cohorts),
+        # collocation mining: top-k bigrams by quantized lift (Python-
+        # bigint exact; two combiner folds + two distributed hash joins)
+        "bigram_lift": _tuned(analytics.bigram_lift),
+        # corpus-adaptive stopword pruning (DF-threshold stoplist
+        # broadcast, flattened np.isin rewrite — vocab_df's rewrite half)
+        "stopword_prune": _tuned(analytics.stopword_prune),
+        # co-citation "related pages": in-link-set overlap via the
+        # out-degree-bounded wedge emit (never pairs at a hub)
+        "cocitation_pairs": _tuned(linkgraph.cocitation_pairs),
+        # k-core membership via bounded peel rounds (unrolled oracle;
+        # convergence pytest-pinned)
+        "kcore_nodes": _tuned(linkgraph.kcore_nodes),
     }
 
 
@@ -668,6 +683,11 @@ AWAITING_SLOT = (
     "triangle_counts",
     "soft_dedup_sample",
     "event_funnel",
+    "retention_cohorts",
+    "bigram_lift",
+    "stopword_prune",
+    "cocitation_pairs",
+    "kcore_nodes",
 )
 
 
@@ -788,6 +808,11 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": linkgraph.triangle_counts_sql(),
         "soft_dedup_sample": analytics.soft_dedup_sample_sql(),
         "event_funnel": analytics.event_funnel_sql(),
+        "retention_cohorts": analytics.retention_cohorts_sql(),
+        "bigram_lift": analytics.bigram_lift_sql(),
+        "stopword_prune": analytics.stopword_prune_sql(),
+        "cocitation_pairs": linkgraph.cocitation_pairs_sql(),
+        "kcore_nodes": linkgraph.kcore_nodes_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -3597,6 +3597,71 @@ FROM u
 {joins}""")
 
 
+WEEK_US = 7 * 86_400 * 1_000_000   # epoch-week bucket width
+
+
+def retention_cohorts(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
+    """Cohort retention analysis — ``event_funnel``'s companion and the
+    other classic product-analytics operator: users are grouped by the
+    epoch week of their FIRST event (cohort_week = epoch_us // week),
+    and each (cohort_week, age_weeks) cell counts how many of that
+    cohort's users were active ``age_weeks`` weeks later (age 0 row =
+    cohort size; a cohort's n_users is non-increasing only in classic
+    retention curves — here cells are raw activity counts, exactly what
+    the SQL replica states). All integers: week ids are floor-divided
+    microseconds, counts are counts.
+
+    Shape: ONE user-hash keyed shuffle (the keyed-window scan shape,
+    ``event_funnel``): the per-partition body is pure vectorized pandas
+    (distinct user-weeks, per-user min via groupby-transform), and it
+    emits PARTIAL (cohort, age, n) cells — a user appears in ≤1 row per
+    cell by the distinct, so the final exchange is a tiny
+    groupby-sum over O(weeks²) cells, never a second pass over users."""
+    P = num_partitions
+    if P & (P - 1):
+        raise ValueError("num_partitions must be a power of two")
+    ds = _read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kp = pc.bit_wise_and(t["user_id"].combine_chunks().cast(pa.int64()),
+                             P - 1)
+        return t.append_column("_kp", kp)
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        w = (g["ts"].astype("datetime64[us]").astype("int64") // WEEK_US)
+        uw = pd.DataFrame({"user_id": g["user_id"].astype("int64"),
+                           "w": w}).drop_duplicates()
+        cw = uw.groupby("user_id")["w"].transform("min")
+        cell = pd.DataFrame({"cohort_week": cw.astype("int64"),
+                             "age_weeks": (uw["w"] - cw).astype("int64")})
+        out = (cell.groupby(["cohort_week", "age_weeks"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_kp").map_groups(cells, batch_format="pandas")
+            .groupby(["cohort_week", "age_weeks"])
+            .aggregate(Sum("n", alias_name="n_users")))
+
+
+def retention_cohorts_sql() -> str:
+    return f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // {WEEK_US} AS BIGINT) AS w
+  FROM events
+), coh AS (
+  SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id
+)
+SELECT coh.cw AS cohort_week,
+       CAST(uw.w - coh.cw AS BIGINT) AS age_weeks,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN coh ON coh.user_id = uw.user_id
+GROUP BY 1, 2"""
+
+
 def vocab_df(sf_dir: str) -> rd.Dataset:
     """Corpus vocabulary with term + document frequencies — the
     wordcount-with-combiner shape: per-batch partial (word, count,
@@ -3635,6 +3700,87 @@ FROM (
         FROM documents)
   GROUP BY doc_id, word
 ) GROUP BY word"""
+
+
+def stopword_prune(sf_dir: str, df_pct: int = 50) -> rd.Dataset:
+    """Corpus-ADAPTIVE stopword pruning — the vocabulary-driven text
+    rewrite (Luhn's classic cutoff; the index-size lever search and
+    retrieval stacks apply before tokenizing): a word is a stopword iff
+    its document frequency reaches ``df_pct`` percent of the corpus
+    (n_docs·100 ≥ df_pct·N, pure integers), and every document is
+    rewritten with those words removed. Returns (doc_id, n_removed,
+    text_pruned) — the rewrite half that ``vocab_df`` (the statistic)
+    and ``tfidf_top_terms`` (the weighting) stop short of.
+
+    Shape: pass 1 is the ``vocab_df`` wordcount-combiner fold; the
+    stoplist it yields is SMALL BY NATURE (words in ≥ half of all
+    documents — tens, not vocabulary-sized; a low ``df_pct`` that could
+    grow it is the caller's contract), so it broadcasts once via
+    ``ray.put`` and pass 2 is map-side only: per batch, ONE flattened
+    np.isin over all tokens + reduceat/split reassembly — no Python
+    token loop, the corpus never shuffles."""
+    import ray as _ray
+
+    n_corpus = _docs(sf_dir, ["doc_id"]).count()
+    vocab = vocab_df(sf_dir)
+
+    def pick(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nd * 100 >= df_pct * n_corpus
+        return t.filter(pa.array(keep)).select(["word"])
+
+    stop_words = [r["word"] for r in
+                  vocab.map_batches(pick, batch_format="pyarrow")
+                  .take_all()]
+    ref = _ray.put(np.asarray(sorted(stop_words), dtype=object))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        stop = _ray.get(ref)
+        texts = batch["text"].to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(ws) for ws in toks), np.int64, len(toks))
+        flat = np.asarray([w for ws in toks for w in ws], dtype=object)
+        keep = (~np.isin(flat, stop) if len(flat)
+                else np.array([], bool))
+        offs = np.zeros(len(toks) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), offs[:-1]) \
+            if len(flat) else np.zeros(len(toks), np.int64)
+        kept_per_doc[lens == 0] = 0   # reduceat repeats on empty slices
+        kept_flat = flat[keep]
+        bounds = np.zeros(len(toks) + 1, np.int64)
+        np.cumsum(kept_per_doc, out=bounds[1:])
+        pruned = [" ".join(kept_flat[bounds[i]:bounds[i + 1]])
+                  for i in range(len(toks))]
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+            "n_removed": pa.array(lens - kept_per_doc, pa.int64()),
+            "text_pruned": pa.array(pruned, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rewrite, batch_format="pyarrow")
+
+
+def stopword_prune_sql(df_pct: int = 50) -> str:
+    """Same DF threshold + list_filter rewrite; the single-row stoplist
+    CTE cross-joins onto every document row (lambda captures ``sw``)."""
+    return f"""
+WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+df AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY word
+), sl AS (
+  SELECT coalesce(list(word), []) AS sw
+  FROM df CROSS JOIN nd WHERE c * 100 >= {df_pct} * nd.n
+)
+SELECT w.doc_id,
+       CAST(len(ws) - len(list_filter(ws, x -> NOT list_contains(sl.sw, x)))
+            AS BIGINT) AS n_removed,
+       coalesce(array_to_string(
+           list_filter(ws, x -> NOT list_contains(sl.sw, x)), ' '),
+           '') AS text_pruned
+FROM w CROSS JOIN sl"""
 
 
 def bpe_pair_counts(sf_dir: str, k: int = 64) -> rd.Dataset:
@@ -3945,6 +4091,150 @@ FROM (
     FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
   ) GROUP BY doc_id, bigram
 ) GROUP BY bigram"""
+
+
+def bigram_lift(sf_dir: str, k: int = 50, min_count: int = 5,
+                scale: int = 1000) -> rd.Dataset:
+    """Collocation mining — the top-``k`` bigrams by LIFT, the
+    association statistic P(xy)/(P(x)·P(y)) that phrase-vocabulary
+    builders (word2vec's phrase pass, index phrase dictionaries) rank
+    candidate collocations with (lift is monotone with PMI at fixed
+    counts, and unlike PMI it quantizes exactly): lift_q =
+    (c_xy · N · scale) // (c_x · c_y), computed in PYTHON BIGINTS over
+    the post-filter candidate dimension — no int64 overflow at any
+    corpus size — with c_xy ≥ ``min_count`` killing the hapax flood.
+    Output (bigram, n_total, lift_q) ordered by (lift_q DESC, bigram).
+
+    Shape: the two wordcount-combiner folds this family always uses
+    (``vocab_df`` / ``bigram_counts``), then unigram counts attach to
+    the filtered bigram dimension via TWO distributed hash_joins on
+    stable_hash64(word) with an exact string-equality verify after
+    each (the bucket-then-verify discipline of ``minhash_cluster`` —
+    ``hash_join`` keys are int64, and the verify makes a 64-bit
+    collision impossible to silently merge; the vocabulary is
+    corpus-sized, never a broadcast), N is one driver scalar
+    (``Dataset.sum``), and the top-k is per-block partial top-k
+    + one small global sort — never a global sort of the vocabulary."""
+    from collections import Counter
+
+    from ..functions.hashing import stable_hash64
+    from ..stages.joins import hash_join
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        tot: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            tot.update((text or "").split(" "))
+        words = sorted(tot)
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "c": pa.array([tot[w] for w in words], pa.int64())})
+
+    def key_uni(t: pa.Table) -> pa.Table:
+        hs = [stable_hash64("lift:" + w) for w in t["word"].to_pylist()]
+        return t.append_column("hw", pa.array(hs, pa.int64()))
+
+    docs = _docs(sf_dir, ["text"])
+    uni = (docs.map_batches(uni_partial, batch_format="pyarrow")
+           .groupby("word").aggregate(Sum("c", alias_name="c_w"))
+           .map_batches(key_uni, batch_format="pyarrow")
+           .materialize())
+    n_tokens = int(uni.sum("c_w") or 0)
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        tot: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            words = (text or "").split(" ")
+            tot.update(zip(words, words[1:]))
+        keys = sorted(tot)
+        return pa.table({
+            "w1": pa.array([a for a, _ in keys], pa.string()),
+            "w2": pa.array([b for _, b in keys], pa.string()),
+            "c": pa.array([tot[p] for p in keys], pa.int64())})
+
+    big = (docs.map_batches(big_partial, batch_format="pyarrow")
+           .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c_xy")))
+
+    def floor_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.greater_equal(t["c_xy"],
+                                      pa.scalar(min_count, pa.int64())))
+        h1 = [stable_hash64("lift:" + w) for w in t["w1"].to_pylist()]
+        h2 = [stable_hash64("lift:" + w) for w in t["w2"].to_pylist()]
+        return (t.append_column("h1", pa.array(h1, pa.int64()))
+                .append_column("h2", pa.array(h2, pa.int64())))
+
+    cand = big.map_batches(floor_key, batch_format="pyarrow")
+    # hash_join probes schema() (executes lineage) — pin the first
+    # join's output so the second probe doesn't re-run its shuffle
+    j1 = hash_join(cand, uni, "h1", "hw",
+                   ["w1", "w2", "c_xy", "h2"], ["word", "c_w"],
+                   how="inner")
+
+    def r1(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.equal(t["w1"], t["word"]))   # collision verify
+        return pa.table({"w1": t["w1"], "w2": t["w2"], "c_xy": t["c_xy"],
+                         "h2": t["h2"],
+                         "c1": t["c_w"].combine_chunks().cast(pa.int64())})
+
+    j1m = j1.map_batches(r1, batch_format="pyarrow").materialize()
+    j2 = hash_join(j1m, uni, "h2", "hw",
+                   ["w1", "w2", "c_xy", "c1"], ["word", "c_w"],
+                   how="inner")
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.equal(t["w2"], t["word"]))   # collision verify
+        w1 = t["w1"].to_pylist()
+        w2 = t["w2"].to_pylist()
+        cxy = t["c_xy"].to_pylist()
+        c1 = t["c1"].to_pylist()
+        c2 = t["c_w"].to_pylist()
+        # Python-int exact: c_xy·N·scale overflows int64 on a
+        # trillion-token corpus; the candidate dimension is small
+        lift = [(int(x) * n_tokens * scale) // (int(a) * int(b))
+                for x, a, b in zip(cxy, c1, c2)]
+        return pa.table({
+            "bigram": pa.array([f"{a} {b}" for a, b in zip(w1, w2)],
+                               pa.string()),
+            "n_total": pa.array([int(x) for x in cxy], pa.int64()),
+            "lift_q": pa.array(lift, pa.int64())})
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+
+    def topk(t: pa.Table) -> pa.Table:
+        lq = t["lift_q"].to_numpy(zero_copy_only=False)
+        bg = np.asarray(t["bigram"].to_pylist(), dtype=object)
+        order = np.lexsort((bg, -lq))[:k]
+        return t.take(pa.array(order))
+
+    return (scored.map_batches(topk, batch_format="pyarrow")
+            .sort(["lift_q", "bigram"], descending=[True, False])
+            .limit(k))
+
+
+def bigram_lift_sql(k: int = 50, min_count: int = 5,
+                    scale: int = 1000) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT unnest(ws) AS word FROM w),
+uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tok),
+big AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM (
+    SELECT unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i+1])) AS bigram
+    FROM w)
+  GROUP BY bigram HAVING count(*) >= {min_count}
+)
+SELECT b.bigram, b.c_xy AS n_total,
+       CAST(CAST(b.c_xy AS HUGEINT) * n.nt * {scale}
+            // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_q
+FROM big b
+JOIN uni u1 ON u1.word = split_part(b.bigram, ' ', 1)
+JOIN uni u2 ON u2.word = split_part(b.bigram, ' ', 2)
+CROSS JOIN n
+ORDER BY lift_q DESC, bigram LIMIT {k}"""
 
 
 NGRAM_N = 8  # word-gram width for duplicated-span detection

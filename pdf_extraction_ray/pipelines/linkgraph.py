@@ -1543,3 +1543,197 @@ ue AS MATERIALIZED (
 )
 SELECT n AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
 FROM picks GROUP BY n"""
+
+
+def cocitation_pairs(sf_dir: str, min_pct: int = 20) -> rd.Dataset:
+    """Co-citation "related pages" — the classic link-structure
+    similarity (Small 1973; the signal behind "similar pages" in early
+    web search): two pages are related when the SAME sources link to
+    both. For every page pair a < b with at least one co-citing source:
+    n_common = |in(a) ∩ in(b)| (distinct sources linking both) and
+    jaccard_pct = 100·n_common // (indeg_a + indeg_b − n_common); pairs
+    below ``min_pct`` percent overlap drop. Pure integers throughout.
+
+    Shape: pair generation is the WEDGE emit bounded by the SOURCE
+    side's out-degree (the ``triangle_counts`` bound — out-lists here
+    are ≤ 3 anchors, and real crawls cap links-per-page, so this never
+    explodes the way pairing by in-degree at a hub would): one
+    hash-partition distinct over the directed edges, a keyed-partition
+    per-src pair emit, ONE groupby(pair) count, in-degrees via ONE
+    groupby, two hash_joins to attach them, map-side filter."""
+    edges = link_graph_pages(_corpus_pages(sf_dir))
+
+    def sd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": t["src_doc_id"].combine_chunks().cast(pa.int64()),
+            "d": t["dst_doc_id"].combine_chunks().cast(pa.int64())})
+
+    ue = _hash_partition_distinct(
+        edges.map_batches(sd, batch_format="pyarrow"),
+        ["s", "d"], "s").materialize()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_kp", pc.bit_wise_and(t["s"].combine_chunks(), 31))
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        a_o, b_o = [], []
+        for _, grp in g.groupby("s", sort=False):
+            ns = np.sort(grp["d"].to_numpy(np.int64))
+            if len(ns) < 2:
+                continue
+            i, j = np.triu_indices(len(ns), k=1)
+            a_o.append(ns[i])
+            b_o.append(ns[j])
+        a = np.concatenate(a_o) if a_o else np.array([], np.int64)
+        b = np.concatenate(b_o) if b_o else np.array([], np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    inter = (ue.map_batches(tag, batch_format="pyarrow")
+             .groupby("_kp").map_groups(pairs, batch_format="pandas")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="n_common"))
+             .materialize())
+    indeg = (ue.groupby("d").aggregate(Count(alias_name="deg"))
+             .materialize())
+
+    j1 = hash_join(inter, indeg, "a", "d",
+                   ["a", "b", "n_common"], ["deg"], how="inner")
+
+    def r1(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["a"], "b": t["b"], "n_common": t["n_common"],
+                         "deg_a": t["deg"].combine_chunks().cast(pa.int64())})
+
+    # pin: hash_join probes schema() (executes lineage) — without the
+    # materialize the first join's shuffle re-runs for the second probe
+    j1m = j1.map_batches(r1, batch_format="pyarrow").materialize()
+    j2 = hash_join(j1m, indeg, "b", "d",
+                   ["a", "b", "n_common", "deg_a"], ["deg"], how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        nc = t["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t["deg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = da + db - nc
+        keep = 100 * nc >= min_pct * union
+        out = pa.table({
+            "doc_a": t["a"].combine_chunks().cast(pa.int64()),
+            "doc_b": t["b"].combine_chunks().cast(pa.int64()),
+            "n_common": pa.array(nc),
+            "jaccard_pct": pa.array(100 * nc // union)})
+        return out.filter(pa.array(keep))
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def cocitation_pairs_sql(min_pct: int = 20) -> str:
+    """Self-join derivation over the planted directed edges — the
+    orientation-free ground truth the wedge emit must reproduce."""
+    return "WITH " + _edges_sql() + f""",
+pairs AS (
+  SELECT e1.dst_doc_id AS a, e2.dst_doc_id AS b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM e e1 JOIN e e2
+    ON e2.src_doc_id = e1.src_doc_id
+   AND e1.dst_doc_id < e2.dst_doc_id
+  GROUP BY 1, 2
+), ind AS (
+  SELECT dst_doc_id AS n, CAST(count(*) AS BIGINT) AS deg
+  FROM e GROUP BY 1
+)
+SELECT p.a AS doc_a, p.b AS doc_b, p.n_common,
+       CAST(100 * p.n_common // (ia.deg + ib.deg - p.n_common)
+            AS BIGINT) AS jaccard_pct
+FROM pairs p
+JOIN ind ia ON ia.n = p.a
+JOIN ind ib ON ib.n = p.b
+WHERE 100 * p.n_common >= {min_pct} * (ia.deg + ib.deg - p.n_common)"""
+
+
+def kcore_nodes(sf_dir: str, k: int = 3, rounds: int = 6) -> rd.Dataset:
+    """k-core decomposition (membership at a fixed k) — the density
+    census web-graph and community pipelines run after the component
+    census (``link_components``): iteratively PEEL every node with
+    undirected degree < k until a fixed point; what survives is the
+    k-core (spam-farm and community-core detection both key on it).
+    Returns (doc_id, deg) for members, deg = degree inside the core.
+
+    Engine: ``rounds`` peel iterations over the canonical undirected
+    edge table — per round ONE ends-union groupby for degrees, the
+    alive filter, and TWO semi hash_joins restricting edges to
+    alive∧alive (per-round materialize + fixed-width repartition: the
+    CC-loop lineage lessons). The planted hub graph converges in ≤ 2
+    rounds (docs with a collided hub pair — d ≡ 5 (mod 8) — peel at
+    k = 3, hubs never do); convergence at ``rounds`` is pytest-pinned,
+    and the oracle unrolls the SAME fixed round count, so an
+    unconverged graph fails the value-hash loudly."""
+    edges = link_graph_pages(_corpus_pages(sf_dir))
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src_doc_id"].to_numpy(zero_copy_only=False)
+        d = t["dst_doc_id"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(s, d)),
+                         "b": pa.array(np.maximum(s, d))})
+
+    ue = _hash_partition_distinct(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"], "a").materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.int64())
+        b = t["b"].combine_chunks().cast(pa.int64())
+        return pa.table({"n": pa.chunked_array([a, b]).combine_chunks()})
+
+    def degrees(es: rd.Dataset) -> rd.Dataset:
+        return (es.map_batches(ends, batch_format="pyarrow")
+                .groupby("n").aggregate(Count(alias_name="deg")))
+
+    kk = pa.scalar(k, pa.int64())
+
+    def alive_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["deg"], kk)).select(["n"])
+
+    for _ in range(rounds):
+        alive = (degrees(ue)
+                 .map_batches(alive_only, batch_format="pyarrow")
+                 .materialize())
+        ue = hash_join(ue, alive, "a", "n", ["a", "b"], [],
+                       how="semi").materialize()
+        ue = (hash_join(ue, alive, "b", "n", ["a", "b"], [], how="semi")
+              .repartition(32).materialize())
+
+    def members(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater_equal(t["deg"], kk))
+        return pa.table({"doc_id": keep["n"], "deg": keep["deg"]})
+
+    return degrees(ue).map_batches(members, batch_format="pyarrow")
+
+
+def kcore_nodes_sql(k: int = 3, rounds: int = 6) -> str:
+    """The peel UNROLLED: per round degrees → alive → both-ends-alive
+    edge restriction; MATERIALIZED per round (each round's edge table
+    is read three times — the ann_ivf re-inlining lesson)."""
+    parts = [_edges_sql(), """ue0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_doc_id, dst_doc_id) AS a,
+         greatest(src_doc_id, dst_doc_id) AS b
+  FROM e WHERE src_doc_id <> dst_doc_id
+)"""]
+    for t in range(rounds):
+        parts.append(f"""d{t} AS MATERIALIZED (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS n FROM ue{t} UNION ALL SELECT b FROM ue{t}
+  ) GROUP BY n
+), al{t} AS MATERIALIZED (
+  SELECT n FROM d{t} WHERE deg >= {k}
+), ue{t + 1} AS MATERIALIZED (
+  SELECT u.a, u.b FROM ue{t} u
+  WHERE EXISTS (SELECT 1 FROM al{t} x WHERE x.n = u.a)
+    AND EXISTS (SELECT 1 FROM al{t} y WHERE y.n = u.b)
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT n AS doc_id, deg FROM (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS n FROM ue{rounds} UNION ALL SELECT b FROM ue{rounds}
+  ) GROUP BY n
+) WHERE deg >= {k}""")
