@@ -636,6 +636,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-core membership via bounded peel rounds (unrolled oracle;
         # convergence pytest-pinned)
         "kcore_nodes": _tuned(linkgraph.kcore_nodes),
+        # clickstream path mining: top-k event-type trigrams over
+        # per-user ordered streams (keyed-window scan, partial counts)
+        "path_trigrams": _tuned(analytics.path_trigrams),
+        # inter-arrival-time histogram by decimal magnitude (digit
+        # count — pure string/integer bucket rule, no float log)
+        "interarrival_hist": _tuned(analytics.interarrival_hist),
+        # retrieve-then-rerank: BM25 candidates re-ranked by PageRank
+        # centrality blend (two oracle families composed)
+        "search_ranked": _tuned(analytics.search_ranked),
     }
 
 
@@ -688,6 +697,9 @@ AWAITING_SLOT = (
     "stopword_prune",
     "cocitation_pairs",
     "kcore_nodes",
+    "path_trigrams",
+    "interarrival_hist",
+    "search_ranked",
 )
 
 
@@ -813,6 +825,9 @@ def oracle_sql() -> dict[str, str]:
         "stopword_prune": analytics.stopword_prune_sql(),
         "cocitation_pairs": linkgraph.cocitation_pairs_sql(),
         "kcore_nodes": linkgraph.kcore_nodes_sql(),
+        "path_trigrams": analytics.path_trigrams_sql(),
+        "interarrival_hist": analytics.interarrival_hist_sql(),
+        "search_ranked": analytics.search_ranked_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -3662,6 +3662,147 @@ FROM uw JOIN coh ON coh.user_id = uw.user_id
 GROUP BY 1, 2"""
 
 
+def path_trigrams(sf_dir: str, k: int = 25,
+                  num_partitions: int = 32) -> rd.Dataset:
+    """Clickstream path mining — the top-``k`` event-type TRIGRAMS over
+    per-user ordered streams (the sequence statistic funnel designers
+    read before hard-coding a funnel like ``event_funnel``'s: which
+    3-step paths actually happen). Order inside a user is (ts,
+    event_id) — the repo's deterministic stream order; a trigram is
+    three CONSECUTIVE events of one user. Returns (path, n) ordered by
+    (n DESC, path), path = 'a>b>c'.
+
+    Shape: ONE user-hash keyed shuffle; per partition the body is
+    vectorized pandas (sort, two groupby-shifts, one value_counts) and
+    emits PARTIAL (path, n) counts, so the final exchange is a tiny
+    groupby-sum over the |types|³-bounded path domain; top-k via
+    per-block partial top-k + one small sort."""
+    P = num_partitions
+    if P & (P - 1):
+        raise ValueError("num_partitions must be a power of two")
+    ds = _read_table(sf_dir, "events", ["event_id", "user_id", "ts",
+                                        "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kp = pc.bit_wise_and(t["user_id"].combine_chunks().cast(pa.int64()),
+                             P - 1)
+        return t.append_column("_kp", kp)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        by_u = g.groupby("user_id", sort=False)["event_type"]
+        e2 = by_u.shift(-1)
+        e3 = by_u.shift(-2)
+        ok = e3.notna()
+        if not ok.any():
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        path = (g["event_type"][ok] + ">" + e2[ok] + ">" + e3[ok])
+        vc = path.value_counts()
+        return pd.DataFrame({"path": vc.index,
+                             "n": vc.to_numpy(np.int64)})
+
+    counts = (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("_kp").map_groups(partial, batch_format="pandas")
+              .groupby("path").aggregate(Sum("n", alias_name="n")))
+
+    def topk(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        p = np.asarray(t["path"].to_pylist(), dtype=object)
+        order = np.lexsort((p, -n))[:k]
+        return t.take(pa.array(order))
+
+    return (counts.map_batches(topk, batch_format="pyarrow")
+            .sort(["n", "path"], descending=[True, False])
+            .limit(k))
+
+
+def path_trigrams_sql(k: int = 25) -> str:
+    return f"""
+WITH s AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT {k}"""
+
+
+def interarrival_hist(sf_dir: str,
+                      num_partitions: int = 32) -> rd.Dataset:
+    """Inter-arrival-time histogram — per event type, how long since
+    the SAME user's previous event (any type), bucketed by decimal
+    magnitude: bucket = number of digits of the gap in microseconds
+    (0 µs → 1 digit). The latency-profile census event pipelines run
+    before choosing session gaps (``sessions``' 30-min threshold) or
+    retention windows — and the bucket rule is pure STRING/INTEGER
+    (digit count), never floor(log2(float)), so both engines agree
+    exactly with no libm-boundary argument. Returns (event_type,
+    gap_digits, n_gaps); a user's first event has no gap and is absent.
+
+    Shape: ONE user-hash keyed shuffle; vectorized per-partition body
+    (sort, one groupby-shift, digit lengths via string cast) emitting
+    PARTIAL counts; final exchange is a tiny groupby-sum over
+    O(types × 14) cells."""
+    P = num_partitions
+    if P & (P - 1):
+        raise ValueError("num_partitions must be a power of two")
+    ds = _read_table(sf_dir, "events", ["event_id", "user_id", "ts",
+                                        "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kp = pc.bit_wise_and(t["user_id"].combine_chunks().cast(pa.int64()),
+                             P - 1)
+        return t.append_column("_kp", kp)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        prev = us.groupby(g["user_id"]).shift(1)
+        ok = prev.notna()
+        if not ok.any():
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "gap_digits": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")})
+        gap = (us[ok] - prev[ok].astype("int64"))
+        digits = gap.astype("int64").astype(str).str.len().astype("int64")
+        out = (pd.DataFrame({"event_type": g["event_type"][ok],
+                             "gap_digits": digits})
+               .groupby(["event_type", "gap_digits"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_kp").map_groups(partial, batch_format="pandas")
+            .groupby(["event_type", "gap_digits"])
+            .aggregate(Sum("n", alias_name="n_gaps")))
+
+
+def interarrival_hist_sql() -> str:
+    return """
+WITH s AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type,
+       CAST(length(CAST(gap AS VARCHAR)) AS BIGINT) AS gap_digits,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM s WHERE gap IS NOT NULL
+GROUP BY 1, 2"""
+
+
 def vocab_df(sf_dir: str) -> rd.Dataset:
     """Corpus vocabulary with term + document frequencies — the
     wordcount-with-combiner shape: per-batch partial (word, count,
@@ -5420,6 +5561,76 @@ terms AS (
 SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {BM25_TOPK}"""
+
+
+RANK_BLEND_SCALE = 1_000_000   # pagerank's own scale: boost = 1 + rank/scale
+
+
+def search_ranked(sf_dir: str) -> rd.Dataset:
+    """Retrieve-then-rerank — the classic web-search ranking
+    composition (text relevance × link centrality, the blend behind
+    every first-generation engine): stage 1 retrieves each query's
+    BM25 top-k candidates (``bm25_topk``), stage 2 re-ranks them by
+    blending the document's PageRank centrality over the planted link
+    graph — blended = score·(scale + rank) // scale, a ≥1× integer
+    boost growing with centrality (hub ranks exceed ``scale`` as mass
+    concentrates), computed in PYTHON BIGINTS (BM25 scores reach 2^60
+    by their own bound, so an int64 product would overflow; the
+    candidate set is k·|queries| rows). Returns (query_id, doc_id,
+    score, centrality, blended, final_rank).
+
+    Shape: the candidate table is TINY by construction (top-k per
+    query), so it broadcasts through ONE ids-only hash_join against
+    the per-doc rank table and one per-query re-rank groupby — the
+    rerank never touches the corpus again. Composes two whole oracle
+    families (the discovery_frontier pattern)."""
+    from ..stages.joins import hash_join
+
+    cand = bm25_topk(sf_dir).materialize()
+    ranks = pagerank_docs(sf_dir)
+
+    joined = hash_join(cand, ranks, "doc_id", "doc_id",
+                       ["query_id", "doc_id", "score"], ["rank"],
+                       how="inner")
+
+    def rerank(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        ids = group["doc_id"].to_pylist()
+        sc = group["score"].to_pylist()
+        ce = group["rank"].to_pylist()
+        blended = [(int(s) * (RANK_BLEND_SCALE + int(c)))
+                   // RANK_BLEND_SCALE for s, c in zip(sc, ce)]
+        order = sorted(range(len(ids)), key=lambda i: (-blended[i], ids[i]))
+        return pa.table({
+            "query_id": pa.array([qid] * len(order), pa.int64()),
+            "doc_id": pa.array([ids[i] for i in order], pa.int64()),
+            "score": pa.array([int(sc[i]) for i in order], pa.int64()),
+            "centrality": pa.array([int(ce[i]) for i in order], pa.int64()),
+            "blended": pa.array([blended[i] for i in order], pa.int64()),
+            "final_rank": pa.array(range(1, len(order) + 1), pa.int64()),
+        })
+
+    return joined.groupby("query_id").map_groups(rerank,
+                                                 batch_format="pyarrow")
+
+
+def search_ranked_sql() -> str:
+    """Both stage oracles composed as subquery CTEs (DuckDB allows a
+    WITH inside a parenthesized subquery), HUGEINT blend product."""
+    return f"""
+WITH bm AS (SELECT * FROM ({bm25_topk_sql()})),
+pr AS (SELECT * FROM ({pagerank_docs_sql()})),
+j AS (
+  SELECT bm.query_id, bm.doc_id, bm.score, pr.rank AS centrality,
+         CAST(CAST(bm.score AS HUGEINT) * ({RANK_BLEND_SCALE} + pr.rank)
+              // {RANK_BLEND_SCALE} AS BIGINT) AS blended
+  FROM bm JOIN pr ON pr.doc_id = bm.doc_id
+)
+SELECT query_id, doc_id, score, centrality, blended,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY blended DESC, doc_id)
+            AS BIGINT) AS final_rank
+FROM j"""
 
 
 def lm_doc_scores_sql() -> str:

@@ -223,3 +223,108 @@ def test_kcore_fixpoint_and_brute_force(ray_session):
     # really get peeled unless they are themselves linked-to hubs
     peeled = set(np.unique(e[["a", "b"]].to_numpy())) - set(want)
     assert any(d % 8 == 5 for d in peeled)
+
+
+# ---------------------------------------------------------------------------
+# path_trigrams / interarrival_hist
+
+
+def _events_df():
+    ev = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"),
+                       columns=["event_id", "user_id", "ts",
+                                "event_type"]).to_pandas()
+    return ev.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+
+
+def test_path_trigrams_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (path_trigrams,
+                                                        path_trigrams_sql)
+    from tests.oracle_check import compare
+
+    assert compare("path_trigrams", path_trigrams(SF_SMOKE),
+                   path_trigrams_sql(), SF_SMOKE) == []
+
+
+def test_path_trigrams_replay(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import path_trigrams
+
+    ev = _events_df()
+    by_u = ev.groupby("user_id", sort=False)["event_type"]
+    e2, e3 = by_u.shift(-1), by_u.shift(-2)
+    ok = e3.notna()
+    ref = (ev.event_type[ok] + ">" + e2[ok] + ">" + e3[ok]).value_counts()
+
+    out = path_trigrams(SF_SMOKE, k=25).to_pandas()
+    assert len(out) == min(25, len(ref))
+    assert (out.path.str.count(">") == 2).all()
+    key = list(zip(-out.n, out.path))
+    assert key == sorted(key)
+    for _, r in out.iterrows():
+        assert ref[r.path] == r.n
+    # really the top-k: every omitted path counts <= the kept minimum
+    kept = set(out.path)
+    omitted_max = max((int(c) for p, c in ref.items() if p not in kept),
+                      default=0)
+    assert omitted_max <= int(out.n.min())
+
+
+def test_interarrival_hist_oracle_and_replay(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (interarrival_hist,
+                                                        interarrival_hist_sql)
+    from tests.oracle_check import compare
+
+    assert compare("interarrival_hist", interarrival_hist(SF_SMOKE),
+                   interarrival_hist_sql(), SF_SMOKE) == []
+
+    ev = _events_df()
+    us = ev.ts.astype("datetime64[us]").astype("int64")
+    prev = us.groupby(ev.user_id).shift(1)
+    ok = prev.notna()
+    digits = (us[ok] - prev[ok].astype("int64")).astype("int64") \
+        .astype(str).str.len()
+    ref = (pd.DataFrame({"t": ev.event_type[ok], "d": digits})
+           .groupby(["t", "d"]).size())
+    out = interarrival_hist(SF_SMOKE).to_pandas()
+    got = out.set_index(["event_type", "gap_digits"])["n_gaps"]
+    assert got.sort_index().tolist() == ref.sort_index().tolist()
+    # gaps exist across multiple magnitudes on this corpus
+    assert out.gap_digits.nunique() >= 2
+
+
+# ---------------------------------------------------------------------------
+# search_ranked
+
+
+def test_search_ranked_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (search_ranked,
+                                                        search_ranked_sql)
+    from tests.oracle_check import compare
+
+    assert compare("search_ranked", search_ranked(SF_SMOKE),
+                   search_ranked_sql(), SF_SMOKE) == []
+
+
+def test_search_ranked_is_a_rerank(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (RANK_BLEND_SCALE,
+                                                        bm25_topk,
+                                                        search_ranked)
+
+    cand = bm25_topk(SF_SMOKE).to_pandas()
+    out = search_ranked(SF_SMOKE).to_pandas()
+    # same candidate sets per query — stage 2 never adds or drops docs
+    for qid, grp in out.groupby("query_id"):
+        want = set(cand[cand.query_id == qid].doc_id)
+        assert set(grp.doc_id) == want
+        assert sorted(grp.final_rank) == list(range(1, len(want) + 1))
+        # blended order really is (blended DESC, doc_id)
+        g = grp.sort_values("final_rank")
+        key = list(zip(-g.blended, g.doc_id))
+        assert key == sorted(key)
+    # centrality boost is >= 1x (hub ranks exceed the scale, so the
+    # boost is unbounded above — only the floor is guaranteed)
+    assert (out.blended >= out.score).all()
+    # the join wired the real pagerank column, not zeros
+    assert (out.centrality > 0).any()
+    assert (out.blended == (out.score * (RANK_BLEND_SCALE + out.centrality))
+            // RANK_BLEND_SCALE).all()
