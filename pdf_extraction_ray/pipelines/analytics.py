@@ -3857,9 +3857,10 @@ def stopword_prune(sf_dir: str, df_pct: int = 50) -> rd.Dataset:
     stoplist it yields is SMALL BY NATURE (words in ≥ half of all
     documents — tens, not vocabulary-sized; a low ``df_pct`` that could
     grow it is the caller's contract), so it broadcasts once via
-    ``ray.put`` and pass 2 is map-side only: per batch, ONE flattened
-    np.isin over all tokens + reduceat/split reassembly — no Python
-    token loop, the corpus never shuffles."""
+    ``ray.put`` and pass 2 is map-side only: per batch, the keep/drop
+    decision is ONE flattened np.isin over all tokens +
+    reduceat/split reassembly (Python only splits and re-joins
+    strings, as every text op here does); the corpus never shuffles."""
     import ray as _ray
 
     n_corpus = _docs(sf_dir, ["doc_id"]).count()
