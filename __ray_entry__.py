@@ -645,6 +645,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # retrieve-then-rerank: BM25 candidates re-ranked by PageRank
         # centrality blend (two oracle families composed)
         "search_ranked": _tuned(analytics.search_ranked),
+        # NTILE(4) value quartiles per event type (string-keyed window
+        # scan; exact SQL NTILE fill rule, vectorized)
+        "value_ntiles": _tuned(analytics.value_ntiles),
+        # out-of-order/watermark audit over planted disorder (per-user
+        # shifted running-max; ontime/reordered/late statuses)
+        "late_event_audit": _tuned(analytics.late_event_audit),
+        # per-type daily-rate EWMA (integer alpha=1/8 recurrence on a
+        # zero-filled day spine; WITH RECURSIVE oracle)
+        "ewma_event_rate": _tuned(analytics.ewma_event_rate),
     }
 
 
@@ -700,6 +709,9 @@ AWAITING_SLOT = (
     "path_trigrams",
     "interarrival_hist",
     "search_ranked",
+    "value_ntiles",
+    "late_event_audit",
+    "ewma_event_rate",
 )
 
 
@@ -828,6 +840,9 @@ def oracle_sql() -> dict[str, str]:
         "path_trigrams": analytics.path_trigrams_sql(),
         "interarrival_hist": analytics.interarrival_hist_sql(),
         "search_ranked": analytics.search_ranked_sql(),
+        "value_ntiles": analytics.value_ntiles_sql(),
+        "late_event_audit": analytics.late_event_audit_sql(),
+        "ewma_event_rate": analytics.ewma_event_rate_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.classify import MEMO_PHRASES, QP_PHRASES  # noqa: F401 (parity)
 from ..functions.hashing import rolling_fingerprint, sha256_hex
@@ -6830,3 +6830,246 @@ WITH {_gopher_sql_parts()}, passed AS (
   FROM h3)
 SELECT doc_id, n_tokens, CAST(pos % {SHARD_COUNT} AS BIGINT) AS shard
 FROM rk"""
+
+
+# ---------------------------------------------------------------------------
+# continuation session 7: event-stream parity + rate monitoring
+# ---------------------------------------------------------------------------
+
+# watermark / disorder audit constants: every 13th event's timestamp is
+# planted backwards by 5..35 minutes (pure functions of event_id, so the
+# SQL oracle re-derives the plant — the _docs_with_planted_pii pattern;
+# the generated events table is ts-monotone in event_id, so without the
+# plant the audit is vacuous), and 15 minutes is the allowed lateness.
+DISORDER_MOD = 13
+DISORDER_RES = 9
+DISORDER_BASE_S = 300
+DISORDER_STEP_S = 300
+LATENESS_US = 900 * 1_000_000
+
+
+def value_ntiles(sf_dir: str, n: int = 4,
+                 num_partitions: int = 32) -> rd.Dataset:
+    """NTILE(n) value quartiles per event type — the window-function
+    bucketing SQL users reach for before histogramming (``NTILE(4)
+    OVER (PARTITION BY event_type ORDER BY cents, event_id)``).
+
+    Shape: the keyed-window scan with a STRING key (the
+    section_quota_sample pattern): tag ``_kp = hash(type) & (P-1)``,
+    ONE groupby(_kp) shuffle, then a vectorized per-partition sort +
+    cumcount implementing the exact SQL NTILE fill rule (the first
+    ``count % n`` tiles get ``ceil(count/n)`` rows). Values ride as
+    integer cents, so no float ever reaches the compare."""
+    from ..functions.hashing import stable_hash64
+
+    P = num_partitions
+    ds = _read_table(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cents = pc.round(pc.multiply(batch["value"], 100.0)).cast(pa.int64())
+        types = batch["event_type"].to_pylist()
+        kp = np.fromiter((stable_hash64(t) & (P - 1) for t in types),
+                         np.int64, len(types))
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "cents": cents,
+                         "_kp": pa.array(kp, pa.int64())})
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "event_type": pd.Series([], dtype=object),
+                                 "cents": pd.Series([], dtype="int64"),
+                                 "tile": pd.Series([], dtype="int64")})
+        g = g.sort_values(["event_type", "cents", "event_id"],
+                          kind="mergesort")
+        grp = g.groupby("event_type", sort=False)
+        idx = grp.cumcount().to_numpy(np.int64)
+        cnt = grp["event_id"].transform("size").to_numpy(np.int64)
+        q, r = cnt // n, cnt % n
+        # SQL NTILE: tiles 1..r hold q+1 rows, tiles r+1..n hold q rows
+        big = r * (q + 1)
+        g["tile"] = np.where(
+            idx < big,
+            idx // (q + 1) + 1,
+            r + (idx - big) // np.maximum(q, 1) + 1).astype(np.int64)
+        return g.drop(columns=["_kp"])
+
+    return (ds.map_batches(feats, batch_format="pyarrow")
+            .groupby("_kp").map_groups(tile, batch_format="pandas"))
+
+
+def value_ntiles_sql(n: int = 4) -> str:
+    return f"""
+SELECT event_id, event_type, c AS cents,
+       CAST(NTILE({n}) OVER (PARTITION BY event_type
+                             ORDER BY c, event_id) AS BIGINT) AS tile
+FROM (SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c FROM events)"""
+
+
+def late_event_audit(sf_dir: str,
+                     num_partitions: int = 32) -> rd.Dataset:
+    """Out-of-order / watermark audit — the streaming-ingest triage
+    every event pipeline runs before picking window allowed-lateness:
+    per user, events arrive in ``event_id`` order; each event's
+    ``disorder_us`` is how far it lags the user's watermark (the
+    running max timestamp over PRIOR arrivals), and its status is
+    ``ontime`` (no disorder), ``reordered`` (within the 15-minute
+    allowed lateness — a window would still accept it) or ``late``
+    (a streaming engine would drop or side-output it).
+
+    Shape: ONE user-hash keyed shuffle; the per-partition body is a
+    vectorized sort + per-user shifted ``cummax`` — the keyed-window
+    scan with a running MAX instead of keyed_scan's running sum."""
+    P = num_partitions
+    ds = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kp = pc.bit_wise_and(t["user_id"].combine_chunks().cast(pa.int64()),
+                             P - 1)
+        return t.append_column("_kp", kp)
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "disorder_us": pd.Series([], dtype="int64"),
+                                 "status": pd.Series([], dtype=object)})
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        eid = g["event_id"].to_numpy(np.int64)
+        tus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # the deterministic disorder plant (see module constants)
+        shift = np.where(
+            eid % DISORDER_MOD == DISORDER_RES,
+            (DISORDER_BASE_S + (eid % 7) * DISORDER_STEP_S) * 1_000_000,
+            0)
+        tus = tus - shift
+        # cythonized per-user running max, shifted one arrival back
+        # (never a per-user Python .apply)
+        users = g["user_id"].to_numpy()
+        wm = (pd.Series(tus).groupby(users).cummax()
+              .groupby(users).shift(1).to_numpy())
+        # first event per user: watermark == own ts (disorder 0)
+        disorder = np.where(np.isnan(wm), 0,
+                            np.maximum(np.nan_to_num(wm) - tus, 0)
+                            ).astype(np.int64)
+        status = np.where(disorder == 0, "ontime",
+                          np.where(disorder <= LATENESS_US,
+                                   "reordered", "late"))
+        return pd.DataFrame({"event_id": eid,
+                             "disorder_us": disorder,
+                             "status": status})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_kp").map_groups(audit, batch_format="pandas"))
+
+
+def late_event_audit_sql() -> str:
+    return f"""
+WITH p AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - CASE WHEN event_id % {DISORDER_MOD} = {DISORDER_RES}
+           THEN ({DISORDER_BASE_S} + (event_id % 7) * {DISORDER_STEP_S})
+                * 1000000
+           ELSE 0 END AS tus
+  FROM events
+), w AS (
+  SELECT event_id,
+         greatest(0, COALESCE(
+             MAX(tus) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING),
+             tus) - tus) AS d
+  FROM p
+)
+SELECT event_id, CAST(d AS BIGINT) AS disorder_us,
+       CASE WHEN d = 0 THEN 'ontime'
+            WHEN d <= {LATENESS_US} THEN 'reordered'
+            ELSE 'late' END AS status
+FROM w"""
+
+
+DAY_US = 86_400 * 1_000_000
+EWMA_SCALE = 1000
+
+
+def ewma_event_rate(sf_dir: str) -> rd.Dataset:
+    """Per-type daily event-rate EWMA — the smoothed rate monitor
+    behind every traffic-anomaly alert: counts per (type, epoch day)
+    on a zero-filled contiguous day spine, then the exponential
+    moving average ``s_d = (7*s_{{d-1}} + 1000*n_d) // 8`` (alpha =
+    1/8, milli-scaled so the integer recurrence keeps resolution;
+    s_{{d0}} = 1000*n_{{d0}}). Pure-integer recurrence — bit-exact vs
+    a WITH RECURSIVE DuckDB oracle stepping the same fold.
+
+    Shape: one combiner groupby folds the corpus to O(types × days)
+    count cells; the global day bounds are two scalar aggregates; the
+    sequential EWMA fold then runs INSIDE one map_groups per type
+    (the series is inherently ordered — the loop is over ~days per
+    group, never over events). Returns (event_type, day, n_events,
+    ewma_milli)."""
+    import pyarrow.compute as pc
+
+    ds = _read_table(sf_dir, "events", ["event_type", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "day": pc.divide(us, DAY_US)})
+
+    days = ds.map_batches(to_day, batch_format="pyarrow")
+    bounds = days.aggregate(Min("day"), Max("day"))
+    d0, d1 = int(bounds["min(day)"]), int(bounds["max(day)"])
+
+    counts = (days.groupby(["event_type", "day"])
+              .aggregate(Count(alias_name="n")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "day": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "ewma_milli": pd.Series([], dtype="int64")})
+        et = g["event_type"].iloc[0]
+        spine = np.zeros(d1 - d0 + 1, np.int64)
+        spine[g["day"].to_numpy(np.int64) - d0] = g["n"].to_numpy(np.int64)
+        s = np.empty_like(spine)
+        acc = EWMA_SCALE * int(spine[0])
+        s[0] = acc
+        for i in range(1, len(spine)):
+            acc = (7 * acc + EWMA_SCALE * int(spine[i])) // 8
+            s[i] = acc
+        return pd.DataFrame({"event_type": et,
+                             "day": np.arange(d0, d1 + 1, dtype=np.int64),
+                             "n_events": spine,
+                             "ewma_milli": s})
+
+    return counts.groupby("event_type").map_groups(
+        fold, batch_format="pandas")
+
+
+def ewma_event_rate_sql() -> str:
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type, epoch_us(ts) // {DAY_US} AS day FROM events
+), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+cnts AS (SELECT event_type, day, count(*) AS n FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT t.event_type, r.day, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(range(d0, d1 + 1)) AS day FROM bounds) r
+  LEFT JOIN cnts c ON c.event_type = t.event_type AND c.day = r.day
+), rec AS (
+  SELECT event_type, day, n, CAST({EWMA_SCALE} * n AS BIGINT) AS s
+  FROM spine WHERE day = (SELECT d0 FROM bounds)
+  UNION ALL
+  SELECT sp.event_type, sp.day, sp.n,
+         (7 * rec.s + {EWMA_SCALE} * sp.n) // 8
+  FROM rec JOIN spine sp
+    ON sp.event_type = rec.event_type AND sp.day = rec.day + 1
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(n AS BIGINT) AS n_events, CAST(s AS BIGINT) AS ewma_milli
+FROM rec"""

@@ -1,0 +1,135 @@
+"""Tests for the session-7 operators: NTILE value quartiles, the
+out-of-order/watermark audit, and the per-type daily-rate EWMA."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# value_ntiles
+
+
+def test_value_ntiles_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (value_ntiles,
+                                                        value_ntiles_sql)
+    from tests.oracle_check import compare
+
+    assert compare("value_ntiles", value_ntiles(SF_SMOKE),
+                   value_ntiles_sql(), SF_SMOKE) == []
+
+
+def test_value_ntiles_fill_rule(ray_session):
+    """SQL NTILE semantics: within each type, tile sizes differ by at
+    most one, the larger tiles come first, and every row is tiled."""
+    from pdf_extraction_ray.pipelines.analytics import value_ntiles
+
+    out = value_ntiles(SF_SMOKE, n=4).to_pandas()
+    ev = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"),
+                       columns=["event_id"])
+    assert len(out) == ev.num_rows
+    assert set(out.tile) <= {1, 2, 3, 4}
+    for et, g in out.groupby("event_type"):
+        sizes = g.groupby("tile").size()
+        assert sizes.max() - sizes.min() <= 1
+        # larger tiles first (the first count%n tiles get the extra row)
+        s = sizes.reindex(range(1, sizes.index.max() + 1)).to_numpy()
+        assert (np.diff(s) <= 0).all()
+        # tiles are value-ordered: every row in tile t has cents <= the
+        # min of tile t+1 (ties broken by event_id inside the order)
+        gmax = g.groupby("tile")["cents"].max()
+        gmin = g.groupby("tile")["cents"].min()
+        for t in range(1, int(sizes.index.max())):
+            assert gmax[t] <= gmin[t + 1] or gmax[t] == gmin[t + 1]
+
+
+# ---------------------------------------------------------------------------
+# late_event_audit
+
+
+def test_late_event_audit_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (late_event_audit,
+                                                        late_event_audit_sql)
+    from tests.oracle_check import compare
+
+    assert compare("late_event_audit", late_event_audit(SF_SMOKE),
+                   late_event_audit_sql(), SF_SMOKE) == []
+
+
+def test_late_event_audit_semantics(ray_session):
+    """The plant creates all three statuses; un-planted events are
+    ontime (the raw table is ts-monotone per user); a pandas replay of
+    the watermark rule matches."""
+    from pdf_extraction_ray.pipelines.analytics import (DISORDER_BASE_S,
+                                                        DISORDER_MOD,
+                                                        DISORDER_RES,
+                                                        DISORDER_STEP_S,
+                                                        LATENESS_US,
+                                                        late_event_audit)
+
+    out = late_event_audit(SF_SMOKE).to_pandas()
+    assert set(out.status) == {"ontime", "reordered", "late"}
+    planted = out.event_id % DISORDER_MOD == DISORDER_RES
+    assert (out.loc[~planted, "disorder_us"] == 0).all()
+    assert (out.loc[~planted, "status"] == "ontime").all()
+
+    ev = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"),
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    ev = ev.sort_values(["user_id", "event_id"], kind="mergesort")
+    tus = ev.ts.astype("datetime64[us]").astype("int64").to_numpy()
+    eid = ev.event_id.to_numpy()
+    shift = np.where(eid % DISORDER_MOD == DISORDER_RES,
+                     (DISORDER_BASE_S + (eid % 7) * DISORDER_STEP_S)
+                     * 1_000_000, 0)
+    tus = tus - shift
+    users = ev.user_id.to_numpy()
+    wm = (pd.Series(tus).groupby(users).cummax()
+          .groupby(users).shift(1).to_numpy())
+    disorder = np.where(np.isnan(wm), 0,
+                        np.maximum(np.nan_to_num(wm) - tus, 0)
+                        ).astype(np.int64)
+    ref = pd.Series(disorder, index=eid).sort_index()
+    got = out.set_index("event_id")["disorder_us"].sort_index()
+    assert got.tolist() == ref.tolist()
+    late = out[out.status == "late"]
+    assert (late.disorder_us > LATENESS_US).all()
+
+
+# ---------------------------------------------------------------------------
+# ewma_event_rate
+
+
+def test_ewma_event_rate_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (ewma_event_rate,
+                                                        ewma_event_rate_sql)
+    from tests.oracle_check import compare
+
+    assert compare("ewma_event_rate", ewma_event_rate(SF_SMOKE),
+                   ewma_event_rate_sql(), SF_SMOKE) == []
+
+
+def test_ewma_event_rate_semantics(ray_session):
+    """Zero-filled contiguous spine per type; the recurrence replays;
+    EWMA converges toward zero over trailing empty days."""
+    from pdf_extraction_ray.pipelines.analytics import (EWMA_SCALE,
+                                                        ewma_event_rate)
+
+    out = ewma_event_rate(SF_SMOKE).to_pandas()
+    d0, d1 = out.day.min(), out.day.max()
+    for et, g in out.groupby("event_type"):
+        g = g.sort_values("day")
+        assert g.day.tolist() == list(range(d0, d1 + 1))  # contiguous
+        # replay the fold
+        acc = EWMA_SCALE * int(g.n_events.iloc[0])
+        assert int(g.ewma_milli.iloc[0]) == acc
+        for n, s in zip(g.n_events.iloc[1:], g.ewma_milli.iloc[1:]):
+            acc = (7 * acc + EWMA_SCALE * int(n)) // 8
+            assert int(s) == acc
+    # total zero-filled cells cover types x span
+    assert len(out) == out.event_type.nunique() * (d1 - d0 + 1)
