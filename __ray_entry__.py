@@ -654,6 +654,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-type daily-rate EWMA (integer alpha=1/8 recurrence on a
         # zero-filled day spine; WITH RECURSIVE oracle)
         "ewma_event_rate": _tuned(analytics.ewma_event_rate),
+        # label-propagation community census (synchronous majority
+        # vote, fixed unroll; the component census's finer sibling)
+        "lpa_communities": _tuned(linkgraph.lpa_communities),
     }
 
 
@@ -712,6 +715,7 @@ AWAITING_SLOT = (
     "value_ntiles",
     "late_event_audit",
     "ewma_event_rate",
+    "lpa_communities",
 )
 
 
@@ -843,6 +847,7 @@ def oracle_sql() -> dict[str, str]:
         "value_ntiles": analytics.value_ntiles_sql(),
         "late_event_audit": analytics.late_event_audit_sql(),
         "ewma_event_rate": analytics.ewma_event_rate_sql(),
+        "lpa_communities": linkgraph.lpa_communities_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import PipelineConfig
 from ..functions.html_extract import Node, parse_html
@@ -1737,3 +1737,204 @@ SELECT n AS doc_id, deg FROM (
     SELECT a AS n FROM ue{rounds} UNION ALL SELECT b FROM ue{rounds}
   ) GROUP BY n
 ) WHERE deg >= {k}""")
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities (session 7)
+# ---------------------------------------------------------------------------
+
+LPA_LABEL_BITS = 33   # labels are doc ids < 2^33; vote counts < 2^30 —
+# the composed argmax key (count << 33 | (MASK - label)) is the
+# cluster_keep_best pattern and shares its documented bound
+
+
+def _lpa_one_task(rounds: int, n_node_blocks: int,
+                  *blocks: pa.Table) -> pa.Table:
+    """All LPA rounds in one task (dispatched when the edge count is
+    under ``task_limit`` — the _pr_one_task lesson): synchronous
+    majority vote over dense-remapped ids, mode per node via ONE
+    lexsort over (node, -count, label) per round."""
+    node_tabs = [t for t in blocks[:n_node_blocks] if t.num_rows]
+    edge_tabs = [t for t in blocks[n_node_blocks:] if t.num_rows]
+    nodes = np.sort(np.unique(np.concatenate(
+        [t["node"].to_numpy(zero_copy_only=False) for t in node_tabs])
+        if node_tabs else np.array([], np.int64)).astype(np.int64))
+    n = len(nodes)
+    if edge_tabs:
+        et = pa.concat_tables(
+            [t.select(["src_doc_id", "dst_doc_id"]) for t in edge_tabs])
+        s = et["src_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = et["dst_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+    else:
+        s = d = np.array([], np.int64)
+    # undirected: votes flow both ways
+    a = np.concatenate([np.searchsorted(nodes, s),
+                        np.searchsorted(nodes, d)])
+    b = np.concatenate([np.searchsorted(nodes, d),
+                        np.searchsorted(nodes, s)])
+    lab = nodes.copy()
+    for _ in range(rounds):
+        vl = lab[b]                      # neighbor labels voting for a
+        # count (a, vl) pairs: composite sort over the pair
+        order = np.lexsort((vl, a))
+        aa, ll = a[order], vl[order]
+        new_pair = np.empty(len(aa), bool)
+        if len(aa):
+            new_pair[0] = True
+            new_pair[1:] = (aa[1:] != aa[:-1]) | (ll[1:] != ll[:-1])
+        starts = np.flatnonzero(new_pair)
+        cnt = np.diff(np.append(starts, len(aa)))
+        pn, pl = aa[starts], ll[starts]
+        # mode per node: order by (node, -count, label), take first
+        o2 = np.lexsort((pl, -cnt, pn))
+        pn, pl = pn[o2], pl[o2]
+        first = np.empty(len(pn), bool)
+        if len(pn):
+            first[0] = True
+            first[1:] = pn[1:] != pn[:-1]
+        nxt = lab.copy()
+        nxt[pn[first]] = pl[first]
+        lab = nxt
+    return pa.table({"doc_id": pa.array(nodes),
+                     "community_id": pa.array(lab)})
+
+
+def lpa_from_edges(edges: rd.Dataset, nodes: rd.Dataset,
+                   rounds: int = 4,
+                   task_limit: int = 5_000_000) -> rd.Dataset:
+    """Label-propagation communities (Raghavan et al. 2007, the
+    synchronous deterministic variant) over an edge table: label0 =
+    own id; each round every node adopts the MODE of its undirected
+    neighbors' labels (tie → min label; no neighbors → keep). A fixed
+    round count makes the algorithm deterministic on both engines
+    (synchronous LPA can oscillate on bipartite subgraphs — the fixed
+    unroll sidesteps convergence arguments the way link_components'
+    oracle does). Unlike connected components (min-label), the
+    majority vote splits a connected hub-bridged graph into per-hub
+    communities — the community census, not the component census.
+
+    Shape per distributed round: ONE hash_join ships labels to edge
+    endpoints, ONE groupby(node, label) counts votes, the mode folds
+    via the composed-argmax-key groupby (never per-node Python), and
+    a zero-presence union keeps isolated nodes (the pagerank
+    pattern). Small graphs run every round in ONE task."""
+    if edges.count() <= task_limit:
+        node_refs = nodes.to_arrow_refs()
+        edge_refs = edges.to_arrow_refs()
+        return rd.from_arrow_refs([ray.remote(_lpa_one_task).remote(
+            rounds, len(node_refs), *node_refs, *edge_refs)])
+
+    MASK = (1 << LPA_LABEL_BITS) - 1
+
+    def undirected(t: pa.Table) -> pa.Table:
+        s = t["src_doc_id"].combine_chunks().cast(pa.int64())
+        d = t["dst_doc_id"].combine_chunks().cast(pa.int64())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "a": pa.chunked_array([s, d]).combine_chunks(),
+            "b": pa.chunked_array([d, s]).combine_chunks()})
+
+    ee = edges.map_batches(undirected, batch_format="pyarrow").materialize()
+
+    def init(t: pa.Table) -> pa.Table:
+        n = t["node"].combine_chunks().cast(pa.int64())
+        return pa.table({"node": n, "l": n})
+
+    labels = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    for _ in range(rounds):
+        votes = hash_join(ee, labels, "b", "node", ["a"], ["l"],
+                          how="inner")
+        cnts = votes.groupby(["a", "l"]).aggregate(Count(alias_name="c"))
+
+        def argkey(t: pa.Table) -> pa.Table:
+            c = t["c"].combine_chunks().cast(pa.int64())
+            l = t["l"].combine_chunks().cast(pa.int64())
+            k = pc.bit_wise_or(
+                pc.shift_left(c, pa.scalar(LPA_LABEL_BITS, pa.int64())),
+                pc.subtract(pa.scalar(MASK, pa.int64()), l))
+            return pa.table({"node": t["a"].combine_chunks().cast(pa.int64()),
+                             "k": k})
+
+        modes = (cnts.map_batches(argkey, batch_format="pyarrow")
+                 .groupby("node").aggregate(Max("k", alias_name="km")))
+
+        # merge: the mode row (flag 1) wins over the carried old label
+        # (flag 0); at most one mode row per node exists, so Max over
+        # (flag << LPA_LABEL_BITS | label) decodes exactly
+        def mode_row(t: pa.Table) -> pa.Table:
+            ml = pc.subtract(
+                pa.scalar(MASK, pa.int64()),
+                pc.bit_wise_and(t["km"].combine_chunks().cast(pa.int64()),
+                                pa.scalar(MASK, pa.int64())))
+            f = pc.bit_wise_or(
+                pc.shift_left(pa.scalar(1, pa.int64()),
+                              pa.scalar(LPA_LABEL_BITS, pa.int64())),
+                ml)
+            return pa.table({"node": t["node"].combine_chunks(), "f": f})
+
+        def old_row(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"].combine_chunks().cast(pa.int64()),
+                "f": t["l"].combine_chunks().cast(pa.int64())})
+
+        def decode(t: pa.Table) -> pa.Table:
+            l = pc.bit_wise_and(t["fm"].combine_chunks().cast(pa.int64()),
+                                pa.scalar(MASK, pa.int64()))
+            return pa.table({"node": t["node"].combine_chunks(), "l": l})
+
+        labels = (modes.map_batches(mode_row, batch_format="pyarrow")
+                  .union(labels.map_batches(old_row, batch_format="pyarrow"))
+                  .groupby("node").aggregate(Max("f", alias_name="fm"))
+                  .map_batches(decode, batch_format="pyarrow")
+                  .repartition(32).materialize())
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"],
+                            "community_id": t["l"]}),
+        batch_format="pyarrow")
+
+
+def lpa_communities(sf_dir: str, rounds: int = 4,
+                    task_limit: int = 5_000_000) -> rd.Dataset:
+    """LPA community census of the extracted link graph — the planted
+    hub graph splits into per-hub communities (docs adopt their min
+    hub's gravity) rather than link_components' single giant
+    component; link-free pages stay their own singleton community."""
+    pages = _corpus_pages(sf_dir)
+    edges = link_graph_pages(pages).materialize()
+    nodes = page_nodes(pages)
+    return lpa_from_edges(edges, nodes, rounds=rounds,
+                          task_limit=task_limit)
+
+
+def lpa_communities_sql(rounds: int = 4) -> str:
+    """The synchronous majority vote UNROLLED: per round neighbor
+    votes → QUALIFY mode (count DESC, label ASC) → COALESCE keep-own.
+    MATERIALIZED per round (the ann_ivf re-inlining lesson)."""
+    parts = [_edges_sql(), """ee AS MATERIALIZED (
+  SELECT src_doc_id AS a, dst_doc_id AS b FROM e
+  WHERE src_doc_id <> dst_doc_id
+  UNION ALL
+  SELECT dst_doc_id AS a, src_doc_id AS b FROM e
+  WHERE src_doc_id <> dst_doc_id
+), l0 AS MATERIALIZED (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+)"""]
+    for t in range(rounds):
+        parts.append(f"""m{t} AS MATERIALIZED (
+  SELECT ee.a AS node, l.label AS ml
+  FROM ee JOIN l{t} l ON l.node = ee.b
+  GROUP BY ee.a, l.label
+  QUALIFY row_number() OVER (PARTITION BY ee.a
+                             ORDER BY count(*) DESC, l.label) = 1
+), l{t + 1} AS MATERIALIZED (
+  SELECT n.node, COALESCE(m.ml, n.label) AS label
+  FROM l{t} n LEFT JOIN m{t} m ON m.node = n.node
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT node AS doc_id, CAST(label AS BIGINT) AS community_id
+FROM l{rounds}""")

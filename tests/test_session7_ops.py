@@ -1,5 +1,6 @@
 """Tests for the session-7 operators: NTILE value quartiles, the
-out-of-order/watermark audit, and the per-type daily-rate EWMA."""
+out-of-order/watermark audit, the per-type daily-rate EWMA, and
+label-propagation communities."""
 
 from __future__ import annotations
 
@@ -133,3 +134,52 @@ def test_ewma_event_rate_semantics(ray_session):
             assert int(s) == acc
     # total zero-filled cells cover types x span
     assert len(out) == out.event_type.nunique() * (d1 - d0 + 1)
+
+
+# ---------------------------------------------------------------------------
+# lpa_communities
+
+
+def test_lpa_communities_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.linkgraph import (lpa_communities,
+                                                        lpa_communities_sql)
+    from tests.oracle_check import compare
+
+    assert compare("lpa_communities", lpa_communities(SF_SMOKE),
+                   lpa_communities_sql(), SF_SMOKE) == []
+
+
+def test_lpa_distributed_path_matches(ray_session):
+    """The per-round join/groupby path (task_limit=0 forces it) is
+    bit-identical to the one-task dispatch."""
+    from pdf_extraction_ray.pipelines.linkgraph import lpa_communities
+
+    one = (lpa_communities(SF_SMOKE).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    dist = (lpa_communities(SF_SMOKE, task_limit=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert one.equals(dist)
+
+
+def test_lpa_vs_components_structure(ray_session):
+    """LPA refines (or equals) the component census: every community
+    sits inside one connected component, never across two; link-free
+    pages stay singleton communities."""
+    from pdf_extraction_ray.pipelines.linkgraph import (link_components,
+                                                        link_graph,
+                                                        lpa_communities)
+
+    com = lpa_communities(SF_SMOKE).to_pandas().set_index("doc_id")
+    cc = link_components(SF_SMOKE).to_pandas().set_index("doc_id")
+    merged = com.join(cc)
+    # each community maps to exactly one component
+    assert (merged.groupby("community_id")["component_id"]
+            .nunique() == 1).all()
+    assert merged.community_id.nunique() >= merged.component_id.nunique()
+    linked = set()
+    eg = link_graph(SF_SMOKE).to_pandas()
+    linked.update(eg.src_doc_id)
+    linked.update(eg.dst_doc_id)
+    iso = merged[~merged.index.isin(linked)]
+    assert len(iso) > 0
+    assert (iso.community_id == iso.index).all()
