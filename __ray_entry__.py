@@ -657,6 +657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # label-propagation community census (synchronous majority
         # vote, fixed unroll; the component census's finer sibling)
         "lpa_communities": _tuned(linkgraph.lpa_communities),
+        # product quantization codes (per-subspace unrolled-Lloyd fit;
+        # the 64x ANN memory-compression path past SQ8)
+        "embedding_pq": _tuned(analytics.embedding_pq),
     }
 
 
@@ -716,6 +719,7 @@ AWAITING_SLOT = (
     "late_event_audit",
     "ewma_event_rate",
     "lpa_communities",
+    "embedding_pq",
 )
 
 
@@ -848,6 +852,7 @@ def oracle_sql() -> dict[str, str]:
         "late_event_audit": analytics.late_event_audit_sql(),
         "ewma_event_rate": analytics.ewma_event_rate_sql(),
         "lpa_communities": linkgraph.lpa_communities_sql(),
+        "embedding_pq": analytics.embedding_pq_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

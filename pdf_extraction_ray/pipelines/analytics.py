@@ -5782,39 +5782,44 @@ def kmeans_clusters(sf_dir: str, k: int = 10, iters: int = 6) -> rd.Dataset:
     return assign
 
 
-def _kmeans_sql_parts(src: str, k: int, iters: int, dim: int) -> list[str]:
+def _kmeans_sql_parts(src: str, k: int, iters: int, dim: int,
+                      pfx: str = "") -> list[str]:
     """CTE parts unrolling the deterministic ``init_ids=[0..k-1]``
     k-means over ``src`` (a table/CTE with (vec_id, embedding)): v =
     unnested vectors, c0 = init centroids, a{i}/c{i+1} = Lloyd rounds
     (argmin assignment with cluster-id tie-break, per-cluster per-dim
     mean, empty clusters keep the previous centroid), ending with the
     final assignment CTE ``afinal (vec_id, cid)``. Shared by
-    ``kmeans_clusters_sql`` and ``semdedup_sql``."""
+    ``kmeans_clusters_sql`` and ``semdedup_sql``; ``pfx`` prefixes
+    every CTE name so multiple instantiations coexist in ONE query
+    (embedding_pq_sql runs one chain per subspace)."""
+    V = f"{pfx}v"
+
     def assign_cte(name: str, cents: str) -> str:
-        return f"""{name} AS (
+        return f"""{pfx}{name} AS (
   SELECT vec_id, cid FROM (
     SELECT v.vec_id, c.cid,
            sum((v.val - c.val) * (v.val - c.val)) AS dist
-    FROM v JOIN {cents} c ON v.d = c.d
+    FROM {V} v JOIN {pfx}{cents} c ON v.d = c.d
     GROUP BY v.vec_id, c.cid)
   QUALIFY row_number() OVER (PARTITION BY vec_id
                              ORDER BY dist, cid) = 1
 )"""
 
-    parts = [f"""v AS (
+    parts = [f"""{V} AS (
   SELECT vec_id, unnest(range({dim})) AS d,
          unnest(CAST(embedding AS DOUBLE[])) AS val
   FROM {src}
-), c0 AS (
-  SELECT vec_id AS cid, d, val FROM v WHERE vec_id < {k}
+), {pfx}c0 AS (
+  SELECT vec_id AS cid, d, val FROM {V} WHERE vec_id < {k}
 )"""]
     for i in range(iters):
         parts.append(assign_cte(f"a{i}", f"c{i}"))
-        parts.append(f"""c{i + 1} AS (
+        parts.append(f"""{pfx}c{i + 1} AS (
   SELECT p.cid, p.d, COALESCE(m.val, p.val) AS val
-  FROM c{i} p LEFT JOIN (
+  FROM {pfx}c{i} p LEFT JOIN (
     SELECT a.cid, v.d, avg(v.val) AS val
-    FROM a{i} a JOIN v ON v.vec_id = a.vec_id
+    FROM {pfx}a{i} a JOIN {V} v ON v.vec_id = a.vec_id
     GROUP BY a.cid, v.d) m
   ON m.cid = p.cid AND m.d = p.d
 )""")
@@ -7073,3 +7078,90 @@ spine AS (
 SELECT event_type, CAST(day AS BIGINT) AS day,
        CAST(n AS BIGINT) AS n_events, CAST(s AS BIGINT) AS ewma_milli
 FROM rec"""
+
+
+# ---------------------------------------------------------------------------
+# product quantization (session 7)
+# ---------------------------------------------------------------------------
+
+
+def embedding_pq(sf_dir: str, m: int = 4, k: int = 16,
+                 iters: int = 4) -> rd.Dataset:
+    """Product quantization (Jégou et al. 2011) — the ANN
+    memory-compression path past SQ8 (``embedding_quantize``): split
+    each 64-dim vector into ``m`` contiguous subspaces, k-means each
+    subspace independently (the SQL-replicable ``init_ids=[0..k-1]``
+    variant, stages/similarity.py:kmeans_fit), and store each vector
+    as ``m`` one-byte codes — 64×4 B → 4 B per vector, the difference
+    between an in-RAM and an on-disk ANN index at 100 TB. Returns the
+    code table (vec_id, code_0..code_{m-1}).
+
+    Shape: the input materializes ONCE; each subspace's fit folds
+    fixed-size (k×sub sums, k counts) partials (never vectors to the
+    driver); the m codebooks then broadcast via ``ray.put`` into ONE
+    fused assignment map. Exactness: assignment replays kmeans_fit's
+    float64 distance (argmin, first-min tie-break = lowest code) —
+    the kmeans_clusters margin argument (cross-engine noise ~1e-13 vs
+    measured assignment margins orders wider) applies per subspace."""
+    dim = 64
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    ds = _read_table(sf_dir, "embeddings",
+                     ["vec_id", "embedding"]).materialize()
+
+    codebooks = []
+    for s in range(m):
+        lo = s * sub
+
+        def slice_s(t: pa.Table, lo=lo) -> pa.Table:
+            X = np.asarray(t["embedding"].to_pylist(),
+                           np.float64)[:, lo:lo + sub]
+            return pa.table({"vec_id": t["vec_id"],
+                             "embedding": pa.array(X.tolist(),
+                                                   pa.list_(pa.float64()))})
+
+        sliced = ds.map_batches(slice_s,
+                                batch_format="pyarrow").materialize()
+        cents, _hist = sim.kmeans_fit(sliced, k=k, iters=iters,
+                                      init_ids=list(range(k)))
+        codebooks.append(cents)
+
+    import ray as _ray
+    cref = _ray.put(np.stack(codebooks))     # m × k × sub
+
+    def assign(t: pa.Table) -> pa.Table:
+        C = _ray.get(cref)
+        X = np.asarray(t["embedding"].to_pylist(), np.float64)
+        cols = {"vec_id": t["vec_id"]}
+        for s in range(m):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            Cs = C[s]
+            d = ((Xs * Xs).sum(axis=1, keepdims=True)
+                 - 2.0 * (Xs @ Cs.T)
+                 + (Cs * Cs).sum(axis=1))
+            cols[f"code_{s}"] = pa.array(
+                np.argmin(d, axis=1).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def embedding_pq_sql(m: int = 4, k: int = 16, iters: int = 4,
+                     dim: int = 64) -> str:
+    """One unrolled-Lloyd CTE chain PER SUBSPACE (the prefixed
+    ``_kmeans_sql_parts``), joined back on vec_id. DuckDB list slices
+    are 1-based inclusive."""
+    sub = dim // m
+    parts: list[str] = []
+    for s in range(m):
+        lo = s * sub
+        src = (f"(SELECT vec_id, (CAST(embedding AS DOUBLE[]))"
+               f"[{lo + 1}:{lo + sub}] AS embedding FROM embeddings)")
+        parts.extend(_kmeans_sql_parts(src, k, iters, sub, pfx=f"s{s}"))
+    sel = ", ".join(f"CAST(s{s}.cid AS BIGINT) AS code_{s}"
+                    for s in range(m))
+    joins = " ".join(f"JOIN s{s}afinal s{s} USING (vec_id)"
+                     for s in range(1, m))
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT s0.vec_id, {sel} FROM s0afinal s0 {joins}")

@@ -1,6 +1,6 @@
 """Tests for the session-7 operators: NTILE value quartiles, the
 out-of-order/watermark audit, the per-type daily-rate EWMA, and
-label-propagation communities."""
+label-propagation communities, and product quantization."""
 
 from __future__ import annotations
 
@@ -183,3 +183,75 @@ def test_lpa_vs_components_structure(ray_session):
     iso = merged[~merged.index.isin(linked)]
     assert len(iso) > 0
     assert (iso.community_id == iso.index).all()
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq
+
+
+def test_embedding_pq_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (embedding_pq,
+                                                        embedding_pq_sql)
+    from tests.oracle_check import compare
+
+    assert compare("embedding_pq", embedding_pq(SF_SMOKE),
+                   embedding_pq_sql(), SF_SMOKE) == []
+
+
+def test_embedding_pq_quality_and_margin(ray_session):
+    """Codes land in [0, k); quantization explains variance (per-code
+    reconstruction beats the one-centroid baseline by a wide factor);
+    assignment margins dwarf cross-engine float noise; identical
+    vectors get identical codes."""
+    from pdf_extraction_ray.pipelines.analytics import embedding_pq
+    from pdf_extraction_ray.stages.similarity import kmeans_fit
+    from pdf_extraction_ray.sources.tables import read_table
+
+    m, k, sub = 4, 16, 16
+    codes = embedding_pq(SF_SMOKE, m=m, k=k).to_pandas()
+    code_cols = [f"code_{s}" for s in range(m)]
+    for c in code_cols:
+        assert codes[c].between(0, k - 1).all()
+        assert codes[c].nunique() > 1
+
+    emb = read_table(SF_SMOKE, "embeddings",
+                     ["vec_id", "embedding"]).materialize()
+    X = np.asarray(emb.to_pandas()
+                   .sort_values("vec_id").embedding.tolist(), np.float64)
+    codes = codes.sort_values("vec_id").reset_index(drop=True)
+
+    # rebuild the codebooks exactly as the operator does
+    recon = np.empty_like(X)
+    margins = []
+    for s in range(m):
+        lo = s * sub
+
+        def slice_s(t, lo=lo):
+            import pyarrow as pa
+            Xs = np.asarray(t["embedding"].to_pylist(),
+                            np.float64)[:, lo:lo + sub]
+            return pa.table({"vec_id": t["vec_id"],
+                             "embedding": pa.array(Xs.tolist(),
+                                                   pa.list_(pa.float64()))})
+
+        sliced = emb.map_batches(slice_s,
+                                 batch_format="pyarrow").materialize()
+        C, _ = kmeans_fit(sliced, k=k, iters=4, init_ids=list(range(k)))
+        cs = codes[f"code_{s}"].to_numpy()
+        recon[:, lo:lo + sub] = C[cs]
+        Xs = X[:, lo:lo + sub]
+        d = ((Xs * Xs).sum(axis=1, keepdims=True) - 2.0 * (Xs @ C.T)
+             + (C * C).sum(axis=1))
+        ds = np.sort(d, axis=1)
+        margins.append(float((ds[:, 1] - ds[:, 0]).min()))
+
+    assert min(margins) > 1e-9          # vs ~1e-13 cross-engine noise
+    mse_pq = ((X - recon) ** 2).mean()
+    mse_one = ((X - X.mean(axis=0)) ** 2).mean()
+    assert mse_pq < 0.9 * mse_one
+    # identical sub-vectors -> identical codes (vec 0 vs itself is
+    # trivially true; check determinism across two runs instead)
+    from pdf_extraction_ray.pipelines.analytics import embedding_pq as ep2
+    again = (ep2(SF_SMOKE, m=m, k=k).to_pandas()
+             .sort_values("vec_id").reset_index(drop=True))
+    assert again.equals(codes)
