@@ -660,6 +660,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product quantization codes (per-subspace unrolled-Lloyd fit;
         # the 64x ANN memory-compression path past SQ8)
         "embedding_pq": _tuned(analytics.embedding_pq),
+        # entity resolution: tail-key blocking + exact edit-distance
+        # verify over planted edited copies (levenshtein oracle)
+        "er_blocked_pairs": _tuned(analytics.er_blocked_pairs),
     }
 
 
@@ -720,6 +723,7 @@ AWAITING_SLOT = (
     "ewma_event_rate",
     "lpa_communities",
     "embedding_pq",
+    "er_blocked_pairs",
 )
 
 
@@ -853,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_event_rate": analytics.ewma_event_rate_sql(),
         "lpa_communities": linkgraph.lpa_communities_sql(),
         "embedding_pq": analytics.embedding_pq_sql(),
+        "er_blocked_pairs": analytics.er_blocked_pairs_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -7165,3 +7165,146 @@ def embedding_pq_sql(m: int = 4, k: int = 16, iters: int = 4,
                      for s in range(1, m))
     return ("WITH " + ",\n".join(parts) +
             f"\nSELECT s0.vec_id, {sel} FROM s0afinal s0 {joins}")
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: blocking + edit-distance verify (session 7)
+# ---------------------------------------------------------------------------
+
+ER_THRESHOLD = 4      # max edits for a verified match
+ER_MOD_A, ER_OFF_A = 11, 300_000   # single planted copy per 11th doc
+ER_MOD_B, ER_OFF_B = 33, 600_000   # second copy -> 3-member blocks
+
+
+def _lev(a: bytes, b: bytes) -> int:
+    """Unit-cost Levenshtein, numpy row DP — the insertion chain
+    (cur[j] = cur[j-1]+1) folds via the cummin-minus-arange identity,
+    so every row is fully vectorized (never a per-cell Python loop)."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bv = np.frombuffer(b, np.uint8).astype(np.int64)
+    n = len(bv)
+    idx = np.arange(n + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i, ca in enumerate(a, 1):
+        cost = (bv != ca).astype(np.int64)
+        t = np.minimum(prev[1:] + 1, prev[:-1] + cost)
+        seed = np.concatenate(([i], t))
+        prev = np.minimum.accumulate(seed - idx) + idx
+    return int(prev[-1])
+
+
+def _docs_with_planted_edits(sf_dir: str) -> rd.Dataset:
+    """documents ∪ '@'-prepended copies: every 11th doc gets a copy
+    with 1..8 leading '@'s (edit distance == prepend count — '@' never
+    appears in the corpus), every 33rd doc a SECOND copy with 2..6,
+    making 3-member blocks whose copy-vs-copy distance is the prepend
+    DIFFERENCE (including an exact-dup 0 at doc 66 by CRT). Pure
+    functions of doc_id, so the SQL oracle replants identically."""
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = t["text"].to_pylist()
+        out_i, out_t = list(ids), list(txt)
+        for i, x in zip(ids, txt):
+            if i % ER_MOD_A == 0:
+                out_i.append(int(i) + ER_OFF_A)
+                out_t.append("@" * (1 + int(i) % 8) + x)
+            if i % ER_MOD_B == 0:
+                out_i.append(int(i) + ER_OFF_B)
+                out_t.append("@" * (2 + int(i) % 5) + x)
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    return base.map_batches(plant, batch_format="pyarrow")
+
+
+def er_blocked_pairs(sf_dir: str, threshold: int = ER_THRESHOLD,
+                     key_chars: int = 24,
+                     block_cap: int = 1000,
+                     num_partitions: int = 32) -> rd.Dataset:
+    """Entity resolution, the blocking + verify shape (Fellegi–Sunter
+    pipelines, dedup's record-linkage sibling): blocking key = the
+    document's LAST ``key_chars`` characters (edits cluster at heads —
+    title churn, injected banners — so tails are the stabler block
+    key; the planted copies prepend), candidate pairs form only
+    WITHIN a block, and each candidate is verified by exact unit-cost
+    edit distance ≤ ``threshold``. Returns (a, b, dist), a < b.
+
+    Shape: ONE block-key-hash shuffle (the hash only routes; pairs
+    form per actual key string); per-partition pair generation is
+    id-ordered within block, and the O(len²) DP verify runs only on
+    candidates — never all pairs. Blocks above ``block_cap`` members
+    raise (a quadratic block is a blocking-key design error; capping
+    silently would diverge from the oracle)."""
+    from ..functions.hashing import stable_hash64
+
+    P = num_partitions
+    ds = _docs_with_planted_edits(sf_dir)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_pylist()
+        keys = [x[-key_chars:] for x in txt]
+        kp = np.fromiter((stable_hash64(k) & (P - 1) for k in keys),
+                         np.int64, len(keys))
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "bk": pa.array(keys, pa.string()),
+                         "_kp": pa.array(kp, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_d: list[int] = []
+        for _, blk in g.groupby("bk", sort=False):
+            if len(blk) < 2:
+                continue
+            if len(blk) > block_cap:
+                raise ValueError(
+                    f"block of {len(blk)} exceeds block_cap={block_cap}: "
+                    "the blocking key is too coarse for this corpus")
+            blk = blk.sort_values("doc_id")
+            ids = blk["doc_id"].to_numpy(np.int64)
+            txt = [x.encode() for x in blk["text"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    # cheap length prune: |len(a)-len(b)| lower-bounds
+                    # the distance
+                    if abs(len(txt[i]) - len(txt[j])) > threshold:
+                        continue
+                    d = _lev(txt[i], txt[j])
+                    if d <= threshold:
+                        out_a.append(int(ids[i]))
+                        out_b.append(int(ids[j]))
+                        out_d.append(d)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64"),
+                             "dist": pd.Series(out_d, dtype="int64")})
+
+    return (ds.map_batches(keyed, batch_format="pyarrow")
+            .groupby("_kp").map_groups(pairs, batch_format="pandas"))
+
+
+def er_blocked_pairs_sql(threshold: int = ER_THRESHOLD,
+                         key_chars: int = 24) -> str:
+    return f"""
+WITH all_d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ER_OFF_A}, repeat('@', 1 + doc_id % 8) || text
+  FROM documents WHERE doc_id % {ER_MOD_A} = 0
+  UNION ALL
+  SELECT doc_id + {ER_OFF_B}, repeat('@', 2 + doc_id % 5) || text
+  FROM documents WHERE doc_id % {ER_MOD_B} = 0
+), keyed AS (
+  SELECT doc_id, text,
+         substr(text, greatest(1, length(text) - {key_chars - 1})) AS bk
+  FROM all_d
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {threshold}
+  AND abs(length(a.text) - length(b.text)) <= {threshold}"""

@@ -255,3 +255,69 @@ def test_embedding_pq_quality_and_margin(ray_session):
     again = (ep2(SF_SMOKE, m=m, k=k).to_pandas()
              .sort_values("vec_id").reset_index(drop=True))
     assert again.equals(codes)
+
+
+# ---------------------------------------------------------------------------
+# er_blocked_pairs
+
+
+def test_er_blocked_pairs_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (er_blocked_pairs,
+                                                        er_blocked_pairs_sql)
+    from tests.oracle_check import compare
+
+    assert compare("er_blocked_pairs", er_blocked_pairs(SF_SMOKE),
+                   er_blocked_pairs_sql(), SF_SMOKE) == []
+
+
+def test_er_planted_semantics(ray_session):
+    """Planted single copies match iff prepend count <= threshold;
+    copy-vs-copy distance is the prepend DIFFERENCE (including the
+    exact-dup 0 at doc 66); distances are exact."""
+    from pdf_extraction_ray.pipelines.analytics import (ER_MOD_A, ER_MOD_B,
+                                                        ER_OFF_A, ER_OFF_B,
+                                                        ER_THRESHOLD,
+                                                        er_blocked_pairs)
+
+    out = er_blocked_pairs(SF_SMOKE).to_pandas()
+    got = {(r.a, r.b): r.dist for r in out.itertuples()}
+    n_docs = 500
+    for d in range(0, n_docs, ER_MOD_A):
+        e = 1 + d % 8
+        if e <= ER_THRESHOLD:
+            assert got[(d, d + ER_OFF_A)] == e
+        else:
+            assert (d, d + ER_OFF_A) not in got
+    for d in range(0, n_docs, ER_MOD_B):
+        ea, eb = 1 + d % 8, 2 + d % 5
+        diff = abs(ea - eb)
+        if diff <= ER_THRESHOLD:
+            assert got[(d + ER_OFF_A, d + ER_OFF_B)] == diff
+    assert got[(66 + ER_OFF_A, 66 + ER_OFF_B)] == 0  # exact dup by CRT
+
+
+def test_lev_against_reference():
+    """The vectorized row DP equals the textbook cell DP on random
+    byte strings (incl. empty and equal)."""
+    import random
+
+    from pdf_extraction_ray.pipelines.analytics import _lev
+
+    def ref(a: bytes, b: bytes) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev_diag, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev_diag, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1,
+                    prev_diag + (ca != cb))
+        return dp[len(b)]
+
+    rng = random.Random(7)
+    cases = [(b"", b""), (b"", b"xyz"), (b"abc", b"abc")]
+    for _ in range(40):
+        n, m = rng.randrange(0, 30), rng.randrange(0, 30)
+        cases.append((bytes(rng.randrange(97, 102) for _ in range(n)),
+                      bytes(rng.randrange(97, 102) for _ in range(m))))
+    for a, b in cases:
+        assert _lev(a, b) == ref(a, b), (a, b)
