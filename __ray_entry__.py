@@ -663,6 +663,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entity resolution: tail-key blocking + exact edit-distance
         # verify over planted edited copies (levenshtein oracle)
         "er_blocked_pairs": _tuned(analytics.er_blocked_pairs),
+        # more-like-this: per-doc TF-IDF top terms as a BM25 query,
+        # self excluded (two oracle families composed)
+        "mlt_related_docs": _tuned(analytics.mlt_related_docs),
     }
 
 
@@ -724,6 +727,7 @@ AWAITING_SLOT = (
     "lpa_communities",
     "embedding_pq",
     "er_blocked_pairs",
+    "mlt_related_docs",
 )
 
 
@@ -858,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": linkgraph.lpa_communities_sql(),
         "embedding_pq": analytics.embedding_pq_sql(),
         "er_blocked_pairs": analytics.er_blocked_pairs_sql(),
+        "mlt_related_docs": analytics.mlt_related_docs_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -5428,11 +5428,22 @@ def bm25_topk(sf_dir: str) -> rd.Dataset:
     stats and keeps a per-batch partial top-k per query, merged by one
     tiny groupby(query_id) — the ANN top-k pattern over an inverted
     scoring kernel, no per-doc shuffle of the corpus."""
+    return _bm25_scan(_docs(sf_dir, ["doc_id", "text"]),
+                      BM25_QUERIES, BM25_TOPK)
+
+
+def _bm25_scan(docs: rd.Dataset, queries: dict[int, tuple],
+               topk: int, exclude_self: bool = False) -> rd.Dataset:
+    """The bm25_topk kernel over a caller-supplied query dict —
+    reused by mlt_related_docs, whose queries are DERIVED (per-doc
+    TF-IDF top terms) rather than fixed; ``exclude_self`` skips the
+    doc whose id equals the query id (the more-like-this convention:
+    the query document trivially ranks first on its own terms)."""
     from collections import Counter
 
     import ray
 
-    qterms = sorted({w for q in BM25_QUERIES.values() for w in q})
+    qterms = sorted({w for q in queries.values() for w in q})
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         n, tot = 0, 0
@@ -5449,7 +5460,6 @@ def bm25_topk(sf_dir: str) -> rd.Dataset:
             **{f"df_{w}": pa.array([df_c[w]], pa.int64()) for w in qterms},
         })
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
     N, T = 0, 0
     df_map: Counter = Counter()
     for b in (docs.map_batches(stats_partial, batch_format="pyarrow")
@@ -5464,13 +5474,15 @@ def bm25_topk(sf_dir: str) -> rd.Dataset:
         n_, t_, df_ = ray.get(stats_ref)
         q_o, d_o, s_o = [], [], []
         per_q: dict[int, list[tuple[int, int]]] = {q: []
-                                                   for q in BM25_QUERIES}
+                                                   for q in queries}
         for doc, text in zip(batch["doc_id"].to_pylist(),
                              batch["text"].to_pylist()):
             words = (text or "").split(" ")
             dl = len(words)
             tf = Counter(words)
-            for qid, terms in BM25_QUERIES.items():
+            for qid, terms in queries.items():
+                if exclude_self and doc == qid:
+                    continue
                 s = 0
                 for w in terms:
                     t = tf.get(w, 0)
@@ -5483,7 +5495,7 @@ def bm25_topk(sf_dir: str) -> rd.Dataset:
                     per_q[qid].append((s, doc))
         for qid, cand in per_q.items():
             cand.sort(key=lambda x: (-x[0], x[1]))
-            for s, doc in cand[:BM25_TOPK]:
+            for s, doc in cand[:topk]:
                 q_o.append(qid)
                 d_o.append(doc)
                 s_o.append(s)
@@ -5497,7 +5509,7 @@ def bm25_topk(sf_dir: str) -> rd.Dataset:
         qid = group["query_id"][0].as_py()
         scores = np.asarray(group["score"].to_pylist(), dtype=np.int64)
         ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
-        order = np.lexsort((ids, -scores))[:BM25_TOPK]
+        order = np.lexsort((ids, -scores))[:topk]
         return pa.table({
             "query_id": pa.array([qid] * len(order), pa.int64()),
             "doc_id": pa.array(ids[order], pa.int64()),
@@ -7308,3 +7320,97 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= {threshold}
   AND abs(length(a.text) - length(b.text)) <= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# more-like-this related documents (session 7)
+# ---------------------------------------------------------------------------
+
+MLT_QUERY_MOD = 101   # every 101st doc is a "find related" query
+MLT_TOP_TERMS = 3     # query = the doc's top-3 integer-TF-IDF terms
+MLT_TOPK = 5
+
+
+def mlt_related_docs(sf_dir: str, top_terms: int = MLT_TOP_TERMS,
+                     k: int = MLT_TOPK,
+                     query_mod: int = MLT_QUERY_MOD) -> rd.Dataset:
+    """More-like-this related documents — the "related articles" /
+    recommendation primitive (Lucene's MoreLikeThis): each query
+    document is summarized to its ``top_terms`` highest integer-TF-IDF
+    terms (the tfidf_top_terms kernel — corpus-wide df, so the terms
+    are the doc's most DISCRIMINATIVE, not its most frequent), and
+    those terms run as a BM25 query over the corpus with the query doc
+    itself excluded. Returns (query_id, doc_id, score, rank) — two
+    whole oracle families composed (the search_ranked pattern).
+
+    Shape: the TF-IDF pass is the existing two-cogroup pipeline; the
+    derived query table collapses to O(queries × top_terms) driver
+    rows (bounded by query_mod — never the corpus); scoring reuses
+    _bm25_scan's broadcast-stats + partial-top-k scan."""
+    tt = tfidf_top_terms(sf_dir, top=top_terms)
+
+    def only_queries(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % query_mod == 0))
+
+    qt = tt.map_batches(only_queries, batch_format="pyarrow")
+    rows = qt.take_all()    # O(n_docs/query_mod × top_terms) — bounded
+    queries: dict[int, tuple] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["rank"])):
+        queries.setdefault(int(r["doc_id"]), [])
+        queries[int(r["doc_id"])].append(r["word"])
+    queries = {q: tuple(ws) for q, ws in queries.items()}
+    return _bm25_scan(_docs(sf_dir, ["doc_id", "text"]), queries, k,
+                      exclude_self=True)
+
+
+def mlt_related_docs_sql(top_terms: int = MLT_TOP_TERMS,
+                         k: int = MLT_TOPK,
+                         query_mod: int = MLT_QUERY_MOD) -> str:
+    """TF-IDF term derivation (prefixed CTEs) feeding the BM25 kernel
+    as the query table; self-matches excluded."""
+    return f"""
+WITH ttc AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+), tdf AS (SELECT word, count(*) AS d FROM ttc GROUP BY word),
+tn AS (SELECT count(*) AS nn FROM documents),
+q AS (
+  SELECT doc_id AS query_id, word FROM (
+    SELECT ttc.doc_id, ttc.word,
+           row_number() OVER (PARTITION BY ttc.doc_id
+               ORDER BY ttc.c * ((tn.nn * 1000) // tdf.d) DESC,
+                        ttc.word) AS rank
+    FROM ttc JOIN tdf USING (word) CROSS JOIN tn
+    WHERE ttc.doc_id % {query_mod} = 0
+  ) WHERE rank <= {top_terms}
+), w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tc AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS word FROM w)
+  GROUP BY doc_id, word
+), dl AS (SELECT doc_id, len(w) AS dl FROM w),
+n AS (SELECT count(*) AS n, sum(len(w)) AS t FROM w),
+df AS (SELECT word, count(*) AS df FROM tc
+       WHERE word IN (SELECT word FROM q) GROUP BY word),
+terms AS (
+  SELECT q.query_id, tc.doc_id,
+         (((n.n * 1000) // df.df) * 22 * tc.tf * n.t)
+           // (n.t * (10 * tc.tf + 3) + 9 * dl.dl * n.n) AS s
+  FROM q JOIN tc USING (word) JOIN df USING (word)
+  JOIN dl ON tc.doc_id = dl.doc_id CROSS JOIN n
+  WHERE tc.doc_id <> q.query_id
+), scored AS (
+  SELECT query_id, doc_id, sum(s) AS score
+  FROM terms GROUP BY query_id, doc_id HAVING sum(s) > 0
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}"""

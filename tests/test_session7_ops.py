@@ -321,3 +321,35 @@ def test_lev_against_reference():
                       bytes(rng.randrange(97, 102) for _ in range(m))))
     for a, b in cases:
         assert _lev(a, b) == ref(a, b), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# mlt_related_docs
+
+
+def test_mlt_related_docs_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (mlt_related_docs,
+                                                        mlt_related_docs_sql)
+    from tests.oracle_check import compare
+
+    assert compare("mlt_related_docs", mlt_related_docs(SF_SMOKE),
+                   mlt_related_docs_sql(), SF_SMOKE) == []
+
+
+def test_mlt_semantics(ray_session):
+    """Every query doc gets results, the query doc never appears in
+    its own results, ranks are contiguous from 1, and scores are
+    non-increasing within a query."""
+    from pdf_extraction_ray.pipelines.analytics import (MLT_QUERY_MOD,
+                                                        MLT_TOPK,
+                                                        mlt_related_docs)
+
+    out = mlt_related_docs(SF_SMOKE).to_pandas()
+    assert (out.query_id % MLT_QUERY_MOD == 0).all()
+    assert (out.query_id != out.doc_id).all()
+    for q, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        assert len(g) <= MLT_TOPK
+        assert (np.diff(g.score.to_numpy()) <= 0).all()
+    assert out.query_id.nunique() >= 4   # 500/101 -> 5 query docs
