@@ -666,6 +666,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # more-like-this: per-doc TF-IDF top terms as a BM25 query,
         # self excluded (two oracle families composed)
         "mlt_related_docs": _tuned(analytics.mlt_related_docs),
+        # TPC-H Q3 analog: selective 3-table join chain with map-side
+        # filters, per-block revenue combiner, partial top-k
+        "shipping_priority": _tuned(relational.shipping_priority),
+        # data-quality table profiler (null/distinct/min-max census
+        # with planted nulls; chained-combiner exact distincts)
+        "events_profile": _tuned(analytics.events_profile),
     }
 
 
@@ -728,6 +734,8 @@ AWAITING_SLOT = (
     "embedding_pq",
     "er_blocked_pairs",
     "mlt_related_docs",
+    "shipping_priority",
+    "events_profile",
 )
 
 
@@ -863,6 +871,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pq": analytics.embedding_pq_sql(),
         "er_blocked_pairs": analytics.er_blocked_pairs_sql(),
         "mlt_related_docs": analytics.mlt_related_docs_sql(),
+        "shipping_priority": relational.shipping_priority_sql(),
+        "events_profile": analytics.events_profile_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

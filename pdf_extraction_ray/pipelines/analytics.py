@@ -7414,3 +7414,169 @@ terms AS (
 SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# data-quality table profiler (session 7)
+# ---------------------------------------------------------------------------
+
+# null plants (pure functions of event_id so the oracle replants): the
+# generated table has no nulls, and a profiler that never sees one is
+# untested on its main job
+PROF_NULL_CENTS_MOD, PROF_NULL_CENTS_RES = 17, 3
+PROF_NULL_PROPS_MOD, PROF_NULL_PROPS_RES = 23, 7
+
+
+def events_profile(sf_dir: str) -> rd.Dataset:
+    """Table profiler — the data-quality census (row counts, null
+    counts, exact distinct cardinality, min/max per column) every
+    ingestion pipeline runs before trusting a new snapshot
+    (Great-Expectations/Deequ shape). Columns canonicalize first
+    (value → BIGINT cents, ts → epoch µs) — fixed-decimal
+    canonicalization is part of the profiler contract, so no float
+    ever reaches the compare; min/max render as VARCHAR of the TYPED
+    min/max (never a lexicographic min over digit strings).
+
+    Shape: ONE pass folds per-block fixed-size partials (6 columns ×
+    counts/min/max — driver state O(blocks × columns)); the exact
+    distinct counts ride the chained-combiner distinct shape
+    (per-block DISTINCT (col, value) rows → one groupby distinct →
+    one tiny groupby(col) count — the users_per_type_exact pattern;
+    the HLL sketch is the approximate twin at wider cardinalities).
+    Returns (col_name, n_rows, n_null, n_distinct, min_v, max_v)."""
+    ds = _read_table(sf_dir, "events")
+
+    NUM_COLS = ("event_id", "user_id", "cents", "ts_us")
+    STR_COLS = ("event_type", "props")
+
+    def canon(t: pa.Table) -> dict[str, np.ndarray | list]:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(t["value"].to_numpy() * 100.0).astype(np.int64)
+        cents_null = eid % PROF_NULL_CENTS_MOD == PROF_NULL_CENTS_RES
+        props = t["props"].to_pylist()
+        props = [None if i % PROF_NULL_PROPS_MOD == PROF_NULL_PROPS_RES
+                 else p for i, p in zip(eid, props)]
+        ts_us = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
+                 .cast(pa.int64()).to_numpy().astype(np.int64))
+        return {
+            "event_id": (eid, None),
+            "user_id": (t["user_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), None),
+            "cents": (cents, cents_null),
+            "ts_us": (ts_us, None),
+            "event_type": (t["event_type"].to_pylist(), None),
+            "props": (props, None),
+        }
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        cols = canon(t)
+        rows = {"col_name": [], "n": [], "n_null": [],
+                "mn_i": [], "mx_i": [], "mn_s": [], "mx_s": []}
+        for c in NUM_COLS + STR_COLS:
+            vals, nullmask = cols[c]
+            rows["col_name"].append(c)
+            if c in NUM_COLS:
+                v = np.asarray(vals)
+                if nullmask is not None:
+                    nn = int(nullmask.sum())
+                    v = v[~nullmask]
+                else:
+                    nn = 0
+                rows["n"].append(len(v) + nn)
+                rows["n_null"].append(nn)
+                rows["mn_i"].append(int(v.min()) if len(v) else 2**62)
+                rows["mx_i"].append(int(v.max()) if len(v) else -2**62)
+                rows["mn_s"].append("")
+                rows["mx_s"].append("")
+            else:
+                nn = sum(1 for x in vals if x is None)
+                nv = [x for x in vals if x is not None]
+                rows["n"].append(len(vals))
+                rows["n_null"].append(nn)
+                rows["mn_i"].append(0)
+                rows["mx_i"].append(0)
+                rows["mn_s"].append(min(nv) if nv else "\U0010ffff")
+                rows["mx_s"].append(max(nv) if nv else "")
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    # fixed-size per-block stat partials fold on the driver (the bm25
+    # stats precedent — O(blocks × columns), never rows)
+    agg: dict[str, list] = {}
+    for b in (ds.map_batches(stats_partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for i in range(b.num_rows):
+            c = b["col_name"][i].as_py()
+            cur = agg.setdefault(c, [0, 0, 2**62, -2**62,
+                                     "\U0010ffff", ""])
+            cur[0] += b["n"][i].as_py()
+            cur[1] += b["n_null"][i].as_py()
+            cur[2] = min(cur[2], b["mn_i"][i].as_py())
+            cur[3] = max(cur[3], b["mx_i"][i].as_py())
+            cur[4] = min(cur[4], b["mn_s"][i].as_py())
+            cur[5] = max(cur[5], b["mx_s"][i].as_py())
+
+    def distinct_rows(t: pa.Table) -> pa.Table:
+        cols = canon(t)
+        out_c, out_v = [], []
+        for c in NUM_COLS + STR_COLS:
+            vals, nullmask = cols[c]
+            if c in NUM_COLS:
+                v = np.asarray(vals)
+                if nullmask is not None:
+                    v = v[~nullmask]
+                for u in np.unique(v):
+                    out_c.append(c)
+                    out_v.append(str(int(u)))
+            else:
+                for u in sorted({x for x in vals if x is not None}):
+                    out_c.append(c)
+                    out_v.append(u)
+        return pa.table({"col_name": pa.array(out_c, pa.string()),
+                         "v": pa.array(out_v, pa.string())})
+
+    ndist = (ds.map_batches(distinct_rows, batch_format="pyarrow")
+             .groupby(["col_name", "v"]).aggregate(Count(alias_name="_c"))
+             .groupby("col_name").aggregate(Count(alias_name="n_distinct"))
+             .to_pandas().set_index("col_name")["n_distinct"])
+
+    rows = []
+    for c in NUM_COLS + STR_COLS:
+        n, nn, mni, mxi, mns, mxs = agg[c]
+        if c in NUM_COLS:
+            mn, mx = str(mni), str(mxi)
+        else:
+            mn, mx = mns, mxs
+        rows.append({"col_name": c, "n_rows": n, "n_null": nn,
+                     "n_distinct": int(ndist[c]), "min_v": mn, "max_v": mx})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def events_profile_sql() -> str:
+    cols = []
+    for c in ("event_id", "user_id", "cents", "ts_us"):
+        cols.append(f"""
+SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_v,
+       CAST(max({c}) AS VARCHAR) AS max_v
+FROM ev""")
+    for c in ("event_type", "props"):
+        cols.append(f"""
+SELECT '{c}', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count({c}) AS BIGINT),
+       CAST(count(DISTINCT {c}) AS BIGINT), min({c}), max({c})
+FROM ev""")
+    union = "\nUNION ALL".join(cols)
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % {PROF_NULL_CENTS_MOD} =
+                   {PROF_NULL_CENTS_RES} THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
+         CASE WHEN event_id % {PROF_NULL_PROPS_MOD} =
+                   {PROF_NULL_PROPS_RES} THEN NULL
+              ELSE props END AS props,
+         epoch_us(ts) AS ts_us, event_type
+  FROM events
+){union}"""

@@ -658,3 +658,133 @@ SELECT o_orderpriority AS priority,
        CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
        CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
 FROM orders GROUP BY o_orderpriority"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 analog (session 7)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+Q3_TOPK = 10
+_DAY_US = 86_400 * 1_000_000
+
+
+def shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> rd.Dataset:
+    """TPC-H Q3 analog (shipping priority): the segment's unshipped
+    revenue per order, top-k — the canonical 3-table selective join
+    chain, composed the scale-shaped way:
+
+      customer segment filter → broadcast custkey SET (dimension)
+      orders: BOTH filters pushed map-side before any exchange
+      lineitem: shipdate filter map-side, then a per-block COMBINER
+        folds items to (orderkey, partial revenue) — the revenue
+        aggregate happens before the one orderkey groupby, and only
+        (orderkey, int) pairs ever shuffle
+      one hash_join attaches the order header, then the partial-top-k
+        merge (never a global sort).
+
+    Revenue integerizes PER ROW — round(price·(1-disc)·1e4) is the
+    same double op chain in numpy and DuckDB, so the sum is exact
+    BIGINT on both sides. Dates compare as epoch days."""
+    from ..stages.joins import hash_join
+
+    cutoff_day = int(np.datetime64(Q3_CUTOFF).astype("datetime64[D]")
+                     .astype(np.int64))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keep = set(cust.loc[cust.c_mktsegment == Q3_SEGMENT, "c_custkey"]
+               .astype(int))
+    kref = ray.put(keep)
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        day = (t["o_orderdate"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // _DAY_US)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        mask = (day < cutoff_day) & np.fromiter(
+            (int(c) in ks for c in ck), bool, len(ck))
+        kept = t.filter(pa.array(mask))
+        kday = (kept["o_orderdate"].combine_chunks()
+                .cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+                // _DAY_US)
+        return pa.table({
+            "o_orderkey": kept["o_orderkey"],
+            "odate_day": pa.array(kday.astype(np.int64), pa.int64()),
+            "o_orderpriority": kept["o_orderpriority"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"]).map_batches(
+        orders_f, batch_format="pyarrow")
+
+    def items_partial(t: pa.Table) -> pa.Table:
+        day = (t["l_shipdate"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // _DAY_US)
+        mask = day > cutoff_day
+        kept = t.filter(pa.array(mask))
+        price = kept["l_extendedprice"].to_numpy()
+        disc = kept["l_discount"].to_numpy()
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        keys = kept["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uniq.astype(np.int64), pa.int64()),
+            "r": pa.array(np.bincount(inv, weights=rev).astype(np.int64),
+                          pa.int64())})
+
+    items = (_read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount",
+                    "l_shipdate"])
+             .map_batches(items_partial, batch_format="pyarrow")
+             .groupby("l_orderkey").aggregate(Sum("r",
+                                                  alias_name="revenue_e4")))
+
+    joined = hash_join(items, orders, "l_orderkey", "o_orderkey",
+                       ["revenue_e4"], ["odate_day", "o_orderpriority"],
+                       how="inner")
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        rev = t["revenue_e4"].to_numpy(zero_copy_only=False)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -rev))[:k]
+        return t.take(pa.array(order))
+
+    merged = (joined.map_batches(partial_topk, batch_format="pyarrow")
+              .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
+              .limit(k))
+
+    def rank(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "revenue_e4": t["revenue_e4"],
+            "odate_day": t["odate_day"],
+            "o_orderpriority": t["o_orderpriority"],
+            "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+        })
+
+    # the limit(k) output is a single tiny block; rank is its position
+    return merged.repartition(1).map_batches(rank, batch_format="pyarrow")
+
+
+def shipping_priority_sql(k: int = Q3_TOPK) -> str:
+    return f"""
+WITH j AS (
+  SELECT l.l_orderkey AS o_orderkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT)) AS revenue_e4,
+         epoch_us(o.o_orderdate) // {_DAY_US} AS odate_day,
+         o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+    AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+    AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT o_orderkey, revenue_e4, CAST(odate_day AS BIGINT) AS odate_day,
+       o_orderpriority,
+       CAST(row_number() OVER (ORDER BY revenue_e4 DESC, o_orderkey)
+            AS BIGINT) AS rank
+FROM j
+QUALIFY rank <= {k}"""

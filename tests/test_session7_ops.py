@@ -353,3 +353,82 @@ def test_mlt_semantics(ray_session):
         assert len(g) <= MLT_TOPK
         assert (np.diff(g.score.to_numpy()) <= 0).all()
     assert out.query_id.nunique() >= 4   # 500/101 -> 5 query docs
+
+
+# ---------------------------------------------------------------------------
+# shipping_priority (TPC-H Q3 analog)
+
+
+def test_shipping_priority_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.relational import (
+        shipping_priority, shipping_priority_sql)
+    from tests.oracle_check import compare
+
+    assert compare("shipping_priority", shipping_priority(SF_SMOKE),
+                   shipping_priority_sql(), SF_SMOKE) == []
+
+
+def test_shipping_priority_semantics(ray_session):
+    """Pandas replay of the whole Q3 chain equals the engine."""
+    from pdf_extraction_ray.pipelines.relational import (
+        Q3_CUTOFF, Q3_SEGMENT, Q3_TOPK, shipping_priority)
+
+    out = (shipping_priority(SF_SMOKE).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    assert len(out) == Q3_TOPK
+    assert (np.diff(out.revenue_e4.to_numpy()) <= 0).all()
+
+    cust = pq.read_table(os.path.join(SF_SMOKE, "customer.parquet")).to_pandas()
+    orders = pq.read_table(os.path.join(SF_SMOKE, "orders.parquet")).to_pandas()
+    items = pq.read_table(os.path.join(SF_SMOKE, "lineitem.parquet")).to_pandas()
+    cut = pd.Timestamp(Q3_CUTOFF)
+    keep = set(cust.loc[cust.c_mktsegment == Q3_SEGMENT, "c_custkey"])
+    o = orders[(orders.o_orderdate < cut) & orders.o_custkey.isin(keep)]
+    li = items[items.l_shipdate > cut].copy()
+    li["rev"] = np.round(li.l_extendedprice.to_numpy()
+                         * (1.0 - li.l_discount.to_numpy())
+                         * 10000.0).astype(np.int64)
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    agg = (j.groupby("l_orderkey")["rev"].sum()
+           .sort_values(ascending=False))
+    ref = (agg.reset_index()
+           .sort_values(["rev", "l_orderkey"], ascending=[False, True])
+           .head(Q3_TOPK))
+    assert out.o_orderkey.tolist() == ref.l_orderkey.tolist()
+    assert out.revenue_e4.tolist() == ref.rev.tolist()
+
+
+# ---------------------------------------------------------------------------
+# events_profile
+
+
+def test_events_profile_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (events_profile,
+                                                        events_profile_sql)
+    from tests.oracle_check import compare
+
+    assert compare("events_profile", events_profile(SF_SMOKE),
+                   events_profile_sql(), SF_SMOKE) == []
+
+
+def test_events_profile_semantics(ray_session):
+    """Planted nulls are accounted; distincts are exact; min/max render
+    the typed extremes (never lexicographic over digit strings)."""
+    from pdf_extraction_ray.pipelines.analytics import (
+        PROF_NULL_CENTS_MOD, PROF_NULL_CENTS_RES, events_profile)
+
+    out = events_profile(SF_SMOKE).to_pandas().set_index("col_name")
+    ev = pq.read_table(os.path.join(SF_SMOKE, "events.parquet")).to_pandas()
+    n = len(ev)
+    assert (out.n_rows == n).all()
+    exp_null_cents = int((ev.event_id % PROF_NULL_CENTS_MOD
+                          == PROF_NULL_CENTS_RES).sum())
+    assert out.loc["cents", "n_null"] == exp_null_cents
+    assert out.loc["event_id", "n_null"] == 0
+    assert out.loc["event_id", "n_distinct"] == n
+    assert out.loc["user_id", "n_distinct"] == ev.user_id.nunique()
+    assert out.loc["event_type", "n_distinct"] == ev.event_type.nunique()
+    assert int(out.loc["event_id", "min_v"]) == int(ev.event_id.min())
+    assert int(out.loc["event_id", "max_v"]) == int(ev.event_id.max())
+    # typed ordering: max user id rendered as int, not string-max
+    assert int(out.loc["user_id", "max_v"]) == int(ev.user_id.max())
