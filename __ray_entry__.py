@@ -672,6 +672,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # data-quality table profiler (null/distinct/min-max census
         # with planted nulls; chained-combiner exact distincts)
         "events_profile": _tuned(analytics.events_profile),
+        # skew-aware hybrid join demo: hub titles broadcast, cold tail
+        # hash-joined (stages/joins.skew_join; plan changes, answer
+        # doesn't — value-identical to the plain join)
+        "inlink_titles": _tuned(linkgraph.inlink_titles),
     }
 
 
@@ -736,6 +740,7 @@ AWAITING_SLOT = (
     "mlt_related_docs",
     "shipping_priority",
     "events_profile",
+    "inlink_titles",
 )
 
 
@@ -873,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
         "mlt_related_docs": analytics.mlt_related_docs_sql(),
         "shipping_priority": relational.shipping_priority_sql(),
         "events_profile": analytics.events_profile_sql(),
+        "inlink_titles": linkgraph.inlink_titles_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -1938,3 +1938,52 @@ def lpa_communities_sql(rounds: int = 4) -> str:
     return ("WITH " + ",\n".join(parts) + f"""
 SELECT node AS doc_id, CAST(label AS BIGINT) AS community_id
 FROM l{rounds}""")
+
+
+# ---------------------------------------------------------------------------
+# in-link titles via the skew-aware join (session 7)
+# ---------------------------------------------------------------------------
+
+
+def inlink_titles(sf_dir: str, hot_threshold: int = 30,
+                  stats_out: dict | None = None) -> rd.Dataset:
+    """Anchor-context assembly — attach the TARGET page's title to
+    every link edge (the WAT-enrichment join behind anchor-text
+    search): edges ⋈ page titles on dst. The dst side is the textbook
+    skew case — the 16 planted hubs each collect ~N/16 in-links while
+    every other page collects ~0 — so the join runs through
+    ``stages/joins.skew_join``: hub titles broadcast (16 rows), hub
+    edges join map-side with zero shuffle, the cold tail (here:
+    empty) takes the ordinary hash_join. Returns (dst_doc_id,
+    src_doc_id, title); non-HTML targets drop (inner).
+
+    ``hot_threshold`` defaults LOW because hub in-degree scales with
+    the corpus — at test scale ~57, at 100 TB ~10⁸; the threshold is
+    a per-key row bound, so one number serves both ends of that range
+    poorly and callers at scale should raise it toward the point
+    where a single task's share of one key becomes the straggler."""
+    from ..stages.joins import skew_join
+
+    pages = _corpus_pages(sf_dir)
+    edges = link_graph_pages(pages).materialize()
+    meta = page_metadata(pages)
+
+    def with_id(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": _doc_id_of_url(t["url"]),
+                         "title": t["title"]})
+
+    titles = meta.map_batches(with_id, batch_format="pyarrow").materialize()
+    return skew_join(edges, titles, "dst_doc_id", "doc_id",
+                     ["src_doc_id"], ["title"],
+                     hot_threshold=hot_threshold, stats_out=stats_out)
+
+
+def inlink_titles_sql() -> str:
+    return f"""
+WITH {_edges_sql()}, ti AS (
+  SELECT doc_id, source || ' d' || CAST(doc_id AS VARCHAR) AS title
+  FROM documents
+  WHERE doc_id % 100 <= 69 OR doc_id % 100 IN (90, 91, 94)
+)
+SELECT e.dst_doc_id, e.src_doc_id, ti.title
+FROM e JOIN ti ON ti.doc_id = e.dst_doc_id"""

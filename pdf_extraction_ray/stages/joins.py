@@ -402,3 +402,142 @@ def broadcast_range_join(left: rd.Dataset, intervals: pa.Table,
         return pa.table(cols)
 
     return left.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# skew-aware hybrid join (session 7)
+# ---------------------------------------------------------------------------
+
+
+def skew_join(left: rd.Dataset, right: rd.Dataset,
+              left_on: str, right_on: str,
+              left_cols: list[str], right_cols: list[str],
+              hot_threshold: int = 100_000,
+              max_hot: int = 100_000,
+              num_partitions: int = 32,
+              stats_out: dict | None = None) -> rd.Dataset:
+    """Skew-aware hybrid INNER join — the adaptive plan real engines
+    pick when one join key owns a disproportionate share of the fact
+    side (a web hub, a null-ish default id, a celebrity user): a
+    plain hash partition would route every hot-key row to ONE
+    partition and serialize the join behind a single task.
+
+    Plan: one combiner pass histograms the LEFT keys (per-block
+    partial counts → one tiny groupby over distinct keys); keys with
+    ≥ ``hot_threshold`` rows become HOT. Hot right-side rows collect
+    to the driver (bounded: hot keys are few BY DEFINITION — a key
+    row-bound, not a data-size bound; > ``max_hot`` raises rather
+    than silently materializing a non-skewed right) and broadcast via
+    ``ray.put``; hot left rows join map-side with zero shuffle. Cold
+    rows on both sides flow through the ordinary partition-wise
+    ``hash_join``. The union is value-identical to ``hash_join`` —
+    the hot path changes the PLAN, never the answer (regression-
+    pinned in tests).
+
+    Output schema matches ``hash_join``: [left_on] + left_cols +
+    right_cols. ``stats_out`` (tests/observability) receives
+    ``n_hot_keys`` / ``n_hot_right_rows``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if set(left_cols) & set(right_cols):
+        raise ValueError("left_cols and right_cols must be disjoint")
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        k = t[left_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        return pa.table({"_k": pa.array(uniq, pa.int64()),
+                         "_n": pa.array(np.bincount(inv).astype(np.int64),
+                                        pa.int64())})
+
+    counts = (left.map_batches(key_partial, batch_format="pyarrow")
+              .groupby("_k").aggregate(Sum("_n", alias_name="n")))
+
+    thr = pa.scalar(hot_threshold, pa.int64())
+    hot_tbl = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["n"].combine_chunks().cast(pa.int64()), thr)),
+        batch_format="pyarrow").to_pandas()
+    hot = set(hot_tbl["_k"].astype(int)) if len(hot_tbl) else set()
+    if len(hot) > max_hot:
+        raise ValueError(
+            f"{len(hot)} hot keys exceed max_hot={max_hot}: "
+            f"hot_threshold={hot_threshold} does not separate skew "
+            "on this input")
+    if stats_out is not None:
+        stats_out["n_hot_keys"] = len(hot)
+
+    if not hot:
+        if stats_out is not None:
+            stats_out["n_hot_right_rows"] = 0
+        return hash_join(left, right, left_on, right_on,
+                         left_cols, right_cols, how="inner",
+                         num_partitions=num_partitions)
+
+    href = ray.put(hot)
+
+    def right_hot(t: pa.Table) -> pa.Table:
+        hs = ray.get(href)
+        k = t[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.fromiter((int(x) in hs for x in k), bool, len(k))
+        return t.filter(pa.array(mask)).select([right_on] + right_cols)
+
+    hot_rows = right.map_batches(right_hot,
+                                 batch_format="pyarrow").take_all()
+    lookup: dict[int, list[tuple]] = {}
+    for r in hot_rows:
+        lookup.setdefault(int(r[right_on]), []).append(
+            tuple(r[c] for c in right_cols))
+    if stats_out is not None:
+        stats_out["n_hot_right_rows"] = len(hot_rows)
+    lref = ray.put(lookup)
+
+    rs = right.schema()
+    right_types = dict(zip(rs.names, rs.types))
+    ls = left.schema()
+    left_types = dict(zip(ls.names, ls.types))
+
+    def left_hot_join(t: pa.Table) -> pa.Table:
+        hs = ray.get(href)
+        lk = ray.get(lref)
+        k = t[left_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.fromiter((int(x) in hs for x in k), bool, len(k))
+        kept = t.filter(pa.array(mask))
+        kk = kept[left_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        out: dict[str, list] = {left_on: []}
+        for c in left_cols + right_cols:
+            out[c] = []
+        lvals = {c: kept[c].to_pylist() for c in left_cols}
+        for i, key in enumerate(kk):
+            for payload in lk.get(int(key), ()):
+                out[left_on].append(int(key))
+                for c in left_cols:
+                    out[c].append(lvals[c][i])
+                for c, v in zip(right_cols, payload):
+                    out[c].append(v)
+        cols = {left_on: pa.array(out[left_on], left_types[left_on])}
+        for c in left_cols:
+            cols[c] = pa.array(out[c], left_types[c])
+        for c in right_cols:
+            cols[c] = pa.array(out[c], right_types[c])
+        return pa.table(cols)
+
+    def left_cold(t: pa.Table) -> pa.Table:
+        hs = ray.get(href)
+        k = t[left_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.fromiter((int(x) not in hs for x in k), bool, len(k))
+        return t.filter(pa.array(mask))
+
+    def right_cold(t: pa.Table) -> pa.Table:
+        hs = ray.get(href)
+        k = t[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.fromiter((int(x) not in hs for x in k), bool, len(k))
+        return t.filter(pa.array(mask))
+
+    hot_joined = left.map_batches(left_hot_join, batch_format="pyarrow")
+    cold_joined = hash_join(
+        left.map_batches(left_cold, batch_format="pyarrow"),
+        right.map_batches(right_cold, batch_format="pyarrow"),
+        left_on, right_on, left_cols, right_cols, how="inner",
+        num_partitions=num_partitions)
+    return hot_joined.union(cold_joined)

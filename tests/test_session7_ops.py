@@ -432,3 +432,72 @@ def test_events_profile_semantics(ray_session):
     assert int(out.loc["event_id", "max_v"]) == int(ev.event_id.max())
     # typed ordering: max user id rendered as int, not string-max
     assert int(out.loc["user_id", "max_v"]) == int(ev.user_id.max())
+
+
+# ---------------------------------------------------------------------------
+# skew_join + inlink_titles
+
+
+def test_inlink_titles_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.linkgraph import (inlink_titles,
+                                                        inlink_titles_sql)
+    from tests.oracle_check import compare
+
+    st = {}
+    assert compare("inlink_titles", inlink_titles(SF_SMOKE, stats_out=st),
+                   inlink_titles_sql(), SF_SMOKE) == []
+    assert st["n_hot_keys"] == 16     # the planted hubs ARE the skew
+    assert st["n_hot_right_rows"] == 16
+
+
+def test_skew_join_equals_hash_join(ray_session):
+    """Value-identity to the plain hash_join on a mixed input: one hot
+    key (with MULTIPLE right rows — the cross product), cold keys, and
+    keys missing on either side (inner drops)."""
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages.joins import hash_join, skew_join
+
+    import pyarrow as pa
+    lds = rd.from_arrow(pa.table({
+        "k": pa.array([1] * 50 + [2, 2, 3, 4, 9], pa.int64()),
+        "lv": pa.array(range(55), pa.int64())}))
+    rds = rd.from_arrow(pa.table({
+        "k2": pa.array([1, 1, 2, 3, 5], pa.int64()),
+        "rv": pa.array(["a", "b", "c", "d", "e"], pa.string())}))
+
+    def norm(ds):
+        return (ds.to_pandas().sort_values(["k", "lv", "rv"])
+                .reset_index(drop=True))
+
+    want = norm(hash_join(lds, rds, "k", "k2", ["lv"], ["rv"],
+                          how="inner"))
+    st = {}
+    got = norm(skew_join(lds, rds, "k", "k2", ["lv"], ["rv"],
+                         hot_threshold=10, stats_out=st))
+    assert st["n_hot_keys"] == 1 and st["n_hot_right_rows"] == 2
+    assert got.equals(want)
+    # no-hot fall-through is the plain join
+    st2 = {}
+    got2 = norm(skew_join(lds, rds, "k", "k2", ["lv"], ["rv"],
+                          hot_threshold=1000, stats_out=st2))
+    assert st2["n_hot_keys"] == 0
+    assert got2.equals(want)
+
+
+def test_skew_join_max_hot_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from pdf_extraction_ray.stages.joins import skew_join
+
+    import pyarrow as pa
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(20)) * 3, pa.int64()),
+        "lv": pa.array(range(60), pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k2": pa.array(range(20), pa.int64()),
+        "rv": pa.array(range(20), pa.int64())}))
+    with pytest.raises(ValueError, match="hot keys exceed"):
+        skew_join(left, right, "k", "k2", ["lv"], ["rv"],
+                  hot_threshold=2, max_hot=5)
