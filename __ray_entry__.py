@@ -676,6 +676,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-joined (stages/joins.skew_join; plan changes, answer
         # doesn't — value-identical to the plain join)
         "inlink_titles": _tuned(linkgraph.inlink_titles),
+        # keyword-in-context snippets for the BM25 candidates (the
+        # serving half of search; corpus filters map-side to candidate
+        # docs only, never re-shuffled)
+        "search_snippets": _tuned(analytics.search_snippets),
+        # incremental materialized-view maintenance: standing per-
+        # section stats + delta corrections, folded with ONE groupby;
+        # oracle recomputes snapshot B from scratch
+        "section_stats_incremental": _tuned(
+            analytics.section_stats_incremental),
     }
 
 
@@ -741,6 +750,8 @@ AWAITING_SLOT = (
     "shipping_priority",
     "events_profile",
     "inlink_titles",
+    "search_snippets",
+    "section_stats_incremental",
 )
 
 
@@ -879,6 +890,9 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": relational.shipping_priority_sql(),
         "events_profile": analytics.events_profile_sql(),
         "inlink_titles": linkgraph.inlink_titles_sql(),
+        "search_snippets": analytics.search_snippets_sql(),
+        "section_stats_incremental":
+            analytics.section_stats_incremental_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -7580,3 +7580,229 @@ WITH ev AS (
          epoch_us(ts) AS ts_us, event_type
   FROM events
 ){union}"""
+
+
+# ---------------------------------------------------------------------------
+# search snippets (KWIC) — session 7
+# ---------------------------------------------------------------------------
+
+SNIPPET_RADIUS = 2   # words each side of the first query-term hit
+
+
+def search_snippets(sf_dir: str, radius: int = SNIPPET_RADIUS) -> rd.Dataset:
+    """Keyword-in-context snippet generation — the serving half of
+    search (what a result page actually shows): for every BM25
+    candidate, the 2R+1-word window around the FIRST occurrence of
+    any of its query's terms (earliest position wins; a candidate
+    always contains ≥1 term — BM25 score > 0 requires tf > 0).
+    Returns (query_id, doc_id, rank, hit_pos, snippet); hit_pos is
+    the 1-based word position.
+
+    Shape: candidates are top-k per query (tiny by construction);
+    their ids broadcast as a set, the corpus filters map-side to
+    candidate docs ONLY, and snippet assembly is per-candidate-row
+    work — the corpus is never re-shuffled (the search_ranked
+    stage-2 discipline)."""
+    import ray
+
+    cand = bm25_topk(sf_dir).materialize()
+    rows = cand.take_all()        # k × |queries| — bounded
+    want: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        want.setdefault(int(r["doc_id"]), []).append(
+            (int(r["query_id"]), int(r["rank"])))
+    wref = ray.put(want)
+
+    def snip(t: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        out = {"query_id": [], "doc_id": [], "rank": [],
+               "hit_pos": [], "snippet": []}
+        for doc, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            hits = w.get(int(doc))
+            if not hits:
+                continue
+            words = (text or "").split(" ")
+            for qid, rank in hits:
+                terms = BM25_QUERIES[qid]
+                first = min((words.index(term) for term in terms
+                             if term in words), default=None)
+                if first is None:
+                    continue   # unreachable for BM25 candidates
+                lo = max(0, first - radius)
+                out["query_id"].append(qid)
+                out["doc_id"].append(int(doc))
+                out["rank"].append(rank)
+                out["hit_pos"].append(first + 1)
+                out["snippet"].append(
+                    " ".join(words[lo:first + radius + 1]))
+        return pa.table({
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "hit_pos": pa.array(out["hit_pos"], pa.int64()),
+            "snippet": pa.array(out["snippet"], pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        snip, batch_format="pyarrow")
+
+
+def search_snippets_sql(radius: int = SNIPPET_RADIUS) -> str:
+    """The bm25 oracle as a subquery CTE; first hit = min over the
+    query's terms of list_position (1-based, NULL when absent);
+    snippet = the inclusive 1-based list slice rendered with
+    array_to_string."""
+    return f"""
+WITH cands AS (SELECT * FROM ({bm25_topk_sql()})),
+qt AS (SELECT * FROM ({_bm25_queries_values_sql()})),
+w AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS w
+  FROM documents d
+  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM cands)
+), firsts AS (
+  SELECT c.query_id, c.doc_id, c.rank,
+         min(list_position(w.w, qt.word)) AS hit_pos
+  FROM cands c
+  JOIN qt ON qt.query_id = c.query_id
+  JOIN w ON w.doc_id = c.doc_id
+  WHERE list_position(w.w, qt.word) IS NOT NULL
+  GROUP BY c.query_id, c.doc_id, c.rank
+)
+SELECT f.query_id, f.doc_id, f.rank,
+       CAST(f.hit_pos AS BIGINT) AS hit_pos,
+       array_to_string(w.w[greatest(1, f.hit_pos - {radius})
+                           :f.hit_pos + {radius}], ' ') AS snippet
+FROM firsts f JOIN w ON w.doc_id = f.doc_id"""
+
+
+def _bm25_queries_values_sql() -> str:
+    qrows = ", ".join(f"({qid}, '{w}')"
+                      for qid, terms in sorted(BM25_QUERIES.items())
+                      for w in terms)
+    return f"SELECT * FROM (VALUES {qrows}) AS q(query_id, word)"
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized-view maintenance (session 7)
+# ---------------------------------------------------------------------------
+
+# snapshot-B plant (pure doc_id functions — the pages_delta convention):
+MV_REMOVED_MOD, MV_REMOVED_RES = 37, 5
+MV_CHANGED_MOD, MV_CHANGED_RES = 29, 11
+MV_ADDED_MOD, MV_ADDED_RES, MV_ADDED_OFF = 41, 7, 900_000
+
+
+def _mv_changed_text(doc_id: int, text: str) -> str:
+    return text + " delta-marker-" + str(doc_id % 7)
+
+
+def _mv_added_text(doc_id: int) -> str:
+    return "added doc " + str(doc_id)
+
+
+def section_stats_incremental(sf_dir: str) -> rd.Dataset:
+    """Incremental materialized-view maintenance — the streaming-
+    warehouse algebra (new_MV = old_MV + Δ⁺ − Δ⁻) over the per-section
+    corpus stats view (n_docs, n_chars, n_tokens per source): given
+    the standing stats of snapshot A and a delta (removed / changed /
+    added docs), the update pass computes CORRECTION partials from the
+    delta rows ONLY and folds them into the standing stats with one
+    tiny groupby — unchanged rows are never re-measured. The oracle
+    recomputes snapshot B from scratch; equality proves the
+    maintenance algebra (the refresh_extraction equality discipline).
+
+    The delta is planted (pure doc_id functions, so SQL replants):
+    every 37th doc removed, every 29th re-written with an appended
+    marker (removal wins when both hit), every 41st spawning a new
+    added doc. Returns (section, n_docs, n_chars, n_tokens)."""
+    def stats_partial(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        txt = t["text"].to_pylist()
+        rows: dict[str, list] = {"section": [], "d": [], "c": [], "k": []}
+        acc: dict[str, list[int]] = {}
+        for s, x in zip(src, txt):
+            a = acc.setdefault(s, [0, 0, 0])
+            a[0] += 1
+            a[1] += len(x)
+            a[2] += len(x.split(" "))
+        for s, (d, c, k) in sorted(acc.items()):
+            rows["section"].append(s)
+            rows["d"].append(d)
+            rows["c"].append(c)
+            rows["k"].append(k)
+        return pa.table({
+            "section": pa.array(rows["section"], pa.string()),
+            "d": pa.array(rows["d"], pa.int64()),
+            "c": pa.array(rows["c"], pa.int64()),
+            "k": pa.array(rows["k"], pa.int64())})
+
+    base = _docs(sf_dir, ["doc_id", "source", "text"])
+    standing = base.map_batches(stats_partial, batch_format="pyarrow")
+
+    def corrections(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_pylist()
+        txt = t["text"].to_pylist()
+        acc: dict[str, list[int]] = {}
+        for i, s, x in zip(ids, src, txt):
+            i = int(i)
+            a = acc.setdefault(s, [0, 0, 0])
+            removed = i % MV_REMOVED_MOD == MV_REMOVED_RES
+            if removed:
+                a[0] -= 1
+                a[1] -= len(x)
+                a[2] -= len(x.split(" "))
+            elif i % MV_CHANGED_MOD == MV_CHANGED_RES:
+                nx = _mv_changed_text(i, x)
+                a[1] += len(nx) - len(x)
+                a[2] += len(nx.split(" ")) - len(x.split(" "))
+            if i % MV_ADDED_MOD == MV_ADDED_RES:
+                ax = _mv_added_text(i)
+                a[0] += 1
+                a[1] += len(ax)
+                a[2] += len(ax.split(" "))
+        rows = {"section": [], "d": [], "c": [], "k": []}
+        for s, (d, c, k) in sorted(acc.items()):
+            if d or c or k:
+                rows["section"].append(s)
+                rows["d"].append(d)
+                rows["c"].append(c)
+                rows["k"].append(k)
+        return pa.table({
+            "section": pa.array(rows["section"], pa.string()),
+            "d": pa.array(rows["d"], pa.int64()),
+            "c": pa.array(rows["c"], pa.int64()),
+            "k": pa.array(rows["k"], pa.int64())})
+
+    delta = base.map_batches(corrections, batch_format="pyarrow")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"section": t["section"],
+                         "n_docs": t["sum(d)"],
+                         "n_chars": t["sum(c)"],
+                         "n_tokens": t["sum(k)"]})
+
+    return (standing.union(delta)
+            .groupby("section")
+            .aggregate(Sum("d"), Sum("c"), Sum("k"))
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def section_stats_incremental_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT source,
+         CASE WHEN doc_id % {MV_CHANGED_MOD} = {MV_CHANGED_RES}
+              THEN text || ' delta-marker-'
+                   || CAST(doc_id % 7 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % {MV_REMOVED_MOD} <> {MV_REMOVED_RES}
+  UNION ALL
+  SELECT source, 'added doc ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % {MV_ADDED_MOD} = {MV_ADDED_RES}
+)
+SELECT source AS section, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM b GROUP BY source"""
