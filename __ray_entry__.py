@@ -685,6 +685,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle recomputes snapshot B from scratch
         "section_stats_incremental": _tuned(
             analytics.section_stats_incremental),
+        # TPC-H Q5 analog: 5-table join with the same-nation equality
+        # applied AFTER the one fact join (dims broadcast, one packed-
+        # key combiner groupby + one hash_join)
+        "local_supplier_volume": _tuned(relational.local_supplier_volume),
+        # exact integer 3-sigma anomaly detection per event type
+        # (planted ×50 outliers; isqrt cutoffs broadcast, map-side flag)
+        "value_outliers": _tuned(analytics.value_outliers),
+        # deterministic weighted sampling without replacement
+        # (hash-priority h//w top-k; selection probability ∝ weight)
+        "weighted_sample": _tuned(analytics.weighted_sample),
     }
 
 
@@ -752,6 +762,9 @@ AWAITING_SLOT = (
     "inlink_titles",
     "search_snippets",
     "section_stats_incremental",
+    "local_supplier_volume",
+    "value_outliers",
+    "weighted_sample",
 )
 
 
@@ -893,6 +906,9 @@ def oracle_sql() -> dict[str, str]:
         "search_snippets": analytics.search_snippets_sql(),
         "section_stats_incremental":
             analytics.section_stats_incremental_sql(),
+        "local_supplier_volume": relational.local_supplier_volume_sql(),
+        "value_outliers": analytics.value_outliers_sql(),
+        "weighted_sample": analytics.weighted_sample_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -7806,3 +7806,185 @@ SELECT source AS section, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS n_chars,
        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
 FROM b GROUP BY source"""
+
+
+# ---------------------------------------------------------------------------
+# z-score anomaly detection (session 8) — exact integer 3-sigma rule
+# ---------------------------------------------------------------------------
+
+OUTLIER_MOD, OUTLIER_RES, OUTLIER_MULT = 211, 13, 50
+
+
+def value_outliers(sf_dir: str) -> rd.Dataset:
+    """Per-type 3-sigma anomaly detection over event values — the
+    metric-monitoring op every ingestion pipeline runs, EXACT in
+    integers: a row is an outlier iff (n·c − S)² > 9·(n·Q − S²)
+    (⟺ |z| > 3 under population variance, without ever forming a
+    float mean or stddev), where
+    c = planted cents and (n, S, Q) are the type's count / Σc / Σc².
+
+    Plant: every event with event_id % 211 == 13 has its cents ×50
+    (the generated value column is too well-behaved to contain real
+    3-sigma outliers — uniform maxes out at |z| ≈ √3; the plant is a
+    pure event_id function so the oracle replants).
+
+    Shape: pass 1 folds each block to ≤|types| (type, n, S, Q) partial
+    rows — int64-safe per block (c ≤ ~2e6, c² ≤ 4e12, rows/block ≤
+    ~1e5) — and the driver folds the tiny partials table in Python
+    bigints (O(blocks × types) driver rows, the events_profile bound).
+    Per-type integer CUTOFFS c_lo/c_hi derive once via math.isqrt
+    (x² > t ⟺ |x| > isqrt(t) for integer x), broadcast, and pass 2 is
+    a pure map-side filter — no second exchange, no per-row bigints.
+    Returns flagged rows (event_id, event_type, cents)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    ds = _read_table(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        c = cents.to_numpy(zero_copy_only=False).copy()
+        planted = ids % OUTLIER_MOD == OUTLIER_RES
+        c[planted] *= OUTLIER_MULT
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "cents": pa.array(c, pa.int64())})
+
+    cented = ds.map_batches(to_cents, batch_format="pyarrow")
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pylist()
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        acc: dict[str, list[int]] = {}
+        for typ, v in zip(et, c):
+            a = acc.setdefault(typ, [0, 0, 0])
+            a[0] += 1
+            a[1] += int(v)
+            a[2] += int(v) * int(v)
+        keys = sorted(acc)
+        return pa.table({
+            "event_type": pa.array(keys, pa.string()),
+            "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+            "s": pa.array([acc[k][1] for k in keys], pa.int64()),
+            "q": pa.array([acc[k][2] for k in keys], pa.int64())})
+
+    # tiny: O(blocks × types) rows; the global fold runs in Python
+    # bigints (a distributed int64 Sum of q would overflow at ~1e12
+    # rows — the bigram_lift lesson)
+    parts = cented.map_batches(stat_partial,
+                               batch_format="pyarrow").take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["event_type"], [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["s"])
+        a[2] += int(r["q"])
+    cuts: dict[str, tuple[int, int]] = {}
+    for typ, (n, s, q) in agg.items():
+        t9 = 9 * (n * q - s * s)
+        root = math.isqrt(t9)
+        # outlier ⟺ n·c > s + root  or  n·c < s − root; rearranged to
+        # per-row int64 cutoffs: c ≥ c_hi or c ≤ c_lo (exact floor-div
+        # algebra, safe for negative numerators)
+        cuts[typ] = ((s - root - 1) // n, (s + root) // n + 1)
+    import ray
+
+    cref = ray.put(cuts)
+
+    def flag(t: pa.Table) -> pa.Table:
+        cu = ray.get(cref)
+        et = t["event_type"].to_pylist()
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        lo = np.fromiter((cu[x][0] for x in et), np.int64, len(et))
+        hi = np.fromiter((cu[x][1] for x in et), np.int64, len(et))
+        return t.filter(pa.array((c <= lo) | (c >= hi)))
+
+    return cented.map_batches(flag, batch_format="pyarrow")
+
+
+def value_outliers_sql() -> str:
+    """HUGEINT replay of the exact rule — (n·c − S)² > 9·(n·Q − S²)
+    directly in int128 (the engine's isqrt cutoff form is equivalent:
+    for integer x and t ≥ 0, x² > t ⟺ |x| > isqrt(t))."""
+    return f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) *
+           CASE WHEN event_id % {OUTLIER_MOD} = {OUTLIER_RES}
+                THEN {OUTLIER_MULT} ELSE 1 END AS cents
+  FROM events
+), st AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS s,
+         sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS q
+  FROM ev GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.cents
+FROM ev e JOIN st USING (event_type)
+WHERE (st.n * e.cents - st.s) * (st.n * e.cents - st.s)
+      > 9 * (st.n * st.q - st.s * st.s)"""
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (session 8) — deterministic priority sample
+# ---------------------------------------------------------------------------
+
+WS_TOPK = 64
+
+
+def weighted_sample(sf_dir: str, k: int = WS_TOPK) -> rd.Dataset:
+    """Deterministic weighted sampling without replacement — the
+    training-mix primitive "sample k docs with probability ∝ token
+    count": priority = stable_hash64('ws:' + doc_id) // n_tokens, keep
+    the k SMALLEST (tie → doc_id). For uniform h, p < T ⟺ h < T·w, so
+    selection probability is ∝ weight (hash-priority sampling — the
+    deterministic sibling of Efraimidis–Spirakis u^(1/w), with integer
+    division replacing the float power so both engines agree exactly).
+
+    Shape: one map-side pass computes (doc_id, n_tokens, pri); each
+    block keeps its k smallest (partial top-k), then the tiny
+    survivors sort+limit — never a global sort of the corpus. Returns
+    (doc_id, n_tokens, pri, rank)."""
+    from ..functions.hashing import stable_hash64
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = np.fromiter((len((x or "").split(" "))
+                            for x in t["text"].to_pylist()),
+                           np.int64, t.num_rows)
+        h = np.fromiter((stable_hash64(f"ws:{int(d)}") for d in ids),
+                        np.uint64, t.num_rows).astype(np.int64)
+        pri = h // toks
+        order = np.lexsort((ids, pri))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order].astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(toks[order], pa.int64()),
+            "pri": pa.array(pri[order], pa.int64())})
+
+    merged = (_docs(sf_dir, ["doc_id", "text"])
+              .map_batches(score, batch_format="pyarrow")
+              .sort(["pri", "doc_id"]).limit(k))
+
+    def rank(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+            "pri": t["pri"],
+            "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64))})
+
+    return merged.repartition(1).map_batches(rank, batch_format="pyarrow")
+
+
+def weighted_sample_sql(k: int = WS_TOPK) -> str:
+    h = _sql_hash64("sha256('ws:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH w AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST({h} AS BIGINT) // len(string_split(text, ' ')) AS pri
+  FROM documents
+)
+SELECT doc_id, n_tokens, pri,
+       CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT) AS rank
+FROM w
+QUALIFY rank <= {k}"""

@@ -788,3 +788,149 @@ SELECT o_orderkey, revenue_e4, CAST(odate_day AS BIGINT) AS odate_day,
             AS BIGINT) AS rank
 FROM j
 QUALIFY rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 analog: local supplier volume (5-table join, equality on a
+# NON-join attribute — customer and supplier must share a nation)
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_YEAR = 1997
+
+
+def local_supplier_volume(sf_dir: str, region: str = Q5_REGION,
+                          year: int = Q5_YEAR) -> rd.Dataset:
+    """TPC-H Q5 analog (local supplier volume): revenue per nation from
+    orders where the CUSTOMER and the line's SUPPLIER sit in the same
+    nation of one region, within one order year. The canonical
+    many-table join, composed the scale-shaped way:
+
+      region → nation → tiny dicts, driver-side (≤25 rows)
+      supplier / customer → (key → nationkey) dicts RESTRICTED to the
+        region's nations, shipped ONCE via ray.put (dimension
+        broadcast; at TPC-H scale supplier is 0.01% and customer 1.5%
+        of lineitem — the survey's broadcast-small-sides rule)
+      orders: year filter pushed map-side, c_nat attached from the
+        broadcast (non-region customers drop here — the region
+        predicate is applied before any exchange)
+      lineitem: s_nat attached map-side (non-region suppliers drop),
+        then a per-block COMBINER folds to (orderkey·64+s_nat, partial
+        revenue) — nationkey < 25 < 64, orderkey < 2^57 so the packed
+        key is exact int64
+      ONE groupby(packed key) + ONE hash_join against orders, the
+        c_nat == s_nat equality filtered AFTER the join (it is not a
+        join key — the classic Q5 trap), and a ≤|nations|-row final
+        groupby.
+
+    Revenue integerizes per row (round(price·(1−disc)·1e4), the Q3
+    convention) so the sums are exact BIGINT on both engines. Returns
+    (n_name, revenue_e4)."""
+    from ..stages.joins import hash_join
+
+    lo_day = int(np.datetime64(f"{year}-01-01").astype("datetime64[D]")
+                 .astype(np.int64))
+    hi_day = int(np.datetime64(f"{year + 1}-01-01").astype("datetime64[D]")
+                 .astype(np.int64))
+
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg.r_name == region, "r_regionkey"].astype(int))
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    nat = nat[nat.n_regionkey.astype(int).isin(rkeys)]
+    nmap = {int(k): str(v) for k, v in zip(nat.n_nationkey, nat.n_name)}
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = {int(k): int(n) for k, n in zip(sup.s_suppkey, sup.s_nationkey)
+            if int(n) in nmap}
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cmap = {int(k): int(n) for k, n in zip(cust.c_custkey, cust.c_nationkey)
+            if int(n) in nmap}
+    nref, sref, cref = ray.put(nmap), ray.put(smap), ray.put(cmap)
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        day = (t["o_orderdate"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // _DAY_US)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cn = np.fromiter((cm.get(int(c), -1) for c in ck),
+                         np.int64, len(ck))
+        mask = (day >= lo_day) & (day < hi_day) & (cn >= 0)
+        kept = t.filter(pa.array(mask))
+        return pa.table({"o_orderkey": kept["o_orderkey"],
+                         "c_nat": pa.array(cn[mask], pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_f, batch_format="pyarrow")
+
+    def items_partial(t: pa.Table) -> pa.Table:
+        sm = ray.get(sref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        sn = np.fromiter((sm.get(int(s), -1) for s in sk),
+                         np.int64, len(sk))
+        mask = sn >= 0
+        kept = t.filter(pa.array(mask))
+        price = kept["l_extendedprice"].to_numpy()
+        disc = kept["l_discount"].to_numpy()
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        okey = kept["l_orderkey"].to_numpy(zero_copy_only=False)
+        packed = okey.astype(np.int64) * 64 + sn[mask]
+        uniq, inv = np.unique(packed, return_inverse=True)
+        return pa.table({
+            "k": pa.array(uniq.astype(np.int64), pa.int64()),
+            "r": pa.array(np.bincount(inv, weights=rev).astype(np.int64),
+                          pa.int64())})
+
+    items = (_read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_extendedprice",
+                    "l_discount"])
+             .map_batches(items_partial, batch_format="pyarrow")
+             .groupby("k").aggregate(Sum("r", alias_name="rev")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": pa.array(k // 64, pa.int64()),
+                         "s_nat": pa.array(k % 64, pa.int64()),
+                         "rev": t["rev"]})
+
+    items = items.map_batches(unpack, batch_format="pyarrow")
+    joined = hash_join(items, orders, "l_orderkey", "o_orderkey",
+                       ["s_nat", "rev"], ["c_nat"], how="inner")
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        sn = t["s_nat"].to_numpy(zero_copy_only=False)
+        cn = t["c_nat"].to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(sn == cn))
+        names = [nm[int(n)] for n in
+                 kept["s_nat"].to_numpy(zero_copy_only=False)]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "rev": kept["rev"]})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"n_name": t["n_name"],
+                         "revenue_e4": t["sum(rev)"]})
+
+    return (joined.map_batches(same_nation, batch_format="pyarrow")
+            .groupby("n_name").aggregate(Sum("rev"))
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def local_supplier_volume_sql(region: str = Q5_REGION,
+                              year: int = Q5_YEAR) -> str:
+    return f"""
+SELECT n.n_name,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS BIGINT)) AS revenue_e4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{region}'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '{year}-01-01'
+  AND o.o_orderdate < TIMESTAMP '{year + 1}-01-01'
+GROUP BY n.n_name"""

@@ -120,3 +120,129 @@ def test_section_stats_incremental_algebra(ray_session):
     base = (docs.groupby("source").size().rename("n_docs"))
     merged = got.set_index("section")["n_docs"]
     assert (merged.reindex(base.index) != base).any()
+
+
+# ---------------------------------------------------------------------------
+# local_supplier_volume (TPC-H Q5)
+
+
+def test_local_supplier_volume_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.relational import (
+        local_supplier_volume, local_supplier_volume_sql)
+    from tests.oracle_check import compare
+
+    assert compare("local_supplier_volume", local_supplier_volume(SF_SMOKE),
+                   local_supplier_volume_sql(), SF_SMOKE) == []
+
+
+def test_local_supplier_volume_semantics(ray_session):
+    """Brute-force pandas replay of the 5-table join: same totals, and
+    only region nations appear."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from pdf_extraction_ray.pipelines.relational import (
+        Q5_REGION, Q5_YEAR, local_supplier_volume)
+
+    rd_ = lambda t: pq.read_table(f"{SF_SMOKE}/{t}.parquet").to_pandas()
+    reg = rd_("region"); nat = rd_("nation"); cust = rd_("customer")
+    sup = rd_("supplier"); orders = rd_("orders"); li = rd_("lineitem")
+    rk = set(reg.loc[reg.r_name == Q5_REGION, "r_regionkey"])
+    nat = nat[nat.n_regionkey.isin(rk)]
+    orders = orders[(orders.o_orderdate >= f"{Q5_YEAR}-01-01")
+                    & (orders.o_orderdate < f"{Q5_YEAR + 1}-01-01")]
+    j = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust, left_on="o_custkey", right_on="c_custkey")
+         .merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(nat, left_on="s_nationkey", right_on="n_nationkey"))
+    j = j[j.c_nationkey == j.s_nationkey]
+    j["rev"] = np.round(
+        j.l_extendedprice * (1 - j.l_discount) * 10000).astype("int64")
+    want = (j.groupby("n_name")["rev"].sum().rename("revenue_e4")
+            .reset_index().sort_values("n_name").reset_index(drop=True))
+    got = (local_supplier_volume(SF_SMOKE).to_pandas()
+           .sort_values("n_name").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got.n_name) <= set(nat.n_name)
+
+
+# ---------------------------------------------------------------------------
+# value_outliers
+
+
+def test_value_outliers_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (value_outliers,
+                                                        value_outliers_sql)
+    from tests.oracle_check import compare
+
+    assert compare("value_outliers", value_outliers(SF_SMOKE),
+                   value_outliers_sql(), SF_SMOKE) == []
+
+
+def test_value_outliers_exact_rule(ray_session):
+    """Python-bigint replay: flagged == exactly the rows with
+    (n·c−S)² > 9·(n·Q−S²); the flagged set is non-empty and every
+    flagged |z| (float check) exceeds 3."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pdf_extraction_ray.pipelines.analytics import (OUTLIER_MOD,
+                                                        OUTLIER_MULT,
+                                                        OUTLIER_RES,
+                                                        value_outliers)
+
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                       columns=["event_id", "event_type", "value"]
+                       ).to_pandas()
+    c = np.round(ev.value * 100).astype("int64")
+    c[ev.event_id % OUTLIER_MOD == OUTLIER_RES] *= OUTLIER_MULT
+    ev["cents"] = c
+    want = set()
+    for typ, g in ev.groupby("event_type"):
+        n = len(g); s = int(g.cents.sum())
+        q = sum(int(x) * int(x) for x in g.cents)
+        for eid, cv in zip(g.event_id, g.cents):
+            if (n * int(cv) - s) ** 2 > 9 * (n * q - s * s):
+                want.add(int(eid))
+    got = value_outliers(SF_SMOKE).to_pandas()
+    assert set(got.event_id) == want and len(want) > 0
+    # float sanity: all flagged z-scores exceed 3 (population std)
+    stats = ev.groupby("event_type").cents.agg(["mean", "std", "count"])
+    for r in got.itertuples():
+        st = stats.loc[r.event_type]
+        pop_std = st["std"] * np.sqrt((st["count"] - 1) / st["count"])
+        assert abs(r.cents - st["mean"]) / pop_std > 3
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+
+
+def test_weighted_sample_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (weighted_sample,
+                                                        weighted_sample_sql)
+    from tests.oracle_check import compare
+
+    assert compare("weighted_sample", weighted_sample(SF_SMOKE),
+                   weighted_sample_sql(), SF_SMOKE) == []
+
+
+def test_weighted_sample_semantics(ray_session):
+    """Exactly k rows; priorities replay as h//w; selection is
+    weight-biased (sampled docs are longer than the corpus average —
+    the whole point of weighting by token count)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pdf_extraction_ray.functions.hashing import stable_hash64
+    from pdf_extraction_ray.pipelines.analytics import (WS_TOPK,
+                                                        weighted_sample)
+
+    out = weighted_sample(SF_SMOKE).to_pandas()
+    assert len(out) == WS_TOPK
+    assert list(out["rank"]) == list(range(1, WS_TOPK + 1))
+    assert out.pri.is_monotonic_increasing
+    for r in out.itertuples():
+        assert r.pri == stable_hash64(f"ws:{r.doc_id}") // r.n_tokens
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    corpus_mean = docs.text.str.split(" ").str.len().mean()
+    assert out.n_tokens.mean() > corpus_mean
