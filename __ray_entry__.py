@@ -695,6 +695,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic weighted sampling without replacement
         # (hash-priority h//w top-k; selection probability ∝ weight)
         "weighted_sample": _tuned(analytics.weighted_sample),
+        # cross-snapshot vocabulary drift report (one-pass two-side
+        # word fold + sentinel totals row; integer parts-per-2^20
+        # rates; top-k movers)
+        "vocab_drift": _tuned(analytics.vocab_drift),
+        # exact rolling 7-day distinct active users (two packed-key
+        # dedupe groupbys + window fan-out; zero-padded day spine)
+        "wau_daily": _tuned(analytics.wau_daily),
+        # exact discrete quantiles (p50/p90/p99) per event type — the
+        # exact twin of value_quantiles_hist
+        "value_quantiles_disc": _tuned(analytics.value_quantiles_disc),
     }
 
 
@@ -765,6 +775,9 @@ AWAITING_SLOT = (
     "local_supplier_volume",
     "value_outliers",
     "weighted_sample",
+    "vocab_drift",
+    "wau_daily",
+    "value_quantiles_disc",
 )
 
 
@@ -909,6 +922,9 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": relational.local_supplier_volume_sql(),
         "value_outliers": analytics.value_outliers_sql(),
         "weighted_sample": analytics.weighted_sample_sql(),
+        "vocab_drift": analytics.vocab_drift_sql(),
+        "wau_daily": analytics.wau_daily_sql(),
+        "value_quantiles_disc": analytics.value_quantiles_disc_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -7988,3 +7988,290 @@ SELECT doc_id, n_tokens, pri,
        CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT) AS rank
 FROM w
 QUALIFY rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot vocabulary drift (session 8)
+# ---------------------------------------------------------------------------
+
+DRIFT_SCALE = 1 << 20   # rates in parts-per-2^20; c*S stays int64 to N<2^43
+DRIFT_TOPK = 50
+_DRIFT_TOTAL = "\x00total"   # sentinel word (cannot tokenize from text)
+
+
+def vocab_drift(sf_dir: str, k: int = DRIFT_TOPK) -> rd.Dataset:
+    """Cross-snapshot vocabulary drift report — the corpus-monitoring
+    op run between crawl snapshots ("which words surged / collapsed"):
+    top-k words by |rate_B − rate_A| where rate = occurrences · 2²⁰ //
+    total tokens (integer parts-per-2²⁰; the quantization floor means
+    sub-ppm words report 0 drift — a drift REPORT is about common
+    words by design). Snapshot B is the MV plant (removed %37, changed
+    %29 appending a marker word, added %41 — pure doc_id functions, so
+    the oracle replants).
+
+    Shape: ONE pass over the corpus folds each block to (word, ca, cb)
+    partial counts for BOTH sides plus a sentinel totals row (the dsir
+    B+1-row trick); ONE groupby(word) sum; totals extract from the one
+    sentinel row; the drift map + per-block partial top-k runs over
+    the vocab table (ids-only, sublinear in corpus size). int64-safe
+    while total tokens < 2^43 (~8.8e12); beyond that, widen SCALE
+    handling to Python bigints per vocab row. Returns (word, ca, cb,
+    drift) for the top-k by (|drift| DESC, word)."""
+    base = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        acc: dict[str, list[int]] = {}
+        ta = tb = 0
+        for i, x in zip(ids, t["text"].to_pylist()):
+            i = int(i)
+            wa = (x or "").split(" ")
+            ta += len(wa)
+            for w in wa:
+                acc.setdefault(w, [0, 0])[0] += 1
+            removed = i % MV_REMOVED_MOD == MV_REMOVED_RES
+            if not removed:
+                wb = (_mv_changed_text(i, x)
+                      if i % MV_CHANGED_MOD == MV_CHANGED_RES else x).split(" ")
+                tb += len(wb)
+                for w in wb:
+                    acc.setdefault(w, [0, 0])[1] += 1
+            if i % MV_ADDED_MOD == MV_ADDED_RES:
+                wadd = _mv_added_text(i).split(" ")
+                tb += len(wadd)
+                for w in wadd:
+                    acc.setdefault(w, [0, 0])[1] += 1
+        acc[_DRIFT_TOTAL] = [ta, tb]
+        keys = sorted(acc)
+        return pa.table({
+            "word": pa.array(keys, pa.string()),
+            "a": pa.array([acc[w][0] for w in keys], pa.int64()),
+            "b": pa.array([acc[w][1] for w in keys], pa.int64())})
+
+    vocab = (base.map_batches(fold, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("a", alias_name="ca"),
+                                        Sum("b", alias_name="cb"))
+             ).materialize()   # consumed twice: totals row + drift scan
+
+    import pyarrow.compute as pc
+    tot = (vocab.map_batches(
+        lambda t: t.filter(pc.equal(t["word"], _DRIFT_TOTAL)),
+        batch_format="pyarrow").take_all())
+    na = sum(int(r["ca"]) for r in tot)
+    nb = sum(int(r["cb"]) for r in tot)
+
+    def drift_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["word"], _DRIFT_TOTAL))
+        ca = t["ca"].to_numpy(zero_copy_only=False)
+        cb = t["cb"].to_numpy(zero_copy_only=False)
+        d = cb * DRIFT_SCALE // nb - ca * DRIFT_SCALE // na
+        neg_abs = -np.abs(d)
+        df = pd.DataFrame({"word": t["word"].to_pylist(),
+                           "neg_abs": neg_abs})
+        order = (df.sort_values(["neg_abs", "word"], kind="mergesort")
+                 .index.to_numpy()[:k])
+        kept = t.take(pa.array(order))
+        return pa.table({"word": kept["word"], "ca": kept["ca"],
+                         "cb": kept["cb"],
+                         "drift": pa.array(d[order], pa.int64()),
+                         "neg_abs": pa.array(neg_abs[order], pa.int64())})
+
+    merged = (vocab.map_batches(drift_topk, batch_format="pyarrow")
+              .sort(["neg_abs", "word"]).limit(k))
+    return merged.drop_columns(["neg_abs"])
+
+
+def vocab_drift_sql(k: int = DRIFT_TOPK) -> str:
+    s = DRIFT_SCALE
+    return f"""
+WITH a AS (
+  SELECT u.w AS word, CAST(count(*) AS BIGINT) AS ca
+  FROM documents, unnest(string_split(text, ' ')) AS u(w) GROUP BY u.w
+), bdocs AS (
+  SELECT CASE WHEN doc_id % {MV_CHANGED_MOD} = {MV_CHANGED_RES}
+              THEN text || ' delta-marker-' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents WHERE doc_id % {MV_REMOVED_MOD} <> {MV_REMOVED_RES}
+  UNION ALL
+  SELECT 'added doc ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % {MV_ADDED_MOD} = {MV_ADDED_RES}
+), b AS (
+  SELECT u.w AS word, CAST(count(*) AS BIGINT) AS cb
+  FROM bdocs, unnest(string_split(text, ' ')) AS u(w) GROUP BY u.w
+), tot AS (
+  SELECT (SELECT sum(ca) FROM a) AS na, (SELECT sum(cb) FROM b) AS nb
+), j AS (
+  SELECT coalesce(a.word, b.word) AS word,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb,
+         CAST(coalesce(cb, 0) * {s} // nb
+              - coalesce(ca, 0) * {s} // na AS BIGINT) AS drift
+  FROM a FULL OUTER JOIN b ON a.word = b.word, tot
+)
+SELECT word, ca, cb, drift FROM j
+QUALIFY row_number() OVER (ORDER BY abs(drift) DESC, word) <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# 7-day rolling distinct active users (session 8)
+# ---------------------------------------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def wau_daily(sf_dir: str, window: int = WAU_WINDOW_DAYS) -> rd.Dataset:
+    """Rolling 7-day distinct active users per day (the WAU curve) —
+    EXACT sliding-window COUNT(DISTINCT), the product-analytics op the
+    approximate sketches (hll_users_per_type) don't answer: for every
+    day in the table's [min, max] span, the number of distinct users
+    with ≥1 event in the preceding 7 days (day−6 … day).
+
+    Shape: events fold map-side to distinct (user, day) pairs per
+    block, ONE groupby(packed key) dedupes globally (ids-only rows);
+    each pair then fans out map-side to its ≤7 target window days, a
+    second packed-key groupby dedupes (user, window_day) — a user
+    active twice in one window counts once — and a final tiny groupby
+    counts per day. The day spine pads zero-WAU days driver-side
+    (O(span) rows). Returns (day, wau)."""
+    import pyarrow.compute as pc
+
+    ds = _read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = t["user_id"].to_numpy(zero_copy_only=False)
+        day = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // DAY_US)
+        packed = np.unique(us.astype(np.int64) * (1 << 20) + day)
+        return pa.table({"k": pa.array(packed, pa.int64())})
+
+    # global distinct (user, day): groupby on the packed key (days
+    # since epoch < 2^20 until year ~4840; user ids get the high bits)
+    uday = (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("k").aggregate(Count()))
+
+    def fan(t: pa.Table) -> pa.Table:
+        kk = t["k"].to_numpy(zero_copy_only=False)
+        out = np.concatenate([kk + off for off in range(window)])
+        return pa.table({"k": pa.array(np.unique(out), pa.int64())})
+
+    # distinct (user, window_day), then count users per day
+    wday = (uday.map_batches(fan, batch_format="pyarrow")
+            .groupby("k").aggregate(Count()))
+
+    def per_day(t: pa.Table) -> pa.Table:
+        d = pc.bit_wise_and(t["k"], (1 << 20) - 1)
+        return pa.table({"day": pc.cast(d, pa.int64())})
+
+    counts = (wday.map_batches(per_day, batch_format="pyarrow")
+              .groupby("day").aggregate(Count())
+              .map_batches(lambda t: pa.table(
+                  {"day": t["day"], "wau": t["count()"]}),
+                  batch_format="pyarrow"))
+
+    # pad the spine: fan-out creates phantom days past max(day); clip
+    # to the observed span and zero-fill gaps (tiny driver-side table)
+    def block_span(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64())})
+        day = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // DAY_US)
+        return pa.table({"d": pa.array([int(day.min()), int(day.max())],
+                                       pa.int64())})
+
+    lohi = ds.map_batches(block_span, batch_format="pyarrow").take_all()
+    lo = min(r["d"] for r in lohi)
+    hi = max(r["d"] for r in lohi)
+
+    def clip_pad(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False)
+        m = (d >= lo) & (d <= hi)
+        return pa.table({"day": pa.array(d[m], pa.int64()),
+                         "wau": pa.array(
+                             t["wau"].to_numpy(zero_copy_only=False)[m],
+                             pa.int64())})
+
+    spine = rd.from_arrow(pa.table({
+        "day": pa.array(np.arange(lo, hi + 1, dtype=np.int64), pa.int64()),
+        "wau": pa.array(np.zeros(hi - lo + 1, dtype=np.int64), pa.int64())}))
+    return (counts.map_batches(clip_pad, batch_format="pyarrow")
+            .union(spine).groupby("day")
+            .aggregate(Sum("wau", alias_name="wau")))
+
+
+def wau_daily_sql(window: int = WAU_WINDOW_DAYS) -> str:
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+), spine AS (
+  SELECT unnest(range((SELECT min(day) FROM ud),
+                      (SELECT max(day) FROM ud) + 1)) AS day
+)
+SELECT s.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM spine s LEFT JOIN ud u
+  ON u.day BETWEEN s.day - {window - 1} AND s.day
+GROUP BY s.day"""
+
+
+# ---------------------------------------------------------------------------
+# exact discrete quantiles per group (session 8)
+# ---------------------------------------------------------------------------
+
+QDISC_PCTS = (50, 90, 99)
+
+
+def value_quantiles_disc(sf_dir: str,
+                         pcts: tuple[int, ...] = QDISC_PCTS) -> rd.Dataset:
+    """EXACT discrete quantiles (median / p90 / p99) of event cents per
+    type — the exact twin of the approximate `value_quantiles_hist`
+    (the hll_users_per_type / users_per_type_exact pairing, applied to
+    percentiles): quantile q returns the ACTUAL sorted element at index
+    (n−1)·q // 100 (lower discrete quantile — pure integer index rule,
+    no interpolation to argue about across engines).
+
+    Shape: the string-keyed window shuffle (hash(type) routes, quota
+    per actual type string) — ONE exchange of (type, cents) ids-only
+    rows, per-partition vectorized sort + index gather. Returns
+    (event_type, pct, value_cents)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_hash64
+
+    P = 32
+    ds = _read_table(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        et = t["event_type"].to_pylist()
+        kp = np.fromiter((stable_hash64(s) & (P - 1) for s in et),
+                         np.int64, len(et))
+        return pa.table({"event_type": t["event_type"], "cents": cents,
+                         "_kp": pa.array(kp, pa.int64())})
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=True):
+            v = np.sort(grp.cents.to_numpy())
+            n = len(v)
+            for p in pcts:
+                rows.append((et, p, int(v[(n - 1) * p // 100])))
+        return pd.DataFrame(rows,
+                            columns=["event_type", "pct", "value_cents"])
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("_kp").map_groups(quantiles, batch_format="pandas"))
+
+
+def value_quantiles_disc_sql(pcts: tuple[int, ...] = QDISC_PCTS) -> str:
+    pv = ", ".join(f"({p})" for p in pcts)
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+SELECT r.event_type, CAST(p.pct AS BIGINT) AS pct, r.cents AS value_cents
+FROM ranked r JOIN (VALUES {pv}) AS p(pct)
+  ON r.rn = (r.n - 1) * p.pct // 100 + 1"""

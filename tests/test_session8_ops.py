@@ -246,3 +246,103 @@ def test_weighted_sample_semantics(ray_session):
                          columns=["text"]).to_pandas()
     corpus_mean = docs.text.str.split(" ").str.len().mean()
     assert out.n_tokens.mean() > corpus_mean
+
+
+# ---------------------------------------------------------------------------
+# vocab_drift
+
+
+def test_vocab_drift_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (vocab_drift,
+                                                        vocab_drift_sql)
+    from tests.oracle_check import compare
+
+    assert compare("vocab_drift", vocab_drift(SF_SMOKE),
+                   vocab_drift_sql(), SF_SMOKE) == []
+
+
+def test_vocab_drift_semantics(ray_session):
+    """The planted delta's own vocabulary dominates the report: the
+    'added'/'doc' words (every 41st doc spawns 'added doc N') and the
+    delta-marker words surge, and drift signs are right — a word only
+    in B has positive drift, and the report is |drift|-sorted."""
+    from pdf_extraction_ray.pipelines.analytics import (DRIFT_TOPK,
+                                                        vocab_drift)
+
+    out = vocab_drift(SF_SMOKE).to_pandas()
+    assert len(out) == DRIFT_TOPK
+    byword = out.set_index("word")
+    assert "added" in byword.index and byword.loc["added"].drift > 0
+    assert byword.loc["added"].ca == 0  # B-only word
+    markers = [w for w in byword.index if w.startswith("delta-marker-")]
+    assert markers and all(byword.loc[m].drift > 0 for m in markers)
+    a = out.drift.abs().to_numpy()
+    assert (a[:-1] >= a[1:]).all()
+
+
+# ---------------------------------------------------------------------------
+# wau_daily
+
+
+def test_wau_daily_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (wau_daily,
+                                                        wau_daily_sql)
+    from tests.oracle_check import compare
+
+    assert compare("wau_daily", wau_daily(SF_SMOKE),
+                   wau_daily_sql(), SF_SMOKE) == []
+
+
+def test_wau_daily_semantics(ray_session):
+    """Pandas replay: every day in the span appears exactly once, wau
+    equals the brute-force 7-day distinct count, and WAU >= DAU (the
+    window dominates the single day)."""
+    import pyarrow.parquet as pq
+    from pdf_extraction_ray.pipelines.analytics import DAY_US, wau_daily
+
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = (ev.ts.astype("int64") // 1000) // (DAY_US // 1000)
+    lo, hi = int(ev.day.min()), int(ev.day.max())
+    out = wau_daily(SF_SMOKE).to_pandas().sort_values("day")
+    assert list(out.day) == list(range(lo, hi + 1))
+    for d in range(lo, hi + 1, max(1, (hi - lo) // 13)):
+        want = ev.loc[ev.day.between(d - 6, d), "user_id"].nunique()
+        dau = ev.loc[ev.day == d, "user_id"].nunique()
+        got = int(out.loc[out.day == d, "wau"].iloc[0])
+        assert got == want and got >= dau
+
+
+# ---------------------------------------------------------------------------
+# value_quantiles_disc
+
+
+def test_value_quantiles_disc_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        value_quantiles_disc, value_quantiles_disc_sql)
+    from tests.oracle_check import compare
+
+    assert compare("value_quantiles_disc", value_quantiles_disc(SF_SMOKE),
+                   value_quantiles_disc_sql(), SF_SMOKE) == []
+
+
+def test_value_quantiles_disc_semantics(ray_session):
+    """Each quantile is an ACTUAL element of its group at the exact
+    lower-discrete index, and quantiles are monotone in pct."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pdf_extraction_ray.pipelines.analytics import (
+        QDISC_PCTS, value_quantiles_disc)
+
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["cents"] = np.round(ev.value * 100).astype("int64")
+    out = value_quantiles_disc(SF_SMOKE).to_pandas()
+    assert len(out) == ev.event_type.nunique() * len(QDISC_PCTS)
+    for et, g in out.groupby("event_type"):
+        v = np.sort(ev.loc[ev.event_type == et, "cents"].to_numpy())
+        n = len(v)
+        got = g.set_index("pct")["value_cents"]
+        for p in QDISC_PCTS:
+            assert got[p] == v[(n - 1) * p // 100]
+        assert got[50] <= got[90] <= got[99]
