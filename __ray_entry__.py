@@ -705,6 +705,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact discrete quantiles (p50/p90/p99) per event type — the
         # exact twin of value_quantiles_hist
         "value_quantiles_disc": _tuned(analytics.value_quantiles_disc),
+        # TrustRank: seed-gated restart random walk (anti-spam ranking;
+        # pagerank_docs's pattern with the restart mass on seeds only)
+        "trustrank_docs": _tuned(analytics.trustrank_docs),
+        # count-min sketch term frequencies (mergeable D×W partials,
+        # ONE 4096-row groupby; sketch replayed value-exact in SQL)
+        "cms_term_freq": _tuned(analytics.cms_term_freq),
+        # referential-integrity audit: orphan counts per FK via ANTI
+        # hash_join (big-big) / broadcast set (dimension); planted
+        # missing parents (key % 101 == 11)
+        "fk_integrity_audit": _tuned(analytics.fk_integrity_audit),
     }
 
 
@@ -778,6 +788,9 @@ AWAITING_SLOT = (
     "vocab_drift",
     "wau_daily",
     "value_quantiles_disc",
+    "trustrank_docs",
+    "cms_term_freq",
+    "fk_integrity_audit",
 )
 
 
@@ -925,6 +938,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_drift": analytics.vocab_drift_sql(),
         "wau_daily": analytics.wau_daily_sql(),
         "value_quantiles_disc": analytics.value_quantiles_disc_sql(),
+        "trustrank_docs": analytics.trustrank_docs_sql(),
+        "cms_term_freq": analytics.cms_term_freq_sql(),
+        "fk_integrity_audit": analytics.fk_integrity_audit_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

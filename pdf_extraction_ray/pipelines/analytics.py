@@ -8275,3 +8275,289 @@ WITH ev AS (
 SELECT r.event_type, CAST(p.pct AS BIGINT) AS pct, r.cents AS value_cents
 FROM ranked r JOIN (VALUES {pv}) AS p(pct)
   ON r.rn = (r.n - 1) * p.pct // 100 + 1"""
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (session 8) — seeded trust propagation over the doc graph
+# ---------------------------------------------------------------------------
+
+
+def trustrank_docs(sf_dir: str, iters: int = 5, damping_pct: int = 85,
+                   scale: int = 1_000_000) -> rd.Dataset:
+    """TrustRank (Gyöngyi et al., VLDB 2004) over the planted doc→doc
+    graph — the anti-spam counterpart of `pagerank_docs`: the random
+    walk RESTARTS at a trusted seed set instead of everywhere, so
+    trust decays with link distance from the seeds and spam islands
+    score 0. Seeds = the hub pages (doc_id < 16 — the natural trusted
+    set on the planted graph). Same pure-integer update as PageRank
+    with the restart mass gated by the seed indicator:
+
+      r' = (100−d)·scale//100 · [node ∈ seeds] + d·Σ(r_u // 3) // 100
+
+    starting from r0 = scale·[node ∈ seeds]. Floor division keeps every
+    round BIGINT-exact (the unrolled-CTE oracle hash-matches), and
+    naturally expresses trust attenuation — contributions below the
+    floor vanish, exactly the behavior the operator exists for.
+    Same shape as pagerank_docs: per round ONE map-side emit (3 targets
+    + a zero presence row) + ONE groupby(node) sum; no driver state but
+    the loop counter. Returns (doc_id, trust)."""
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir, ["doc_id"])
+    N = docs.count()
+    hubs = min(_PR_HUBS, N)
+    base = (100 - damping_pct) * scale // 100
+
+    def init(t: pa.Table) -> pa.Table:
+        node = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "r": pa.array(np.where(node < hubs, scale, 0).astype(np.int64))})
+
+    scores = docs.map_batches(init, batch_format="pyarrow")
+    for _ in range(iters):
+        def contrib(t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False)
+            c = t["r"].to_numpy(zero_copy_only=False) // 3
+            dst = np.concatenate([(node * 31 + 7) % N,
+                                  (node * 17 + 3) % N,
+                                  node % hubs,
+                                  node])              # presence row
+            val = np.concatenate([c, c, c, np.zeros(len(node), np.int64)])
+            return pa.table({"node": pa.array(dst), "c": pa.array(val)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False)
+            s = t["s"].to_numpy(zero_copy_only=False)
+            seed = (node < hubs).astype(np.int64)
+            r = seed * base + damping_pct * s // 100
+            return pa.table({"node": pa.array(node.astype(np.int64)),
+                             "r": pa.array(r.astype(np.int64))})
+
+        scores = (scores.map_batches(contrib, batch_format="pyarrow")
+                  .groupby("node").aggregate(Sum("c", alias_name="s"))
+                  .map_batches(fold, batch_format="pyarrow")
+                  .materialize())
+
+    return scores.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "trust": t["r"]}),
+        batch_format="pyarrow")
+
+
+def trustrank_docs_sql(iters: int = 5, damping_pct: int = 85,
+                       scale: int = 1_000_000) -> str:
+    """Unrolled-round replica of trustrank_docs — pagerank_docs_sql's
+    pattern with the seed-gated restart term."""
+    base = (100 - damping_pct) * scale // 100
+    parts = [f"""nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), hb AS (
+  SELECT least({_PR_HUBS}, n) AS h FROM nn
+), e AS (
+  SELECT doc_id AS src,
+         unnest([(doc_id * 31 + 7) % nn.n,
+                 (doc_id * 17 + 3) % nn.n,
+                 doc_id % hb.h]) AS dst
+  FROM documents, nn, hb
+), r0 AS (
+  SELECT doc_id AS node,
+         CAST(CASE WHEN doc_id < hb.h THEN {scale} ELSE 0 END AS BIGINT)
+           AS r
+  FROM documents, hb
+)"""]
+    for t in range(iters):
+        parts.append(f"""r{t + 1} AS MATERIALIZED (
+  SELECT d.doc_id AS node,
+         CAST(CASE WHEN d.doc_id < hb.h THEN {base} ELSE 0 END
+              + {damping_pct} * coalesce(s.c, 0) // 100 AS BIGINT) AS r
+  FROM documents d CROSS JOIN hb LEFT JOIN (
+    SELECT e.dst AS node, sum(r{t}.r // 3) AS c
+    FROM e JOIN r{t} ON r{t}.node = e.src GROUP BY e.dst
+  ) s ON s.node = d.doc_id
+)""")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT node AS doc_id, r AS trust FROM r{iters}")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch term frequencies (session 8)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_PROBES = ("hash", "join", "window", "sort", "merge", "fast", "scan",
+              "customer", "the", "zzz-absent-term")
+
+
+def cms_term_freq(sf_dir: str,
+                  probes: tuple[str, ...] = CMS_PROBES) -> rd.Dataset:
+    """Count-min sketch term-frequency estimation (Cormode &
+    Muthukrishnan 2005) — the bounded-memory frequency sketch for
+    trillion-token streams where an exact vocab table is too wide:
+    DEPTH×WIDTH int64 counters, word w adds its count to bucket
+    stable_hash64('cmsJ:'+w) % WIDTH in each row J, estimate = min
+    over rows. Guarantees est ≥ true and est ≤ true + εN w.h.p.
+
+    Shape: the canonical mergeable-sketch fold — each block emits its
+    own ≤D×W (cell, count) partial rows, ONE groupby(cell) sums them
+    (the sketch table is 4096 rows however big the corpus), probes
+    evaluate driver-side on the tiny sketch. The oracle REPLAYS the
+    sketch in SQL (bucket sums over the exact word counts, min over
+    rows) — the sketch is deterministic, so even an approximate
+    structure gets a value-exact oracle. Returns (term, est)."""
+    from ..functions.hashing import stable_hash64
+
+    def fold(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for x in t["text"].to_pylist():
+            for w in (x or "").split(" "):
+                counts[w] = counts.get(w, 0) + 1
+        cells = np.zeros(CMS_DEPTH * CMS_WIDTH, np.int64)
+        for w, c in counts.items():
+            for j in range(CMS_DEPTH):
+                cells[j * CMS_WIDTH
+                      + stable_hash64(f"cms{j}:{w}") % CMS_WIDTH] += c
+        nz = np.nonzero(cells)[0]
+        return pa.table({"cell": pa.array(nz.astype(np.int64), pa.int64()),
+                         "c": pa.array(cells[nz], pa.int64())})
+
+    sketch = (_docs(sf_dir, ["text"])
+              .map_batches(fold, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("c", alias_name="n"))
+              ).take_all()                      # ≤ D×W rows
+    table = np.zeros(CMS_DEPTH * CMS_WIDTH, np.int64)
+    for r in sketch:
+        table[int(r["cell"])] = int(r["n"])
+    rows = []
+    for term in probes:
+        est = min(int(table[j * CMS_WIDTH
+                            + stable_hash64(f"cms{j}:{term}") % CMS_WIDTH])
+                  for j in range(CMS_DEPTH))
+        rows.append((term, est))
+    return rd.from_arrow(pa.table({
+        "term": pa.array([r[0] for r in rows], pa.string()),
+        "est": pa.array([r[1] for r in rows], pa.int64())}))
+
+
+def cms_term_freq_sql(probes: tuple[str, ...] = CMS_PROBES) -> str:
+    probe_rows = ", ".join(f"('{p}')" for p in probes)
+
+    def bucket(col: str, j: int) -> str:
+        h = _sql_hash64(f"sha256('cms{j}:' || {col})")
+        return f"CAST({h} % {CMS_WIDTH} AS BIGINT)"
+
+    row_ests = []
+    for j in range(CMS_DEPTH):
+        row_ests.append(f"""(
+    SELECT coalesce(sum(wc.c), 0) FROM wc
+    WHERE {bucket('wc.word', j)} = {bucket('p.term', j)})""")
+    return f"""
+WITH wc AS (
+  SELECT u.w AS word, CAST(count(*) AS BIGINT) AS c
+  FROM documents, unnest(string_split(text, ' ')) AS u(w)
+  GROUP BY u.w
+), p AS (SELECT * FROM (VALUES {probe_rows}) AS v(term))
+SELECT p.term, CAST(least({", ".join(row_ests)}) AS BIGINT) AS est
+FROM p"""
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit (session 8)
+# ---------------------------------------------------------------------------
+
+FK_MISSING_MOD, FK_MISSING_RES = 101, 11
+
+
+def fk_integrity_audit(sf_dir: str) -> rd.Dataset:
+    """Referential-integrity audit (the dbt-test / Great-Expectations
+    relationship check, distributed): per FK relationship, how many
+    child rows point at a parent that doesn't exist. The generated
+    tables are referentially CLEAN, so parents with key % 101 == 11
+    are planted-dropped (a pure key function, so the oracle drops the
+    same ones) — an untested orphan path is the audit's main job.
+
+    Shape per relationship: the parent side reduces map-side to its
+    (filtered) key column; big-big relationships (lineitem→orders,
+    orders→customer) check via the partition-wise ANTI hash_join —
+    ids-only rows ride the one exchange; the dimension relationship
+    (customer→nation) broadcasts the tiny parent key set. Child totals
+    are streaming counts. Returns (relationship, n_children,
+    n_orphans) — a 3-row report."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_join
+
+    def planted_keys(table: str, col: str) -> rd.Dataset:
+        ds = _read_table(sf_dir, table, [col])
+
+        def drop_planted(t: pa.Table) -> pa.Table:
+            k = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = k % FK_MISSING_MOD != FK_MISSING_RES
+            return pa.table({col: pa.array(k[m], pa.int64())})
+
+        return ds.map_batches(drop_planted, batch_format="pyarrow")
+
+    rows = []
+
+    def child_keys(table: str, col: str) -> rd.Dataset:
+        ds = _read_table(sf_dir, table, [col])
+        return ds.map_batches(
+            lambda t, c=col: pa.table(
+                {c: t[c].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    # big-big: ANTI hash_join (ids-only exchange)
+    for rel, ctab, ccol, ptab, pcol in (
+            ("lineitem->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+            ("orders->customer", "orders", "o_custkey",
+             "customer", "c_custkey")):
+        child = child_keys(ctab, ccol)
+        n_children = child.count()
+        orphans = hash_join(child, planted_keys(ptab, pcol),
+                            ccol, pcol, [], [], how="anti")
+        rows.append((rel, n_children, orphans.count()))
+
+    # dimension: broadcast the tiny parent key set
+    import ray
+
+    nk = planted_keys("nation", "n_nationkey").take_all()
+    nset = ray.put({int(r["n_nationkey"]) for r in nk})
+
+    def flag(t: pa.Table) -> pa.Table:
+        ks = ray.get(nset)
+        k = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        bad = np.fromiter((int(x) not in ks for x in k), bool, len(k))
+        return pa.table({"o": pa.array([int(bad.sum())], pa.int64())})
+
+    cust = child_keys("customer", "c_nationkey")
+    n_cust = cust.count()
+    n_orph = sum(r["o"] for r in
+                 cust.map_batches(flag, batch_format="pyarrow").take_all())
+    rows.append(("customer->nation", n_cust, n_orph))
+
+    return rd.from_arrow(pa.table({
+        "relationship": pa.array([r[0] for r in rows], pa.string()),
+        "n_children": pa.array([r[1] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r[2] for r in rows], pa.int64())}))
+
+
+def fk_integrity_audit_sql() -> str:
+    def leg(rel: str, ctab: str, ccol: str, ptab: str, pcol: str) -> str:
+        return f"""
+SELECT '{rel}' AS relationship,
+       (SELECT CAST(count(*) AS BIGINT) FROM {ctab}) AS n_children,
+       (SELECT CAST(count(*) AS BIGINT) FROM {ctab} c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM {ptab} p
+          WHERE p.{pcol} = c.{ccol}
+            AND p.{pcol} % {FK_MISSING_MOD} <> {FK_MISSING_RES}))
+         AS n_orphans"""
+
+    return " UNION ALL ".join([
+        leg("lineitem->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+        leg("orders->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+        leg("customer->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey")])

@@ -346,3 +346,109 @@ def test_value_quantiles_disc_semantics(ray_session):
         for p in QDISC_PCTS:
             assert got[p] == v[(n - 1) * p // 100]
         assert got[50] <= got[90] <= got[99]
+
+
+# ---------------------------------------------------------------------------
+# trustrank_docs
+
+
+def test_trustrank_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (trustrank_docs,
+                                                        trustrank_docs_sql)
+    from tests.oracle_check import compare
+
+    assert compare("trustrank_docs", trustrank_docs(SF_SMOKE),
+                   trustrank_docs_sql(), SF_SMOKE) == []
+
+
+def test_trustrank_semantics(ray_session):
+    """Trust concentrates at the seeds (hubs): every seed outranks the
+    median non-seed, total trust is far below PageRank's (the restart
+    mass only enters at seeds), and trust is non-negative."""
+    from pdf_extraction_ray.pipelines.analytics import (_PR_HUBS,
+                                                        pagerank_docs,
+                                                        trustrank_docs)
+
+    tr = trustrank_docs(SF_SMOKE).to_pandas()
+    assert (tr.trust >= 0).all()
+    seeds = tr[tr.doc_id < _PR_HUBS].trust
+    rest = tr[tr.doc_id >= _PR_HUBS].trust
+    assert seeds.min() > rest.median()
+    pr = pagerank_docs(SF_SMOKE).to_pandas()
+    assert tr.trust.sum() < pr["rank"].sum()
+
+
+# ---------------------------------------------------------------------------
+# cms_term_freq
+
+
+def test_cms_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (cms_term_freq,
+                                                        cms_term_freq_sql)
+    from tests.oracle_check import compare
+
+    assert compare("cms_term_freq", cms_term_freq(SF_SMOKE),
+                   cms_term_freq_sql(), SF_SMOKE) == []
+
+
+def test_cms_bounds(ray_session):
+    """The sketch invariants: est >= exact count for every probe, and
+    est <= exact + (e/WIDTH)·N (the count-min error bound, comfortably
+    slack at depth 4)."""
+    import duckdb
+    from pdf_extraction_ray.pipelines.analytics import (CMS_WIDTH,
+                                                        cms_term_freq)
+
+    out = cms_term_freq(SF_SMOKE).to_pandas()
+    con = duckdb.connect()
+    exact = dict(con.sql(
+        f"""SELECT u.w, count(*) FROM
+        read_parquet('{SF_SMOKE}/documents.parquet'),
+        unnest(string_split(text, ' ')) AS u(w) GROUP BY u.w""").fetchall())
+    total = sum(exact.values())
+    con.close()
+    for r in out.itertuples():
+        true = exact.get(r.term, 0)
+        assert r.est >= true
+        assert r.est <= true + 3 * total // CMS_WIDTH
+    # the absent probe exists to exercise the pure-collision path
+    assert (out.term == "zzz-absent-term").any()
+
+
+# ---------------------------------------------------------------------------
+# fk_integrity_audit
+
+
+def test_fk_integrity_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        fk_integrity_audit, fk_integrity_audit_sql)
+    from tests.oracle_check import compare
+
+    assert compare("fk_integrity_audit", fk_integrity_audit(SF_SMOKE),
+                   fk_integrity_audit_sql(), SF_SMOKE) == []
+
+
+def test_fk_integrity_semantics(ray_session):
+    """The generated tables are clean, so every orphan is planted:
+    orphan count == children whose parent key hits the planted-missing
+    rule, and each relationship reports a nonzero orphan count."""
+    import pyarrow.parquet as pq
+    from pdf_extraction_ray.pipelines.analytics import (FK_MISSING_MOD,
+                                                        FK_MISSING_RES,
+                                                        fk_integrity_audit)
+
+    out = fk_integrity_audit(SF_SMOKE).to_pandas().set_index("relationship")
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet",
+                       columns=["l_orderkey"]).to_pandas()
+    od = pq.read_table(f"{SF_SMOKE}/orders.parquet",
+                       columns=["o_custkey"]).to_pandas()
+    cu = pq.read_table(f"{SF_SMOKE}/customer.parquet",
+                       columns=["c_nationkey"]).to_pandas()
+    assert (out.loc["lineitem->orders", "n_orphans"]
+            == (li.l_orderkey % FK_MISSING_MOD == FK_MISSING_RES).sum())
+    assert (out.loc["orders->customer", "n_orphans"]
+            == (od.o_custkey % FK_MISSING_MOD == FK_MISSING_RES).sum())
+    assert (out.loc["customer->nation", "n_orphans"]
+            == (cu.c_nationkey % FK_MISSING_MOD == FK_MISSING_RES).sum())
+    assert (out.n_orphans > 0).all()
+    assert out.loc["lineitem->orders", "n_children"] == len(li)
