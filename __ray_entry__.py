@@ -715,6 +715,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash_join (big-big) / broadcast set (dimension); planted
         # missing parents (key % 101 == 11)
         "fk_integrity_audit": _tuned(analytics.fk_integrity_audit),
+        # period-over-period churn census (retained/churned/new users;
+        # ids-only presence fold, ONE groupby(user) Max-fold)
+        "churned_users": _tuned(analytics.churned_users),
+        # 2-D Pareto frontier over (lexical diversity, length):
+        # per-block local skylines merged in one final task
+        "pareto_docs": _tuned(analytics.pareto_docs),
+        # reciprocal-link census over the extracted edge table (packed
+        # pair key + direction bits, ONE groupby)
+        "mutual_links": _tuned(linkgraph.mutual_links),
     }
 
 
@@ -791,6 +800,9 @@ AWAITING_SLOT = (
     "trustrank_docs",
     "cms_term_freq",
     "fk_integrity_audit",
+    "churned_users",
+    "pareto_docs",
+    "mutual_links",
 )
 
 
@@ -941,6 +953,9 @@ def oracle_sql() -> dict[str, str]:
         "trustrank_docs": analytics.trustrank_docs_sql(),
         "cms_term_freq": analytics.cms_term_freq_sql(),
         "fk_integrity_audit": analytics.fk_integrity_audit_sql(),
+        "churned_users": analytics.churned_users_sql(),
+        "pareto_docs": analytics.pareto_docs_sql(),
+        "mutual_links": linkgraph.mutual_links_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -8561,3 +8561,197 @@ SELECT '{rel}' AS relationship,
             "customer", "c_custkey"),
         leg("customer->nation", "customer", "c_nationkey",
             "nation", "n_nationkey")])
+
+
+# ---------------------------------------------------------------------------
+# churn analysis (session 8)
+# ---------------------------------------------------------------------------
+
+
+CHURN_DROP_MOD, CHURN_DROP_RES = 13, 5     # drop 2nd-half events (churn)
+CHURN_LATE_MOD, CHURN_LATE_RES = 17, 3     # drop 1st-half events (new)
+
+
+def churned_users(sf_dir: str) -> rd.Dataset:
+    """Period-over-period churn census — the product-analytics
+    companion of retention_cohorts: split the event span at its middle
+    day, classify every user as retained (active both halves), churned
+    (first half only) or new (second half only), and count each class.
+
+    Plant: the generated users are uniformly active across the whole
+    span (everyone would be 'retained' — the classes the operator
+    exists to count never occur), so users with id % 13 == 5 lose
+    their second-half events and id % 17 == 3 lose their first-half
+    (pure user_id functions; churn wins when both hit and the oracle
+    replants the same way).
+
+    Shape: one map-side fold to ≤2 presence rows per (user, block)
+    ((user, a, b) with a/b ∈ {0,1}), ONE groupby(user) Max-fold, a
+    per-block status count partial, and a ≤3-row final groupby — the
+    user table never leaves ids-only form. Returns (status,
+    n_users)."""
+    ds = _read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def block_span(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64())})
+        day = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // DAY_US)
+        return pa.table({"d": pa.array([int(day.min()), int(day.max())],
+                                       pa.int64())})
+
+    span = ds.map_batches(block_span, batch_format="pyarrow").take_all()
+    lo = min(r["d"] for r in span)
+    hi = max(r["d"] for r in span)
+    mid = (lo + hi + 1) // 2     # A = [lo, mid), B = [mid, hi]
+
+    def presence(t: pa.Table) -> pa.Table:
+        us = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // DAY_US)
+        first = day < mid
+        # the plant: drop one half's events for the marked users
+        churny = us % CHURN_DROP_MOD == CHURN_DROP_RES
+        late = (us % CHURN_LATE_MOD == CHURN_LATE_RES) & ~churny
+        keep = ~((churny & ~first) | (late & first))
+        us, first = us[keep], first[keep]
+        rows: dict[int, list[int]] = {}
+        for u, f in zip(us, first):
+            r = rows.setdefault(int(u), [0, 0])
+            r[0 if f else 1] = 1
+        keys = sorted(rows)
+        return pa.table({
+            "user_id": pa.array(keys, pa.int64()),
+            "a": pa.array([rows[u][0] for u in keys], pa.int64()),
+            "b": pa.array([rows[u][1] for u in keys], pa.int64())})
+
+    per_user = (ds.map_batches(presence, batch_format="pyarrow")
+                .groupby("user_id").aggregate(Max("a", alias_name="a"),
+                                              Max("b", alias_name="b")))
+
+    def status_counts(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        names = ("retained", "churned", "new")
+        masks = (a & b, a & ~b & 1, ~a & 1 & b)
+        out = [(n, int(m.sum())) for n, m in zip(names, masks)
+               if int(m.sum())]
+        return pa.table({
+            "status": pa.array([r[0] for r in out], pa.string()),
+            "n": pa.array([r[1] for r in out], pa.int64())})
+
+    return (per_user.map_batches(status_counts, batch_format="pyarrow")
+            .groupby("status").aggregate(Sum("n", alias_name="n_users")))
+
+
+def churned_users_sql() -> str:
+    return f"""
+WITH span AS (
+  SELECT min(epoch_us(ts) // {DAY_US}) AS lo,
+         max(epoch_us(ts) // {DAY_US}) AS hi
+  FROM events
+), ev AS (
+  SELECT user_id,
+         epoch_us(ts) // {DAY_US} < (span.lo + span.hi + 1) // 2 AS first
+  FROM events, span
+), planted AS (
+  SELECT * FROM ev
+  WHERE NOT (user_id % {CHURN_DROP_MOD} = {CHURN_DROP_RES} AND NOT first)
+    AND NOT (user_id % {CHURN_LATE_MOD} = {CHURN_LATE_RES}
+             AND user_id % {CHURN_DROP_MOD} <> {CHURN_DROP_RES} AND first)
+), u AS (
+  SELECT user_id,
+         max(CASE WHEN first THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN NOT first THEN 1 ELSE 0 END) AS b
+  FROM planted GROUP BY user_id
+)
+SELECT CASE WHEN a = 1 AND b = 1 THEN 'retained'
+            WHEN a = 1 THEN 'churned' ELSE 'new' END AS status,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY status"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier / skyline (session 8)
+# ---------------------------------------------------------------------------
+
+PARETO_SCALE = 1 << 20
+
+
+def pareto_docs(sf_dir: str) -> rd.Dataset:
+    """2-D Pareto frontier (skyline) over anti-correlated doc features
+    — "the docs where you can't get more length without losing lexical
+    diversity": doc d is on the frontier iff no other doc has
+    uniq_ratio ≥ AND n_chars ≥ with at least one strict, where
+    uniq_ratio = distinct words · 2²⁰ // total words (pure integers).
+
+    Shape: the classic distributed skyline — each block computes its
+    LOCAL skyline (sort by (q DESC, c DESC); per q-group the max-c rows
+    survive iff their c exceeds the running max of all higher-q
+    groups), locally-dominated rows can never be globally optimal, so
+    the survivors (a thin frontier, sub-linear on anti-correlated
+    features) merge in one final task running the same filter. Returns
+    (doc_id, uniq_ratio, n_chars); equal-feature docs all stay (neither
+    dominates)."""
+    def feats(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        q, c = [], []
+        for x in t["text"].to_pylist():
+            w = (x or "").split(" ")
+            q.append(len(set(w)) * PARETO_SCALE // len(w))
+            c.append(len(x or ""))
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "q": pa.array(q, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        q = t["q"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-c, -q))
+        keep = np.zeros(len(q), bool)
+        best = -1
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and q[order[j]] == q[order[i]]:
+                j += 1
+            grp = order[i:j]
+            mx = c[grp[0]]           # sorted c DESC within the group
+            if mx > best:
+                keep[grp[c[grp] == mx]] = True
+                best = mx
+            i = j
+        return t.filter(pa.array(keep))
+
+    local = (_docs(sf_dir, ["doc_id", "text"])
+             .map_batches(feats, batch_format="pyarrow")
+             .map_batches(local_skyline, batch_format="pyarrow"))
+    merged = local.repartition(1).map_batches(local_skyline,
+                                              batch_format="pyarrow")
+    return merged.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "uniq_ratio": t["q"],
+                            "n_chars": t["c"]}),
+        batch_format="pyarrow")
+
+
+def pareto_docs_sql() -> str:
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) * {PARETO_SCALE}
+              // len(string_split(text, ' ')) AS BIGINT) AS q,
+         CAST(length(text) AS BIGINT) AS c
+  FROM documents
+), gm AS (
+  SELECT q, max(c) AS mc FROM f GROUP BY q
+), sky_q AS (
+  SELECT q, mc FROM (
+    SELECT q, mc, max(mc) OVER (ORDER BY q DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+    FROM gm)
+  WHERE pm IS NULL OR mc > pm
+)
+SELECT f.doc_id, f.q AS uniq_ratio, f.c AS n_chars
+FROM f JOIN sky_q s ON f.q = s.q AND f.c = s.mc"""

@@ -1987,3 +1987,56 @@ WITH {_edges_sql()}, ti AS (
 )
 SELECT e.dst_doc_id, e.src_doc_id, ti.title
 FROM e JOIN ti ON ti.doc_id = e.dst_doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# mutual (reciprocal) links — session 8
+# ---------------------------------------------------------------------------
+
+
+def mutual_links(sf_dir: str) -> rd.Dataset:
+    """Reciprocal-link detection over the extracted edge table — the
+    web-graph census statistic (mutual links signal navigation
+    templates / link exchanges vs organic citation; the directed
+    graph's symmetric core): unordered pairs (a, b) with BOTH a→b and
+    b→a present.
+
+    Shape: the distinct edge table maps to (packed pair key, direction
+    bit) — pack = lo·2³² + hi (doc ids < 2³¹), bit 1 for lo→hi, 2 for
+    hi→lo — and ONE groupby(pack) sums the bits; mutual ⟺ sum == 3
+    (edges are distinct, so each direction contributes its bit at most
+    once). Self-loops excluded. Returns (lo_doc_id, hi_doc_id)."""
+    edges = link_graph_pages(_corpus_pages(sf_dir))
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t["src_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        bit = np.where(s < d, 1, 2).astype(np.int64)
+        return pa.table({"pk": pa.array((lo << 32) + hi, pa.int64()),
+                         "b": pa.array(bit, pa.int64())})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["s"], 3)
+        kept = t.filter(m)
+        pk = kept["pk"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lo_doc_id": pa.array(pk >> 32, pa.int64()),
+            "hi_doc_id": pa.array(pk & ((1 << 32) - 1), pa.int64())})
+
+    return (edges.map_batches(tag, batch_format="pyarrow")
+            .groupby("pk").aggregate(Sum("b", alias_name="s"))
+            .map_batches(unpack, batch_format="pyarrow"))
+
+
+def mutual_links_sql() -> str:
+    return "WITH " + _edges_sql() + """
+SELECT DISTINCT
+       CAST(least(e1.src_doc_id, e1.dst_doc_id) AS BIGINT) AS lo_doc_id,
+       CAST(greatest(e1.src_doc_id, e1.dst_doc_id) AS BIGINT) AS hi_doc_id
+FROM e e1 JOIN e e2
+  ON e1.src_doc_id = e2.dst_doc_id AND e1.dst_doc_id = e2.src_doc_id
+WHERE e1.src_doc_id < e1.dst_doc_id"""

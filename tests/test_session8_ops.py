@@ -452,3 +452,119 @@ def test_fk_integrity_semantics(ray_session):
             == (cu.c_nationkey % FK_MISSING_MOD == FK_MISSING_RES).sum())
     assert (out.n_orphans > 0).all()
     assert out.loc["lineitem->orders", "n_children"] == len(li)
+
+
+# ---------------------------------------------------------------------------
+# churned_users
+
+
+def test_churned_users_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (churned_users,
+                                                        churned_users_sql)
+    from tests.oracle_check import compare
+
+    assert compare("churned_users", churned_users(SF_SMOKE),
+                   churned_users_sql(), SF_SMOKE) == []
+
+
+def test_churned_users_semantics(ray_session):
+    """Pandas replay of the plant + half-split classification; every
+    class is non-empty (the plant's whole purpose) and totals match
+    the surviving distinct-user count."""
+    import pyarrow.parquet as pq
+    from pdf_extraction_ray.pipelines.analytics import (
+        CHURN_DROP_MOD, CHURN_DROP_RES, CHURN_LATE_MOD, CHURN_LATE_RES,
+        DAY_US, churned_users)
+
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = (ev.ts.astype("int64") // 1000) // (DAY_US // 1000)
+    lo, hi = int(ev.day.min()), int(ev.day.max())
+    mid = (lo + hi + 1) // 2
+    ev["first"] = ev.day < mid
+    churny = ev.user_id % CHURN_DROP_MOD == CHURN_DROP_RES
+    late = (ev.user_id % CHURN_LATE_MOD == CHURN_LATE_RES) & ~churny
+    ev = ev[~((churny & ~ev["first"]) | (late & ev["first"]))]
+    a = set(ev.loc[ev["first"], "user_id"])
+    b = set(ev.loc[~ev["first"], "user_id"])
+    out = (churned_users(SF_SMOKE).to_pandas().set_index("status")
+           ["n_users"].reindex(["retained", "churned", "new"])
+           .fillna(0).astype(int))
+    assert out["retained"] == len(a & b)
+    assert out["churned"] == len(a - b)
+    assert out["new"] == len(b - a)
+    assert (out > 0).all()
+    assert out.sum() == ev.user_id.nunique()
+
+
+# ---------------------------------------------------------------------------
+# pareto_docs
+
+
+def test_pareto_docs_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (pareto_docs,
+                                                        pareto_docs_sql)
+    from tests.oracle_check import compare
+
+    assert compare("pareto_docs", pareto_docs(SF_SMOKE),
+                   pareto_docs_sql(), SF_SMOKE) == []
+
+
+def test_pareto_docs_dominance(ray_session):
+    """Brute-force check: no frontier doc is dominated by ANY corpus
+    doc, and every non-frontier doc is dominated by some frontier
+    doc (the skyline is exactly the non-dominated set)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pdf_extraction_ray.pipelines.analytics import (PARETO_SCALE,
+                                                        pareto_docs)
+
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    w = docs.text.str.split(" ")
+    q = (w.map(lambda x: len(set(x))) * PARETO_SCALE // w.str.len()) \
+        .to_numpy()
+    c = docs.text.str.len().to_numpy()
+    out = pareto_docs(SF_SMOKE).to_pandas()
+    sky = set(out.doc_id)
+    assert len(sky) > 0
+    ids = docs.doc_id.to_numpy()
+    for r in out.itertuples():
+        dom = ((q >= r.uniq_ratio) & (c >= r.n_chars)
+               & ((q > r.uniq_ratio) | (c > r.n_chars)))
+        assert not dom.any()
+    # spot-check some non-frontier docs are dominated by a frontier doc
+    sq = out.uniq_ratio.to_numpy(); sc = out.n_chars.to_numpy()
+    others = [i for i in range(len(ids)) if int(ids[i]) not in sky][:50]
+    for i in others:
+        assert (((sq >= q[i]) & (sc >= c[i])
+                 & ((sq > q[i]) | (sc > c[i]))).any())
+
+
+# ---------------------------------------------------------------------------
+# mutual_links
+
+
+def test_mutual_links_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.linkgraph import (mutual_links,
+                                                        mutual_links_sql)
+    from tests.oracle_check import compare
+
+    assert compare("mutual_links", mutual_links(SF_SMOKE),
+                   mutual_links_sql(), SF_SMOKE) == []
+
+
+def test_mutual_links_semantics(ray_session):
+    """Brute-force over the edge table: the reported pairs are exactly
+    the symmetric edge pairs, ordered lo < hi, and non-empty on the
+    planted graph (hubs cross-link)."""
+    from pdf_extraction_ray.pipelines.linkgraph import (link_graph,
+                                                        mutual_links)
+
+    e = link_graph(SF_SMOKE).to_pandas()
+    s = set(zip(e.src_doc_id, e.dst_doc_id))
+    want = {(a, b) for (a, b) in s if (b, a) in s and a < b}
+    out = mutual_links(SF_SMOKE).to_pandas()
+    assert set(zip(out.lo_doc_id, out.hi_doc_id)) == want
+    assert (out.lo_doc_id < out.hi_doc_id).all()
+    assert len(want) > 0
