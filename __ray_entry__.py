@@ -724,6 +724,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reciprocal-link census over the extracted edge table (packed
         # pair key + direction bits, ONE groupby)
         "mutual_links": _tuned(linkgraph.mutual_links),
+        # storage-partitioned join: both sides written key-hash-
+        # bucketed, then joined bucket-by-bucket with ZERO all-to-all
+        "bucketed_order_revenue": _tuned(relational.bucketed_order_revenue),
+        # SCD type-2 history build over the snapshot pair (validity
+        # intervals per version; pure map-side emit)
+        "scd2_history": _tuned(analytics.scd2_history),
     }
 
 
@@ -803,6 +809,8 @@ AWAITING_SLOT = (
     "churned_users",
     "pareto_docs",
     "mutual_links",
+    "bucketed_order_revenue",
+    "scd2_history",
 )
 
 
@@ -956,6 +964,8 @@ def oracle_sql() -> dict[str, str]:
         "churned_users": analytics.churned_users_sql(),
         "pareto_docs": analytics.pareto_docs_sql(),
         "mutual_links": linkgraph.mutual_links_sql(),
+        "bucketed_order_revenue": relational.bucketed_order_revenue_sql(),
+        "scd2_history": analytics.scd2_history_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

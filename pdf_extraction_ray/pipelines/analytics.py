@@ -8755,3 +8755,86 @@ WITH f AS (
 )
 SELECT f.doc_id, f.q AS uniq_ratio, f.c AS n_chars
 FROM f JOIN sky_q s ON f.q = s.q AND f.c = s.mc"""
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history build (session 8)
+# ---------------------------------------------------------------------------
+
+
+def scd2_history(sf_dir: str) -> rd.Dataset:
+    """Slowly-changing-dimension type-2 history — the warehouse
+    table-maintenance op that turns snapshot pairs into validity
+    intervals: for every doc across snapshots T0 (the corpus) and T1
+    (the MV plant: removed %37, changed %29 — removal wins, added
+    %41), emit one row per VERSION with (valid_from, valid_to); the
+    open end is 2^62 (the warehouse 'infinity' stamp).
+
+      unchanged  → one row  [0, ∞)
+      changed    → two rows [0, 1) and [1, ∞) with the new n_chars
+      removed    → one row  [0, 1)
+      added      → one row  [1, ∞)
+
+    Shape: pure map-side — the per-row version set is a function of
+    the row and the delta classification (with real tables the
+    classification is pages_delta_tables' one full-outer join, already
+    verified; this op is the history EMIT that follows it). No
+    exchange at all. Returns (doc_id, version, valid_from, valid_to,
+    n_chars)."""
+    OPEN = 1 << 62
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = {"doc_id": [], "version": [], "valid_from": [],
+               "valid_to": [], "n_chars": []}
+
+        def row(d: int, v: int, f: int, to: int, n: int) -> None:
+            out["doc_id"].append(d)
+            out["version"].append(v)
+            out["valid_from"].append(f)
+            out["valid_to"].append(to)
+            out["n_chars"].append(n)
+
+        for i, x in zip(ids, t["text"].to_pylist()):
+            i = int(i)
+            n0 = len(x or "")
+            if i % MV_REMOVED_MOD == MV_REMOVED_RES:
+                row(i, 1, 0, 1, n0)
+            elif i % MV_CHANGED_MOD == MV_CHANGED_RES:
+                row(i, 1, 0, 1, n0)
+                row(i, 2, 1, OPEN, len(_mv_changed_text(i, x)))
+            else:
+                row(i, 1, 0, OPEN, n0)
+            if i % MV_ADDED_MOD == MV_ADDED_RES:
+                aid = i + MV_ADDED_OFF
+                row(aid, 1, 1, OPEN, len(_mv_added_text(i)))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "version": pa.array(out["version"], pa.int64()),
+            "valid_from": pa.array(out["valid_from"], pa.int64()),
+            "valid_to": pa.array(out["valid_to"], pa.int64()),
+            "n_chars": pa.array(out["n_chars"], pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        emit, batch_format="pyarrow")
+
+
+def scd2_history_sql() -> str:
+    o = 1 << 62
+    return f"""
+SELECT doc_id, CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS valid_from,
+       CAST(CASE WHEN doc_id % {MV_REMOVED_MOD} = {MV_REMOVED_RES}
+                   OR doc_id % {MV_CHANGED_MOD} = {MV_CHANGED_RES}
+                 THEN 1 ELSE {o} END AS BIGINT) AS valid_to,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST({o} AS BIGINT),
+       length(text || ' delta-marker-' || CAST(doc_id % 7 AS VARCHAR))
+FROM documents
+WHERE doc_id % {MV_CHANGED_MOD} = {MV_CHANGED_RES}
+  AND doc_id % {MV_REMOVED_MOD} <> {MV_REMOVED_RES}
+UNION ALL
+SELECT doc_id + {MV_ADDED_OFF}, 1, 1, {o},
+       length('added doc ' || CAST(doc_id AS VARCHAR))
+FROM documents WHERE doc_id % {MV_ADDED_MOD} = {MV_ADDED_RES}"""

@@ -934,3 +934,90 @@ WHERE r.r_name = '{region}'
   AND o.o_orderdate >= TIMESTAMP '{year}-01-01'
   AND o.o_orderdate < TIMESTAMP '{year + 1}-01-01'
 GROUP BY n.n_name"""
+
+
+# ---------------------------------------------------------------------------
+# storage-partitioned (bucket-local) join demo — session 8
+# ---------------------------------------------------------------------------
+
+
+def bucketed_order_revenue(sf_dir: str, num_buckets: int = 32,
+                           tmp_root: str | None = None) -> rd.Dataset:
+    """Revenue per order via a STORAGE-PARTITIONED join: both sides are
+    first written key-hash-bucketed (`stages/joins.write_bucketed` —
+    the layout this repo's checkpointed extraction already uses for url
+    buckets), then `bucketed_join` joins bucket-by-bucket with ZERO
+    all-to-all — one task per bucket reading two local directories.
+    At 100 TB this is the difference between a free join and a
+    full-corpus shuffle whenever two tables share a bucketing key
+    (the lakehouse storage-partitioned-join optimization).
+
+    The lineitem side pre-aggregates to (orderkey, revenue partials)
+    BEFORE the bucketed write (the Q3 combiner), so the bucket files
+    hold one row per (orderkey, block) — the write exchange carries
+    combiner output, never raw items. Returns (o_orderkey,
+    o_orderpriority, revenue_e4)."""
+    import os
+    import shutil
+
+    from ..stages.joins import bucketed_join, write_bucketed
+
+    root = tmp_root or os.path.join(
+        "/tmp/pdf_extraction_ray", "bucketed",
+        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(root, ignore_errors=True)
+
+    def items_partial(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uniq.astype(np.int64), pa.int64()),
+            "rev": pa.array(np.bincount(inv, weights=rev).astype(np.int64),
+                            pa.int64())})
+
+    items = (_read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount"])
+             .map_batches(items_partial, batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    write_bucketed(items, "l_orderkey", os.path.join(root, "items"),
+                   num_buckets)
+    write_bucketed(orders, "o_orderkey", os.path.join(root, "orders"),
+                   num_buckets)
+
+    joined = bucketed_join(os.path.join(root, "items"),
+                           os.path.join(root, "orders"),
+                           "l_orderkey", "o_orderkey",
+                           ["rev"], ["o_orderpriority"], num_buckets)
+
+    # bucket alignment means EVERY partial of an orderkey sits in this
+    # block — the final fold is per-block pandas with NO exchange (the
+    # whole point of the storage-partitioned plan)
+    def fold_local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderpriority": pa.array([], pa.string()),
+                "revenue_e4": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        g = (df.groupby(["l_orderkey", "o_orderpriority"], as_index=False)
+             ["rev"].sum())
+        return pa.table({
+            "o_orderkey": pa.array(g.l_orderkey.astype("int64")),
+            "o_orderpriority": pa.array(g.o_orderpriority, pa.string()),
+            "revenue_e4": pa.array(g.rev.astype("int64"))})
+
+    return joined.map_batches(fold_local, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def bucketed_order_revenue_sql() -> str:
+    return """
+SELECT o.o_orderkey, o.o_orderpriority,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS BIGINT)) AS revenue_e4
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderpriority"""

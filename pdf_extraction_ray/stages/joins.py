@@ -541,3 +541,85 @@ def skew_join(left: rd.Dataset, right: rd.Dataset,
         left_on, right_on, left_cols, right_cols, how="inner",
         num_partitions=num_partitions)
     return hot_joined.union(cold_joined)
+
+
+def write_bucketed(ds: rd.Dataset, key: str, out_dir: str,
+                   num_buckets: int = 32) -> str:
+    """Write a dataset as key-hash-bucketed parquet (``bucket=K/``
+    directories, bucket = key % num_buckets) — the storage layout that
+    makes `bucketed_join` shuffle-free. One pass: tag + ONE
+    groupby(bucket) so each bucket lands as one file set; the write is
+    the exchange (there is no later one)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(
+            t[key].combine_chunks().cast(pa.int64()),
+            num_buckets - 1), pa.int64())
+        return t.append_column("__b", b)
+
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two")
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__b"].iloc[0])
+        d = os.path.join(out_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, ".part.tmp")
+        pq.write_table(pa.Table.from_pandas(g.drop(columns="__b"),
+                                            preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+        return pd.DataFrame({"bucket": [b], "rows": [len(g)]})
+
+    (ds.map_batches(tag, batch_format="pyarrow")
+     .groupby("__b").map_groups(write_bucket, batch_format="pandas")
+     .materialize())
+    return out_dir
+
+
+def bucketed_join(left_dir: str, right_dir: str,
+                  left_on: str, right_on: str,
+                  left_cols: list[str], right_cols: list[str],
+                  num_buckets: int = 32) -> rd.Dataset:
+    """Storage-partitioned (bucket-local) inner join — the zero-shuffle
+    join for tables ALREADY bucketed by the join key (`write_bucketed`):
+    bucket K of the left can only match bucket K of the right, so the
+    join plan is one task per bucket reading two local directories and
+    merging in memory — NO all-to-all, the 100-TB join you get for
+    free when both tables share a bucketing key (the lakehouse
+    storage-partitioned-join optimization; this repo's checkpointed
+    extraction output is exactly such a layout over url buckets).
+
+    Returns (left_on, *left_cols, *right_cols)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        out = []
+        for b in t["bucket"].to_pylist():
+            ld = os.path.join(left_dir, f"bucket={b}")
+            rdir = os.path.join(right_dir, f"bucket={b}")
+            if not (os.path.isdir(ld) and os.path.isdir(rdir)):
+                continue
+            lt = pq.read_table(ld, columns=[left_on] + left_cols)
+            rt = pq.read_table(rdir, columns=[right_on] + right_cols)
+            m = lt.to_pandas().merge(
+                rt.to_pandas(), left_on=left_on, right_on=right_on,
+                how="inner")
+            if right_on != left_on and right_on in m.columns:
+                m = m.drop(columns=[right_on])
+            out.append(pa.Table.from_pandas(m[[left_on] + left_cols
+                                              + right_cols],
+                                            preserve_index=False))
+        if not out:
+            return pa.table({})
+        return pa.concat_tables(out)
+
+    ids = rd.from_arrow(pa.table({
+        "bucket": pa.array(list(range(num_buckets)), pa.int64())}))
+    # one bucket per task: override Ray's input-row bundling
+    return ids.repartition(num_buckets).map_batches(
+        join_bucket, batch_format="pyarrow", batch_size=None)

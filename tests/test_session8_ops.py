@@ -568,3 +568,114 @@ def test_mutual_links_semantics(ray_session):
     assert set(zip(out.lo_doc_id, out.hi_doc_id)) == want
     assert (out.lo_doc_id < out.hi_doc_id).all()
     assert len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# bucketed_order_revenue (storage-partitioned join)
+
+
+def test_bucketed_order_revenue_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.relational import (
+        bucketed_order_revenue, bucketed_order_revenue_sql)
+    from tests.oracle_check import compare
+
+    assert compare("bucketed_order_revenue", bucketed_order_revenue(SF_SMOKE),
+                   bucketed_order_revenue_sql(), SF_SMOKE) == []
+
+
+def test_bucketed_join_matches_hash_join(ray_session):
+    """The storage-partitioned plan is value-identical to the ordinary
+    partition-wise hash_join over the same inputs, and the bucket
+    layout actually landed on disk (one dir per non-empty bucket)."""
+    import os
+    import pandas as pd
+    from pdf_extraction_ray.pipelines.relational import (
+        _read, bucketed_order_revenue)
+    from pdf_extraction_ray.stages.joins import hash_join
+
+    got = (bucketed_order_revenue(SF_SMOKE, tmp_root="/tmp/pxr_bj_test")
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    assert os.path.isdir("/tmp/pxr_bj_test/items/bucket=0")
+    assert os.path.isdir("/tmp/pxr_bj_test/orders/bucket=0")
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet",
+                       columns=["l_orderkey", "l_extendedprice",
+                                "l_discount"]).to_pandas()
+    od = pq.read_table(f"{SF_SMOKE}/orders.parquet",
+                       columns=["o_orderkey", "o_orderpriority"]).to_pandas()
+    li["rev"] = np.round(
+        li.l_extendedprice * (1 - li.l_discount) * 10000).astype("int64")
+    want = (li.groupby("l_orderkey", as_index=False)["rev"].sum()
+            .merge(od, left_on="l_orderkey", right_on="o_orderkey")
+            [["o_orderkey", "o_orderpriority", "rev"]]
+            .rename(columns={"rev": "revenue_e4"})
+            .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_write_bucketed_routes_by_key(ray_session):
+    """Every row lands in bucket key % B; buckets partition the
+    table."""
+    import glob
+    import pyarrow.parquet as pq
+    import ray.data as rd_
+    import pyarrow as pa
+    from pdf_extraction_ray.stages.joins import write_bucketed
+
+    ds = rd_.from_arrow(pa.table({
+        "k": pa.array(list(range(100)), pa.int64()),
+        "v": pa.array([i * 7 for i in range(100)], pa.int64())}))
+    out = write_bucketed(ds, "k", "/tmp/pxr_wb_test", num_buckets=8)
+    total = 0
+    for d in glob.glob(out + "/bucket=*"):
+        b = int(d.rsplit("=", 1)[1])
+        t = pq.read_table(d)
+        ks = t["k"].to_pylist()
+        assert all(k % 8 == b for k in ks)
+        total += len(ks)
+    assert total == 100
+
+
+# ---------------------------------------------------------------------------
+# scd2_history
+
+
+def test_scd2_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (scd2_history,
+                                                        scd2_history_sql)
+    from tests.oracle_check import compare
+
+    assert compare("scd2_history", scd2_history(SF_SMOKE),
+                   scd2_history_sql(), SF_SMOKE) == []
+
+
+def test_scd2_invariants(ray_session):
+    """SCD2 contract: intervals per doc are contiguous and
+    non-overlapping, versions start at 1 and increase, at most one
+    open interval per doc, and the 'current' slice (open intervals)
+    equals snapshot B's doc set."""
+    from pdf_extraction_ray.pipelines.analytics import (
+        MV_ADDED_MOD, MV_ADDED_OFF, MV_ADDED_RES, MV_CHANGED_MOD,
+        MV_CHANGED_RES, MV_REMOVED_MOD, MV_REMOVED_RES, scd2_history)
+    import pyarrow.parquet as pq
+
+    OPEN = 1 << 62
+    out = scd2_history(SF_SMOKE).to_pandas()
+    for d, g in out.groupby("doc_id"):
+        g = g.sort_values("version")
+        assert list(g.version) == list(range(1, len(g) + 1))
+        assert (g.valid_from < g.valid_to).all()
+        assert (g.valid_to == OPEN).sum() <= 1
+        # contiguity: next version starts where the previous ended
+        ends = g.valid_to.to_numpy()[:-1]
+        starts = g.valid_from.to_numpy()[1:]
+        assert (ends == starts).all()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    ids = docs.doc_id
+    b_set = set(ids[ids % MV_REMOVED_MOD != MV_REMOVED_RES]) | set(
+        ids[ids % MV_ADDED_MOD == MV_ADDED_RES] + MV_ADDED_OFF)
+    current = set(out.loc[out.valid_to == OPEN, "doc_id"])
+    assert current == b_set
