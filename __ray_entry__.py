@@ -730,6 +730,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SCD type-2 history build over the snapshot pair (validity
         # intervals per version; pure map-side emit)
         "scd2_history": _tuned(analytics.scd2_history),
+        # windowed-HLL WAU: day sketches merged across overlapping
+        # 7-day windows (register max = sketch union) — wau_daily's
+        # constant-per-day scale path
+        "wau_daily_hll": _tuned(analytics.wau_daily_hll),
     }
 
 
@@ -811,6 +815,7 @@ AWAITING_SLOT = (
     "mutual_links",
     "bucketed_order_revenue",
     "scd2_history",
+    "wau_daily_hll",
 )
 
 
@@ -966,6 +971,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_links": linkgraph.mutual_links_sql(),
         "bucketed_order_revenue": relational.bucketed_order_revenue_sql(),
         "scd2_history": analytics.scd2_history_sql(),
+        "wau_daily_hll": analytics.wau_daily_hll_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

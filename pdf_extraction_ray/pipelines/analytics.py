@@ -8838,3 +8838,157 @@ UNION ALL
 SELECT doc_id + {MV_ADDED_OFF}, 1, 1, {o},
        length('added doc ' || CAST(doc_id AS VARCHAR))
 FROM documents WHERE doc_id % {MV_ADDED_MOD} = {MV_ADDED_RES}"""
+
+
+# ---------------------------------------------------------------------------
+# windowed-HLL WAU (session 8) — sketch merge across window days
+# ---------------------------------------------------------------------------
+
+
+def wau_daily_hll(sf_dir: str, window: int = WAU_WINDOW_DAYS,
+                  p: int = 10) -> rd.Dataset:
+    """Approximate rolling 7-day active users via HyperLogLog register
+    MERGE — the scale path for `wau_daily`: the exact op's fan-out
+    dedupe moves O(users × 7) id rows; this one folds each day to a
+    2^p-byte register row and the window union is an elementwise max
+    of ≤7 such rows — per-day cost is CONSTANT however many users
+    exist. Mergeability is the property that makes HLL a warehouse
+    primitive (pre-aggregated day sketches answer any window after the
+    fact); this op exercises it across overlapping windows.
+
+    Same register/estimator arithmetic as hll_users_per_type (pure
+    sha256 integers; exact-integer harmonic sum), so the whole windowed
+    pipeline replays in SQL. Days with an empty window report 0 (the
+    estimator's own linear-counting branch). Returns (day,
+    wau_approx)."""
+    from ..stages.sketch import _hll_update, hll_estimate
+
+    m = 1 << p
+    ds = _read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["user_id"].to_pylist()
+        day = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // DAY_US)
+        acc: dict[int, np.ndarray] = {}
+        for u, d in zip(us, day):
+            regs = acc.get(int(d))
+            if regs is None:
+                regs = acc[int(d)] = np.zeros(m, dtype=np.uint8)
+            _hll_update(regs, (u,), p)
+        keys = sorted(acc)
+        return pa.table({
+            "day": pa.array(keys, pa.int64()),
+            "regs": pa.array([acc[d].tobytes() for d in keys],
+                             pa.large_binary())})
+
+    def merge_regs(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype=np.uint8)
+        for r in g["regs"]:
+            np.maximum(regs, np.frombuffer(r, dtype=np.uint8), out=regs)
+        return pd.DataFrame({"day": [int(g["day"].iloc[0])],
+                             "regs": [regs.tobytes()]})
+
+    day_regs = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("day").map_groups(merge_regs,
+                                           batch_format="pandas"))
+
+    def fan(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False)
+        r = t["regs"].to_pylist()
+        days, regs = [], []
+        for off in range(window):
+            days.append(d + off)
+            regs.extend(r)
+        return pa.table({"day": pa.array(np.concatenate(days), pa.int64()),
+                         "regs": pa.array(regs, pa.large_binary())})
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype=np.uint8)
+        for r in g["regs"]:
+            np.maximum(regs, np.frombuffer(r, dtype=np.uint8), out=regs)
+        return pd.DataFrame({"day": [int(g["day"].iloc[0])],
+                             "wau_approx": [hll_estimate(regs)]})
+
+    win = (day_regs.map_batches(fan, batch_format="pyarrow")
+           .groupby("day").map_groups(estimate, batch_format="pandas"))
+
+    def block_span(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64())})
+        day = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // DAY_US)
+        return pa.table({"d": pa.array([int(day.min()), int(day.max())],
+                                       pa.int64())})
+
+    span = ds.map_batches(block_span, batch_format="pyarrow").take_all()
+    lo = min(r["d"] for r in span)
+    hi = max(r["d"] for r in span)
+
+    def clip_pad(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False)
+        ms = (d >= lo) & (d <= hi)
+        return pa.table({
+            "day": pa.array(d[ms], pa.int64()),
+            "wau_approx": pa.array(
+                t["wau_approx"].to_numpy(zero_copy_only=False)[ms],
+                pa.int64())})
+
+    spine = rd.from_arrow(pa.table({
+        "day": pa.array(np.arange(lo, hi + 1, dtype=np.int64), pa.int64()),
+        "wau_approx": pa.array(np.zeros(hi - lo + 1, dtype=np.int64),
+                               pa.int64())}))
+    return (win.map_batches(clip_pad, batch_format="pyarrow")
+            .union(spine).groupby("day")
+            .aggregate(Sum("wau_approx", alias_name="wau_approx")))
+
+
+def wau_daily_hll_sql(window: int = WAU_WINDOW_DAYS, p: int = 10) -> str:
+    """The hll_users_per_type_sql replay with a day key and the
+    window union folded into the register max (max over the window's
+    days ≡ merging the day sketches)."""
+    m = 1 << p
+    byte = (lambda k:
+            f"(strpos('0123456789abcdef', substr(hx, {2 * k + 1}, 1)) - 1)"
+            f" * 16 + strpos('0123456789abcdef', substr(hx, {2 * k + 2}, 1))"
+            f" - 1")
+    hexpr = " + ".join(
+        f"CAST({byte(k)} AS HUGEINT) * CAST('{256 ** k}' AS HUGEINT)"
+        for k in range(8))
+    two63 = "CAST('9223372036854775808' AS HUGEINT)"
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+), hx AS (
+  SELECT day, sha256(CAST(user_id AS VARCHAR)) AS hx FROM vals
+), hs AS (SELECT day, ({hexpr}) AS h FROM hx),
+rr AS (SELECT day, CAST(h % {m} AS BIGINT) AS idx,
+              CASE WHEN h // {m} = 0 THEN {64 - p + 1}
+                   ELSE {64 - p} - length(bin(h // {m})) + 1 END AS rank
+       FROM hs),
+spine AS (
+  SELECT unnest(range((SELECT min(day) FROM vals),
+                      (SELECT max(day) FROM vals) + 1)) AS day
+),
+regs AS (SELECT s.day, rr.idx, max(rr.rank) AS r
+         FROM spine s JOIN rr ON rr.day BETWEEN s.day - {window - 1}
+                                            AND s.day
+         GROUP BY s.day, rr.idx),
+agg AS (SELECT s.day,
+               CAST(coalesce(count(regs.idx), 0) AS BIGINT) AS n_present,
+               coalesce(sum({two63} // (CAST(1 AS HUGEINT)
+                                        << CAST(regs.r AS HUGEINT))),
+                        CAST(0 AS HUGEINT)) AS s_present
+        FROM spine s LEFT JOIN regs ON regs.day = s.day
+        GROUP BY s.day),
+est AS (SELECT day, {m} - n_present AS zeros,
+               (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+                 * 9223372036854775808.0
+                 / CAST(({m} - n_present) * {two63} + s_present AS DOUBLE)
+                 AS raw
+        FROM agg)
+SELECT day,
+       CAST(floor(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                       THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                       ELSE raw END + 0.5) AS BIGINT) AS wau_approx
+FROM est"""

@@ -679,3 +679,35 @@ def test_scd2_invariants(ray_session):
         ids[ids % MV_ADDED_MOD == MV_ADDED_RES] + MV_ADDED_OFF)
     current = set(out.loc[out.valid_to == OPEN, "doc_id"])
     assert current == b_set
+
+
+# ---------------------------------------------------------------------------
+# wau_daily_hll
+
+
+def test_wau_daily_hll_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (wau_daily_hll,
+                                                        wau_daily_hll_sql)
+    from tests.oracle_check import compare
+
+    assert compare("wau_daily_hll", wau_daily_hll(SF_SMOKE),
+                   wau_daily_hll_sql(), SF_SMOKE) == []
+
+
+def test_wau_daily_hll_error_bound(ray_session):
+    """The sketch tracks the exact WAU within the HLL error envelope
+    (±1.04/sqrt(m) ≈ 3.25% at m=1024; assert 5x slack) on every day,
+    and the day spines agree."""
+    from pdf_extraction_ray.pipelines.analytics import (wau_daily,
+                                                        wau_daily_hll)
+
+    exact = (wau_daily(SF_SMOKE).to_pandas()
+             .set_index("day")["wau"].sort_index())
+    approx = (wau_daily_hll(SF_SMOKE).to_pandas()
+              .set_index("day")["wau_approx"].sort_index())
+    assert list(exact.index) == list(approx.index)
+    m = 1 << 10
+    tol = 5 * 1.04 / (m ** 0.5)
+    for d in exact.index:
+        e, a = int(exact[d]), int(approx[d])
+        assert e == 0 and a == 0 or abs(a - e) <= max(3, tol * e)
