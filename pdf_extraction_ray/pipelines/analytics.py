@@ -5542,11 +5542,8 @@ def bm25_topk_indexed(sf_dir: str) -> rd.Dataset:
 
 
 def bm25_topk_sql() -> str:
-    qrows = ", ".join(f"({qid}, '{w}')"
-                      for qid, terms in sorted(BM25_QUERIES.items())
-                      for w in terms)
     return f"""
-WITH q(query_id, word) AS (VALUES {qrows}),
+WITH q AS ({_bm25_queries_values_sql()}),
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 tc AS (
   SELECT doc_id, word, count(*) AS tf
@@ -7689,7 +7686,9 @@ def _bm25_queries_values_sql() -> str:
 # snapshot-B plant (pure doc_id functions — the pages_delta convention):
 MV_REMOVED_MOD, MV_REMOVED_RES = 37, 5
 MV_CHANGED_MOD, MV_CHANGED_RES = 29, 11
-MV_ADDED_MOD, MV_ADDED_RES, MV_ADDED_OFF = 41, 7, 900_000
+MV_ADDED_MOD, MV_ADDED_RES = 41, 7
+MV_ADDED_OFF = 1 << 40   # above any real doc_id — synthesized added-doc
+#                          ids must never collide with corpus ids
 
 
 def _mv_changed_text(doc_id: int, text: str) -> str:
@@ -8118,6 +8117,48 @@ QUALIFY row_number() OVER (ORDER BY abs(drift) DESC, word) <= {k}"""
 WAU_WINDOW_DAYS = 7
 
 
+def _day_span(ds: rd.Dataset) -> tuple[int, int]:
+    """(min, max) epoch day of an events dataset: per-block (min, max)
+    partials, driver folds the tiny rows. Raises on an empty table
+    (a span of nothing has no spine)."""
+    def block_span(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64())})
+        day = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // DAY_US)
+        return pa.table({"d": pa.array([int(day.min()), int(day.max())],
+                                       pa.int64())})
+
+    rows = ds.map_batches(block_span, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError("empty events table: no day span")
+    return (min(r["d"] for r in rows), max(r["d"] for r in rows))
+
+
+def _pad_day_spine(counts: rd.Dataset, lo: int, hi: int,
+                   value_col: str) -> rd.Dataset:
+    """Clip a per-day counts dataset to [lo, hi] and zero-fill the
+    missing days (window fan-outs create phantom days past the span;
+    days with an empty window must still report 0). O(span) driver
+    rows for the spine."""
+    def clip(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False)
+        m = (d >= lo) & (d <= hi)
+        return pa.table({
+            "day": pa.array(d[m], pa.int64()),
+            value_col: pa.array(
+                t[value_col].to_numpy(zero_copy_only=False)[m],
+                pa.int64())})
+
+    spine = rd.from_arrow(pa.table({
+        "day": pa.array(np.arange(lo, hi + 1, dtype=np.int64), pa.int64()),
+        value_col: pa.array(np.zeros(hi - lo + 1, dtype=np.int64),
+                            pa.int64())}))
+    return (counts.map_batches(clip, batch_format="pyarrow")
+            .union(spine).groupby("day")
+            .aggregate(Sum(value_col, alias_name=value_col)))
+
+
 def wau_daily(sf_dir: str, window: int = WAU_WINDOW_DAYS) -> rd.Dataset:
     """Rolling 7-day distinct active users per day (the WAU curve) —
     EXACT sliding-window COUNT(DISTINCT), the product-analytics op the
@@ -8167,34 +8208,8 @@ def wau_daily(sf_dir: str, window: int = WAU_WINDOW_DAYS) -> rd.Dataset:
                   {"day": t["day"], "wau": t["count()"]}),
                   batch_format="pyarrow"))
 
-    # pad the spine: fan-out creates phantom days past max(day); clip
-    # to the observed span and zero-fill gaps (tiny driver-side table)
-    def block_span(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"d": pa.array([], pa.int64())})
-        day = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
-               .cast(pa.int64()).to_numpy() // DAY_US)
-        return pa.table({"d": pa.array([int(day.min()), int(day.max())],
-                                       pa.int64())})
-
-    lohi = ds.map_batches(block_span, batch_format="pyarrow").take_all()
-    lo = min(r["d"] for r in lohi)
-    hi = max(r["d"] for r in lohi)
-
-    def clip_pad(t: pa.Table) -> pa.Table:
-        d = t["day"].to_numpy(zero_copy_only=False)
-        m = (d >= lo) & (d <= hi)
-        return pa.table({"day": pa.array(d[m], pa.int64()),
-                         "wau": pa.array(
-                             t["wau"].to_numpy(zero_copy_only=False)[m],
-                             pa.int64())})
-
-    spine = rd.from_arrow(pa.table({
-        "day": pa.array(np.arange(lo, hi + 1, dtype=np.int64), pa.int64()),
-        "wau": pa.array(np.zeros(hi - lo + 1, dtype=np.int64), pa.int64())}))
-    return (counts.map_batches(clip_pad, batch_format="pyarrow")
-            .union(spine).groupby("day")
-            .aggregate(Sum("wau", alias_name="wau")))
+    lo, hi = _day_span(ds)
+    return _pad_day_spine(counts, lo, hi, "wau")
 
 
 def wau_daily_sql(window: int = WAU_WINDOW_DAYS) -> str:
@@ -8591,18 +8606,7 @@ def churned_users(sf_dir: str) -> rd.Dataset:
     user table never leaves ids-only form. Returns (status,
     n_users)."""
     ds = _read_table(sf_dir, "events", ["user_id", "ts"])
-
-    def block_span(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"d": pa.array([], pa.int64())})
-        day = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
-               .cast(pa.int64()).to_numpy() // DAY_US)
-        return pa.table({"d": pa.array([int(day.min()), int(day.max())],
-                                       pa.int64())})
-
-    span = ds.map_batches(block_span, batch_format="pyarrow").take_all()
-    lo = min(r["d"] for r in span)
-    hi = max(r["d"] for r in span)
+    lo, hi = _day_span(ds)
     mid = (lo + hi + 1) // 2     # A = [lo, mid), B = [mid, hi]
 
     def presence(t: pa.Table) -> pa.Table:
@@ -8913,34 +8917,8 @@ def wau_daily_hll(sf_dir: str, window: int = WAU_WINDOW_DAYS,
     win = (day_regs.map_batches(fan, batch_format="pyarrow")
            .groupby("day").map_groups(estimate, batch_format="pandas"))
 
-    def block_span(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"d": pa.array([], pa.int64())})
-        day = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
-               .cast(pa.int64()).to_numpy() // DAY_US)
-        return pa.table({"d": pa.array([int(day.min()), int(day.max())],
-                                       pa.int64())})
-
-    span = ds.map_batches(block_span, batch_format="pyarrow").take_all()
-    lo = min(r["d"] for r in span)
-    hi = max(r["d"] for r in span)
-
-    def clip_pad(t: pa.Table) -> pa.Table:
-        d = t["day"].to_numpy(zero_copy_only=False)
-        ms = (d >= lo) & (d <= hi)
-        return pa.table({
-            "day": pa.array(d[ms], pa.int64()),
-            "wau_approx": pa.array(
-                t["wau_approx"].to_numpy(zero_copy_only=False)[ms],
-                pa.int64())})
-
-    spine = rd.from_arrow(pa.table({
-        "day": pa.array(np.arange(lo, hi + 1, dtype=np.int64), pa.int64()),
-        "wau_approx": pa.array(np.zeros(hi - lo + 1, dtype=np.int64),
-                               pa.int64())}))
-    return (win.map_batches(clip_pad, batch_format="pyarrow")
-            .union(spine).groupby("day")
-            .aggregate(Sum("wau_approx", alias_name="wau_approx")))
+    lo, hi = _day_span(ds)
+    return _pad_day_spine(win, lo, hi, "wau_approx")
 
 
 def wau_daily_hll_sql(window: int = WAU_WINDOW_DAYS, p: int = 10) -> str:

@@ -732,12 +732,15 @@ def shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> rd.Dataset:
             "r": pa.array(np.bincount(inv, weights=rev).astype(np.int64),
                           pa.int64())})
 
+    # pin: hash_join probes schema() and would re-execute this whole
+    # read+combiner+shuffle lineage a second time (its docstring note)
     items = (_read(sf_dir, "lineitem",
                    ["l_orderkey", "l_extendedprice", "l_discount",
                     "l_shipdate"])
              .map_batches(items_partial, batch_format="pyarrow")
              .groupby("l_orderkey").aggregate(Sum("r",
-                                                  alias_name="revenue_e4")))
+                                                  alias_name="revenue_e4"))
+             .materialize())
 
     joined = hash_join(items, orders, "l_orderkey", "o_orderkey",
                        ["revenue_e4"], ["odate_day", "o_orderpriority"],
@@ -882,11 +885,14 @@ def local_supplier_volume(sf_dir: str, region: str = Q5_REGION,
             "r": pa.array(np.bincount(inv, weights=rev).astype(np.int64),
                           pa.int64())})
 
+    # pin: hash_join probes schema() and would re-execute this whole
+    # read+combiner+shuffle lineage a second time (its docstring note)
     items = (_read(sf_dir, "lineitem",
                    ["l_orderkey", "l_suppkey", "l_extendedprice",
                     "l_discount"])
              .map_batches(items_partial, batch_format="pyarrow")
-             .groupby("k").aggregate(Sum("r", alias_name="rev")))
+             .groupby("k").aggregate(Sum("r", alias_name="rev"))
+             .materialize())
 
     def unpack(t: pa.Table) -> pa.Table:
         k = t["k"].to_numpy(zero_copy_only=False)
@@ -960,11 +966,16 @@ def bucketed_order_revenue(sf_dir: str, num_buckets: int = 32,
     import os
     import shutil
 
+    from ..sources.corpus import _input_digest
     from ..stages.joins import bucketed_join, write_bucketed
 
+    # key the scratch dir by basename + input digest (the bm25 index
+    # convention) so two sf dirs sharing a leaf name, or concurrent
+    # runs over different inputs, never clobber each other's buckets
     root = tmp_root or os.path.join(
         "/tmp/pdf_extraction_ray", "bucketed",
-        os.path.basename(os.path.normpath(sf_dir)))
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{_input_digest(sf_dir)}")
     shutil.rmtree(root, ignore_errors=True)
 
     def items_partial(t: pa.Table) -> pa.Table:
@@ -997,7 +1008,7 @@ def bucketed_order_revenue(sf_dir: str, num_buckets: int = 32,
     # block — the final fold is per-block pandas with NO exchange (the
     # whole point of the storage-partitioned plan)
     def fold_local(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+        if t.num_rows == 0:   # bucketed_join emits typed empty blocks
             return pa.table({
                 "o_orderkey": pa.array([], pa.int64()),
                 "o_orderpriority": pa.array([], pa.string()),

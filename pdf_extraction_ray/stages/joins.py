@@ -549,10 +549,15 @@ def write_bucketed(ds: rd.Dataset, key: str, out_dir: str,
     directories, bucket = key % num_buckets) — the storage layout that
     makes `bucketed_join` shuffle-free. One pass: tag + ONE
     groupby(bucket) so each bucket lands as one file set; the write is
-    the exchange (there is no later one)."""
+    the exchange (there is no later one). ``out_dir`` is cleared
+    first: a bucket the new dataset doesn't populate must not survive
+    from a previous write (a stale bucket silently joins)."""
     import os
+    import shutil
 
     import pyarrow.parquet as pq
+
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     def tag(t: pa.Table) -> pa.Table:
         b = pc.cast(pc.bit_wise_and(
@@ -593,9 +598,25 @@ def bucketed_join(left_dir: str, right_dir: str,
     extraction output is exactly such a layout over url buckets).
 
     Returns (left_on, *left_cols, *right_cols)."""
+    import glob
     import os
 
     import pyarrow.parquet as pq
+
+    # type the empty-bucket output from real footers so every task
+    # emits the same schema (a 0-column block breaks consumers)
+    def _schema_of(d: str, names: list[str]) -> dict:
+        for p in sorted(glob.glob(os.path.join(d, "bucket=*"))):
+            s = pq.read_schema(os.path.join(p, "part-0.parquet"))
+            return {n: s.field(n).type for n in names}
+        raise FileNotFoundError(f"no buckets under {d}")
+
+    types = _schema_of(left_dir, [left_on] + left_cols)
+    types.update({n: t for n, t in
+                  _schema_of(right_dir, [right_on] + right_cols).items()
+                  if n != right_on})
+    out_names = [left_on] + left_cols + right_cols
+    empty = pa.table({n: pa.array([], types[n]) for n in out_names})
 
     def join_bucket(t: pa.Table) -> pa.Table:
         out = []
@@ -611,11 +632,11 @@ def bucketed_join(left_dir: str, right_dir: str,
                 how="inner")
             if right_on != left_on and right_on in m.columns:
                 m = m.drop(columns=[right_on])
-            out.append(pa.Table.from_pandas(m[[left_on] + left_cols
-                                              + right_cols],
-                                            preserve_index=False))
+            out.append(pa.Table.from_pandas(m[out_names],
+                                            preserve_index=False)
+                       .cast(empty.schema))
         if not out:
-            return pa.table({})
+            return empty
         return pa.concat_tables(out)
 
     ids = rd.from_arrow(pa.table({

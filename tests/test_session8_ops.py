@@ -54,14 +54,21 @@ def test_search_snippets_semantics(ray_session):
 
 
 def test_search_snippets_radius_clamps(ray_session):
-    """A hit in the first word clamps the left edge instead of
-    wrapping; the window never exceeds the document."""
+    """A radius past the document edges clamps instead of wrapping
+    (lo must floor at 0 — Python negative slicing would silently wrap):
+    with an absurd radius, every snippet IS the whole document."""
     from pdf_extraction_ray.pipelines.analytics import search_snippets
 
     out = search_snippets(SF_SMOKE, radius=10**6).to_pandas()
-    # with an absurd radius every snippet is the whole document, so
-    # each (query, doc) still yields exactly one bounded row
-    assert out.snippet.str.len().gt(0).all()
+    con = duckdb.connect()
+    texts = dict(con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE doc_id IN ({','.join(str(d) for d in set(out.doc_id))})"
+    ).fetchall())
+    con.close()
+    assert len(out) > 0
+    for r in out.itertuples():
+        assert r.snippet == texts[r.doc_id]
     assert out.hit_pos.ge(1).all()
 
 
