@@ -734,6 +734,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 7-day windows (register max = sketch union) — wau_daily's
         # constant-per-day scale path
         "wau_daily_hll": _tuned(analytics.wau_daily_hll),
+        # TPC-H Q14 analog: promo revenue share (broadcast promo-part
+        # set, per-block two-sum combiner, ONE constant-key groupby)
+        "promo_revenue_share": _tuned(relational.promo_revenue_share),
+        # TPC-H Q18 analog: HAVING over a fact groupby; the survivors
+        # are ≤ Σqty/threshold so orders/customer attach map-side
+        "large_volume_customers": _tuned(relational.large_volume_customers),
+        # TPC-H Q10 analog: returned-item revenue top-k (map-side
+        # filters, combiner, ONE hash_join + ONE groupby, partial top-k)
+        "returned_item_report": _tuned(relational.returned_item_report),
     }
 
 
@@ -816,6 +825,9 @@ AWAITING_SLOT = (
     "bucketed_order_revenue",
     "scd2_history",
     "wau_daily_hll",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "returned_item_report",
 )
 
 
@@ -972,6 +984,9 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_order_revenue": relational.bucketed_order_revenue_sql(),
         "scd2_history": analytics.scd2_history_sql(),
         "wau_daily_hll": analytics.wau_daily_hll_sql(),
+        "promo_revenue_share": relational.promo_revenue_share_sql(),
+        "large_volume_customers": relational.large_volume_customers_sql(),
+        "returned_item_report": relational.returned_item_report_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

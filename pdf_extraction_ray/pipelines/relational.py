@@ -1032,3 +1032,322 @@ SELECT o.o_orderkey, o.o_orderpriority,
                 AS BIGINT)) AS revenue_e4
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderkey, o.o_orderpriority"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 analog: promotion revenue share — session 9
+# ---------------------------------------------------------------------------
+
+Q14_YEAR = 1997
+Q14_MONTH = 9
+
+
+def promo_revenue_share(sf_dir: str, year: int = Q14_YEAR,
+                        month: int = Q14_MONTH) -> rd.Dataset:
+    """TPC-H Q14 analog (promotion effect): the share of one shipping
+    month's revenue that came from PROMO-type parts. The canonical
+    "big fact ⋈ dimension predicate → two global sums" shape, composed
+    the scale-shaped way:
+
+      part → broadcast SET of promo partkeys (part is a dimension;
+        ray.put once, probed per batch — never a shuffle join)
+      lineitem: the ship-month filter pushes map-side, then a per-block
+        COMBINER folds each block to ONE (promo_e4, total_e4) partial
+        row — the whole corpus reduces to n_blocks rows before the one
+        constant-key groupby.
+
+    Revenue integerizes per row (round(price·(1−disc)·1e4), the Q3
+    convention) so both sums are exact BIGINT, and the share is
+    integer parts-per-2^20 (promo·2^20 // total — exact in int64 up to
+    ~2^43 revenue units; at 100 TB promote the fold to Python bigints
+    the way bigram_lift does). Returns one row
+    (promo_e4, total_e4, share_ppm)."""
+    lo_day = int(np.datetime64(f"{year}-{month:02d}-01")
+                 .astype("datetime64[D]").astype(np.int64))
+    nxt_y, nxt_m = (year + 1, 1) if month == 12 else (year, month + 1)
+    hi_day = int(np.datetime64(f"{nxt_y}-{nxt_m:02d}-01")
+                 .astype("datetime64[D]").astype(np.int64))
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = set(parts.loc[parts.p_type == "PROMO", "p_partkey"].astype(int))
+    pref = ray.put(promo)
+
+    def fold(t: pa.Table) -> pa.Table:
+        ps = ray.get(pref)
+        day = (t["l_shipdate"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // _DAY_US)
+        mask = (day >= lo_day) & (day < hi_day)
+        kept = t.filter(pa.array(mask))
+        price = kept["l_extendedprice"].to_numpy()
+        disc = kept["l_discount"].to_numpy()
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        pk = kept["l_partkey"].to_numpy(zero_copy_only=False)
+        is_promo = np.fromiter((int(p) in ps for p in pk), bool, len(pk))
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "p": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "t": pa.array([int(rev.sum())], pa.int64())})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+           .map_batches(fold, batch_format="pyarrow")
+           .groupby("k")
+           .aggregate(Sum("p", alias_name="promo_e4"),
+                      Sum("t", alias_name="total_e4")))
+
+    def share(t: pa.Table) -> pa.Table:
+        p = int(t["promo_e4"][0].as_py())
+        tot = int(t["total_e4"][0].as_py())
+        return pa.table({
+            "promo_e4": pa.array([p], pa.int64()),
+            "total_e4": pa.array([tot], pa.int64()),
+            "share_ppm": pa.array([(p << 20) // tot if tot else 0],
+                                  pa.int64())})
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+def promo_revenue_share_sql(year: int = Q14_YEAR,
+                            month: int = Q14_MONTH) -> str:
+    nxt_y, nxt_m = (year + 1, 1) if month == 12 else (year, month + 1)
+    return f"""
+WITH f AS (
+  SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT) AS rev,
+         (p.p_type = 'PROMO') AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{year}-{month:02d}-01'
+    AND l.l_shipdate < TIMESTAMP '{nxt_y}-{nxt_m:02d}-01'
+)
+SELECT sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS promo_e4,
+       sum(rev) AS total_e4,
+       (sum(CASE WHEN is_promo THEN rev ELSE 0 END) * 1048576)
+         // sum(rev) AS share_ppm
+FROM f"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 analog: large-volume customers (HAVING over a fact groupby)
+# ---------------------------------------------------------------------------
+
+Q18_QTY = 300
+
+
+def large_volume_customers(sf_dir: str,
+                           qty_threshold: int = Q18_QTY) -> rd.Dataset:
+    """TPC-H Q18 analog (large-volume customers): orders whose total
+    line quantity exceeds a threshold, with their customer and header.
+    The canonical HAVING-over-a-fact-groupby, composed the scale-shaped
+    way:
+
+      lineitem → per-block (orderkey, qty) COMBINER → ONE groupby
+        (ids+ints only ever shuffle) → the HAVING filter
+      the survivors are PROVABLY small — at most Σqty/threshold orders
+        (the threshold bounds the driver state by construction), so
+        they broadcast as a dict and orders/customer attach MAP-SIDE:
+        the big orders table never shuffles at all.
+
+    Quantities are integral in this corpus (asserted in tests) and sum
+    as exact int64; the order total integerizes to cents per row
+    (round(·100), the repo convention — never a float compare).
+    Returns (c_custkey, c_name, o_orderkey, odate_day, total_cents,
+    sum_qty)."""
+    def items_partial(t: pa.Table) -> pa.Table:
+        qty = np.round(t["l_quantity"].to_numpy()).astype(np.int64)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uniq.astype(np.int64), pa.int64()),
+            "q": pa.array(np.bincount(inv, weights=qty).astype(np.int64),
+                          pa.int64())})
+
+    big = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+           .map_batches(items_partial, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("q", alias_name="sum_qty")))
+
+    def having(t: pa.Table) -> pa.Table:
+        q = t["sum_qty"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(q > qty_threshold))
+
+    # ≤ Σqty/threshold rows by construction — safe to collect
+    kept = big.map_batches(having, batch_format="pyarrow").to_pandas()
+    qmap = {int(k): int(v) for k, v in
+            zip(kept["l_orderkey"], kept["sum_qty"])}
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cmap = {int(k): str(v) for k, v in zip(cust.c_custkey, cust.c_name)}
+    qref, cref = ray.put(qmap), ray.put(cmap)
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        qm, cm = ray.get(qref), ray.get(cref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(k) in qm for k in ok), bool, len(ok))
+        kept_o = t.filter(pa.array(mask))
+        okey = kept_o["o_orderkey"].to_numpy(zero_copy_only=False)
+        day = (kept_o["o_orderdate"].combine_chunks()
+               .cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+               // _DAY_US)
+        cents = np.round(kept_o["o_totalprice"].to_numpy()
+                         * 100.0).astype(np.int64)
+        ck = kept_o["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": pa.array(ck.astype(np.int64), pa.int64()),
+            "c_name": pa.array([cm[int(c)] for c in ck], pa.string()),
+            "o_orderkey": pa.array(okey.astype(np.int64), pa.int64()),
+            "odate_day": pa.array(day.astype(np.int64), pa.int64()),
+            "total_cents": pa.array(cents, pa.int64()),
+            "sum_qty": pa.array([qm[int(k)] for k in okey], pa.int64())})
+
+    return _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_totalprice"]).map_batches(
+        orders_f, batch_format="pyarrow")
+
+
+def large_volume_customers_sql(qty_threshold: int = Q18_QTY) -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {qty_threshold}
+)
+SELECT o.o_custkey AS c_custkey, c.c_name, o.o_orderkey,
+       epoch_us(o.o_orderdate) // {_DAY_US} AS odate_day,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       big.sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 analog: returned-item revenue report (top-k lost customers)
+# ---------------------------------------------------------------------------
+
+Q10_QUARTER = "1996-10-01"
+Q10_TOPK = 20
+
+
+def returned_item_report(sf_dir: str, quarter: str = Q10_QUARTER,
+                         k: int = Q10_TOPK) -> rd.Dataset:
+    """TPC-H Q10 analog (returned-item reporting): customers ranked by
+    the revenue they returned (returnflag = 'R') against orders placed
+    in one quarter — "who did we lose the most money on". Composed the
+    scale-shaped way:
+
+      orders: the quarter filter pushes map-side → (orderkey, custkey)
+        ids only (the header never rides the shuffle)
+      lineitem: returnflag filter map-side, per-block COMBINER to
+        (orderkey, rev_e4) partials
+      ONE hash_join on orderkey, ONE groupby(custkey), then the
+        partial-top-k merge (per-block top-k, tiny final sort — never
+        a global sort)
+      names attach LAST: customer/nation broadcast dicts probe only
+        the k winner rows.
+
+    Revenue integerizes per row (the Q3 convention). Returns
+    (c_custkey, c_name, n_name, revenue_e4, rank)."""
+    from ..stages.joins import hash_join
+
+    lo_day = int(np.datetime64(quarter).astype("datetime64[D]")
+                 .astype(np.int64))
+    lo = np.datetime64(quarter).astype("datetime64[M]")
+    hi_day = int((lo + 3).astype("datetime64[D]").astype(np.int64))
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        day = (t["o_orderdate"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // _DAY_US)
+        kept = t.filter(pa.array((day >= lo_day) & (day < hi_day)))
+        return pa.table({"o_orderkey": kept["o_orderkey"],
+                         "o_custkey": kept["o_custkey"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_f, batch_format="pyarrow")
+
+    def items_partial(t: pa.Table) -> pa.Table:
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(flag == "R"))
+        price = kept["l_extendedprice"].to_numpy()
+        disc = kept["l_discount"].to_numpy()
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        keys = kept["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uniq.astype(np.int64), pa.int64()),
+            "r": pa.array(np.bincount(inv, weights=rev).astype(np.int64),
+                          pa.int64())})
+
+    # pin: hash_join probes schema() and would re-execute this whole
+    # read+combiner+shuffle lineage a second time (its docstring note)
+    items = (_read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_returnflag", "l_extendedprice",
+                    "l_discount"])
+             .map_batches(items_partial, batch_format="pyarrow")
+             .groupby("l_orderkey").aggregate(Sum("r", alias_name="rev"))
+             .materialize())
+
+    joined = hash_join(items, orders, "l_orderkey", "o_orderkey",
+                       ["rev"], ["o_custkey"], how="inner")
+    per_cust = (joined.groupby("o_custkey")
+                .aggregate(Sum("rev", alias_name="revenue_e4")))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        rev = t["revenue_e4"].to_numpy(zero_copy_only=False)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -rev))[:k]
+        return t.take(pa.array(order))
+
+    merged = (per_cust.map_batches(partial_topk, batch_format="pyarrow")
+              .sort(["revenue_e4", "o_custkey"], descending=[True, False])
+              .limit(k))
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = {int(k_): str(v) for k_, v in zip(nat.n_nationkey, nat.n_name)}
+    cmap = {int(k_): (str(nm), nmap[int(nk)]) for k_, nm, nk in
+            zip(cust.c_custkey, cust.c_name, cust.c_nationkey)}
+    cref = ray.put(cmap)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        names = [cm[int(c)] for c in ck]
+        return pa.table({
+            "c_custkey": pa.array(ck.astype(np.int64), pa.int64()),
+            "c_name": pa.array([n for n, _ in names], pa.string()),
+            "n_name": pa.array([n for _, n in names], pa.string()),
+            "revenue_e4": t["revenue_e4"],
+            "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+        })
+
+    # the limit(k) output is a single tiny block; rank is its position
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def returned_item_report_sql(quarter: str = Q10_QUARTER,
+                             k: int = Q10_TOPK) -> str:
+    y, m, _ = quarter.split("-")
+    mm = int(m) + 3
+    nxt = f"{int(y) + 1}-{mm - 12:02d}-01" if mm > 12 else f"{y}-{mm:02d}-01"
+    return f"""
+WITH j AS (
+  SELECT o.o_custkey AS c_custkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT)) AS revenue_e4
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '{quarter}'
+    AND o.o_orderdate < TIMESTAMP '{nxt}'
+    AND l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+)
+SELECT j.c_custkey, c.c_name, n.n_name, j.revenue_e4,
+       CAST(row_number() OVER (ORDER BY j.revenue_e4 DESC, j.c_custkey)
+            AS BIGINT) AS rank
+FROM j
+JOIN customer c ON c.c_custkey = j.c_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+QUALIFY rank <= {k}"""

@@ -1,0 +1,153 @@
+"""Tests for the session-9 operators: the TPC-H Q14/Q18/Q10 analogs
+(promotion revenue share, large-volume customers, returned-item
+report)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# promo_revenue_share (Q14)
+
+
+def test_promo_revenue_share_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.relational import (
+        promo_revenue_share, promo_revenue_share_sql)
+    from tests.oracle_check import compare
+
+    assert compare("promo_revenue_share", promo_revenue_share(SF_SMOKE),
+                   promo_revenue_share_sql(), SF_SMOKE) == []
+
+
+def test_promo_revenue_share_semantics(ray_session):
+    """One row; promo <= total; the share is the exact floor-division
+    of the two sums; December wraps the month window into January."""
+    from pdf_extraction_ray.pipelines.relational import promo_revenue_share
+
+    out = promo_revenue_share(SF_SMOKE).to_pandas()
+    assert len(out) == 1
+    p, t, s = (int(out.promo_e4[0]), int(out.total_e4[0]),
+               int(out.share_ppm[0]))
+    assert 0 < p < t
+    assert s == (p << 20) // t
+
+    dec = promo_revenue_share(SF_SMOKE, year=1997, month=12).to_pandas()
+    con = duckdb.connect()
+    want = con.sql(
+        f"""SELECT sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT)) AS t
+            FROM read_parquet('{SF_SMOKE}/lineitem.parquet')
+            WHERE l_shipdate >= TIMESTAMP '1997-12-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'""").fetchone()[0]
+    con.close()
+    assert int(dec.total_e4[0]) == int(want)
+
+
+# ---------------------------------------------------------------------------
+# large_volume_customers (Q18)
+
+
+def test_large_volume_customers_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.relational import (
+        large_volume_customers, large_volume_customers_sql)
+    from tests.oracle_check import compare
+
+    assert compare("large_volume_customers",
+                   large_volume_customers(SF_SMOKE),
+                   large_volume_customers_sql(), SF_SMOKE) == []
+
+
+def test_large_volume_customers_semantics(ray_session):
+    """Every returned order really exceeds the threshold, no qualifying
+    order is missed (brute-force replay), and quantities are integral
+    in this corpus (the exactness precondition)."""
+    from pdf_extraction_ray.pipelines.relational import (
+        Q18_QTY, large_volume_customers)
+
+    out = large_volume_customers(SF_SMOKE).to_pandas()
+    assert len(out) > 0 and (out.sum_qty > Q18_QTY).all()
+    con = duckdb.connect()
+    frac = con.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+        f" WHERE l_quantity != floor(l_quantity)").fetchone()[0]
+    want = {k: int(q) for k, q in con.sql(
+        f"SELECT l_orderkey, sum(l_quantity) FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet') GROUP BY 1 "
+        f"HAVING sum(l_quantity) > {Q18_QTY}").fetchall()}
+    con.close()
+    assert frac == 0
+    assert dict(zip(out.o_orderkey, out.sum_qty)) == want
+
+
+def test_large_volume_customers_threshold_bound(ray_session):
+    """A lower threshold strictly widens the result (HAVING
+    monotonicity), and the survivor count stays within the Σqty/T
+    bound the broadcast relies on."""
+    import duckdb as dk
+
+    from pdf_extraction_ray.pipelines.relational import (
+        large_volume_customers)
+
+    lo = large_volume_customers(SF_SMOKE, qty_threshold=250).to_pandas()
+    hi = large_volume_customers(SF_SMOKE, qty_threshold=300).to_pandas()
+    assert set(hi.o_orderkey) < set(lo.o_orderkey)
+    con = dk.connect()
+    total_qty = con.sql(
+        f"SELECT sum(l_quantity) FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')").fetchone()[0]
+    con.close()
+    assert len(lo) <= total_qty / 250
+
+
+# ---------------------------------------------------------------------------
+# returned_item_report (Q10)
+
+
+def test_returned_item_report_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.relational import (
+        returned_item_report, returned_item_report_sql)
+    from tests.oracle_check import compare
+
+    assert compare("returned_item_report", returned_item_report(SF_SMOKE),
+                   returned_item_report_sql(), SF_SMOKE) == []
+
+
+def test_returned_item_report_semantics(ray_session):
+    """k rows, ranks 1..k, revenue non-increasing with the custkey
+    tie-break, and each winner's revenue equals a brute-force replay of
+    its returned items in the quarter."""
+    from pdf_extraction_ray.pipelines.relational import (
+        Q10_QUARTER, Q10_TOPK, returned_item_report)
+
+    out = (returned_item_report(SF_SMOKE).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    assert len(out) <= Q10_TOPK
+    rev = out.revenue_e4.to_numpy()
+    key = out.c_custkey.to_numpy()
+    assert all((rev[i] > rev[i + 1]) or
+               (rev[i] == rev[i + 1] and key[i] < key[i + 1])
+               for i in range(len(out) - 1))
+
+    con = duckdb.connect()
+    want = dict(con.sql(
+        f"""SELECT o.o_custkey,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT))
+            FROM read_parquet('{SF_SMOKE}/orders.parquet') o
+            JOIN read_parquet('{SF_SMOKE}/lineitem.parquet') l
+              ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '{Q10_QUARTER}'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1""").fetchall())
+    con.close()
+    for r in out.itertuples():
+        assert int(want[r.c_custkey]) == int(r.revenue_e4)
+    # the winners really are the global top-k of the replay
+    topk = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:len(out)]
+    assert [k for k, _ in topk] == list(out.c_custkey)
