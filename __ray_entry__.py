@@ -743,6 +743,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q10 analog: returned-item revenue top-k (map-side
         # filters, combiner, ONE hash_join + ONE groupby, partial top-k)
         "returned_item_report": _tuned(relational.returned_item_report),
+        # first-order Markov transition matrix over per-user event
+        # chains (ONE keyed_shift shuffle + packed-key combiner;
+        # integer row-normalized prob_ppm)
+        "markov_transitions": _tuned(analytics.markov_transitions),
+        # URL canonicalization dedup (frontier stage BEFORE content
+        # fetch): planted tracking/fragment/case/port variants collapse,
+        # meaningful params survive; ONE groupby over (norm, count)
+        "url_normalize_dedup": _tuned(analytics.url_normalize_dedup),
+        # HLL set algebra: audience overlap by inclusion–exclusion over
+        # three sketches (union = register max — never a re-scan)
+        "hll_segment_overlap": _tuned(analytics.hll_segment_overlap),
     }
 
 
@@ -828,6 +839,9 @@ AWAITING_SLOT = (
     "promo_revenue_share",
     "large_volume_customers",
     "returned_item_report",
+    "markov_transitions",
+    "url_normalize_dedup",
+    "hll_segment_overlap",
 )
 
 
@@ -987,6 +1001,9 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue_share": relational.promo_revenue_share_sql(),
         "large_volume_customers": relational.large_volume_customers_sql(),
         "returned_item_report": relational.returned_item_report_sql(),
+        "markov_transitions": analytics.markov_transitions_sql(),
+        "url_normalize_dedup": analytics.url_normalize_dedup_sql(),
+        "hll_segment_overlap": analytics.hll_segment_overlap_sql(),
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

@@ -8970,3 +8970,405 @@ SELECT day,
                        THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
                        ELSE raw END + 0.5) AS BIGINT) AS wau_approx
 FROM est"""
+
+
+# ---------------------------------------------------------------------------
+# markov_transitions — event-type transition matrix (session 9)
+# ---------------------------------------------------------------------------
+
+
+def markov_transitions(sf_dir: str) -> rd.Dataset:
+    """First-order Markov transition matrix over per-user event
+    streams: for every (prev_type → type) step in a user's
+    (ts, event_id)-ordered chain, the count and the row-normalized
+    transition probability — the statistic behind next-event
+    prediction and funnel design (path_trigrams is the order-2 top-k
+    sibling; this is the full normalized order-1 matrix).
+
+    Scale shape: the type alphabet is tiny, so types map to integer
+    codes via a broadcast dict (one column-pruned pre-pass builds it);
+    LAG is ONE key-hash shuffle (stages/scan.keyed_shift — vectorized
+    per-partition groupby-shift, never per-user Python); a per-block
+    combiner folds steps to packed ``prev·K + code`` counts so the
+    final exchange carries ≤ |types|² rows per block; probabilities
+    normalize inside the single tiny output block (prob_ppm =
+    n·2^20 // Σ_row n — exact integer floor division).
+    Returns (prev_type, event_type, n, prob_ppm)."""
+    import ray
+
+    from ..stages.scan import keyed_shift
+
+    types = sorted(
+        _read_table(sf_dir, "events", ["event_type"])
+        .groupby("event_type").aggregate(Count())
+        .to_pandas()["event_type"])
+    code = {t: i for i, t in enumerate(types)}
+    K = len(types)
+    cref = ray.put(code)
+
+    def encode(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        codes = np.fromiter((cm[x] for x in t["event_type"].to_pylist()),
+                            np.int64, t.num_rows)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"],
+                         "code": pa.array(codes, pa.int64())})
+
+    shifted = keyed_shift(
+        _read_table(sf_dir, "events",
+                    ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(encode, batch_format="pyarrow"),
+        key_col="user_id", sort_cols=["ts", "event_id"],
+        value_col="code", shifts={"prev_code": 1})
+
+    def fold(t: pa.Table) -> pa.Table:
+        prev = t["prev_code"].to_numpy(zero_copy_only=False)
+        cur = t["code"].to_numpy(zero_copy_only=False)
+        mask = prev >= 0  # first event of a user's chain has no prev
+        packed = prev[mask] * K + cur[mask]
+        uniq, counts = np.unique(packed, return_counts=True)
+        return pa.table({"k": pa.array(uniq.astype(np.int64), pa.int64()),
+                         "n": pa.array(counts.astype(np.int64),
+                                       pa.int64())})
+
+    agg = (shifted.map_batches(fold, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("n", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        prev, cur = k // K, k % K
+        row_tot = np.zeros(K, np.int64)
+        np.add.at(row_tot, prev, n)
+        return pa.table({
+            "prev_type": pa.array([types[i] for i in prev], pa.string()),
+            "event_type": pa.array([types[i] for i in cur], pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "prob_ppm": pa.array((n << 20) // row_tot[prev], pa.int64())})
+
+    # ≤ |types|² rows — one tiny block
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def markov_transitions_sql() -> str:
+    return """
+WITH steps AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       (n * 1048576) // sum(n) OVER (PARTITION BY prev_type) AS prob_ppm
+FROM pairs"""
+
+
+# ---------------------------------------------------------------------------
+# url_normalize_dedup — URL canonicalization dedup (session 9)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_URL_UTM_RE = _re.compile(r"[?&]utm_[a-z]+=[^&#]*")
+_URL_HEAD_RE = _re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)")
+
+
+def _normalize_url(u: str) -> str:
+    """RFC-3986-flavoured canonicalization: drop the fragment, strip
+    utm_* tracking params (repairing a dangling '&'), lowercase ONLY
+    the scheme+authority (paths are case-sensitive), and drop default
+    ports. Pure function — replayed verbatim in SQL."""
+    u = u.split("#", 1)[0]
+    u = _URL_UTM_RE.sub("", u)
+    if "&" in u and "?" not in u:
+        u = u.replace("&", "?", 1)
+    m = _URL_HEAD_RE.match(u)
+    if m:
+        head = m.group(1).lower()
+        if head.startswith("https://") and head.endswith(":443"):
+            head = head[:-4]
+        elif head.startswith("http://") and head.endswith(":80"):
+            head = head[:-3]
+        u = head + u[m.end():]
+    return u
+
+
+def url_normalize_dedup(sf_dir: str) -> rd.Dataset:
+    """URL canonicalization dedup — the crawl-frontier stage that runs
+    BEFORE any content fetch (RefinedWeb §3.1 runs it ahead of content
+    dedup): re-discovered links differ only by tracking params,
+    fragments, host case, or default ports, and normalizing collapses
+    them without reading a single body byte.
+
+    The corpus' urls are canonical by construction, so the messy
+    variants PLANT as pure doc_id functions (the pages_delta
+    convention): every doc emits its base url, and id classes add a
+    tracking-params copy (%5), a fragment copy (%7), an uppercased
+    scheme+host copy (%11), a ``:443`` port copy (%13) — plus a
+    MEANINGFUL ``?page=`` variant (%17, must NOT collapse) and a
+    mixed meaningful+utm variant (%19, must collapse to the ?page=
+    form). Normalization is `_normalize_url`; dedup is a per-block
+    (url_norm, count) combiner then ONE groupby(url_norm) — only
+    normalized-url + count rows ride the exchange. Returns
+    (url_norm, doc_id, n_variants) with doc_id = min over the group
+    (first-wins canonical owner)."""
+    import pyarrow.compute as pc
+
+    def variants(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        pad = pc.utf8_lpad(pc.cast(ids, pa.string()), 7, "0")
+        last = ids.to_numpy() % 10
+        suffix = pa.array(
+            np.where(last == 3, "-memo",
+                     np.where(last == 7, "-qp", "")).tolist(), pa.string())
+        dpart = pc.binary_join_element_wise(
+            pa.scalar("d"), pad, suffix, pa.scalar(""))
+        base = pc.binary_join_element_wise(
+            pa.scalar("https://corpus.example"), t["source"], dpart,
+            pa.scalar("/"))
+        ids_np = ids.to_numpy()
+        base_py = base.to_pylist()
+        out_ids, out_urls = list(ids_np), list(base_py)
+        for i, (d, u) in enumerate(zip(ids_np, base_py)):
+            d = int(d)
+            if d % 5 == 0:
+                out_ids.append(d)
+                out_urls.append(f"{u}?utm_source=feed&utm_campaign=c{d % 3}")
+            if d % 7 == 0:
+                out_ids.append(d)
+                out_urls.append(f"{u}#sec-{d % 4}")
+            if d % 11 == 0:
+                head, rest = u.split("/src", 1)
+                out_ids.append(d)
+                out_urls.append(f"{head.upper()}/src{rest}")
+            if d % 13 == 0:
+                out_ids.append(d)
+                out_urls.append(u.replace("https://corpus.example",
+                                          "https://corpus.example:443", 1))
+            if d % 17 == 0:
+                out_ids.append(d)
+                out_urls.append(f"{u}?page={d % 6 + 2}")
+            if d % 19 == 0:
+                out_ids.append(d)
+                out_urls.append(f"{u}?page={d % 6 + 2}&utm_medium=m")
+        return pa.table({"doc_id": pa.array([int(x) for x in out_ids],
+                                            pa.int64()),
+                         "url": pa.array(out_urls, pa.string())})
+
+    def norm_fold(t: pa.Table) -> pa.Table:
+        norm = np.array([_normalize_url(u) for u in t["url"].to_pylist()],
+                        dtype=object)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(norm, return_inverse=True)
+        counts = np.bincount(inv)
+        owner = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(owner, inv, ids)
+        return pa.table({"url_norm": pa.array(uniq.tolist(), pa.string()),
+                         "d": pa.array(owner, pa.int64()),
+                         "c": pa.array(counts.astype(np.int64), pa.int64())})
+
+    agg = (_docs(sf_dir, ["doc_id", "source"])
+           .map_batches(variants, batch_format="pyarrow")
+           .map_batches(norm_fold, batch_format="pyarrow")
+           .groupby("url_norm")
+           .aggregate(Min("d", alias_name="doc_id"),
+                      Sum("c", alias_name="n_variants")))
+    return agg
+
+
+def url_normalize_dedup_sql() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id,
+         'https://corpus.example/' || source || '/d'
+           || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           || (CASE WHEN doc_id % 10 = 3 THEN '-memo'
+                    WHEN doc_id % 10 = 7 THEN '-qp' ELSE '' END) AS base
+  FROM documents
+), v AS (
+  SELECT doc_id, base AS url FROM u
+  UNION ALL
+  SELECT doc_id, base || '?utm_source=feed&utm_campaign=c'
+           || CAST(doc_id % 3 AS VARCHAR) FROM u WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, base || '#sec-' || CAST(doc_id % 4 AS VARCHAR)
+  FROM u WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'HTTPS://CORPUS.EXAMPLE'
+           || substr(base, length('https://corpus.example') + 1)
+  FROM u WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, 'https://corpus.example:443'
+           || substr(base, length('https://corpus.example') + 1)
+  FROM u WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, base || '?page=' || CAST(doc_id % 6 + 2 AS VARCHAR)
+  FROM u WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id, base || '?page=' || CAST(doc_id % 6 + 2 AS VARCHAR)
+           || '&utm_medium=m'
+  FROM u WHERE doc_id % 19 = 0
+), n1 AS (
+  SELECT doc_id, regexp_replace(
+           regexp_replace(url, '#.*$', ''),
+           '[?&]utm_[a-z]+=[^&#]*', '', 'g') AS url
+  FROM v
+), n2 AS (
+  SELECT doc_id,
+         CASE WHEN contains(url, '&') AND NOT contains(url, '?')
+              THEN regexp_replace(url, '&', '?') ELSE url END AS url
+  FROM n1
+), n3 AS (
+  SELECT doc_id,
+         CASE WHEN head = '' THEN url
+              ELSE
+                (CASE WHEN lower(head) LIKE 'https://%'
+                           AND lower(head) LIKE '%:443'
+                      THEN substr(lower(head), 1, length(head) - 4)
+                      WHEN lower(head) LIKE 'http://%'
+                           AND lower(head) LIKE '%:80'
+                      THEN substr(lower(head), 1, length(head) - 3)
+                      ELSE lower(head) END)
+                || substr(url, length(head) + 1)
+         END AS url_norm
+  FROM (SELECT doc_id, url,
+               regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*') AS head
+        FROM n2)
+)
+SELECT url_norm, CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM n3 GROUP BY url_norm"""
+
+
+# ---------------------------------------------------------------------------
+# hll_segment_overlap — sketch set algebra (session 9)
+# ---------------------------------------------------------------------------
+
+HLL_SEG_A = "click"
+HLL_SEG_B = "purchase"
+
+
+def hll_segment_overlap(sf_dir: str, type_a: str = HLL_SEG_A,
+                        type_b: str = HLL_SEG_B, p: int = 10) -> rd.Dataset:
+    """Approximate audience overlap via HLL SET ALGEBRA: the distinct
+    users active in segment A, in segment B, and in A∩B estimated by
+    inclusion–exclusion over three sketches — est(A) + est(B) −
+    est(A∪B), where the union sketch is the elementwise register MAX
+    of A's and B's (never a re-scan). This is the other half of the
+    mergeability story wau_daily_hll exercises over windows: unions
+    are exact on sketches, intersections derive, and segment × segment
+    overlap matrices cost one corpus pass however many segments.
+
+    Same sha256-integer registers and exact-integer harmonic estimator
+    as hll_users_per_type, so all three estimates replay in SQL (the
+    union sketch over max-merged registers is IDENTICAL to a sketch
+    built over the unioned user set — asserted by construction in the
+    oracle, which builds it that way). est_inter is signed (inclusion–
+    exclusion can go negative at small overlaps; clamping would hide
+    the sketch's true output). Returns one row
+    (est_a, est_b, est_union, est_inter)."""
+    from ..stages.sketch import _hll_update, hll_estimate
+
+    m = 1 << p
+    ds = _read_table(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        us = t["user_id"].to_numpy(zero_copy_only=False)
+        out_seg, out_regs = [], []
+        for seg, tname in (("a", type_a), ("b", type_b)):
+            sel = us[types == tname]
+            if len(sel):
+                regs = np.zeros(m, dtype=np.uint8)
+                _hll_update(regs, [int(u) for u in sel], p)
+                out_seg.append(seg)
+                out_regs.append(regs.tobytes())
+        return pa.table({"seg": pa.array(out_seg, pa.string()),
+                         "regs": pa.array(out_regs, pa.large_binary())})
+
+    def merge_regs(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype=np.uint8)
+        for r in g["regs"]:
+            np.maximum(regs, np.frombuffer(r, dtype=np.uint8), out=regs)
+        return pd.DataFrame({"seg": [str(g["seg"].iloc[0])],
+                             "regs": [regs.tobytes()]})
+
+    seg_regs = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("seg").map_groups(merge_regs,
+                                           batch_format="pandas"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        by = dict(zip(t["seg"].to_pylist(), t["regs"].to_pylist()))
+        ra = np.frombuffer(by.get("a", bytes(m)), dtype=np.uint8)
+        rb = np.frombuffer(by.get("b", bytes(m)), dtype=np.uint8)
+        ru = np.maximum(ra, rb)
+        ea, eb, eu = hll_estimate(ra), hll_estimate(rb), hll_estimate(ru)
+        return pa.table({
+            "est_a": pa.array([ea], pa.int64()),
+            "est_b": pa.array([eb], pa.int64()),
+            "est_union": pa.array([eu], pa.int64()),
+            "est_inter": pa.array([ea + eb - eu], pa.int64())})
+
+    # 2 one-KiB rows — one tiny block
+    return seg_regs.repartition(1).map_batches(finish,
+                                               batch_format="pyarrow")
+
+
+def hll_segment_overlap_sql(type_a: str = HLL_SEG_A,
+                            type_b: str = HLL_SEG_B, p: int = 10) -> str:
+    """Three-segment replay of hll_users_per_type_sql: the union
+    segment's register table is built over ``type IN (a, b)``, which
+    equals the max-merge of the a/b sketches by construction."""
+    m = 1 << p
+    byte = (lambda k:
+            f"(strpos('0123456789abcdef', substr(hx, {2 * k + 1}, 1)) - 1)"
+            f" * 16 + strpos('0123456789abcdef', substr(hx, {2 * k + 2}, 1))"
+            f" - 1")
+    hexpr = " + ".join(
+        f"CAST({byte(k)} AS HUGEINT) * CAST('{256 ** k}' AS HUGEINT)"
+        for k in range(8))
+    two63 = "CAST('9223372036854775808' AS HUGEINT)"
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT seg, user_id FROM (
+    SELECT 'a' AS seg, user_id FROM events
+    WHERE event_type = '{type_a}'
+    UNION ALL
+    SELECT 'b' AS seg, user_id FROM events
+    WHERE event_type = '{type_b}'
+    UNION ALL
+    SELECT 'u' AS seg, user_id FROM events
+    WHERE event_type IN ('{type_a}', '{type_b}')
+  )
+), hx AS (SELECT seg, sha256(CAST(user_id AS VARCHAR)) AS hx FROM vals),
+hs AS (SELECT seg, ({hexpr}) AS h FROM hx),
+rr AS (SELECT seg, CAST(h % {m} AS BIGINT) AS idx,
+              CASE WHEN h // {m} = 0 THEN {64 - p + 1}
+                   ELSE {64 - p} - length(bin(h // {m})) + 1 END AS rank
+       FROM hs),
+regs AS (SELECT seg, idx, max(rank) AS r FROM rr GROUP BY seg, idx),
+agg AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_present,
+               sum({two63} // (CAST(1 AS HUGEINT)
+                               << CAST(r AS HUGEINT))) AS s_present
+        FROM regs GROUP BY seg),
+est AS (SELECT seg, {m} - n_present AS zeros,
+               (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+                 * 9223372036854775808.0
+                 / CAST(({m} - n_present) * {two63} + s_present AS DOUBLE)
+                 AS raw
+        FROM agg),
+f AS (SELECT seg,
+             CAST(floor(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                             THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                             ELSE raw END + 0.5) AS BIGINT) AS e
+      FROM est)
+SELECT (SELECT e FROM f WHERE seg = 'a') AS est_a,
+       (SELECT e FROM f WHERE seg = 'b') AS est_b,
+       (SELECT e FROM f WHERE seg = 'u') AS est_union,
+       (SELECT e FROM f WHERE seg = 'a') + (SELECT e FROM f WHERE seg = 'b')
+         - (SELECT e FROM f WHERE seg = 'u') AS est_inter"""

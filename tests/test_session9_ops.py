@@ -151,3 +151,139 @@ def test_returned_item_report_semantics(ray_session):
     # the winners really are the global top-k of the replay
     topk = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:len(out)]
     assert [k for k, _ in topk] == list(out.c_custkey)
+
+
+# ---------------------------------------------------------------------------
+# markov_transitions
+
+
+def test_markov_transitions_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        markov_transitions, markov_transitions_sql)
+    from tests.oracle_check import compare
+
+    assert compare("markov_transitions", markov_transitions(SF_SMOKE),
+                   markov_transitions_sql(), SF_SMOKE) == []
+
+
+def test_markov_transitions_semantics(ray_session):
+    """Rows are a (prev, cur) matrix over the real type alphabet; each
+    prev-row's transition counts sum to (that user-stream replay), and
+    prob_ppm is the exact floor division of n by the row total."""
+    import duckdb as dk
+
+    from pdf_extraction_ray.pipelines.analytics import markov_transitions
+
+    out = markov_transitions(SF_SMOKE).to_pandas()
+    assert len(out) > 0
+    # pandas replay of the chains
+    con = dk.connect()
+    ev = con.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') "
+        f"ORDER BY user_id, ts, event_id").df()
+    con.close()
+    want: dict[tuple, int] = {}
+    for _, g in ev.groupby("user_id"):
+        ts = list(g.event_type)
+        for a, b in zip(ts, ts[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {(r.prev_type, r.event_type): int(r.n) for r in out.itertuples()}
+    assert got == want
+    row_tot = out.groupby("prev_type")["n"].sum()
+    for r in out.itertuples():
+        assert r.prob_ppm == (int(r.n) << 20) // int(row_tot[r.prev_type])
+
+
+# ---------------------------------------------------------------------------
+# url_normalize_dedup
+
+
+def test_url_normalize_dedup_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        url_normalize_dedup, url_normalize_dedup_sql)
+    from tests.oracle_check import compare
+
+    assert compare("url_normalize_dedup", url_normalize_dedup(SF_SMOKE),
+                   url_normalize_dedup_sql(), SF_SMOKE) == []
+
+
+def test_url_normalize_rules():
+    """The canonicalizer's unit contract: tracking params strip (with
+    dangling-& repair), fragments drop, ONLY scheme+host lowercase,
+    default ports drop, meaningful params survive."""
+    from pdf_extraction_ray.pipelines.analytics import _normalize_url as n
+
+    b = "https://corpus.example/src1/d0000005"
+    assert n(b + "?utm_source=feed&utm_campaign=c2") == b
+    assert n(b + "#sec-1") == b
+    assert n("HTTPS://CORPUS.EXAMPLE/src1/d0000005") == b
+    assert n("https://corpus.example:443/src1/d0000005") == b
+    assert n("http://corpus.example:80/x") == "http://corpus.example/x"
+    assert n(b + "?page=3") == b + "?page=3"
+    assert n(b + "?page=3&utm_medium=m") == b + "?page=3"
+    assert n(b + "?utm_term=t&page=3") == b + "?page=3"
+    # path case is preserved — only the authority folds
+    assert n("https://HOST.example/CaseSensitive") == \
+        "https://host.example/CaseSensitive"
+
+
+def test_url_normalize_dedup_semantics(ray_session):
+    """Collapsing variants fold into their base url's row (n_variants
+    counts them); meaningful ?page= urls stay distinct rows."""
+    from pdf_extraction_ray.pipelines.analytics import url_normalize_dedup
+
+    out = url_normalize_dedup(SF_SMOKE).to_pandas()
+    base = out[out.url_norm == "https://corpus.example/src5/d0000385"]
+    # doc 385 = 5·7·11: utm + fragment + uppercase variants → base + 3
+    assert len(base) == 1 and int(base.n_variants.iloc[0]) == 4
+    assert int(base.doc_id.iloc[0]) == 385
+    paged = out[out.url_norm.str.contains("\\?page=", regex=True)]
+    assert len(paged) > 0 and (paged.n_variants >= 1).all()
+    # every doc contributes exactly one base row
+    assert (out.n_variants >= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# hll_segment_overlap
+
+
+def test_hll_segment_overlap_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        hll_segment_overlap, hll_segment_overlap_sql)
+    from tests.oracle_check import compare
+
+    assert compare("hll_segment_overlap", hll_segment_overlap(SF_SMOKE),
+                   hll_segment_overlap_sql(), SF_SMOKE) == []
+
+
+def test_hll_segment_overlap_error_bound(ray_session):
+    """Each estimate sits within the HLL error envelope of the exact
+    answer (5σ at m=1024 ≈ 16%), and inclusion–exclusion is internally
+    consistent (est_inter = est_a + est_b − est_union exactly)."""
+    import duckdb as dk
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        HLL_SEG_A, HLL_SEG_B, hll_segment_overlap)
+
+    out = hll_segment_overlap(SF_SMOKE).to_pandas()
+    r = out.iloc[0]
+    assert int(r.est_inter) == int(r.est_a) + int(r.est_b) - int(r.est_union)
+    con = dk.connect()
+    ex = {}
+    ex["a"] = con.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') "
+        f"WHERE event_type = '{HLL_SEG_A}'").fetchone()[0]
+    ex["b"] = con.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') "
+        f"WHERE event_type = '{HLL_SEG_B}'").fetchone()[0]
+    ex["u"] = con.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') "
+        f"WHERE event_type IN ('{HLL_SEG_A}', '{HLL_SEG_B}')").fetchone()[0]
+    con.close()
+    tol = 5 * 1.04 / (1 << 5)  # 5σ at m = 2^10 registers
+    for seg, got in (("a", r.est_a), ("b", r.est_b), ("u", r.est_union)):
+        assert abs(int(got) - ex[seg]) <= tol * ex[seg] + 2
