@@ -45,17 +45,22 @@ def _extracted(sf_dir: str) -> rd.Dataset:
     ``materialize()`` of the whole output in the object store); a rerun
     in a fresh process resumes from the manifests instead of recomputing.
     """
-    from pathlib import Path
-
     tune_data_context()
     if sf_dir not in _extracted_cache:
         pages = corpus.ensure_pages_corpus(sf_dir)
-        out_dir = ("/tmp/pdf_extraction_ray/query_out/"
-                   f"{Path(sf_dir).name or 'sf'}-{spec.SPEC_VERSION}"
-                   f"-{corpus._input_digest(sf_dir)}")
         _extracted_cache[sf_dir] = extraction.run_extraction(
-            pages, _CFG, out_dir=out_dir)
+            pages, _CFG, out_dir=_extracted_out_dir(sf_dir))
     return _extracted_cache[sf_dir]
+
+
+def _extracted_out_dir(sf_dir: str) -> str:
+    """The flagship checkpoint's scratch directory for an sf dir
+    (spec-versioned + input-digested, the corpus-cache convention)."""
+    from pathlib import Path
+
+    return ("/tmp/pdf_extraction_ray/query_out/"
+            f"{Path(sf_dir).name or 'sf'}-{spec.SPEC_VERSION}"
+            f"-{corpus._input_digest(sf_dir)}")
 
 
 # ---------------------------------------------------------------------------
@@ -66,6 +71,30 @@ def _extracted(sf_dir: str) -> rd.Dataset:
 def q_extract_pipeline(sf_dir: str) -> rd.Dataset:
     """SURVEY.md §2 M1-M17 end-to-end (the north-rule pipeline)."""
     return _extracted(sf_dir).select_columns(EXTRACT_COLUMNS)
+
+
+POINT_LOOKUP_MOD = 83  # wanted urls: docs with doc_id % 83 == 2
+
+
+def q_extract_point_lookup(sf_dir: str) -> rd.Dataset:
+    """Targeted url serving from the checkpointed output: the wanted
+    urls (a planted doc_id % 83 == 2 class) map driver-side to their
+    url-hash buckets and ONLY those bucket dirs are read
+    (pipelines/extraction.point_lookup — the storage layout's
+    read-path payoff; the plan is pytest-pinned to a strict subset of
+    the buckets)."""
+    from pdf_extraction_ray.sources.tables import read_table
+
+    _extracted(sf_dir)  # ensure the checkpoint exists
+    tbl = (read_table(sf_dir, "documents", ["doc_id", "source"])
+           .to_pandas())
+    sel = tbl[tbl.doc_id % POINT_LOOKUP_MOD == 2]
+    urls = [spec.url_of(int(d), str(s))
+            for d, s in zip(sel.doc_id, sel.source)]
+    return extraction.point_lookup(
+        _extracted_out_dir(sf_dir), urls,
+        columns=["url", "status", "quality_pct", "n_chars",
+                 "extracted_text"], cfg=_CFG)
 
 
 def q_extract_routing_stats(sf_dir: str) -> rd.Dataset:
@@ -754,6 +783,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL set algebra: audience overlap by inclusion–exclusion over
         # three sketches (union = register max — never a re-scan)
         "hll_segment_overlap": _tuned(analytics.hll_segment_overlap),
+        # distinctive vocabulary per section (keyness/lift; one
+        # (section,word) combiner fold, hash_join word totals with
+        # collision verify, per-block partial top-k)
+        "section_keyness": _tuned(analytics.section_keyness),
+        # zone-map data-skipping scan: day-clustered zone=K/ store with
+        # a min/max manifest; the range query reads ONLY overlapping
+        # zones (plan pytest-pinned to a strict subset)
+        "zonemap_range_stats": _tuned(analytics.zonemap_range_stats),
+        # targeted url serving from the checkpointed output: wanted
+        # urls map to their url-hash buckets, only those dirs read
+        "extract_point_lookup": _tuned(q_extract_point_lookup),
     }
 
 
@@ -842,6 +882,9 @@ AWAITING_SLOT = (
     "markov_transitions",
     "url_normalize_dedup",
     "hll_segment_overlap",
+    "section_keyness",
+    "zonemap_range_stats",
+    "extract_point_lookup",
 )
 
 
@@ -1004,6 +1047,17 @@ def oracle_sql() -> dict[str, str]:
         "markov_transitions": analytics.markov_transitions_sql(),
         "url_normalize_dedup": analytics.url_normalize_dedup_sql(),
         "hll_segment_overlap": analytics.hll_segment_overlap_sql(),
+        "section_keyness": analytics.section_keyness_sql(),
+        "zonemap_range_stats": analytics.zonemap_range_stats_sql(),
+        "extract_point_lookup": oracle.base_cte() + f"""
+SELECT url, status, quality_pct, n_chars, extracted_text
+FROM expected
+WHERE url IN (
+  SELECT 'https://corpus.example/' || source || '/d'
+           || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           || (CASE WHEN doc_id % 10 = 3 THEN '-memo'
+                    WHEN doc_id % 10 = 7 THEN '-qp' ELSE '' END)
+  FROM documents WHERE doc_id % {POINT_LOOKUP_MOD} = 2)""",
         # Lloyd's rounds unrolled in SQL (integer output; see
         # analytics.kmeans_clusters_sql)
         "kmeans_clusters": analytics.kmeans_clusters_sql(),

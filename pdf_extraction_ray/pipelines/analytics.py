@@ -9372,3 +9372,246 @@ SELECT (SELECT e FROM f WHERE seg = 'a') AS est_a,
        (SELECT e FROM f WHERE seg = 'u') AS est_union,
        (SELECT e FROM f WHERE seg = 'a') + (SELECT e FROM f WHERE seg = 'b')
          - (SELECT e FROM f WHERE seg = 'u') AS est_inter"""
+
+
+# ---------------------------------------------------------------------------
+# section_keyness — distinctive vocabulary per domain (session 9)
+# ---------------------------------------------------------------------------
+
+
+def section_keyness(sf_dir: str, k: int = 5, min_count: int = 5,
+                    scale: int = 1000) -> rd.Dataset:
+    """Distinctive terms per section — keyness, the corpus-linguistics
+    statistic behind domain tagging and per-source filter tuning: for
+    each section (the domain stand-in), the top-``k`` words whose
+    in-section rate most exceeds their corpus rate, keyness_q =
+    (c_sw · N · scale) // (c_w · T_s) — the per-section LIFT (the
+    bigram_lift quantization applied to section × word), computed in
+    PYTHON BIGINTS over the post-filter candidate rows so no corpus
+    size overflows. ``c_sw ≥ min_count`` kills the hapax flood.
+
+    Shape: ONE wordcount-combiner fold to (section, word, c) partials
+    and ONE groupby — the same exchange vocab_df pays, just keyed by
+    (section, word); section totals are a ≤|sections|-row rollup of
+    that table (driver dict, broadcast); global word counts attach via
+    a distributed hash_join on stable_hash64(word) with the exact
+    string-equality collision verify (the bigram_lift discipline — the
+    vocabulary is corpus-sized, never a broadcast); the per-section
+    top-k is a per-block partial top-k (≤ |sections|·k rows per block)
+    merged in one final task. Returns
+    (section, word, c_sw, keyness_q, sect_rank)."""
+    import ray
+
+    from collections import Counter
+
+    from ..functions.hashing import stable_hash64
+    from ..stages.joins import hash_join
+
+    def sw_partial(batch: pa.Table) -> pa.Table:
+        tot: Counter = Counter()
+        for sec, text in zip(batch["source"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for w in (text or "").split(" "):
+                tot[(sec, w)] += 1
+        keys = sorted(tot)
+        return pa.table({
+            "section": pa.array([s for s, _ in keys], pa.string()),
+            "word": pa.array([w for _, w in keys], pa.string()),
+            "c": pa.array([tot[p] for p in keys], pa.int64())})
+
+    sw = (_docs(sf_dir, ["source", "text"])
+          .map_batches(sw_partial, batch_format="pyarrow")
+          .groupby(["section", "word"])
+          .aggregate(Sum("c", alias_name="c_sw"))
+          .materialize())
+
+    # ≤ |sections| rows — driver dict
+    sect_tot = {str(r["section"]): int(r["c_sw"]) for r in
+                sw.groupby("section").aggregate(
+                    Sum("c_sw", alias_name="t")).map_batches(
+                        lambda t: pa.table({"section": t["section"],
+                                            "c_sw": t["t"]}),
+                        batch_format="pyarrow").to_pandas()
+                .to_dict("records")}
+    n_tokens = sum(sect_tot.values())
+    tref = ray.put(sect_tot)
+
+    def uni_fold(t: pa.Table) -> pa.Table:
+        return pa.table({"word": t["word"], "c": t["c_sw"]})
+
+    def key_uni(t: pa.Table) -> pa.Table:
+        hs = [stable_hash64("key:" + w) for w in t["word"].to_pylist()]
+        return pa.table({"hw": pa.array(hs, pa.int64()),
+                         "word_r": t["word"], "c_w": t["c_w"]})
+
+    uni = (sw.map_batches(uni_fold, batch_format="pyarrow")
+           .groupby("word").aggregate(Sum("c", alias_name="c_w"))
+           .map_batches(key_uni, batch_format="pyarrow")
+           .materialize())
+
+    def floor_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.greater_equal(t["c_sw"],
+                                      pa.scalar(min_count, pa.int64())))
+        hs = [stable_hash64("key:" + w) for w in t["word"].to_pylist()]
+        return t.append_column("h", pa.array(hs, pa.int64()))
+
+    cand = sw.map_batches(floor_key, batch_format="pyarrow").materialize()
+    j = hash_join(cand, uni, "h", "hw",
+                  ["section", "word", "c_sw"], ["word_r", "c_w"],
+                  how="inner")
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.equal(t["word"], t["word_r"]))  # collision verify
+        st = ray.get(tref)
+        secs = t["section"].to_pylist()
+        words = t["word"].to_pylist()
+        csw = t["c_sw"].to_pylist()
+        cw = t["c_w"].to_pylist()
+        kq = [(int(a) * n_tokens * scale) // (int(b) * st[s])
+              for a, b, s in zip(csw, cw, secs)]
+        df = pd.DataFrame({"section": secs, "word": words,
+                           "c_sw": np.int64(csw),
+                           "keyness_q": np.array(kq, np.int64)})
+        df = df.sort_values(["section", "keyness_q", "word"],
+                            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("section", sort=False)
+                                    .head(k), preserve_index=False)
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"section": pa.array([], pa.string()),
+                             "word": pa.array([], pa.string()),
+                             "c_sw": pa.array([], pa.int64()),
+                             "keyness_q": pa.array([], pa.int64()),
+                             "sect_rank": pa.array([], pa.int64())})
+        df = t.to_pandas().sort_values(
+            ["section", "keyness_q", "word"],
+            ascending=[True, False, True], kind="mergesort")
+        df["sect_rank"] = (df.groupby("section", sort=False).cumcount()
+                           .to_numpy(np.int64) + 1)
+        return pa.Table.from_pandas(df[df.sect_rank <= k],
+                                    preserve_index=False)
+
+    # per-block partial top-k, then ONE tiny final block
+    return (j.map_batches(score_topk, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final_rank, batch_format="pyarrow"))
+
+
+def section_keyness_sql(k: int = 5, min_count: int = 5,
+                        scale: int = 1000) -> str:
+    return f"""
+WITH tok AS (
+  SELECT source AS section, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), sw AS (
+  SELECT section, word, CAST(count(*) AS BIGINT) AS c_sw
+  FROM tok GROUP BY section, word
+), st AS (
+  SELECT section, CAST(sum(c_sw) AS BIGINT) AS t_s FROM sw GROUP BY section
+), uni AS (
+  SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY word
+), n AS (SELECT CAST(sum(c_sw) AS BIGINT) AS nt FROM sw),
+scored AS (
+  SELECT sw.section, sw.word, sw.c_sw,
+         CAST(CAST(sw.c_sw AS HUGEINT) * n.nt * {scale}
+              // (CAST(uni.c_w AS HUGEINT) * st.t_s) AS BIGINT)
+           AS keyness_q
+  FROM sw
+  JOIN uni ON uni.word = sw.word
+  JOIN st ON st.section = sw.section
+  CROSS JOIN n
+  WHERE sw.c_sw >= {min_count}
+)
+SELECT section, word, c_sw, keyness_q,
+       CAST(ROW_NUMBER() OVER (PARTITION BY section
+            ORDER BY keyness_q DESC, word) AS BIGINT) AS sect_rank
+FROM scored
+QUALIFY sect_rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# zonemap_range_stats — data-skipping range scan (session 9)
+# ---------------------------------------------------------------------------
+
+
+def zonemap_plan_probe(sf_dir: str,
+                       zone_width: int = 8) -> "tuple[str, tuple[int, int]]":
+    """(store path, (qlo, qhi)) the sf-level query uses — exposed so
+    tests can pin that the plan prunes (a strict zone subset)."""
+    import os
+
+    from ..sources.corpus import _input_digest
+
+    ev = _read_table(sf_dir, "events", ["ts"])
+    lo, hi = _day_span(ev)
+    store = os.path.join(
+        "/tmp/pdf_extraction_ray/zonemap",
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}"
+        f"-{_input_digest(sf_dir)}-w{zone_width}")
+    return store, (lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3))
+
+
+def zonemap_range_stats(sf_dir: str, zone_width: int = 8) -> rd.Dataset:
+    """Range analytics over a ZONE-MAPPED copy of the events table —
+    the storage-level pruning every 100-TB scan lives on (Parquet
+    row-group stats / Iceberg manifest pruning, made explicit as
+    `state/zonemap.py`): events land once as day-clustered ``zone=K/``
+    directories with a min/max manifest, and the query's day range
+    [lo + span//3, lo + 2·(span//3)] (the middle third) reads ONLY the
+    overlapping zones — the plan is pytest-pinned to touch a strict
+    subset. The aggregate itself is the per-type count/sum combiner
+    over the pruned read. Returns (event_type, n, sum_cents)."""
+    from ..state.zonemap import write_zonemapped, zonemap_scan
+
+    ev = _read_table(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        day = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // DAY_US)
+        cents = np.round(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"day": pa.array(day.astype(np.int64), pa.int64()),
+                         "event_type": t["event_type"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    proj = ev.map_batches(project, batch_format="pyarrow")
+    store, (qlo, qhi) = zonemap_plan_probe(sf_dir, zone_width)
+    write_zonemapped(proj, "day", store, zone_width)
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "cents": t["cents"].to_numpy(
+                               zero_copy_only=False)})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("cents", "size"), s=("cents", "sum"))
+        return pa.table({"event_type": pa.array(g.event_type, pa.string()),
+                         "n": pa.array(g.n.to_numpy(np.int64), pa.int64()),
+                         "s": pa.array(g.s.to_numpy(np.int64), pa.int64())})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "n": t["sum(n)"], "sum_cents": t["sum(s)"]})
+
+    return (zonemap_scan(store, qlo, qhi)
+            .map_batches(fold, batch_format="pyarrow")
+            .groupby("event_type").aggregate(Sum("n"), Sum("s"))
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def zonemap_range_stats_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT epoch_us(ts) // {DAY_US} AS day, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), b AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM d
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM d CROSS JOIN b
+WHERE day >= lo + (hi - lo) // 3
+  AND day <= lo + 2 * ((hi - lo) // 3)
+GROUP BY event_type"""

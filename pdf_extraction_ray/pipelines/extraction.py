@@ -740,3 +740,44 @@ def run_extraction(pages_path: "str | rd.Dataset",
                       {"run": "extract", "out_dir": out_dir, **summary},
                       cfg.notify_key or "")
     return rd.read_parquet(out_dir)
+
+
+def point_lookup(out_dir: str, urls, columns: "list[str] | None" = None,
+                 cfg: "PipelineConfig | None" = None) -> rd.Dataset:
+    """Serve specific urls from a checkpointed output WITHOUT a corpus
+    scan — the read-path payoff of the url-hash bucket layout (the
+    storage-partitioned analog of ``read_pages_warc_select``'s
+    cdx-planned retrieval): each wanted url maps driver-side to its
+    bucket (``url_bucket``, the write's own partitioner, count resolved
+    via ``_output_n_buckets`` so a stale cfg can't open wrong dirs);
+    ONLY those ``bucket=K/`` directories are read, with a vectorized
+    ``is_in`` residual filter and column pruning pushed into the read.
+    At 64-of-64 buckets this degrades to a full scan; at the serving
+    norm (a handful of urls) it reads a constant number of files
+    however big the corpus is."""
+    import ray.data as rd
+
+    from ..functions.hashing import url_bucket
+
+    want = sorted(set(urls))
+    if not want:
+        raise ValueError("point_lookup needs at least one url")
+    n_buckets = _output_n_buckets(out_dir, cfg)
+    dirs = sorted({ckpt.bucket_dir(out_dir, url_bucket(u, n_buckets))
+                   for u in want})
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        raise ValueError(f"no bucket of {out_dir} holds any wanted url")
+    want_arr = pa.array(want, pa.string())
+
+    def residual(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["url"], value_set=want_arr))
+
+    # a path LIST is treated as files (only a single path may be a
+    # directory) — expand each bucket dir to its parquet files
+    import glob
+
+    files = sorted(f for d in dirs
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+    ds = rd.read_parquet(files, columns=columns)
+    return ds.map_batches(residual, batch_format="pyarrow")

@@ -287,3 +287,147 @@ def test_hll_segment_overlap_error_bound(ray_session):
     tol = 5 * 1.04 / (1 << 5)  # 5σ at m = 2^10 registers
     for seg, got in (("a", r.est_a), ("b", r.est_b), ("u", r.est_union)):
         assert abs(int(got) - ex[seg]) <= tol * ex[seg] + 2
+
+
+# ---------------------------------------------------------------------------
+# section_keyness
+
+
+def test_section_keyness_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (section_keyness,
+                                                        section_keyness_sql)
+    from tests.oracle_check import compare
+
+    assert compare("section_keyness", section_keyness(SF_SMOKE),
+                   section_keyness_sql(), SF_SMOKE) == []
+
+
+def test_section_keyness_semantics(ray_session):
+    """Per section: ≤ k ranked rows, keyness replays exactly from raw
+    counts, and every winner's keyness beats every non-winner's in its
+    section (brute-force replay)."""
+    import duckdb as dk
+
+    from pdf_extraction_ray.pipelines.analytics import section_keyness
+
+    out = section_keyness(SF_SMOKE).to_pandas()
+    assert len(out) > 0
+    assert (out.groupby("section")["sect_rank"].max() <= 5).all()
+    con = dk.connect()
+    sw = con.sql(
+        f"""SELECT source AS section, word, count(*) AS c FROM
+            (SELECT source, unnest(string_split(text, ' ')) AS word
+             FROM read_parquet('{SF_SMOKE}/documents.parquet'))
+            GROUP BY 1, 2""").df()
+    con.close()
+    n = int(sw.c.sum())
+    cw = sw.groupby("word")["c"].sum()
+    ts = sw.groupby("section")["c"].sum()
+    sw["kq"] = [(int(r.c) * n * 1000) // (int(cw[r.word]) * int(ts[r.section]))
+                for r in sw.itertuples()]
+    for sec, g in out.groupby("section"):
+        cand = sw[(sw.section == sec) & (sw.c >= 5)]
+        want = (cand.sort_values(["kq", "word"], ascending=[False, True])
+                .head(len(g)))
+        assert list(want.word) == list(g.sort_values("sect_rank").word)
+        for r in g.itertuples():
+            assert int(sw[(sw.section == sec)
+                          & (sw.word == r.word)].kq.iloc[0]) == r.keyness_q
+
+
+# ---------------------------------------------------------------------------
+# zonemap_range_stats
+
+
+def test_zonemap_range_stats_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        zonemap_range_stats, zonemap_range_stats_sql)
+    from tests.oracle_check import compare
+
+    assert compare("zonemap_range_stats", zonemap_range_stats(SF_SMOKE),
+                   zonemap_range_stats_sql(), SF_SMOKE) == []
+
+
+def test_zonemap_prunes_and_is_exact(ray_session, tmp_path):
+    """The plan for a middle range touches a STRICT subset of zones;
+    scan == brute-force filter; manifest min/max are true bounds."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.state.zonemap import (write_zonemapped,
+                                                  zonemap_plan, zonemap_scan)
+
+    n = 1000
+    t = pa.table({"k": pa.array(list(range(n)), pa.int64()),
+                  "v": pa.array([i * 7 % 13 for i in range(n)], pa.int64())})
+    store = str(tmp_path / "zm")
+    write_zonemapped(rd.from_arrow(t), "k", store, zone_width=100)
+    with open(os.path.join(store, "_zones.json")) as f:
+        meta = json.load(f)
+    assert len(meta["zones"]) == 10
+    for z, m in meta["zones"].items():
+        assert m["lo"] // 100 == int(z) and m["hi"] // 100 == int(z)
+    plan = zonemap_plan(store, 250, 449)
+    assert len(plan) == 3  # zones 2, 3, 4 — strict subset of 10
+    got = zonemap_scan(store, 250, 449).to_pandas().sort_values("k")
+    assert list(got.k) == list(range(250, 450))
+    assert list(got.v) == [i * 7 % 13 for i in range(250, 450)]
+    # empty range: no zones, typed empty dataset
+    assert zonemap_scan(store, 5000, 6000).count() == 0
+
+
+def test_zonemap_query_plan_subset(ray_session):
+    """The sf-level query's own store prunes: its middle-third day
+    range plans strictly fewer zone dirs than exist."""
+    import json
+    import os
+
+    from pdf_extraction_ray.pipelines.analytics import (_day_span,
+                                                        zonemap_range_stats,
+                                                        zonemap_plan_probe)
+
+    zonemap_range_stats(SF_SMOKE).materialize()  # builds the store
+    store, (qlo, qhi) = zonemap_plan_probe(SF_SMOKE)
+    with open(os.path.join(store, "_zones.json")) as f:
+        nz = len(json.load(f)["zones"])
+    from pdf_extraction_ray.state.zonemap import zonemap_plan
+    plan = zonemap_plan(store, qlo, qhi)
+    assert 0 < len(plan) < nz
+
+
+# ---------------------------------------------------------------------------
+# extract_point_lookup
+
+
+def test_extract_point_lookup_oracle(ray_session):
+    import __ray_entry__ as entrymod
+    from tests.oracle_check import compare
+
+    assert compare("extract_point_lookup",
+                   entrymod.queries()["extract_point_lookup"](SF_SMOKE),
+                   entrymod.oracle_sql()["extract_point_lookup"],
+                   SF_SMOKE) == []
+
+
+def test_point_lookup_reads_bucket_subset(ray_session):
+    """point_lookup opens only the wanted urls' buckets (strict subset
+    of the written ones) and returns exactly the wanted rows."""
+    import glob
+
+    import __ray_entry__ as entrymod
+    from pdf_extraction_ray.functions.hashing import url_bucket
+    from pdf_extraction_ray.pipelines.extraction import point_lookup
+
+    entrymod._extracted(SF_SMOKE)
+    out_dir = entrymod._extracted_out_dir(SF_SMOKE)
+    n_dirs = len(glob.glob(out_dir + "/bucket=*"))
+    urls = ["https://corpus.example/src5/d0000385",
+            "https://corpus.example/src1/d0000012"]
+    got = point_lookup(out_dir, urls, columns=["url", "status"],
+                       cfg=entrymod._CFG).to_pandas()
+    assert set(got.url) <= set(urls) and len(got) >= 1
+    want_buckets = {url_bucket(u, entrymod._CFG.n_buckets) for u in urls}
+    assert len(want_buckets) < n_dirs  # the plan is a strict subset
