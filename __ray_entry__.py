@@ -794,6 +794,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # targeted url serving from the checkpointed output: wanted
         # urls map to their url-hash buckets, only those dirs read
         "extract_point_lookup": _tuned(q_extract_point_lookup),
+        # confusion matrix + exact recall for the trained NB language
+        # classifier (the eval report gating model-in-the-loop stages)
+        "nb_confusion_matrix": _tuned(analytics.nb_confusion_matrix),
+        # TeraSort-shaped total order: sampled range partitioner, ONE
+        # range shuffle, offset-based global ranks (no second exchange)
+        "global_sort_docs": _tuned(analytics.global_sort_docs),
+        # Rocchio nearest-centroid classifier over labeled embeddings —
+        # exact-integer centroids + argmax dots, bit-exact SQL replay
+        "nearest_centroid_classify": _tuned(
+            analytics.nearest_centroid_classify),
     }
 
 
@@ -885,6 +895,9 @@ AWAITING_SLOT = (
     "section_keyness",
     "zonemap_range_stats",
     "extract_point_lookup",
+    "nb_confusion_matrix",
+    "global_sort_docs",
+    "nearest_centroid_classify",
 )
 
 
@@ -1049,6 +1062,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_segment_overlap": analytics.hll_segment_overlap_sql(),
         "section_keyness": analytics.section_keyness_sql(),
         "zonemap_range_stats": analytics.zonemap_range_stats_sql(),
+        "nb_confusion_matrix": analytics.nb_confusion_matrix_sql(),
+        "global_sort_docs": analytics.global_sort_docs_sql(),
+        "nearest_centroid_classify":
+            analytics.nearest_centroid_classify_sql(),
         "extract_point_lookup": oracle.base_cte() + f"""
 SELECT url, status, quality_pct, n_chars, extracted_text
 FROM expected

@@ -9615,3 +9615,279 @@ FROM d CROSS JOIN b
 WHERE day >= lo + (hi - lo) // 3
   AND day <= lo + 2 * ((hi - lo) // 3)
 GROUP BY event_type"""
+
+
+def nb_confusion_matrix(sf_dir: str) -> rd.Dataset:
+    """Evaluation report for the trained language classifier — the
+    confusion matrix (true lang × predicted lang, with the per-true-row
+    recall in exact parts-per-2^20) every model-in-the-loop curation
+    stage publishes before its predictions gate data. Pure composition:
+    `nb_lang_classify`'s per-doc (lang, pred_lang) rows fold through a
+    per-block combiner to ≤|langs|² cells, ONE tiny groupby, and the
+    recall normalizes inside the single output block (the
+    markov_transitions discipline). Returns
+    (lang, pred_lang, n, recall_ppm)."""
+    pred = nb_lang_classify(sf_dir)
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t["lang"].to_pylist(),
+                           "pred_lang": t["pred_lang"].to_pylist()})
+        g = df.groupby(["lang", "pred_lang"], as_index=False).size()
+        return pa.table({
+            "lang": pa.array(g.lang, pa.string()),
+            "pred_lang": pa.array(g.pred_lang, pa.string()),
+            "c": pa.array(g["size"].to_numpy(np.int64), pa.int64())})
+
+    agg = (pred.map_batches(fold, batch_format="pyarrow")
+           .groupby(["lang", "pred_lang"])
+           .aggregate(Sum("c", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        tot = df.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        return pa.table({
+            "lang": pa.array(df.lang, pa.string()),
+            "pred_lang": pa.array(df.pred_lang, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "recall_ppm": pa.array((n << 20) // tot, pa.int64())})
+
+    # ≤ |langs|² rows — one tiny block
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def nb_confusion_matrix_sql() -> str:
+    return f"""
+WITH nb AS ({nb_lang_classify_sql()}),
+cells AS (
+  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM nb GROUP BY lang, pred_lang
+)
+SELECT lang, pred_lang, n,
+       (n * 1048576) // sum(n) OVER (PARTITION BY lang) AS recall_ppm
+FROM cells"""
+
+
+# ---------------------------------------------------------------------------
+# global_sort_docs — sample-partitioned total order (session 9)
+# ---------------------------------------------------------------------------
+
+
+def global_sort_docs(sf_dir: str, num_partitions: int = 16,
+                     sample_mod: int = 16) -> rd.Dataset:
+    """TOTAL ORDER over the corpus — the TeraSort shape, spelled out
+    (every other op in this repo avoids the global sort; this is the
+    one that does it right when ranks are the product): docs rank by
+    (n_chars DESC, doc_id), as one packed ascending int64 key.
+
+      phase 0  deterministic hash-mod key sample (1/``sample_mod``,
+               ids-only) → P−1 cut points on the driver (the sampled
+               range partitioner; driver state = the sample, bounded —
+               at 100 TB raise sample_mod so ~P·64 keys survive)
+      phase 1  map-side ``searchsorted`` routes each row to its range
+               partition; ONE groupby(r) shuffle; per-partition
+               vectorized sort + LOCAL rank
+      phase 2  per-partition row counts (P tiny rows) prefix-sum on
+               the driver into offsets; global_rank = offset[r] +
+               local_rank — a map-side add, no second exchange.
+
+    Returns (doc_id, n_chars, rank) with rank exactly 1..N (the
+    ROW_NUMBER oracle)."""
+    import ray
+
+    from ..functions.hashing import stable_hash64
+
+    P = num_partitions
+    SHIFT = 1 << 33  # doc_id < 2^33; n_chars < 2^30 → packed is exact
+
+    def pack(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        nc = t["n_chars"].to_numpy()
+        k = ((1 << 30) - nc.astype(np.int64)) * SHIFT + ids.astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64),
+                                            pa.int64()),
+                         "n_chars": pa.array(nc.astype(np.int64),
+                                             pa.int64()),
+                         "k": pa.array(k, pa.int64())})
+
+    keyed = (_docs(sf_dir, ["doc_id", "n_chars"])
+             .map_batches(pack, batch_format="pyarrow")
+             .materialize())  # consumed three times below
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (stable_hash64(f"gs:{int(i)}") % sample_mod == 0 for i in ids),
+            bool, len(ids))
+        return pa.table({"k": pa.array(
+            t["k"].to_numpy(zero_copy_only=False)[keep], pa.int64())})
+
+    samp = np.sort(np.concatenate(
+        [b["k"].to_numpy() for b in
+         keyed.map_batches(sample, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")] or [np.array([], np.int64)]))
+    if len(samp):
+        cuts = samp[np.linspace(0, len(samp) - 1, P + 1)
+                    .astype(np.int64)][1:-1]
+        cuts = np.unique(cuts)
+    else:
+        cuts = np.array([], np.int64)
+    cref = ray.put(cuts)
+
+    def route(t: pa.Table) -> pa.Table:
+        cs = ray.get(cref)
+        r = np.searchsorted(cs, t["k"].to_numpy(zero_copy_only=False),
+                            side="right")
+        return t.append_column("r", pa.array(r.astype(np.int64),
+                                             pa.int64()))
+
+    def sort_local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("k", kind="mergesort").reset_index(drop=True)
+        g["lr"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    parts = (keyed.map_batches(route, batch_format="pyarrow")
+             .groupby("r").map_groups(sort_local, batch_format="pandas")
+             .materialize())
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(r, return_counts=True)
+        return pa.table({"r": pa.array(uniq.astype(np.int64), pa.int64()),
+                         "n": pa.array(counts.astype(np.int64),
+                                       pa.int64())})
+
+    cnt = (parts.map_batches(part_counts, batch_format="pyarrow")
+           .groupby("r").aggregate(Sum("n", alias_name="n")).to_pandas()
+           .sort_values("r"))
+    offsets = dict(zip(cnt.r.astype(int),
+                       np.concatenate([[0], np.cumsum(cnt.n)[:-1]])
+                       .astype(int)))
+    oref = ray.put(offsets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        off = ray.get(oref)
+        r = t["r"].to_numpy(zero_copy_only=False)
+        lr = t["lr"].to_numpy(zero_copy_only=False)
+        base = np.fromiter((off[int(x)] for x in r), np.int64, len(r))
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                         "rank": pa.array(base + lr, pa.int64())})
+
+    return parts.map_batches(finish, batch_format="pyarrow")
+
+
+def global_sort_docs_sql() -> str:
+    return """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+            AS BIGINT) AS rank
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# nearest_centroid_classify — Rocchio over the embedding table (session 9)
+# ---------------------------------------------------------------------------
+
+
+def nearest_centroid_classify(sf_dir: str, dim: int = 64,
+                              scale: int = 1 << 20) -> rd.Dataset:
+    """Nearest-centroid (Rocchio) classification over the labeled
+    embedding table — the one-pass trained vector classifier (the
+    embedding-space sibling of `nb_lang_classify`): per-label centroid,
+    then every vector assigns to the centroid with the largest dot
+    product. Everything is EXACT integers, so the whole model replays
+    bit-for-bit in SQL with no margin argument:
+
+      codes    floor(x_f64 · 2^20) per coordinate (the identical
+               float64 op chain both engines run; raw coords < 1 so
+               codes < 2^20)
+      centroid per-label floor-division mean of codes — integer sums
+               are association-free; the per-block combiner emits
+               ≤ |labels|·dim packed rows and ONE tiny groupby folds
+               them (int64-safe to ~2^43 rows; promote the fold to
+               Python bigints past that, the vocab_drift note)
+      assign   argmax over labels of the int64 dot (≤ 64·2^40 — no
+               overflow), ties → lowest label.
+
+    Returns (vec_id, label, pred_label)."""
+    import ray
+
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def codes_of(t: pa.Table) -> np.ndarray:
+        emb = np.asarray(t["embedding"].to_pylist(), np.float64)
+        return np.floor(emb * float(scale)).astype(np.int64)
+
+    def cent_partial(t: pa.Table) -> pa.Table:
+        codes = codes_of(t)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), codes.shape[1]), np.int64)
+        np.add.at(sums, inv, codes)
+        counts = np.bincount(inv).astype(np.int64)
+        ks, ss, cs = [], [], []
+        for i, lab in enumerate(uniq):
+            for d in range(codes.shape[1]):
+                ks.append(int(lab) * dim + d)
+                ss.append(int(sums[i, d]))
+                cs.append(int(counts[i]))
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "s": pa.array(ss, pa.int64()),
+                         "c": pa.array(cs, pa.int64())})
+
+    cent_rows = (ds.map_batches(cent_partial, batch_format="pyarrow")
+                 .groupby("k")
+                 .aggregate(Sum("s", alias_name="s"),
+                            Sum("c", alias_name="c"))
+                 .to_pandas())
+    labels = sorted({int(k) // dim for k in cent_rows.k})
+    cent = np.zeros((len(labels), dim), np.int64)
+    lab_ix = {lab: i for i, lab in enumerate(labels)}
+    for r in cent_rows.itertuples():
+        lab, d = int(r.k) // dim, int(r.k) % dim
+        cent[lab_ix[lab], d] = int(r.s) // int(r.c)  # python floor div
+    cref = ray.put((np.array(labels, np.int64), cent))
+
+    def assign(t: pa.Table) -> pa.Table:
+        labs, c = ray.get(cref)
+        codes = codes_of(t)
+        scores = codes @ c.T  # int64-exact
+        best = np.argmax(scores == scores.max(axis=1, keepdims=True),
+                         axis=1)  # first (lowest-label) argmax
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "label": pa.array(t["label"].to_numpy(
+                zero_copy_only=False).astype(np.int64), pa.int64()),
+            "pred_label": pa.array(labs[best], pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def nearest_centroid_classify_sql(dim: int = 64,
+                                  scale: int = 1 << 20) -> str:
+    # exact SQL floor division for signed sums: subtract the
+    # non-negative remainder, then the division is exact (DuckDB's //
+    # truncates toward zero, which differs from floor on negatives)
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, unnest(range({dim})) AS d,
+         unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                               e -> CAST(floor(e * {scale}.0) AS BIGINT)))
+           AS code
+  FROM embeddings
+), cent AS (
+  SELECT label, d, (s - (((s % c) + c) % c)) // c AS val
+  FROM (SELECT label, d, sum(code) AS s, count(*) AS c
+        FROM v GROUP BY label, d)
+), scores AS (
+  SELECT v.vec_id, cent.label AS cand, sum(v.code * cent.val) AS score
+  FROM v JOIN cent ON cent.d = v.d
+  GROUP BY v.vec_id, cent.label
+)
+SELECT v2.vec_id, CAST(v2.label AS BIGINT) AS label,
+       CAST(s.cand AS BIGINT) AS pred_label
+FROM (SELECT DISTINCT vec_id, label FROM v) v2
+JOIN (SELECT vec_id, cand FROM scores
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score DESC, cand) = 1) s
+  ON s.vec_id = v2.vec_id"""

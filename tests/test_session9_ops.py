@@ -431,3 +431,111 @@ def test_point_lookup_reads_bucket_subset(ray_session):
     assert set(got.url) <= set(urls) and len(got) >= 1
     want_buckets = {url_bucket(u, entrymod._CFG.n_buckets) for u in urls}
     assert len(want_buckets) < n_dirs  # the plan is a strict subset
+
+
+# ---------------------------------------------------------------------------
+# nb_confusion_matrix
+
+
+def test_nb_confusion_matrix_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        nb_confusion_matrix, nb_confusion_matrix_sql)
+    from tests.oracle_check import compare
+
+    assert compare("nb_confusion_matrix", nb_confusion_matrix(SF_SMOKE),
+                   nb_confusion_matrix_sql(), SF_SMOKE) == []
+
+
+def test_nb_confusion_matrix_semantics(ray_session):
+    """Cell counts replay from the classifier's own per-doc rows; the
+    diagonal dominates (the NB model actually learned the weak
+    labels); recall_ppm rows are exact floor divisions."""
+    from pdf_extraction_ray.pipelines.analytics import (
+        nb_confusion_matrix, nb_lang_classify)
+
+    out = nb_confusion_matrix(SF_SMOKE).to_pandas()
+    pred = nb_lang_classify(SF_SMOKE).to_pandas()
+    want = (pred.groupby(["lang", "pred_lang"]).size()
+            .rename("n").reset_index())
+    got = {(r.lang, r.pred_lang): int(r.n) for r in out.itertuples()}
+    assert got == {(r.lang, r.pred_lang): int(r.n)
+                   for r in want.itertuples()}
+    # each true lang appears, its cells' recalls sum to ~2^20 (floor
+    # rounding loses < |cells| ppm), and recall_ppm is the exact
+    # floor division (no accuracy claim — the weak labels are what
+    # the matrix exists to expose)
+    tot = out.groupby("lang")["n"].sum()
+    for lang, g in out.groupby("lang"):
+        s = int(g.recall_ppm.sum())
+        assert (1 << 20) - len(g) <= s <= (1 << 20)
+    for r in out.itertuples():
+        assert r.recall_ppm == (int(r.n) << 20) // int(tot[r.lang])
+
+
+# ---------------------------------------------------------------------------
+# global_sort_docs
+
+
+def test_global_sort_docs_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (global_sort_docs,
+                                                        global_sort_docs_sql)
+    from tests.oracle_check import compare
+
+    assert compare("global_sort_docs", global_sort_docs(SF_SMOKE),
+                   global_sort_docs_sql(), SF_SMOKE) == []
+
+
+def test_global_sort_ranks_contiguous_and_ordered(ray_session):
+    """Ranks are exactly 1..N; walking by rank, n_chars never
+    increases and equal lengths order by doc_id; the range partitioner
+    actually split the work (>1 occupied partition at P=4)."""
+    from pdf_extraction_ray.pipelines.analytics import global_sort_docs
+
+    out = (global_sort_docs(SF_SMOKE, num_partitions=4).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    nc = out.n_chars.to_numpy()
+    ids = out.doc_id.to_numpy()
+    for i in range(len(out) - 1):
+        assert (nc[i] > nc[i + 1]) or (nc[i] == nc[i + 1]
+                                       and ids[i] < ids[i + 1])
+
+
+# ---------------------------------------------------------------------------
+# nearest_centroid_classify
+
+
+def test_nearest_centroid_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        nearest_centroid_classify, nearest_centroid_classify_sql)
+    from tests.oracle_check import compare
+
+    assert compare("nearest_centroid_classify",
+                   nearest_centroid_classify(SF_SMOKE),
+                   nearest_centroid_classify_sql(), SF_SMOKE) == []
+
+
+def test_nearest_centroid_semantics(ray_session):
+    """One row per vector; predictions replay from a numpy brute-force
+    Rocchio (exact integer centroids + argmax dots)."""
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        nearest_centroid_classify)
+
+    out = nearest_centroid_classify(SF_SMOKE).to_pandas()
+    t = pq.read_table(SF_SMOKE + "/embeddings.parquet")
+    emb = np.asarray(t["embedding"].to_pylist(), np.float64)
+    codes = np.floor(emb * float(1 << 20)).astype(np.int64)
+    labels = t["label"].to_numpy().astype(np.int64)
+    uniq = np.unique(labels)
+    cent = np.stack([
+        np.floor_divide(codes[labels == lab].sum(axis=0),
+                        (labels == lab).sum()) for lab in uniq])
+    scores = codes @ cent.T
+    best = uniq[np.argmax(scores == scores.max(axis=1, keepdims=True),
+                          axis=1)]
+    got = dict(zip(out.vec_id, out.pred_label))
+    want = dict(zip(t["vec_id"].to_numpy(), best))
+    assert len(out) == len(t)
+    assert got == {int(k): int(v) for k, v in want.items()}
