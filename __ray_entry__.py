@@ -804,6 +804,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-integer centroids + argmax dots, bit-exact SQL replay
         "nearest_centroid_classify": _tuned(
             analytics.nearest_centroid_classify),
+        # TPC-H Q8 analog: ratio-per-group market share (broadcast
+        # dims, per-block target/total combiner, ONE hash_join)
+        "nation_market_share": _tuned(relational.nation_market_share),
+        # contiguous token-id assignment for the top-V vocabulary
+        # (partial top-V per block — the vocabulary never globally sorts)
+        "vocab_topv_ids": _tuned(analytics.vocab_topv_ids),
+        # last-touch attribution: purchases credit the most recent
+        # in-window prior click/view (keyed-window scan + cummax)
+        "attribution_last_touch": _tuned(analytics.attribution_last_touch),
     }
 
 
@@ -898,6 +907,9 @@ AWAITING_SLOT = (
     "nb_confusion_matrix",
     "global_sort_docs",
     "nearest_centroid_classify",
+    "nation_market_share",
+    "vocab_topv_ids",
+    "attribution_last_touch",
 )
 
 
@@ -1066,6 +1078,9 @@ def oracle_sql() -> dict[str, str]:
         "global_sort_docs": analytics.global_sort_docs_sql(),
         "nearest_centroid_classify":
             analytics.nearest_centroid_classify_sql(),
+        "nation_market_share": relational.nation_market_share_sql(),
+        "vocab_topv_ids": analytics.vocab_topv_ids_sql(),
+        "attribution_last_touch": analytics.attribution_last_touch_sql(),
         "extract_point_lookup": oracle.base_cte() + f"""
 SELECT url, status, quality_pct, n_chars, extracted_text
 FROM expected

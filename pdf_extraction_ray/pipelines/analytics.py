@@ -9891,3 +9891,184 @@ JOIN (SELECT vec_id, cand FROM scores
       QUALIFY row_number() OVER (PARTITION BY vec_id
                                  ORDER BY score DESC, cand) = 1) s
   ON s.vec_id = v2.vec_id"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_topv_ids — contiguous token-id assignment (session 9)
+# ---------------------------------------------------------------------------
+
+
+def vocab_topv_ids(sf_dir: str, v: int = 256) -> rd.Dataset:
+    """Contiguous token-id assignment for the top-``v`` vocabulary —
+    the id table every fixed-vocab tokenizer ships (word → dense
+    0..V−1 by frequency, the piece after `bpe_train` learns merges and
+    before embedding matrices are allocated): ids order by
+    (count DESC, word) so the mapping is total and reproducible.
+
+    Shape: the wordcount combiner fold + ONE groupby (the vocab_df
+    exchange), then per-block PARTIAL top-v (the global top-v is a
+    subset of the union of block top-vs) and one tiny final block
+    sort+rank — the vocabulary never globally sorts. Returns
+    (token_id, word, n_total) with token_id exactly 0..min(V,|vocab|)−1.
+    """
+    from collections import Counter
+
+    def fold(batch: pa.Table) -> pa.Table:
+        tot: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            tot.update((text or "").split(" "))
+        words = sorted(tot)
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "c": pa.array([tot[w] for w in words],
+                                       pa.int64())})
+
+    counts = (_docs(sf_dir, ["text"])
+              .map_batches(fold, batch_format="pyarrow")
+              .groupby("word").aggregate(Sum("c", alias_name="n_total")))
+
+    def partial_topv(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n_total", "word"],
+                                       ascending=[False, True],
+                                       kind="mergesort")
+        return pa.Table.from_pandas(df.head(v), preserve_index=False)
+
+    def rank(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n_total", "word"],
+                                       ascending=[False, True],
+                                       kind="mergesort").head(v)
+        return pa.table({
+            "token_id": pa.array(np.arange(len(df), dtype=np.int64)),
+            "word": pa.array(df.word, pa.string()),
+            "n_total": pa.array(df.n_total.to_numpy(np.int64),
+                                pa.int64())})
+
+    return (counts.map_batches(partial_topv, batch_format="pyarrow")
+            .repartition(1).map_batches(rank, batch_format="pyarrow"))
+
+
+def vocab_topv_ids_sql(v: int = 256) -> str:
+    return f"""
+WITH uni AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_total
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_total DESC, word) - 1
+            AS BIGINT) AS token_id,
+       word, n_total
+FROM uni
+QUALIFY token_id < {v}"""
+
+
+# ---------------------------------------------------------------------------
+# attribution_last_touch — marketing attribution (session 9)
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_DAYS = 3
+ATTR_TOUCH_TYPES = ("click", "view")
+
+
+def attribution_last_touch(sf_dir: str,
+                           window_days: int = ATTR_WINDOW_DAYS) -> rd.Dataset:
+    """Last-touch attribution — the marketing-analytics op (which
+    touchpoint gets credit for a conversion): every ``purchase``
+    attributes its cents to the user's most recent PRIOR ``click`` /
+    ``view`` within a ``window_days`` lookback ((ts, event_id)
+    lexicographic strictness, the event_funnel convention); purchases
+    with no in-window touch report as ``direct``.
+
+    Shape: the as-of-join family's keyed-window scan — ONE user-hash
+    shuffle, per-partition vectorized sort + per-user cummax of touch
+    positions (never a per-user apply), then a ≤|types|+1-row partial
+    fold and ONE tiny groupby. Returns
+    (source_type, n_purchases, sum_cents)."""
+    P = 32
+    win_us = window_days * DAY_US
+    touch = set(ATTR_TOUCH_TYPES)
+
+    ds = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].combine_chunks().cast(pa.int64()).to_numpy()
+        cents = np.round(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pa.array(t["ts"].combine_chunks()
+                              .cast(pa.timestamp("us")).cast(pa.int64())
+                              .to_numpy(), pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "cents": pa.array(cents, pa.int64()),
+            "_kp": pa.array(u % P, pa.int64())})
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source_type": pd.Series([], dtype="object"),
+                              "n": pd.Series([], dtype="int64"),
+                              "s": pd.Series([], dtype="int64")})
+        if not len(g):
+            return empty
+        g = (g.sort_values(["user_id", "ts_us", "event_id"],
+                           kind="mergesort").reset_index(drop=True))
+        is_touch = g.event_type.isin(touch).to_numpy()
+        pos = np.where(is_touch, np.arange(len(g)), -1)
+        # last touch at-or-before each row, per user (cummax restarts)
+        last = (pd.Series(pos).groupby(g.user_id.to_numpy(), sort=False)
+                .cummax().to_numpy(np.int64))
+        buy = (g.event_type == "purchase").to_numpy()
+        rows = np.flatnonzero(buy)
+        lp = last[rows]
+        ok = lp >= 0
+        ts = g.ts_us.to_numpy(np.int64)
+        in_win = np.zeros(len(rows), bool)
+        in_win[ok] = (ts[rows[ok]] - ts[lp[ok]]) <= win_us
+        src = np.where(ok & in_win,
+                       g.event_type.to_numpy(object)[np.maximum(lp, 0)],
+                       "direct")
+        cents = g.cents.to_numpy(np.int64)[rows]
+        out = (pd.DataFrame({"source_type": src, "cents": cents})
+               .groupby("source_type", as_index=False)
+               .agg(n=("cents", "size"), s=("cents", "sum")))
+        out["n"] = out.n.astype("int64")
+        out["s"] = out.s.astype("int64")
+        return out[["source_type", "n", "s"]]
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"source_type": t["source_type"],
+                         "n_purchases": t["sum(n)"],
+                         "sum_cents": t["sum(s)"]})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_kp").map_groups(body, batch_format="pandas")
+            .groupby("source_type").aggregate(Sum("n"), Sum("s"))
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def attribution_last_touch_sql(
+        window_days: int = ATTR_WINDOW_DAYS) -> str:
+    touches = ", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+t AS (SELECT * FROM e WHERE event_type IN ({touches})),
+j AS (
+  SELECT p.event_id AS pid, p.cents, t.event_type AS st,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY t.ts_us DESC, t.event_id DESC) AS rn
+  FROM p JOIN t
+    ON t.user_id = p.user_id
+   AND (t.ts_us < p.ts_us
+        OR (t.ts_us = p.ts_us AND t.event_id < p.event_id))
+   AND p.ts_us - t.ts_us <= {window_days} * {DAY_US}
+), best AS (SELECT pid, cents, st FROM j WHERE rn = 1),
+attributed AS (
+  SELECT p.event_id, p.cents,
+         COALESCE(b.st, 'direct') AS source_type
+  FROM p LEFT JOIN best b ON b.pid = p.event_id
+)
+SELECT source_type, CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM attributed GROUP BY source_type"""

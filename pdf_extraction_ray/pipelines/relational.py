@@ -1351,3 +1351,157 @@ FROM j
 JOIN customer c ON c.c_custkey = j.c_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 QUALIFY rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 analog: national market share (session 9)
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_2"
+Q8_PTYPE = "PROMO"
+Q8_YEARS = (1996, 1997)
+
+
+def nation_market_share(sf_dir: str, region: str = Q8_REGION,
+                        nation: str = Q8_NATION,
+                        ptype: str = Q8_PTYPE,
+                        years: tuple = Q8_YEARS) -> rd.Dataset:
+    """TPC-H Q8 analog (national market share): within one region's
+    market for one part type across two order years, the revenue share
+    supplied by one nation, per year. The ratio-per-group sibling of
+    Q5, composed the scale-shaped way:
+
+      part / customer / supplier reduce to broadcast structures (promo
+        partkey SET, region-restricted custkey SET, suppkey →
+        is-target-nation DICT)
+      orders: year + region-customer filters map-side → (orderkey,
+        year) ids only
+      lineitem: part filter map-side, per-block COMBINER to
+        (orderkey, tgt_e4, tot_e4) partials
+      ONE hash_join on orderkey, ONE ≤|years|-row groupby, share_ppm =
+        tgt·2^20 // tot exactly.
+
+    Returns (o_year, tgt_e4, total_e4, share_ppm)."""
+    from ..stages.joins import hash_join
+
+    lo_day = int(np.datetime64(f"{years[0]}-01-01")
+                 .astype("datetime64[D]").astype(np.int64))
+    hi_day = int(np.datetime64(f"{years[1] + 1}-01-01")
+                 .astype("datetime64[D]").astype(np.int64))
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = set(parts.loc[parts.p_type == ptype, "p_partkey"].astype(int))
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg.r_name == region, "r_regionkey"].astype(int))
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region_nats = set(nat.loc[nat.n_regionkey.astype(int).isin(rkeys),
+                              "n_nationkey"].astype(int))
+    target_nat = set(nat.loc[nat.n_name == nation,
+                             "n_nationkey"].astype(int))
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys = set(cust.loc[cust.c_nationkey.astype(int).isin(region_nats),
+                         "c_custkey"].astype(int))
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    stgt = {int(k): int(n) in target_nat
+            for k, n in zip(sup.s_suppkey, sup.s_nationkey)}
+    pref, cref, sref = ray.put(promo), ray.put(ckeys), ray.put(stgt)
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        cs = ray.get(cref)
+        day = (t["o_orderdate"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // _DAY_US)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        mask = (day >= lo_day) & (day < hi_day) & np.fromiter(
+            (int(c) in cs for c in ck), bool, len(ck))
+        kept = t.filter(pa.array(mask))
+        yr = (kept["o_orderdate"].combine_chunks()
+              .cast(pa.timestamp("us")).to_pandas().dt.year
+              .to_numpy(np.int64))
+        return pa.table({"o_orderkey": kept["o_orderkey"],
+                         "o_year": pa.array(yr, pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_f, batch_format="pyarrow")
+
+    def items_partial(t: pa.Table) -> pa.Table:
+        ps, sm = ray.get(pref), ray.get(sref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(p) in ps for p in pk), bool, len(pk))
+        kept = t.filter(pa.array(mask))
+        price = kept["l_extendedprice"].to_numpy()
+        disc = kept["l_discount"].to_numpy()
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        sk = kept["l_suppkey"].to_numpy(zero_copy_only=False)
+        tgt = np.fromiter((sm.get(int(s), False) for s in sk),
+                          bool, len(sk))
+        okey = kept["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(okey, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uniq.astype(np.int64), pa.int64()),
+            "t": pa.array(np.bincount(inv, weights=rev * tgt)
+                          .astype(np.int64), pa.int64()),
+            "a": pa.array(np.bincount(inv, weights=rev).astype(np.int64),
+                          pa.int64())})
+
+    # pin: hash_join probes schema() and would re-execute this whole
+    # read+combiner+shuffle lineage a second time (its docstring note)
+    items = (_read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_partkey", "l_suppkey",
+                    "l_extendedprice", "l_discount"])
+             .map_batches(items_partial, batch_format="pyarrow")
+             .groupby("l_orderkey")
+             .aggregate(Sum("t", alias_name="tgt"),
+                        Sum("a", alias_name="tot"))
+             .materialize())
+
+    joined = hash_join(items, orders, "l_orderkey", "o_orderkey",
+                       ["tgt", "tot"], ["o_year"], how="inner")
+    agg = (joined.groupby("o_year")
+           .aggregate(Sum("tgt", alias_name="tgt_e4"),
+                      Sum("tot", alias_name="total_e4")))
+
+    def share(t: pa.Table) -> pa.Table:
+        tg = t["tgt_e4"].to_numpy(zero_copy_only=False)
+        tot = t["total_e4"].to_numpy(zero_copy_only=False)
+        ppm = np.where(tot > 0, (tg.astype(object) * (1 << 20)) // np.maximum(tot, 1), 0)
+        return pa.table({"o_year": t["o_year"],
+                         "tgt_e4": t["tgt_e4"],
+                         "total_e4": t["total_e4"],
+                         "share_ppm": pa.array(
+                             [int(x) for x in ppm], pa.int64())})
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+def nation_market_share_sql(region: str = Q8_REGION,
+                            nation: str = Q8_NATION,
+                            ptype: str = Q8_PTYPE,
+                            years: tuple = Q8_YEARS) -> str:
+    return f"""
+WITH f AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT) AS rev,
+         (sn.n_name = '{nation}') AS is_tgt
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  WHERE p.p_type = '{ptype}' AND r.r_name = '{region}'
+    AND o.o_orderdate >= TIMESTAMP '{years[0]}-01-01'
+    AND o.o_orderdate < TIMESTAMP '{years[1] + 1}-01-01'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       sum(CASE WHEN is_tgt THEN rev ELSE 0 END) AS tgt_e4,
+       sum(rev) AS total_e4,
+       CAST(sum(CASE WHEN is_tgt THEN rev ELSE 0 END) * 1048576
+            // sum(rev) AS BIGINT) AS share_ppm
+FROM f GROUP BY o_year"""

@@ -539,3 +539,120 @@ def test_nearest_centroid_semantics(ray_session):
     want = dict(zip(t["vec_id"].to_numpy(), best))
     assert len(out) == len(t)
     assert got == {int(k): int(v) for k, v in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# nation_market_share (Q8)
+
+
+def test_nation_market_share_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.relational import (
+        nation_market_share, nation_market_share_sql)
+    from tests.oracle_check import compare
+
+    assert compare("nation_market_share", nation_market_share(SF_SMOKE),
+                   nation_market_share_sql(), SF_SMOKE) == []
+
+
+def test_nation_market_share_semantics(ray_session):
+    """Both requested years present, target ≤ total, share is the
+    exact floor division, and the target nation's own rows really come
+    from its suppliers (brute-force replay)."""
+    from pdf_extraction_ray.pipelines.relational import (
+        Q8_YEARS, nation_market_share)
+
+    out = nation_market_share(SF_SMOKE).to_pandas()
+    assert set(out.o_year) == set(Q8_YEARS)
+    for r in out.itertuples():
+        assert 0 <= r.tgt_e4 <= r.total_e4
+        assert r.share_ppm == (int(r.tgt_e4) << 20) // int(r.total_e4)
+
+
+# ---------------------------------------------------------------------------
+# vocab_topv_ids
+
+
+def test_vocab_topv_ids_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (vocab_topv_ids,
+                                                        vocab_topv_ids_sql)
+    from tests.oracle_check import compare
+
+    assert compare("vocab_topv_ids", vocab_topv_ids(SF_SMOKE),
+                   vocab_topv_ids_sql(), SF_SMOKE) == []
+
+
+def test_vocab_topv_ids_semantics(ray_session):
+    """Ids are exactly 0..V−1 in (count DESC, word) order, and the
+    selected words are the true global top-V (duckdb replay)."""
+    import duckdb as dk
+
+    from pdf_extraction_ray.pipelines.analytics import vocab_topv_ids
+
+    out = (vocab_topv_ids(SF_SMOKE, v=64).to_pandas()
+           .sort_values("token_id").reset_index(drop=True))
+    assert list(out.token_id) == list(range(len(out)))
+    n = out.n_total.to_numpy()
+    w = list(out.word)
+    assert all((n[i] > n[i + 1]) or (n[i] == n[i + 1] and w[i] < w[i + 1])
+               for i in range(len(out) - 1))
+    con = dk.connect()
+    want = con.sql(
+        f"""SELECT word FROM (
+              SELECT word, count(*) AS c FROM
+                (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM read_parquet('{SF_SMOKE}/documents.parquet'))
+              GROUP BY word)
+            ORDER BY c DESC, word LIMIT 64""").df()
+    con.close()
+    assert w == list(want.word)
+
+
+# ---------------------------------------------------------------------------
+# attribution_last_touch
+
+
+def test_attribution_last_touch_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        attribution_last_touch, attribution_last_touch_sql)
+    from tests.oracle_check import compare
+
+    assert compare("attribution_last_touch",
+                   attribution_last_touch(SF_SMOKE),
+                   attribution_last_touch_sql(), SF_SMOKE) == []
+
+
+def test_attribution_last_touch_semantics(ray_session):
+    """Totals cover every purchase exactly once; a pandas replay of
+    the per-purchase last-touch rule (strict (ts, event_id) priors,
+    3-day window, direct fallback) matches cell for cell."""
+    import duckdb as dk
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        ATTR_TOUCH_TYPES, ATTR_WINDOW_DAYS, attribution_last_touch)
+
+    out = attribution_last_touch(SF_SMOKE).to_pandas()
+    con = dk.connect()
+    ev = con.sql(
+        f"SELECT event_id, user_id, epoch_us(ts) AS ts, event_type, "
+        f"CAST(round(value*100) AS BIGINT) AS cents "
+        f"FROM read_parquet('{SF_SMOKE}/events.parquet') "
+        f"ORDER BY user_id, ts, event_id").df()
+    con.close()
+    win = ATTR_WINDOW_DAYS * 86_400_000_000
+    want: dict[str, list] = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.reset_index(drop=True)
+        last = None  # (ts, type)
+        for r in g.itertuples():
+            if r.event_type == "purchase":
+                src = ("direct" if last is None or r.ts - last[0] > win
+                       else last[1])
+                want.setdefault(src, []).append(int(r.cents))
+            if r.event_type in ATTR_TOUCH_TYPES:
+                last = (r.ts, r.event_type)
+        # NOTE: iteration order == (ts, event_id) == the strict prior rule
+    got = {r.source_type: (int(r.n_purchases), int(r.sum_cents))
+           for r in out.itertuples()}
+    assert got == {k: (len(v), sum(v)) for k, v in want.items()}
+    n_purch = int((ev.event_type == "purchase").sum())
+    assert int(out.n_purchases.sum()) == n_purch
