@@ -813,6 +813,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # last-touch attribution: purchases credit the most recent
         # in-window prior click/view (keyed-window scan + cummax)
         "attribution_last_touch": _tuned(analytics.attribution_last_touch),
+        # exact cosine k-NN graph (blocked all-pairs partial top-k,
+        # object-store blocks, ONE merge groupby — quadratic baseline)
+        "knn_graph": _tuned(analytics.knn_graph),
+        # exact Gini of the doc-length distribution via the sparse
+        # value histogram — no global sort, Python-bigint fold
+        "doc_length_gini": _tuned(analytics.doc_length_gini),
     }
 
 
@@ -910,6 +916,8 @@ AWAITING_SLOT = (
     "nation_market_share",
     "vocab_topv_ids",
     "attribution_last_touch",
+    "knn_graph",
+    "doc_length_gini",
 )
 
 
@@ -1081,6 +1089,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_market_share": relational.nation_market_share_sql(),
         "vocab_topv_ids": analytics.vocab_topv_ids_sql(),
         "attribution_last_touch": analytics.attribution_last_touch_sql(),
+        "knn_graph": analytics.knn_graph_sql(),
+        "doc_length_gini": analytics.doc_length_gini_sql(),
         "extract_point_lookup": oracle.base_cte() + f"""
 SELECT url, status, quality_pct, n_chars, extracted_text
 FROM expected

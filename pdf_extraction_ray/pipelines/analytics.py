@@ -10072,3 +10072,89 @@ attributed AS (
 SELECT source_type, CAST(count(*) AS BIGINT) AS n_purchases,
        CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM attributed GROUP BY source_type"""
+
+
+def knn_graph(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Exact cosine k-NN graph over the embedding table (self
+    excluded) — see stages/dedup.knn_graph_exact: blocked all-pairs
+    partial top-k + ONE merge groupby, quadratic by design (the
+    exactness baseline; IVF cells are the scale path). Returns
+    (vec_id, neighbor_id, rank)."""
+    return dd.knn_graph_exact(
+        _read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), k=k)
+
+
+def knn_graph_sql(k: int = 3) -> str:
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+)
+SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM (SELECT vec_id, neighbor_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}"""
+
+
+def doc_length_gini(sf_dir: str) -> rd.Dataset:
+    """Corpus concentration report — the EXACT Gini coefficient of the
+    document-length distribution (the one-number answer to "is this
+    crawl a few huge documents or many small ones", the skew statistic
+    capacity planning and mix design read first). gini_ppm =
+    ((2·Σ rank·x − (n+1)·Σx) · 2^20) // (n·Σx) over ascending
+    (n_chars, doc_id) ranks — pure integers.
+
+    Scale shape: NO global sort — ranks fold through the VALUE
+    HISTOGRAM (the global_quantile_threshold sparse-partial pattern):
+    each block emits (n_chars, count) rows, ONE tiny groupby, and the
+    driver walks the ≤|distinct lengths| histogram in value order
+    (equal values occupy a contiguous rank run, so Σ rank·x =
+    Σ_v v·(c_v·before_v + c_v(c_v+1)/2) exactly — Python bigints, no
+    overflow at any corpus size). Ties need no tie-break: rank·x sums
+    identically however equal values order. Returns one row
+    (n_docs, sum_chars, gini_ppm)."""
+    ds = _docs(sf_dir, ["n_chars"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq.astype(np.int64), pa.int64()),
+                         "c": pa.array(counts.astype(np.int64),
+                                       pa.int64())})
+
+    rows = (ds.map_batches(hist, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("c", alias_name="c"))
+            .to_pandas().sort_values("v"))
+    n = int(rows.c.sum())
+    total = int((rows.v.astype(object) * rows.c.astype(object)).sum())
+    before = 0
+    rank_dot = 0
+    for r in rows.itertuples():
+        v, c = int(r.v), int(r.c)
+        rank_dot += v * (c * before + c * (c + 1) // 2)
+        before += c
+    gini_ppm = ((2 * rank_dot - (n + 1) * total) << 20) // (n * total)
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "sum_chars": pa.array([total], pa.int64()),
+        "gini_ppm": pa.array([gini_ppm], pa.int64())}))
+
+
+def doc_length_gini_sql() -> str:
+    return """
+WITH r AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(x) AS BIGINT) AS sum_chars,
+       CAST((2 * sum(CAST(rnk AS HUGEINT) * x)
+             - (count(*) + 1) * CAST(sum(x) AS HUGEINT)) * 1048576
+            // (count(*) * CAST(sum(x) AS HUGEINT)) AS BIGINT)
+         AS gini_ppm
+FROM r"""

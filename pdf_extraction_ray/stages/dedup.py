@@ -1658,3 +1658,84 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
                 "simhash": t["simhash"].cast(pa.uint64()),
                 "dup_of": t["dup_of"],
             }), batch_format="pyarrow"))
+
+
+@ray.remote
+def _knn_pair_task(ta: pa.Table, tb: pa.Table, same: bool, k: int,
+                   id_col: str) -> pa.Table:
+    """Per-vector PARTIAL top-k candidates between two normalized
+    blocks (both directions when the blocks differ; the diagonal is
+    masked when they are the same block — a vector is not its own
+    neighbor). The merge groupby folds block-pair partials to the
+    exact global top-k."""
+    def unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        if not len(t):
+            return ids, np.zeros((0, 0), np.float64)
+        col = t["unit"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return ids, flat.reshape(len(t), -1)
+
+    ia, ma = unpack(ta)
+    ib, mb = unpack(tb)
+    out_v, out_n, out_s = [], [], []
+
+    def side(ids_q, ids_c, sims):
+        kk = min(k, sims.shape[1])
+        if kk == 0:
+            return
+        for r in range(sims.shape[0]):
+            row = sims[r]
+            order = np.lexsort((ids_c, -row))[:kk]
+            out_v.extend([int(ids_q[r])] * len(order))
+            out_n.extend(ids_c[order].tolist())
+            out_s.extend(row[order].tolist())
+
+    if len(ia) and len(ib):
+        sims = ma @ mb.T
+        if same:
+            np.fill_diagonal(sims, -np.inf)
+            side(ia, ib, sims)
+        else:
+            side(ia, ib, sims)
+            side(ib, ia, sims.T)
+    return pa.table({"vec_id": pa.array(out_v, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "sim": pa.array(out_s, pa.float64())})
+
+
+def knn_graph_exact(ds: rd.Dataset, k: int = 3,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    block_rows: int = 4096) -> rd.Dataset:
+    """Exact k-NN graph by cosine (every vector's top-k neighbors,
+    self excluded) — the graph-construction primitive under spectral /
+    agglomerative clustering and graph-based ANN indexes (NN-Descent's
+    ground truth). Blocked all-pairs, the ``embedding_near_dup``
+    discipline: unit blocks live in the OBJECT STORE, one Ray task per
+    block pair (i <= j) emits per-vector PARTIAL top-k rows (≤ k per
+    vector per pair), and ONE groupby(vec_id) merges partials into the
+    exact global top-k with (sim DESC, neighbor_id) determinism.
+    Quadratic in blocks by design — the exactness baseline; the
+    IVF-cell machinery is the subquadratic scale path."""
+    prep = (ds.select_columns([id_col, vec_col])
+              .map_batches(lambda b: _normalize_block(b, vec_col, id_col),
+                           batch_format="pyarrow", batch_size=block_rows))
+    refs = prep.to_arrow_refs()
+    futures = [_knn_pair_task.remote(refs[i], refs[j], i == j, k, id_col)
+               for i in range(len(refs)) for j in range(i, len(refs))]
+    part = rd.from_arrow_refs(futures)
+
+    def merge(group: pa.Table) -> pa.Table:
+        vid = group["vec_id"][0].as_py()
+        sims = np.asarray(group["sim"].to_pylist())
+        ids = np.asarray(group["neighbor_id"].to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({
+            "vec_id": pa.array([vid] * len(order), pa.int64()),
+            "neighbor_id": pa.array(ids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        })
+
+    return part.groupby("vec_id").map_groups(merge, batch_format="pyarrow")

@@ -656,3 +656,84 @@ def test_attribution_last_touch_semantics(ray_session):
     assert got == {k: (len(v), sum(v)) for k, v in want.items()}
     n_purch = int((ev.event_type == "purchase").sum())
     assert int(out.n_purchases.sum()) == n_purch
+
+
+# ---------------------------------------------------------------------------
+# knn_graph
+
+
+def test_knn_graph_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (knn_graph,
+                                                        knn_graph_sql)
+    from tests.oracle_check import compare
+
+    assert compare("knn_graph", knn_graph(SF_SMOKE),
+                   knn_graph_sql(), SF_SMOKE) == []
+
+
+def test_knn_graph_semantics(ray_session):
+    """Every vector gets exactly k ranked neighbors, never itself; a
+    numpy brute-force top-k replay matches; small blocks (forcing many
+    block-pair tasks) give the identical answer."""
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_ray.pipelines.analytics import knn_graph
+    from pdf_extraction_ray.stages.dedup import knn_graph_exact
+    import ray.data as rd
+
+    out = knn_graph(SF_SMOKE).to_pandas()
+    t = pq.read_table(SF_SMOKE + "/embeddings.parquet")
+    n = len(t)
+    assert len(out) == n * 3
+    assert (out.vec_id != out.neighbor_id).all()
+    emb = np.asarray(t["embedding"].to_pylist(), np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    sims = emb @ emb.T
+    np.fill_diagonal(sims, -np.inf)
+    for qi in range(0, n, 97):
+        row = sims[qi]
+        order = np.lexsort((ids, -row))[:3]
+        got = (out[out.vec_id == ids[qi]].sort_values("rank")
+               .neighbor_id.tolist())
+        assert got == ids[order].tolist()
+    # many tiny blocks → same answer (block decomposition is invisible)
+    small = knn_graph_exact(
+        rd.read_parquet(SF_SMOKE + "/embeddings.parquet"),
+        k=3, block_rows=64).to_pandas()
+    key = ["vec_id", "neighbor_id", "rank"]
+    assert (small[key].sort_values(key).reset_index(drop=True)
+            .equals(out[key].sort_values(key).reset_index(drop=True)))
+
+
+# ---------------------------------------------------------------------------
+# doc_length_gini
+
+
+def test_doc_length_gini_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (doc_length_gini,
+                                                        doc_length_gini_sql)
+    from tests.oracle_check import compare
+
+    assert compare("doc_length_gini", doc_length_gini(SF_SMOKE),
+                   doc_length_gini_sql(), SF_SMOKE) == []
+
+
+def test_doc_length_gini_semantics(ray_session):
+    """The histogram fold equals the textbook sorted-rank formula, the
+    coefficient sits in [0, 2^20), and known tiny cases replay (equal
+    lengths → 0; one doc owns everything → (n−1)/n)."""
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_ray.pipelines.analytics import doc_length_gini
+
+    out = doc_length_gini(SF_SMOKE).to_pandas()
+    x = np.sort(pq.read_table(SF_SMOKE + "/documents.parquet")["n_chars"]
+                .to_numpy().astype(np.int64))
+    n, tot = len(x), int(x.sum())
+    rank_dot = int((np.arange(1, n + 1, dtype=object) * x.astype(object))
+                   .sum())
+    want = ((2 * rank_dot - (n + 1) * tot) << 20) // (n * tot)
+    assert int(out.gini_ppm[0]) == want
+    assert 0 <= want < (1 << 20)
+    assert int(out.n_docs[0]) == n and int(out.sum_chars[0]) == tot
