@@ -819,6 +819,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact Gini of the doc-length distribution via the sparse
         # value histogram — no global sort, Python-bigint fold
         "doc_length_gini": _tuned(analytics.doc_length_gini),
+        # near-superset detection by exact shingle CONTAINMENT
+        # (Broder's asymmetric statistic; r=2 banding for deep recall)
+        "containment_docs": _tuned(analytics.containment_docs),
     }
 
 
@@ -918,6 +921,7 @@ AWAITING_SLOT = (
     "attribution_last_touch",
     "knn_graph",
     "doc_length_gini",
+    "containment_docs",
 )
 
 
@@ -1091,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_last_touch": analytics.attribution_last_touch_sql(),
         "knn_graph": analytics.knn_graph_sql(),
         "doc_length_gini": analytics.doc_length_gini_sql(),
+        "containment_docs": analytics.containment_docs_sql(),
         "extract_point_lookup": oracle.base_cte() + f"""
 SELECT url, status, quality_pct, n_chars, extracted_text
 FROM expected

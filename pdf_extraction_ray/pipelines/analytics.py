@@ -10158,3 +10158,79 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
             // (count(*) * CAST(sum(x) AS HUGEINT)) AS BIGINT)
          AS gini_ppm
 FROM r"""
+
+
+# ---------------------------------------------------------------------------
+# containment_docs — near-superset detection (session 9)
+# ---------------------------------------------------------------------------
+
+CONT_MOD = 9          # docs with doc_id % 9 == 4 get a prefix copy
+CONT_OFF = 6_000_000  # planted copy id offset
+CONT_KEEP_NUM, CONT_KEEP_DEN = 3, 4  # keep ceil(3/4 of the words)
+
+
+def _docs_with_planted_prefix_copies(sf_dir: str) -> rd.Dataset:
+    """documents ∪ word-prefix copies: every doc_id % 9 == 4 doc adds
+    (doc_id + 6e6, first ⌈¾·n_words⌉ words) — containment 100 but
+    Jaccard ≈ 75, the asymmetric case `containment_docs` exists for.
+    Pure map-side plant (the _docs_with_planted_near_dups convention)."""
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        out_i, out_t = list(ids), list(texts)
+        for i, txt in zip(ids, texts):
+            if int(i) % CONT_MOD == 4:
+                ws = (txt or "").split(" ")
+                keep = (CONT_KEEP_NUM * len(ws) + CONT_KEEP_DEN - 1) \
+                    // CONT_KEEP_DEN
+                out_i.append(int(i) + CONT_OFF)
+                out_t.append(" ".join(ws[:keep]))
+        return pa.table({"doc_id": pa.array([int(x) for x in out_i],
+                                            pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+
+
+def containment_docs(sf_dir: str) -> rd.Dataset:
+    """Near-superset pairs by exact shingle containment (see
+    stages/dedup.containment_pairs — Broder's asymmetric statistic;
+    r=2×32-band LSH keeps recall effectively deterministic down to
+    J≈0.5). Planted word-prefix copies (J≈75, BELOW jaccard_pairs's
+    80 bar) must surface with containment ≈ 100 — the case the
+    symmetric op structurally misses. Returns (a, b, containment_pct).
+    """
+    return dd.containment_pairs(_docs_with_planted_prefix_copies(sf_dir))
+
+
+def containment_docs_sql(threshold_pct: int = 90) -> str:
+    toks = "regexp_extract_all(lower(text), '[\\pL\\pN_]+')"
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CONT_OFF},
+         array_to_string(
+           string_split(text, ' ')[1:({CONT_KEEP_NUM} * len(string_split(text, ' '))
+                                      + {CONT_KEEP_DEN} - 1) // {CONT_KEEP_DEN}],
+           ' ')
+  FROM documents WHERE doc_id % {CONT_MOD} = 4
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len({toks}) < 3
+      THEN [array_to_string({toks}, ' ')]
+      ELSE list_transform(range(1, len({toks}) - 1),
+             i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])
+    END) AS shingles
+  FROM all_docs
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         least(len(a.shingles), len(b.shingles)) AS mn
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+)
+SELECT a, b,
+       CAST(floor(100.0 * inter / mn + 0.5) AS BIGINT) AS containment_pct
+FROM pairs
+WHERE mn > 0 AND floor(100.0 * inter / mn + 0.5) >= {threshold_pct}"""

@@ -1185,18 +1185,103 @@ def jaccard_pairs(ds: rd.Dataset, text_col: str = "text",
 
     Returns (a, b, jaccard_pct) with a < b, integer half-up percent.
     """
+    with_ab = _candidate_shingle_pairs(ds, text_col, id_col, shingle_k,
+                                       num_perm, bands)
+    if with_ab is None:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard_pct": pa.array([], pa.int64())}))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_o, b_o, j_o = [], [], []
+        for a, b_, sa, sb in zip(batch["a"].to_pylist(),
+                                 batch["b"].to_pylist(),
+                                 batch["sh_a"].to_pylist(),
+                                 batch["sh_b"].to_pylist()):
+            if sa is None or sb is None:
+                continue
+            va = np.asarray(sa, dtype=np.uint64)
+            vb = np.asarray(sb, dtype=np.uint64)
+            inter = len(np.intersect1d(va, vb, assume_unique=True))
+            union = len(va) + len(vb) - inter
+            # half-up rounding matches the SQL oracle's floor(x + 0.5)
+            jac = int(100 * inter / union + 0.5) if union else 0
+            if jac >= threshold_pct:
+                a_o.append(a)
+                b_o.append(b_)
+                j_o.append(jac)
+        return pa.table({"a": pa.array(a_o, pa.int64()),
+                         "b": pa.array(b_o, pa.int64()),
+                         "jaccard_pct": pa.array(j_o, pa.int64())})
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def containment_pairs(ds: rd.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id", threshold_pct: int = 90,
+                      shingle_k: int = 3, num_perm: int = 64,
+                      bands: int = 32) -> rd.Dataset:
+    """Near-SUPERSET pairs by EXACT shingle CONTAINMENT — Broder's
+    asymmetric resemblance statistic (|A∩B| / min(|A|,|B|)): the quote
+    / truncated-re-crawl / page-embeds-page detector that symmetric
+    Jaccard misses (a 75%-prefix copy has containment 100 but Jaccard
+    ~75, under ``jaccard_pairs``'s bar). Same two-pass machinery
+    (shared `_candidate_shingle_pairs`), tuned for the LOWER implied
+    Jaccard of containment pairs: default banding is r=2 rows × 32
+    bands, so a J≈0.75 pair is a candidate with P(miss) =
+    (1−J²)^32 ≈ 3e-12 — effectively deterministic recall down to
+    J≈0.5 (the docstring bound a caller tuning thresholds should
+    check). Returns (a, b, containment_pct), a < b, half-up percent.
+    """
+    with_ab = _candidate_shingle_pairs(ds, text_col, id_col, shingle_k,
+                                       num_perm, bands)
+    if with_ab is None:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "containment_pct": pa.array([], pa.int64())}))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_o, b_o, c_o = [], [], []
+        for a, b_, sa, sb in zip(batch["a"].to_pylist(),
+                                 batch["b"].to_pylist(),
+                                 batch["sh_a"].to_pylist(),
+                                 batch["sh_b"].to_pylist()):
+            if sa is None or sb is None:
+                continue
+            va = np.asarray(sa, dtype=np.uint64)
+            vb = np.asarray(sb, dtype=np.uint64)
+            inter = len(np.intersect1d(va, vb, assume_unique=True))
+            mn = min(len(va), len(vb))
+            cont = int(100 * inter / mn + 0.5) if mn else 0
+            if cont >= threshold_pct:
+                a_o.append(a)
+                b_o.append(b_)
+                c_o.append(cont)
+        return pa.table({"a": pa.array(a_o, pa.int64()),
+                         "b": pa.array(b_o, pa.int64()),
+                         "containment_pct": pa.array(c_o, pa.int64())})
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def _candidate_shingle_pairs(ds: rd.Dataset, text_col: str, id_col: str,
+                             shingle_k: int, num_perm: int,
+                             bands: int) -> "rd.Dataset | None":
+    """Shared pass-1/pass-2 body of ``jaccard_pairs`` /
+    ``containment_pairs``: LSH candidate pairs with both shingle sets
+    attached via the distributed sig-join pattern. Returns the
+    (a, b, sh_a, sh_b) dataset, or None when there are no candidates
+    (an empty materialized dataset loses its schema, which the joins
+    cannot consume)."""
     from .joins import hash_join
 
-    empty = pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64()),
-                      "jaccard_pct": pa.array([], pa.int64())})
     ds = ds.materialize()  # scanned twice (banding, candidate shingles)
     cand = _lsh_candidate_pairs(ds, text_col, id_col,
                                 shingle_k, num_perm, bands)
     if cand.count() == 0:
-        # an empty materialized dataset loses its schema, which the
-        # joins below cannot consume — short-circuit
-        return rd.from_arrow(empty)
+        return None
 
     def pair_ids(t: pa.Table) -> pa.Table:
         ids = pa.concat_arrays([t["a"].combine_chunks().cast(pa.int64()),
@@ -1233,34 +1318,10 @@ def jaccard_pairs(ds: rd.Dataset, text_col: str = "text",
                        shing.map_batches(rename_sh("sh_a"),
                                          batch_format="pyarrow"),
                        "a", id_col, ["b"], ["sh_a"])
-    with_ab = hash_join(with_a,
-                        shing.map_batches(rename_sh("sh_b"),
-                                          batch_format="pyarrow"),
-                        "b", id_col, ["a", "sh_a"], ["sh_b"])
-
-    def verify(batch: pa.Table) -> pa.Table:
-        a_o, b_o, j_o = [], [], []
-        for a, b_, sa, sb in zip(batch["a"].to_pylist(),
-                                 batch["b"].to_pylist(),
-                                 batch["sh_a"].to_pylist(),
-                                 batch["sh_b"].to_pylist()):
-            if sa is None or sb is None:
-                continue
-            va = np.asarray(sa, dtype=np.uint64)
-            vb = np.asarray(sb, dtype=np.uint64)
-            inter = len(np.intersect1d(va, vb, assume_unique=True))
-            union = len(va) + len(vb) - inter
-            # half-up rounding matches the SQL oracle's floor(x + 0.5)
-            jac = int(100 * inter / union + 0.5) if union else 0
-            if jac >= threshold_pct:
-                a_o.append(a)
-                b_o.append(b_)
-                j_o.append(jac)
-        return pa.table({"a": pa.array(a_o, pa.int64()),
-                         "b": pa.array(b_o, pa.int64()),
-                         "jaccard_pct": pa.array(j_o, pa.int64())})
-
-    return with_ab.map_batches(verify, batch_format="pyarrow")
+    return hash_join(with_a,
+                     shing.map_batches(rename_sh("sh_b"),
+                                       batch_format="pyarrow"),
+                     "b", id_col, ["a", "sh_a"], ["sh_b"])
 
 
 # ---------------------------------------------------------------------------

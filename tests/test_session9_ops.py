@@ -737,3 +737,47 @@ def test_doc_length_gini_semantics(ray_session):
     assert int(out.gini_ppm[0]) == want
     assert 0 <= want < (1 << 20)
     assert int(out.n_docs[0]) == n and int(out.sum_chars[0]) == tot
+
+
+# ---------------------------------------------------------------------------
+# containment_docs
+
+
+def test_containment_docs_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (containment_docs,
+                                                        containment_docs_sql)
+    from tests.oracle_check import compare
+
+    assert compare("containment_docs", containment_docs(SF_SMOKE),
+                   containment_docs_sql(), SF_SMOKE) == []
+
+
+def test_containment_catches_what_jaccard_misses(ray_session):
+    """Every planted prefix copy surfaces as a containment-100 pair
+    with its source, while the symmetric jaccard-80 op does NOT flag
+    those pairs (the asymmetric statistic's reason to exist)."""
+    import duckdb as dk
+
+    from pdf_extraction_ray.pipelines.analytics import (
+        CONT_MOD, CONT_OFF, _docs_with_planted_prefix_copies,
+        containment_docs)
+    from pdf_extraction_ray.stages.dedup import jaccard_pairs
+
+    out = containment_docs(SF_SMOKE).to_pandas()
+    con = dk.connect()
+    planted = [int(r[0]) for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE doc_id % {CONT_MOD} = 4 AND length(text) > 200"
+    ).fetchall()]
+    con.close()
+    got_pairs = set(zip(out.a, out.b))
+    for d in planted:
+        assert (d, d + CONT_OFF) in got_pairs
+        row = out[(out.a == d) & (out.b == d + CONT_OFF)]
+        assert int(row.containment_pct.iloc[0]) == 100
+    jac = jaccard_pairs(_docs_with_planted_prefix_copies(SF_SMOKE),
+                        threshold_pct=80).to_pandas()
+    jac_pairs = set(zip(jac.a, jac.b))
+    missed = [d for d in planted if (d, d + CONT_OFF) not in jac_pairs]
+    # most planted ¾-prefix copies sit below the Jaccard-80 bar
+    assert len(missed) > len(planted) * 0.5
