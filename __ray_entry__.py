@@ -91,10 +91,13 @@ def q_extract_point_lookup(sf_dir: str) -> rd.Dataset:
     sel = tbl[tbl.doc_id % POINT_LOOKUP_MOD == 2]
     urls = [spec.url_of(int(d), str(s))
             for d, s in zip(sel.doc_id, sel.source)]
+    # cfg=None: resolve the bucket count from the checkpoint's own
+    # _run.json (an explicit cfg would WIN in _output_n_buckets and
+    # defeat the stale-config protection — review finding)
     return extraction.point_lookup(
         _extracted_out_dir(sf_dir), urls,
         columns=["url", "status", "quality_pct", "n_chars",
-                 "extracted_text"], cfg=_CFG)
+                 "extracted_text"])
 
 
 def q_extract_routing_stats(sf_dir: str) -> rd.Dataset:

@@ -9304,8 +9304,16 @@ def hll_segment_overlap(sf_dir: str, type_a: str = HLL_SEG_A,
 
     def finish(t: pa.Table) -> pa.Table:
         by = dict(zip(t["seg"].to_pylist(), t["regs"].to_pylist()))
-        ra = np.frombuffer(by.get("a", bytes(m)), dtype=np.uint8)
-        rb = np.frombuffer(by.get("b", bytes(m)), dtype=np.uint8)
+        missing = {"a", "b"} - set(by)
+        if missing:
+            # the SQL oracle's scalar subqueries would return NULL for
+            # an absent segment while zero registers estimate 0 — fail
+            # loudly instead of diverging (review finding)
+            raise ValueError(
+                f"segment(s) {sorted(missing)} have no events "
+                f"({type_a!r}/{type_b!r})")
+        ra = np.frombuffer(by["a"], dtype=np.uint8)
+        rb = np.frombuffer(by["b"], dtype=np.uint8)
         ru = np.maximum(ra, rb)
         ea, eb, eu = hll_estimate(ra), hll_estimate(rb), hll_estimate(ru)
         return pa.table({
@@ -9576,9 +9584,22 @@ def zonemap_range_stats(sf_dir: str, zone_width: int = 8) -> rd.Dataset:
                          "event_type": t["event_type"],
                          "cents": pa.array(cents, pa.int64())})
 
-    proj = ev.map_batches(project, batch_format="pyarrow")
     store, (qlo, qhi) = zonemap_plan_probe(sf_dir, zone_width)
-    write_zonemapped(proj, "day", store, zone_width)
+    if not os.path.exists(os.path.join(store, "_zones.json")):
+        # the store is digest-keyed, so an existing manifest IS the
+        # data — reuse it (the _extracted convention; every call used
+        # to rewrite the store and re-scan events — review finding).
+        # Build privately, publish with one atomic rename; a losing
+        # concurrent builder discards its copy instead of rmtree-ing
+        # files a reader may hold open.
+        proj = ev.map_batches(project, batch_format="pyarrow")
+        build = f"{store}.build-{os.getpid()}"
+        write_zonemapped(proj, "day", build, zone_width)
+        try:
+            os.rename(build, store)
+        except OSError:
+            import shutil
+            shutil.rmtree(build, ignore_errors=True)
 
     def fold(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
@@ -9703,7 +9724,11 @@ def global_sort_docs(sf_dir: str, num_partitions: int = 16,
     def pack(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
         nc = t["n_chars"].to_numpy()
-        k = ((1 << 30) - nc.astype(np.int64)) * SHIFT + ids.astype(np.int64)
+        # (2^30 - 1 - nc): nc == 0 must pack to (2^30-1)·2^33 < 2^63
+        # (the off-by-one overflowed an empty doc to the most-negative
+        # key and ranked it FIRST — review finding)
+        k = ((1 << 30) - 1 - nc.astype(np.int64)) * SHIFT \
+            + ids.astype(np.int64)
         return pa.table({"doc_id": pa.array(ids.astype(np.int64),
                                             pa.int64()),
                          "n_chars": pa.array(nc.astype(np.int64),
@@ -10195,12 +10220,12 @@ def _docs_with_planted_prefix_copies(sf_dir: str) -> rd.Dataset:
 
 def containment_docs(sf_dir: str) -> rd.Dataset:
     """Near-superset pairs by exact shingle containment (see
-    stages/dedup.containment_pairs — Broder's asymmetric statistic;
-    r=2×32-band LSH keeps recall effectively deterministic down to
-    J≈0.5). Planted word-prefix copies (J≈75, BELOW jaccard_pairs's
-    80 bar) must surface with containment ≈ 100 — the case the
-    symmetric op structurally misses. Returns (a, b, containment_pct).
-    """
+    stages/dedup.containment_pairs — Broder's asymmetric statistic,
+    with the size-ratio ≤ 3 contract that makes r=1 LSH recall
+    deterministic: P(miss) ≤ 3e-10 at c ≥ 0.9). Planted word-prefix
+    copies (J≈75, BELOW jaccard_pairs's 80 bar; ratio 4/3) must
+    surface with containment ≈ 100 — the case the symmetric op
+    structurally misses. Returns (a, b, containment_pct)."""
     return dd.containment_pairs(_docs_with_planted_prefix_copies(sf_dir))
 
 
@@ -10227,10 +10252,12 @@ WITH all_docs AS (
 ), pairs AS (
   SELECT a.doc_id AS a, b.doc_id AS b,
          len(list_intersect(a.shingles, b.shingles)) AS inter,
-         least(len(a.shingles), len(b.shingles)) AS mn
+         least(len(a.shingles), len(b.shingles)) AS mn,
+         greatest(len(a.shingles), len(b.shingles)) AS mx
   FROM sh a, sh b WHERE a.doc_id < b.doc_id
 )
 SELECT a, b,
        CAST(floor(100.0 * inter / mn + 0.5) AS BIGINT) AS containment_pct
 FROM pairs
-WHERE mn > 0 AND floor(100.0 * inter / mn + 0.5) >= {threshold_pct}"""
+WHERE mn > 0 AND mx <= 3 * mn  -- the operator's size-ratio contract
+  AND floor(100.0 * inter / mn + 0.5) >= {threshold_pct}"""

@@ -727,10 +727,12 @@ def shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> rd.Dataset:
         rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
         keys = kept["l_orderkey"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, rev)  # int64-exact (bincount weights
+        # would round through float64 past 2^53)
         return pa.table({
             "l_orderkey": pa.array(uniq.astype(np.int64), pa.int64()),
-            "r": pa.array(np.bincount(inv, weights=rev).astype(np.int64),
-                          pa.int64())})
+            "r": pa.array(sums, pa.int64())})
 
     # pin: hash_join probes schema() and would re-execute this whole
     # read+combiner+shuffle lineage a second time (its docstring note)
@@ -880,10 +882,11 @@ def local_supplier_volume(sf_dir: str, region: str = Q5_REGION,
         okey = kept["l_orderkey"].to_numpy(zero_copy_only=False)
         packed = okey.astype(np.int64) * 64 + sn[mask]
         uniq, inv = np.unique(packed, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, rev)  # int64-exact
         return pa.table({
             "k": pa.array(uniq.astype(np.int64), pa.int64()),
-            "r": pa.array(np.bincount(inv, weights=rev).astype(np.int64),
-                          pa.int64())})
+            "r": pa.array(sums, pa.int64())})
 
     # pin: hash_join probes schema() and would re-execute this whole
     # read+combiner+shuffle lineage a second time (its docstring note)
@@ -984,10 +987,11 @@ def bucketed_order_revenue(sf_dir: str, num_buckets: int = 32,
         rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
         keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, rev)  # int64-exact
         return pa.table({
             "l_orderkey": pa.array(uniq.astype(np.int64), pa.int64()),
-            "rev": pa.array(np.bincount(inv, weights=rev).astype(np.int64),
-                            pa.int64())})
+            "rev": pa.array(sums, pa.int64())})
 
     items = (_read(sf_dir, "lineitem",
                    ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -1157,10 +1161,11 @@ def large_volume_customers(sf_dir: str,
         qty = np.round(t["l_quantity"].to_numpy()).astype(np.int64)
         keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, qty)  # int64-exact
         return pa.table({
             "l_orderkey": pa.array(uniq.astype(np.int64), pa.int64()),
-            "q": pa.array(np.bincount(inv, weights=qty).astype(np.int64),
-                          pa.int64())})
+            "q": pa.array(sums, pa.int64())})
 
     big = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
            .map_batches(items_partial, batch_format="pyarrow")
@@ -1274,10 +1279,12 @@ def returned_item_report(sf_dir: str, quarter: str = Q10_QUARTER,
         rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
         keys = kept["l_orderkey"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, rev)  # int64-exact (bincount weights
+        # would round through float64 past 2^53)
         return pa.table({
             "l_orderkey": pa.array(uniq.astype(np.int64), pa.int64()),
-            "r": pa.array(np.bincount(inv, weights=rev).astype(np.int64),
-                          pa.int64())})
+            "r": pa.array(sums, pa.int64())})
 
     # pin: hash_join probes schema() and would re-execute this whole
     # read+combiner+shuffle lineage a second time (its docstring note)
@@ -1440,12 +1447,14 @@ def nation_market_share(sf_dir: str, region: str = Q8_REGION,
                           bool, len(sk))
         okey = kept["l_orderkey"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(okey, return_inverse=True)
+        tsum = np.zeros(len(uniq), np.int64)
+        np.add.at(tsum, inv, rev * tgt)  # int64-exact
+        asum = np.zeros(len(uniq), np.int64)
+        np.add.at(asum, inv, rev)
         return pa.table({
             "l_orderkey": pa.array(uniq.astype(np.int64), pa.int64()),
-            "t": pa.array(np.bincount(inv, weights=rev * tgt)
-                          .astype(np.int64), pa.int64()),
-            "a": pa.array(np.bincount(inv, weights=rev).astype(np.int64),
-                          pa.int64())})
+            "t": pa.array(tsum, pa.int64()),
+            "a": pa.array(asum, pa.int64())})
 
     # pin: hash_join probes schema() and would re-execute this whole
     # read+combiner+shuffle lineage a second time (its docstring note)

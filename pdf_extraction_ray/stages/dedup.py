@@ -1187,63 +1187,56 @@ def jaccard_pairs(ds: rd.Dataset, text_col: str = "text",
     """
     with_ab = _candidate_shingle_pairs(ds, text_col, id_col, shingle_k,
                                        num_perm, bands)
-    if with_ab is None:
-        return rd.from_arrow(pa.table({
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64()),
-            "jaccard_pct": pa.array([], pa.int64())}))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        a_o, b_o, j_o = [], [], []
-        for a, b_, sa, sb in zip(batch["a"].to_pylist(),
-                                 batch["b"].to_pylist(),
-                                 batch["sh_a"].to_pylist(),
-                                 batch["sh_b"].to_pylist()):
-            if sa is None or sb is None:
-                continue
-            va = np.asarray(sa, dtype=np.uint64)
-            vb = np.asarray(sb, dtype=np.uint64)
-            inter = len(np.intersect1d(va, vb, assume_unique=True))
-            union = len(va) + len(vb) - inter
-            # half-up rounding matches the SQL oracle's floor(x + 0.5)
-            jac = int(100 * inter / union + 0.5) if union else 0
-            if jac >= threshold_pct:
-                a_o.append(a)
-                b_o.append(b_)
-                j_o.append(jac)
-        return pa.table({"a": pa.array(a_o, pa.int64()),
-                         "b": pa.array(b_o, pa.int64()),
-                         "jaccard_pct": pa.array(j_o, pa.int64())})
-
-    return with_ab.map_batches(verify, batch_format="pyarrow")
+    return _overlap_verify(with_ab, threshold_pct, "jaccard_pct",
+                           "jaccard")
 
 
 def containment_pairs(ds: rd.Dataset, text_col: str = "text",
                       id_col: str = "doc_id", threshold_pct: int = 90,
                       shingle_k: int = 3, num_perm: int = 64,
-                      bands: int = 32) -> rd.Dataset:
+                      bands: int = 64, max_size_ratio: int = 3
+                      ) -> rd.Dataset:
     """Near-SUPERSET pairs by EXACT shingle CONTAINMENT — Broder's
     asymmetric resemblance statistic (|A∩B| / min(|A|,|B|)): the quote
     / truncated-re-crawl / page-embeds-page detector that symmetric
     Jaccard misses (a 75%-prefix copy has containment 100 but Jaccard
-    ~75, under ``jaccard_pairs``'s bar). Same two-pass machinery
-    (shared `_candidate_shingle_pairs`), tuned for the LOWER implied
-    Jaccard of containment pairs: default banding is r=2 rows × 32
-    bands, so a J≈0.75 pair is a candidate with P(miss) =
-    (1−J²)^32 ≈ 3e-12 — effectively deterministic recall down to
-    J≈0.5 (the docstring bound a caller tuning thresholds should
-    check). Returns (a, b, containment_pct), a < b, half-up percent.
+    ~75, under ``jaccard_pairs``'s bar).
+
+    The operator's CONTRACT is containment ≥ threshold with shingle
+    size ratio ≤ ``max_size_ratio`` — the ratio bound is what makes
+    MinHash candidate recall deterministic (a contained pair with
+    c ≥ 0.9, ratio ≤ 3 has J ≥ 0.9/3.1 ≈ 0.29, and the default r=1 ×
+    64-band LSH misses it with P = (1−J)^64 ≤ 3e-10); WITHOUT the
+    bound, a tiny doc swallowed by a huge one has arbitrarily low
+    Jaccard and LSH-on-Jaccard structurally cannot promise recall
+    (review finding — the published fix is size-partitioned banding,
+    LSH Ensemble, Zhu et al. 2016). r=1 banding trades hot-bucket
+    cost for that recall: any shared minhash value makes a candidate,
+    so boilerplate-heavy corpora should raise r and max_size_ratio
+    together. Returns (a, b, containment_pct), a < b, half-up percent.
     """
     with_ab = _candidate_shingle_pairs(ds, text_col, id_col, shingle_k,
                                        num_perm, bands)
+    return _overlap_verify(with_ab, threshold_pct, "containment_pct",
+                           "containment", max_size_ratio=max_size_ratio)
+
+
+def _overlap_verify(with_ab, threshold_pct: int, out_col: str,
+                    statistic: str,
+                    max_size_ratio: int | None = None) -> rd.Dataset:
+    """Shared exact-verify stage for ``jaccard_pairs`` /
+    ``containment_pairs``: per pair, intersect the attached shingle
+    sets and score with the requested statistic (union / min
+    denominator), half-up integer percent (matches the SQL oracles'
+    floor(x + 0.5)). ``with_ab`` None (no candidates) → typed empty."""
     if with_ab is None:
         return rd.from_arrow(pa.table({
             "a": pa.array([], pa.int64()),
             "b": pa.array([], pa.int64()),
-            "containment_pct": pa.array([], pa.int64())}))
+            out_col: pa.array([], pa.int64())}))
 
     def verify(batch: pa.Table) -> pa.Table:
-        a_o, b_o, c_o = [], [], []
+        a_o, b_o, s_o = [], [], []
         for a, b_, sa, sb in zip(batch["a"].to_pylist(),
                                  batch["b"].to_pylist(),
                                  batch["sh_a"].to_pylist(),
@@ -1253,15 +1246,22 @@ def containment_pairs(ds: rd.Dataset, text_col: str = "text",
             va = np.asarray(sa, dtype=np.uint64)
             vb = np.asarray(sb, dtype=np.uint64)
             inter = len(np.intersect1d(va, vb, assume_unique=True))
-            mn = min(len(va), len(vb))
-            cont = int(100 * inter / mn + 0.5) if mn else 0
-            if cont >= threshold_pct:
+            mn, mx = min(len(va), len(vb)), max(len(va), len(vb))
+            if statistic == "jaccard":
+                denom = mn + mx - inter
+            else:
+                denom = mn
+                if max_size_ratio is not None \
+                        and mx > max_size_ratio * mn:
+                    continue  # outside the guaranteed-recall contract
+            pct = int(100 * inter / denom + 0.5) if denom else 0
+            if pct >= threshold_pct:
                 a_o.append(a)
                 b_o.append(b_)
-                c_o.append(cont)
+                s_o.append(pct)
         return pa.table({"a": pa.array(a_o, pa.int64()),
                          "b": pa.array(b_o, pa.int64()),
-                         "containment_pct": pa.array(c_o, pa.int64())})
+                         out_col: pa.array(s_o, pa.int64())})
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
 

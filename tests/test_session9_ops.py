@@ -781,3 +781,85 @@ def test_containment_catches_what_jaccard_misses(ray_session):
     missed = [d for d in planted if (d, d + CONT_OFF) not in jac_pairs]
     # most planted ¾-prefix copies sit below the Jaccard-80 bar
     assert len(missed) > len(planted) * 0.5
+
+
+def test_knn_graph_rank_margins(ray_session):
+    """The rank order the oracle compares rests on float cosine
+    margins (the ann_bruteforce precedent): assert the decisive gaps —
+    between consecutive kept neighbors and across the k-th/(k+1)-th
+    boundary — dwarf cross-engine float noise (~1e-15), so the two
+    engines cannot disagree on this corpus."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(SF_SMOKE + "/embeddings.parquet")
+    emb = np.asarray(t["embedding"].to_pylist(), np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = emb @ emb.T
+    np.fill_diagonal(sims, -np.inf)
+    top = -np.sort(-sims, axis=1)[:, :4]
+    gaps = np.diff(-top, axis=1)  # consecutive sim gaps incl. k/k+1
+    min_gap = float(gaps[gaps > 0].min())
+    assert min_gap > 1e-9  # >> 1e-15 cross-engine noise
+
+
+def test_hll_segment_overlap_missing_segment_raises(ray_session):
+    """An absent segment must fail loudly (the SQL oracle would return
+    NULL while zero registers estimate 0 — silent divergence)."""
+    import pytest
+
+    from pdf_extraction_ray.pipelines.analytics import hll_segment_overlap
+
+    # Ray wraps task exceptions (RayTaskError/UserCodeException) — match
+    # on the message, not the concrete type
+    with pytest.raises(Exception, match="no events"):
+        hll_segment_overlap(SF_SMOKE, type_a="no_such_type").materialize()
+
+
+def test_zonemap_store_reused(ray_session):
+    """A second zonemap_range_stats call reuses the digest-keyed store
+    (same manifest mtime) instead of rewriting it."""
+    import os
+
+    from pdf_extraction_ray.pipelines.analytics import (zonemap_plan_probe,
+                                                        zonemap_range_stats)
+
+    zonemap_range_stats(SF_SMOKE).materialize()
+    store, _ = zonemap_plan_probe(SF_SMOKE)
+    m1 = os.path.getmtime(os.path.join(store, "_zones.json"))
+    zonemap_range_stats(SF_SMOKE).materialize()
+    assert os.path.getmtime(os.path.join(store, "_zones.json")) == m1
+
+
+def test_global_sort_zero_length_doc(ray_session):
+    """n_chars = 0 is inside the packed-key domain: the empty doc must
+    rank LAST, not wrap to the most-negative key and rank first."""
+    import pyarrow as pa
+
+    # replay the pack expression at the boundary
+    SHIFT = 1 << 33
+    nc = np.array([0, 5, (1 << 30) - 1], np.int64)
+    ids = np.array([7, 3, 1], np.int64)
+    k = ((1 << 30) - 1 - nc) * SHIFT + ids
+    assert (k > 0).all()          # no overflow anywhere in the domain
+    assert k[0] > k[1] > k[2]     # longer docs sort first (smaller k)
+
+
+def test_containment_size_ratio_contract(ray_session):
+    """A containment-100 pair OUTSIDE the size-ratio contract is
+    excluded by both engines (the op's guaranteed-recall domain)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.stages.dedup import containment_pairs
+
+    words = [f"w{i}" for i in range(400)]
+    big = " ".join(words)
+    small = " ".join(words[:40])       # ratio ~10 — outside contract
+    mid = " ".join(words[:300])        # ratio ~4/3 — inside
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([big, small, mid], pa.string())}))
+    out = containment_pairs(ds).to_pandas()
+    pairs = set(zip(out.a, out.b))
+    assert (1, 3) in pairs            # in-ratio containment found
+    assert (1, 2) not in pairs        # out-of-ratio pair excluded
