@@ -825,6 +825,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-superset detection by exact shingle CONTAINMENT
         # (Broder's asymmetric statistic; r=2 banding for deep recall)
         "containment_docs": _tuned(analytics.containment_docs),
+        # 2:1 integer PCM downsample (actor-pool decode; shift-exact
+        # pair mean replays closed-form from the sample law)
+        "audio_resample": _tuned(analytics.audio_resample),
     }
 
 
@@ -925,6 +928,7 @@ AWAITING_SLOT = (
     "knn_graph",
     "doc_length_gini",
     "containment_docs",
+    "audio_resample",
 )
 
 
@@ -1099,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": analytics.knn_graph_sql(),
         "doc_length_gini": analytics.doc_length_gini_sql(),
         "containment_docs": analytics.containment_docs_sql(),
+        "audio_resample": analytics.audio_resample_sql(),
         "extract_point_lookup": oracle.base_cte() + f"""
 SELECT url, status, quality_pct, n_chars, extracted_text
 FROM expected

@@ -10261,3 +10261,56 @@ SELECT a, b,
 FROM pairs
 WHERE mn > 0 AND mx <= 3 * mn  -- the operator's size-ratio contract
   AND floor(100.0 * inter / mn + 0.5) >= {threshold_pct}"""
+
+
+def audio_resample(sf_dir: str) -> rd.Dataset:
+    """2:1 integer PCM downsample over the planted-WAV corpus (the
+    preprocessing step speech pipelines run before feature extraction;
+    stages/multimodal.AudioResampler — actor-pool decode, exact
+    shift-mean integers so the whole resample replays closed-form in
+    SQL from the sample law). Returns
+    (doc_id, rate_out, n_out, mean_abs_out, checksum, decoded)."""
+    from ..sources.gen_media import build_wav
+    from ..stages import multimodal as mm
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"media://wav/{d}" for d in ids], pa.string()),
+            "html": pa.array([build_wav(d) for d in ids],
+                             pa.large_binary()),
+        })
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(to_media,
+                                                  batch_format="pyarrow")
+    out = mm.audio_resample(media, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1]) for u in batch["url"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "rate_out": batch["rate_out"],
+            "n_out": batch["n_out"],
+            "mean_abs_out": batch["mean_abs_out"],
+            "checksum": batch["checksum"],
+            "decoded": batch["decoded"],
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def audio_resample_sql() -> str:
+    n = "(400 + doc_id % 800)"
+    s = (lambda i: f"((doc_id * 37 + 11 * ({i})) % 65536 - 32768)")
+    pair = (f"(({s('2*j')}) + ({s('2*j+1')}) + 131072) // 2 - 65536")
+    return f"""
+SELECT doc_id,
+  CAST(4000 AS BIGINT) AS rate_out,
+  CAST({n} // 2 AS BIGINT) AS n_out,
+  CAST(list_sum(list_transform(range(0, {n} // 2),
+                               j -> abs({pair})))
+       // ({n} // 2) AS BIGINT) AS mean_abs_out,
+  CAST(list_sum(list_transform(range(0, {n} // 2), j -> {pair}))
+       AS BIGINT) AS checksum,
+  TRUE AS decoded
+FROM documents"""

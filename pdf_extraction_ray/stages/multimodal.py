@@ -493,3 +493,58 @@ class VideoFrameSampler:
             "height": pa.array(hs, pa.int64()),
             "mean_pixel": pa.array(means, pa.int64()),
         })
+
+
+class AudioResampler:
+    """Actor-pool stage: 2:1 PCM downsample (pair mean) — the cheapest
+    real resampler (8 kHz → 4 kHz), exact integers end to end: out_j =
+    (s_{2j} + s_{2j+1} + 131072) // 2 − 65536 (the +2^17 shift makes
+    the sum non-negative BEFORE the floor division, so numpy, Python
+    and SQL `//` agree on negative samples — truncation vs floor). A
+    trailing unpaired sample drops (n_out = n // 2). Emits summary
+    rows (the payload-out variant would write WAVs back through the
+    content-addressed sink); undecodable payloads report decoded=False.
+    """
+
+    def __init__(self, media_col: str = "html"):
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rows = []
+        col = batch[self.media_col]
+        for i in range(len(batch)):
+            payload = col[i].as_py() or b""
+            wav = decode_wav(payload)
+            if wav is not None and wav["channels"] == 1 \
+                    and len(wav["samples"]) >= 2:
+                s = wav["samples"].astype(np.int64)
+                n_out = len(s) // 2
+                pair = s[:2 * n_out].reshape(n_out, 2)
+                out = (pair[:, 0] + pair[:, 1] + 131072) // 2 - 65536
+                rows.append({
+                    "url": batch["url"][i].as_py(),
+                    "rate_out": wav["sample_rate"] // 2,
+                    "n_out": int(n_out),
+                    "mean_abs_out": int(np.abs(out).sum() // n_out),
+                    "checksum": int(out.sum()),
+                    "decoded": True})
+            else:
+                rows.append({"url": batch["url"][i].as_py(),
+                             "rate_out": 0, "n_out": 0,
+                             "mean_abs_out": -1, "checksum": 0,
+                             "decoded": False})
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("url", pa.string()), ("rate_out", pa.int64()),
+            ("n_out", pa.int64()), ("mean_abs_out", pa.int64()),
+            ("checksum", pa.int64()), ("decoded", pa.bool_())]))
+
+
+def audio_resample(ds, media_col: str = "html", batch_size: int = 64,
+                   concurrency: int = 4):
+    """Actor-pool wrapper (the audio_features convention): decode +
+    2:1 integer downsample per payload, summary rows out."""
+    return ds.map_batches(AudioResampler(media_col),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

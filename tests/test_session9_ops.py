@@ -863,3 +863,46 @@ def test_containment_size_ratio_contract(ray_session):
     pairs = set(zip(out.a, out.b))
     assert (1, 3) in pairs            # in-ratio containment found
     assert (1, 2) not in pairs        # out-of-ratio pair excluded
+
+
+# ---------------------------------------------------------------------------
+# audio_resample
+
+
+def test_audio_resample_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (audio_resample,
+                                                        audio_resample_sql)
+    from tests.oracle_check import compare
+
+    assert compare("audio_resample", audio_resample(SF_SMOKE),
+                   audio_resample_sql(), SF_SMOKE) == []
+
+
+def test_audio_resample_semantics(ray_session):
+    """The resampled stream replays from the decoded samples (pair
+    shift-mean, trailing odd sample dropped), incl. negative-sample
+    floor behavior; undecodable payloads report decoded=False."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.sources.gen_media import build_wav, wav_params
+    from pdf_extraction_ray.stages.multimodal import (audio_resample,
+                                                      decode_wav)
+
+    d = 123
+    wav = decode_wav(build_wav(d))
+    s = wav["samples"].astype(np.int64)
+    n_out = len(s) // 2
+    out = (s[:2 * n_out].reshape(n_out, 2).sum(axis=1) + 131072) // 2 \
+        - 65536
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["media://wav/123", "media://bad/1"], pa.string()),
+        "html": pa.array([build_wav(d), b"not a wav"], pa.large_binary())}))
+    got = audio_resample(ds).to_pandas().set_index("url")
+    r = got.loc["media://wav/123"]
+    assert int(r.n_out) == n_out
+    assert int(r.checksum) == int(out.sum())
+    assert int(r.mean_abs_out) == int(np.abs(out).sum() // n_out)
+    assert not bool(got.loc["media://bad/1"].decoded)
+    # negative pair means floor identically under the +2^17 shift
+    assert ((np.array([-5, -4]) .sum() + 131072) // 2 - 65536) == -5
