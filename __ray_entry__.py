@@ -828,6 +828,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 2:1 integer PCM downsample (actor-pool decode; shift-exact
         # pair mean replays closed-form from the sample law)
         "audio_resample": _tuned(analytics.audio_resample),
+        # sweep-line interval counting: daily open-order backlog via
+        # difference-array deltas + O(span) driver running sum
+        "open_orders_daily": _tuned(relational.open_orders_daily),
+        # index takedown: tombstone delete (serving stops immediately,
+        # stats adjust) == from-scratch index of the filtered corpus
+        "bm25_after_delete": _tuned(analytics.bm25_after_delete),
     }
 
 
@@ -929,6 +935,8 @@ AWAITING_SLOT = (
     "doc_length_gini",
     "containment_docs",
     "audio_resample",
+    "open_orders_daily",
+    "bm25_after_delete",
 )
 
 
@@ -1104,6 +1112,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_gini": analytics.doc_length_gini_sql(),
         "containment_docs": analytics.containment_docs_sql(),
         "audio_resample": analytics.audio_resample_sql(),
+        "open_orders_daily": relational.open_orders_daily_sql(),
+        "bm25_after_delete": analytics.bm25_after_delete_sql(),
         "extract_point_lookup": oracle.base_cte() + f"""
 SELECT url, status, quality_pct, n_chars, extracted_text
 FROM expected

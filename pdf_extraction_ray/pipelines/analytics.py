@@ -5541,10 +5541,10 @@ def bm25_topk_indexed(sf_dir: str) -> rd.Dataset:
     return ti.bm25_topk_indexed(index_dir, BM25_QUERIES, BM25_TOPK)
 
 
-def bm25_topk_sql() -> str:
+def bm25_topk_sql(src: str = "documents") -> str:
     return f"""
 WITH q AS ({_bm25_queries_values_sql()}),
-w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
 tc AS (
   SELECT doc_id, word, count(*) AS tf
   FROM (SELECT doc_id, unnest(w) AS word FROM w)
@@ -10314,3 +10314,47 @@ SELECT doc_id,
        AS BIGINT) AS checksum,
   TRUE AS decoded
 FROM documents"""
+
+
+BM25_DELETE_MOD = 61  # takedown class: docs with doc_id % 61 == 0
+
+
+def bm25_after_delete(sf_dir: str) -> rd.Dataset:
+    """Index takedown end-to-end: a COPY of the persisted BM25 index
+    gets a tombstone delete (`stages/textindex.delete_from_index`) for
+    the doc_id % 61 == 0 class, then serves the standard query set —
+    deleted docs must vanish from results AND stop distorting the
+    collection statistics (df/idf/avgdl shift as if the docs never
+    indexed). The oracle is the scan-path BM25 SQL over the filtered
+    corpus — proving tombstone serving equals a from-scratch index of
+    the post-takedown corpus. Probes filter map-side against the
+    broadcast tombstone set; nothing rewrites until
+    `apply_tombstones` folds them physically (tested separately)."""
+    import shutil
+    import tempfile
+
+    from ..sources.corpus import _input_digest
+    from ..stages import textindex as ti
+
+    base = os.path.join(tempfile.gettempdir(), "pdf_extraction_ray",
+                        "textindex",
+                        f"{os.path.basename(sf_dir)}-{_input_digest(sf_dir)}")
+    ti.ensure_inverted_index(_docs(sf_dir, ["doc_id", "text"]), base,
+                             stamp_ds=_docs(sf_dir, ["doc_id"]))
+    # work on a copy: the shared digest-keyed index must stay pristine
+    # for bm25_topk_indexed / search jobs
+    work = base + "-takedown"
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    shutil.copytree(base, work)
+
+    ids = _docs(sf_dir, ["doc_id"]).to_pandas()
+    banned = [int(i) for i in ids.doc_id if int(i) % BM25_DELETE_MOD == 0]
+    ti.delete_from_index(work, banned)
+    return ti.bm25_topk_indexed(work, BM25_QUERIES, BM25_TOPK)
+
+
+def bm25_after_delete_sql() -> str:
+    return bm25_topk_sql(
+        src=f"(SELECT doc_id, text FROM documents "
+            f"WHERE doc_id % {BM25_DELETE_MOD} != 0)")

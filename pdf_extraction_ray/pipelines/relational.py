@@ -1514,3 +1514,124 @@ SELECT CAST(o_year AS BIGINT) AS o_year,
        CAST(sum(CASE WHEN is_tgt THEN rev ELSE 0 END) * 1048576
             // sum(rev) AS BIGINT) AS share_ppm
 FROM f GROUP BY o_year"""
+
+
+# ---------------------------------------------------------------------------
+# open_orders_daily — sweep-line interval counting (session 9)
+# ---------------------------------------------------------------------------
+
+
+def open_orders_daily(sf_dir: str) -> rd.Dataset:
+    """Operational backlog curve — for every day, how many orders are
+    OPEN (placed, not yet fully shipped): the interval-stabbing count
+    behind concurrency / WIP / occupancy dashboards, computed as a
+    SWEEP LINE instead of a day × order join:
+
+      lineitem → per-block (orderkey, max ship day) combiner → ONE
+        groupby(orderkey) Max (ids+ints only)
+      ONE hash_join attaches the order date; each order emits TWO
+        delta rows (+1 at start, −1 at end+1) — the difference array
+      a ≤|days|-row groupby folds deltas per day, and the running sum
+        over the zero-filled day spine runs on the driver (O(span)
+        rows — ~2.5k days here; the wau_daily spine convention).
+
+    An order with no line items never opens (inner semantics — the
+    oracle joins the same way), and an INVERTED interval (max ship day
+    before the order day — this synthetic corpus has ~20% of them)
+    counts as open on NO day, exactly like the oracle's BETWEEN: its
+    deltas must not emit (a naive ±1 pair would subtract 1 from every
+    day between them), though it still widens the day spine. Returns
+    (day, n_open)."""
+    from ..stages.joins import hash_join
+
+    def items_partial(t: pa.Table) -> pa.Table:
+        day = (t["l_shipdate"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // _DAY_US)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, day)
+        return pa.table({
+            "l_orderkey": pa.array(uniq.astype(np.int64), pa.int64()),
+            "ed": pa.array(mx, pa.int64())})
+
+    ends = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+            .map_batches(items_partial, batch_format="pyarrow")
+            .groupby("l_orderkey").aggregate(Max("ed", alias_name="ed"))
+            .materialize())  # hash_join schema probe re-executes lineage
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        day = (t["o_orderdate"].combine_chunks().cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // _DAY_US)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "sd": pa.array(day.astype(np.int64), pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate"]).map_batches(
+        orders_f, batch_format="pyarrow")
+    iv = hash_join(ends, orders, "l_orderkey", "o_orderkey",
+                   ["ed"], ["sd"], how="inner").materialize()
+
+    # spine bounds over ALL intervals (inverted ones widen the spine
+    # but contribute no deltas — BETWEEN semantics)
+    def bounds(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        sd = t["sd"].to_numpy(zero_copy_only=False)
+        ed = t["ed"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(sd.min())], pa.int64()),
+                         "hi": pa.array([int(ed.max())], pa.int64())})
+
+    brows = iv.map_batches(bounds, batch_format="pyarrow").to_pandas()
+    if not len(brows):
+        raise ValueError("no order intervals: empty join input")
+    lo, hi = int(brows.lo.min()), int(brows.hi.max())
+
+    def deltas(t: pa.Table) -> pa.Table:
+        sd = t["sd"].to_numpy(zero_copy_only=False)
+        ed = t["ed"].to_numpy(zero_copy_only=False)
+        ok = ed >= sd
+        sd, ed = sd[ok], ed[ok]
+        days = np.concatenate([sd, ed + 1])
+        dd = np.concatenate([np.ones(len(sd), np.int64),
+                             -np.ones(len(ed), np.int64)])
+        uniq, inv = np.unique(days, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, dd)
+        return pa.table({"day": pa.array(uniq.astype(np.int64), pa.int64()),
+                         "d": pa.array(sums, pa.int64())})
+
+    folded = (iv.map_batches(deltas, batch_format="pyarrow")
+              .groupby("day").aggregate(Sum("d", alias_name="d"))
+              .to_pandas().sort_values("day"))  # O(day span) rows
+    days = folded.day.to_numpy(np.int64) if len(folded) else \
+        np.array([], np.int64)
+    dsum = folded.d.to_numpy(np.int64) if len(folded) else \
+        np.array([], np.int64)
+    spine = np.arange(lo, hi + 1, dtype=np.int64)
+    delta_full = np.zeros(len(spine), np.int64)
+    in_range = days <= hi
+    delta_full[days[in_range] - lo] = dsum[in_range]
+    n_open = np.cumsum(delta_full)
+    return rd.from_arrow(pa.table({
+        "day": pa.array(spine, pa.int64()),
+        "n_open": pa.array(n_open, pa.int64())}))
+
+
+def open_orders_daily_sql() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) // {_DAY_US} AS sd FROM orders
+), e AS (
+  SELECT l_orderkey, max(epoch_us(l_shipdate) // {_DAY_US}) AS ed
+  FROM lineitem GROUP BY l_orderkey
+), iv AS (
+  SELECT o.sd, e.ed FROM o JOIN e ON e.l_orderkey = o.o_orderkey
+), spine AS (
+  SELECT unnest(range((SELECT min(sd) FROM iv),
+                      (SELECT max(ed) FROM iv) + 1)) AS day
+)
+SELECT s.day, CAST(count(iv.sd) AS BIGINT) AS n_open
+FROM spine s LEFT JOIN iv ON s.day BETWEEN iv.sd AND iv.ed
+GROUP BY s.day"""

@@ -333,6 +333,11 @@ def bm25_topk_indexed(index_dir: str, queries: dict[int, tuple],
         meta = json.load(f)
     n_docs, total_tokens = meta["n_docs"], meta["total_tokens"]
     num_parts = meta["num_parts"]
+    # tombstones: deleted docs stop serving immediately (rows filtered,
+    # stats adjusted) — compact/apply later makes it physical
+    tomb = _load_tombstones(index_dir)
+    n_docs -= tomb["n"]
+    total_tokens -= tomb["dl_sum"]
 
     qterms = sorted({w for terms in queries.values() for w in terms})
     needed = sorted({stable_hash64(w) % num_parts for w in qterms})
@@ -347,6 +352,15 @@ def bm25_topk_indexed(index_dir: str, queries: dict[int, tuple],
         return rd.from_arrow(empty)
 
     postings = rd.read_parquet(files, columns=["term", id_col, "tf", "dl"])
+    if tomb["n"]:
+        tref = ray.put(tomb["ids"])
+
+        def drop_tomb(b: pa.Table) -> pa.Table:
+            dead = ray.get(tref)
+            keep = [i not in dead for i in b[id_col].to_pylist()]
+            return b.filter(pa.array(keep, pa.bool_()))
+
+        postings = postings.map_batches(drop_tomb, batch_format="pyarrow")
 
     # df per query term: postings are complete per term, so df is a tiny
     # aggregate over the filtered rows (O(|query terms|) driver state)
@@ -456,6 +470,16 @@ def phrase_search_indexed(index_dir: str, phrase: str,
         return rd.from_arrow(empty)
 
     postings = rd.read_parquet(files, columns=["term", id_col, "pos"])
+    tomb = _load_tombstones(index_dir)
+    if tomb["n"]:
+        tref = ray.put(tomb["ids"])
+
+        def drop_tomb(b: pa.Table) -> pa.Table:
+            dead = ray.get(tref)
+            keep = [i not in dead for i in b[id_col].to_pylist()]
+            return b.filter(pa.array(keep, pa.bool_()))
+
+        postings = postings.map_batches(drop_tomb, batch_format="pyarrow")
 
     def starts(batch: pa.Table) -> pa.Table:
         terms = batch["term"].to_pylist()
@@ -490,3 +514,147 @@ def phrase_search_indexed(index_dir: str, phrase: str,
     return (grouped.map_batches(hits_only, batch_format="pyarrow")
             .groupby(id_col).aggregate(Count(alias_name="n_hits"),
                                        Min("s", alias_name="first_tok")))
+
+
+# ---------------------------------------------------------------------------
+# tombstone deletion — the takedown path for the persisted index
+# ---------------------------------------------------------------------------
+
+TOMB_DIR = "_tombstones"
+
+
+def _load_tombstones(index_dir: str) -> dict:
+    """Fold every tombstone file into {ids, n, dl_sum} (empty when
+    none). Tombstone files are tiny (compliance-removal scale) and
+    content-addressed; probes broadcast the id set and adjust the
+    corpus stats by (n, dl_sum) — O(1) driver work per probe."""
+    ids: set = set()
+    dl_sum = 0
+    for f in sorted(glob.glob(os.path.join(index_dir, TOMB_DIR,
+                                           "*.json"))):
+        with open(f) as fh:
+            rec = json.load(fh)
+        for i in rec["ids"]:
+            if i not in ids:
+                ids.add(i)
+        dl_sum += rec["dl_sum"]
+    return {"ids": ids, "n": len(ids), "dl_sum": dl_sum}
+
+
+def delete_from_index(index_dir: str, doc_ids,
+                      id_col: str = "doc_id") -> dict:
+    """Tombstone deletion — the index half of the takedown story
+    (state: a compliance removal must stop SERVING immediately without
+    rewriting a term-partitioned index): the deleted ids land as a
+    content-addressed tombstone file consulted by every probe (rows
+    filtered map-side, corpus stats adjusted by the recorded (n,
+    dl_sum)); ``compact_index`` later applies them PHYSICALLY and
+    folds the meta.
+
+    The per-doc dl (needed to keep BM25's total_tokens honest) is
+    recovered from the index itself with one distributed filtered scan
+    (any posting of a doc carries its dl). Ids already tombstoned or
+    absent from the index are skipped, which makes the call idempotent
+    and double-count-safe. Returns {"n_deleted", "dl_sum", "path"}."""
+    import hashlib
+
+    want = sorted(set(int(i) for i in doc_ids))
+    already = _load_tombstones(index_dir)["ids"]
+    want = [i for i in want if i not in already]
+    if not want:
+        return {"n_deleted": 0, "dl_sum": 0, "path": None}
+    wset = set(want)
+
+    files = sorted(glob.glob(os.path.join(index_dir, "part=*",
+                                          "*.parquet")))
+    dl_by_id: dict[int, int] = {}
+
+    def find_dl(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        dls = batch["dl"].to_pylist()
+        seen: dict[int, int] = {}
+        for i, d in zip(ids, dls):
+            if i in wset and i not in seen:
+                seen[i] = int(d)
+        ks = sorted(seen)
+        return pa.table({id_col: pa.array(ks, pa.int64()),
+                         "dl": pa.array([seen[k] for k in ks],
+                                        pa.int64())})
+
+    for b in (rd.read_parquet(files, columns=[id_col, "dl"])
+              .map_batches(find_dl, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for i, d in zip(b[id_col].to_pylist(), b["dl"].to_pylist()):
+            dl_by_id[int(i)] = int(d)
+
+    present = [i for i in want if i in dl_by_id]
+    if not present:
+        return {"n_deleted": 0, "dl_sum": 0, "path": None}
+    dl_sum = sum(dl_by_id[i] for i in present)
+    rec = {"ids": present, "n": len(present), "dl_sum": dl_sum}
+    tag = hashlib.sha256(",".join(map(str, present)).encode()) \
+        .hexdigest()[:16]
+    tdir = os.path.join(index_dir, TOMB_DIR)
+    os.makedirs(tdir, exist_ok=True)
+    path = os.path.join(tdir, f"del-{tag}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, path)
+    return {"n_deleted": len(present), "dl_sum": dl_sum, "path": path}
+
+
+def apply_tombstones(index_dir: str, id_col: str = "doc_id") -> dict:
+    """Physically remove tombstoned docs' postings: rewrite every
+    partition dropping their rows, fold (n, dl_sum, id xor) out of
+    ``_meta.json``, then delete the tombstone files LAST — a crash
+    before the final step leaves tombstones that re-apply as no-ops
+    (their ids no longer match any posting and dl recovery finds
+    nothing, so the meta never double-folds). Returns
+    {"n_applied", "rows_dropped"}."""
+    import pyarrow.parquet as pq
+
+    tomb = _load_tombstones(index_dir)
+    if not tomb["n"]:
+        return {"n_applied": 0, "rows_dropped": 0}
+    wset = tomb["ids"]
+
+    work = [{"f": f} for f in sorted(glob.glob(
+        os.path.join(index_dir, "part=*", "*.parquet")))]
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        dropped = []
+        for f in batch["f"].to_pylist():
+            t = pq.read_table(f)
+            mask = [i not in wset for i in t[id_col].to_pylist()]
+            kept = t.filter(pa.array(mask, pa.bool_()))
+            if kept.num_rows != t.num_rows:
+                tmp = f + ".tmp"
+                pq.write_table(kept, tmp)
+                os.replace(tmp, f)
+            dropped.append(t.num_rows - kept.num_rows)
+        return pa.table({"n": pa.array(dropped, pa.int64())})
+
+    rows_dropped = 0
+    for b in (rd.from_items(work)
+              .map_batches(rewrite, batch_format="pyarrow", batch_size=4)
+              .iter_batches(batch_format="pyarrow")):
+        rows_dropped += sum(b["n"].to_pylist())
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    fp = meta["id_fp"]
+    for i in wset:
+        fp ^= int(i) & _U64  # id_fp is the xor of raw ids
+    meta = {**meta, "n_docs": meta["n_docs"] - tomb["n"],
+            "total_tokens": meta["total_tokens"] - tomb["dl_sum"],
+            "id_fp": fp}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    for f in sorted(glob.glob(os.path.join(index_dir, TOMB_DIR,
+                                           "*.json"))):
+        os.remove(f)
+    return {"n_applied": tomb["n"], "rows_dropped": rows_dropped}

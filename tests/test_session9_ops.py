@@ -906,3 +906,104 @@ def test_audio_resample_semantics(ray_session):
     assert not bool(got.loc["media://bad/1"].decoded)
     # negative pair means floor identically under the +2^17 shift
     assert ((np.array([-5, -4]) .sum() + 131072) // 2 - 65536) == -5
+
+
+# ---------------------------------------------------------------------------
+# open_orders_daily
+
+
+def test_open_orders_daily_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.relational import (
+        open_orders_daily, open_orders_daily_sql)
+    from tests.oracle_check import compare
+
+    assert compare("open_orders_daily", open_orders_daily(SF_SMOKE),
+                   open_orders_daily_sql(), SF_SMOKE) == []
+
+
+def test_open_orders_daily_semantics(ray_session):
+    """The backlog curve is a contiguous day spine; spot days replay
+    by brute-force interval stabbing; the curve returns to 0 only
+    after the last ship day."""
+    from pdf_extraction_ray.pipelines.relational import open_orders_daily
+
+    out = (open_orders_daily(SF_SMOKE).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    days = out.day.to_numpy()
+    assert (np.diff(days) == 1).all()
+    con = duckdb.connect()
+    iv = con.sql(
+        f"""SELECT epoch_us(o.o_orderdate) // 86400000000 AS sd,
+                   max(epoch_us(l.l_shipdate) // 86400000000) AS ed
+            FROM read_parquet('{SF_SMOKE}/orders.parquet') o
+            JOIN read_parquet('{SF_SMOKE}/lineitem.parquet') l
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate""").df()
+    con.close()
+    for probe in [0, len(out) // 3, len(out) // 2, len(out) - 1]:
+        d = int(days[probe])
+        want = int(((iv.sd <= d) & (iv.ed >= d)).sum())
+        assert int(out.n_open[probe]) == want
+    assert int(out.n_open.iloc[-1]) >= 0
+    assert int(out.n_open.max()) > 0
+
+
+# ---------------------------------------------------------------------------
+# bm25_after_delete (index tombstones)
+
+
+def test_bm25_after_delete_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        bm25_after_delete, bm25_after_delete_sql)
+    from tests.oracle_check import compare
+
+    assert compare("bm25_after_delete", bm25_after_delete(SF_SMOKE),
+                   bm25_after_delete_sql(), SF_SMOKE) == []
+
+
+def test_index_tombstone_lifecycle(ray_session, tmp_path):
+    """delete → probes exclude immediately; re-delete no-ops (no stat
+    double-count); apply_tombstones folds physically and the folded
+    index equals a fresh build of the filtered corpus; the tombstone
+    dir empties LAST."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.stages import textindex as ti
+
+    docs = [(i, f"alpha beta w{i} gamma") for i in range(40)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string())}))
+    idx = str(tmp_path / "idx")
+    ti.build_inverted_index(ds, idx)
+    queries = {1: ("alpha",)}
+
+    before = ti.bm25_topk_indexed(idx, queries, k=40).to_pandas()
+    assert {3, 5} <= set(before.doc_id)
+
+    r1 = ti.delete_from_index(idx, [3, 5])
+    assert r1["n_deleted"] == 2 and r1["dl_sum"] == 8
+    after = ti.bm25_topk_indexed(idx, queries, k=40).to_pandas()
+    assert {3, 5}.isdisjoint(set(after.doc_id))
+    # idempotent: same ids again → no-op (no stat double-count)
+    r2 = ti.delete_from_index(idx, [3, 5])
+    assert r2["n_deleted"] == 0 and r2["path"] is None
+
+    # physical apply == fresh build over the filtered corpus
+    res = ti.apply_tombstones(idx)
+    assert res["n_applied"] == 2 and res["rows_dropped"] > 0
+    assert glob.glob(os.path.join(idx, "_tombstones", "*.json")) == []
+    fresh_dir = str(tmp_path / "fresh")
+    kept = ds.filter(lambda r: r["doc_id"] not in (3, 5))
+    ti.build_inverted_index(kept, fresh_dir)
+    a = ti.bm25_topk_indexed(idx, queries, k=40).to_pandas()
+    b = ti.bm25_topk_indexed(fresh_dir, queries, k=40).to_pandas()
+    key = ["query_id", "doc_id", "score", "rank"]
+    assert a[key].sort_values(key).reset_index(drop=True).equals(
+        b[key].sort_values(key).reset_index(drop=True))
+    # second apply is a no-op
+    assert ti.apply_tombstones(idx) == {"n_applied": 0, "rows_dropped": 0}
