@@ -834,6 +834,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # index takedown: tombstone delete (serving stops immediately,
         # stats adjust) == from-scratch index of the filtered corpus
         "bm25_after_delete": _tuned(analytics.bm25_after_delete),
+        # per-image luminance histogram (real PNG pixel decode in the
+        # actor pool; closed-form pixel-law oracle)
+        "image_histogram": _tuned(analytics.image_histogram),
+        # timed funnel: each step within a 3-day window of the previous
+        # (the windowed variant dashboards report; shared kernel)
+        "event_funnel_timed": _tuned(analytics.event_funnel_timed),
     }
 
 
@@ -937,6 +943,8 @@ AWAITING_SLOT = (
     "audio_resample",
     "open_orders_daily",
     "bm25_after_delete",
+    "image_histogram",
+    "event_funnel_timed",
 )
 
 
@@ -1114,6 +1122,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_resample": analytics.audio_resample_sql(),
         "open_orders_daily": relational.open_orders_daily_sql(),
         "bm25_after_delete": analytics.bm25_after_delete_sql(),
+        "image_histogram": analytics.image_histogram_sql(),
+        "event_funnel_timed": analytics.event_funnel_timed_sql(),
         "extract_point_lookup": oracle.base_cte() + f"""
 SELECT url, status, quality_pct, n_chars, extracted_text
 FROM expected

@@ -3489,13 +3489,19 @@ FUNNEL_STEPS = ("signup", "click", "purchase")
 
 
 def event_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS,
-                 num_partitions: int = 32) -> rd.Dataset:
+                 num_partitions: int = 32,
+                 step_window_us: "int | None" = None) -> rd.Dataset:
     """Ordered-funnel analysis — the classic product-analytics
     operator: per user, the FIRST completion chain (earliest step-1
     event, then the earliest step-2 event strictly after it, then the
     earliest step-3 after that; strictness is lexicographic on
     (ts, event_id) so equal timestamps cannot double-count one event
-    or reorder nondeterministically). Returns one row per user:
+    or reorder nondeterministically). ``step_window_us`` adds the
+    TIMED-funnel constraint (each step within a window of the previous
+    one — the "converted within N days" product metric; greedy
+    first-match stays optimal because the window is anchored on the
+    previous step, so a later candidate is only further outside it).
+    Returns one row per user:
     (user_id, steps_completed, convert_us) with convert_us = step-N
     minus step-1 in microseconds (-1 unless the funnel completed) —
     every value integer, bit-exact vs the row-comparison SQL replica.
@@ -3529,6 +3535,12 @@ def event_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS,
                 after = (ev["ts"] > ev["ts_p"]) | (
                     (ev["ts"] == ev["ts_p"])
                     & (ev["event_id"] > ev["event_id_p"]))
+                if step_window_us is not None:
+                    gap = (ev["ts"].astype("datetime64[us]")
+                           .astype("int64")
+                           - ev["ts_p"].astype("datetime64[us]")
+                           .astype("int64"))
+                    after = after & (gap <= step_window_us)
                 ev = ev[after][["user_id", "ts", "event_id", "ts0"]]
             first = (ev.sort_values(["ts", "event_id"], kind="mergesort")
                      .groupby("user_id", sort=False).head(1))
@@ -3559,7 +3571,11 @@ def event_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS,
             .groupby("_kp").map_groups(funnel, batch_format="pandas"))
 
 
-def event_funnel_sql(steps: tuple = FUNNEL_STEPS) -> str:
+def event_funnel_sql(steps: tuple = FUNNEL_STEPS,
+                     step_window_us: "int | None" = None) -> str:
+    win = ("" if step_window_us is None else
+           f"\n      AND date_diff('microsecond', p.ts, e.ts)"
+           f" <= {step_window_us}")
     parts = []
     for si, step in enumerate(steps):
         if si == 0:
@@ -3573,7 +3589,7 @@ def event_funnel_sql(steps: tuple = FUNNEL_STEPS) -> str:
                               ORDER BY e.ts, e.event_id) AS rn
     FROM events e JOIN s{si} p ON p.user_id = e.user_id
     WHERE e.event_type = '{step}'
-      AND (e.ts > p.ts OR (e.ts = p.ts AND e.event_id > p.event_id))"""
+      AND (e.ts > p.ts OR (e.ts = p.ts AND e.event_id > p.event_id)){win}"""
         parts.append(f"""s{si + 1} AS MATERIALIZED (
   SELECT user_id, ts, event_id FROM (
     {inner}
@@ -10358,3 +10374,69 @@ def bm25_after_delete_sql() -> str:
     return bm25_topk_sql(
         src=f"(SELECT doc_id, text FROM documents "
             f"WHERE doc_id % {BM25_DELETE_MOD} != 0)")
+
+
+def image_histogram(sf_dir: str, bins: int = 16) -> rd.Dataset:
+    """Per-image luminance histogram over the planted-PNG corpus (the
+    exposure/contrast screen CV curation runs; real pixel decode in the
+    actor pool — stages/multimodal.ImageHistogram). Grayscale pixel law
+    (doc_id + 7x + 13y) % 256 replays the bins closed-form in SQL.
+    Returns (doc_id, bin, n_px), non-empty bins only."""
+    from ..sources.gen_media import build_png
+    from ..stages import multimodal as mm
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"media://img/{d}" for d in ids], pa.string()),
+            "html": pa.array([build_png(d) for d in ids],
+                             pa.large_binary()),
+        })
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(to_media,
+                                                  batch_format="pyarrow")
+    out = mm.image_histogram(media, bins=bins)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1]) for u in batch["url"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "bin": batch["bin"],
+            "n_px": batch["n_px"],
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def image_histogram_sql(bins: int = 16) -> str:
+    w, h = "(8 + doc_id % 25)", "(8 + doc_id % 17)"
+    width = 256 // bins
+    px = f"((doc_id + 7 * (i % {w}) + 13 * (i // {w})) % 256)"
+    return f"""
+SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(0, {w} * {h}),
+                               i -> {px} // {width})) AS bin
+  FROM documents
+)
+GROUP BY doc_id, bin"""
+
+
+FUNNEL_WINDOW_US = 3 * 86_400 * 1_000_000  # 3-day per-step conversion cap
+
+
+def event_funnel_timed(sf_dir: str) -> rd.Dataset:
+    """TIMED ordered funnel — "converted within 3 days per step", the
+    windowed variant every funnel dashboard actually reports (untimed
+    funnels over long-lived users converge to 100%): same
+    first-completion chain as `event_funnel`, each step additionally
+    within FUNNEL_WINDOW_US of the previous one (greedy stays optimal —
+    the window anchors on the previous step). Same keyed-window scan;
+    shares the generalized kernel and oracle builder."""
+    return event_funnel(sf_dir, step_window_us=FUNNEL_WINDOW_US)
+
+
+def event_funnel_timed_sql() -> str:
+    return event_funnel_sql(step_window_us=FUNNEL_WINDOW_US)

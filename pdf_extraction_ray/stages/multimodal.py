@@ -548,3 +548,56 @@ def audio_resample(ds, media_col: str = "html", batch_size: int = 64,
     return ds.map_batches(AudioResampler(media_col),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+class ImageHistogram:
+    """Actor-pool stage: luminance histogram per image — the CV
+    preprocessing statistic (exposure/contrast screens, dedup
+    features) computed from REAL decoded pixels (`decode_png`), binned
+    to ``bins`` equal-width buckets over 0..255. RGB images luminance
+    via the integer ITU-R 601 approximation (77R + 150G + 29B) >> 8 —
+    pure integers, SQL-replayable. Emits one (url, bin, n_px) row per
+    NON-EMPTY bin (zero bins are omitted on both engines)."""
+
+    def __init__(self, media_col: str = "html", bins: int = 16):
+        self.media_col = media_col
+        self.bins = bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out_u, out_b, out_n = [], [], []
+        col = batch[self.media_col]
+        width = 256 // self.bins
+        for i in range(len(batch)):
+            payload = col[i].as_py() or b""
+            img = decode_png(payload)
+            if img is None:
+                continue
+            px = np.frombuffer(img["pixels"], np.uint8).astype(np.int64)
+            ch = img["channels"]
+            if ch >= 3:
+                px = px.reshape(-1, ch)
+                lum = (77 * px[:, 0] + 150 * px[:, 1]
+                       + 29 * px[:, 2]) >> 8
+            elif ch == 2:   # gray + alpha: luminance is the gray plane
+                lum = px.reshape(-1, 2)[:, 0]
+            else:
+                lum = px
+            bins_of = lum // width
+            uniq, counts = np.unique(bins_of, return_counts=True)
+            url = batch["url"][i].as_py()
+            out_u.extend([url] * len(uniq))
+            out_b.extend(uniq.tolist())
+            out_n.extend(counts.tolist())
+        return pa.table({"url": pa.array(out_u, pa.string()),
+                         "bin": pa.array(out_b, pa.int64()),
+                         "n_px": pa.array(out_n, pa.int64())})
+
+
+def image_histogram(ds, media_col: str = "html", bins: int = 16,
+                    batch_size: int = 32, concurrency: int = 4):
+    """Actor-pool wrapper (the media_features convention)."""
+    return ds.map_batches(ImageHistogram(media_col, bins),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

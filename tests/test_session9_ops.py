@@ -1007,3 +1007,75 @@ def test_index_tombstone_lifecycle(ray_session, tmp_path):
         b[key].sort_values(key).reset_index(drop=True))
     # second apply is a no-op
     assert ti.apply_tombstones(idx) == {"n_applied": 0, "rows_dropped": 0}
+
+
+# ---------------------------------------------------------------------------
+# image_histogram
+
+
+def test_image_histogram_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (image_histogram,
+                                                        image_histogram_sql)
+    from tests.oracle_check import compare
+
+    assert compare("image_histogram", image_histogram(SF_SMOKE),
+                   image_histogram_sql(), SF_SMOKE) == []
+
+
+def test_image_histogram_semantics(ray_session):
+    """Bins cover every pixel exactly once (Σ n_px = w·h per doc), and
+    an RGB image's luminance path replays the ITU-R 601 integers."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.pipelines.analytics import image_histogram
+    from pdf_extraction_ray.stages.multimodal import (ImageHistogram,
+                                                      decode_png)
+
+    out = image_histogram(SF_SMOKE).to_pandas()
+    tot = out.groupby("doc_id")["n_px"].sum()
+    for d in list(tot.index)[:25]:
+        w, h = 8 + d % 25, 8 + d % 17
+        assert int(tot[d]) == w * h
+    # RGB luminance: synthesize a tiny RGB PNG via the palette builder
+    from pdf_extraction_ray.sources.gen_media import build_png_palette
+    pal = build_png_palette(7)
+    img = decode_png(pal)
+    assert img["channels"] == 3
+    px = np.frombuffer(img["pixels"], np.uint8).astype(np.int64) \
+        .reshape(-1, 3)
+    lum = (77 * px[:, 0] + 150 * px[:, 1] + 29 * px[:, 2]) >> 8
+    want = dict(zip(*np.unique(lum // 16, return_counts=True)))
+    got = ImageHistogram()(pa.table({
+        "url": pa.array(["media://img/7"], pa.string()),
+        "html": pa.array([pal], pa.large_binary())}))
+    gd = dict(zip(got["bin"].to_pylist(), got["n_px"].to_pylist()))
+    assert gd == {int(k): int(v) for k, v in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# event_funnel_timed
+
+
+def test_event_funnel_timed_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        event_funnel_timed, event_funnel_timed_sql)
+    from tests.oracle_check import compare
+
+    assert compare("event_funnel_timed", event_funnel_timed(SF_SMOKE),
+                   event_funnel_timed_sql(), SF_SMOKE) == []
+
+
+def test_event_funnel_timed_vs_untimed(ray_session):
+    """The window can only LOSE conversions (timed steps ≤ untimed per
+    user), and on this corpus it actually does for some users (the
+    constraint is load-bearing, not vacuous)."""
+    from pdf_extraction_ray.pipelines.analytics import (event_funnel,
+                                                        event_funnel_timed)
+
+    t = (event_funnel_timed(SF_SMOKE).to_pandas()
+         .set_index("user_id").sort_index())
+    u = (event_funnel(SF_SMOKE).to_pandas()
+         .set_index("user_id").sort_index())
+    assert (t.steps_completed <= u.steps_completed).all()
+    assert (t.steps_completed < u.steps_completed).any()
