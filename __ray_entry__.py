@@ -100,6 +100,47 @@ def q_extract_point_lookup(sf_dir: str) -> rd.Dataset:
                  "extracted_text"])
 
 
+def q_bucket_skew_report(sf_dir: str) -> rd.Dataset:
+    """Partitioner balance census — rows/chars per url-hash bucket of
+    the checkpointed output, externally verifying the engine's ONE
+    partitioning key itself (the oracle re-derives every url's bucket
+    from sha256 in SQL): a skewed row would mean the url partitioner
+    and the SQL replica disagree, or the layout drifted from the hash.
+    Map-side bucket recompute + ONE ≤n_buckets-row groupby; a pytest
+    pins the computed census against the physical bucket=K/ row
+    counts."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from pdf_extraction_ray.functions.hashing import url_bucket
+
+    nb = _CFG.n_buckets
+
+    def fold(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        b = np.fromiter((url_bucket(u, nb) for u in urls), np.int64,
+                        len(urls))
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, nc)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "s": pa.array(s, pa.int64())})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"bucket": t["bucket"],
+                         "n_docs": t["sum(n)"],
+                         "sum_chars": t["sum(s)"]})
+
+    return (_extracted(sf_dir).select_columns(["url", "n_chars"])
+            .map_batches(fold, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n"), Sum("s"))
+            .map_batches(rename, batch_format="pyarrow"))
+
+
 def q_extract_routing_stats(sf_dir: str) -> rd.Dataset:
     """Routing/batch counters (reference: app/routers/stats.py:116-278,
     app/db/batch_jobs.py:86-183 → SURVEY.md A1/A3/A4)."""
@@ -840,6 +881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # timed funnel: each step within a 3-day window of the previous
         # (the windowed variant dashboards report; shared kernel)
         "event_funnel_timed": _tuned(analytics.event_funnel_timed),
+        # partitioner balance census: rows/chars per url-hash bucket,
+        # the bucket function itself re-derived from sha256 in SQL
+        "bucket_skew_report": _tuned(q_bucket_skew_report),
     }
 
 
@@ -945,6 +989,7 @@ AWAITING_SLOT = (
     "bm25_after_delete",
     "image_histogram",
     "event_funnel_timed",
+    "bucket_skew_report",
 )
 
 
@@ -1124,6 +1169,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_after_delete": analytics.bm25_after_delete_sql(),
         "image_histogram": analytics.image_histogram_sql(),
         "event_funnel_timed": analytics.event_funnel_timed_sql(),
+        "bucket_skew_report": oracle.base_cte() + f"""
+SELECT CAST({analytics._sql_hash64("sha256(url)")} % {_CFG.n_buckets}
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM expected GROUP BY 1""",
         "extract_point_lookup": oracle.base_cte() + f"""
 SELECT url, status, quality_pct, n_chars, extracted_text
 FROM expected

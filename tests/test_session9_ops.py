@@ -1079,3 +1079,39 @@ def test_event_funnel_timed_vs_untimed(ray_session):
          .set_index("user_id").sort_index())
     assert (t.steps_completed <= u.steps_completed).all()
     assert (t.steps_completed < u.steps_completed).any()
+
+
+# ---------------------------------------------------------------------------
+# bucket_skew_report
+
+
+def test_bucket_skew_report_oracle(ray_session):
+    import __ray_entry__ as entrymod
+    from tests.oracle_check import compare
+
+    assert compare("bucket_skew_report",
+                   entrymod.queries()["bucket_skew_report"](SF_SMOKE),
+                   entrymod.oracle_sql()["bucket_skew_report"],
+                   SF_SMOKE) == []
+
+
+def test_bucket_skew_matches_physical_layout(ray_session):
+    """The computed census equals the PHYSICAL bucket=K/ row counts of
+    the checkpointed output — the report describes the real layout,
+    not just the hash function."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    out = (entrymod.queries()["bucket_skew_report"](SF_SMOKE)
+           .to_pandas().set_index("bucket"))
+    entrymod._extracted(SF_SMOKE)
+    out_dir = entrymod._extracted_out_dir(SF_SMOKE)
+    phys = {}
+    for d in glob.glob(out_dir + "/bucket=*"):
+        b = int(d.rsplit("=", 1)[1])
+        phys[b] = sum(pq.read_metadata(f).num_rows
+                      for f in glob.glob(d + "/*.parquet"))
+    assert dict(out.n_docs) == {k: v for k, v in phys.items() if v}
