@@ -3498,10 +3498,12 @@ def event_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS,
     (ts, event_id) so equal timestamps cannot double-count one event
     or reorder nondeterministically). ``step_window_us`` adds the
     TIMED-funnel constraint (each step within a window of the previous
-    one — the "converted within N days" product metric; greedy
-    first-match stays optimal because the window is anchored on the
-    previous step, so a later candidate is only further outside it).
-    Returns one row per user:
+    one). NOTE the semantics: this is the GREEDY first-touch chain
+    with a per-step timeout — the product-analytics convention — NOT
+    the maximal-completion chain: a user whose earliest step-2 event
+    times the funnel out but whose later step-2 would have completed
+    it reports the greedy (lower) depth; max-completion would need a
+    search over candidates per step. Returns one row per user:
     (user_id, steps_completed, convert_us) with convert_us = step-N
     minus step-1 in microseconds (-1 unless the funnel completed) —
     every value integer, bit-exact vs the row-comparison SQL replica.
@@ -9615,7 +9617,16 @@ def zonemap_range_stats(sf_dir: str, zone_width: int = 8) -> rd.Dataset:
             os.rename(build, store)
         except OSError:
             import shutil
-            shutil.rmtree(build, ignore_errors=True)
+
+            if os.path.exists(os.path.join(store, "_zones.json")):
+                # a concurrent builder won the publish — use theirs
+                shutil.rmtree(build, ignore_errors=True)
+            else:
+                # stale manifestless dir (e.g. a crashed pre-reuse-era
+                # build) would wedge every future call — clear and
+                # publish ours (review finding)
+                shutil.rmtree(store, ignore_errors=True)
+                os.rename(build, store)
 
     def fold(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
@@ -10352,6 +10363,9 @@ def bm25_after_delete(sf_dir: str) -> rd.Dataset:
     from ..sources.corpus import _input_digest
     from ..stages import textindex as ti
 
+    import hashlib
+    import json
+
     base = os.path.join(tempfile.gettempdir(), "pdf_extraction_ray",
                         "textindex",
                         f"{os.path.basename(sf_dir)}-{_input_digest(sf_dir)}")
@@ -10360,13 +10374,23 @@ def bm25_after_delete(sf_dir: str) -> rd.Dataset:
     # work on a copy: the shared digest-keyed index must stay pristine
     # for bm25_topk_indexed / search jobs
     work = base + "-takedown"
-    if os.path.exists(work):
-        shutil.rmtree(work)
-    shutil.copytree(base, work)
-
     ids = _docs(sf_dir, ["doc_id"]).to_pandas()
     banned = [int(i) for i in ids.doc_id if int(i) % BM25_DELETE_MOD == 0]
-    ti.delete_from_index(work, banned)
+    with open(os.path.join(base, "_meta.json")) as f:
+        base_fp = json.load(f)["id_fp"]
+    marker = os.path.join(work, ".takedown-" + hashlib.sha256(
+        f"{base_fp}:{','.join(map(str, banned))}".encode())
+        .hexdigest()[:16])
+    if not os.path.exists(marker):
+        # rebuild the copy only when the base or the ban set changed
+        # (a repeat query run reuses the standing takedown copy —
+        # review finding: the full index copy was repaid every call)
+        if os.path.exists(work):
+            shutil.rmtree(work)
+        shutil.copytree(base, work)
+        ti.delete_from_index(work, banned)
+        with open(marker, "w") as f:
+            f.write("")
     return ti.bm25_topk_indexed(work, BM25_QUERIES, BM25_TOPK)
 
 

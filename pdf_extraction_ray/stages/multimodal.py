@@ -557,7 +557,10 @@ class ImageHistogram:
     to ``bins`` equal-width buckets over 0..255. RGB images luminance
     via the integer ITU-R 601 approximation (77R + 150G + 29B) >> 8 —
     pure integers, SQL-replayable. Emits one (url, bin, n_px) row per
-    NON-EMPTY bin (zero bins are omitted on both engines)."""
+    NON-EMPTY bin (zero bins are omitted on both engines); an
+    undecodable payload emits ONE (url, -1, 0) marker row — never a
+    silent drop (the AudioResampler convention; a vanished doc would
+    read as an unexplained missing-rows diff downstream)."""
 
     def __init__(self, media_col: str = "html", bins: int = 16):
         self.media_col = media_col
@@ -573,6 +576,9 @@ class ImageHistogram:
             payload = col[i].as_py() or b""
             img = decode_png(payload)
             if img is None:
+                out_u.append(batch["url"][i].as_py())
+                out_b.append(-1)   # undecodable marker, never silent
+                out_n.append(0)
                 continue
             px = np.frombuffer(img["pixels"], np.uint8).astype(np.int64)
             ch = img["channels"]

@@ -334,8 +334,11 @@ def bm25_topk_indexed(index_dir: str, queries: dict[int, tuple],
     n_docs, total_tokens = meta["n_docs"], meta["total_tokens"]
     num_parts = meta["num_parts"]
     # tombstones: deleted docs stop serving immediately (rows filtered,
-    # stats adjusted) — compact/apply later makes it physical
-    tomb = _load_tombstones(index_dir)
+    # stats adjusted) — compact/apply later makes it physical. Tags the
+    # meta already folded (apply's crash window) are skipped so stats
+    # never double-adjust.
+    tomb = _load_tombstones(index_dir,
+                            skip_tags=set(meta.get("tombs_applied", [])))
     n_docs -= tomb["n"]
     total_tokens -= tomb["dl_sum"]
 
@@ -353,14 +356,7 @@ def bm25_topk_indexed(index_dir: str, queries: dict[int, tuple],
 
     postings = rd.read_parquet(files, columns=["term", id_col, "tf", "dl"])
     if tomb["n"]:
-        tref = ray.put(tomb["ids"])
-
-        def drop_tomb(b: pa.Table) -> pa.Table:
-            dead = ray.get(tref)
-            keep = [i not in dead for i in b[id_col].to_pylist()]
-            return b.filter(pa.array(keep, pa.bool_()))
-
-        postings = postings.map_batches(drop_tomb, batch_format="pyarrow")
+        postings = _drop_tombstoned(postings, tomb, id_col)
 
     # df per query term: postings are complete per term, so df is a tiny
     # aggregate over the filtered rows (O(|query terms|) driver state)
@@ -470,16 +466,10 @@ def phrase_search_indexed(index_dir: str, phrase: str,
         return rd.from_arrow(empty)
 
     postings = rd.read_parquet(files, columns=["term", id_col, "pos"])
-    tomb = _load_tombstones(index_dir)
+    tomb = _load_tombstones(index_dir,
+                            skip_tags=set(meta.get("tombs_applied", [])))
     if tomb["n"]:
-        tref = ray.put(tomb["ids"])
-
-        def drop_tomb(b: pa.Table) -> pa.Table:
-            dead = ray.get(tref)
-            keep = [i not in dead for i in b[id_col].to_pylist()]
-            return b.filter(pa.array(keep, pa.bool_()))
-
-        postings = postings.map_batches(drop_tomb, batch_format="pyarrow")
+        postings = _drop_tombstoned(postings, tomb, id_col)
 
     def starts(batch: pa.Table) -> pa.Table:
         terms = batch["term"].to_pylist()
@@ -523,22 +513,47 @@ def phrase_search_indexed(index_dir: str, phrase: str,
 TOMB_DIR = "_tombstones"
 
 
-def _load_tombstones(index_dir: str) -> dict:
-    """Fold every tombstone file into {ids, n, dl_sum} (empty when
-    none). Tombstone files are tiny (compliance-removal scale) and
-    content-addressed; probes broadcast the id set and adjust the
-    corpus stats by (n, dl_sum) — O(1) driver work per probe."""
-    ids: set = set()
-    dl_sum = 0
+def _drop_tombstoned(postings: rd.Dataset, tomb: dict,
+                     id_col: str) -> rd.Dataset:
+    """Shared probe-side tombstone filter (BM25 + phrase search):
+    broadcast the deleted-id set once, vectorized ``is_in`` per batch."""
+    import pyarrow.compute as pc
+
+    dead_arr = pa.array(sorted(tomb["ids"]), pa.int64())
+    tref = ray.put(dead_arr)
+
+    def drop(b: pa.Table) -> pa.Table:
+        dead = ray.get(tref)
+        keep = pc.invert(pc.is_in(
+            b[id_col].combine_chunks().cast(pa.int64()), value_set=dead))
+        return b.filter(keep)
+
+    return postings.map_batches(drop, batch_format="pyarrow")
+
+
+def _load_tombstones(index_dir: str, skip_tags: "set[str] | None" = None
+                     ) -> dict:
+    """Fold every tombstone file into {ids, n, dl_sum, dls, tags}
+    (empty when none). Files record PER-ID dls, and the fold dedups by
+    id keeping the first dl — two concurrent deletes whose id lists
+    overlap (the check-then-write in delete_from_index has no lock)
+    therefore cannot double-subtract a doc's tokens (review finding).
+    ``skip_tags`` excludes files already folded into the meta
+    (apply_tombstones' crash window). O(1)-per-probe driver work."""
+    dls: dict[int, int] = {}
+    tags: list[str] = []
     for f in sorted(glob.glob(os.path.join(index_dir, TOMB_DIR,
                                            "*.json"))):
+        tag = os.path.basename(f)
+        if skip_tags and tag in skip_tags:
+            continue
         with open(f) as fh:
             rec = json.load(fh)
-        for i in rec["ids"]:
-            if i not in ids:
-                ids.add(i)
-        dl_sum += rec["dl_sum"]
-    return {"ids": ids, "n": len(ids), "dl_sum": dl_sum}
+        for i, d in zip(rec["ids"], rec["dls"]):
+            dls.setdefault(int(i), int(d))
+        tags.append(tag)
+    return {"ids": set(dls), "n": len(dls),
+            "dl_sum": sum(dls.values()), "dls": dls, "tags": tags}
 
 
 def delete_from_index(index_dir: str, doc_ids,
@@ -591,7 +606,8 @@ def delete_from_index(index_dir: str, doc_ids,
     if not present:
         return {"n_deleted": 0, "dl_sum": 0, "path": None}
     dl_sum = sum(dl_by_id[i] for i in present)
-    rec = {"ids": present, "n": len(present), "dl_sum": dl_sum}
+    rec = {"ids": present, "dls": [dl_by_id[i] for i in present],
+           "n": len(present), "dl_sum": dl_sum}
     tag = hashlib.sha256(",".join(map(str, present)).encode()) \
         .hexdigest()[:16]
     tdir = os.path.join(index_dir, TOMB_DIR)
@@ -607,15 +623,26 @@ def delete_from_index(index_dir: str, doc_ids,
 def apply_tombstones(index_dir: str, id_col: str = "doc_id") -> dict:
     """Physically remove tombstoned docs' postings: rewrite every
     partition dropping their rows, fold (n, dl_sum, id xor) out of
-    ``_meta.json``, then delete the tombstone files LAST — a crash
-    before the final step leaves tombstones that re-apply as no-ops
-    (their ids no longer match any posting and dl recovery finds
-    nothing, so the meta never double-folds). Returns
+    ``_meta.json`` in the SAME atomic write that records the folded
+    files' tags (``tombs_applied``), then delete the tombstone files
+    LAST. A crash between the meta write and the file deletes leaves
+    files whose tags the meta already lists — the fold (and every
+    probe's stat adjustment) skips those, so re-running converges
+    instead of double-folding (review finding: the previous version
+    folded n/dl_sum straight from the files unconditionally). Returns
     {"n_applied", "rows_dropped"}."""
     import pyarrow.parquet as pq
 
-    tomb = _load_tombstones(index_dir)
+    meta_path = os.path.join(index_dir, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    applied_tags = set(meta.get("tombs_applied", []))
+    tomb = _load_tombstones(index_dir, skip_tags=applied_tags)
     if not tomb["n"]:
+        # leftover already-folded files (the crash window) just delete
+        for f in sorted(glob.glob(os.path.join(index_dir, TOMB_DIR,
+                                               "*.json"))):
+            os.remove(f)
         return {"n_applied": 0, "rows_dropped": 0}
     wset = tomb["ids"]
 
@@ -641,15 +668,14 @@ def apply_tombstones(index_dir: str, id_col: str = "doc_id") -> dict:
               .iter_batches(batch_format="pyarrow")):
         rows_dropped += sum(b["n"].to_pylist())
 
-    meta_path = os.path.join(index_dir, "_meta.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
     fp = meta["id_fp"]
     for i in wset:
         fp ^= int(i) & _U64  # id_fp is the xor of raw ids
     meta = {**meta, "n_docs": meta["n_docs"] - tomb["n"],
             "total_tokens": meta["total_tokens"] - tomb["dl_sum"],
-            "id_fp": fp}
+            "id_fp": fp,
+            "tombs_applied": (sorted(applied_tags)
+                              + tomb["tags"])[-64:]}
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)

@@ -1115,3 +1115,119 @@ def test_bucket_skew_matches_physical_layout(ray_session):
         phys[b] = sum(pq.read_metadata(f).num_rows
                       for f in glob.glob(d + "/*.parquet"))
     assert dict(out.n_docs) == {k: v for k, v in phys.items() if v}
+
+
+# ---------------------------------------------------------------------------
+# second review pass — regression pins
+
+
+def test_apply_tombstones_crash_window_no_double_fold(ray_session,
+                                                      tmp_path):
+    """A tombstone file that survives past the meta fold (the crash
+    window between the meta write and the file deletes) must NOT fold
+    again: its tag is in meta['tombs_applied']."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.stages import textindex as ti
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "text": pa.array([f"alpha w{i}" for i in range(20)], pa.string())}))
+    idx = str(tmp_path / "idx")
+    ti.build_inverted_index(ds, idx)
+    r = ti.delete_from_index(idx, [4])
+    saved = r["path"]
+    backup = str(tmp_path / "saved.json")
+    shutil.copy(saved, backup)
+    ti.apply_tombstones(idx)
+    with open(os.path.join(idx, "_meta.json")) as f:
+        meta1 = json.load(f)
+    # simulate the crash window: the folded file reappears
+    shutil.copy(backup, saved)
+    res = ti.apply_tombstones(idx)
+    assert res == {"n_applied": 0, "rows_dropped": 0}
+    with open(os.path.join(idx, "_meta.json")) as f:
+        meta2 = json.load(f)
+    assert meta2["n_docs"] == meta1["n_docs"]
+    assert meta2["total_tokens"] == meta1["total_tokens"]
+    assert meta2["id_fp"] == meta1["id_fp"]
+    assert not os.path.exists(saved)  # leftover cleaned up
+
+
+def test_overlapping_tombstone_files_dedup_dl(ray_session, tmp_path):
+    """Two tombstone files sharing an id (the lock-free concurrent
+    delete race) must subtract that doc's tokens ONCE."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.stages import textindex as ti
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([f"alpha w{i}" for i in range(10)], pa.string())}))
+    idx = str(tmp_path / "idx")
+    ti.build_inverted_index(ds, idx)
+    ti.delete_from_index(idx, [3, 5])
+    # simulate the racing writer: an overlapping file for [5, 7]
+    rec = {"ids": [5, 7], "dls": [2, 2], "n": 2, "dl_sum": 4}
+    with open(os.path.join(idx, "_tombstones", "del-race.json"),
+              "w") as f:
+        json.dump(rec, f)
+    tomb = ti._load_tombstones(idx)
+    assert tomb["ids"] == {3, 5, 7}
+    assert tomb["n"] == 3 and tomb["dl_sum"] == 6  # id 5 counted once
+
+
+def test_image_histogram_marker_row(ray_session):
+    """An undecodable payload emits the (url, -1, 0) marker row, not a
+    silent drop."""
+    import pyarrow as pa
+
+    from pdf_extraction_ray.stages.multimodal import ImageHistogram
+
+    got = ImageHistogram()(pa.table({
+        "url": pa.array(["media://bad/1"], pa.string()),
+        "html": pa.array([b"not a png"], pa.large_binary())}))
+    assert got.num_rows == 1
+    assert got["bin"][0].as_py() == -1 and got["n_px"][0].as_py() == 0
+
+
+def test_zonemap_recovers_from_manifestless_store(ray_session):
+    """A stale store dir WITHOUT _zones.json (crashed pre-reuse build)
+    must be cleared and republished, not wedge every future call."""
+    import os
+    import shutil
+
+    from pdf_extraction_ray.pipelines.analytics import (zonemap_plan_probe,
+                                                        zonemap_range_stats)
+
+    store, _ = zonemap_plan_probe(SF_SMOKE)
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(os.path.join(store, "zone=9999"))  # manifestless garbage
+    out = zonemap_range_stats(SF_SMOKE).to_pandas()
+    assert len(out) > 0
+    assert os.path.exists(os.path.join(store, "_zones.json"))
+
+
+def test_bm25_after_delete_reuses_takedown_copy(ray_session):
+    """A repeat run reuses the standing takedown copy (meta mtime
+    stable) instead of re-copying the index."""
+    import glob
+    import os
+
+    from pdf_extraction_ray.pipelines.analytics import bm25_after_delete
+
+    bm25_after_delete(SF_SMOKE).materialize()
+    work = glob.glob("/tmp/pdf_extraction_ray/textindex/"
+                     "sf0.001-*-takedown")[0]
+    m1 = os.path.getmtime(os.path.join(work, "_meta.json"))
+    bm25_after_delete(SF_SMOKE).materialize()
+    assert os.path.getmtime(os.path.join(work, "_meta.json")) == m1
