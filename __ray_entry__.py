@@ -884,6 +884,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partitioner balance census: rows/chars per url-hash bucket,
         # the bucket function itself re-derived from sha256 in SQL
         "bucket_skew_report": _tuned(q_bucket_skew_report),
+        # vector-index takedown (IVF tombstones; full probe over the
+        # deleted copy == brute force over the filtered corpus)
+        "ann_after_delete": _tuned(analytics.ann_after_delete),
+        # percentile-rank feature encoding (sparse value-histogram
+        # broadcast + vectorized searchsorted — the corpus never shuffles)
+        "value_percentile_feature": _tuned(
+            analytics.value_percentile_feature),
     }
 
 
@@ -990,6 +997,8 @@ AWAITING_SLOT = (
     "image_histogram",
     "event_funnel_timed",
     "bucket_skew_report",
+    "ann_after_delete",
+    "value_percentile_feature",
 )
 
 
@@ -1169,6 +1178,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_after_delete": analytics.bm25_after_delete_sql(),
         "image_histogram": analytics.image_histogram_sql(),
         "event_funnel_timed": analytics.event_funnel_timed_sql(),
+        "ann_after_delete": analytics.ann_after_delete_sql(),
+        "value_percentile_feature":
+            analytics.value_percentile_feature_sql(),
         "bucket_skew_report": oracle.base_cte() + f"""
 SELECT CAST({analytics._sql_hash64("sha256(url)")} % {_CFG.n_buckets}
             AS BIGINT) AS bucket,

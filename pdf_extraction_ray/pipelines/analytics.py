@@ -2976,7 +2976,10 @@ def ann_bruteforce(sf_dir: str, k: int = 10) -> rd.Dataset:
     return sim.topk_cosine(ds, q, qids, k=k)
 
 
-def ann_bruteforce_sql(k: int = 10) -> str:
+def ann_bruteforce_sql(k: int = 10, src: str = "embeddings") -> str:
+    # ``src`` swaps the CORPUS side only (the query vectors stay the
+    # first 5 of the full table — external inputs a takedown of the
+    # corpus must not change)
     return f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -2985,7 +2988,7 @@ WITH q AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
                                 CAST(e.embedding AS DOUBLE[])) AS sim
-  FROM q CROSS JOIN embeddings e
+  FROM q CROSS JOIN {src} e
 ), ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
@@ -10464,3 +10467,139 @@ def event_funnel_timed(sf_dir: str) -> rd.Dataset:
 
 def event_funnel_timed_sql() -> str:
     return event_funnel_sql(step_window_us=FUNNEL_WINDOW_US)
+
+
+ANN_DELETE_MOD = 53  # takedown class: vectors with vec_id % 53 == 1
+
+
+def ann_after_delete(sf_dir: str, k: int = 10,
+                     n_centroids: int = 16) -> rd.Dataset:
+    """Vector-index takedown end-to-end (the IVF symmetry of
+    `bm25_after_delete`): a copy of the persisted IVF index gets a
+    tombstone delete for the vec_id % 53 == 1 class
+    (stages/similarity.delete_from_ivf_index), then answers the
+    standard query set with a FULL probe — value-identical to brute
+    force over the corpus minus the deleted class, so it shares
+    ann_bruteforce's oracle with the corpus side filtered (query
+    vectors stay the full table's first 5: external inputs a corpus
+    takedown must not change). Repeat runs reuse the standing
+    takedown copy via a content-addressed marker."""
+    import hashlib
+    import json
+    import shutil
+    from pathlib import Path
+
+    q, qids = _query_vectors(sf_dir)
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    base = os.path.join("/tmp/pdf_extraction_ray/ivf",
+                        Path(sf_dir).name or "sf")
+    sim.ensure_ivf_index(ds, base, n_centroids=n_centroids)
+    ids = _read_table(sf_dir, "embeddings", ["vec_id"]).to_pandas()
+    banned = [int(i) for i in ids.vec_id if int(i) % ANN_DELETE_MOD == 1]
+    work = base + "-takedown"
+    with open(os.path.join(base, "_meta.json")) as f:
+        base_fp = json.load(f)["id_fp"]
+    marker = os.path.join(work, ".takedown-" + hashlib.sha256(
+        f"{base_fp}:{','.join(map(str, banned))}".encode())
+        .hexdigest()[:16])
+    if not os.path.exists(marker):
+        if os.path.exists(work):
+            shutil.rmtree(work)
+        shutil.copytree(base, work)
+        sim.delete_from_ivf_index(work, banned)
+        with open(marker, "w") as f:
+            f.write("")
+    return sim.topk_cosine_ivf_indexed(work, q, qids, k=k,
+                                       n_probe=n_centroids)
+
+
+def ann_after_delete_sql(k: int = 10) -> str:
+    return ann_bruteforce_sql(
+        k, src=f"(SELECT vec_id, embedding FROM embeddings "
+               f"WHERE vec_id % {ANN_DELETE_MOD} != 1)")
+
+
+def value_percentile_feature(sf_dir: str) -> rd.Dataset:
+    """Percentile-rank feature encoding — map every event's value to
+    its type's EXACT empirical percentile (rank_ppm = #strictly-smaller
+    · 2^20 // n_type): the rank-transform feature ML pipelines apply to
+    heavy-tailed inputs (the first half of rank-gauss), as a corpus
+    statistic rather than a per-batch approximation.
+
+    Shape: the sparse VALUE-HISTOGRAM broadcast (global_quantile /
+    doc_length_gini pattern): per-block (type, cents, count) partials,
+    ONE tiny groupby (bounded by the value DOMAIN, not the row count —
+    cents here span ~10^4 distinct values; a truly unbounded domain
+    would switch to the keyed-window rank shuffle), driver folds
+    per-type (sorted values, exclusive-cumulative counts), broadcast
+    once, and the encode pass is a vectorized searchsorted per batch —
+    the corpus never shuffles. Returns
+    (event_id, event_type, cents, rank_ppm)."""
+    import ray
+
+    ds = _read_table(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow") \
+        .materialize()  # consumed twice (histogram + encode)
+
+    def hist(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "cents": t["cents"].to_numpy(
+                               zero_copy_only=False)})
+        g = df.groupby(["event_type", "cents"], as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(g.event_type, pa.string()),
+            "cents": pa.array(g.cents.to_numpy(np.int64), pa.int64()),
+            "c": pa.array(g["size"].to_numpy(np.int64), pa.int64())})
+
+    rows = (cents_ds.map_batches(hist, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    tables = {}
+    for t, g in rows.groupby("event_type"):
+        g = g.sort_values("cents")
+        vals = g.cents.to_numpy(np.int64)
+        counts = g.c.to_numpy(np.int64)
+        c_lt = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        tables[str(t)] = (vals, c_lt, int(counts.sum()))
+    tref = ray.put(tables)
+
+    def encode(t: pa.Table) -> pa.Table:
+        tbls = ray.get(tref)
+        types = t["event_type"].to_pylist()
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        out = np.empty(len(cents), np.int64)
+        tarr = np.asarray(types, dtype=object)
+        for ty, (vals, c_lt, n) in tbls.items():
+            mask = tarr == ty
+            if not mask.any():
+                continue
+            ix = np.searchsorted(vals, cents[mask])
+            out[mask] = (c_lt[ix] << 20) // n
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "cents": t["cents"],
+                         "rank_ppm": pa.array(out, pa.int64())})
+
+    return cents_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def value_percentile_feature_sql() -> str:
+    return """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, event_type, cents,
+       (CAST(RANK() OVER (PARTITION BY event_type ORDER BY cents)
+             AS BIGINT) - 1) * 1048576
+         // COUNT(*) OVER (PARTITION BY event_type) AS rank_ppm
+FROM e"""

@@ -267,6 +267,26 @@ def topk_cosine_ivf_indexed(index_dir: str, queries: np.ndarray,
              for f in sorted(glob.glob(os.path.join(index_dir,
                                                     f"cell={c}", "*.parquet")))]
     ds = rd.read_parquet(files, columns=[id_col, vec_col, "cell_id"])
+    # tombstones: deleted vectors stop serving immediately (tags the
+    # meta already folded are skipped — the crash-window discipline)
+    import json as _json
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        _meta = _json.load(f)
+    tomb = _load_ivf_tombstones(
+        index_dir, skip_tags=set(_meta.get("tombs_applied", [])))
+    if tomb["n"]:
+        import pyarrow.compute as pc
+
+        dead_ref = ray.put(pa.array(sorted(tomb["ids"]), pa.int64()))
+
+        def drop_tomb(b: pa.Table) -> pa.Table:
+            dead = ray.get(dead_ref)
+            return b.filter(pc.invert(pc.is_in(
+                b[id_col].combine_chunks().cast(pa.int64()),
+                value_set=dead)))
+
+        ds = ds.map_batches(drop_tomb, batch_format="pyarrow")
     ref = ray.put((qmat, list(query_ids), probe))
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -652,3 +672,148 @@ def kmeans(ds: rd.Dataset, k: int = 10, iters: int = 8,
 
     return (ds.map_batches(assign_final, batch_format="pyarrow"),
             inertia_hist)
+
+
+# ---------------------------------------------------------------------------
+# IVF tombstone deletion — the vector-side takedown (textindex symmetry)
+# ---------------------------------------------------------------------------
+
+IVF_TOMB_DIR = "_tombstones"
+
+
+def _load_ivf_tombstones(index_dir: str,
+                         skip_tags: "set[str] | None" = None) -> dict:
+    """Fold tombstone files into {ids, n, tags} (id-deduped; files
+    whose tags the meta already folded are skipped — the textindex
+    crash-window discipline). IVF scoring uses no corpus stats, so no
+    dl bookkeeping is needed; the meta fold exists for the freshness
+    stamp only."""
+    import glob
+    import json
+    import os
+
+    ids: set = set()
+    tags: list[str] = []
+    for f in sorted(glob.glob(os.path.join(index_dir, IVF_TOMB_DIR,
+                                           "*.json"))):
+        tag = os.path.basename(f)
+        if skip_tags and tag in skip_tags:
+            continue
+        with open(f) as fh:
+            ids.update(int(i) for i in json.load(fh)["ids"])
+        tags.append(tag)
+    return {"ids": ids, "n": len(ids), "tags": tags}
+
+
+def delete_from_ivf_index(index_dir: str, vec_ids,
+                          id_col: str = "vec_id") -> dict:
+    """Tombstone deletion for the persisted IVF index: probes stop
+    serving the vectors immediately (map-side filter); the physical
+    cell rewrite + meta fold defers to ``apply_ivf_tombstones``. Ids
+    absent from the index (or already tombstoned) are skipped — one
+    distributed filtered id scan verifies presence, keeping the call
+    idempotent. Returns {"n_deleted", "path"}."""
+    import glob
+    import hashlib
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    already = _load_ivf_tombstones(
+        index_dir, skip_tags=set(meta.get("tombs_applied", [])))["ids"]
+    want = sorted({int(i) for i in vec_ids} - already)
+    if not want:
+        return {"n_deleted": 0, "path": None}
+    wset = set(want)
+
+    files = sorted(glob.glob(os.path.join(index_dir, "cell=*",
+                                          "*.parquet")))
+    present: set = set()
+
+    def find_ids(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch[id_col].to_pylist() if int(i) in wset]
+        return pa.table({id_col: pa.array(sorted(set(ids)), pa.int64())})
+
+    for b in (rd.read_parquet(files, columns=[id_col])
+              .map_batches(find_ids, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        present.update(int(i) for i in b[id_col].to_pylist())
+    present_l = sorted(present)
+    if not present_l:
+        return {"n_deleted": 0, "path": None}
+    tag = hashlib.sha256(",".join(map(str, present_l)).encode()) \
+        .hexdigest()[:16]
+    tdir = os.path.join(index_dir, IVF_TOMB_DIR)
+    os.makedirs(tdir, exist_ok=True)
+    path = os.path.join(tdir, f"del-{tag}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"ids": present_l}, f)
+    os.replace(tmp, path)
+    return {"n_deleted": len(present_l), "path": path}
+
+
+def apply_ivf_tombstones(index_dir: str,
+                         id_col: str = "vec_id") -> dict:
+    """Physically drop tombstoned vectors from their cell files and
+    fold (n_rows, id_fp) in the SAME atomic meta write that records the
+    folded tags (``tombs_applied``); tombstone files delete LAST, so
+    the crash window re-applies as a no-op (the textindex discipline).
+    After the fold, ``ensure_ivf_index`` accepts the FILTERED corpus —
+    a takedown never triggers a rebuild that would resurrect the ids.
+    Returns {"n_applied", "rows_dropped"}."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    applied = set(meta.get("tombs_applied", []))
+    tomb = _load_ivf_tombstones(index_dir, skip_tags=applied)
+    if not tomb["n"]:
+        for f in sorted(glob.glob(os.path.join(index_dir, IVF_TOMB_DIR,
+                                               "*.json"))):
+            os.remove(f)
+        return {"n_applied": 0, "rows_dropped": 0}
+    wset = tomb["ids"]
+
+    work = [{"f": f} for f in sorted(glob.glob(
+        os.path.join(index_dir, "cell=*", "*.parquet")))]
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        dropped = []
+        for f in batch["f"].to_pylist():
+            t = pq.read_table(f)
+            mask = [int(i) not in wset for i in t[id_col].to_pylist()]
+            kept = t.filter(pa.array(mask, pa.bool_()))
+            if kept.num_rows != t.num_rows:
+                tmp = f + ".tmp"
+                pq.write_table(kept, tmp)
+                os.replace(tmp, f)
+            dropped.append(t.num_rows - kept.num_rows)
+        return pa.table({"n": pa.array(dropped, pa.int64())})
+
+    rows_dropped = 0
+    for b in (rd.from_items(work)
+              .map_batches(rewrite, batch_format="pyarrow", batch_size=4)
+              .iter_batches(batch_format="pyarrow")):
+        rows_dropped += sum(b["n"].to_pylist())
+
+    fp = meta["id_fp"]
+    for i in wset:
+        fp ^= int(i) & ((1 << 64) - 1)  # id_fp is the xor of raw ids
+    meta = {**meta, "n_rows": meta["n_rows"] - tomb["n"], "id_fp": fp,
+            "tombs_applied": (sorted(applied) + tomb["tags"])[-64:]}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    for f in sorted(glob.glob(os.path.join(index_dir, IVF_TOMB_DIR,
+                                           "*.json"))):
+        os.remove(f)
+    return {"n_applied": tomb["n"], "rows_dropped": rows_dropped}

@@ -1231,3 +1231,100 @@ def test_bm25_after_delete_reuses_takedown_copy(ray_session):
     m1 = os.path.getmtime(os.path.join(work, "_meta.json"))
     bm25_after_delete(SF_SMOKE).materialize()
     assert os.path.getmtime(os.path.join(work, "_meta.json")) == m1
+
+
+# ---------------------------------------------------------------------------
+# ann_after_delete (IVF tombstones)
+
+
+def test_ann_after_delete_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (ann_after_delete,
+                                                        ann_after_delete_sql)
+    from tests.oracle_check import compare
+
+    assert compare("ann_after_delete", ann_after_delete(SF_SMOKE),
+                   ann_after_delete_sql(), SF_SMOKE) == []
+
+
+def test_ivf_tombstone_lifecycle(ray_session, tmp_path):
+    """delete → full probe excludes immediately; apply folds the meta
+    once (crash window safe) and equals a fresh build of the filtered
+    table; ensure accepts the filtered corpus afterward."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.stages import similarity as sim
+
+    rng = np.random.RandomState(7)
+    n, dim = 120, 8
+    vecs = rng.randn(n, dim).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(list(range(n)), pa.int64()),
+                  "embedding": pa.array([list(map(float, v))
+                                         for v in vecs],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t)
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(ds, idx, n_centroids=4)
+    q = vecs[:2].astype(np.float64)
+    r1 = sim.delete_from_ivf_index(idx, [5, 9])
+    assert r1["n_deleted"] == 2
+    served = sim.topk_cosine_ivf_indexed(idx, q, [0, 1], k=n,
+                                         n_probe=4).to_pandas()
+    assert {5, 9}.isdisjoint(set(served.neighbor_id))
+    # crash-window no-double-fold: re-materialize the file post-apply
+    path = r1["path"]
+    backup = str(tmp_path / "t.json")
+    shutil.copy(path, backup)
+    sim.apply_ivf_tombstones(idx)
+    with open(os.path.join(idx, "_meta.json")) as f:
+        m1 = json.load(f)
+    shutil.copy(backup, path)
+    assert sim.apply_ivf_tombstones(idx) == {"n_applied": 0,
+                                            "rows_dropped": 0}
+    with open(os.path.join(idx, "_meta.json")) as f:
+        m2 = json.load(f)
+    assert (m1["n_rows"], m1["id_fp"]) == (m2["n_rows"], m2["id_fp"])
+    # applied index == fresh build of the filtered table (full probe)
+    kept = ds.filter(lambda r: r["vec_id"] not in (5, 9))
+    fresh = str(tmp_path / "fresh")
+    sim.build_ivf_index(kept.materialize(), fresh, n_centroids=4)
+    a = sim.topk_cosine_ivf_indexed(idx, q, [0, 1], k=10,
+                                    n_probe=4).to_pandas()
+    b = sim.topk_cosine_ivf_indexed(fresh, q, [0, 1], k=10,
+                                    n_probe=4).to_pandas()
+    key = ["query_id", "neighbor_id", "rank"]
+    assert a[key].sort_values(key).reset_index(drop=True).equals(
+        b[key].sort_values(key).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# value_percentile_feature
+
+
+def test_value_percentile_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        value_percentile_feature, value_percentile_feature_sql)
+    from tests.oracle_check import compare
+
+    assert compare("value_percentile_feature",
+                   value_percentile_feature(SF_SMOKE),
+                   value_percentile_feature_sql(), SF_SMOKE) == []
+
+
+def test_value_percentile_semantics(ray_session):
+    """rank_ppm is monotone in cents within a type, the minimum value
+    ranks 0, and a numpy strict-rank replay matches row for row."""
+    from pdf_extraction_ray.pipelines.analytics import (
+        value_percentile_feature)
+
+    out = value_percentile_feature(SF_SMOKE).to_pandas()
+    for ty, g in out.groupby("event_type"):
+        c = g.cents.to_numpy()
+        want = (np.array([(c < x).sum() for x in c], np.int64)
+                << 20) // len(c)
+        assert (g.rank_ppm.to_numpy() == want).all()
+        assert int(g.loc[g.cents.idxmin()].rank_ppm) == 0
