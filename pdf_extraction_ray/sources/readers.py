@@ -492,3 +492,64 @@ def read_pages_warc(dir_path: str) -> rd.Dataset:
         })
 
     return files.map_batches(parse, batch_format="pyarrow")
+
+
+def write_pages_csv(ds: rd.Dataset, out_dir: str) -> None:
+    """CSV interchange sink — the lowest-common-denominator format
+    labeling tools and spreadsheets ingest: RFC-4180 quoting via
+    pyarrow's CSV writer (embedded commas / quotes / newlines survive),
+    binary html as base64 (CSV is a text format). Inverse of
+    ``read_pages_csv``; the round-trip is byte-exact per column."""
+    import pyarrow.csv as pacsv
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"].cast(pa.string()),
+            "warc_ts": pa.array([t.isoformat() for t in
+                                 batch["warc_ts"].to_pylist()],
+                                pa.string()),
+            "html_b64": pa.array(
+                [base64.b64encode(b or b"").decode()
+                 for b in batch["html"].to_pylist()], pa.string()),
+            "text": batch["text"].cast(pa.string()),
+            "lang": batch["lang"].cast(pa.string()),
+        })
+
+    ds.map_batches(encode, batch_format="pyarrow").write_csv(out_dir)
+
+
+def read_pages_csv(path: str) -> rd.Dataset:
+    """CSV pages source (inverse of ``write_pages_csv``): arrow CSV
+    parse with all columns pinned to string (the reader must not
+    re-infer types — a numeric-looking url or an ISO timestamp would
+    silently change dtype), then the same decode as the JSONL path."""
+    import pyarrow.csv as pacsv
+
+    cols = ["url", "warc_ts", "html_b64", "text", "lang"]
+    raw = rd.read_csv(
+        path,
+        # quoted newlines are legal RFC-4180; arrow rejects them unless
+        # opted in (they defeat naive block splitting)
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=pacsv.ConvertOptions(
+            column_types={c: pa.string() for c in cols}))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        payloads = [base64.b64decode(s) if s else b""
+                    for s in batch["html_b64"].to_pylist()]
+        ts = pa.array([datetime.fromisoformat(s)
+                       for s in batch["warc_ts"].to_pylist()],
+                      pa.timestamp("us"))
+        return pa.table({
+            "url": batch["url"].cast(pa.string()),
+            "warc_ts": ts,
+            "html": pa.array(payloads, pa.large_binary()),
+            "text": pa.array([s if s is not None else ""
+                              for s in batch["text"].to_pylist()],
+                             pa.large_string()),
+            "lang": pa.array([s if s is not None else ""
+                              for s in batch["lang"].to_pylist()],
+                             pa.string()),
+        })
+
+    return raw.map_batches(decode, batch_format="pyarrow")

@@ -1328,3 +1328,49 @@ def test_value_percentile_semantics(ray_session):
                 << 20) // len(c)
         assert (g.rank_ppm.to_numpy() == want).all()
         assert int(g.loc[g.cents.idxmin()].rank_ppm) == 0
+
+
+# ---------------------------------------------------------------------------
+# CSV pages interchange
+
+
+def test_pages_csv_round_trip(ray_session, tmp_path):
+    """write_pages_csv → read_pages_csv is byte-exact per column,
+    including RFC-4180 hazards (embedded commas, quotes, newlines) and
+    binary payloads; extraction over the CSV-ingested corpus equals
+    the parquet path."""
+    import ray.data as rd
+    from pdf_extraction_ray.sources.corpus import ensure_pages_corpus
+    from pdf_extraction_ray.sources.readers import (read_pages_csv,
+                                                    write_pages_csv)
+
+    pages = ensure_pages_corpus(SF_SMOKE)
+    orig = rd.read_parquet(pages)
+    out = str(tmp_path / "csv")
+    write_pages_csv(orig, out)
+    # the corpus plants re-crawled DUP urls (same url, two warc_ts)
+    # — sort on both keys or the compare is order-ambiguous
+    back = (read_pages_csv(out).to_pandas()
+            .sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    a = (orig.to_pandas().sort_values(["url", "warc_ts"])
+         .reset_index(drop=True))
+    assert list(a.columns) == list(back.columns)
+    for c in a.columns:
+        assert a[c].equals(back[c]), c
+
+    # hazard row: commas, quotes, newlines in text survive quoting
+    import pyarrow as pa
+    from datetime import datetime
+    hazard = rd.from_arrow(pa.table({
+        "url": pa.array(["https://x/a,b"], pa.string()),
+        "warc_ts": pa.array([datetime(2021, 2, 3, 4, 5, 6)],
+                            pa.timestamp("us")),
+        "html": pa.array([b"\x00\xffbin"], pa.large_binary()),
+        "text": pa.array(['line1\nline2, "quoted", end'],
+                         pa.large_string()),
+        "lang": pa.array(["en"], pa.string())}))
+    out2 = str(tmp_path / "csv2")
+    write_pages_csv(hazard, out2)
+    got = read_pages_csv(out2).to_pandas()
+    assert got.text[0] == 'line1\nline2, "quoted", end'
+    assert bytes(got.html[0]) == b"\x00\xffbin"
