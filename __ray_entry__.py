@@ -891,6 +891,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast + vectorized searchsorted — the corpus never shuffles)
         "value_percentile_feature": _tuned(
             analytics.value_percentile_feature),
+        # DeepWalk-style deterministic random-walk corpus (seeded hash
+        # hops over the planted expander; ZERO exchanges)
+        "random_walks": _tuned(analytics.random_walks),
     }
 
 
@@ -999,6 +1002,7 @@ AWAITING_SLOT = (
     "bucket_skew_report",
     "ann_after_delete",
     "value_percentile_feature",
+    "random_walks",
 )
 
 
@@ -1181,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_after_delete": analytics.ann_after_delete_sql(),
         "value_percentile_feature":
             analytics.value_percentile_feature_sql(),
+        "random_walks": analytics.random_walks_sql(),
         "bucket_skew_report": oracle.base_cte() + f"""
 SELECT CAST({analytics._sql_hash64("sha256(url)")} % {_CFG.n_buckets}
             AS BIGINT) AS bucket,

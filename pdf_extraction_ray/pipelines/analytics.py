@@ -10603,3 +10603,77 @@ SELECT event_id, event_type, cents,
              AS BIGINT) - 1) * 1048576
          // COUNT(*) OVER (PARTITION BY event_type) AS rank_ppm
 FROM e"""
+
+
+RW_LENGTH = 4   # hops per walk (positions 0..RW_LENGTH)
+
+
+def random_walks(sf_dir: str, length: int = RW_LENGTH) -> rd.Dataset:
+    """DeepWalk-style random-walk corpus over the planted link graph
+    (Perozzi et al. 2014 — the walk table graph-embedding training
+    consumes): one walk per node, each hop chosen by a SEEDED hash
+    (h = stable_hash64("rw:walk:step") % 3 over the node's ORDERED
+    out-edges), so the "random" walks are deterministic, reproducible
+    across runs, and bit-exact replayable in SQL — the property that
+    lets a 100-TB walk corpus be regenerated instead of stored.
+
+    Scale shape: the out-edges are a function of the node id
+    (pagerank_docs' expander), so every hop is a pure MAP — the whole
+    operator runs with ZERO exchanges and no driver state beyond the
+    loop counter (a real edge TABLE swaps each hop for ONE
+    hash_join(cur, edges-with-rank) — the pagerank_links precedent).
+    Returns (walk_id, step, node), steps 0..length."""
+    from ..functions.hashing import stable_hash64
+
+    docs = _docs(sf_dir, ["doc_id"])
+    N = docs.count()
+    hubs = min(_PR_HUBS, N)
+
+    def walk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cur = ids.copy()
+        w_o = [ids]
+        s_o = [np.zeros(len(ids), np.int64)]
+        n_o = [ids]
+        for step in range(1, length + 1):
+            h = np.fromiter(
+                (stable_hash64(f"rw:{int(w)}:{step}") % 3 for w in ids),
+                np.int64, len(ids))
+            e0 = (cur * 31 + 7) % N
+            e1 = (cur * 17 + 3) % N
+            e2 = cur % hubs
+            cur = np.where(h == 0, e0, np.where(h == 1, e1, e2))
+            w_o.append(ids)
+            s_o.append(np.full(len(ids), step, np.int64))
+            n_o.append(cur)
+        return pa.table({
+            "walk_id": pa.array(np.concatenate(w_o), pa.int64()),
+            "step": pa.array(np.concatenate(s_o), pa.int64()),
+            "node": pa.array(np.concatenate(n_o), pa.int64())})
+
+    return docs.map_batches(walk, batch_format="pyarrow")
+
+
+def random_walks_sql(length: int = RW_LENGTH) -> str:
+    parts = ["""s0 AS (
+  SELECT doc_id AS walk_id, CAST(0 AS BIGINT) AS step,
+         doc_id AS node
+  FROM documents
+), nn AS (SELECT count(*) AS n FROM documents),
+hh AS (SELECT least({hubs}, n) AS h FROM nn)""".format(hubs=_PR_HUBS)]
+    for step in range(1, length + 1):
+        hexpr = _sql_hash64(
+            f"sha256('rw:' || CAST(walk_id AS VARCHAR) || ':{step}')")
+        parts.append(f"""s{step} AS (
+  SELECT walk_id, CAST({step} AS BIGINT) AS step,
+         CASE CAST(({hexpr}) % 3 AS BIGINT)
+           WHEN 0 THEN (node * 31 + 7) % nn.n
+           WHEN 1 THEN (node * 17 + 3) % nn.n
+           ELSE node % hh.h
+         END AS node
+  FROM s{step - 1} CROSS JOIN nn CROSS JOIN hh
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, CAST(node AS BIGINT) AS node FROM s{i}"
+        for i in range(length + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union

@@ -1374,3 +1374,114 @@ def test_pages_csv_round_trip(ray_session, tmp_path):
     got = read_pages_csv(out2).to_pandas()
     assert got.text[0] == 'line1\nline2, "quoted", end'
     assert bytes(got.html[0]) == b"\x00\xffbin"
+
+
+# ---------------------------------------------------------------------------
+# random_walks
+
+
+def test_random_walks_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (random_walks,
+                                                        random_walks_sql)
+    from tests.oracle_check import compare
+
+    assert compare("random_walks", random_walks(SF_SMOKE),
+                   random_walks_sql(), SF_SMOKE) == []
+
+
+def test_random_walks_semantics(ray_session):
+    """Every node owns one length-L walk; consecutive positions follow
+    the ordered edge law under the seeded hash (python replay); walks
+    are reproducible run to run."""
+    import duckdb as dk
+
+    from pdf_extraction_ray.functions.hashing import stable_hash64
+    from pdf_extraction_ray.pipelines.analytics import (RW_LENGTH,
+                                                        random_walks)
+
+    out = random_walks(SF_SMOKE).to_pandas()
+    con = dk.connect()
+    n = con.sql("SELECT count(*) FROM "
+                f"read_parquet('{SF_SMOKE}/documents.parquet')"
+                ).fetchone()[0]
+    con.close()
+    assert len(out) == n * (RW_LENGTH + 1)
+    hubs = min(16, n)
+    by_walk = out.sort_values("step").groupby("walk_id")
+    for wid, g in list(by_walk)[:40]:
+        chain = g.node.tolist()
+        assert chain[0] == wid
+        cur = wid
+        for step in range(1, RW_LENGTH + 1):
+            h = stable_hash64(f"rw:{int(wid)}:{step}") % 3
+            cur = ((cur * 31 + 7) % n if h == 0 else
+                   (cur * 17 + 3) % n if h == 1 else cur % hubs)
+            assert chain[step] == cur
+    again = random_walks(SF_SMOKE).to_pandas()
+    key = ["walk_id", "step", "node"]
+    assert out[key].sort_values(key).reset_index(drop=True).equals(
+        again[key].sort_values(key).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# minhash index tombstones
+
+
+def test_minhash_tombstone_lifecycle(ray_session, tmp_path):
+    """A tombstoned doc stops matching probes immediately; the
+    crash-window re-apply is a no-op; the applied index probes like a
+    fresh build over the filtered corpus."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.stages import dedup as dd
+
+    docs = [(i, f"alpha beta gamma delta epsilon w{i} zeta eta theta")
+            for i in range(30)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string())}))
+    idx = str(tmp_path / "mh")
+    dd.build_minhash_index(ds.materialize(), idx)
+    # probe snapshot: verbatim re-crawls of docs 7 AND 9
+    probe = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1000, 1001], pa.int64()),
+        "text": pa.array([docs[7][1], docs[9][1]], pa.string())}))
+    hit = (dd.probe_minhash_index(probe.materialize(), idx).to_pandas()
+           .set_index("nid"))
+    assert int(hit.loc[1000].dup_of) == 7 and int(hit.loc[1001].dup_of) == 9
+
+    r = dd.delete_from_minhash_index(idx, [7])
+    assert r["n_deleted"] == 1
+    after = (dd.probe_minhash_index(probe.materialize(), idx)
+             .to_pandas())
+    # doc 7 can no longer match; doc 9 still does
+    assert set(after.nid) == {1001}
+    assert int(after.set_index("nid").loc[1001].dup_of) == 9
+
+    # crash-window: re-materialize the folded file → no double fold
+    backup = str(tmp_path / "t.json")
+    shutil.copy(r["path"], backup)
+    dd.apply_minhash_tombstones(idx)
+    with open(os.path.join(idx, "_meta.json")) as f:
+        m1 = json.load(f)
+    shutil.copy(backup, r["path"])
+    assert dd.apply_minhash_tombstones(idx) == {"n_applied": 0,
+                                                "rows_dropped": 0}
+    with open(os.path.join(idx, "_meta.json")) as f:
+        m2 = json.load(f)
+    assert (m1["n_docs"], m1["id_fp"]) == (m2["n_docs"], m2["id_fp"])
+    # applied index == fresh build over the filtered corpus
+    fresh = str(tmp_path / "fresh")
+    kept = ds.filter(lambda row: row["doc_id"] != 7)
+    dd.build_minhash_index(kept.materialize(), fresh)
+    a = dd.probe_minhash_index(probe.materialize(), idx).to_pandas()
+    b = dd.probe_minhash_index(probe.materialize(), fresh).to_pandas()
+    key = ["nid", "dup_of", "agree_k"]
+    assert len(a) == 1  # non-vacuous: doc 9 still serves on both sides
+    assert a[key].sort_values(key).reset_index(drop=True).equals(
+        b[key].sort_values(key).reset_index(drop=True))
