@@ -894,6 +894,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DeepWalk-style deterministic random-walk corpus (seeded hash
         # hops over the planted expander; ZERO exchanges)
         "random_walks": _tuned(analytics.random_walks),
+        # skip-gram (center, context) counts over the walk corpus —
+        # the DeepWalk→word2vec training pairs; walks regenerate inside
+        # the counting map (zero per-step storage or shuffle)
+        "walk_cooccurrence": _tuned(analytics.walk_cooccurrence),
     }
 
 
@@ -1003,6 +1007,7 @@ AWAITING_SLOT = (
     "ann_after_delete",
     "value_percentile_feature",
     "random_walks",
+    "walk_cooccurrence",
 )
 
 
@@ -1186,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentile_feature":
             analytics.value_percentile_feature_sql(),
         "random_walks": analytics.random_walks_sql(),
+        "walk_cooccurrence": analytics.walk_cooccurrence_sql(),
         "bucket_skew_report": oracle.base_cte() + f"""
 SELECT CAST({analytics._sql_hash64("sha256(url)")} % {_CFG.n_buckets}
             AS BIGINT) AS bucket,

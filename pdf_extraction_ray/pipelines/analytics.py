@@ -10677,3 +10677,83 @@ hh AS (SELECT least({hubs}, n) AS h FROM nn)""".format(hubs=_PR_HUBS)]
         f"SELECT walk_id, step, CAST(node AS BIGINT) AS node FROM s{i}"
         for i in range(length + 1))
     return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+RW_WINDOW = 2   # skip-gram context radius over walk positions
+
+
+def walk_cooccurrence(sf_dir: str, length: int = RW_LENGTH,
+                      window: int = RW_WINDOW) -> rd.Dataset:
+    """Skip-gram co-occurrence counts over the walk corpus — the stage
+    between `random_walks` and training node embeddings (DeepWalk
+    feeds exactly these (center, context) pairs to word2vec): for
+    every walk, all ordered pairs of positions within ``window`` hops.
+
+    Scale shape: the walk is regenerated inside the SAME map that
+    counts pairs (deterministic walks make the corpus free — nothing
+    is stored or shuffled per step), each block folds its pairs to
+    (a·2^32 + b, n) partials, and ONE groupby over the packed key
+    bounded by the co-occurrence support finishes. Returns
+    (a, b, n) with a = center node, b = context node, a ≠ b pairs
+    ordered by walk direction (both directions emitted, as word2vec
+    does)."""
+    from collections import Counter
+
+    from ..functions.hashing import stable_hash64
+
+    docs = _docs(sf_dir, ["doc_id"])
+    N = docs.count()
+    hubs = min(_PR_HUBS, N)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chains = np.empty((len(ids), length + 1), np.int64)
+        chains[:, 0] = ids
+        cur = ids.copy()
+        for step in range(1, length + 1):
+            h = np.fromiter(
+                (stable_hash64(f"rw:{int(w)}:{step}") % 3 for w in ids),
+                np.int64, len(ids))
+            e0 = (cur * 31 + 7) % N
+            e1 = (cur * 17 + 3) % N
+            e2 = cur % hubs
+            cur = np.where(h == 0, e0, np.where(h == 1, e1, e2))
+            chains[:, step] = cur
+        tot: Counter = Counter()
+        for i in range(length + 1):
+            for j in range(length + 1):
+                if i == j or abs(i - j) > window:
+                    continue
+                a = chains[:, i]
+                b = chains[:, j]
+                keep = a != b  # self-pairs drop (a node revisited
+                # within the window is not its own context)
+                packed = a[keep] * (1 << 32) + b[keep]
+                tot.update(packed.tolist())
+        ks = sorted(tot)
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "n": pa.array([tot[x] for x in ks], pa.int64())})
+
+    agg = (docs.map_batches(pairs, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("n", alias_name="n")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(k >> 32, pa.int64()),
+                         "b": pa.array(k & 0xFFFFFFFF, pa.int64()),
+                         "n": t["n"]})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def walk_cooccurrence_sql(length: int = RW_LENGTH,
+                          window: int = RW_WINDOW) -> str:
+    return f"""
+WITH walks AS ({random_walks_sql(length)})
+SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS n
+FROM walks x JOIN walks y
+  ON x.walk_id = y.walk_id
+ AND x.step != y.step
+ AND abs(x.step - y.step) <= {window}
+ AND x.node != y.node
+GROUP BY x.node, y.node"""

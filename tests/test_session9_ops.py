@@ -1485,3 +1485,39 @@ def test_minhash_tombstone_lifecycle(ray_session, tmp_path):
     assert len(a) == 1  # non-vacuous: doc 9 still serves on both sides
     assert a[key].sort_values(key).reset_index(drop=True).equals(
         b[key].sort_values(key).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# walk_cooccurrence
+
+
+def test_walk_cooccurrence_oracle(ray_session):
+    from pdf_extraction_ray.pipelines.analytics import (
+        walk_cooccurrence, walk_cooccurrence_sql)
+    from tests.oracle_check import compare
+
+    assert compare("walk_cooccurrence", walk_cooccurrence(SF_SMOKE),
+                   walk_cooccurrence_sql(), SF_SMOKE) == []
+
+
+def test_walk_cooccurrence_semantics(ray_session):
+    """Pair counts replay from the emitted walk table (window-2
+    skip-gram, both directions, self-pairs dropped); totals are
+    symmetric (n(a,b) == n(b,a)) because the window is."""
+    from pdf_extraction_ray.pipelines.analytics import (RW_WINDOW,
+                                                        random_walks,
+                                                        walk_cooccurrence)
+
+    out = walk_cooccurrence(SF_SMOKE).to_pandas()
+    walks = random_walks(SF_SMOKE).to_pandas()
+    want: dict[tuple, int] = {}
+    for _, g in walks.sort_values("step").groupby("walk_id"):
+        chain = g.node.tolist()
+        for i, a in enumerate(chain):
+            for j, b in enumerate(chain):
+                if i != j and abs(i - j) <= RW_WINDOW and a != b:
+                    want[(a, b)] = want.get((a, b), 0) + 1
+    got = {(r.a, r.b): int(r.n) for r in out.itertuples()}
+    assert got == want
+    for (a, b), n in list(want.items())[:200]:
+        assert want[(b, a)] == n
