@@ -9627,9 +9627,16 @@ def zonemap_range_stats(sf_dir: str, zone_width: int = 8) -> rd.Dataset:
             else:
                 # stale manifestless dir (e.g. a crashed pre-reuse-era
                 # build) would wedge every future call — clear and
-                # publish ours (review finding)
+                # publish ours; if ANOTHER racer published between the
+                # clear and our rename, theirs wins (second review)
                 shutil.rmtree(store, ignore_errors=True)
-                os.rename(build, store)
+                try:
+                    os.rename(build, store)
+                except OSError:
+                    if not os.path.exists(
+                            os.path.join(store, "_zones.json")):
+                        raise
+                    shutil.rmtree(build, ignore_errors=True)
 
     def fold(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
@@ -10608,6 +10615,29 @@ FROM e"""
 RW_LENGTH = 4   # hops per walk (positions 0..RW_LENGTH)
 
 
+def _walk_chains(ids: np.ndarray, N: int, hubs: int,
+                 length: int) -> np.ndarray:
+    """The one definition of the walk law (shared by random_walks and
+    walk_cooccurrence — the SQL oracles replay the same expressions):
+    chains[i, step] for seeded-hash hops over the ordered expander
+    edges [(c·31+7)%N, (c·17+3)%N, c%hubs]."""
+    from ..functions.hashing import stable_hash64
+
+    chains = np.empty((len(ids), length + 1), np.int64)
+    chains[:, 0] = ids
+    cur = ids.copy()
+    for step in range(1, length + 1):
+        h = np.fromiter(
+            (stable_hash64(f"rw:{int(w)}:{step}") % 3 for w in ids),
+            np.int64, len(ids))
+        e0 = (cur * 31 + 7) % N
+        e1 = (cur * 17 + 3) % N
+        e2 = cur % hubs
+        cur = np.where(h == 0, e0, np.where(h == 1, e1, e2))
+        chains[:, step] = cur
+    return chains
+
+
 def random_walks(sf_dir: str, length: int = RW_LENGTH) -> rd.Dataset:
     """DeepWalk-style random-walk corpus over the planted link graph
     (Perozzi et al. 2014 — the walk table graph-embedding training
@@ -10623,33 +10653,18 @@ def random_walks(sf_dir: str, length: int = RW_LENGTH) -> rd.Dataset:
     loop counter (a real edge TABLE swaps each hop for ONE
     hash_join(cur, edges-with-rank) — the pagerank_links precedent).
     Returns (walk_id, step, node), steps 0..length."""
-    from ..functions.hashing import stable_hash64
-
     docs = _docs(sf_dir, ["doc_id"])
     N = docs.count()
     hubs = min(_PR_HUBS, N)
 
     def walk(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cur = ids.copy()
-        w_o = [ids]
-        s_o = [np.zeros(len(ids), np.int64)]
-        n_o = [ids]
-        for step in range(1, length + 1):
-            h = np.fromiter(
-                (stable_hash64(f"rw:{int(w)}:{step}") % 3 for w in ids),
-                np.int64, len(ids))
-            e0 = (cur * 31 + 7) % N
-            e1 = (cur * 17 + 3) % N
-            e2 = cur % hubs
-            cur = np.where(h == 0, e0, np.where(h == 1, e1, e2))
-            w_o.append(ids)
-            s_o.append(np.full(len(ids), step, np.int64))
-            n_o.append(cur)
+        chains = _walk_chains(ids, N, hubs, length)
+        steps = np.arange(length + 1, dtype=np.int64)
         return pa.table({
-            "walk_id": pa.array(np.concatenate(w_o), pa.int64()),
-            "step": pa.array(np.concatenate(s_o), pa.int64()),
-            "node": pa.array(np.concatenate(n_o), pa.int64())})
+            "walk_id": pa.array(np.repeat(ids, length + 1), pa.int64()),
+            "step": pa.array(np.tile(steps, len(ids)), pa.int64()),
+            "node": pa.array(chains.ravel(), pa.int64())})
 
     return docs.map_batches(walk, batch_format="pyarrow")
 
@@ -10699,26 +10714,17 @@ def walk_cooccurrence(sf_dir: str, length: int = RW_LENGTH,
     does)."""
     from collections import Counter
 
-    from ..functions.hashing import stable_hash64
-
     docs = _docs(sf_dir, ["doc_id"])
     N = docs.count()
+    if N >= 1 << 31:
+        # packed pair key a·2^32 + b needs a < 2^31 for int64 (at that
+        # node count switch the pair key to two columns)
+        raise ValueError("walk_cooccurrence packed key needs N < 2^31")
     hubs = min(_PR_HUBS, N)
 
     def pairs(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        chains = np.empty((len(ids), length + 1), np.int64)
-        chains[:, 0] = ids
-        cur = ids.copy()
-        for step in range(1, length + 1):
-            h = np.fromiter(
-                (stable_hash64(f"rw:{int(w)}:{step}") % 3 for w in ids),
-                np.int64, len(ids))
-            e0 = (cur * 31 + 7) % N
-            e1 = (cur * 17 + 3) % N
-            e2 = cur % hubs
-            cur = np.where(h == 0, e0, np.where(h == 1, e1, e2))
-            chains[:, step] = cur
+        chains = _walk_chains(ids, N, hubs, length)
         tot: Counter = Counter()
         for i in range(length + 1):
             for j in range(length + 1):

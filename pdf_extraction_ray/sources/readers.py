@@ -500,8 +500,6 @@ def write_pages_csv(ds: rd.Dataset, out_dir: str) -> None:
     pyarrow's CSV writer (embedded commas / quotes / newlines survive),
     binary html as base64 (CSV is a text format). Inverse of
     ``read_pages_csv``; the round-trip is byte-exact per column."""
-    import pyarrow.csv as pacsv
-
     def encode(batch: pa.Table) -> pa.Table:
         return pa.table({
             "url": batch["url"].cast(pa.string()),

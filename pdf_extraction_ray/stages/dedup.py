@@ -897,21 +897,13 @@ def probe_minhash_index(new_ds: rd.Dataset, index_dir: str,
     # skipped — the textindex crash-window discipline)
     tomb = _load_mh_tombstones(
         index_dir, skip_tags=set(meta.get("tombs_applied", [])))
-    dead_ref = (ray.put(pa.array(sorted(tomb["ids"]), pa.int64()))
-                if tomb["n"] else None)
-
-    def _drop_dead(t: pa.Table, col: str) -> pa.Table:
-        dead = ray.get(dead_ref)
-        return t.filter(pc.invert(pc.is_in(
-            t[col].combine_chunks().cast(pa.int64()), value_set=dead)))
-
     old_postings = (rd.read_parquet(files, columns=["bkey", id_col])
                     .map_batches(lambda t: pa.table({
                         "bkey": t["bkey"], "oid": t[id_col]}),
                         batch_format="pyarrow"))
-    if dead_ref is not None:
-        old_postings = old_postings.map_batches(
-            lambda t: _drop_dead(t, "oid"), batch_format="pyarrow")
+    if tomb["n"]:
+        from ..state.tombstones import drop_dead as _shared_drop
+        old_postings = _shared_drop(old_postings, tomb["ids"], "oid")
     cand = (hash_join(new_bands, old_postings, "bkey", "bkey",
                       ["nid"], ["oid"])
             .groupby(["nid", "oid"]).count()
@@ -931,9 +923,9 @@ def probe_minhash_index(new_ds: rd.Dataset, index_dir: str,
         return fn
 
     old_sigs = rd.read_parquet(os.path.join(index_dir, "sigs"))
-    if dead_ref is not None:
-        old_sigs = old_sigs.map_batches(
-            lambda t: _drop_dead(t, id_col), batch_format="pyarrow")
+    if tomb["n"]:
+        from ..state.tombstones import drop_dead as _shared_drop2
+        old_sigs = _shared_drop2(old_sigs, tomb["ids"], id_col)
     # pin each join's output before it feeds the next hash_join —
     # hash_join probes schema() on its inputs and re-executes an
     # un-pinned lineage (stages/joins.py NOTE); these tables are
@@ -1821,33 +1813,21 @@ def knn_graph_exact(ds: rd.Dataset, k: int = 3,
 
 
 # ---------------------------------------------------------------------------
-# MinHash-index tombstone deletion (the third index family's takedown)
+# MinHash-index tombstone deletion (the third index family's takedown;
+# shared machinery: state/tombstones.py — like IVF, probing uses no
+# corpus stats, so the meta fold serves the freshness stamp)
 # ---------------------------------------------------------------------------
 
-MH_TOMB_DIR = "_tombstones"
+from ..state import tombstones as _tomb
+
+MH_TOMB_DIR = _tomb.TOMB_DIR
 
 
 def _load_mh_tombstones(index_dir: str,
                         skip_tags: "set[str] | None" = None) -> dict:
-    """{ids, n, tags} from the tombstone files (id-deduped; tags the
-    meta already folded are skipped — the textindex crash-window
-    discipline). MinHash probing uses no corpus stats in scoring, so
-    like the IVF variant the meta fold serves the freshness stamp."""
-    import glob
-    import json
-    import os
-
-    ids: set = set()
-    tags: list[str] = []
-    for f in sorted(glob.glob(os.path.join(index_dir, MH_TOMB_DIR,
-                                           "*.json"))):
-        tag = os.path.basename(f)
-        if skip_tags and tag in skip_tags:
-            continue
-        with open(f) as fh:
-            ids.update(int(i) for i in json.load(fh)["ids"])
-        tags.append(tag)
-    return {"ids": ids, "n": len(ids), "tags": tags}
+    """{ids, n, tags} — id-deduped; applied tags skipped (the crash
+    window)."""
+    return _tomb.load(index_dir, skip_tags=skip_tags)
 
 
 def delete_from_minhash_index(index_dir: str, doc_ids,
@@ -1855,18 +1835,15 @@ def delete_from_minhash_index(index_dir: str, doc_ids,
     """Tombstone deletion for the persisted MinHash-LSH index: probes
     stop matching the docs immediately (both the postings join and the
     signature attach filter map-side); the physical rewrite defers to
-    ``apply_minhash_tombstones``. Presence verifies against the sigs/
-    directory (one distributed filtered id scan), so absent or
-    already-tombstoned ids no-op. Returns {"n_deleted", "path"}."""
+    ``apply_minhash_tombstones``. Presence verifies against sigs/
+    (one distributed filtered id scan); PENDING ids no-op, APPLIED ids
+    take a fresh takedown if re-ingested. Returns
+    {"n_deleted", "path"}."""
     import glob
-    import hashlib
     import json
     import os
 
-    import pyarrow.parquet as _pq  # noqa: F401 (symmetry with IVF)
-
-    meta_path = os.path.join(index_dir, "_meta.json")
-    with open(meta_path) as f:
+    with open(os.path.join(index_dir, "_meta.json")) as f:
         meta = json.load(f)
     already = _load_mh_tombstones(
         index_dir, skip_tags=set(meta.get("tombs_applied", [])))["ids"]
@@ -1891,30 +1868,20 @@ def delete_from_minhash_index(index_dir: str, doc_ids,
     present_l = sorted(present)
     if not present_l:
         return {"n_deleted": 0, "path": None}
-    tag = hashlib.sha256(",".join(map(str, present_l)).encode()) \
-        .hexdigest()[:16]
-    tdir = os.path.join(index_dir, MH_TOMB_DIR)
-    os.makedirs(tdir, exist_ok=True)
-    path = os.path.join(tdir, f"del-{tag}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"ids": present_l}, f)
-    os.replace(tmp, path)
+    path = _tomb.write(index_dir, present_l)
     return {"n_deleted": len(present_l), "path": path}
 
 
 def apply_minhash_tombstones(index_dir: str,
                              id_col: str = "doc_id") -> dict:
     """Physically drop tombstoned docs from sigs/ and every bands/p=K/
-    file, folding (n_docs, id_fp) atomically with the applied tags —
-    the textindex/IVF crash-window discipline (leftover files whose
-    tags the meta lists delete without re-folding). Returns
-    {"n_applied", "rows_dropped"}."""
+    file, folding (n_docs, id_fp) atomically with the applied tags;
+    only KNOWN tombstone files delete (a concurrent delete's file
+    survives for the next apply — the textindex/IVF discipline).
+    Returns {"n_applied", "rows_dropped"}."""
     import glob
     import json
     import os
-
-    import pyarrow.parquet as pq
 
     meta_path = os.path.join(index_dir, "_meta.json")
     with open(meta_path) as f:
@@ -1922,36 +1889,15 @@ def apply_minhash_tombstones(index_dir: str,
     applied = set(meta.get("tombs_applied", []))
     tomb = _load_mh_tombstones(index_dir, skip_tags=applied)
     if not tomb["n"]:
-        for f in sorted(glob.glob(os.path.join(index_dir, MH_TOMB_DIR,
-                                               "*.json"))):
-            os.remove(f)
+        _tomb.cleanup(index_dir, applied)
         return {"n_applied": 0, "rows_dropped": 0}
     wset = tomb["ids"]
 
-    work = [{"f": f} for f in
-            sorted(glob.glob(os.path.join(index_dir, "sigs",
-                                          "*.parquet")))
-            + sorted(glob.glob(os.path.join(index_dir, "bands", "p=*",
-                                            "*.parquet")))]
-
-    def rewrite(batch: pa.Table) -> pa.Table:
-        dropped = []
-        for f in batch["f"].to_pylist():
-            t = pq.read_table(f)
-            mask = [int(i) not in wset for i in t[id_col].to_pylist()]
-            kept = t.filter(pa.array(mask, pa.bool_()))
-            if kept.num_rows != t.num_rows:
-                tmp = f + ".tmp"
-                pq.write_table(kept, tmp)
-                os.replace(tmp, f)
-            dropped.append(t.num_rows - kept.num_rows)
-        return pa.table({"n": pa.array(dropped, pa.int64())})
-
-    rows_dropped = 0
-    for b in (rd.from_items(work)
-              .map_batches(rewrite, batch_format="pyarrow", batch_size=4)
-              .iter_batches(batch_format="pyarrow")):
-        rows_dropped += sum(b["n"].to_pylist())
+    rows_dropped = _tomb.rewrite_drop(
+        sorted(glob.glob(os.path.join(index_dir, "sigs", "*.parquet")))
+        + sorted(glob.glob(os.path.join(index_dir, "bands", "p=*",
+                                        "*.parquet"))),
+        wset, id_col)
 
     fp = meta["id_fp"]
     for i in wset:
@@ -1962,7 +1908,5 @@ def apply_minhash_tombstones(index_dir: str,
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, meta_path)
-    for f in sorted(glob.glob(os.path.join(index_dir, MH_TOMB_DIR,
-                                           "*.json"))):
-        os.remove(f)
+    _tomb.cleanup(index_dir, applied | set(tomb["tags"]))
     return {"n_applied": tomb["n"], "rows_dropped": rows_dropped}

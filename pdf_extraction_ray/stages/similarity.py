@@ -276,17 +276,8 @@ def topk_cosine_ivf_indexed(index_dir: str, queries: np.ndarray,
     tomb = _load_ivf_tombstones(
         index_dir, skip_tags=set(_meta.get("tombs_applied", [])))
     if tomb["n"]:
-        import pyarrow.compute as pc
-
-        dead_ref = ray.put(pa.array(sorted(tomb["ids"]), pa.int64()))
-
-        def drop_tomb(b: pa.Table) -> pa.Table:
-            dead = ray.get(dead_ref)
-            return b.filter(pc.invert(pc.is_in(
-                b[id_col].combine_chunks().cast(pa.int64()),
-                value_set=dead)))
-
-        ds = ds.map_batches(drop_tomb, batch_format="pyarrow")
+        from ..state.tombstones import drop_dead as _drop_dead_shared
+        ds = _drop_dead_shared(ds, tomb["ids"], id_col)
     ref = ray.put((qmat, list(query_ids), probe))
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -675,51 +666,37 @@ def kmeans(ds: rd.Dataset, k: int = 10, iters: int = 8,
 
 
 # ---------------------------------------------------------------------------
-# IVF tombstone deletion — the vector-side takedown (textindex symmetry)
+# IVF tombstone deletion — the vector-side takedown (textindex symmetry;
+# shared machinery: state/tombstones.py — IVF scoring uses no corpus
+# stats, so no dl bookkeeping: the meta fold serves the freshness stamp)
 # ---------------------------------------------------------------------------
 
-IVF_TOMB_DIR = "_tombstones"
+from ..state import tombstones as _tomb
+
+IVF_TOMB_DIR = _tomb.TOMB_DIR
 
 
 def _load_ivf_tombstones(index_dir: str,
                          skip_tags: "set[str] | None" = None) -> dict:
-    """Fold tombstone files into {ids, n, tags} (id-deduped; files
-    whose tags the meta already folded are skipped — the textindex
-    crash-window discipline). IVF scoring uses no corpus stats, so no
-    dl bookkeeping is needed; the meta fold exists for the freshness
-    stamp only."""
-    import glob
-    import json
-    import os
-
-    ids: set = set()
-    tags: list[str] = []
-    for f in sorted(glob.glob(os.path.join(index_dir, IVF_TOMB_DIR,
-                                           "*.json"))):
-        tag = os.path.basename(f)
-        if skip_tags and tag in skip_tags:
-            continue
-        with open(f) as fh:
-            ids.update(int(i) for i in json.load(fh)["ids"])
-        tags.append(tag)
-    return {"ids": ids, "n": len(ids), "tags": tags}
+    """{ids, n, tags} — id-deduped; applied tags skipped (the crash
+    window)."""
+    return _tomb.load(index_dir, skip_tags=skip_tags)
 
 
 def delete_from_ivf_index(index_dir: str, vec_ids,
                           id_col: str = "vec_id") -> dict:
     """Tombstone deletion for the persisted IVF index: probes stop
     serving the vectors immediately (map-side filter); the physical
-    cell rewrite + meta fold defers to ``apply_ivf_tombstones``. Ids
-    absent from the index (or already tombstoned) are skipped — one
-    distributed filtered id scan verifies presence, keeping the call
-    idempotent. Returns {"n_deleted", "path"}."""
+    cell rewrite + meta fold defers to ``apply_ivf_tombstones``.
+    Presence verifies against the cell files (one distributed filtered
+    id scan); ids already PENDING no-op, ids in APPLIED files are
+    physically gone and a re-ingested vector takes a fresh takedown.
+    Returns {"n_deleted", "path"}."""
     import glob
-    import hashlib
     import json
     import os
 
-    meta_path = os.path.join(index_dir, "_meta.json")
-    with open(meta_path) as f:
+    with open(os.path.join(index_dir, "_meta.json")) as f:
         meta = json.load(f)
     already = _load_ivf_tombstones(
         index_dir, skip_tags=set(meta.get("tombs_applied", [])))["ids"]
@@ -743,32 +720,21 @@ def delete_from_ivf_index(index_dir: str, vec_ids,
     present_l = sorted(present)
     if not present_l:
         return {"n_deleted": 0, "path": None}
-    tag = hashlib.sha256(",".join(map(str, present_l)).encode()) \
-        .hexdigest()[:16]
-    tdir = os.path.join(index_dir, IVF_TOMB_DIR)
-    os.makedirs(tdir, exist_ok=True)
-    path = os.path.join(tdir, f"del-{tag}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"ids": present_l}, f)
-    os.replace(tmp, path)
+    path = _tomb.write(index_dir, present_l)
     return {"n_deleted": len(present_l), "path": path}
 
 
 def apply_ivf_tombstones(index_dir: str,
                          id_col: str = "vec_id") -> dict:
     """Physically drop tombstoned vectors from their cell files and
-    fold (n_rows, id_fp) in the SAME atomic meta write that records the
-    folded tags (``tombs_applied``); tombstone files delete LAST, so
-    the crash window re-applies as a no-op (the textindex discipline).
-    After the fold, ``ensure_ivf_index`` accepts the FILTERED corpus —
-    a takedown never triggers a rebuild that would resurrect the ids.
-    Returns {"n_applied", "rows_dropped"}."""
+    fold (n_rows, id_fp) atomically with the applied tags; only KNOWN
+    tombstone files delete (a concurrent delete's file survives for
+    the next apply). After the fold, ``ensure_ivf_index`` accepts the
+    FILTERED corpus — a takedown never triggers a rebuild that would
+    resurrect the ids. Returns {"n_applied", "rows_dropped"}."""
     import glob
     import json
     import os
-
-    import pyarrow.parquet as pq
 
     meta_path = os.path.join(index_dir, "_meta.json")
     with open(meta_path) as f:
@@ -776,33 +742,13 @@ def apply_ivf_tombstones(index_dir: str,
     applied = set(meta.get("tombs_applied", []))
     tomb = _load_ivf_tombstones(index_dir, skip_tags=applied)
     if not tomb["n"]:
-        for f in sorted(glob.glob(os.path.join(index_dir, IVF_TOMB_DIR,
-                                               "*.json"))):
-            os.remove(f)
+        _tomb.cleanup(index_dir, applied)
         return {"n_applied": 0, "rows_dropped": 0}
     wset = tomb["ids"]
 
-    work = [{"f": f} for f in sorted(glob.glob(
-        os.path.join(index_dir, "cell=*", "*.parquet")))]
-
-    def rewrite(batch: pa.Table) -> pa.Table:
-        dropped = []
-        for f in batch["f"].to_pylist():
-            t = pq.read_table(f)
-            mask = [int(i) not in wset for i in t[id_col].to_pylist()]
-            kept = t.filter(pa.array(mask, pa.bool_()))
-            if kept.num_rows != t.num_rows:
-                tmp = f + ".tmp"
-                pq.write_table(kept, tmp)
-                os.replace(tmp, f)
-            dropped.append(t.num_rows - kept.num_rows)
-        return pa.table({"n": pa.array(dropped, pa.int64())})
-
-    rows_dropped = 0
-    for b in (rd.from_items(work)
-              .map_batches(rewrite, batch_format="pyarrow", batch_size=4)
-              .iter_batches(batch_format="pyarrow")):
-        rows_dropped += sum(b["n"].to_pylist())
+    rows_dropped = _tomb.rewrite_drop(
+        sorted(glob.glob(os.path.join(index_dir, "cell=*",
+                                      "*.parquet"))), wset, id_col)
 
     fp = meta["id_fp"]
     for i in wset:
@@ -813,7 +759,5 @@ def apply_ivf_tombstones(index_dir: str,
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, meta_path)
-    for f in sorted(glob.glob(os.path.join(index_dir, IVF_TOMB_DIR,
-                                           "*.json"))):
-        os.remove(f)
+    _tomb.cleanup(index_dir, applied | set(tomb["tags"]))
     return {"n_applied": tomb["n"], "rows_dropped": rows_dropped}

@@ -508,52 +508,29 @@ def phrase_search_indexed(index_dir: str, phrase: str,
 
 # ---------------------------------------------------------------------------
 # tombstone deletion — the takedown path for the persisted index
+# (shared machinery: state/tombstones.py; this family adds per-id dl
+# bookkeeping because BM25 scoring consumes total_tokens)
 # ---------------------------------------------------------------------------
 
-TOMB_DIR = "_tombstones"
+from ..state import tombstones as _tomb
+
+TOMB_DIR = _tomb.TOMB_DIR
 
 
 def _drop_tombstoned(postings: rd.Dataset, tomb: dict,
                      id_col: str) -> rd.Dataset:
-    """Shared probe-side tombstone filter (BM25 + phrase search):
-    broadcast the deleted-id set once, vectorized ``is_in`` per batch."""
-    import pyarrow.compute as pc
-
-    dead_arr = pa.array(sorted(tomb["ids"]), pa.int64())
-    tref = ray.put(dead_arr)
-
-    def drop(b: pa.Table) -> pa.Table:
-        dead = ray.get(tref)
-        keep = pc.invert(pc.is_in(
-            b[id_col].combine_chunks().cast(pa.int64()), value_set=dead))
-        return b.filter(keep)
-
-    return postings.map_batches(drop, batch_format="pyarrow")
+    """Probe-side tombstone filter (see state/tombstones.drop_dead)."""
+    return _tomb.drop_dead(postings, tomb["ids"], id_col)
 
 
 def _load_tombstones(index_dir: str, skip_tags: "set[str] | None" = None
                      ) -> dict:
-    """Fold every tombstone file into {ids, n, dl_sum, dls, tags}
-    (empty when none). Files record PER-ID dls, and the fold dedups by
-    id keeping the first dl — two concurrent deletes whose id lists
-    overlap (the check-then-write in delete_from_index has no lock)
-    therefore cannot double-subtract a doc's tokens (review finding).
-    ``skip_tags`` excludes files already folded into the meta
-    (apply_tombstones' crash window). O(1)-per-probe driver work."""
-    dls: dict[int, int] = {}
-    tags: list[str] = []
-    for f in sorted(glob.glob(os.path.join(index_dir, TOMB_DIR,
-                                           "*.json"))):
-        tag = os.path.basename(f)
-        if skip_tags and tag in skip_tags:
-            continue
-        with open(f) as fh:
-            rec = json.load(fh)
-        for i, d in zip(rec["ids"], rec["dls"]):
-            dls.setdefault(int(i), int(d))
-        tags.append(tag)
-    return {"ids": set(dls), "n": len(dls),
-            "dl_sum": sum(dls.values()), "dls": dls, "tags": tags}
+    """{ids, n, dl_sum, dls, tags} — per-id dls dedup across
+    overlapping files (the lock-free concurrent-delete race cannot
+    double-subtract a doc's tokens); ``skip_tags`` excludes files the
+    meta already folded (the apply crash window). Legacy files without
+    per-id dls contribute an aggregate lump (state/tombstones.load)."""
+    return _tomb.load(index_dir, skip_tags=skip_tags, with_dls=True)
 
 
 def delete_from_index(index_dir: str, doc_ids,
@@ -563,19 +540,24 @@ def delete_from_index(index_dir: str, doc_ids,
     rewriting a term-partitioned index): the deleted ids land as a
     content-addressed tombstone file consulted by every probe (rows
     filtered map-side, corpus stats adjusted by the recorded (n,
-    dl_sum)); ``compact_index`` later applies them PHYSICALLY and
+    dl_sum)); ``apply_tombstones`` later applies them PHYSICALLY and
     folds the meta.
 
     The per-doc dl (needed to keep BM25's total_tokens honest) is
     recovered from the index itself with one distributed filtered scan
-    (any posting of a doc carries its dl). Ids already tombstoned or
-    absent from the index are skipped, which makes the call idempotent
-    and double-count-safe. Returns {"n_deleted", "dl_sum", "path"}."""
-    import hashlib
-
-    want = sorted(set(int(i) for i in doc_ids))
-    already = _load_tombstones(index_dir)["ids"]
-    want = [i for i in want if i not in already]
+    (any posting of a doc carries its dl). Ids already PENDING
+    deletion are skipped (idempotent); ids in an already-APPLIED
+    tombstone file are NOT treated as deleted — their postings are
+    physically gone unless the doc was re-ingested since, in which
+    case a fresh takedown must land (review finding: the old check
+    read applied files too and silently no-opped the re-delete).
+    Returns {"n_deleted", "dl_sum", "path"}."""
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    already = _load_tombstones(
+        index_dir,
+        skip_tags=set(meta.get("tombs_applied", [])))["ids"]
+    want = sorted({int(i) for i in doc_ids} - already)
     if not want:
         return {"n_deleted": 0, "dl_sum": 0, "path": None}
     wset = set(want)
@@ -606,17 +588,8 @@ def delete_from_index(index_dir: str, doc_ids,
     if not present:
         return {"n_deleted": 0, "dl_sum": 0, "path": None}
     dl_sum = sum(dl_by_id[i] for i in present)
-    rec = {"ids": present, "dls": [dl_by_id[i] for i in present],
-           "n": len(present), "dl_sum": dl_sum}
-    tag = hashlib.sha256(",".join(map(str, present)).encode()) \
-        .hexdigest()[:16]
-    tdir = os.path.join(index_dir, TOMB_DIR)
-    os.makedirs(tdir, exist_ok=True)
-    path = os.path.join(tdir, f"del-{tag}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(rec, f)
-    os.replace(tmp, path)
+    path = _tomb.write(index_dir, present,
+                       dls=[dl_by_id[i] for i in present])
     return {"n_deleted": len(present), "dl_sum": dl_sum, "path": path}
 
 
@@ -624,49 +597,25 @@ def apply_tombstones(index_dir: str, id_col: str = "doc_id") -> dict:
     """Physically remove tombstoned docs' postings: rewrite every
     partition dropping their rows, fold (n, dl_sum, id xor) out of
     ``_meta.json`` in the SAME atomic write that records the folded
-    files' tags (``tombs_applied``), then delete the tombstone files
-    LAST. A crash between the meta write and the file deletes leaves
-    files whose tags the meta already lists — the fold (and every
-    probe's stat adjustment) skips those, so re-running converges
-    instead of double-folding (review finding: the previous version
-    folded n/dl_sum straight from the files unconditionally). Returns
+    files' tags (``tombs_applied``), then delete exactly the KNOWN
+    tombstone files LAST (folded now or already in the meta) — a
+    tombstone written concurrently by a lock-free delete survives for
+    the next apply (review finding), and a crash between the meta
+    write and the deletes re-applies as a no-op. Returns
     {"n_applied", "rows_dropped"}."""
-    import pyarrow.parquet as pq
-
     meta_path = os.path.join(index_dir, "_meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
     applied_tags = set(meta.get("tombs_applied", []))
     tomb = _load_tombstones(index_dir, skip_tags=applied_tags)
     if not tomb["n"]:
-        # leftover already-folded files (the crash window) just delete
-        for f in sorted(glob.glob(os.path.join(index_dir, TOMB_DIR,
-                                               "*.json"))):
-            os.remove(f)
+        _tomb.cleanup(index_dir, applied_tags)
         return {"n_applied": 0, "rows_dropped": 0}
     wset = tomb["ids"]
 
-    work = [{"f": f} for f in sorted(glob.glob(
-        os.path.join(index_dir, "part=*", "*.parquet")))]
-
-    def rewrite(batch: pa.Table) -> pa.Table:
-        dropped = []
-        for f in batch["f"].to_pylist():
-            t = pq.read_table(f)
-            mask = [i not in wset for i in t[id_col].to_pylist()]
-            kept = t.filter(pa.array(mask, pa.bool_()))
-            if kept.num_rows != t.num_rows:
-                tmp = f + ".tmp"
-                pq.write_table(kept, tmp)
-                os.replace(tmp, f)
-            dropped.append(t.num_rows - kept.num_rows)
-        return pa.table({"n": pa.array(dropped, pa.int64())})
-
-    rows_dropped = 0
-    for b in (rd.from_items(work)
-              .map_batches(rewrite, batch_format="pyarrow", batch_size=4)
-              .iter_batches(batch_format="pyarrow")):
-        rows_dropped += sum(b["n"].to_pylist())
+    rows_dropped = _tomb.rewrite_drop(
+        sorted(glob.glob(os.path.join(index_dir, "part=*",
+                                      "*.parquet"))), wset, id_col)
 
     fp = meta["id_fp"]
     for i in wset:
@@ -680,7 +629,5 @@ def apply_tombstones(index_dir: str, id_col: str = "doc_id") -> dict:
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, meta_path)
-    for f in sorted(glob.glob(os.path.join(index_dir, TOMB_DIR,
-                                           "*.json"))):
-        os.remove(f)
+    _tomb.cleanup(index_dir, applied_tags | set(tomb["tags"]))
     return {"n_applied": tomb["n"], "rows_dropped": rows_dropped}
