@@ -119,3 +119,130 @@ def zonemap_scan(out_dir: str, lo: int, hi: int) -> rd.Dataset:
                    for f in glob.glob(os.path.join(d, "*.parquet")))
     return rd.read_parquet(files).map_batches(residual,
                                               batch_format="pyarrow")
+
+
+def append_to_zonemap(ds: rd.Dataset, out_dir: str) -> dict:
+    """Delta ingestion for the zone store — the time-series append
+    (new days land as per-zone DELTA files; existing zones are never
+    rewritten) with the repo's at-least-once discipline: the manifest
+    records applied-batch fingerprints, a duplicate submission no-ops,
+    and a same-pre-state retry reuses its delta tag so partial files
+    overwrite idempotently. Zone true-min/max EXTEND (never shrink) so
+    pruning stays sound; `zonemap_scan`'s per-zone glob sees deltas
+    with no read-path change (the IVF-append property). Returns the
+    updated manifest dict."""
+    import hashlib
+
+    with open(os.path.join(out_dir, _MANIFEST)) as f:
+        meta = json.load(f)
+    key, width = meta["key"], meta["zone_width"]
+
+    # batch fingerprint: (n, sum, xor) of the key column — one combiner
+    def fp_partial(t: pa.Table) -> pa.Table:
+        k = t[key].combine_chunks().cast(pa.int64()).to_numpy()
+        x = 0
+        for v in k.tolist():
+            x ^= v & ((1 << 64) - 1)
+        return pa.table({"n": pa.array([len(k)], pa.int64()),
+                         "s": pa.array([int(k.sum())], pa.int64()),
+                         "x": pa.array([x], pa.uint64())})
+
+    n = s = x = 0
+    ds = ds.materialize()  # consumed twice (fingerprint + write)
+    for b in (ds.map_batches(fp_partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        n += sum(b["n"].to_pylist())
+        s += sum(b["s"].to_pylist())
+        for v in b["x"].to_pylist():
+            x ^= int(v)
+    batch_fp = hashlib.sha256(f"{n}:{s}:{x}".encode()).hexdigest()[:16]
+    if batch_fp in meta.get("applied", []):
+        return meta  # duplicate submission (at-least-once) no-ops
+    # same-pre-state retries reuse the tag → delta files overwrite
+    delta_tag = hashlib.sha256(
+        f"{json.dumps(meta.get('applied', []))}:{batch_fp}".encode()
+    ).hexdigest()[:12]
+
+    def tag(t: pa.Table) -> pa.Table:
+        z = (t[key].combine_chunks().cast(pa.int64()).to_numpy() // width)
+        return t.append_column("__z", pa.array(z, pa.int64()))
+
+    def write_zone(g: pd.DataFrame) -> pd.DataFrame:
+        z = int(g["__z"].iloc[0])
+        d = os.path.join(out_dir, f"zone={z}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".delta-{delta_tag}.tmp")
+        pq.write_table(pa.Table.from_pandas(g.drop(columns="__z"),
+                                            preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(d, f"delta-{delta_tag}.parquet"))
+        return pd.DataFrame({"zone": [z],
+                             "lo": [int(g[key].min())],
+                             "hi": [int(g[key].max())],
+                             "rows": [len(g)]})
+
+    stats = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("__z").map_groups(write_zone, batch_format="pandas")
+             .to_pandas())
+    zones = dict(meta["zones"])
+    for r in stats.itertuples():
+        zk = str(int(r.zone))
+        if zk in zones:
+            zones[zk] = {"lo": min(zones[zk]["lo"], int(r.lo)),
+                         "hi": max(zones[zk]["hi"], int(r.hi)),
+                         "rows": zones[zk]["rows"] + int(r.rows)}
+        else:
+            zones[zk] = {"lo": int(r.lo), "hi": int(r.hi),
+                         "rows": int(r.rows)}
+    meta = {**meta, "zones": zones,
+            "applied": (meta.get("applied", []) + [batch_fp])[-64:]}
+    tmp = os.path.join(out_dir, ".zones.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+    return meta
+
+
+def compact_zonemap(out_dir: str) -> dict:
+    """Merge each zone's delta files into its base file — the
+    maintenance step after many appends (one task per multi-file zone
+    via the Dataset scheduler; crash between publish and deletes
+    leaves both, and re-running converges because the merge rewrites
+    from whatever files exist). Returns
+    {"zones_compacted", "files_removed"}."""
+    import glob
+
+    import ray.data as rd
+
+    work = []
+    for zdir in sorted(glob.glob(os.path.join(out_dir, "zone=*"))):
+        files = sorted(glob.glob(os.path.join(zdir, "*.parquet")))
+        if len(files) > 1:
+            work.append({"zdir": zdir, "files": files})
+    if not work:
+        return {"zones_compacted": 0, "files_removed": 0}
+
+    def merge_one(batch: pa.Table) -> pa.Table:
+        removed = []
+        for zdir, files in zip(batch["zdir"].to_pylist(),
+                               batch["files"].to_pylist()):
+            t = pa.concat_tables([pq.read_table(f) for f in files],
+                                 promote_options="default")
+            out = os.path.join(zdir, "part-0.parquet")
+            tmp = os.path.join(zdir, ".merge.tmp")
+            pq.write_table(t, tmp)
+            os.replace(tmp, out)
+            n = 0
+            for f in files:
+                if f != out:
+                    os.remove(f)
+                    n += 1
+            removed.append(n)
+        return pa.table({"n": pa.array(removed, pa.int64())})
+
+    removed = 0
+    for b in (rd.from_items(work)
+              .map_batches(merge_one, batch_format="pyarrow",
+                           batch_size=1)
+              .iter_batches(batch_format="pyarrow")):
+        removed += sum(b["n"].to_pylist())
+    return {"zones_compacted": len(work), "files_removed": removed}

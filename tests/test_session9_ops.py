@@ -1521,3 +1521,59 @@ def test_walk_cooccurrence_semantics(ray_session):
     assert got == want
     for (a, b), n in list(want.items())[:200]:
         assert want[(b, a)] == n
+
+
+# ---------------------------------------------------------------------------
+# zonemap append + compact (the store's ingest loop)
+
+
+def test_zonemap_append_lifecycle(ray_session, tmp_path):
+    """Append lands deltas without rewriting existing zones; the scan
+    sees base+delta == a fresh rebuild of the union; duplicate appends
+    no-op byte-for-byte; manifest bounds extend, never shrink;
+    compaction merges to one file per zone and preserves answers."""
+    import glob
+    import json
+    import os
+
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.state.zonemap import (append_to_zonemap,
+                                                  compact_zonemap,
+                                                  write_zonemapped,
+                                                  zonemap_scan)
+
+    def tbl(lo, n):
+        return pa.table({"k": pa.array(list(range(lo, lo + n)), pa.int64()),
+                         "v": pa.array([i % 7 for i in range(lo, lo + n)],
+                                       pa.int64())})
+
+    store = str(tmp_path / "zm")
+    write_zonemapped(rd.from_arrow(tbl(0, 300)), "k", store, 100)
+    base_file = os.path.join(store, "zone=1", "part-0.parquet")
+    m0 = os.path.getmtime(base_file)
+
+    append_to_zonemap(rd.from_arrow(tbl(300, 150)), store)  # zones 3,4
+    append_to_zonemap(rd.from_arrow(tbl(450, 50)), store)   # delta in 4
+    assert os.path.getmtime(base_file) == m0  # base zones untouched
+
+    got = zonemap_scan(store, 0, 499).to_pandas().sort_values("k")
+    assert list(got.k) == list(range(500))
+    with open(os.path.join(store, "_zones.json")) as f:
+        meta = json.load(f)
+    assert meta["zones"]["4"]["rows"] == 100  # 50 + 50 delta-on-delta
+    assert meta["zones"]["4"]["hi"] == 499
+
+    # duplicate append no-ops (file set unchanged)
+    before = sorted(glob.glob(store + "/zone=*/*.parquet"))
+    append_to_zonemap(rd.from_arrow(tbl(300, 150)), store)
+    assert sorted(glob.glob(store + "/zone=*/*.parquet")) == before
+
+    res = compact_zonemap(store)
+    assert res["zones_compacted"] >= 1
+    for zdir in glob.glob(store + "/zone=*"):
+        assert len(glob.glob(zdir + "/*.parquet")) == 1
+    got2 = zonemap_scan(store, 0, 499).to_pandas().sort_values("k")
+    assert list(got2.k) == list(range(500))
+    assert list(got2.v) == list(got.sort_values("k").v)
