@@ -100,6 +100,44 @@ def q_extract_point_lookup(sf_dir: str) -> rd.Dataset:
                  "extracted_text"])
 
 
+ROUTE_SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)
+
+
+def q_route_threshold_sweep(sf_dir: str) -> rd.Dataset:
+    """Quality-router tuning curve — for each candidate threshold, how
+    many docs WOULD route primary vs fallback (the sweep an operator
+    reads before moving the M7 cutoff; the production router's 70 sits
+    in the middle of the grid): one pass over the flagship output,
+    per-block counts against all thresholds (a ≤2·|grid|-row partial),
+    ONE tiny groupby. Returns (threshold, n_primary, n_fallback)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    grid = ROUTE_SWEEP_THRESHOLDS
+
+    def fold(t: pa.Table) -> pa.Table:
+        q = t["quality_pct"].to_numpy(zero_copy_only=False)
+        ths, np_, nf = [], [], []
+        for th in grid:
+            ths.append(th)
+            np_.append(int((q >= th).sum()))
+            nf.append(int((q < th).sum()))
+        return pa.table({"threshold": pa.array(ths, pa.int64()),
+                         "p": pa.array(np_, pa.int64()),
+                         "f": pa.array(nf, pa.int64())})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"threshold": t["threshold"],
+                         "n_primary": t["sum(p)"],
+                         "n_fallback": t["sum(f)"]})
+
+    return (_extracted(sf_dir).select_columns(["quality_pct"])
+            .map_batches(fold, batch_format="pyarrow")
+            .groupby("threshold").aggregate(Sum("p"), Sum("f"))
+            .map_batches(rename, batch_format="pyarrow"))
+
+
 def q_bucket_skew_report(sf_dir: str) -> rd.Dataset:
     """Partitioner balance census — rows/chars per url-hash bucket of
     the checkpointed output, externally verifying the engine's ONE
@@ -898,6 +936,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the DeepWalk→word2vec training pairs; walks regenerate inside
         # the counting map (zero per-step storage or shuffle)
         "walk_cooccurrence": _tuned(analytics.walk_cooccurrence),
+        # quality-router tuning curve (would-be routing counts per
+        # candidate threshold; one pass, |grid|-bounded exchange)
+        "route_threshold_sweep": _tuned(q_route_threshold_sweep),
     }
 
 
@@ -1008,6 +1049,7 @@ AWAITING_SLOT = (
     "value_percentile_feature",
     "random_walks",
     "walk_cooccurrence",
+    "route_threshold_sweep",
 )
 
 
@@ -1192,6 +1234,15 @@ def oracle_sql() -> dict[str, str]:
             analytics.value_percentile_feature_sql(),
         "random_walks": analytics.random_walks_sql(),
         "walk_cooccurrence": analytics.walk_cooccurrence_sql(),
+        "route_threshold_sweep": oracle.base_cte() + f"""
+SELECT CAST(th.threshold AS BIGINT) AS threshold,
+       CAST(count(*) FILTER (WHERE e.quality_pct >= th.threshold)
+            AS BIGINT) AS n_primary,
+       CAST(count(*) FILTER (WHERE e.quality_pct < th.threshold)
+            AS BIGINT) AS n_fallback
+FROM expected e
+CROSS JOIN (SELECT unnest({list(ROUTE_SWEEP_THRESHOLDS)}) AS threshold) th
+GROUP BY th.threshold""",
         "bucket_skew_report": oracle.base_cte() + f"""
 SELECT CAST({analytics._sql_hash64("sha256(url)")} % {_CFG.n_buckets}
             AS BIGINT) AS bucket,

@@ -1577,3 +1577,34 @@ def test_zonemap_append_lifecycle(ray_session, tmp_path):
     got2 = zonemap_scan(store, 0, 499).to_pandas().sort_values("k")
     assert list(got2.k) == list(range(500))
     assert list(got2.v) == list(got.sort_values("k").v)
+
+
+# ---------------------------------------------------------------------------
+# route_threshold_sweep
+
+
+def test_route_threshold_sweep_oracle(ray_session):
+    import __ray_entry__ as entrymod
+    from tests.oracle_check import compare
+
+    assert compare("route_threshold_sweep",
+                   entrymod.queries()["route_threshold_sweep"](SF_SMOKE),
+                   entrymod.oracle_sql()["route_threshold_sweep"],
+                   SF_SMOKE) == []
+
+
+def test_route_threshold_sweep_semantics(ray_session):
+    """Per threshold, primary+fallback == corpus size; n_primary is
+    non-increasing in the threshold; the production cutoff's row
+    matches the flagship's actual routing counts."""
+    import __ray_entry__ as entrymod
+
+    out = (entrymod.queries()["route_threshold_sweep"](SF_SMOKE)
+           .to_pandas().sort_values("threshold").reset_index(drop=True))
+    total = out.n_primary + out.n_fallback
+    assert total.nunique() == 1
+    assert (out.n_primary.diff().dropna() <= 0).all()
+    flag = entrymod._extracted(SF_SMOKE).select_columns(
+        ["route"]).to_pandas()
+    row70 = out[out.threshold == 70].iloc[0]
+    assert int(row70.n_primary) == int((flag.route == "primary").sum())
