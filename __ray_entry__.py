@@ -499,13 +499,16 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for the first
-    # 50 entries only. Round 2 verified the legacy first-50 (47 green /
-    # 3 no_oracle); round 3 therefore leads with (a) the 28 operators
-    # that had never had a driver row, and (b) the 3 newly-oracled
-    # queries (text_embed_dups, kmeans_clusters, ann_ivf_fullprobe),
-    # then fills the window with the flagship extraction + dedup
-    # entries. Union(r02, r03) = every query externally verified.
-    return {
+    # 50 entries only. Round 2 verified the legacy first-50, round 3
+    # the next 49 (CORRECTNESS_r03: 50/50 green). Round 4 ROTATES the
+    # window per the r3 verdict: the flagship gate (extract_pipeline)
+    # stays in-window and the first 49 of round 3's AWAITING_SLOT
+    # backlog (linkgraph family, session-8 analytics, ann_ivf — never
+    # externally verified before) fill positions 2..50. Already-green
+    # queries move behind the window; queries added THIS round queue in
+    # AWAITING_SLOT for round 5. The reorder is data-driven from
+    # WINDOW_R04 / AWAITING_SLOT below so it is an auditable diff.
+    base = {
         # windowed aggregates (streaming-shaped) — never driver-verified
         "window_tumbling": _tuned(analytics.window_tumbling),
         "window_sliding": _tuned(analytics.window_sliding),
@@ -902,7 +905,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value histogram — no global sort, Python-bigint fold
         "doc_length_gini": _tuned(analytics.doc_length_gini),
         # near-superset detection by exact shingle CONTAINMENT
-        # (Broder's asymmetric statistic; r=2 banding for deep recall)
+        # (Broder's asymmetric statistic; default r=1 banding — 64
+        # single-row bands, the config the documented recall bound in
+        # stages/dedup.py assumes)
         "containment_docs": _tuned(analytics.containment_docs),
         # 2:1 integer PCM downsample (actor-pool decode; shift-exact
         # pair mean replays closed-form from the sample law)
@@ -940,15 +945,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # candidate threshold; one pass, |grid|-bounded exchange)
         "route_threshold_sweep": _tuned(q_route_threshold_sweep),
     }
+    rest = [k for k in base if k not in _ROTATED]
+    order = [*WINDOW_R04, *rest, *AWAITING_SLOT]
+    assert len(order) == len(base), sorted(set(base) ^ set(order))
+    return {k: base[k] for k in order}
 
 
-# Queries added AFTER this round's 50-entry driver window saturated:
-# each is fully oracled and locally driver-sim-verified (DRIVER_SIM
-# artifacts), and MUST take a window slot next round. The contract test
-# derives the window law from CORRECTNESS_r02.json and this list — a
-# query can only skip the window by being named here, which is an
-# auditable diff, never a silent reorder.
-AWAITING_SLOT = (
+# The round-4 driver window (the first 50 queries() entries): the
+# flagship gate stays in-window every round; positions 2..50 are the
+# first 49 of round 3's AWAITING_SLOT backlog, in their original queue
+# order — none of those 49 ever had an external CORRECTNESS row before
+# this round (see VERDICT.md round 3, "Next round" item 1).
+WINDOW_R04 = (
+    "extract_pipeline",
     "pagerank_docs",
     "anchor_text_index",
     "page_links_sample",
@@ -998,6 +1007,18 @@ AWAITING_SLOT = (
     "late_event_audit",
     "ewma_event_rate",
     "lpa_communities",
+)
+
+
+# Queries still waiting for an external driver row after the round-4
+# window (52 carried over from round 3's backlog, in queue order, plus
+# any added this round): each is fully oracled and locally
+# driver-sim-verified (DRIVER_SIM artifacts), and MUST take a window
+# slot next round. The contract test derives the window law from the
+# recorded CORRECTNESS_r02/r03 artifacts and this list — a query can
+# only skip the window by being named here, which is an auditable
+# diff, never a silent reorder.
+AWAITING_SLOT = (
     "embedding_pq",
     "er_blocked_pairs",
     "mlt_related_docs",
@@ -1051,6 +1072,8 @@ AWAITING_SLOT = (
     "walk_cooccurrence",
     "route_threshold_sweep",
 )
+
+_ROTATED = frozenset(WINDOW_R04) | frozenset(AWAITING_SLOT)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -723,16 +723,23 @@ def test_entry_contract_keys():
     assert all(callable(f) for f in q.values())
     assert set(q) - set(o) == set()
     # the driver verifies the FIRST 50 entries. Union coverage law,
-    # derived from the recorded r02 artifact (not a hand-kept list):
-    # every query WITHOUT a green r02 row — including any query added
-    # after r02 — must sit inside this round's 50-entry window, so
-    # union(r02, r03) externally verifies the whole surface.
+    # derived from the recorded r02+r03 artifacts (not a hand-kept
+    # list): every query WITHOUT a green row in either round —
+    # including any query added since — must sit inside this round's
+    # 50-entry window, so union(r02, r03, r04) externally verifies the
+    # whole surface modulo the explicit AWAITING_SLOT queue.
     import json
-    with open("/root/repo/CORRECTNESS_r02.json") as f:
-        r02 = json.load(f)
-    green_r02 = {k for k, v in r02.items() if v.get("hash_match")}
-    need_r03 = set(q) - green_r02
+    green = set()
+    for artifact in ("/root/repo/CORRECTNESS_r02.json",
+                     "/root/repo/CORRECTNESS_r03.json"):
+        with open(artifact) as f:
+            rows = json.load(f)
+        green |= {k for k, v in rows.items() if v.get("hash_match")}
+    need_r03 = set(q) - green
     window = set(list(q)[:50])
+    # the rotation is pinned: the window IS the declared WINDOW_R04
+    # (flagship + the 49 oldest never-driver-verified backlog entries)
+    assert list(q)[:50] == list(entrymod.WINDOW_R04)
     # queries added AFTER the window saturated may only skip it via the
     # explicit AWAITING_SLOT list (an auditable diff, not a silent
     # reorder), and every one of those must be oracled and queued at
