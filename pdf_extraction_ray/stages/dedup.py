@@ -773,7 +773,8 @@ def append_to_minhash_index(ds_new: rd.Dataset, index_dir: str,
     meta = {**meta,
             "n_docs": meta["n_docs"] + n_new,
             "id_fp": meta["id_fp"] ^ fp_new,
-            "applied": (meta.get("applied", []) + [batch_fp])[-64:]}
+            # idempotence log — uncapped (a cap re-ingests old retries)
+            "applied": meta.get("applied", []) + [batch_fp]}
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -1903,7 +1904,8 @@ def apply_minhash_tombstones(index_dir: str,
     for i in wset:
         fp ^= int(i) & ((1 << 64) - 1)
     meta = {**meta, "n_docs": meta["n_docs"] - tomb["n"], "id_fp": fp,
-            "tombs_applied": (sorted(applied) + tomb["tags"])[-64:]}
+            # prefix-only cap: the current apply's tags never truncate
+            "tombs_applied": sorted(applied)[-64:] + tomb["tags"]}
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)

@@ -463,7 +463,8 @@ def append_to_ivf_index(ds_new: rd.Dataset, index_dir: str,
             "n_rows": meta["n_rows"] + n_new,
             "id_fp": meta["id_fp"] ^ fp_new,
             "n_appended": meta.get("n_appended", 0) + n_new,
-            "applied": (meta.get("applied", []) + [batch_fp])[-64:]}
+            # idempotence log — uncapped (a cap re-ingests old retries)
+            "applied": meta.get("applied", []) + [batch_fp]}
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -754,7 +755,8 @@ def apply_ivf_tombstones(index_dir: str,
     for i in wset:
         fp ^= int(i) & ((1 << 64) - 1)  # id_fp is the xor of raw ids
     meta = {**meta, "n_rows": meta["n_rows"] - tomb["n"], "id_fp": fp,
-            "tombs_applied": (sorted(applied) + tomb["tags"])[-64:]}
+            # prefix-only cap: the current apply's tags never truncate
+            "tombs_applied": sorted(applied)[-64:] + tomb["tags"]}
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)

@@ -257,7 +257,10 @@ def append_to_index(ds_new: rd.Dataset, index_dir: str,
             "total_tokens": meta["total_tokens"] + tot_new,
             "id_fp": meta["id_fp"] ^ fp_new,
             "num_parts": num_parts,
-            "applied": (meta.get("applied", []) + [batch_fp])[-64:]}
+            # the applied list is the idempotence log — never truncate
+            # it (16 bytes/append; a capped log silently re-ingested a
+            # duplicate retry older than the cap)
+            "applied": meta.get("applied", []) + [batch_fp]}
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -623,8 +626,10 @@ def apply_tombstones(index_dir: str, id_col: str = "doc_id") -> dict:
     meta = {**meta, "n_docs": meta["n_docs"] - tomb["n"],
             "total_tokens": meta["total_tokens"] - tomb["dl_sum"],
             "id_fp": fp,
-            "tombs_applied": (sorted(applied_tags)
-                              + tomb["tags"])[-64:]}
+            # cap only the PREVIOUS prefix — the current apply's own
+            # tags must never truncate out of the crash-window guard
+            # (cleanup normally keeps the list near-empty anyway)
+            "tombs_applied": sorted(applied_tags)[-64:] + tomb["tags"]}
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)

@@ -15,18 +15,32 @@ is always read, and a residual map-side filter removes the false
 positives the coarse zones admit. Clustering (the ``key // width``
 routing) only determines how EFFECTIVE the pruning is.
 
+The manifest is the source of truth for LIVE FILES (Iceberg's rule):
+each zone entry lists the parquet files readers may see, publishes are
+file-write-then-manifest-list, and maintenance deletes only unlisted
+files — so every crash window leaves readers either on the old file
+set or the new one, never a mix (round-4 advisor finding: the previous
+publish-then-delete compaction permanently duplicated delta rows if it
+crashed between the two steps).
+
 Write discipline matches ``stages/joins.write_bucketed``: one pass,
 ONE groupby(zone) so each zone lands as one atomic file (tmp +
 ``os.replace``), the manifest written LAST so a crashed write is
-invisible to readers.
+invisible to readers. Maintenance ops (append / compact) are
+single-writer at a time — retries of the SAME op are safe
+(at-least-once), concurrent DIFFERENT ops are not coordinated, the
+repo-wide store convention.
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -34,14 +48,33 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 _MANIFEST = "_zones.json"
+_U64 = (1 << 64) - 1
+
+
+def _write_manifest(out_dir: str, meta: dict) -> None:
+    tmp = os.path.join(out_dir, ".zones.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+
+
+def _zone_files(out_dir: str, zone: str, m: dict) -> list[str]:
+    """Absolute live files for a zone — the manifest's ``files`` list
+    when present (authoritative), else a glob (legacy stores written
+    before the live-file manifest)."""
+    zdir = os.path.join(out_dir, f"zone={zone}")
+    names = m.get("files")
+    if names is None:
+        return sorted(glob.glob(os.path.join(zdir, "*.parquet")))
+    return [os.path.join(zdir, n) for n in sorted(names)]
 
 
 def write_zonemapped(ds: rd.Dataset, key: str, out_dir: str,
                      zone_width: int) -> str:
     """Write ``ds`` as ``zone=K/part-0.parquet`` directories (zone =
     key // zone_width) with a ``_zones.json`` manifest of per-zone
-    (min, max, rows). ``out_dir`` is cleared first (a stale zone from
-    a previous write must not survive). Returns ``out_dir``."""
+    (min, max, rows, live files). ``out_dir`` is cleared first (a stale
+    zone from a previous write must not survive). Returns ``out_dir``."""
     if zone_width <= 0:
         raise ValueError("zone_width must be positive")
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -70,13 +103,11 @@ def write_zonemapped(ds: rd.Dataset, key: str, out_dir: str,
              .groupby("__z").map_groups(write_zone, batch_format="pandas")
              .to_pandas())
     manifest = {str(int(r.zone)): {"lo": int(r.lo), "hi": int(r.hi),
-                                   "rows": int(r.rows)}
+                                   "rows": int(r.rows),
+                                   "files": ["part-0.parquet"]}
                 for r in stats.itertuples()}
-    tmp = os.path.join(out_dir, ".zones.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"key": key, "zone_width": zone_width,
-                   "zones": manifest}, f, sort_keys=True)
-    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+    _write_manifest(out_dir, {"key": key, "zone_width": zone_width,
+                              "zones": manifest})
     return out_dir
 
 
@@ -90,78 +121,95 @@ def zonemap_plan(out_dir: str, lo: int, hi: int) -> list[str]:
                                int(kv[0]))
             if m["lo"] <= hi and m["hi"] >= lo]
 
-
 def zonemap_scan(out_dir: str, lo: int, hi: int) -> rd.Dataset:
-    """Range scan reading ONLY the overlapping zones, with the
-    residual map-side filter that makes coarse zones exact. An empty
-    plan returns an empty dataset with the stored schema."""
+    """Range scan reading ONLY the overlapping zones' LIVE files (per
+    the manifest), with the residual map-side filter that makes coarse
+    zones exact. An empty plan returns an empty dataset with the
+    stored schema."""
     with open(os.path.join(out_dir, _MANIFEST)) as f:
         meta = json.load(f)
     key = meta["key"]
-    paths = zonemap_plan(out_dir, lo, hi)
-    if not paths:
+    live = sorted((z, m) for z, m in meta["zones"].items()
+                  if m["lo"] <= hi and m["hi"] >= lo)
+    if not live:
         any_zone = next(iter(sorted(meta["zones"])), None)
         if any_zone is None:
             raise ValueError(f"zone store {out_dir} is empty")
-        schema = pq.read_schema(os.path.join(
-            out_dir, f"zone={any_zone}", "part-0.parquet"))
-        return rd.from_arrow(schema.empty_table())
+        first = _zone_files(out_dir, any_zone, meta["zones"][any_zone])
+        return rd.from_arrow(pq.read_schema(first[0]).empty_table())
 
     def residual(t: pa.Table) -> pa.Table:
         kv = t[key].combine_chunks().cast(pa.int64()).to_numpy()
         return t.filter(pa.array((kv >= lo) & (kv <= hi)))
 
     # a path LIST is treated as files (only a single path may be a
-    # directory), so expand each planned zone dir to its parquet files
-    import glob
-
-    files = sorted(f for d in paths
-                   for f in glob.glob(os.path.join(d, "*.parquet")))
+    # directory) — and the manifest's live lists ignore unlisted
+    # leftovers a crashed maintenance op may have left behind
+    files = [f for z, m in live for f in _zone_files(out_dir, z, m)]
     return rd.read_parquet(files).map_batches(residual,
                                               batch_format="pyarrow")
 
 
-def append_to_zonemap(ds: rd.Dataset, out_dir: str) -> dict:
+def _content_fingerprint(ds: rd.Dataset) -> str:
+    """Order-independent fingerprint of the FULL row content: per-row
+    64-bit hashes over ALL columns (canonical column order), combined
+    as (count, wrapping sum, xor) and sha256'd. Two distinct batches
+    collide only on engineered 64-bit hash collisions — unlike the
+    key-only (n, sum, xor) this replaces, which collided on realistic
+    same-day delta batches (round-4 advisor finding, high)."""
+    def fp_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        hv = pd.util.hash_pandas_object(
+            df[sorted(df.columns)], index=False).to_numpy(np.uint64)
+        x = 0
+        for v in hv.tolist():
+            x ^= int(v)
+        return pa.table({
+            "n": pa.array([len(hv)], pa.int64()),
+            "s": pa.array([int(hv.sum(dtype=np.uint64))], pa.uint64()),
+            "x": pa.array([x], pa.uint64())})
+
+    n = s = x = 0
+    for b in (ds.map_batches(fp_partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        n += sum(b["n"].to_pylist())
+        for v in b["s"].to_pylist():
+            s = (s + int(v)) & _U64
+        for v in b["x"].to_pylist():
+            x ^= int(v)
+    return hashlib.sha256(f"{n}:{s}:{x}".encode()).hexdigest()[:16]
+
+
+def append_to_zonemap(ds: rd.Dataset, out_dir: str,
+                      batch_id: str | None = None) -> dict:
     """Delta ingestion for the zone store — the time-series append
     (new days land as per-zone DELTA files; existing zones are never
     rewritten) with the repo's at-least-once discipline: the manifest
     records applied-batch fingerprints, a duplicate submission no-ops,
     and a same-pre-state retry reuses its delta tag so partial files
-    overwrite idempotently. Zone true-min/max EXTEND (never shrink) so
-    pruning stays sound; `zonemap_scan`'s per-zone glob sees deltas
-    with no read-path change (the IVF-append property). Returns the
-    updated manifest dict."""
-    import hashlib
-
+    overwrite idempotently. The fingerprint covers the FULL row
+    content (or an explicit caller-supplied ``batch_id``, the stronger
+    idempotence token when the ingest source has one). Zone
+    true-min/max EXTEND (never shrink) so pruning stays sound; delta
+    files become visible only via the manifest's live-file list
+    (write-then-list). Returns the updated manifest dict."""
     with open(os.path.join(out_dir, _MANIFEST)) as f:
         meta = json.load(f)
     key, width = meta["key"], meta["zone_width"]
 
-    # batch fingerprint: (n, sum, xor) of the key column — one combiner
-    def fp_partial(t: pa.Table) -> pa.Table:
-        k = t[key].combine_chunks().cast(pa.int64()).to_numpy()
-        x = 0
-        for v in k.tolist():
-            x ^= v & ((1 << 64) - 1)
-        return pa.table({"n": pa.array([len(k)], pa.int64()),
-                         "s": pa.array([int(k.sum())], pa.int64()),
-                         "x": pa.array([x], pa.uint64())})
-
-    n = s = x = 0
     ds = ds.materialize()  # consumed twice (fingerprint + write)
-    for b in (ds.map_batches(fp_partial, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
-        n += sum(b["n"].to_pylist())
-        s += sum(b["s"].to_pylist())
-        for v in b["x"].to_pylist():
-            x ^= int(v)
-    batch_fp = hashlib.sha256(f"{n}:{s}:{x}".encode()).hexdigest()[:16]
+    if batch_id is not None:
+        batch_fp = hashlib.sha256(
+            f"id:{batch_id}".encode()).hexdigest()[:16]
+    else:
+        batch_fp = _content_fingerprint(ds)
     if batch_fp in meta.get("applied", []):
         return meta  # duplicate submission (at-least-once) no-ops
     # same-pre-state retries reuse the tag → delta files overwrite
     delta_tag = hashlib.sha256(
         f"{json.dumps(meta.get('applied', []))}:{batch_fp}".encode()
     ).hexdigest()[:12]
+    delta_name = f"delta-{delta_tag}.parquet"
 
     def tag(t: pa.Table) -> pa.Table:
         z = (t[key].combine_chunks().cast(pa.int64()).to_numpy() // width)
@@ -174,7 +222,7 @@ def append_to_zonemap(ds: rd.Dataset, out_dir: str) -> dict:
         tmp = os.path.join(d, f".delta-{delta_tag}.tmp")
         pq.write_table(pa.Table.from_pandas(g.drop(columns="__z"),
                                             preserve_index=False), tmp)
-        os.replace(tmp, os.path.join(d, f"delta-{delta_tag}.parquet"))
+        os.replace(tmp, os.path.join(d, delta_name))
         return pd.DataFrame({"zone": [z],
                              "lo": [int(g[key].min())],
                              "hi": [int(g[key].max())],
@@ -183,66 +231,95 @@ def append_to_zonemap(ds: rd.Dataset, out_dir: str) -> dict:
     stats = (ds.map_batches(tag, batch_format="pyarrow")
              .groupby("__z").map_groups(write_zone, batch_format="pandas")
              .to_pandas())
-    zones = dict(meta["zones"])
+    zones = {z: dict(m) for z, m in meta["zones"].items()}
     for r in stats.itertuples():
         zk = str(int(r.zone))
         if zk in zones:
-            zones[zk] = {"lo": min(zones[zk]["lo"], int(r.lo)),
-                         "hi": max(zones[zk]["hi"], int(r.hi)),
-                         "rows": zones[zk]["rows"] + int(r.rows)}
+            files = zones[zk].get("files")
+            if files is not None and delta_name not in files:
+                files = files + [delta_name]
+            zones[zk].update(
+                lo=min(zones[zk]["lo"], int(r.lo)),
+                hi=max(zones[zk]["hi"], int(r.hi)),
+                rows=zones[zk]["rows"] + int(r.rows))
+            if files is not None:
+                zones[zk]["files"] = files
         else:
             zones[zk] = {"lo": int(r.lo), "hi": int(r.hi),
-                         "rows": int(r.rows)}
+                         "rows": int(r.rows), "files": [delta_name]}
+    # the applied list is the idempotence log — never truncate it
+    # (16 bytes/append; a capped log silently re-ingested any
+    # duplicate retry older than the cap — round-4 advisor finding)
     meta = {**meta, "zones": zones,
-            "applied": (meta.get("applied", []) + [batch_fp])[-64:]}
-    tmp = os.path.join(out_dir, ".zones.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f, sort_keys=True)
-    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+            "applied": meta.get("applied", []) + [batch_fp]}
+    _write_manifest(out_dir, meta)
     return meta
 
 
 def compact_zonemap(out_dir: str) -> dict:
-    """Merge each zone's delta files into its base file — the
+    """Merge each zone's live delta files into ONE file — the
     maintenance step after many appends (one task per multi-file zone
-    via the Dataset scheduler; crash between publish and deletes
-    leaves both, and re-running converges because the merge rewrites
-    from whatever files exist). Returns
-    {"zones_compacted", "files_removed"}."""
-    import glob
+    via the Dataset scheduler). Crash-convergent by construction: the
+    merged file is published under a content-addressed NEW name
+    (derived from the input file list), the manifest then atomically
+    becomes the zone's sole live-file record, and only files the
+    manifest does NOT list are deleted — re-running after a crash at
+    any point converges without ever re-concatenating already-merged
+    rows. Returns {"zones_compacted", "files_removed"}."""
+    mpath = os.path.join(out_dir, _MANIFEST)
+    with open(mpath) as f:
+        meta = json.load(f)
 
-    import ray.data as rd
-
+    zones = {z: dict(m) for z, m in meta["zones"].items()}
     work = []
-    for zdir in sorted(glob.glob(os.path.join(out_dir, "zone=*"))):
-        files = sorted(glob.glob(os.path.join(zdir, "*.parquet")))
-        if len(files) > 1:
-            work.append({"zdir": zdir, "files": files})
-    if not work:
-        return {"zones_compacted": 0, "files_removed": 0}
+    for z in sorted(zones, key=int):
+        m = zones[z]
+        if m.get("files") is None:  # legacy store: adopt the glob set
+            m["files"] = sorted(os.path.basename(p) for p in _zone_files(
+                out_dir, z, m))
+        names = sorted(m["files"])
+        if len(names) > 1:
+            tag = hashlib.sha256(":".join(names).encode()).hexdigest()[:12]
+            merged = f"part-{tag}.parquet"
+            if merged in names:  # sha collision with an input (never)
+                merged = f"part-{tag}m.parquet"
+            work.append({"zone": z, "zdir": os.path.join(
+                out_dir, f"zone={z}"), "files": names, "merged": merged})
 
-    def merge_one(batch: pa.Table) -> pa.Table:
-        removed = []
-        for zdir, files in zip(batch["zdir"].to_pylist(),
-                               batch["files"].to_pylist()):
-            t = pa.concat_tables([pq.read_table(f) for f in files],
-                                 promote_options="default")
-            out = os.path.join(zdir, "part-0.parquet")
-            tmp = os.path.join(zdir, ".merge.tmp")
-            pq.write_table(t, tmp)
-            os.replace(tmp, out)
-            n = 0
-            for f in files:
-                if f != out:
-                    os.remove(f)
-                    n += 1
-            removed.append(n)
-        return pa.table({"n": pa.array(removed, pa.int64())})
+    if work:
+        def merge_one(batch: pa.Table) -> pa.Table:
+            for zdir, names, merged in zip(batch["zdir"].to_pylist(),
+                                           batch["files"].to_pylist(),
+                                           batch["merged"].to_pylist()):
+                t = pa.concat_tables(
+                    [pq.read_table(os.path.join(zdir, n)) for n in names],
+                    promote_options="default")
+                tmp = os.path.join(zdir, ".merge.tmp")
+                pq.write_table(t, tmp)
+                os.replace(tmp, os.path.join(zdir, merged))
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
+        (rd.from_items(work)
+         .map_batches(merge_one, batch_format="pyarrow", batch_size=1)
+         .materialize())
+        # publish: the manifest's live lists flip to the merged files
+        # in ONE atomic write (readers see old set or new set, never
+        # both); inputs are still on disk but now unlisted
+        for w in work:
+            zones[w["zone"]]["files"] = [w["merged"]]
+        meta = {**meta, "zones": zones}
+        _write_manifest(out_dir, meta)
+
+    # cleanup sweep LAST: delete unlisted parquet files (this run's
+    # inputs, plus leftovers of any previously crashed run) — always
+    # runs so a rerun after a crash between publish and deletes
+    # finishes the job instead of duplicating rows
     removed = 0
-    for b in (rd.from_items(work)
-              .map_batches(merge_one, batch_format="pyarrow",
-                           batch_size=1)
-              .iter_batches(batch_format="pyarrow")):
-        removed += sum(b["n"].to_pylist())
+    for z, m in zones.items():
+        live = set(m["files"])
+        zdir = os.path.join(out_dir, f"zone={z}")
+        for p in glob.glob(os.path.join(zdir, "*.parquet")):
+            if os.path.basename(p) not in live:
+                os.remove(p)
+                removed += 1
     return {"zones_compacted": len(work), "files_removed": removed}

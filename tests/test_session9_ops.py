@@ -1579,6 +1579,102 @@ def test_zonemap_append_lifecycle(ray_session, tmp_path):
     assert list(got2.v) == list(got.sort_values("k").v)
 
 
+def test_zonemap_fingerprint_covers_row_content(ray_session, tmp_path):
+    """Distinct delta batches with IDENTICAL key multisets (the
+    realistic same-day case — and the {0,5} vs {1,4} (n,sum,xor)
+    collision) must BOTH ingest: the fingerprint hashes full row
+    content, not just the key column (advisor finding, high)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.state.zonemap import (append_to_zonemap,
+                                                  write_zonemapped,
+                                                  zonemap_scan)
+
+    store = str(tmp_path / "zm")
+    write_zonemapped(rd.from_arrow(pa.table(
+        {"k": pa.array([0], pa.int64()),
+         "v": pa.array([0], pa.int64())})), "k", store, 100)
+    # same day (key=7) twice, different payloads — NOT duplicates
+    append_to_zonemap(rd.from_arrow(pa.table(
+        {"k": pa.array([7, 7], pa.int64()),
+         "v": pa.array([10, 11], pa.int64())})), store)
+    append_to_zonemap(rd.from_arrow(pa.table(
+        {"k": pa.array([7, 7], pa.int64()),
+         "v": pa.array([20, 21], pa.int64())})), store)
+    # the classic key-multiset collision {0,5} vs {1,4}
+    append_to_zonemap(rd.from_arrow(pa.table(
+        {"k": pa.array([0, 5], pa.int64()),
+         "v": pa.array([1, 1], pa.int64())})), store)
+    append_to_zonemap(rd.from_arrow(pa.table(
+        {"k": pa.array([1, 4], pa.int64()),
+         "v": pa.array([1, 1], pa.int64())})), store)
+    got = zonemap_scan(store, 0, 99).to_pandas()
+    assert sorted(got.v[got.k == 7]) == [10, 11, 20, 21]
+    assert len(got) == 9
+    # a TRUE duplicate (byte-identical batch) still no-ops
+    before = len(zonemap_scan(store, 0, 99).to_pandas())
+    append_to_zonemap(rd.from_arrow(pa.table(
+        {"k": pa.array([7, 7], pa.int64()),
+         "v": pa.array([10, 11], pa.int64())})), store)
+    assert len(zonemap_scan(store, 0, 99).to_pandas()) == before
+    # an explicit batch_id is the idempotence token when given: the
+    # same id no-ops even for different content
+    append_to_zonemap(rd.from_arrow(pa.table(
+        {"k": pa.array([8], pa.int64()),
+         "v": pa.array([1], pa.int64())})), store, batch_id="job-42")
+    append_to_zonemap(rd.from_arrow(pa.table(
+        {"k": pa.array([9], pa.int64()),
+         "v": pa.array([2], pa.int64())})), store, batch_id="job-42")
+    got = zonemap_scan(store, 0, 99).to_pandas()
+    assert 8 in set(got.k) and 9 not in set(got.k)
+
+
+def test_zonemap_compact_crash_convergent(ray_session, tmp_path,
+                                          monkeypatch):
+    """A compaction that crashes between publishing the manifest and
+    deleting the merged inputs must NOT duplicate rows: readers follow
+    the manifest's live-file list, and the rerun sweeps the leftovers
+    (advisor finding, medium — the old part-0 publish re-concatenated
+    its own delta rows on the next compaction)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.state import zonemap as zm
+
+    def tbl(lo, n):
+        return pa.table({"k": pa.array(list(range(lo, lo + n)), pa.int64()),
+                         "v": pa.array([i % 7 for i in range(lo, lo + n)],
+                                       pa.int64())})
+
+    store = str(tmp_path / "zm")
+    zm.write_zonemapped(rd.from_arrow(tbl(0, 100)), "k", store, 100)
+    zm.append_to_zonemap(rd.from_arrow(tbl(100, 100)), store)
+    zm.append_to_zonemap(rd.from_arrow(tbl(40, 20)), store)  # dup keys ok
+
+    # crash simulation: cleanup's os.remove never runs
+    with monkeypatch.context() as mp:
+        mp.setattr(os, "remove", lambda p: None)
+        res = zm.compact_zonemap(store)
+    assert res["zones_compacted"] >= 1
+    leftovers = [p for zdir in glob.glob(store + "/zone=*")
+                 for p in glob.glob(zdir + "/*.parquet")]
+    assert len(leftovers) > 2  # inputs still on disk (the crash state)
+    # readers see exactly the merged live set — no duplicated rows
+    got = zm.zonemap_scan(store, 0, 299).to_pandas().sort_values("k")
+    assert list(got.k) == sorted(list(range(200)) + list(range(40, 60)))
+    # the rerun converges: sweeps leftovers, answer unchanged
+    res2 = zm.compact_zonemap(store)
+    assert res2["zones_compacted"] == 0 and res2["files_removed"] >= 2
+    for zdir in glob.glob(store + "/zone=*"):
+        assert len(glob.glob(zdir + "/*.parquet")) == 1
+    got2 = zm.zonemap_scan(store, 0, 299).to_pandas().sort_values("k")
+    assert list(got2.k) == list(got.k) and list(got2.v) == list(got.v)
+
+
 # ---------------------------------------------------------------------------
 # route_threshold_sweep
 
