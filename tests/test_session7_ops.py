@@ -368,6 +368,36 @@ def test_shipping_priority_oracle(ray_session):
                    shipping_priority_sql(), SF_SMOKE) == []
 
 
+def test_dimension_join_path_no_driver_dict(ray_session, monkeypatch):
+    """With the broadcast guard forced to 0 (simulating an oversized
+    SF100-class customer dimension), both TPC-H queries switch to the
+    distributed hash_join / semi-join plan, stay oracle-green, and
+    never ship a large driver-resident dict/set through ray.put
+    (r3 verdict weak-at-scale #1 — the custkey→segment dict and the
+    segment keep-set scale with SF)."""
+    import ray
+
+    from pdf_extraction_ray.pipelines import relational as R
+    from tests.oracle_check import compare
+
+    puts = []
+    orig = ray.put
+
+    def spy(obj, *a, **k):
+        puts.append(obj)
+        return orig(obj, *a, **k)
+
+    monkeypatch.setattr(ray, "put", spy)
+    assert compare("top_orders_per_segment",
+                   R.top_orders_per_segment(SF_SMOKE, broadcast_max_rows=0),
+                   R.top_orders_per_segment_sql(), SF_SMOKE) == []
+    assert compare("shipping_priority",
+                   R.shipping_priority(SF_SMOKE, broadcast_max_rows=0),
+                   R.shipping_priority_sql(), SF_SMOKE) == []
+    assert not any(isinstance(o, (dict, set, frozenset)) and len(o) > 64
+                   for o in puts), "dimension leaked to the driver"
+
+
 def test_shipping_priority_semantics(ray_session):
     """Pandas replay of the whole Q3 chain equals the engine."""
     from pdf_extraction_ray.pipelines.relational import (
