@@ -2361,21 +2361,40 @@ def dedup_clusters(sf_dir: str) -> rd.Dataset:
     primitive of web-scale near-dedup with a DuckDB *recursive-CTE*
     oracle — the minhash/simhash paths share this exact clustering
     stage, so its correctness gate covers them structurally."""
+    return (_clusters_with_len(sf_dir)
+            .select_columns(["doc_id", "cluster_id"]))
+
+
+def _clusters_with_len(sf_dir: str) -> rd.Dataset:
+    """``dedup_clusters``'s assignment with ``n_chars`` carried through
+    the SAME label join — the length rides the exchange the cluster
+    attach already pays, so ``cluster_keep_best`` needs no second
+    corpus-sized hash_join. Emits (doc_id, cluster_id, n_chars)."""
+    import pyarrow.compute as pc
+
     from ..stages.joins import hash_join
 
     docs = _docs_with_planted_near_dups(sf_dir)
     edges = dd.jaccard_pairs(docs, threshold_pct=80).select_columns(["a", "b"])
     labels = dd.connected_components(edges, "a", "b")
-    ids = docs.select_columns(["doc_id"])
-    joined = hash_join(ids, labels, "doc_id", "node", [], ["label"],
-                       how="left")
+
+    def idlen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "n_chars": pc.utf8_length(
+                t["text"].combine_chunks()).cast(pa.int64())})
+
+    ids = docs.map_batches(idlen, batch_format="pyarrow")
+    joined = hash_join(ids, labels, "doc_id", "node", ["n_chars"],
+                       ["label"], how="left")
 
     def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         doc = t["doc_id"].combine_chunks().cast(pa.int64())
         lab = t["label"].combine_chunks().cast(pa.int64())
         return pa.table({"doc_id": doc,
-                         "cluster_id": pc.coalesce(lab, doc)})
+                         "cluster_id": pc.coalesce(lab, doc),
+                         "n_chars": t["n_chars"].combine_chunks().cast(
+                             pa.int64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
 
@@ -2630,91 +2649,52 @@ def cluster_keep_best(sf_dir: str) -> rd.Dataset:
     cluster size (the 1/size weight soft-dedup resampling uses), the
     surviving doc_id, and an ``is_survivor`` flag.
 
-    Composition (all distributed): the oracled ``dedup_clusters``
-    assignment → one ``hash_join`` to attach integer doc length → ONE
-    ``groupby(cluster_id).aggregate(Max(key), Count())`` on a composed
-    integer argmax key → one ``hash_join`` back. No driver state beyond
-    the aggregate plumbing; cluster count << doc count so the argmax
-    groupby output is small. Planted near-copies (12 chars shorter)
-    never survive against their original — asserted in tests."""
+    Composition (all distributed): the oracled cluster assignment
+    with doc length riding its label join (``_clusters_with_len`` —
+    no second corpus-sized hash_join) → ONE cluster-hash-partitioned
+    groupby whose body computes the per-cluster argmax key, size, and
+    survivor columns VECTORIZED over the whole partition (pandas
+    transform — never per-key Python; the per-hash map_groups lesson).
+    The previous plan paid a length hash_join, an argmax groupby AND a
+    join-back re-shuffle on the same key — two full exchanges more for
+    no information. Planted near-copies (12 chars shorter) never
+    survive against their original — asserted in tests."""
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Max
+    # n_chars rides the cluster attach join (_clusters_with_len), so
+    # the only exchanges after CC are that join and the ONE
+    # partitioned survivor groupby below.
+    labeled = _clusters_with_len(sf_dir)
 
-    from ..stages.joins import hash_join
-
-    # hash_join probes each side's schema(), which EXECUTES an
-    # un-materialized lineage — without this pin the whole
-    # jaccard+connected-components DAG runs once for the probe and
-    # again for the join shuffle. clusters is a 2-int-column ids table
-    # (one row per doc), so pinning it is the bounded branch-point
-    # cache, same as `keyed` below.
-    clusters = dedup_clusters(sf_dir).materialize()
-    docs = _docs_with_planted_near_dups(sf_dir)
-
-    def lengths(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
-            "n_chars": pc.utf8_length(
-                t["text"].combine_chunks()).cast(pa.int64()),
-        })
-
-    lens = docs.map_batches(lengths, batch_format="pyarrow")
-    labeled = hash_join(clusters, lens, "doc_id", "doc_id",
-                        ["cluster_id"], ["n_chars"], how="inner")
+    P = 32
 
     def add_key(t: pa.Table) -> pa.Table:
         nc = t["n_chars"].combine_chunks().cast(pa.int64())
         did = t["doc_id"].combine_chunks().cast(pa.int64())
         key = pc.add(pc.shift_left(nc, _SURVIVOR_SHIFT),
                      pc.subtract(pa.scalar(_SURVIVOR_MASK, pa.int64()), did))
-        return t.append_column("skey", key)
+        cid = t["cluster_id"].combine_chunks().cast(pa.int64())
+        return (t.append_column("skey", key)
+                .append_column("__p", dd._pmod(cid, P)))
 
-    # keyed fans out to two consumers (argmax groupby + join back);
-    # without a checkpoint each would re-execute the whole jaccard/CC
-    # lineage. It is a 4-int-column ids table (no text), so pinning it
-    # in the object store is the bounded branch-point cache, not a
-    # full-corpus materialization.
-    keyed = labeled.map_batches(add_key, batch_format="pyarrow").materialize()
-    best = keyed.groupby("cluster_id").aggregate(
-        Max("skey", alias_name="max_skey"),
-        Count(alias_name="cluster_size"))
-
-    def decode(t: pa.Table) -> pa.Table:
-        mk = t["max_skey"].combine_chunks().cast(pa.int64())
-        surv = pc.subtract(pa.scalar(_SURVIVOR_MASK, pa.int64()),
-                           pc.bit_wise_and(
-                               mk, pa.scalar(_SURVIVOR_MASK, pa.int64())))
-        return pa.table({
-            "cluster_id": t["cluster_id"].combine_chunks().cast(pa.int64()),
-            "survivor_id": surv,
-            "cluster_size": t["cluster_size"].combine_chunks().cast(
-                pa.int64()),
-        })
-
-    # pinned for the same reason as `clusters`: hash_join's schema
-    # probe would otherwise run the argmax groupby twice. One small
-    # row per cluster.
-    surv = best.map_batches(decode, batch_format="pyarrow").materialize()
-    out = hash_join(keyed.select_columns(["doc_id", "cluster_id", "n_chars"]),
-                    surv, "cluster_id", "cluster_id",
-                    ["doc_id", "n_chars"], ["survivor_id", "cluster_size"],
-                    how="inner")
-
-    def finish(t: pa.Table) -> pa.Table:
-        did = t["doc_id"].combine_chunks().cast(pa.int64())
-        sid = t["survivor_id"].combine_chunks().cast(pa.int64())
-        return pa.table({
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("cluster_id")["skey"]
+        max_skey = grp.transform("max").to_numpy(np.int64)
+        size = grp.transform("size").to_numpy(np.int64)
+        surv = _SURVIVOR_MASK - (max_skey & _SURVIVOR_MASK)
+        did = g["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
             "doc_id": did,
-            "cluster_id": t["cluster_id"].combine_chunks().cast(pa.int64()),
-            "cluster_size": t["cluster_size"].combine_chunks().cast(
-                pa.int64()),
-            "n_chars": t["n_chars"].combine_chunks().cast(pa.int64()),
-            "survivor_id": sid,
-            "is_survivor": pc.equal(did, sid),
+            "cluster_id": g["cluster_id"].to_numpy(np.int64),
+            "cluster_size": size,
+            "n_chars": g["n_chars"].to_numpy(np.int64),
+            "survivor_id": surv,
+            "is_survivor": did == surv,
         })
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    return (labeled.map_batches(add_key, batch_format="pyarrow")
+            .groupby("__p").map_groups(per_partition,
+                                       batch_format="pandas"))
 
 
 def soft_dedup_sample(sf_dir: str) -> rd.Dataset:
@@ -2727,36 +2707,37 @@ def soft_dedup_sample(sf_dir: str) -> rd.Dataset:
     stable_hash64('soft:'+doc_id) % 2^20 < 2^20 // cluster_size.
 
     Shape: the oracled ``dedup_clusters`` assignment (materialized —
-    the ids-only branch-point pin), ONE groupby for sizes, ONE
-    hash_join back, then a map-side hash filter. Returns (doc_id,
-    cluster_id, cluster_size) for kept docs."""
-    from ray.data.aggregate import Count as _Count
-
+    the ids-only branch-point pin), then ONE cluster-hash-partitioned
+    groupby whose body computes sizes (pandas transform, vectorized
+    over the partition) AND applies the hash filter in the same pass —
+    the size groupby + hash_join-back it replaces paid a second full
+    exchange on the same key. Returns (doc_id, cluster_id,
+    cluster_size) for kept docs."""
     from ..functions.hashing import stable_hash64
-    from ..stages.joins import hash_join
 
     clusters = dedup_clusters(sf_dir).materialize()
-    sizes = (clusters.groupby("cluster_id")
-             .aggregate(_Count(alias_name="cluster_size")).materialize())
-    joined = hash_join(clusters, sizes, "cluster_id", "cluster_id",
-                       ["doc_id"], ["cluster_size"], how="inner")
+    P = 32
 
-    def keep(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        size = t["cluster_size"].to_numpy(zero_copy_only=False)
+    def addp(t: pa.Table) -> pa.Table:
+        cid = t["cluster_id"].combine_chunks().cast(pa.int64())
+        return t.append_column("__p", dd._pmod(cid, P))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        size = (g.groupby("cluster_id")["doc_id"].transform("size")
+                .to_numpy(np.int64))
+        ids = g["doc_id"].to_numpy(np.int64)
         h = np.fromiter((stable_hash64(f"soft:{d}") for d in ids),
                         np.uint64, len(ids))
-        thr = (1 << 20) // size.astype(np.int64)
+        thr = (1 << 20) // size
         mask = (h % np.uint64(1 << 20)).astype(np.int64) < thr
-        out = t.filter(pa.array(mask))
-        return pa.table({
-            "doc_id": out["doc_id"].combine_chunks().cast(pa.int64()),
-            "cluster_id": out["cluster_id"].combine_chunks().cast(
-                pa.int64()),
-            "cluster_size": out["cluster_size"].combine_chunks().cast(
-                pa.int64())})
+        return pd.DataFrame({
+            "doc_id": ids[mask],
+            "cluster_id": g["cluster_id"].to_numpy(np.int64)[mask],
+            "cluster_size": size[mask]})
 
-    return joined.map_batches(keep, batch_format="pyarrow")
+    return (clusters.map_batches(addp, batch_format="pyarrow")
+            .groupby("__p").map_groups(per_partition,
+                                       batch_format="pandas"))
 
 
 def soft_dedup_sample_sql() -> str:

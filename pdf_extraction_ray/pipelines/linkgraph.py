@@ -1649,7 +1649,50 @@ JOIN ind ib ON ib.n = p.b
 WHERE 100 * p.n_common >= {min_pct} * (ia.deg + ib.deg - p.n_common)"""
 
 
-def kcore_nodes(sf_dir: str, k: int = 3, rounds: int = 6) -> rd.Dataset:
+@ray.remote
+def _kcore_one_task(k: int, rounds: int, *blocks: pa.Table) -> pa.Table:
+    """All peel rounds in one task (dispatched when the canonical
+    undirected edge count is under ``task_limit`` — the _pr_one_task /
+    _cc_one_task lesson: on small graphs each distributed round costs
+    an all-to-all that dwarfs the arithmetic; kcore paid THREE per
+    round). Vectorized: per round one degree fold over dense-remapped
+    ids + one sorted-membership mask; an emptied edge set is a fixed
+    point, so breaking early equals the oracle's fixed unroll."""
+    tabs = [t for t in blocks if t.num_rows]
+    if tabs:
+        et = pa.concat_tables([t.select(["a", "b"]) for t in tabs])
+        a = et["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = et["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        a = b = np.array([], np.int64)
+    for _ in range(rounds):
+        if not len(a):
+            break
+        nodes = np.unique(np.concatenate([a, b]))
+        deg = np.zeros(len(nodes), np.int64)
+        ai = np.searchsorted(nodes, a)
+        bi = np.searchsorted(nodes, b)
+        np.add.at(deg, ai, 1)
+        np.add.at(deg, bi, 1)
+        alive = deg >= k
+        keep = alive[ai] & alive[bi]
+        if keep.all():
+            break  # fixed point
+        a, b = a[keep], b[keep]
+    if not len(a):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "deg": pa.array([], pa.int64())})
+    nodes = np.unique(np.concatenate([a, b]))
+    deg = np.zeros(len(nodes), np.int64)
+    np.add.at(deg, np.searchsorted(nodes, a), 1)
+    np.add.at(deg, np.searchsorted(nodes, b), 1)
+    m = deg >= k
+    return pa.table({"doc_id": pa.array(nodes[m]),
+                     "deg": pa.array(deg[m])})
+
+
+def kcore_nodes(sf_dir: str, k: int = 3, rounds: int = 6,
+                task_limit: int = 5_000_000) -> rd.Dataset:
     """k-core decomposition (membership at a fixed k) — the density
     census web-graph and community pipelines run after the component
     census (``link_components``): iteratively PEEL every node with
@@ -1657,11 +1700,16 @@ def kcore_nodes(sf_dir: str, k: int = 3, rounds: int = 6) -> rd.Dataset:
     k-core (spam-farm and community-core detection both key on it).
     Returns (doc_id, deg) for members, deg = degree inside the core.
 
-    Engine: ``rounds`` peel iterations over the canonical undirected
-    edge table — per round ONE ends-union groupby for degrees, the
-    alive filter, and TWO semi hash_joins restricting edges to
-    alive∧alive (per-round materialize + fixed-width repartition: the
-    CC-loop lineage lessons). The planted hub graph converges in ≤ 2
+    Engine: small graphs (canonical edge count <= ``task_limit``) run
+    every peel round in ONE Ray task (``_kcore_one_task`` — the
+    _pr_one_task precedent; the distributed peel paid THREE
+    all-to-alls per round, ~50 s at sf0.01 vs ~5 s one-task). Above
+    the limit, ``rounds`` distributed peel iterations over the
+    canonical undirected edge table — per round ONE ends-union groupby
+    for degrees, the alive filter, and TWO semi hash_joins restricting
+    edges to alive∧alive (per-round materialize + fixed-width
+    repartition: the CC-loop lineage lessons); the forced-distributed
+    path stays pytest-pinned value-identical. The planted hub graph converges in ≤ 2
     rounds (docs with a collided hub pair — d ≡ 5 (mod 8) — peel at
     k = 3, hubs never do); convergence at ``rounds`` is pytest-pinned,
     and the oracle unrolls the SAME fixed round count, so an
@@ -1679,6 +1727,9 @@ def kcore_nodes(sf_dir: str, k: int = 3, rounds: int = 6) -> rd.Dataset:
     ue = _hash_partition_distinct(
         edges.map_batches(canon, batch_format="pyarrow"),
         ["a", "b"], "a").materialize()
+    if ue.count() <= task_limit:
+        return rd.from_arrow_refs(
+            [_kcore_one_task.remote(k, rounds, *ue.to_arrow_refs())])
 
     def ends(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks().cast(pa.int64())

@@ -183,6 +183,19 @@ def test_kcore_oracle(ray_session):
                    kcore_nodes_sql(), SF_SMOKE) == []
 
 
+def test_kcore_distributed_path_matches_one_task(ray_session):
+    """task_limit=0 forces the per-round degrees/semi-join peel; it
+    must be value-identical to the one-task fast path the small graph
+    normally takes (the hits/triangles forced-path convention)."""
+    from pdf_extraction_ray.pipelines.linkgraph import kcore_nodes
+
+    fast = (kcore_nodes(SF_SMOKE).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    dist = (kcore_nodes(SF_SMOKE, task_limit=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert fast.equals(dist)
+
+
 def test_kcore_fixpoint_and_brute_force(ray_session):
     from pdf_extraction_ray.pipelines.linkgraph import (_edges_sql,
                                                         kcore_nodes)
