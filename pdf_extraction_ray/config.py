@@ -95,6 +95,34 @@ class PipelineConfig:
 DEFAULT_CONFIG = PipelineConfig()
 
 
+class _EmptySchemaRefBundleFilter:
+    """Drops ONLY the Ray-2.49 empty-schema RefBundle warning.
+
+    ``groupby().map_groups`` sorts first; when the sort emits more
+    partitions than there are key values, the surplus partitions are
+    EMPTY blocks with no schema, and the streaming executor logs
+    "Operator produced a RefBundle with a different schema ... new
+    schema: ." once per such block — pure noise our UDFs can never fix
+    (they are not invoked on empty blocks; the bundles are born inside
+    the sort). A genuine divergence between two NON-empty schemas is
+    still logged: the filter matches only the empty-new-schema form."""
+
+    def filter(self, record) -> bool:  # logging.Filter protocol
+        msg = record.getMessage()
+        return not ("RefBundle with a different schema" in msg
+                    and "new schema: ." in msg)
+
+
+def _silence_empty_schema_refbundle_noise() -> None:
+    import logging
+
+    log = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    if not any(isinstance(f, _EmptySchemaRefBundleFilter)
+               for f in log.filters):
+        log.addFilter(_EmptySchemaRefBundleFilter())
+
+
 def tune_data_context() -> None:
     """Size Ray Data's parallelism floors to the session, not the 200-block
     default.
@@ -123,6 +151,7 @@ def tune_data_context() -> None:
     ctx.min_parallelism = floor
     ctx.read_op_min_num_blocks = floor
     ctx.enable_progress_bars = False
+    _silence_empty_schema_refbundle_noise()
     ctx.execution_options.preserve_order = False  # output order is never part
     # of this engine's contract (results key on url); order-free scheduling
     # keeps slow blocks from stalling the stream
