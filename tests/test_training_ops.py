@@ -105,6 +105,30 @@ def test_fingerprints_deterministic(ray_session):
     assert (a.n_fingerprints > 0).all()
 
 
+def test_fingerprints_oracle(ray_session):
+    """The winnowing rolling hash replays value-exact in SQL (HUGEINT
+    polynomial window sums) — the op is fully value-oracled, not
+    rows-only."""
+    from pdf_extraction_ray.pipelines.analytics import (fingerprint_docs,
+                                                        fingerprint_docs_sql)
+    from tests.oracle_check import compare
+
+    assert compare("fingerprint_docs", fingerprint_docs(SF_SMOKE),
+                   fingerprint_docs_sql(), SF_SMOKE) == []
+
+
+def test_phash_dups_oracle(ray_session):
+    """PNG encode → inflate → unfilter → aHash → equal-hash pairs
+    replays value-exact from the closed-form pixel law in SQL — the op
+    is fully value-oracled, not rows-only."""
+    from pdf_extraction_ray.pipelines.analytics import (media_phash_dups,
+                                                        media_phash_dups_sql)
+    from tests.oracle_check import compare
+
+    assert compare("media_phash_dups", media_phash_dups(SF_SMOKE),
+                   media_phash_dups_sql(), SF_SMOKE) == []
+
+
 def test_sessionize_gap_semantics(ray_session):
     import ray.data as rd
     from pdf_extraction_ray.stages.window import sessionize
