@@ -944,6 +944,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality-router tuning curve (would-be routing counts per
         # candidate threshold; one pass, |grid|-bounded exchange)
         "route_threshold_sweep": _tuned(q_route_threshold_sweep),
+        # --- session 10: TPC-H completion set (Q6/Q4/Q13/Q22/Q17/Q19/
+        # Q7 analogs — filter-agg, agg-then-join lateness, zero-
+        # preserving outer histogram, integer cross-multiplied avg
+        # thresholds, anti-join recency, disjunctive predicates, the
+        # 3-fact big-big join chain) + content-defined chunking ---
+        "forecast_revenue": _tuned(relational.forecast_revenue),
+        "late_order_priority_counts":
+            _tuned(relational.late_order_priority_counts),
+        "customer_order_counts_hist":
+            _tuned(relational.customer_order_counts_hist),
+        "idle_customer_balance": _tuned(relational.idle_customer_balance),
+        "small_quantity_revenue": _tuned(relational.small_quantity_revenue),
+        "disjunctive_revenue": _tuned(relational.disjunctive_revenue),
+        "nation_pair_volume": _tuned(relational.nation_pair_volume),
+        # chunk-level dedup census (FastCDC/rsync principle; boundaries
+        # + chunk identity replay exactly in SQL)
+        "cdc_chunk_stats": _tuned(analytics.cdc_chunk_stats),
     }
     rest = [k for k in base if k not in _ROTATED]
     order = [*WINDOW_R04, *rest, *AWAITING_SLOT]
@@ -1071,6 +1088,15 @@ AWAITING_SLOT = (
     "random_walks",
     "walk_cooccurrence",
     "route_threshold_sweep",
+    # session-10 additions (first driver slot in round 5)
+    "forecast_revenue",
+    "late_order_priority_counts",
+    "customer_order_counts_hist",
+    "idle_customer_balance",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "nation_pair_volume",
+    "cdc_chunk_stats",
 )
 
 _ROTATED = frozenset(WINDOW_R04) | frozenset(AWAITING_SLOT)
@@ -1342,4 +1368,15 @@ WHERE url IN (
         "pages_delta": analytics.pages_delta_sql(),
         "url_blocklist_filter": analytics.url_blocklist_filter_sql(),
         "snapshot_neardup_ingest": analytics.snapshot_neardup_ingest_sql(),
+        # session-10 TPC-H completion set + CDC chunking
+        "forecast_revenue": relational.forecast_revenue_sql(),
+        "late_order_priority_counts":
+            relational.late_order_priority_counts_sql(),
+        "customer_order_counts_hist":
+            relational.customer_order_counts_hist_sql(),
+        "idle_customer_balance": relational.idle_customer_balance_sql(),
+        "small_quantity_revenue": relational.small_quantity_revenue_sql(),
+        "disjunctive_revenue": relational.disjunctive_revenue_sql(),
+        "nation_pair_volume": relational.nation_pair_volume_sql(),
+        "cdc_chunk_stats": analytics.cdc_chunk_stats_sql(),
     }

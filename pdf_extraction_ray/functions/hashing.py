@@ -124,6 +124,37 @@ def jaccard(a: set[int], b: set[int]) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def cdc_boundaries(text: str, window: int = 16,
+                   boundary_mod: int = 64) -> list[int]:
+    """Content-defined chunk boundaries (FastCDC / rsync gear
+    principle, with ``rolling_fingerprint``'s exact polynomial hash
+    law): the 1-based END positions where the window hash ≡ 0
+    (mod ``boundary_mod``); the text's end is always the final
+    boundary. An insertion or deletion only re-chunks its local
+    neighborhood — the property that makes chunk-level dedup robust to
+    edits where fixed-size blocks are not. A text shorter than the
+    window is one whole chunk. Average chunk ≈ ``boundary_mod``
+    chars."""
+    n = len(text)
+    if n == 0:
+        return []
+    if n < window:
+        return [n]
+    base = 1099511628211
+    mod = (1 << 64) - 59
+    power = pow(base, window - 1, mod)
+    h = 0
+    out = []
+    for i, ch in enumerate(text):
+        if i >= window:
+            h = (h - ord(text[i - window]) * power) % mod
+        h = (h * base + ord(ch)) % mod
+        if i >= window - 1 and h % boundary_mod == 0 and i + 1 < n:
+            out.append(i + 1)
+    out.append(n)
+    return out
+
+
 def rolling_fingerprint(text: str, window: int = 16, keep_mod: int = 8) -> list[int]:
     """Winnowing-style document fingerprint: polynomial rolling hashes of
     char windows, keeping hashes ≡ 0 (mod keep_mod) — a compact sketch for

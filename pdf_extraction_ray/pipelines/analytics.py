@@ -10744,3 +10744,116 @@ FROM walks x JOIN walks y
  AND abs(x.step - y.step) <= {window}
  AND x.node != y.node
 GROUP BY x.node, y.node"""
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking dedup census (session 10)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 16
+CDC_BOUNDARY_MOD = 64
+
+
+def cdc_chunk_stats(sf_dir: str) -> rd.Dataset:
+    """Content-defined-chunking dedup census — the storage-dedup /
+    incremental-sync primitive (rsync, FastCDC, restic) applied to the
+    corpus: each document splits at rolling-hash-defined boundaries
+    (``functions/hashing.cdc_boundaries`` — edit-local, unlike fixed
+    blocks), chunks are identified by a 64-bit content hash, and each
+    document reports how much of it is chunk-level duplicated anywhere
+    in the corpus (shared boilerplate, quoted passages, re-crawl
+    overlap — at sub-document granularity exact dedup can't see and
+    cheaper than MinHash's pairwise view).
+
+    Shape: one flat-map emits (doc_id, chunk_hash, chunk_len) rows —
+    the text never rides an exchange; ONE chunk-hash-partitioned
+    groupby computes global instance counts AND folds per-doc partials
+    vectorized inside the partition (same-hash rows co-locate by
+    construction); a final tiny groupby(doc_id) merges partials. A
+    chunk instance is "duplicated" when its hash occurs ≥ 2 times
+    corpus-wide (multiplicity counted, same-doc repeats included).
+    Returns (doc_id, n_chunks, n_dup_chunks, dup_chars)."""
+    from ..functions.hashing import cdc_boundaries, stable_hash64
+
+    P = 64
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids, cks, lens = [], [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            prev = 0
+            for b in cdc_boundaries(txt, CDC_WINDOW, CDC_BOUNDARY_MOD):
+                c = txt[prev:b]
+                ids.append(d)
+                cks.append(stable_hash64("cdc:" + c))
+                lens.append(len(c))
+                prev = b
+        ck = np.asarray(cks, np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "ck": pa.array(ck, pa.int64()),
+                         "clen": pa.array(lens, pa.int64()),
+                         "__p": pa.array(ck % P, pa.int64())})
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("ck")["doc_id"].transform("size").to_numpy(np.int64)
+        dup = cnt >= 2
+        df = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "nc": np.ones(len(g), np.int64),
+            "nd": dup.astype(np.int64),
+            "dc": np.where(dup, g["clen"].to_numpy(np.int64), 0)})
+        return df.groupby("doc_id", as_index=False).sum()
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(chunks, batch_format="pyarrow")
+            .groupby("__p").map_groups(per_partition, batch_format="pandas")
+            .groupby("doc_id")
+            .aggregate(Sum("nc", alias_name="n_chunks"),
+                       Sum("nd", alias_name="n_dup_chunks"),
+                       Sum("dc", alias_name="dup_chars")))
+
+
+def cdc_chunk_stats_sql(window: int = CDC_WINDOW,
+                        boundary_mod: int = CDC_BOUNDARY_MOD) -> str:
+    """Exact SQL replay: the same 16-term polynomial window hash as
+    ``fingerprint_docs_sql`` (HUGEINT sums mod 2^64-59) marks the
+    boundaries, chunks are carved with list arithmetic, and the chunk
+    identity hash is the sha256-derived ``stable_hash64`` law. Assumes
+    every document has ≥ ``window`` chars (corpus min length 44)."""
+    base = 1099511628211
+    mod = (1 << 64) - 59
+    powers = [pow(base, window - 1 - j, mod) for j in range(window)]
+    terms = " + ".join(
+        f"CAST(ord(substr(text, i-{window - 1 - j}, 1)) AS HUGEINT)"
+        f" * CAST('{powers[j]}' AS HUGEINT)" for j in range(window))
+    return f"""
+WITH b AS (
+  SELECT doc_id, text,
+    list_append(list_filter(
+      list_transform(range({window}, length(text) + 1),
+        i -> CASE WHEN ({terms}) % CAST('{mod}' AS HUGEINT)
+                       % {boundary_mod} = 0
+                   AND i < length(text) THEN i END),
+      x -> x IS NOT NULL), length(text)) AS fb
+  FROM documents
+), ch AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(fb) + 1),
+    j -> substr(text, coalesce(fb[j - 1], 0) + 1,
+                fb[j] - coalesce(fb[j - 1], 0)))) AS chunk
+  FROM b
+), hx AS (
+  SELECT doc_id, length(chunk) AS clen,
+         sha256('cdc:' || chunk) AS h
+  FROM ch
+), keyed AS (
+  SELECT doc_id, clen, {_sql_hash64("h")} AS ck FROM hx
+), cnt AS (
+  SELECT ck, count(*) AS c FROM keyed GROUP BY ck
+)
+SELECT k.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE cnt.c >= 2) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(coalesce(sum(k.clen) FILTER (WHERE cnt.c >= 2), 0)
+            AS BIGINT) AS dup_chars
+FROM keyed k JOIN cnt ON cnt.ck = k.ck
+GROUP BY k.doc_id"""

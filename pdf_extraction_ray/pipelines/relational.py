@@ -1698,3 +1698,567 @@ WITH o AS (
 SELECT s.day, CAST(count(iv.sd) AS BIGINT) AS n_open
 FROM spine s LEFT JOIN iv ON s.day BETWEEN iv.sd AND iv.ed
 GROUP BY s.day"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion set (session 10): Q4 / Q6 / Q13 / Q17 / Q19 / Q22 / Q7
+# analogs over the available columns (no partsupp / commitdate /
+# shipmode in the test tables — predicates adapted, shapes preserved).
+# Reference parity: the reference's corpus-stats endpoints are grouped
+# counts over one table (app/routers/stats.py); these carry the same
+# aggregate semantics into the multi-table shapes a warehouse needs.
+# ---------------------------------------------------------------------------
+
+Q6_SHIP_LO = "1997-01-01"
+Q6_SHIP_HI = "1998-01-01"
+
+
+def _day_col(t: pa.Table, col: str) -> np.ndarray:
+    return (t[col].combine_chunks().cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy() // _DAY_US)
+
+
+def forecast_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q6 analog (forecast revenue change): one-table map-side
+    filter (ship year, discount band, quantity cap) + per-block
+    two-sum combiner + ONE constant-key fold — the minimal
+    filter-aggregate every warehouse benchmarks first. Revenue
+    integerizes per row (round(price·disc·1e4), the Q3 convention) so
+    the sum is exact BIGINT in both engines."""
+    lo = int(np.datetime64(Q6_SHIP_LO).astype("datetime64[D]").astype(np.int64))
+    hi = int(np.datetime64(Q6_SHIP_HI).astype("datetime64[D]").astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = _day_col(t, "l_shipdate")
+        disc100 = np.round(t["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        qty = t["l_quantity"].to_numpy()
+        mask = ((day >= lo) & (day < hi) & (disc100 >= 5) & (disc100 <= 7)
+                & (qty < 24))
+        price = t["l_extendedprice"].to_numpy()[mask]
+        disc = t["l_discount"].to_numpy()[mask]
+        rev = np.round(price * disc * 10000.0).astype(np.int64)
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "revenue_e4": pa.array([int(rev.sum())], pa.int64()),
+                         "n_items": pa.array([int(mask.sum())], pa.int64())})
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    folded = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                                      Sum("n_items", alias_name="n_items")))
+
+    def drop_k(t: pa.Table) -> pa.Table:
+        return t.select(["revenue_e4", "n_items"])
+
+    return folded.map_batches(drop_k, batch_format="pyarrow")
+
+
+def forecast_revenue_sql() -> str:
+    return f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_SHIP_LO}'
+  AND l_shipdate < TIMESTAMP '{Q6_SHIP_HI}'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24"""
+
+
+Q4_GAP_DAYS = 365
+
+
+def late_order_priority_counts(sf_dir: str,
+                               gap_days: int = Q4_GAP_DAYS) -> rd.Dataset:
+    """TPC-H Q4 analog (order priority checking): orders with at least
+    one lineitem shipped more than ``gap_days`` after the order date,
+    counted by priority. EXISTS(late item) folds to
+    max(shipdate) > orderdate + gap, so the plan is a per-block
+    (orderkey, max shipday) combiner → ONE groupby(orderkey) Max →
+    ONE hash_join to the order header → map filter → tiny priority
+    count — the semi-join-with-inequality shape expressed as
+    aggregate-then-join (the all-row semi join would carry every
+    lineitem through the exchange)."""
+    from ..stages.joins import hash_join
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        day = _day_col(t, "l_shipdate")
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, day)
+        return pa.table({"l_orderkey": pa.array(uniq.astype(np.int64)),
+                         "msd": pa.array(mx, pa.int64())})
+
+    maxship = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+               .map_batches(li_partial, batch_format="pyarrow")
+               .groupby("l_orderkey").aggregate(Max("msd", alias_name="msd"))
+               .materialize())
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "oday": pa.array(_day_col(t, "o_orderdate").astype(np.int64),
+                             pa.int64()),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                   ).map_batches(o_proj, batch_format="pyarrow")
+    joined = hash_join(maxship, orders, "l_orderkey", "o_orderkey",
+                       ["msd"], ["oday", "o_orderpriority"], how="inner")
+
+    def late_counts(t: pa.Table) -> pa.Table:
+        msd = t["msd"].combine_chunks().cast(pa.int64()).to_numpy()
+        oday = t["oday"].combine_chunks().cast(pa.int64()).to_numpy()
+        kept = t.filter(pa.array(msd > oday + gap_days))
+        if not kept.num_rows:  # typed empty (schema survives the union)
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = (kept.select(["o_orderpriority"]).to_pandas()
+              .groupby("o_orderpriority", as_index=False).size()
+              .rename(columns={"size": "n"}))
+        df["n"] = df["n"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (joined.map_batches(late_counts, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n", alias_name="n_late_orders")))
+
+
+def late_order_priority_counts_sql(gap_days: int = Q4_GAP_DAYS) -> str:
+    return f"""
+WITH m AS (
+  SELECT l_orderkey, max(epoch_us(l_shipdate) // {_DAY_US}) AS msd
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_late_orders
+FROM m JOIN orders o ON o.o_orderkey = m.l_orderkey
+WHERE m.msd > epoch_us(o.o_orderdate) // {_DAY_US} + {gap_days}
+GROUP BY o.o_orderpriority"""
+
+
+def customer_order_counts_hist(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q13 analog (customer order-count distribution): how many
+    customers placed exactly N qualifying orders — INCLUDING the
+    zero-order customers a plain join silently drops. Plan: per-block
+    (custkey, partial count) combiner over the filtered orders → ONE
+    groupby(custkey) Sum → LEFT hash_join from the customer id list
+    (null → 0) → per-block histogram combiner → tiny
+    groupby(n_orders). The left join is the whole point: correctness
+    of the zero bucket rides the outer-join null handling."""
+    from ..stages.joins import hash_join
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.not_equal(t["o_orderstatus"], "P"))
+        keys = kept["o_custkey"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pa.table({"o_custkey": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    counts = (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+              .map_batches(o_partial, batch_format="pyarrow")
+              .groupby("o_custkey").aggregate(Sum("n", alias_name="n"))
+              .materialize())
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = hash_join(cust, counts, "c_custkey", "o_custkey",
+                       [], ["n"], how="left")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().cast(pa.int64()).to_numpy()
+        uniq, counts = np.unique(n, return_counts=True)
+        return pa.table({"n_orders": pa.array(uniq.astype(np.int64)),
+                         "c": pa.array(counts.astype(np.int64), pa.int64())})
+
+    def null_to_zero(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(t["n"].combine_chunks().cast(pa.int64()),
+                        pa.scalar(0, pa.int64()))
+        return pa.table({"n": n})
+
+    return (joined.map_batches(null_to_zero, batch_format="pyarrow")
+            .map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("n_orders")
+            .aggregate(Sum("c", alias_name="n_customers")))
+
+
+def customer_order_counts_hist_sql() -> str:
+    return """
+WITH cnt AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_custkey
+)
+SELECT coalesce(cnt.n, 0) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c LEFT JOIN cnt ON cnt.o_custkey = c.c_custkey
+GROUP BY 1"""
+
+
+Q22_CUTOFF = "2001-01-01"
+
+
+def idle_customer_balance(sf_dir: str,
+                          cutoff: str = Q22_CUTOFF) -> rd.Dataset:
+    """TPC-H Q22 analog (global sales opportunity): high-balance
+    customers with NO recent order, grouped by nation. The
+    above-average predicate stays integer-exact by cross-multiplying
+    (bal_cents · n_pos > sum_pos_cents — never a float division), the
+    positive-balance scalar is a two-int per-block fold (O(1) driver
+    state), and the recency test is an ANTI hash_join against the
+    recent-order custkeys (per-block distinct sheds duplicates before
+    the exchange — never a driver-resident key set; customer and
+    orders both scale with SF)."""
+    from ..stages.joins import hash_join
+
+    cut_day = int(np.datetime64(cutoff).astype("datetime64[D]")
+                  .astype(np.int64))
+
+    def bal_proj(t: pa.Table) -> pa.Table:
+        cents = np.round(t["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"],
+                         "bal_cents": pa.array(cents, pa.int64())})
+
+    cust = (_read(sf_dir, "customer",
+                  ["c_custkey", "c_nationkey", "c_acctbal"])
+            .map_batches(bal_proj, batch_format="pyarrow").materialize())
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        b = t["bal_cents"].to_numpy()
+        pos = b[b > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    folded = (cust.map_batches(pos_partial, batch_format="pyarrow")
+              .to_pandas())
+    sum_pos, n_pos = int(folded.s.sum()), int(folded.n.sum())
+
+    def rich(t: pa.Table) -> pa.Table:
+        b = t["bal_cents"].to_numpy()
+        return t.filter(pa.array(b * n_pos > sum_pos))
+
+    def recent_keys(t: pa.Table) -> pa.Table:
+        day = _day_col(t, "o_orderdate")
+        kept = t.filter(pa.array(day >= cut_day))
+        return pa.table({"o_custkey": pc.unique(kept["o_custkey"])})
+
+    recent = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+              .map_batches(recent_keys, batch_format="pyarrow"))
+    idle = hash_join(cust.map_batches(rich, batch_format="pyarrow"),
+                     recent, "c_custkey", "o_custkey",
+                     ["c_nationkey", "bal_cents"], [], how="anti")
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].combine_chunks().cast(pa.int64()).to_numpy()
+        bal = t["bal_cents"].combine_chunks().cast(pa.int64()).to_numpy()
+        uniq, inv = np.unique(nk, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, bal)
+        c = np.zeros(len(uniq), np.int64)
+        np.add.at(c, inv, 1)
+        return pa.table({"c_nationkey": pa.array(uniq.astype(np.int64)),
+                         "nc": pa.array(c, pa.int64()),
+                         "sb": pa.array(s, pa.int64())})
+
+    return (idle.map_batches(nat_partial, batch_format="pyarrow")
+            .groupby("c_nationkey")
+            .aggregate(Sum("nc", alias_name="n_customers"),
+                       Sum("sb", alias_name="sum_bal_cents")))
+
+
+def idle_customer_balance_sql(cutoff: str = Q22_CUTOFF) -> str:
+    return f"""
+WITH cents AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), tot AS (
+  SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cents WHERE bal_cents > 0
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{cutoff}'
+)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(c.bal_cents) AS BIGINT) AS sum_bal_cents
+FROM cents c, tot
+WHERE c.bal_cents * tot.n > tot.s
+  AND NOT EXISTS (SELECT 1 FROM recent r
+                  WHERE r.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey"""
+
+
+Q17_BRAND = "Brand#23"
+
+
+def small_quantity_revenue(sf_dir: str,
+                           brand: str = Q17_BRAND) -> rd.Dataset:
+    """TPC-H Q17 analog (small-quantity-order revenue): revenue from
+    lineitems whose quantity is under 20% of their part's average,
+    restricted to one brand. The correlated avg becomes a per-part
+    (sum_qty, n) combiner groupby over the brand-filtered items, the
+    brand restriction is a SEMI hash_join (part scales with SF — never
+    a driver key set), and the threshold compares integers cross-
+    multiplied (5·qty·n < sum_qty). One row out: total and per-week
+    revenue in exact cents."""
+    from ..stages.joins import hash_join
+
+    def brand_keys(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t["p_brand"], brand))
+        return pa.table({"p_partkey": kept["p_partkey"]})
+
+    bkeys = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        brand_keys, batch_format="pyarrow")
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        qty = np.round(t["l_quantity"].to_numpy()).astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100.0
+                         ).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "qty": pa.array(qty, pa.int64()),
+                         "price_e2": pa.array(cents, pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"]).map_batches(
+        li_proj, batch_format="pyarrow")
+    filtered = hash_join(li, bkeys, "l_partkey", "p_partkey",
+                         ["qty", "price_e2"], [], how="semi").materialize()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        keys = t["l_partkey"].combine_chunks().cast(pa.int64()).to_numpy()
+        qty = t["qty"].combine_chunks().cast(pa.int64()).to_numpy()
+        uniq, inv = np.unique(keys, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, qty)
+        c = np.zeros(len(uniq), np.int64)
+        np.add.at(c, inv, 1)
+        return pa.table({"l_partkey": pa.array(uniq.astype(np.int64)),
+                         "sq": pa.array(s, pa.int64()),
+                         "nl": pa.array(c, pa.int64())})
+
+    stats = (filtered.map_batches(stat_partial, batch_format="pyarrow")
+             .groupby("l_partkey")
+             .aggregate(Sum("sq", alias_name="sum_qty"),
+                        Sum("nl", alias_name="n_li")).materialize())
+    joined = hash_join(filtered, stats, "l_partkey", "l_partkey",
+                       ["qty", "price_e2"], ["sum_qty", "n_li"],
+                       how="inner")
+
+    def fold(t: pa.Table) -> pa.Table:
+        qty = t["qty"].combine_chunks().cast(pa.int64()).to_numpy()
+        sq = t["sum_qty"].combine_chunks().cast(pa.int64()).to_numpy()
+        nl = t["n_li"].combine_chunks().cast(pa.int64()).to_numpy()
+        price = t["price_e2"].combine_chunks().cast(pa.int64()).to_numpy()
+        mask = 5 * qty * nl < sq
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "revenue_e2": pa.array([int(price[mask].sum())],
+                                                pa.int64()),
+                         "n_items": pa.array([int(mask.sum())], pa.int64())})
+
+    folded = (joined.map_batches(fold, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("revenue_e2",
+                                          alias_name="revenue_e2"),
+                                      Sum("n_items", alias_name="n_items")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = t["revenue_e2"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "revenue_e2": rev,
+            "n_items": t["n_items"].combine_chunks().cast(pa.int64()),
+            "weekly_revenue_e2": pc.divide(rev, pa.scalar(7, pa.int64()))})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def small_quantity_revenue_sql(brand: str = Q17_BRAND) -> str:
+    return f"""
+WITH li AS (
+  SELECT l.l_partkey, CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_e2
+  FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey
+                AND p.p_brand = '{brand}')
+), st AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS n_li
+  FROM li GROUP BY l_partkey
+), f AS (
+  SELECT li.price_e2
+  FROM li JOIN st ON st.l_partkey = li.l_partkey
+  WHERE 5 * li.qty * st.n_li < st.sum_qty
+)
+SELECT CAST(coalesce(sum(price_e2), 0) AS BIGINT) AS revenue_e2,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(coalesce(sum(price_e2), 0) // 7 AS BIGINT)
+         AS weekly_revenue_e2
+FROM f"""
+
+
+Q19_BANDS = (("Brand#12", 1, 11, 1, 5),
+             ("Brand#23", 10, 20, 1, 10),
+             ("Brand#34", 20, 30, 1, 15))
+
+
+def disjunctive_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q19 analog (discounted revenue, disjunctive predicate):
+    revenue over an OR of three (brand, quantity band, size band)
+    conjunctions — the predicate shape that defeats naive pushdown.
+    ONE big-big hash_join attaches the two part attributes, the OR
+    evaluates vectorized per block, then a two-sum constant fold."""
+    from ..stages.joins import hash_join
+
+    def part_proj(t: pa.Table) -> pa.Table:
+        return t.select(["p_partkey", "p_brand", "p_size"])
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+                 ).map_batches(part_proj, batch_format="pyarrow")
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        qty = np.round(t["l_quantity"].to_numpy()).astype(np.int64)
+        price = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "qty": pa.array(qty, pa.int64()),
+                         "rev_e4": pa.array(rev, pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+               ).map_batches(li_proj, batch_format="pyarrow")
+    joined = hash_join(li, part, "l_partkey", "p_partkey",
+                       ["qty", "rev_e4"], ["p_brand", "p_size"],
+                       how="inner")
+
+    def fold(t: pa.Table) -> pa.Table:
+        qty = t["qty"].combine_chunks().cast(pa.int64()).to_numpy()
+        size = t["p_size"].combine_chunks().cast(pa.int64()).to_numpy()
+        brand = np.asarray(t["p_brand"].to_pylist())
+        rev = t["rev_e4"].combine_chunks().cast(pa.int64()).to_numpy()
+        mask = np.zeros(len(qty), bool)
+        for b, qlo, qhi, slo, shi in Q19_BANDS:
+            mask |= ((brand == b) & (qty >= qlo) & (qty <= qhi)
+                     & (size >= slo) & (size <= shi))
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "revenue_e4": pa.array([int(rev[mask].sum())],
+                                                pa.int64()),
+                         "n_items": pa.array([int(mask.sum())], pa.int64())})
+
+    def drop_k(t: pa.Table) -> pa.Table:
+        return t.select(["revenue_e4", "n_items"])
+
+    return (joined.map_batches(fold, batch_format="pyarrow")
+            .groupby("k").aggregate(Sum("revenue_e4",
+                                        alias_name="revenue_e4"),
+                                    Sum("n_items", alias_name="n_items"))
+            .map_batches(drop_k, batch_format="pyarrow"))
+
+
+def disjunctive_revenue_sql() -> str:
+    ors = " OR ".join(
+        f"(p.p_brand = '{b}' AND li.qty BETWEEN {qlo} AND {qhi}"
+        f" AND p.p_size BETWEEN {slo} AND {shi})"
+        for b, qlo, qhi, slo, shi in Q19_BANDS)
+    return f"""
+WITH li AS (
+  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+              AS BIGINT) AS rev_e4
+  FROM lineitem
+)
+SELECT CAST(coalesce(sum(li.rev_e4), 0) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM li JOIN part p ON p.p_partkey = li.l_partkey
+WHERE {ors}"""
+
+
+def nation_pair_volume(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q7 analog (volume shipping between nations): revenue by
+    (supplier nation, customer nation, ship year) for cross-nation
+    trade — the canonical 3-fact-join chain (lineitem→supplier,
+    →orders, →customer), every join a big-big hash_join (supplier and
+    customer both scale with SF), each intermediate pinned so the next
+    join's schema probe never re-runs a shuffle. The final aggregate
+    packs (s_nation, c_nation, year) into ONE int64 key so a single
+    combiner groupby carries it, and the 25-row nation-name dimension
+    broadcasts at the end (the one legitimately tiny dim)."""
+    from ..stages.joins import hash_join
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        yr = pc.year(t["l_shipdate"].combine_chunks().cast(
+            pa.timestamp("us"))).cast(pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev_e4": pa.array(rev, pa.int64()),
+                         "year": yr})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"]
+               ).map_batches(li_proj, batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j1 = hash_join(li, supp, "l_suppkey", "s_suppkey",
+                   ["l_orderkey", "rev_e4", "year"], ["s_nationkey"],
+                   how="inner").materialize()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j2 = hash_join(j1, orders, "l_orderkey", "o_orderkey",
+                   ["rev_e4", "year", "s_nationkey"], ["o_custkey"],
+                   how="inner").materialize()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j3 = hash_join(j2, cust, "o_custkey", "c_custkey",
+                   ["rev_e4", "year", "s_nationkey"], ["c_nationkey"],
+                   how="inner")
+
+    # pack (s_nat < 32, c_nat < 32, year < 4096) into one int64 key
+    def pack_partial(t: pa.Table) -> pa.Table:
+        sn = t["s_nationkey"].combine_chunks().cast(pa.int64()).to_numpy()
+        cn = t["c_nationkey"].combine_chunks().cast(pa.int64()).to_numpy()
+        yr = t["year"].combine_chunks().cast(pa.int64()).to_numpy()
+        rev = t["rev_e4"].combine_chunks().cast(pa.int64()).to_numpy()
+        mask = sn != cn
+        key = (sn[mask] << 17) | (cn[mask] << 12) | yr[mask]
+        uniq, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, rev[mask])
+        return pa.table({"pk": pa.array(uniq.astype(np.int64)),
+                         "r": pa.array(s, pa.int64())})
+
+    folded = (j3.map_batches(pack_partial, batch_format="pyarrow")
+              .groupby("pk").aggregate(Sum("r", alias_name="revenue_e4")))
+
+    names = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nref = ray.put(dict(zip(names.n_nationkey.astype(int), names.n_name)))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        pk = t["pk"].combine_chunks().cast(pa.int64()).to_numpy()
+        sn = pk >> 17
+        cn = (pk >> 12) & 31
+        yr = pk & 4095
+        return pa.table({
+            "supp_nation": pa.array([nm[int(v)] for v in sn], pa.string()),
+            "cust_nation": pa.array([nm[int(v)] for v in cn], pa.string()),
+            "year": pa.array(yr.astype(np.int64), pa.int64()),
+            "revenue_e4": t["revenue_e4"].combine_chunks().cast(pa.int64())})
+
+    return folded.map_batches(unpack, batch_format="pyarrow")
+
+
+def nation_pair_volume_sql() -> str:
+    return """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE s.s_nationkey <> c.c_nationkey
+GROUP BY 1, 2, 3"""

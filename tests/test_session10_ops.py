@@ -1,0 +1,254 @@
+"""Tests for the session-10 operators: the TPC-H completion set
+(Q6/Q4/Q13/Q22/Q17/Q19/Q7 analogs) and the content-defined-chunking
+dedup census."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_SMOKE
+
+
+def _oracle(name: str, fn, sql: str):
+    from tests.oracle_check import compare
+
+    assert compare(name, fn(SF_SMOKE), sql, SF_SMOKE) == []
+
+
+# ---------------------------------------------------------------------------
+# forecast_revenue (Q6)
+
+
+def test_forecast_revenue_oracle(ray_session):
+    from pdf_extraction_ray.pipelines import relational as R
+
+    _oracle("forecast_revenue", R.forecast_revenue,
+            R.forecast_revenue_sql())
+
+
+def test_forecast_revenue_semantics(ray_session):
+    """One row; the pandas replay of the filter+sum equals the engine."""
+    import os
+
+    from pdf_extraction_ray.pipelines import relational as R
+
+    out = R.forecast_revenue(SF_SMOKE).to_pandas()
+    assert len(out) == 1
+    li = pd.read_parquet(os.path.join(SF_SMOKE, "lineitem.parquet"))
+    d100 = np.round(li.l_discount.to_numpy() * 100).astype(np.int64)
+    m = ((li.l_shipdate >= R.Q6_SHIP_LO) & (li.l_shipdate < R.Q6_SHIP_HI)
+         & (d100 >= 5) & (d100 <= 7) & (li.l_quantity < 24))
+    want = np.round(li.l_extendedprice[m].to_numpy()
+                    * li.l_discount[m].to_numpy() * 10000).astype(np.int64)
+    assert int(out.revenue_e4.iloc[0]) == int(want.sum())
+    assert int(out.n_items.iloc[0]) == int(m.sum())
+
+
+# ---------------------------------------------------------------------------
+# late_order_priority_counts (Q4)
+
+
+def test_late_order_priority_oracle(ray_session):
+    from pdf_extraction_ray.pipelines import relational as R
+
+    _oracle("late_order_priority_counts", R.late_order_priority_counts,
+            R.late_order_priority_counts_sql())
+
+
+def test_late_order_priority_gap_monotone(ray_session):
+    """A larger lateness gap can only shrink every priority's count;
+    a huge gap empties the report."""
+    from pdf_extraction_ray.pipelines import relational as R
+
+    base = (R.late_order_priority_counts(SF_SMOKE).to_pandas()
+            .set_index("o_orderpriority").n_late_orders)
+    tight = (R.late_order_priority_counts(SF_SMOKE, gap_days=730)
+             .to_pandas().set_index("o_orderpriority").n_late_orders)
+    for p, n in tight.items():
+        assert n <= base[p]
+    assert R.late_order_priority_counts(SF_SMOKE,
+                                        gap_days=10_000).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# customer_order_counts_hist (Q13)
+
+
+def test_customer_order_counts_hist_oracle(ray_session):
+    from pdf_extraction_ray.pipelines import relational as R
+
+    _oracle("customer_order_counts_hist", R.customer_order_counts_hist,
+            R.customer_order_counts_hist_sql())
+
+
+def test_customer_order_counts_hist_total(ray_session):
+    """Histogram masses sum to the customer count (zero bucket
+    included), and weighted counts sum to the qualifying order count."""
+    import os
+
+    from pdf_extraction_ray.pipelines import relational as R
+
+    out = R.customer_order_counts_hist(SF_SMOKE).to_pandas()
+    cust = pd.read_parquet(os.path.join(SF_SMOKE, "customer.parquet"))
+    orders = pd.read_parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+    assert int(out.n_customers.sum()) == len(cust)
+    assert int((out.n_orders * out.n_customers).sum()) == int(
+        (orders.o_orderstatus != "P").sum())
+
+
+# ---------------------------------------------------------------------------
+# idle_customer_balance (Q22)
+
+
+def test_idle_customer_balance_oracle(ray_session):
+    from pdf_extraction_ray.pipelines import relational as R
+
+    _oracle("idle_customer_balance", R.idle_customer_balance,
+            R.idle_customer_balance_sql())
+
+
+def test_idle_customer_balance_semantics(ray_session):
+    """Pandas replay: integer cross-multiplied above-average predicate
+    + no order on/after the cutoff."""
+    import os
+
+    from pdf_extraction_ray.pipelines import relational as R
+
+    out = (R.idle_customer_balance(SF_SMOKE).to_pandas()
+           .set_index("c_nationkey"))
+    cust = pd.read_parquet(os.path.join(SF_SMOKE, "customer.parquet"))
+    orders = pd.read_parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+    cents = np.round(cust.c_acctbal.to_numpy() * 100).astype(np.int64)
+    pos = cents[cents > 0]
+    recent = set(orders.loc[orders.o_orderdate >= R.Q22_CUTOFF,
+                            "o_custkey"])
+    keep = (cents * len(pos) > pos.sum()) & ~cust.c_custkey.isin(recent)
+    want = (pd.DataFrame({"nk": cust.c_nationkey[keep],
+                          "bal": cents[keep]})
+            .groupby("nk").agg(n=("bal", "size"), s=("bal", "sum")))
+    assert int(out.n_customers.sum()) == int(keep.sum())
+    for nk, row in want.iterrows():
+        assert int(out.loc[nk, "n_customers"]) == int(row.n)
+        assert int(out.loc[nk, "sum_bal_cents"]) == int(row.s)
+
+
+# ---------------------------------------------------------------------------
+# small_quantity_revenue (Q17)
+
+
+def test_small_quantity_revenue_oracle(ray_session):
+    from pdf_extraction_ray.pipelines import relational as R
+
+    _oracle("small_quantity_revenue", R.small_quantity_revenue,
+            R.small_quantity_revenue_sql())
+
+
+def test_small_quantity_revenue_threshold_exact(ray_session):
+    """The kept items are exactly those with 5*qty*n < sum_qty within
+    their (brand-filtered) part — pandas replay."""
+    import os
+
+    from pdf_extraction_ray.pipelines import relational as R
+
+    out = R.small_quantity_revenue(SF_SMOKE).to_pandas()
+    part = pd.read_parquet(os.path.join(SF_SMOKE, "part.parquet"))
+    li = pd.read_parquet(os.path.join(SF_SMOKE, "lineitem.parquet"))
+    keys = set(part.loc[part.p_brand == R.Q17_BRAND, "p_partkey"])
+    sub = li[li.l_partkey.isin(keys)].copy()
+    sub["qty"] = np.round(sub.l_quantity).astype(np.int64)
+    st = sub.groupby("l_partkey").qty.agg(["sum", "size"])
+    sq = st["sum"].reindex(sub.l_partkey).to_numpy()
+    nl = st["size"].reindex(sub.l_partkey).to_numpy()
+    m = 5 * sub.qty.to_numpy() * nl < sq
+    cents = np.round(sub.l_extendedprice.to_numpy() * 100).astype(np.int64)
+    assert int(out.revenue_e2.iloc[0]) == int(cents[m].sum())
+    assert int(out.n_items.iloc[0]) == int(m.sum())
+    assert int(out.weekly_revenue_e2.iloc[0]) == int(cents[m].sum()) // 7
+
+
+# ---------------------------------------------------------------------------
+# disjunctive_revenue (Q19)
+
+
+def test_disjunctive_revenue_oracle(ray_session):
+    from pdf_extraction_ray.pipelines import relational as R
+
+    _oracle("disjunctive_revenue", R.disjunctive_revenue,
+            R.disjunctive_revenue_sql())
+
+
+# ---------------------------------------------------------------------------
+# nation_pair_volume (Q7)
+
+
+def test_nation_pair_volume_oracle(ray_session):
+    from pdf_extraction_ray.pipelines import relational as R
+
+    _oracle("nation_pair_volume", R.nation_pair_volume,
+            R.nation_pair_volume_sql())
+
+
+def test_nation_pair_volume_semantics(ray_session):
+    """No same-nation rows; every (pair, year) revenue is positive;
+    pair totals are symmetric only by data, never by construction —
+    both directions may appear independently."""
+    from pdf_extraction_ray.pipelines import relational as R
+
+    out = R.nation_pair_volume(SF_SMOKE).to_pandas()
+    assert (out.supp_nation != out.cust_nation).all()
+    assert (out.revenue_e4 > 0).all()
+    assert not out.duplicated(["supp_nation", "cust_nation",
+                               "year"]).any()
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunk_stats
+
+
+def test_cdc_chunk_stats_oracle(ray_session):
+    from pdf_extraction_ray.pipelines import analytics as A
+
+    _oracle("cdc_chunk_stats", A.cdc_chunk_stats,
+            A.cdc_chunk_stats_sql())
+
+
+def test_cdc_boundaries_edit_local(ray_session):
+    """The CDC property: inserting text mid-document only re-chunks
+    the edited neighborhood — boundaries before the edit are
+    unchanged, boundaries after it shift by exactly the insert length
+    (fixed-size blocks would shift EVERY later block's content)."""
+    from pdf_extraction_ray.functions.hashing import cdc_boundaries
+
+    base = "".join(chr(97 + (i * 7 + i // 13) % 26) for i in range(3000))
+    edit = base[:1500] + "INSERTED-PASSAGE" + base[1500:]
+    b0 = cdc_boundaries(base)
+    b1 = cdc_boundaries(edit)
+    pre0 = [b for b in b0 if b <= 1500 - 16]
+    pre1 = [b for b in b1 if b <= 1500 - 16]
+    assert pre0 == pre1  # prefix boundaries untouched
+    d = len("INSERTED-PASSAGE")
+    post0 = {b + d for b in b0 if b > 1500 + 16}
+    post1 = {b for b in b1 if b > 1500 + 16 + d}
+    # suffix boundaries re-align once past the edit window
+    assert post0 & post1
+    assert len(post0 & post1) >= max(1, len(post0) - 3)
+
+
+def test_cdc_chunks_cover_text(ray_session):
+    """Chunk lengths per doc sum to the doc length, every doc chunks,
+    and planted exact near-copies share almost all chunk content."""
+    from pdf_extraction_ray.functions.hashing import cdc_boundaries
+    from pdf_extraction_ray.pipelines import analytics as A
+
+    out = A.cdc_chunk_stats(SF_SMOKE).to_pandas()
+    docs = A._docs(SF_SMOKE, ["doc_id", "text"]).to_pandas()
+    lens = docs.set_index("doc_id").text.str.len()
+    merged = out.set_index("doc_id")
+    assert len(merged) == len(docs)
+    # spot-check coverage on 20 docs: n_chunks == len(boundaries)
+    for _, r in docs.head(20).iterrows():
+        assert merged.loc[r.doc_id, "n_chunks"] == len(
+            cdc_boundaries(r.text))
+    assert (merged.n_dup_chunks <= merged.n_chunks).all()
+    assert (merged.dup_chars <= lens.reindex(merged.index)).all()
