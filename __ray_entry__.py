@@ -100,6 +100,66 @@ def q_extract_point_lookup(sf_dir: str) -> rd.Dataset:
                  "extracted_text"])
 
 
+UPSERT_MOD = 5  # urls with stable_hash64('upsert:'+url) % 5 == 0 = delta
+
+
+def _upsert_out_dir(sf_dir: str) -> str:
+    from pathlib import Path
+
+    return ("/tmp/pdf_extraction_ray/query_out/"
+            f"{Path(sf_dir).name or 'sf'}-upsert-{spec.SPEC_VERSION}"
+            f"-{corpus._input_digest(sf_dir)}")
+
+
+def q_extract_upsert(sf_dir: str) -> rd.Dataset:
+    """Incremental re-crawl ingest end-to-end (the MERGE INTO path,
+    pipelines/extraction.upsert_extraction): a base store is built
+    WITHOUT one url-hash class, that class is then upsert-INSERTED,
+    and an already-present class is re-sent (upsert-REPLACE, identical
+    recompute). The merged store must equal a from-scratch full run —
+    it shares extract_pipeline's value-hash oracle, so insert,
+    replace, and don't-touch semantics are all value-gated. Only
+    buckets containing delta urls are rewritten (pytest pins untouched
+    buckets byte-stable)."""
+    return _upsert_result(sf_dir).select_columns(EXTRACT_COLUMNS)
+
+
+def _upsert_split(pages: rd.Dataset, residues: "set[int]") -> rd.Dataset:
+    """Pages whose url-hash class is in ``residues`` — split on the URL
+    (both copies of a planted re-crawl dup co-travel, so first-wins
+    dedup sees the same candidates as a full run)."""
+    from pdf_extraction_ray.functions.hashing import stable_hash64
+
+    import pyarrow as pa
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = [stable_hash64(f"upsert:{u}") % UPSERT_MOD in residues
+                for u in t["url"].to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+_upsert_cache: dict[str, rd.Dataset] = {}
+
+
+def _upsert_result(sf_dir: str) -> rd.Dataset:
+    tune_data_context()
+    if sf_dir not in _upsert_cache:
+        pages_path = corpus.ensure_pages_corpus(sf_dir)
+        out = _upsert_out_dir(sf_dir)
+        pages = rd.read_parquet(pages_path)
+        base = _upsert_split(pages, set(range(1, UPSERT_MOD)))
+        extraction.run_extraction(base, _CFG, out_dir=out)
+        # INSERT: the held-out class enters through the merge path
+        extraction.upsert_extraction(_upsert_split(pages, {0}), _CFG, out)
+        # REPLACE: re-send an already-present class — same-url rows are
+        # superseded by the (identical) recompute, value-stable
+        _upsert_cache[sf_dir] = extraction.upsert_extraction(
+            _upsert_split(pages, {1}), _CFG, out)
+    return _upsert_cache[sf_dir]
+
+
 ROUTE_SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)
 
 
@@ -961,6 +1021,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chunk-level dedup census (FastCDC/rsync principle; boundaries
         # + chunk identity replay exactly in SQL)
         "cdc_chunk_stats": _tuned(analytics.cdc_chunk_stats),
+        # incremental re-crawl ingest (MERGE INTO the checkpointed
+        # store): insert + replace + don't-touch, all value-gated by
+        # the flagship oracle (merged store == from-scratch full run)
+        "extract_upsert": _tuned(q_extract_upsert),
     }
     rest = [k for k in base if k not in _ROTATED]
     order = [*WINDOW_R04, *rest, *AWAITING_SLOT]
@@ -1097,6 +1161,7 @@ AWAITING_SLOT = (
     "disjunctive_revenue",
     "nation_pair_volume",
     "cdc_chunk_stats",
+    "extract_upsert",
 )
 
 _ROTATED = frozenset(WINDOW_R04) | frozenset(AWAITING_SLOT)
@@ -1379,4 +1444,8 @@ WHERE url IN (
         "disjunctive_revenue": relational.disjunctive_revenue_sql(),
         "nation_pair_volume": relational.nation_pair_volume_sql(),
         "cdc_chunk_stats": analytics.cdc_chunk_stats_sql(),
+        # the merged (base + insert-upsert + replace-upsert) store must
+        # equal a from-scratch full run, so it shares the flagship's
+        # value-hash oracle — insert/replace/don't-touch all gated
+        "extract_upsert": oracle.extract_pipeline_sql(),
     }

@@ -742,6 +742,45 @@ def run_extraction(pages_path: "str | rd.Dataset",
     return rd.read_parquet(out_dir)
 
 
+def upsert_extraction(pages_path: "str | rd.Dataset",
+                      cfg: PipelineConfig,
+                      out_dir: str,
+                      dedup: bool = True) -> rd.Dataset:
+    """Incremental re-crawl ingest (MERGE INTO the checkpointed store):
+    run the SAME extraction chain over ONLY the delta pages and merge
+    each result bucket into the existing store — rows for re-crawled
+    urls are REPLACED (the new snapshot supersedes; within the delta
+    itself the store's earliest-warc_ts first-wins rule still dedups),
+    new urls INSERT, and every bucket the delta does not touch keeps
+    its bytes (the groupby(bucket) only produces groups for affected
+    buckets, so the maintenance cost is O(delta + touched buckets),
+    never a full-store rewrite — at 10^12 documents a daily re-crawl
+    touches a sliver of the url-hash space). Takedown registry urls
+    stay excluded, exactly as in a full run. Returns the dataset read
+    back from ``out_dir``.
+
+    Uses the per-bucket read-modify-write merge (``merge_bucket_group``
+    — durable data file then durable manifest), so a killed upsert
+    re-runs idempotently: an already-merged bucket merges again to the
+    same bytes."""
+    t0 = time.monotonic()
+    banned, _banned_hashes = ckpt.load_takedowns(out_dir)
+    with _shuffle_ctx(cfg):
+        work = _work_stream(pages_path, cfg, skip_buckets=set(),
+                            exclude_urls=banned)
+        manifest_ds = work.groupby("bucket").map_groups(
+            lambda g, cfg=cfg, dd=dedup: ckpt.merge_bucket_group(
+                ex.finalize_bucket(g, cfg, dd), out_dir),
+            batch_format="pyarrow")
+    manifest_ds.take_all()  # tiny: one row per TOUCHED bucket
+    wall = time.monotonic() - t0
+    all_manifests = list(ckpt.load_manifests(out_dir).values())
+    ckpt.write_run_summary(out_dir, all_manifests, wall,
+                           extra={"n_buckets": cfg.n_buckets,
+                                  "upsert": True})
+    return rd.read_parquet(out_dir)
+
+
 def point_lookup(out_dir: str, urls, columns: "list[str] | None" = None,
                  cfg: "PipelineConfig | None" = None) -> rd.Dataset:
     """Serve specific urls from a checkpointed output WITHOUT a corpus

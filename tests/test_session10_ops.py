@@ -252,3 +252,96 @@ def test_cdc_chunks_cover_text(ray_session):
             cdc_boundaries(r.text))
     assert (merged.n_dup_chunks <= merged.n_chunks).all()
     assert (merged.dup_chars <= lens.reindex(merged.index)).all()
+
+
+# ---------------------------------------------------------------------------
+# extract_upsert (incremental re-crawl MERGE INTO the checkpoint store)
+
+
+def test_extract_upsert_oracle(ray_session):
+    """base-minus-class + insert-upsert + replace-upsert == the
+    flagship full-run oracle (insert/replace/don't-touch value-gated)."""
+    import __ray_entry__ as entrymod
+    from tests.oracle_check import compare
+
+    assert compare("extract_upsert",
+                   entrymod.queries()["extract_upsert"](SF_SMOKE),
+                   entrymod.oracle_sql()["extract_upsert"],
+                   SF_SMOKE) == []
+
+
+def test_upsert_physical_semantics(ray_session, tmp_path):
+    """The merge path's physical contract: inserted urls appear
+    byte-exact, a re-crawled row REPLACES its url's row (new warc_ts,
+    no duplicate), and buckets the delta does not touch keep their
+    bytes (mtime-stable)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.functions.hashing import url_bucket
+    from pdf_extraction_ray.pipelines import extraction as E
+    from pdf_extraction_ray.sources import corpus, spec
+
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES)
+    pages_path = corpus.ensure_pages_corpus(SF_SMOKE)
+    pages = rd.read_parquet(pages_path)
+    all_urls = sorted(set(pages.select_columns(["url"]).to_pandas().url))
+    delta_urls = set(all_urls[:20])
+
+    def split(keep_delta: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mask = [(u in delta_urls) == keep_delta
+                    for u in t["url"].to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+        return pages.map_batches(f, batch_format="pyarrow")
+
+    store = str(tmp_path / "store")
+    E.run_extraction(split(False), cfg, out_dir=store)
+    mtimes = {p: os.path.getmtime(p)
+              for p in glob.glob(store + "/bucket=*/part-0.parquet")}
+    delta_buckets = {url_bucket(u, cfg.n_buckets) for u in delta_urls}
+
+    # INSERT: the held-out urls enter through the merge
+    E.upsert_extraction(split(True), cfg, store)
+    out = rd.read_parquet(store).to_pandas()
+    docs = pq.read_table(
+        os.path.join(SF_SMOKE, "documents.parquet")).to_pylist()
+    exp = {spec.url_of(d["doc_id"], d["source"]):
+           spec.expected_final_text(d["doc_id"], d["text"], d["source"])
+           for d in docs}
+    for u in sorted(delta_urls)[:10]:
+        row = out[out.url == u]
+        assert len(row) == 1
+        assert row.extracted_text.iloc[0] == exp[u]  # byte-exact
+    # untouched buckets byte-stable
+    for p, m in mtimes.items():
+        b = int(p.split("bucket=")[1].split("/")[0])
+        if b not in delta_buckets:
+            assert os.path.getmtime(p) == m, p
+
+    # REPLACE: re-crawl 5 delta urls with a LATER warc_ts
+    recrawl_urls = set(sorted(delta_urls)[:5])
+
+    def bump(t: pa.Table) -> pa.Table:
+        mask = [u in recrawl_urls for u in t["url"].to_pylist()]
+        kept = t.filter(pa.array(mask, pa.bool_()))
+        ts = kept["warc_ts"].combine_chunks().cast(pa.timestamp("us"))
+        bumped = pa.Array.from_pandas(
+            ts.cast(pa.int64()).to_pandas() + 3_600_000_000).cast(
+            pa.timestamp("us"))
+        return kept.set_column(kept.schema.get_field_index("warc_ts"),
+                               "warc_ts", bumped)
+
+    E.upsert_extraction(pages.map_batches(bump, batch_format="pyarrow"),
+                        cfg, store)
+    out2 = rd.read_parquet(store).to_pandas()
+    for u in recrawl_urls:
+        rows = out2[out2.url == u]
+        assert len(rows) == 1  # replaced, never duplicated
+        old = out[out.url == u].warc_ts.iloc[0]
+        assert rows.warc_ts.iloc[0] == old + pd.Timedelta(hours=1)
