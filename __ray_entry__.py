@@ -1025,6 +1025,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # store): insert + replace + don't-touch, all value-gated by
         # the flagship oracle (merged store == from-scratch full run)
         "extract_upsert": _tuned(q_extract_upsert),
+        # personalized PageRank over the EXTRACTED link graph — one
+        # restart-gated integer vector per seed ("related pages for
+        # page X"); one-task fast path, per-seed distributed fallback
+        "ppr_related": _tuned(linkgraph.ppr_related),
     }
     rest = [k for k in base if k not in _ROTATED]
     order = [*WINDOW_R04, *rest, *AWAITING_SLOT]
@@ -1162,6 +1166,7 @@ AWAITING_SLOT = (
     "nation_pair_volume",
     "cdc_chunk_stats",
     "extract_upsert",
+    "ppr_related",
 )
 
 _ROTATED = frozenset(WINDOW_R04) | frozenset(AWAITING_SLOT)
@@ -1448,4 +1453,7 @@ WHERE url IN (
         # equal a from-scratch full run, so it shares the flagship's
         # value-hash oracle — insert/replace/don't-touch all gated
         "extract_upsert": oracle.extract_pipeline_sql(),
+        # per-seed unrolled restart-gated rounds over the shared
+        # weighted edge CTE
+        "ppr_related": linkgraph.ppr_related_sql(),
     }

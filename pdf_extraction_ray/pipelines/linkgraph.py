@@ -2091,3 +2091,188 @@ SELECT DISTINCT
 FROM e e1 JOIN e e2
   ON e1.src_doc_id = e2.dst_doc_id AND e1.dst_doc_id = e2.src_doc_id
 WHERE e1.src_doc_id < e1.dst_doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (per-seed restart) over the extracted edges
+# (session 10) — the "related pages for page X" primitive: one rank
+# VECTOR per seed (trustrank_docs restarts at a seed SET and yields one
+# global vector; PPR keeps the seeds separate).
+
+
+PPR_SEEDS = (0, 1, 2)
+PPR_ITERS = 4
+
+
+@ray.remote
+def _ppr_one_task(seeds, iters: int, damping_pct: int, scale: int,
+                  n_node_blocks: int, *blocks: pa.Table) -> pa.Table:
+    """All seeds × all rounds in one task (the _pr_one_task dispatch):
+    per seed, the integer restart-gated update
+    r' = base·[v==seed] + d·Σ(r_u // outdeg_u) // 100 from
+    r0 = scale·[v==seed]."""
+    node_tabs = [t for t in blocks[:n_node_blocks] if t.num_rows]
+    edge_tabs = [t for t in blocks[n_node_blocks:] if t.num_rows]
+    nodes = np.sort(np.unique(np.concatenate(
+        [t["node"].to_numpy(zero_copy_only=False) for t in node_tabs])
+        if node_tabs else np.array([], np.int64)).astype(np.int64))
+    n = len(nodes)
+    if edge_tabs:
+        et = pa.concat_tables(
+            [t.select(["src_doc_id", "dst_doc_id"]) for t in edge_tabs])
+        src = et["src_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = et["dst_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        src = dst = np.array([], np.int64)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, si, 1)
+    outdeg = deg[si]
+    base = (100 - damping_pct) * scale // 100
+    outs = []
+    for sd in seeds:
+        pos = int(np.searchsorted(nodes, sd))
+        seeded = pos < n and nodes[pos] == sd
+        r = np.zeros(n, np.int64)
+        if seeded:
+            r[pos] = scale
+        for _ in range(iters):
+            s = np.zeros(n, np.int64)
+            np.add.at(s, di, r[si] // outdeg)
+            r = damping_pct * s // 100
+            if seeded:
+                r[pos] += base
+        outs.append(pa.table({
+            "seed_id": pa.array(np.full(n, sd, np.int64)),
+            "doc_id": pa.array(nodes), "rank": pa.array(r)}))
+    return pa.concat_tables(outs)
+
+
+def ppr_related(sf_dir: str, seeds=PPR_SEEDS, iters: int = PPR_ITERS,
+                damping_pct: int = 85, scale: int = 1_000_000,
+                task_limit: int = 5_000_000) -> rd.Dataset:
+    """Personalized PageRank over the EXTRACTED link graph: for each
+    seed page, the restart-at-that-seed random walk (Jeh & Widom 2003
+    / the SALSA-era "related pages" query) — trust/relatedness decays
+    with link distance from THE seed, spam islands score 0, and each
+    seed gets its own vector. Pure-integer law (floor divisions), so
+    the unrolled per-seed CTE oracle hash-matches.
+
+    Small graphs run every seed × round in ONE task; above
+    ``task_limit`` each seed runs the pagerank_from_edges round shape
+    (ONE hash_join + ONE groupby per round, zero-presence rows, fixed
+    repartition) — at web scale the seed list is a small whitelist,
+    so S sequential distributed vectors is the honest cost. Returns
+    (seed_id, doc_id, rank) for every node × seed."""
+    pages_path = _corpus_pages(sf_dir)
+    edges = link_graph_pages(pages_path).materialize()
+    nodes = page_nodes(pages_path).materialize()
+    if edges.count() <= task_limit:
+        node_refs = nodes.to_arrow_refs()
+        edge_refs = edges.to_arrow_refs()
+        return rd.from_arrow_refs([_ppr_one_task.remote(
+            tuple(seeds), iters, damping_pct, scale, len(node_refs),
+            *node_refs, *edge_refs)])
+
+    outdeg = edges.groupby("src_doc_id").aggregate(
+        Count(alias_name="outdeg")).materialize()
+    edges_w = hash_join(edges, outdeg, "src_doc_id", "src_doc_id",
+                        ["dst_doc_id"], ["outdeg"], how="inner").materialize()
+    base = (100 - damping_pct) * scale // 100
+
+    def zero(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "c": pa.array(np.zeros(len(t), np.int64))})
+
+    presence = nodes.map_batches(zero, batch_format="pyarrow").materialize()
+    per_seed = []
+    for sd in seeds:
+        def init(t: pa.Table, sd=sd) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "node": pa.array(node),
+                "r": pa.array(np.where(node == sd, scale, 0)
+                              .astype(np.int64))})
+
+        scores = nodes.map_batches(init, batch_format="pyarrow")
+        for _ in range(iters):
+            contrib = hash_join(edges_w, scores, "src_doc_id", "node",
+                                ["dst_doc_id", "outdeg"], ["r"],
+                                how="inner")
+
+            def emit(t: pa.Table) -> pa.Table:
+                c = pc.divide(t["r"].combine_chunks().cast(pa.int64()),
+                              t["outdeg"].combine_chunks().cast(pa.int64()))
+                return pa.table({
+                    "node": t["dst_doc_id"].combine_chunks().cast(
+                        pa.int64()),
+                    "c": c})
+
+            def fold(t: pa.Table, sd=sd) -> pa.Table:
+                node = (t["node"].combine_chunks().cast(pa.int64())
+                        .to_numpy())
+                s = t["s"].combine_chunks().cast(pa.int64()).to_numpy()
+                r = (damping_pct * s // 100
+                     + np.where(node == sd, base, 0))
+                return pa.table({"node": pa.array(node.astype(np.int64)),
+                                 "r": pa.array(r.astype(np.int64))})
+
+            scores = (contrib.map_batches(emit, batch_format="pyarrow")
+                      .union(presence)
+                      .groupby("node").aggregate(Sum("c", alias_name="s"))
+                      .map_batches(fold, batch_format="pyarrow")
+                      .repartition(32)
+                      .materialize())
+
+        def tag(t: pa.Table, sd=sd) -> pa.Table:
+            return pa.table({
+                "seed_id": pa.array(np.full(len(t), sd, np.int64)),
+                "doc_id": t["node"].combine_chunks().cast(pa.int64()),
+                "rank": t["r"].combine_chunks().cast(pa.int64())})
+
+        per_seed.append(scores.map_batches(tag, batch_format="pyarrow"))
+    out = per_seed[0]
+    for ds in per_seed[1:]:
+        out = out.union(ds)
+    return out
+
+
+def ppr_related_sql(seeds=PPR_SEEDS, iters: int = PPR_ITERS,
+                    damping_pct: int = 85,
+                    scale: int = 1_000_000) -> str:
+    """Per-seed unrolled-round CTEs over the shared weighted edge
+    table — pagerank_links_sql's law with the restart term gated on
+    the one seed."""
+    base = (100 - damping_pct) * scale // 100
+    parts = [_edges_sql(), """ew AS (
+  SELECT e.src_doc_id, e.dst_doc_id, o.outdeg
+  FROM e JOIN (SELECT src_doc_id, CAST(count(*) AS BIGINT) AS outdeg
+               FROM e GROUP BY src_doc_id) o
+    ON o.src_doc_id = e.src_doc_id
+)"""]
+    finals = []
+    for sd in seeds:
+        parts.append(f"""p{sd}_0 AS (
+  SELECT doc_id AS node,
+         CAST(CASE WHEN doc_id = {sd} THEN {scale} ELSE 0 END
+              AS BIGINT) AS r
+  FROM documents
+)""")
+        for t in range(iters):
+            parts.append(f"""p{sd}_{t + 1} AS (
+  SELECT d.doc_id AS node,
+         CAST(CASE WHEN d.doc_id = {sd} THEN {base} ELSE 0 END
+              + {damping_pct} * coalesce(x.c, 0) // 100 AS BIGINT) AS r
+  FROM documents d LEFT JOIN (
+    SELECT ew.dst_doc_id AS node,
+           CAST(sum(p.r // ew.outdeg) AS BIGINT) AS c
+    FROM ew JOIN p{sd}_{t} p ON p.node = ew.src_doc_id
+    GROUP BY ew.dst_doc_id
+  ) x ON x.node = d.doc_id
+)""")
+        finals.append(f"SELECT CAST({sd} AS BIGINT) AS seed_id, "
+                      f"node AS doc_id, r AS rank FROM p{sd}_{iters}")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(finals))

@@ -518,3 +518,62 @@ def write_run_summary(out_dir: str, manifests: list[dict],
         json.dump(summary, f, indent=2)
     os.replace(tmp, path)
     return summary
+
+
+def vacuum_store(out_dir: str) -> dict:
+    """Maintenance GC for the checkpointed store — the lifecycle's
+    last primitive next to build/resume/upsert/takedown/point-lookup:
+    sweep crash leftovers so the directory holds exactly the live
+    state a resume reasons about.
+
+    Removes (all safe by the store's own invariants):
+    * ``*.tmp`` files anywhere under the store — a tmp is only ever a
+      not-yet-published write (every publish is tmp + os.replace);
+    * stale ``.claim-*`` straddle-guard files — claims only gate a
+      LIVE hash-shuffle pass, so any claim found at rest is from a
+      killed run (run_extraction already clears the not-done ones;
+      this clears them all);
+    * orphan bucket data files with NO valid manifest — an
+      unmanifested bucket is incomplete by definition and resume
+      recomputes it from input, so the bytes are dead weight;
+    * manifests whose data file is gone (already invisible to
+      ``load_manifests``; deleting makes the invisibility durable).
+
+    Never touches: manifested data files, the takedown registry, the
+    outbox, ``_run.json``. Idempotent. Single-writer like every store
+    maintenance op: run it AT REST, not concurrently with an
+    extraction/upsert pass (a data file published a moment before its
+    manifest would read as an orphan). Returns removal counts."""
+    import glob as _glob
+
+    removed = {"tmp": 0, "claims": 0, "orphan_data": 0,
+               "dead_manifests": 0}
+    for p in _glob.glob(os.path.join(out_dir, "**", "*.tmp"),
+                        recursive=True):
+        os.remove(p)
+        removed["tmp"] += 1
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    for p in _glob.glob(os.path.join(mdir, ".claim-*")):
+        os.remove(p)
+        removed["claims"] += 1
+    live = load_manifests(out_dir)
+    live_paths = {m["path"] for m in live.values()}
+    for p in _glob.glob(os.path.join(out_dir, "bucket=*", "*.parquet")):
+        if p not in live_paths:
+            os.remove(p)
+            removed["orphan_data"] += 1
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if not (name.startswith("bucket-") and name.endswith(".json")):
+                continue
+            path = os.path.join(mdir, name)
+            try:
+                with open(path) as f:
+                    m = json.load(f)
+                alive = os.path.exists(m.get("path", ""))
+            except (json.JSONDecodeError, OSError):
+                alive = False  # torn manifest: dead by definition
+            if not alive:
+                os.remove(path)
+                removed["dead_manifests"] += 1
+    return removed

@@ -282,3 +282,45 @@ def test_run_search_cli_phrase(tmp_path):
     for _, r in ph.iterrows():
         toks = txt[r.doc_id].split(" ")
         assert toks[r.first_tok] == "data" and toks[r.first_tok + 1] == "stream"
+
+
+def test_run_incremental_cli(ray_session, tmp_path):
+    """MERGE INTO CLI: a delta parquet upserts into an existing store;
+    the summary reports the grown store and the vacuum sweep."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.pipelines import extraction as E
+    from pdf_extraction_ray.sources import corpus, spec
+
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES)
+    pages_path = corpus.ensure_pages_corpus(SF_SMOKE)
+    pages = pq.read_table(pages_path + "/pages.parquet") \
+        if os.path.isfile(pages_path + "/pages.parquet") else None
+    if pages is None:
+        import glob
+        files = sorted(glob.glob(pages_path + "/*.parquet"))
+        import pyarrow as pa
+        pages = pa.concat_tables([pq.read_table(f) for f in files])
+    urls = sorted(set(pages["url"].to_pylist()))
+    delta_urls = set(urls[:15])
+    mask = [u in delta_urls for u in pages["url"].to_pylist()]
+    import pyarrow as pa
+    base_t = pages.filter(pa.array([not m for m in mask], pa.bool_()))
+    delta_t = pages.filter(pa.array(mask, pa.bool_()))
+    base_p = str(tmp_path / "base.parquet")
+    delta_p = str(tmp_path / "delta.parquet")
+    pq.write_table(base_t, base_p)
+    pq.write_table(delta_t, delta_p)
+
+    store = str(tmp_path / "store")
+    E.run_extraction(base_p, cfg, out_dir=store)
+    n_before = rd.read_parquet(store).count()
+
+    summary = _run(["jobs/run_incremental.py", "--delta", delta_p,
+                    "--output", store, "--vacuum"])
+    assert summary["n_rows"] > n_before
+    assert "vacuum" in summary
+    out = rd.read_parquet(store).to_pandas()
+    assert delta_urls <= set(out.url)

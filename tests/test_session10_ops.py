@@ -345,3 +345,95 @@ def test_upsert_physical_semantics(ray_session, tmp_path):
         assert len(rows) == 1  # replaced, never duplicated
         old = out[out.url == u].warc_ts.iloc[0]
         assert rows.warc_ts.iloc[0] == old + pd.Timedelta(hours=1)
+
+
+# ---------------------------------------------------------------------------
+# ppr_related (personalized PageRank per seed)
+
+
+def test_ppr_related_oracle(ray_session):
+    from pdf_extraction_ray.pipelines import linkgraph as lg
+
+    _oracle("ppr_related", lg.ppr_related, lg.ppr_related_sql())
+
+
+def test_ppr_distributed_path_matches_one_task(ray_session):
+    """task_limit=0 forces the per-seed hash_join/groupby rounds; they
+    must be value-identical to the one-task fast path."""
+    from pdf_extraction_ray.pipelines import linkgraph as lg
+
+    fast = (lg.ppr_related(SF_SMOKE).to_pandas()
+            .sort_values(["seed_id", "doc_id"]).reset_index(drop=True))
+    dist = (lg.ppr_related(SF_SMOKE, task_limit=0).to_pandas()
+            .sort_values(["seed_id", "doc_id"]).reset_index(drop=True))
+    assert fast.equals(dist)
+
+
+def test_ppr_vectors_are_personalized(ray_session):
+    """Each seed keeps restart mass at itself, vectors differ across
+    seeds, and total mass stays under the restart budget (floor
+    divisions only ever lose mass)."""
+    from pdf_extraction_ray.pipelines import linkgraph as lg
+
+    out = lg.ppr_related(SF_SMOKE).to_pandas()
+    vecs = {s: g.set_index("doc_id")["rank"]
+            for s, g in out.groupby("seed_id")}
+    assert len(vecs) == len(lg.PPR_SEEDS)
+    for s, v in vecs.items():
+        assert v.loc[s] > 0            # the seed never loses its mass
+        assert v.sum() <= 2_000_000    # bounded by restart + initial
+    a, b = (vecs[s] for s in list(vecs)[:2])
+    assert not a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint vacuum
+
+
+def test_checkpoint_vacuum(ray_session, tmp_path):
+    """vacuum_store sweeps tmp files, stale claims, orphan bucket data
+    and dead manifests — and the store reads back identically after."""
+    import os
+
+    import ray.data as rd
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.pipelines import extraction as E
+    from pdf_extraction_ray.sources import corpus, spec
+    from pdf_extraction_ray.state import checkpoint as ckpt
+
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES)
+    pages = corpus.ensure_pages_corpus(SF_SMOKE)
+    store = str(tmp_path / "store")
+    E.run_extraction(pages, cfg, out_dir=store)
+    before = (rd.read_parquet(store).to_pandas()
+              .sort_values(["url", "warc_ts"]).reset_index(drop=True))
+
+    # plant crash leftovers
+    bdirs = sorted(p for p in os.listdir(store) if p.startswith("bucket="))
+    with open(os.path.join(store, bdirs[0], "part-0.parquet.tmp"),
+              "w") as f:
+        f.write("torn")
+    mdir = os.path.join(store, ckpt.MANIFEST_DIR)
+    with open(os.path.join(mdir, ".claim-999"), "w") as f:
+        f.write("9")
+    orphan_dir = os.path.join(store, "bucket=9999")
+    os.makedirs(orphan_dir)
+    import shutil
+    shutil.copy(os.path.join(store, bdirs[0], "part-0.parquet"),
+                os.path.join(orphan_dir, "part-0.parquet"))
+    # dead manifest: points at a data file that no longer exists
+    import json
+    with open(os.path.join(mdir, "bucket-9998.json"), "w") as f:
+        json.dump({"bucket": 9998, "path": store + "/bucket=9998/x.parquet",
+                   "n_rows": 0}, f)
+
+    removed = ckpt.vacuum_store(store)
+    assert removed["tmp"] == 1
+    assert removed["claims"] == 1
+    assert removed["orphan_data"] == 1
+    assert removed["dead_manifests"] == 1
+    after = (rd.read_parquet(store).to_pandas()
+             .sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    assert after.equals(before)
+    # idempotent
+    assert all(v == 0 for v in ckpt.vacuum_store(store).values())
