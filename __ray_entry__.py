@@ -53,13 +53,15 @@ def _extracted(sf_dir: str) -> rd.Dataset:
     return _extracted_cache[sf_dir]
 
 
-def _extracted_out_dir(sf_dir: str) -> str:
-    """The flagship checkpoint's scratch directory for an sf dir
-    (spec-versioned + input-digested, the corpus-cache convention)."""
+def _extracted_out_dir(sf_dir: str, suffix: str = "") -> str:
+    """A query checkpoint's scratch directory for an sf dir
+    (spec-versioned + input-digested, the corpus-cache convention);
+    ``suffix`` names sibling stores (e.g. the upsert store) so the
+    path law lives in ONE place."""
     from pathlib import Path
 
     return ("/tmp/pdf_extraction_ray/query_out/"
-            f"{Path(sf_dir).name or 'sf'}-{spec.SPEC_VERSION}"
+            f"{Path(sf_dir).name or 'sf'}{suffix}-{spec.SPEC_VERSION}"
             f"-{corpus._input_digest(sf_dir)}")
 
 
@@ -104,11 +106,7 @@ UPSERT_MOD = 5  # urls with stable_hash64('upsert:'+url) % 5 == 0 = delta
 
 
 def _upsert_out_dir(sf_dir: str) -> str:
-    from pathlib import Path
-
-    return ("/tmp/pdf_extraction_ray/query_out/"
-            f"{Path(sf_dir).name or 'sf'}-upsert-{spec.SPEC_VERSION}"
-            f"-{corpus._input_digest(sf_dir)}")
+    return _extracted_out_dir(sf_dir, suffix="-upsert")
 
 
 def q_extract_upsert(sf_dir: str) -> rd.Dataset:

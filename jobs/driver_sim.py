@@ -63,24 +63,28 @@ def main() -> None:
     for c0 in range(0, len(names), CHUNK):
         chunk = names[c0:c0 + CHUNK]
         env = {**os.environ, "RAY_DATA_DISABLE_PROGRESS_BARS": "1"}
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--chunk",
-             ",".join(chunk), "--sf", sf],
-            cwd=REPO, env=env, capture_output=True, text=True,
-            timeout=3600)
-        seen = set()
-        for line in p.stdout.splitlines():
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--chunk",
+                 ",".join(chunk), "--sf", sf],
+                cwd=REPO, env=env, capture_output=True, text=True,
+                timeout=3600)
+            stdout, note = p.stdout, f"chunk crashed (rc={p.returncode})"
+            tail = p.stderr[-400:]
+        except subprocess.TimeoutExpired as ex:
+            # a hung chunk must not abort the battery and lose every
+            # prior chunk's results (review finding)
+            stdout = (ex.stdout or b"").decode() \
+                if isinstance(ex.stdout, bytes) else (ex.stdout or "")
+            note, tail = "chunk timed out (3600s)", ""
+        for line in stdout.splitlines():
             if line.startswith("RESULT "):
                 r = json.loads(line[len("RESULT "):])
                 results[r.pop("name")] = r
-                seen.add(len(seen))
         for name in chunk:
             if name not in results:
-                results[name] = {"pass": False,
-                                 "problems": ["chunk crashed (rc="
-                                              f"{p.returncode})"],
-                                 "sec": None,
-                                 "tail": p.stderr[-400:]}
+                results[name] = {"pass": False, "problems": [note],
+                                 "sec": None, "tail": tail}
         done = sum(1 for r in results.values() if r["pass"])
         print(f"[{c0 + len(chunk)}/{len(names)}] pass={done}", flush=True)
     n_pass = sum(1 for r in results.values() if r["pass"])

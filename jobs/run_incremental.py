@@ -44,7 +44,27 @@ def main() -> int:
     from pdf_extraction_ray.state import checkpoint as ckpt
     tune_data_context()
 
-    n_buckets = args.n_buckets or _output_n_buckets(args.output, None)
+    # the override is validated against the store's own stamp: a
+    # mismatched bucket count would route re-crawled urls to DIFFERENT
+    # buckets than their existing rows — the store would silently hold
+    # duplicates (review finding)
+    stamped = None
+    try:
+        with open(os.path.join(args.output, "_manifests",
+                               "_run.json")) as f:
+            stamped = int(json.load(f)["n_buckets"])
+    except (OSError, json.JSONDecodeError, KeyError, ValueError):
+        pass
+    if args.n_buckets is not None:
+        if args.n_buckets <= 0:
+            p.error("--n-buckets must be positive")
+        if stamped is not None and args.n_buckets != stamped:
+            p.error(f"--n-buckets {args.n_buckets} contradicts the "
+                    f"store's stamped value {stamped}")
+        n_buckets = args.n_buckets
+    else:
+        n_buckets = stamped if stamped is not None \
+            else _output_n_buckets(args.output, None)
     cfg = PipelineConfig(n_buckets=n_buckets)
     before = len(ckpt.load_manifests(args.output))
     upsert_extraction(args.delta, cfg, args.output)

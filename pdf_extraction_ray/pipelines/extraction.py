@@ -755,16 +755,24 @@ def upsert_extraction(pages_path: "str | rd.Dataset",
     its bytes (the groupby(bucket) only produces groups for affected
     buckets, so the maintenance cost is O(delta + touched buckets),
     never a full-store rewrite — at 10^12 documents a daily re-crawl
-    touches a sliver of the url-hash space). Takedown registry urls
-    stay excluded, exactly as in a full run. Returns the dataset read
-    back from ``out_dir``.
+    touches a sliver of the url-hash space). The takedown registry is
+    honored exactly as in a full run: banned urls stay excluded
+    map-side, the crash-window heal re-applies url drops up front, and
+    hash-identified takedowns re-resolve after the merge so banned
+    content re-entering under a new url is swept. Returns the dataset
+    read back from ``out_dir``.
 
     Uses the per-bucket read-modify-write merge (``merge_bucket_group``
     — durable data file then durable manifest), so a killed upsert
     re-runs idempotently: an already-merged bucket merges again to the
     same bytes."""
     t0 = time.monotonic()
-    banned, _banned_hashes = ckpt.load_takedowns(out_dir)
+    banned, banned_hashes = ckpt.load_takedowns(out_dir)
+    if banned:
+        # same crash-window heal as a full run: a takedown killed
+        # between registry write and drops must not leave victims in
+        # buckets this upsert never touches
+        _drop_banned_urls(out_dir, cfg.n_buckets, banned)
     with _shuffle_ctx(cfg):
         work = _work_stream(pages_path, cfg, skip_buckets=set(),
                             exclude_urls=banned)
@@ -773,6 +781,13 @@ def upsert_extraction(pages_path: "str | rd.Dataset",
                 ex.finalize_bucket(g, cfg, dd), out_dir),
             batch_format="pyarrow")
     manifest_ds.take_all()  # tiny: one row per TOUCHED bucket
+    if banned_hashes:
+        # hash-identified takedowns re-resolve after the merge: banned
+        # CONTENT re-entering under a NEW url in the delta is swept
+        # before the upsert reports complete (review finding — a
+        # url-only exclusion silently re-inserted it for good)
+        _drop_banned_urls(out_dir, cfg.n_buckets,
+                          _resolve_banned_hashes(out_dir, banned_hashes))
     wall = time.monotonic() - t0
     all_manifests = list(ckpt.load_manifests(out_dir).values())
     ckpt.write_run_summary(out_dir, all_manifests, wall,

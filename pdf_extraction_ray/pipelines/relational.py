@@ -450,9 +450,13 @@ def top_orders_per_segment(sf_dir: str, k: int = 3,
 
         def attach(batch: pa.Table) -> pa.Table:
             m = ray.get(ref)
-            segs = [m.get(c, "") for c in batch["o_custkey"].to_pylist()]
-            return batch.append_column("c_mktsegment",
-                                       pa.array(segs, pa.string()))
+            segs = [m.get(c) for c in batch["o_custkey"].to_pylist()]
+            # drop unmatched custkeys — INNER semantics, identical to
+            # the hash_join plan and the oracle (a "" phantom segment
+            # would diverge between the two plans; review finding)
+            mask = pa.array([s is not None for s in segs], pa.bool_())
+            return batch.append_column(
+                "c_mktsegment", pa.array(segs, pa.string())).filter(mask)
 
         tagged = orders.map_batches(attach, batch_format="pyarrow",
                                     batch_size=65536)
@@ -1755,8 +1759,8 @@ def forecast_revenue(sf_dir: str) -> rd.Dataset:
 
 def forecast_revenue_sql() -> str:
     return f"""
-SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
-                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                              AS BIGINT)), 0) AS BIGINT) AS revenue_e4,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_SHIP_LO}'

@@ -150,6 +150,14 @@ def load_manifests(out_dir: str) -> dict[int, dict]:
             continue  # torn manifest (should be impossible post-rename)
         if os.path.exists(m.get("path", "")):
             out[int(m["bucket"])] = m
+        elif m.get("path"):
+            # the recorded spelling can differ from the caller's
+            # (relative vs absolute out_dir, moved/symlinked store) —
+            # fall back to the store-relative location and repoint
+            rel = os.path.join(bucket_dir(out_dir, int(m["bucket"])),
+                               os.path.basename(m["path"]))
+            if os.path.exists(rel):
+                out[int(m["bucket"])] = {**m, "path": rel}
     return out
 
 
@@ -556,12 +564,12 @@ def vacuum_store(out_dir: str) -> dict:
     for p in _glob.glob(os.path.join(mdir, ".claim-*")):
         os.remove(p)
         removed["claims"] += 1
-    live = load_manifests(out_dir)
-    live_paths = {m["path"] for m in live.values()}
-    for p in _glob.glob(os.path.join(out_dir, "bucket=*", "*.parquet")):
-        if p not in live_paths:
-            os.remove(p)
-            removed["orphan_data"] += 1
+    # liveness compares STORE-RELATIVE (bucket, basename) — never raw
+    # path strings: a manifest written with a different out_dir
+    # spelling (relative vs absolute, symlinked mount, moved store)
+    # must not make every live file look like an orphan (review
+    # finding: string equality here would have wiped the store)
+    live_names: dict[int, str] = {}
     if os.path.isdir(mdir):
         for name in sorted(os.listdir(mdir)):
             if not (name.startswith("bucket-") and name.endswith(".json")):
@@ -570,10 +578,23 @@ def vacuum_store(out_dir: str) -> dict:
             try:
                 with open(path) as f:
                     m = json.load(f)
-                alive = os.path.exists(m.get("path", ""))
-            except (json.JSONDecodeError, OSError):
+                b = int(m["bucket"])
+                base = os.path.basename(m.get("path", ""))
+                alive = base and os.path.exists(
+                    os.path.join(bucket_dir(out_dir, b), base))
+            except (json.JSONDecodeError, OSError, KeyError, ValueError):
                 alive = False  # torn manifest: dead by definition
-            if not alive:
+            if alive:
+                live_names[b] = base
+            else:
                 os.remove(path)
                 removed["dead_manifests"] += 1
+    for p in _glob.glob(os.path.join(out_dir, "bucket=*", "*.parquet")):
+        try:
+            b = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+        except ValueError:
+            b = -1
+        if live_names.get(b) != os.path.basename(p):
+            os.remove(p)
+            removed["orphan_data"] += 1
     return removed

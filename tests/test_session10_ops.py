@@ -437,3 +437,70 @@ def test_checkpoint_vacuum(ray_session, tmp_path):
     assert after.equals(before)
     # idempotent
     assert all(v == 0 for v in ckpt.vacuum_store(store).values())
+
+
+def test_vacuum_survives_path_spelling_changes(ray_session, tmp_path):
+    """A vacuum invoked through a DIFFERENT spelling of the store path
+    (symlink / relative-vs-absolute — manifests record the writer's
+    spelling) must remove nothing: liveness is store-relative
+    (bucket, basename), never raw path-string equality."""
+    import os
+
+    import ray.data as rd
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.pipelines import extraction as E
+    from pdf_extraction_ray.sources import corpus, spec
+    from pdf_extraction_ray.state import checkpoint as ckpt
+
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES)
+    pages = corpus.ensure_pages_corpus(SF_SMOKE)
+    store = str(tmp_path / "store")
+    E.run_extraction(pages, cfg, out_dir=store)
+    n = rd.read_parquet(store).count()
+
+    alias = str(tmp_path / "alias")
+    os.symlink(store, alias)
+    removed = ckpt.vacuum_store(alias)
+    assert all(v == 0 for v in removed.values()), removed
+    assert rd.read_parquet(store).count() == n
+    # load_manifests follows the alias spelling too (moved store)
+    assert len(ckpt.load_manifests(alias)) == len(
+        ckpt.load_manifests(store))
+
+
+def test_upsert_honors_hash_takedown(ray_session, tmp_path):
+    """Banned CONTENT re-entering the delta under a NEW url is swept
+    by the upsert's hash re-resolve (a url-only exclusion would
+    re-insert it for good)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.config import PipelineConfig
+    from pdf_extraction_ray.pipelines import extraction as E
+    from pdf_extraction_ray.sources import corpus, spec
+
+    cfg = PipelineConfig(max_bytes=spec.CORPUS_MAX_BYTES)
+    pages_path = corpus.ensure_pages_corpus(SF_SMOKE)
+    store = str(tmp_path / "store")
+    E.run_extraction(pages_path, cfg, out_dir=store)
+    out = rd.read_parquet(store).to_pandas()
+    victim = out[(out.status == "completed")
+                 & (out.text_sha256 != "")].iloc[0]
+    E.takedown(store, cfg, text_sha256=[victim.text_sha256])
+    out1 = rd.read_parquet(store).to_pandas()
+    assert victim.text_sha256 not in set(out1.text_sha256)
+
+    # delta: the banned content under a DIFFERENT url — splice the
+    # victim's html into another url's page row
+    pages = rd.read_parquet(pages_path).to_pandas()
+    vrow = pages[pages.url == victim.url].iloc[0]
+    other_url = out1.url.iloc[0]
+    host = pages[pages.url == other_url].iloc[[0]].copy()
+    host["html"] = [vrow.html]
+    delta = str(tmp_path / "delta.parquet")
+    import pyarrow.parquet as pq
+    pq.write_table(pa.Table.from_pandas(host, preserve_index=False),
+                   delta)
+    E.upsert_extraction(delta, cfg, store)
+    out2 = rd.read_parquet(store).to_pandas()
+    assert victim.text_sha256 not in set(out2.text_sha256)
