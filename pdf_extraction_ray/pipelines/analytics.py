@@ -2365,11 +2365,22 @@ def dedup_clusters(sf_dir: str) -> rd.Dataset:
             .select_columns(["doc_id", "cluster_id"]))
 
 
+_clusters_cache: dict[str, rd.Dataset] = {}
+
+
 def _clusters_with_len(sf_dir: str) -> rd.Dataset:
     """``dedup_clusters``'s assignment with ``n_chars`` carried through
     the SAME label join — the length rides the exchange the cluster
     attach already pays, so ``cluster_keep_best`` needs no second
-    corpus-sized hash_join. Emits (doc_id, cluster_id, n_chars)."""
+    corpus-sized hash_join. Emits (doc_id, cluster_id, n_chars).
+
+    Cached MATERIALIZED per sf dir (the ``_extracted`` convention): the
+    driver runs dedup_clusters, cluster_keep_best and soft_dedup_sample
+    in one session, and each would otherwise re-derive the whole
+    jaccard + connected-components chain. The pin is an ids-only
+    3-int-column table — bounded, never the corpus."""
+    if sf_dir in _clusters_cache:
+        return _clusters_cache[sf_dir]
     import pyarrow.compute as pc
 
     from ..stages.joins import hash_join
@@ -2396,7 +2407,10 @@ def _clusters_with_len(sf_dir: str) -> rd.Dataset:
                          "n_chars": t["n_chars"].combine_chunks().cast(
                              pa.int64())})
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    _clusters_cache[sf_dir] = (joined
+                               .map_batches(finish, batch_format="pyarrow")
+                               .materialize())
+    return _clusters_cache[sf_dir]
 
 
 def dedup_clusters_sql(threshold_pct: int = 80) -> str:
