@@ -558,14 +558,14 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for the first
     # 50 entries only. Round 2 verified the legacy first-50, round 3
-    # the next 49 (CORRECTNESS_r03: 50/50 green). Round 4 ROTATES the
-    # window per the r3 verdict: the flagship gate (extract_pipeline)
-    # stays in-window and the first 49 of round 3's AWAITING_SLOT
-    # backlog (linkgraph family, session-8 analytics, ann_ivf — never
-    # externally verified before) fill positions 2..50. Already-green
-    # queries move behind the window; queries added THIS round queue in
-    # AWAITING_SLOT for round 5. The reorder is data-driven from
-    # WINDOW_R04 / AWAITING_SLOT below so it is an auditable diff.
+    # the next 49, round 4 the rotated WINDOW_R04 (CORRECTNESS_r04:
+    # 50/50 green). Round 5 ROTATES again per the r4 verdict: the
+    # flagship gate (extract_pipeline) stays at position 1, the 10
+    # round-4 additions (TPC-H completion set, cdc_chunk_stats,
+    # extract_upsert, ppr_related) lead positions 2..11, and the 39
+    # oldest carried backlog entries fill 12..50. The 13 residual
+    # carry-overs stay in AWAITING_SLOT. The reorder is data-driven
+    # from WINDOW_R05 / AWAITING_SLOT below so it is an auditable diff.
     base = {
         # windowed aggregates (streaming-shaped) — never driver-verified
         "window_tumbling": _tuned(analytics.window_tumbling),
@@ -1029,79 +1029,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_related": _tuned(linkgraph.ppr_related),
     }
     rest = [k for k in base if k not in _ROTATED]
-    order = [*WINDOW_R04, *rest, *AWAITING_SLOT]
+    order = [*WINDOW_R05, *rest, *AWAITING_SLOT]
     assert len(order) == len(base), sorted(set(base) ^ set(order))
     return {k: base[k] for k in order}
 
 
-# The round-4 driver window (the first 50 queries() entries): the
-# flagship gate stays in-window every round; positions 2..50 are the
-# first 49 of round 3's AWAITING_SLOT backlog, in their original queue
-# order — none of those 49 ever had an external CORRECTNESS row before
-# this round (see VERDICT.md round 3, "Next round" item 1).
-WINDOW_R04 = (
+# The round-5 driver window (the first 50 queries() entries): the
+# flagship gate stays in-window every round; positions 2..11 are the
+# ten round-4 additions (never externally verified — TPC-H completion
+# set, CDC chunking, the MERGE-INTO upsert, personalized PageRank),
+# and positions 12..50 are the 39 oldest entries of the carried
+# backlog in their original queue order (see VERDICT.md round 4,
+# "Next round" items 1 and 7 — zonemap_range_stats and
+# extract_point_lookup, the storage-pruned read paths, are inside).
+WINDOW_R05 = (
     "extract_pipeline",
-    "pagerank_docs",
-    "anchor_text_index",
-    "page_links_sample",
-    "link_graph",
-    "pagerank_links",
-    "section_quality_stats",
-    "crawl_frontier",
-    "page_metadata",
-    "ann_ivf",
-    "pages_delta",
-    "url_blocklist_filter",
-    "snapshot_neardup_ingest",
-    "ann_ivf_incremental",
-    "nb_lang_classify",
-    "frontier_schedule",
-    "decontam_neardup",
-    "orders_cube",
-    "user_value_lag",
-    "users_per_type_exact",
-    "robots_gate",
-    "token_budget_select",
-    "section_quota_sample",
-    "lang_temperature_sample",
-    "phrase_match_stats",
-    "sitemap_urls",
-    "value_band_join",
-    "hits_scores",
-    "bfs_depth_docs",
-    "ccnet_buckets",
-    "link_degree_stats",
-    "link_components",
-    "discovery_frontier",
-    "phrase_search_indexed",
-    "embedding_quantize",
-    "triangle_counts",
-    "soft_dedup_sample",
-    "event_funnel",
-    "retention_cohorts",
-    "bigram_lift",
-    "stopword_prune",
-    "cocitation_pairs",
-    "kcore_nodes",
-    "path_trigrams",
-    "interarrival_hist",
-    "search_ranked",
-    "value_ntiles",
-    "late_event_audit",
-    "ewma_event_rate",
-    "lpa_communities",
-)
-
-
-# Queries still waiting for an external driver row after the round-4
-# window (52 carried over from round 3's backlog, in queue order, plus
-# any added this round): each is fully oracled and locally
-# driver-sim-verified (DRIVER_SIM artifacts), and MUST take a window
-# slot next round. The contract test derives the window law from the
-# recorded CORRECTNESS_r02/r03 artifacts and this list — a query can
-# only skip the window by being named here, which is an auditable
-# diff, never a silent reorder.
-AWAITING_SLOT = (
+    # round-4 additions, first driver slot
+    "forecast_revenue",
+    "late_order_priority_counts",
+    "customer_order_counts_hist",
+    "idle_customer_balance",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "nation_pair_volume",
+    "cdc_chunk_stats",
+    "extract_upsert",
+    "ppr_related",
+    # oldest 39 of the carried backlog, original queue order
     "embedding_pq",
     "er_blocked_pairs",
     "mlt_related_docs",
@@ -1141,6 +1095,18 @@ AWAITING_SLOT = (
     "vocab_topv_ids",
     "attribution_last_touch",
     "knn_graph",
+)
+
+
+# Queries still waiting for an external driver row after the round-5
+# window (the 13 residual carry-overs from round 3's backlog, in queue
+# order, plus any added this round): each is fully oracled and locally
+# driver-sim-verified (DRIVER_SIM artifacts), and MUST take a window
+# slot next round. The contract test derives the window law from the
+# recorded CORRECTNESS_r02/r03/r04 artifacts and this list — a query
+# can only skip the window by being named here, which is an auditable
+# diff, never a silent reorder.
+AWAITING_SLOT = (
     "doc_length_gini",
     "containment_docs",
     "audio_resample",
@@ -1154,20 +1120,9 @@ AWAITING_SLOT = (
     "random_walks",
     "walk_cooccurrence",
     "route_threshold_sweep",
-    # session-10 additions (first driver slot in round 5)
-    "forecast_revenue",
-    "late_order_priority_counts",
-    "customer_order_counts_hist",
-    "idle_customer_balance",
-    "small_quantity_revenue",
-    "disjunctive_revenue",
-    "nation_pair_volume",
-    "cdc_chunk_stats",
-    "extract_upsert",
-    "ppr_related",
 )
 
-_ROTATED = frozenset(WINDOW_R04) | frozenset(AWAITING_SLOT)
+_ROTATED = frozenset(WINDOW_R05) | frozenset(AWAITING_SLOT)
 
 
 def oracle_sql() -> dict[str, str]:

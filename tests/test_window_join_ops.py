@@ -723,23 +723,26 @@ def test_entry_contract_keys():
     assert all(callable(f) for f in q.values())
     assert set(q) - set(o) == set()
     # the driver verifies the FIRST 50 entries. Union coverage law,
-    # derived from the recorded r02+r03 artifacts (not a hand-kept
-    # list): every query WITHOUT a green row in either round —
+    # derived from the recorded r02+r03+r04 artifacts (not a hand-kept
+    # list): every query WITHOUT a green row in any round —
     # including any query added since — must sit inside this round's
-    # 50-entry window, so union(r02, r03, r04) externally verifies the
-    # whole surface modulo the explicit AWAITING_SLOT queue.
+    # 50-entry window, so union(r02, r03, r04, r05) externally
+    # verifies the whole surface modulo the explicit AWAITING_SLOT
+    # queue.
     import json
     green = set()
     for artifact in ("/root/repo/CORRECTNESS_r02.json",
-                     "/root/repo/CORRECTNESS_r03.json"):
+                     "/root/repo/CORRECTNESS_r03.json",
+                     "/root/repo/CORRECTNESS_r04.json"):
         with open(artifact) as f:
             rows = json.load(f)
         green |= {k for k, v in rows.items() if v.get("hash_match")}
     need_r03 = set(q) - green
     window = set(list(q)[:50])
-    # the rotation is pinned: the window IS the declared WINDOW_R04
-    # (flagship + the 49 oldest never-driver-verified backlog entries)
-    assert list(q)[:50] == list(entrymod.WINDOW_R04)
+    # the rotation is pinned: the window IS the declared WINDOW_R05
+    # (flagship + round-4 additions + the 39 oldest never-verified
+    # backlog entries)
+    assert list(q)[:50] == list(entrymod.WINDOW_R05)
     # queries added AFTER the window saturated may only skip it via the
     # explicit AWAITING_SLOT list (an auditable diff, not a silent
     # reorder), and every one of those must be oracled and queued at
@@ -749,6 +752,19 @@ def test_entry_contract_keys():
     assert awaiting.isdisjoint(window)
     assert list(q)[-len(awaiting):] == list(entrymod.AWAITING_SLOT)
     assert need_r03 - awaiting <= window, sorted(need_r03 - awaiting - window)
+
+
+def test_readme_counts_match_registry():
+    """README's 'ALL N queries() entries' claim is generated from the
+    registry, never hand-kept (round-4 verdict found a 208-vs-207
+    drift): the number printed in README must equal len(queries())."""
+    import re
+    import __ray_entry__ as entrymod
+    with open("/root/repo/README.md") as f:
+        text = f.read()
+    m = re.search(r"ALL (\d+) `queries\(\)` entries", text)
+    assert m, "README no longer states the queries() entry count"
+    assert int(m.group(1)) == len(entrymod.queries())
 
 
 def _docs_where(docs, pred):
