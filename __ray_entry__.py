@@ -33,7 +33,7 @@ EXTRACT_COLUMNS = [
     "extracted_text", "n_chars",
 ]
 
-_extracted_cache: dict[str, rd.Dataset] = {}
+_extracted_cache: dict[tuple[str, str], rd.Dataset] = {}
 
 
 def _extracted(sf_dir: str) -> rd.Dataset:
@@ -46,11 +46,14 @@ def _extracted(sf_dir: str) -> rd.Dataset:
     in a fresh process resumes from the manifests instead of recomputing.
     """
     tune_data_context()
-    if sf_dir not in _extracted_cache:
+    # digest-keyed like the out dir itself (ADVICE r4): a regenerated
+    # corpus under the same sf path gets a fresh run, never stale rows
+    key = (sf_dir, corpus._input_digest(sf_dir))
+    if key not in _extracted_cache:
         pages = corpus.ensure_pages_corpus(sf_dir)
-        _extracted_cache[sf_dir] = extraction.run_extraction(
+        _extracted_cache[key] = extraction.run_extraction(
             pages, _CFG, out_dir=_extracted_out_dir(sf_dir))
-    return _extracted_cache[sf_dir]
+    return _extracted_cache[key]
 
 
 def _extracted_out_dir(sf_dir: str, suffix: str = "") -> str:
@@ -138,12 +141,16 @@ def _upsert_split(pages: rd.Dataset, residues: "set[int]") -> rd.Dataset:
     return pages.map_batches(f, batch_format="pyarrow")
 
 
-_upsert_cache: dict[str, rd.Dataset] = {}
+_upsert_cache: dict[tuple[str, str], rd.Dataset] = {}
 
 
 def _upsert_result(sf_dir: str) -> rd.Dataset:
+    # keyed on (sf_dir, input digest) so a corpus regenerated under the
+    # same path within a session can never be served a stale merged
+    # store (ADVICE r4 — the _extracted_out_dir convention)
     tune_data_context()
-    if sf_dir not in _upsert_cache:
+    key = (sf_dir, corpus._input_digest(sf_dir))
+    if key not in _upsert_cache:
         pages_path = corpus.ensure_pages_corpus(sf_dir)
         out = _upsert_out_dir(sf_dir)
         pages = rd.read_parquet(pages_path)
@@ -153,9 +160,9 @@ def _upsert_result(sf_dir: str) -> rd.Dataset:
         extraction.upsert_extraction(_upsert_split(pages, {0}), _CFG, out)
         # REPLACE: re-send an already-present class — same-url rows are
         # superseded by the (identical) recompute, value-stable
-        _upsert_cache[sf_dir] = extraction.upsert_extraction(
+        _upsert_cache[key] = extraction.upsert_extraction(
             _upsert_split(pages, {1}), _CFG, out)
-    return _upsert_cache[sf_dir]
+    return _upsert_cache[key]
 
 
 ROUTE_SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)

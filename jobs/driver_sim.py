@@ -69,14 +69,20 @@ def main() -> None:
                  ",".join(chunk), "--sf", sf],
                 cwd=REPO, env=env, capture_output=True, text=True,
                 timeout=3600)
-            stdout, note = p.stdout, f"chunk crashed (rc={p.returncode})"
+            stdout = p.stdout
+            # rc=0 with a missing RESULT line is NOT a crash — e.g. a
+            # silently killed Ray worker mid-query (ADVICE r4): name the
+            # two failure classes distinctly so triage starts right
+            note = (f"chunk crashed (rc={p.returncode})" if p.returncode
+                    else "no RESULT emitted (rc=0; query died silently)")
             tail = p.stderr[-400:]
         except subprocess.TimeoutExpired as ex:
             # a hung chunk must not abort the battery and lose every
             # prior chunk's results (review finding)
-            stdout = (ex.stdout or b"").decode() \
-                if isinstance(ex.stdout, bytes) else (ex.stdout or "")
-            note, tail = "chunk timed out (3600s)", ""
+            def _txt(v):
+                return v.decode() if isinstance(v, bytes) else (v or "")
+            stdout = _txt(ex.stdout)
+            note, tail = "chunk timed out (3600s)", _txt(ex.stderr)[-400:]
         for line in stdout.splitlines():
             if line.startswith("RESULT "):
                 r = json.loads(line[len("RESULT "):])

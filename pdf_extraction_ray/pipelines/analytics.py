@@ -2219,6 +2219,28 @@ def _docs_with_planted_near_dups(sf_dir: str) -> rd.Dataset:
     return base.union(base.map_batches(copies, batch_format="pyarrow"))
 
 
+_neardup_sigs_cache: dict[tuple[str, str], rd.Dataset] = {}
+
+
+def _neardup_sigs(sf_dir: str) -> rd.Dataset:
+    """The shared (doc_id, sig) MinHash signature table over the
+    planted-near-dup corpus, materialized ONCE per battery session (the
+    ``_clusters_with_len`` convention): ``dedup_minhash``,
+    ``jaccard_pairs`` and ``dedup_clusters`` all band/verify off this
+    one table, so the expensive tokenize+sha256 pass is paid once per
+    session instead of once per query. The pin is signature-sized
+    (id + 64 x 8 B per doc), never the corpus. Keyed on
+    (sf_dir, input digest) so a regenerated corpus under the same path
+    can never be served stale signatures (ADVICE r4)."""
+    from ..sources.corpus import _input_digest
+
+    key = (sf_dir, _input_digest(sf_dir))
+    if key not in _neardup_sigs_cache:
+        _neardup_sigs_cache[key] = dd.minhash_sigs(
+            _docs_with_planted_near_dups(sf_dir))
+    return _neardup_sigs_cache[key]
+
+
 def dedup_minhash(sf_dir: str) -> rd.Dataset:
     """MinHash-LSH near-dup clustering over planted near-copies.
 
@@ -2228,7 +2250,8 @@ def dedup_minhash(sf_dir: str) -> rd.Dataset:
     bit-for-bit (``dedup_minhash_sql``); planted-pair recall is
     additionally asserted in tests."""
     return dd.minhash_cluster(_docs_with_planted_near_dups(sf_dir),
-                              jaccard_threshold=0.5)
+                              jaccard_threshold=0.5,
+                              sigs=_neardup_sigs(sf_dir))
 
 
 # LE-uint64 of the first 8 sha256 bytes, >> 1 — the SQL replica of
@@ -2319,7 +2342,7 @@ def jaccard_pairs(sf_dir: str) -> rd.Dataset:
     DuckDB list ops; at threshold 80 the LSH miss probability for a real
     pair is < 1e-5, so the candidate pass loses nothing the oracle finds."""
     return dd.jaccard_pairs(_docs_with_planted_near_dups(sf_dir),
-                            threshold_pct=80)
+                            threshold_pct=80, sigs=_neardup_sigs(sf_dir))
 
 
 def jaccard_pairs_sql(threshold_pct: int = 80) -> str:
@@ -2365,7 +2388,7 @@ def dedup_clusters(sf_dir: str) -> rd.Dataset:
             .select_columns(["doc_id", "cluster_id"]))
 
 
-_clusters_cache: dict[str, rd.Dataset] = {}
+_clusters_cache: dict[tuple[str, str], rd.Dataset] = {}
 
 
 def _clusters_with_len(sf_dir: str) -> rd.Dataset:
@@ -2378,15 +2401,22 @@ def _clusters_with_len(sf_dir: str) -> rd.Dataset:
     driver runs dedup_clusters, cluster_keep_best and soft_dedup_sample
     in one session, and each would otherwise re-derive the whole
     jaccard + connected-components chain. The pin is an ids-only
-    3-int-column table — bounded, never the corpus."""
-    if sf_dir in _clusters_cache:
-        return _clusters_cache[sf_dir]
+    3-int-column table — bounded, never the corpus. Keyed on
+    (sf_dir, input digest) so a regenerated corpus under the same path
+    can never be served stale assignments (ADVICE r4)."""
+    from ..sources.corpus import _input_digest
+
+    ckey = (sf_dir, _input_digest(sf_dir))
+    if ckey in _clusters_cache:
+        return _clusters_cache[ckey]
     import pyarrow.compute as pc
 
     from ..stages.joins import hash_join
 
     docs = _docs_with_planted_near_dups(sf_dir)
-    edges = dd.jaccard_pairs(docs, threshold_pct=80).select_columns(["a", "b"])
+    edges = dd.jaccard_pairs(docs, threshold_pct=80,
+                             sigs=_neardup_sigs(sf_dir)
+                             ).select_columns(["a", "b"])
     labels = dd.connected_components(edges, "a", "b")
 
     def idlen(t: pa.Table) -> pa.Table:
@@ -2407,10 +2437,10 @@ def _clusters_with_len(sf_dir: str) -> rd.Dataset:
                          "n_chars": t["n_chars"].combine_chunks().cast(
                              pa.int64())})
 
-    _clusters_cache[sf_dir] = (joined
-                               .map_batches(finish, batch_format="pyarrow")
-                               .materialize())
-    return _clusters_cache[sf_dir]
+    _clusters_cache[ckey] = (joined
+                             .map_batches(finish, batch_format="pyarrow")
+                             .materialize())
+    return _clusters_cache[ckey]
 
 
 def dedup_clusters_sql(threshold_pct: int = 80) -> str:
