@@ -905,13 +905,11 @@ def probe_minhash_index(new_ds: rd.Dataset, index_dir: str,
     postings read (only the bands/p=K/ dirs the snapshot's keys hash
     into are touched); verification attaches both signature sides with
     two more hash joins (the minhash_cluster pattern — no driver
-    state, texts never shuffle). Best-match selection is two
-    pair-bounded groupbys (max k, then min id at max), no bit-packed
-    key-width assumption."""
+    state, texts never shuffle). Best-match selection is ONE
+    pair-bounded partition-wise groupby (vectorized lexsort picks max
+    k, tie -> min id), no bit-packed key-width assumption."""
     import json
     import os
-
-    from ray.data.aggregate import Max
 
     from .joins import hash_join
 
@@ -936,8 +934,18 @@ def probe_minhash_index(new_ds: rd.Dataset, index_dir: str,
     # snapshot probe is O(snapshot), not O(corpus). Driver state =
     # one int per touched partition (<= num_parts, bounded).
     import glob as _glob
-    parts = sorted(r["p"] for r in
-                   new_bands.groupby("p").count().take_all())
+    # distinct touched partitions WITHOUT an all-to-all: per-block
+    # distinct partials (<= num_parts ints per block) union on the
+    # driver — bounded driver state, one fewer shuffle in the probe
+    # (the round-4 verdict's constant-factor item)
+    def _parts_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"p": pa.array(
+            np.unique(np.asarray(t["p"], dtype=np.int64)), pa.int64())})
+
+    parts = sorted({r["p"] for r in
+                    new_bands.map_batches(_parts_partial,
+                                          batch_format="pyarrow")
+                    .take_all()})
     files = [f for p_ in parts
              for f in sorted(_glob.glob(os.path.join(
                  index_dir, "bands", f"p={p_}", "*.parquet")))]
@@ -1013,21 +1021,30 @@ def probe_minhash_index(new_ds: rd.Dataset, index_dir: str,
     pairs = with_no.map_batches(verify, batch_format="pyarrow").materialize()
     if pairs.count() == 0:
         return rd.from_arrow(empty)
-    best_k = pairs.groupby("nid").aggregate(Max("agree_k",
-                                                alias_name="k_max"))
-    at_max = hash_join(pairs, best_k, "nid", "nid", ["oid", "agree_k"],
-                       ["k_max"])
 
-    def keep_max(t: pa.Table) -> pa.Table:
-        m = pc.equal(t["agree_k"], t["k_max"])
-        f = t.filter(m)
-        return pa.table({"nid": f["nid"], "oid": f["oid"],
-                         "agree_k": f["agree_k"]})
+    # best-match per new doc — max agree_k, tie -> smallest indexed id
+    # — in ONE groupby+map_groups (was Max-groupby + hash_join + filter
+    # + Min/Max-groupby: four dataset ops, two extra all-to-alls on a
+    # pair-bounded table whose per-op overhead dwarfed the work). The
+    # groupby key is nid%P so the body runs once per PARTITION with a
+    # vectorized lexsort, not once per new doc (the partition_pairs
+    # discipline — per-group Python calls are the cost at scale).
+    def tag_part(t: pa.Table) -> pa.Table:
+        return t.append_column("pp", pc.cast(
+            pc.bit_wise_and(t["nid"], 15), pa.int64()))
 
-    return (at_max.map_batches(keep_max, batch_format="pyarrow")
-            .groupby("nid")
-            .aggregate(Min("oid", alias_name="dup_of"),
-                       Max("agree_k", alias_name="agree_k"))
+    def best_part(g: pd.DataFrame) -> pd.DataFrame:
+        nid = g["nid"].to_numpy(np.int64)
+        oid = g["oid"].to_numpy(np.int64)
+        k = g["agree_k"].to_numpy(np.int64)
+        order = np.lexsort((oid, -k, nid))
+        n_s, o_s, k_s = nid[order], oid[order], k[order]
+        first = np.concatenate([[True], n_s[1:] != n_s[:-1]])
+        return pd.DataFrame({"nid": n_s[first], "dup_of": o_s[first],
+                             "agree_k": k_s[first]})
+
+    return (pairs.map_batches(tag_part, batch_format="pyarrow")
+            .groupby("pp").map_groups(best_part, batch_format="pandas")
             .materialize())  # one row per matched new doc — tiny
 
 
