@@ -2223,6 +2223,16 @@ def nation_pair_volume(sf_dir: str) -> rd.Dataset:
         cn = t["c_nationkey"].combine_chunks().cast(pa.int64()).to_numpy()
         yr = t["year"].combine_chunks().cast(pa.int64()).to_numpy()
         rev = t["rev_e4"].combine_chunks().cast(pa.int64()).to_numpy()
+        # the pack's bit-width assumptions must fail loudly, never
+        # silently merge unrelated groups (ADVICE r4)
+        if len(sn) and (sn.max() >= 32 or cn.max() >= 32
+                        or sn.min() < 0 or cn.min() < 0
+                        or yr.max() >= 4096 or yr.min() < 0):
+            raise ValueError(
+                "nation_pair_volume pack overflow: nationkey must be in "
+                f"[0,32) and year in [0,4096); got nation max "
+                f"{max(sn.max(), cn.max())}, year range "
+                f"[{yr.min()}, {yr.max()}]")
         mask = sn != cn
         key = (sn[mask] << 17) | (cn[mask] << 12) | yr[mask]
         uniq, inv = np.unique(key, return_inverse=True)

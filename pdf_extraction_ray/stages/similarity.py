@@ -424,7 +424,8 @@ def append_to_ivf_index(ds_new: rd.Dataset, index_dir: str,
         return meta
     batch_fp = _hl.sha256(
         f"ivf:{n_new}:{fp_new}:{sum_new}".encode()).hexdigest()[:16]
-    if batch_fp in meta.get("applied", []):
+    from ..state.appliedlog import applied_contains
+    if applied_contains(index_dir, meta.get("applied", []), batch_fp):
         return meta  # at-least-once duplicate: already folded, no-op
     delta_tag = _hl.sha256(
         f"{meta['id_fp']}:{n_new}:{fp_new}:{sum_new}".encode()
@@ -463,7 +464,9 @@ def append_to_ivf_index(ds_new: rd.Dataset, index_dir: str,
             "n_rows": meta["n_rows"] + n_new,
             "id_fp": meta["id_fp"] ^ fp_new,
             "n_appended": meta.get("n_appended", 0) + n_new,
-            # idempotence log — uncapped (a cap re-ingests old retries)
+            # idempotence log — never FORGOTTEN (a cap re-ingests old
+            # retries); hot list bounded by folding into the archive
+            # sidecar at compact_ivf_index (state/appliedlog.py)
             "applied": meta.get("applied", []) + [batch_fp]}
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
@@ -484,6 +487,7 @@ def compact_ivf_index(index_dir: str, id_col: str = "vec_id") -> dict:
     construction), so a re-run converges. Returns
     {"dirs_compacted", "files_removed"}."""
     import glob
+    import json
     import os
 
     import pyarrow.parquet as pq
@@ -523,6 +527,21 @@ def compact_ivf_index(index_dir: str, id_col: str = "vec_id") -> dict:
                              batch_size=1)
                 .iter_batches(batch_format="pyarrow")):
         removed += sum(b["n"].to_pylist())
+
+    # bound the applied-fingerprint hot list (archive written FIRST;
+    # see state/appliedlog.py)
+    from ..state.appliedlog import fold_applied
+    meta_path = os.path.join(index_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        hot = fold_applied(index_dir, meta.get("applied", []))
+        if hot != meta.get("applied", []):
+            meta = {**meta, "applied": hot}
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, meta_path)
     return {"dirs_compacted": len(work), "files_removed": removed}
 
 

@@ -217,7 +217,8 @@ def append_to_index(ds_new: rd.Dataset, index_dir: str,
     batch_fp = hashlib.sha256(
         f"batch:{n_new}:{fp_new}:{tot_new}:{sum_new}".encode()
     ).hexdigest()[:16]
-    if batch_fp in meta.get("applied", []):
+    from ..state.appliedlog import applied_contains
+    if applied_contains(index_dir, meta.get("applied", []), batch_fp):
         return meta  # at-least-once duplicate: already folded, no-op
 
     postings = _postings_fn(id_col, text_col, num_parts,
@@ -257,9 +258,11 @@ def append_to_index(ds_new: rd.Dataset, index_dir: str,
             "total_tokens": meta["total_tokens"] + tot_new,
             "id_fp": meta["id_fp"] ^ fp_new,
             "num_parts": num_parts,
-            # the applied list is the idempotence log — never truncate
-            # it (16 bytes/append; a capped log silently re-ingested a
-            # duplicate retry older than the cap)
+            # the applied list is the idempotence log — never
+            # FORGOTTEN (a capped log silently re-ingested a duplicate
+            # retry older than the cap); the hot list is bounded by
+            # folding into the archive sidecar at compact_index
+            # (state/appliedlog.py), membership = hot ∪ archive
             "applied": meta.get("applied", []) + [batch_fp]}
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
@@ -319,6 +322,21 @@ def compact_index(index_dir: str, id_col: str = "doc_id") -> dict:
                              batch_size=1)
                 .iter_batches(batch_format="pyarrow")):
         removed += sum(b["n"].to_pylist())
+
+    # maintenance also bounds the applied-fingerprint hot list: fold
+    # old entries into the archive sidecar, then republish the meta
+    # (archive written FIRST — a crash in between is harmless dupes)
+    from ..state.appliedlog import fold_applied
+    meta_path = os.path.join(index_dir, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    hot = fold_applied(index_dir, meta.get("applied", []))
+    if hot != meta.get("applied", []):
+        meta = {**meta, "applied": hot}
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
     return {"parts_compacted": len(work), "files_removed": removed}
 
 

@@ -203,7 +203,8 @@ def append_to_zonemap(ds: rd.Dataset, out_dir: str,
             f"id:{batch_id}".encode()).hexdigest()[:16]
     else:
         batch_fp = _content_fingerprint(ds)
-    if batch_fp in meta.get("applied", []):
+    from .appliedlog import applied_contains
+    if applied_contains(out_dir, meta.get("applied", []), batch_fp):
         return meta  # duplicate submission (at-least-once) no-ops
     # same-pre-state retries reuse the tag → delta files overwrite
     delta_tag = hashlib.sha256(
@@ -247,9 +248,11 @@ def append_to_zonemap(ds: rd.Dataset, out_dir: str,
         else:
             zones[zk] = {"lo": int(r.lo), "hi": int(r.hi),
                          "rows": int(r.rows), "files": [delta_name]}
-    # the applied list is the idempotence log — never truncate it
-    # (16 bytes/append; a capped log silently re-ingested any
-    # duplicate retry older than the cap — round-4 advisor finding)
+    # the applied list is the idempotence log — never FORGOTTEN (a
+    # capped log silently re-ingested any duplicate retry older than
+    # the cap — round-4 advisor finding); the hot list is BOUNDED by
+    # folding old fingerprints into the archive sidecar at compaction
+    # (state/appliedlog.py), so membership = hot ∪ archive
     meta = {**meta, "zones": zones,
             "applied": meta.get("applied", []) + [batch_fp]}
     _write_manifest(out_dir, meta)
@@ -269,6 +272,11 @@ def compact_zonemap(out_dir: str) -> dict:
     mpath = os.path.join(out_dir, _MANIFEST)
     with open(mpath) as f:
         meta = json.load(f)
+    # sweep-safety reference point: anything published AFTER this
+    # moment belongs to a concurrent writer, never to this run's
+    # inputs (our own merged outputs are in the live lists) — see the
+    # cleanup sweep below
+    start_mtime = os.path.getmtime(mpath)
 
     zones = {z: dict(m) for z, m in meta["zones"].items()}
     work = []
@@ -304,22 +312,43 @@ def compact_zonemap(out_dir: str) -> dict:
          .materialize())
         # publish: the manifest's live lists flip to the merged files
         # in ONE atomic write (readers see old set or new set, never
-        # both); inputs are still on disk but now unlisted
+        # both); inputs are still on disk but now unlisted. Compaction
+        # is also when the applied-fingerprint hot list folds into the
+        # archive sidecar so the per-append manifest rewrite stays
+        # bounded (state/appliedlog.py; archive written FIRST)
+        from .appliedlog import fold_applied
         for w in work:
             zones[w["zone"]]["files"] = [w["merged"]]
-        meta = {**meta, "zones": zones}
+        meta = {**meta, "zones": zones,
+                "applied": fold_applied(out_dir,
+                                        meta.get("applied", []))}
         _write_manifest(out_dir, meta)
 
     # cleanup sweep LAST: delete unlisted parquet files (this run's
     # inputs, plus leftovers of any previously crashed run) — always
     # runs so a rerun after a crash between publish and deletes
-    # finishes the job instead of duplicating rows
+    # finishes the job instead of duplicating rows.
+    # Single-writer discipline is documented, not enforced — make a
+    # violated assumption fail LOUDLY instead of losing data (ADVICE
+    # r4): (1) re-read the manifest; if it changed under us a
+    # concurrent writer published, so abort the sweep; (2) never delete
+    # a file newer than the manifest — a concurrent append that has
+    # published its delta but not yet its manifest update keeps it.
+    with open(mpath) as f:
+        current = json.load(f)
+    if current != meta:
+        raise RuntimeError(
+            "compact_zonemap: manifest changed during compaction "
+            "(concurrent writer — the store is single-writer); cleanup "
+            "sweep aborted, no file was deleted. Re-run compact_zonemap "
+            "once the other writer finishes.")
     removed = 0
     for z, m in zones.items():
         live = set(m["files"])
         zdir = os.path.join(out_dir, f"zone={z}")
         for p in glob.glob(os.path.join(zdir, "*.parquet")):
-            if os.path.basename(p) not in live:
+            if os.path.basename(p) not in live \
+                    and os.path.getmtime(p) <= start_mtime:
                 os.remove(p)
                 removed += 1
     return {"zones_compacted": len(work), "files_removed": removed}

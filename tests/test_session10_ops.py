@@ -202,6 +202,26 @@ def test_nation_pair_volume_semantics(ray_session):
                                "year"]).any()
 
 
+def test_nation_pair_volume_pack_overflow_raises(ray_session, tmp_path):
+    """The (5,5,12)-bit key pack fails LOUDLY on out-of-range keys
+    instead of silently merging unrelated groups (ADVICE r4): a corpus
+    with nationkey >= 32 must raise, not return corrupt aggregates."""
+    import shutil
+
+    import pandas as pd
+    import pytest
+
+    from pdf_extraction_ray.pipelines import relational as R
+
+    sf = str(tmp_path / "sfbad")
+    shutil.copytree(SF_SMOKE, sf)
+    supp = pd.read_parquet(f"{sf}/supplier.parquet")
+    supp["s_nationkey"] = 40  # out of the 5-bit pack range
+    supp.to_parquet(f"{sf}/supplier.parquet", index=False)
+    with pytest.raises(Exception, match="pack overflow"):
+        R.nation_pair_volume(sf).to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # cdc_chunk_stats
 

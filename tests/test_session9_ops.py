@@ -1579,6 +1579,153 @@ def test_zonemap_append_lifecycle(ray_session, tmp_path):
     assert list(got2.v) == list(got.sort_values("k").v)
 
 
+def test_appliedlog_fold_and_membership(tmp_path):
+    """The applied-fingerprint log stays BOUNDED in the hot manifest
+    without ever forgetting a batch (ADVICE r4): folding moves old
+    entries to the archive sidecar, membership is hot ∪ archive, and
+    re-folding dedupes."""
+    from pdf_extraction_ray.state import appliedlog as al
+
+    d = str(tmp_path)
+    fps = [f"fp{i:02d}" for i in range(5)]
+    hot = al.fold_applied(d, fps, keep_recent=2)
+    assert hot == ["fp03", "fp04"]
+    # every fingerprint — archived or hot — still counts as applied
+    for fp in fps:
+        assert al.applied_contains(d, hot, fp)
+    assert not al.applied_contains(d, hot, "fp99")
+    # more appends land on the hot list, then a second fold: the
+    # archive absorbs the older half and dedupes any overlap
+    hot2 = al.fold_applied(d, hot + ["fp02", "fp05", "fp06", "fp07"],
+                           keep_recent=2)
+    assert hot2 == ["fp06", "fp07"]
+    import json
+    with open(al._archive_path(d)) as f:
+        arch = json.load(f)
+    assert arch.count("fp02") == 1
+    assert len(arch) == len(set(arch))
+    for fp in fps + ["fp05", "fp06", "fp07"]:
+        assert al.applied_contains(d, hot2, fp)
+    # within-bound list: no archive touch, list returned as-is
+    assert al.fold_applied(d, ["a", "b"], keep_recent=4) == ["a", "b"]
+
+
+def test_zonemap_append_duplicate_noop_after_fold(ray_session, tmp_path):
+    """An at-least-once duplicate submission no-ops even after its
+    fingerprint was folded OUT of the hot manifest into the archive —
+    the exact regression a capped log used to re-ingest."""
+    import glob
+    import json
+    import os
+
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pdf_extraction_ray.state import appliedlog as al
+    from pdf_extraction_ray.state import zonemap as zm
+
+    def tbl(lo, n):
+        return pa.table({"k": pa.array(list(range(lo, lo + n)), pa.int64()),
+                         "v": pa.array([1] * n, pa.int64())})
+
+    store = str(tmp_path / "zm")
+    zm.write_zonemapped(rd.from_arrow(tbl(0, 100)), "k", store, 100)
+    zm.append_to_zonemap(rd.from_arrow(tbl(100, 50)), store)
+    zm.append_to_zonemap(rd.from_arrow(tbl(150, 50)), store)
+
+    # simulate the compaction-time fold with an aggressive bound
+    mpath = os.path.join(store, "_zones.json")
+    with open(mpath) as f:
+        meta = json.load(f)
+    assert len(meta["applied"]) == 2
+    meta["applied"] = al.fold_applied(store, meta["applied"],
+                                      keep_recent=1)
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    assert len(meta["applied"]) == 1  # first batch folded to archive
+
+    # re-submitting the FOLDED batch must still no-op
+    before = sorted(glob.glob(store + "/zone=*/*.parquet"))
+    zm.append_to_zonemap(rd.from_arrow(tbl(100, 50)), store)
+    assert sorted(glob.glob(store + "/zone=*/*.parquet")) == before
+    got = zm.zonemap_scan(store, 0, 199).to_pandas()
+    assert sorted(got.k) == list(range(200))
+
+
+def test_zonemap_compact_concurrent_writer_guard(ray_session, tmp_path):
+    """The single-writer assumption fails LOUDLY, never silently
+    (ADVICE r4): (1) an unlisted parquet NEWER than the manifest — a
+    concurrent append's published-but-not-yet-manifested delta —
+    survives the cleanup sweep; (2) a manifest that changed between
+    compaction start and the sweep aborts before any delete."""
+    import glob
+    import json
+    import os
+    import time
+
+    import pyarrow as pa
+    import pytest
+
+    import ray.data as rd
+    from pdf_extraction_ray.state import zonemap as zm
+
+    def tbl(lo, n):
+        return pa.table({"k": pa.array(list(range(lo, lo + n)), pa.int64()),
+                         "v": pa.array([1] * n, pa.int64())})
+
+    store = str(tmp_path / "zm")
+    zm.write_zonemapped(rd.from_arrow(tbl(0, 200)), "k", store, 100)
+    # two deltas into the SAME zone so compaction has real work
+    zm.append_to_zonemap(rd.from_arrow(tbl(200, 50)), store)
+    zm.append_to_zonemap(rd.from_arrow(tbl(250, 150)), store)
+
+    # (1) a concurrent append's delta: published to a zone dir AFTER the
+    # manifest, not yet listed — the sweep must leave it alone
+    zdir = sorted(glob.glob(store + "/zone=*"))[0]
+    straggler = os.path.join(zdir, "part-concurrent-delta.parquet")
+    time.sleep(0.02)  # strictly newer mtime than the manifest
+    import pyarrow.parquet as pq
+    pq.write_table(tbl(990, 5), straggler)
+    res = zm.compact_zonemap(store)
+    assert res["zones_compacted"] >= 1
+    assert os.path.exists(straggler), "sweep deleted a concurrent delta"
+    os.remove(straggler)
+
+    # (2) manifest mutated mid-compaction -> loud abort, nothing deleted
+    zm.append_to_zonemap(rd.from_arrow(tbl(400, 100)), store)
+    mpath = os.path.join(store, "_zones.json")
+    with open(mpath) as f:
+        meta = json.load(f)
+    real_loads = json.load
+    calls = {"n": 0}
+
+    def racing_load(f):
+        out = real_loads(f)
+        if getattr(f, "name", "") == mpath:
+            calls["n"] += 1
+            if calls["n"] == 1:  # the load at compaction START
+                # mutate the on-disk manifest AFTER it was read
+                meta2 = {**out, "racer": True}
+                with open(mpath, "w") as g:
+                    json.dump(meta2, g)
+        return out
+
+    files_before = sorted(glob.glob(store + "/zone=*/*.parquet"))
+    import unittest.mock as mock
+    with mock.patch.object(zm.json, "load", racing_load):
+        with pytest.raises(RuntimeError, match="concurrent writer"):
+            zm.compact_zonemap(store)
+    # merged outputs may have been published, but NO file was deleted
+    assert set(files_before) <= set(
+        sorted(glob.glob(store + "/zone=*/*.parquet")))
+    # restore a clean manifest so a real rerun converges
+    with open(mpath, "w") as g:
+        json.dump(meta, g)
+    zm.compact_zonemap(store)
+    got = zm.zonemap_scan(store, 0, 499).to_pandas()
+    assert sorted(got.k) == list(range(500))
+
+
 def test_zonemap_fingerprint_covers_row_content(ray_session, tmp_path):
     """Distinct delta batches with IDENTICAL key multisets (the
     realistic same-day case — and the {0,5} vs {1,4} (n,sum,xor)
