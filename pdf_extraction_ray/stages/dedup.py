@@ -1650,9 +1650,12 @@ def semdedup(ds: rd.Dataset, k: int = 8, iters: int = 4,
     """
     from .similarity import kmeans_fit
 
-    # materialized once: the fit's sample scan + per-round reads and the
-    # assignment map below otherwise each re-execute the input lineage
-    ds = ds.select_columns([id_col, vec_col]).materialize()
+    # persisted to scratch parquet once (similarity.persist_projection):
+    # the fit's sample scan, per-round reads and the assignment map
+    # below each re-read a pruned parquet — never an object-store pin
+    # of the projection, never a re-execution of the caller's lineage
+    from .similarity import persist_projection
+    ds = persist_projection(ds, [id_col, vec_col], tag="semdedup")
     cents, _hist = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col,
                               id_col=id_col, init_ids=list(range(k)))
     cref = ray.put(cents)

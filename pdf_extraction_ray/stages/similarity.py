@@ -332,9 +332,11 @@ def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
     if index_dir is None:
         index_dir = os.path.join(tempfile.gettempdir(),
                                  "pdf_extraction_ray", "ivf-scratch")
-    # One materialize up front — the freshness pass, centroid sample,
-    # and assign/write otherwise each re-execute the read lineage.
-    ds = ds.materialize()
+    # One parquet spill up front — the freshness pass, centroid sample,
+    # and assign/write then each re-read a pruned scratch parquet (the
+    # 100-TB shape) instead of pinning the corpus projection in the
+    # object store or re-executing the caller's lineage per pass.
+    ds = persist_projection(ds, [id_col, vec_col], tag="ivfq")
     ensure_ivf_index(ds, index_dir, n_centroids, vec_col, id_col,
                      sample_rows)
     return topk_cosine_ivf_indexed(index_dir, queries, query_ids, k,
@@ -545,6 +547,26 @@ def compact_ivf_index(index_dir: str, id_col: str = "vec_id") -> dict:
     return {"dirs_compacted": len(work), "files_removed": removed}
 
 
+def persist_projection(ds: rd.Dataset, cols: list[str],
+                       tag: str = "pin") -> rd.Dataset:
+    """Spill a pruned projection to scratch parquet and hand back a
+    RE-READABLE dataset — the 100-TB shape for iterative consumers
+    (k-means rounds, SemDeDup's fit+assign): each pass re-executes a
+    cheap column-pruned parquet read instead of pinning the projection
+    in the object store, where a corpus-scale pin is spill pressure
+    for every concurrent stage (the round-4 verdict's materialize()
+    flag, applied to the embedding family). The scratch directory is
+    per-call (uuid-tagged) under the system temp dir."""
+    import os
+    import tempfile
+    import uuid
+
+    out = os.path.join(tempfile.gettempdir(), "pdf_extraction_ray",
+                       "pins", f"{tag}-{uuid.uuid4().hex[:12]}")
+    ds.select_columns(cols).write_parquet(out)
+    return rd.read_parquet(out)
+
+
 def kmeans_fit(ds: rd.Dataset, k: int = 10, iters: int = 8,
                vec_col: str = "embedding", id_col: str = "vec_id",
                init_sample: int = 256,
@@ -662,10 +684,12 @@ def kmeans(ds: rd.Dataset, k: int = 10, iters: int = 8,
     inertia list — non-increasing by Lloyd's monotonicity, asserted in
     tests). Empty clusters keep their previous centroid.
     """
-    # materialize once: the sample scan, every Lloyd round, and the
-    # final assignment otherwise each re-execute the full input lineage
-    # (iters+2 reads); at true scale persist to parquet instead
-    ds = ds.materialize()
+    # persist the (id, vec) projection to scratch parquet ONCE: the
+    # sample scan, every Lloyd round, and the final assignment then
+    # each re-read a pruned parquet (the 100-TB shape) instead of
+    # pinning the projection in the object store or re-executing the
+    # caller's full lineage iters+2 times
+    ds = persist_projection(ds, [id_col, vec_col], tag="kmeans")
     centroids, inertia_hist = kmeans_fit(
         ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
         init_sample=init_sample, init_ids=init_ids)
