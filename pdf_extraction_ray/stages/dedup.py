@@ -893,21 +893,10 @@ def compact_minhash_index(index_dir: str, id_col: str = "doc_id") -> dict:
                 .iter_batches(batch_format="pyarrow")):
         removed += sum(b["n"].to_pylist())
 
-    # bound the applied-fingerprint hot list (archive written FIRST;
-    # see state/appliedlog.py)
-    from ..state.appliedlog import fold_applied
-    meta_path = os.path.join(index_dir, "_meta.json")
-    if os.path.exists(meta_path):
-        import json as _json
-        with open(meta_path) as f:
-            meta = _json.load(f)
-        hot = fold_applied(index_dir, meta.get("applied", []))
-        if hot != meta.get("applied", []):
-            meta = {**meta, "applied": hot}
-            tmp = meta_path + ".tmp"
-            with open(tmp, "w") as f:
-                _json.dump(meta, f)
-            os.replace(tmp, meta_path)
+    # bound the applied-fingerprint hot list
+    # (shared fold/republish discipline: state/appliedlog.fold_manifest)
+    from ..state.appliedlog import fold_manifest
+    fold_manifest(index_dir, os.path.join(index_dir, "_meta.json"))
     return {"dirs_compacted": len(work), "files_removed": removed}
 
 
@@ -1389,6 +1378,11 @@ def _candidate_shingle_pairs(ds: rd.Dataset, text_col: str, id_col: str,
     # scale flag). The second scan is additionally semi-join-pruned to
     # candidate docs only before any text leaves the read. With a
     # shared ``sigs`` table, pass 1 never touches the text either.
+    # Caveat (accepted): hash_join's schema() probe on the un-pinned
+    # left side executes a prefix of the lineage (one read task for
+    # plain read->map inputs — see stages/joins.py NOTE); a caller
+    # whose ds hides a SHUFFLE behind it should pin that upstream
+    # result itself before calling, as analytics.cluster_keep_best does.
     cand = _lsh_candidate_pairs(ds, text_col, id_col,
                                 shingle_k, num_perm, bands, sigs=sigs)
     if cand.count() == 0:

@@ -206,6 +206,10 @@ def build_ivf_index(ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
     import os
     import shutil
 
+    # the build consumes its input three times (stamp, centroid
+    # sample, assignment) — spill the pruned projection once and
+    # re-read parquet per pass (never an object-store corpus pin)
+    ds = persist_projection(ds, [id_col, vec_col], tag="ivfbuild")
     n_rows, id_fp = _ids_fingerprint(ds, id_col)  # freshness stamp
     cents = fit_centroids(sample_for_centroids(ds, vec_col, sample_rows),
                           n_centroids)
@@ -332,11 +336,10 @@ def topk_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
     if index_dir is None:
         index_dir = os.path.join(tempfile.gettempdir(),
                                  "pdf_extraction_ray", "ivf-scratch")
-    # One parquet spill up front — the freshness pass, centroid sample,
-    # and assign/write then each re-read a pruned scratch parquet (the
-    # 100-TB shape) instead of pinning the corpus projection in the
-    # object store or re-executing the caller's lineage per pass.
-    ds = persist_projection(ds, [id_col, vec_col], tag="ivfq")
+    # no up-front spill: when the index is FRESH, ensure's stamp scan
+    # is the only pass over ds (review finding — an unconditional spill
+    # paid a full projection write per warm query); the build path
+    # spills inside build_ivf_index where the multi-pass reads live
     ensure_ivf_index(ds, index_dir, n_centroids, vec_col, id_col,
                      sample_rows)
     return topk_cosine_ivf_indexed(index_dir, queries, query_ids, k,
@@ -393,11 +396,11 @@ def append_to_ivf_index(ds_new: rd.Dataset, index_dir: str,
 
     At-least-once-safe exactly like the other two indexes: ``applied``
     batch fingerprints make a duplicate submission after the meta
-    publish a no-op — within a 64-batch redelivery horizon (the
-    textindex convention: fingerprints older than the last 64 appends
-    age out, so redeliveries must arrive within that window, which any
-    real at-least-once queue satisfies) — and a retry on the same
-    pre-state reuses the (pre-state fp, batch stats) delta tag,
+    publish a no-op — with NO redelivery horizon: membership is the
+    hot manifest list ∪ the never-forgetting archive sidecar
+    (state/appliedlog.py; compaction folds old fingerprints out of the
+    hot list but they remain queryable forever) — and a retry on the
+    same pre-state reuses the (pre-state fp, batch stats) delta tag,
     overwriting its own partial files idempotently. Returns the
     updated meta."""
     import glob
@@ -530,21 +533,22 @@ def compact_ivf_index(index_dir: str, id_col: str = "vec_id") -> dict:
                 .iter_batches(batch_format="pyarrow")):
         removed += sum(b["n"].to_pylist())
 
-    # bound the applied-fingerprint hot list (archive written FIRST;
-    # see state/appliedlog.py)
-    from ..state.appliedlog import fold_applied
-    meta_path = os.path.join(index_dir, "_meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        hot = fold_applied(index_dir, meta.get("applied", []))
-        if hot != meta.get("applied", []):
-            meta = {**meta, "applied": hot}
-            tmp = meta_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, meta_path)
+    # bound the applied-fingerprint hot list
+    # (shared fold/republish discipline: state/appliedlog.fold_manifest)
+    from ..state.appliedlog import fold_manifest
+    fold_manifest(index_dir, os.path.join(index_dir, "_meta.json"))
     return {"dirs_compacted": len(work), "files_removed": removed}
+
+
+_PIN_DIRS: list[str] = []
+_PIN_MAX_AGE_S = 6 * 3600
+
+
+def _cleanup_pins() -> None:
+    import shutil
+
+    for d in _PIN_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def persist_projection(ds: rd.Dataset, cols: list[str],
@@ -555,15 +559,36 @@ def persist_projection(ds: rd.Dataset, cols: list[str],
     cheap column-pruned parquet read instead of pinning the projection
     in the object store, where a corpus-scale pin is spill pressure
     for every concurrent stage (the round-4 verdict's materialize()
-    flag, applied to the embedding family). The scratch directory is
-    per-call (uuid-tagged) under the system temp dir."""
+    flag, applied to the embedding family).
+
+    Lifetime (review finding — unbounded scratch was a disk leak): the
+    scratch directory is per-call (uuid-tagged), registered for
+    removal at process exit, and each call also sweeps sibling pin
+    dirs older than ``_PIN_MAX_AGE_S`` (leftovers of killed
+    processes). A concurrent session's LIVE pins are younger than the
+    age bound, so the sweep never races one."""
+    import atexit
     import os
+    import shutil
     import tempfile
+    import time
     import uuid
 
-    out = os.path.join(tempfile.gettempdir(), "pdf_extraction_ray",
-                       "pins", f"{tag}-{uuid.uuid4().hex[:12]}")
+    root = os.path.join(tempfile.gettempdir(), "pdf_extraction_ray",
+                        "pins")
+    try:
+        now = time.time()
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if now - os.path.getmtime(p) > _PIN_MAX_AGE_S:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    out = os.path.join(root, f"{tag}-{uuid.uuid4().hex[:12]}")
     ds.select_columns(cols).write_parquet(out)
+    if not _PIN_DIRS:
+        atexit.register(_cleanup_pins)
+    _PIN_DIRS.append(out)
     return rd.read_parquet(out)
 
 

@@ -197,10 +197,11 @@ def append_to_index(ds_new: rd.Dataset, index_dir: str,
     DUPLICATE submission arriving AFTER the meta publish would get a
     fresh pre-state tag and silently double-ingest — _meta.json
     therefore records the fingerprint of each applied batch
-    (``applied``, most-recent-last, capped) and an already-folded
-    batch no-ops. The cap bounds meta size; a duplicate older than
-    the window is the documented residual risk. Returns the updated
-    meta."""
+    (``applied``, most-recent-last) and an already-folded batch
+    no-ops, with NO redelivery horizon: compaction folds old
+    fingerprints into the never-forgetting archive sidecar
+    (state/appliedlog.py), so the hot manifest stays bounded and a
+    duplicate of ANY age still no-ops. Returns the updated meta."""
     import hashlib
 
     meta_path = os.path.join(index_dir, "_meta.json")
@@ -323,20 +324,10 @@ def compact_index(index_dir: str, id_col: str = "doc_id") -> dict:
                 .iter_batches(batch_format="pyarrow")):
         removed += sum(b["n"].to_pylist())
 
-    # maintenance also bounds the applied-fingerprint hot list: fold
-    # old entries into the archive sidecar, then republish the meta
-    # (archive written FIRST — a crash in between is harmless dupes)
-    from ..state.appliedlog import fold_applied
-    meta_path = os.path.join(index_dir, "_meta.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
-    hot = fold_applied(index_dir, meta.get("applied", []))
-    if hot != meta.get("applied", []):
-        meta = {**meta, "applied": hot}
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, meta_path)
+    # maintenance also bounds the applied-fingerprint hot list
+    # (shared fold/republish discipline: state/appliedlog.fold_manifest)
+    from ..state.appliedlog import fold_manifest
+    fold_manifest(index_dir, os.path.join(index_dir, "_meta.json"))
     return {"parts_compacted": len(work), "files_removed": removed}
 
 

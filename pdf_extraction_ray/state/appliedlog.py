@@ -57,14 +57,57 @@ def fold_applied(store_dir: str, applied: list[str],
     return hot
 
 
+# path -> ((mtime_ns, size), frozenset of fingerprints). The archive
+# grows forever, and every NOVEL append (the common case) misses the
+# hot list and consults it — without a memo that is a full JSON parse
+# per append, i.e. the O(appends) cost the fold removed from manifest
+# rewrites reappearing on reads (review finding). The stat-keyed memo
+# makes novel appends O(1) after the first read; any archive rewrite
+# (fold) changes mtime/size and invalidates naturally. One entry per
+# store path, so several live stores never thrash each other.
+_ARCHIVE_MEMO: dict[str, tuple[tuple[int, int], frozenset]] = {}
+
+
+def _archive_set(path: str) -> frozenset:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return frozenset()
+    stamp = (st.st_mtime_ns, st.st_size)
+    hit = _ARCHIVE_MEMO.get(path)
+    if hit is None or hit[0] != stamp:
+        with open(path) as f:
+            hit = (stamp, frozenset(json.load(f)))
+        _ARCHIVE_MEMO[path] = hit
+    return hit[1]
+
+
 def applied_contains(store_dir: str, applied: list[str],
                      batch_fp: str) -> bool:
     """Has ``batch_fp`` ever been applied? Hot list first (the common
-    case — recent retries), then the archive sidecar."""
+    case — recent retries), then the archive sidecar (stat-memoized)."""
     if batch_fp in applied:
         return True
-    path = _archive_path(store_dir)
-    if os.path.exists(path):
-        with open(path) as f:
-            return batch_fp in set(json.load(f))
-    return False
+    return batch_fp in _archive_set(_archive_path(store_dir))
+
+
+def fold_manifest(store_dir: str, meta_path: str,
+                  keep_recent: int = HOT_KEEP) -> None:
+    """The shared compact-time maintenance step: read the store's
+    manifest, fold its ``applied`` hot list into the archive sidecar
+    (archive written FIRST — a crash in between leaves harmless
+    duplicates), and atomically republish the manifest with the
+    bounded list. No-ops when the manifest is absent or already within
+    bounds. One helper so the four stores (zonemap inlines its own
+    publish, text/MinHash/IVF indexes call this) cannot drift."""
+    if not os.path.exists(meta_path):
+        return
+    with open(meta_path) as f:
+        meta = json.load(f)
+    hot = fold_applied(store_dir, meta.get("applied", []), keep_recent)
+    if hot != meta.get("applied", []):
+        meta = {**meta, "applied": hot}
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)

@@ -310,6 +310,21 @@ def compact_zonemap(out_dir: str) -> dict:
         (rd.from_items(work)
          .map_batches(merge_one, batch_format="pyarrow", batch_size=1)
          .materialize())
+        # PRE-PUBLISH guard (review finding): the merge window can be
+        # long; a concurrent append that published delta+manifest since
+        # our initial read would be silently clobbered by our publish
+        # (its delta unlisted, its applied fingerprint dropped). Re-read
+        # and abort BEFORE overwriting — the merged files we already
+        # wrote are content-addressed and unlisted, so a later rerun
+        # reuses them; nothing is lost by aborting here.
+        with open(mpath) as f:
+            pre = json.load(f)
+        if pre != meta:
+            raise RuntimeError(
+                "compact_zonemap: manifest changed during merge "
+                "(concurrent writer — the store is single-writer); "
+                "publish aborted, the store is untouched. Re-run "
+                "compact_zonemap once the other writer finishes.")
         # publish: the manifest's live lists flip to the merged files
         # in ONE atomic write (readers see old set or new set, never
         # both); inputs are still on disk but now unlisted. Compaction
@@ -347,8 +362,12 @@ def compact_zonemap(out_dir: str) -> dict:
         live = set(m["files"])
         zdir = os.path.join(out_dir, f"zone={z}")
         for p in glob.glob(os.path.join(zdir, "*.parquet")):
+            # STRICT <: on coarse-mtime filesystems a concurrent delta
+            # can share the manifest's timestamp second — leaving a
+            # legit input until the next compact is the cheap side of
+            # that ambiguity (review finding)
             if os.path.basename(p) not in live \
-                    and os.path.getmtime(p) <= start_mtime:
+                    and os.path.getmtime(p) < start_mtime:
                 os.remove(p)
                 removed += 1
     return {"zones_compacted": len(work), "files_removed": removed}
