@@ -4667,11 +4667,29 @@ def dup_span_strip_join(sf_dir: str) -> rd.Dataset:
 
 def _dup_span_strip_join(docs: rd.Dataset) -> rd.Dataset:
     """The distributed-join mode of :func:`dup_span_strip` (no driver
-    gram state): see its docstring for the shape."""
-    from ray.data.aggregate import Min
+    gram state): see its docstring for the shape.
 
+    TWO exchanges total (was four plus two hash_joins — the per-op
+    overhead dominated at small scale and every exchange is an
+    all-to-all at 100 TB):
+
+    1. windows shuffle on gh-partition: the partition body does the
+       whole per-gram fold VECTORIZED (lexsort segments; distinct-doc
+       count; min owner) and emits covered (doc_id, i) starts
+       DIRECTLY — the old dup_grams table and its join back into
+       windows never exist.
+    2. union(text rows, covered rows) shuffle on doc-partition: the
+       rebuild sees each doc's text and its covered starts in one
+       group — the old per-doc starts_of groupby and the
+       docs-side hash_join collapse into this single exchange.
+
+    If block splitting ever lands one doc's windows in two blocks, a
+    gram could in principle be seen twice for that doc — harmless
+    here: the fold counts DISTINCT docs per gram within the partition
+    (all rows of one gh land in one partition by construction), and
+    removal only depends on "exists a SMALLER-id doc holding the
+    gram"."""
     from ..functions.hashing import stable_hash64
-    from ..stages.joins import hash_join
 
     def explode(batch: pa.Table) -> pa.Table:
         out_id, out_i, out_gh = [], [], []
@@ -4682,107 +4700,97 @@ def _dup_span_strip_join(docs: rd.Dataset) -> rd.Dataset:
                 out_id.append(did)
                 out_i.append(i)
                 out_gh.append(stable_hash64(" ".join(words[i:i + NGRAM_N])))
+        gh = np.asarray(out_gh, dtype=np.int64)
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
             "i": pa.array(out_i, pa.int64()),
-            "gh": pa.array(out_gh, pa.int64()),
+            "gh": pa.array(gh, pa.int64()),
+            "pg": pa.array(gh & 63, pa.int64()),
         })
 
     windows = docs.select_columns(["doc_id", "text"]).map_batches(
-        explode, batch_format="pyarrow").materialize()
+        explode, batch_format="pyarrow")
 
-    # pass 1: per-gram-hash (distinct doc count, min owner) — combiner
-    # shape over the window rows themselves (distinct per doc first).
-    # If block splitting ever lands one doc's windows in two blocks, a
-    # gram can be double-counted toward n_docs — harmless: removal only
-    # depends on "exists a SMALLER-id doc holding the gram", and a
-    # self-inflated single-holder gram matches only its owner (owner <
-    # doc_id is false), so the output is unchanged.
-    def distinct_per_doc(batch: pa.Table) -> pa.Table:
-        seen = {(d, g) for d, g in zip(batch["doc_id"].to_pylist(),
-                                       batch["gh"].to_pylist())}
-        if not seen:
-            return pa.table({"gh": pa.array([], pa.int64()),
-                             "c_docs": pa.array([], pa.int64()),
-                             "own": pa.array([], pa.int64())})
-        agg: dict[int, list[int]] = {}
-        for d, g in seen:
-            cur = agg.get(g)
-            if cur is None:
-                agg[g] = [1, d]
-            else:
-                cur[0] += 1
-                if d < cur[1]:
-                    cur[1] = d
-        ghs = sorted(agg)
-        return pa.table({
-            "gh": pa.array(ghs, pa.int64()),
-            "c_docs": pa.array([agg[g][0] for g in ghs], pa.int64()),
-            "own": pa.array([agg[g][1] for g in ghs], pa.int64()),
+    # exchange 1: gh-partitioned fold + covered-start emission, fully
+    # vectorized per PARTITION (the partition_pairs discipline)
+    def covered_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        gh = g["gh"].to_numpy(np.int64)
+        did = g["doc_id"].to_numpy(np.int64)
+        ii = g["i"].to_numpy(np.int64)
+        order = np.lexsort((did, gh))
+        ghs, dids, iis = gh[order], did[order], ii[order]
+        new_seg = np.concatenate([[True], ghs[1:] != ghs[:-1]])
+        seg = np.cumsum(new_seg) - 1
+        n_seg = int(seg[-1]) + 1 if len(seg) else 0
+        # distinct docs per gram: did changes within a segment
+        d_new = new_seg | np.concatenate([[True], dids[1:] != dids[:-1]])
+        n_dist = np.zeros(n_seg, np.int64)
+        np.add.at(n_dist, seg, d_new.astype(np.int64))
+        owner = dids[new_seg]          # min doc id per segment (sorted)
+        keep = (n_dist[seg] >= 2) & (dids > owner[seg])
+        return pd.DataFrame({
+            "doc_id": pd.Series(dids[keep], dtype="int64"),
+            "i": pd.Series(iis[keep], dtype="int64"),
         })
 
-    folded = (windows.map_batches(distinct_per_doc, batch_format="pyarrow")
-              .groupby("gh")
-              .aggregate(Sum("c_docs", alias_name="n_docs"),
-                         Min("own", alias_name="owner")))
+    cov = (windows.groupby("pg")
+           .map_groups(covered_in_partition, batch_format="pandas"))
 
-    def only_dups(batch: pa.Table) -> pa.Table:
+    # exchange 2: union text rows with covered rows and rebuild per
+    # doc-partition — one group sees a doc's text AND its starts
+    def as_cov_rows(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        t = batch.filter(pc.greater_equal(batch["n_docs"], 2))
-        return t.select(["gh", "owner"])
-
-    dup_grams = folded.map_batches(only_dups, batch_format="pyarrow")
-
-    # pass 2: attach owners to windows; keep non-owned covered starts
-    hits = hash_join(windows, dup_grams, left_on="gh", right_on="gh",
-                     left_cols=["doc_id", "i"], right_cols=["owner"],
-                     how="inner")
-
-    def covered_only(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        t = batch.filter(pc.less(batch["owner"], batch["doc_id"]))
-        return t.select(["doc_id", "i"])
-
-    def starts_of(group: pd.DataFrame) -> pa.Table:
-        # explicit Arrow types: a pandas return would give the dataset a
-        # pandas-block schema whose python-type columns break the
-        # downstream hash_join's typed-null padding
+        did = t["doc_id"].combine_chunks().cast(pa.int64())
         return pa.table({
-            "doc_id": pa.array([int(group["doc_id"].iloc[0])], pa.int64()),
-            "starts": pa.array([sorted(set(int(x) for x in group["i"]))],
-                               pa.list_(pa.int64())),
+            "doc_id": did,
+            "i": t["i"].combine_chunks().cast(pa.int64()),
+            "text": pa.nulls(len(t), pa.large_string()),
+            "pd_": pc.bit_wise_and(did, 15).cast(pa.int64()),
         })
 
-    cov = (hits.map_batches(covered_only, batch_format="pyarrow")
-           .groupby("doc_id").map_groups(starts_of, batch_format="pandas"))
+    def as_text_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        did = t["doc_id"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "doc_id": did,
+            "i": pa.array([-1] * len(t), pa.int64()),
+            "text": t["text"].combine_chunks().cast(pa.large_string()),
+            "pd_": pc.bit_wise_and(did, 15).cast(pa.int64()),
+        })
 
-    # pass 3: rebuild text; docs with no covered window pass through
-    joined = hash_join(docs.select_columns(["doc_id", "text"]), cov,
-                       left_on="doc_id", right_on="doc_id",
-                       left_cols=["text"], right_cols=["starts"],
-                       how="left")
+    unioned = (docs.select_columns(["doc_id", "text"])
+               .map_batches(as_text_rows, batch_format="pyarrow")
+               .union(cov.map_batches(as_cov_rows,
+                                      batch_format="pyarrow")))
 
-    def rebuild(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        out_n, out_rm, out_txt = [], [], []
-        for t, starts in zip(batch["text"].to_pylist(),
-                             batch["starts"].to_pylist()):
+    def rebuild_partition(g: pd.DataFrame) -> pa.Table:
+        out_id, out_n, out_rm, out_txt = [], [], [], []
+        is_text = g["i"].to_numpy() < 0
+        texts = dict(zip(g.loc[is_text, "doc_id"].astype("int64"),
+                         g.loc[is_text, "text"]))
+        starts: dict[int, list[int]] = {}
+        for d, i in zip(g.loc[~is_text, "doc_id"].astype("int64"),
+                        g.loc[~is_text, "i"].astype("int64")):
+            starts.setdefault(int(d), []).append(int(i))
+        for did, t in texts.items():
             words = (t or "").split(" ")
             covered = np.zeros(len(words), bool)
-            for i in (starts or []):
+            for i in starts.get(did, ()):
                 covered[i:i + NGRAM_N] = True
+            out_id.append(int(did))
             out_n.append(len(words))
             out_rm.append(int(covered.sum()))
             out_txt.append(" ".join(w for w, c in zip(words, covered)
                                     if not c))
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
             "n_words": pa.array(out_n, pa.int64()),
             "n_removed": pa.array(out_rm, pa.int64()),
             "clean_text": pa.array(out_txt, pa.string()),
         })
 
-    return joined.map_batches(rebuild, batch_format="pyarrow")
+    return (unioned.groupby("pd_")
+            .map_groups(rebuild_partition, batch_format="pandas"))
 
 
 def dup_span_strip_sql() -> str:
