@@ -2223,36 +2223,12 @@ _neardup_sigs_cache: dict[tuple[str, str], rd.Dataset] = {}
 
 
 def _derived_parquet(sf_dir: str, name: str, build) -> rd.Dataset:
-    """Digest-keyed DISK cache for a small derived table (signatures,
-    cluster assignments): ``build()`` returns the dataset to persist;
-    any process over the same corpus — a later battery chunk, a rerun —
-    re-reads the parquet instead of re-deriving the chain. Publish is
-    the ensure_pages_corpus discipline (write .tmp → atomic rename →
-    _SUCCESS marker); a concurrent builder losing the rename race
-    discards its copy and reads the winner's."""
-    import shutil
-    from pathlib import Path
+    """Shared digest-keyed disk cache — see sources/corpus.derived_parquet
+    (moved there so pipelines/linkgraph can use it without an import
+    cycle)."""
+    from ..sources.corpus import derived_parquet
 
-    from ..sources import spec
-    from ..sources.corpus import _input_digest
-
-    out = Path("/tmp/pdf_extraction_ray/derived") / (
-        f"{Path(sf_dir).name or 'sf'}-{name}-{spec.SPEC_VERSION}-"
-        f"{_input_digest(sf_dir)}")
-    marker = out / "_SUCCESS"
-    if not marker.exists():
-        tmp = Path(f"{out}.tmp-{os.getpid()}")
-        if tmp.exists():
-            shutil.rmtree(tmp)
-        tmp.parent.mkdir(parents=True, exist_ok=True)
-        build().write_parquet(str(tmp))
-        try:
-            tmp.rename(out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-        if out.exists():
-            marker.touch()
-    return rd.read_parquet(str(out))
+    return derived_parquet(sf_dir, name, build)
 
 
 def _neardup_sigs(sf_dir: str) -> rd.Dataset:

@@ -241,6 +241,27 @@ def _corpus_pages(sf_dir: str) -> str:
     return corpus_mod.ensure_pages_corpus(sf_dir)
 
 
+_edges_cache: dict[tuple[str, str], rd.Dataset] = {}
+
+
+def _cached_edges(sf_dir: str) -> rd.Dataset:
+    """The distinct page->page edge table, derived ONCE per corpus
+    digest and DISK-cached (sources/corpus.derived_parquet): every
+    sf-dir link-graph query — pagerank, HITS, k-core, LPA, triangles,
+    co-citation, BFS, components, random walks — otherwise re-parses
+    the corpus' HTML anchors per call. The table is ids-only (two
+    int64 columns, bounded by link volume), so the in-session
+    materialized pin is edge-sized, never corpus-sized; a fresh
+    process re-reads the parquet."""
+    key = (sf_dir, corpus_mod._input_digest(sf_dir))
+    if key not in _edges_cache:
+        disk = corpus_mod.derived_parquet(
+            sf_dir, "linkedges",
+            lambda: link_graph_pages(_corpus_pages(sf_dir)))
+        _edges_cache[key] = disk.materialize()
+    return _edges_cache[key]
+
+
 def anchor_text_index(sf_dir: str) -> rd.Dataset:
     """Per-target anchor aggregation — the classic anchor-text relevance
     signal (one row per distinct resolved href): in-link count, distinct
@@ -291,7 +312,7 @@ def page_links_sample(sf_dir: str, mod: int = 17) -> rd.Dataset:
 
 def link_graph(sf_dir: str) -> rd.Dataset:
     """sf-dir driver-query wrapper over ``link_graph_pages``."""
-    return link_graph_pages(_corpus_pages(sf_dir))
+    return _cached_edges(sf_dir)
 
 
 def link_graph_pages(pages_path: str,
@@ -953,7 +974,7 @@ def _hits_one_task(iters: int, scale: int, n_node_blocks: int,
 def hits_scores(sf_dir: str, iters: int = 5, scale: int = 1_000_000,
                 task_limit: int = 5_000_000) -> rd.Dataset:
     """sf-dir driver-query wrapper over ``hits_from_edges``."""
-    edges = link_graph_pages(_corpus_pages(sf_dir)).materialize()
+    edges = _cached_edges(sf_dir)
     return hits_from_edges(edges, page_nodes(_corpus_pages(sf_dir)),
                            iters=iters, scale=scale, task_limit=task_limit)
 
@@ -1155,7 +1176,7 @@ def link_degree_stats(sf_dir: str) -> rd.Dataset:
     (isolated pages report 0/0). ONE union of three light emits (out
     per edge src, in per edge dst, zero presence per node) + ONE
     groupby(node) sum — no join at all."""
-    edges = link_graph_pages(_corpus_pages(sf_dir))
+    edges = _cached_edges(sf_dir)
     nodes = page_nodes(_corpus_pages(sf_dir))
 
     def out_rows(t: pa.Table) -> pa.Table:
@@ -1216,7 +1237,7 @@ def link_components(sf_dir: str) -> rd.Dataset:
     one-task dispatch on small graphs), then one groupby-min union
     with a self-label presence row per page so isolated pages come
     back as their own singleton component (never a join)."""
-    edges = link_graph_pages(_corpus_pages(sf_dir))
+    edges = _cached_edges(sf_dir)
     nodes = page_nodes(_corpus_pages(sf_dir))
     from ..stages.dedup import connected_components
 
@@ -1421,7 +1442,7 @@ def triangle_counts(sf_dir: str, task_limit: int = 5_000_000) -> rd.Dataset:
     ordered triple join."""
     from ray.data.aggregate import Count
 
-    edges = link_graph_pages(_corpus_pages(sf_dir))
+    edges = _cached_edges(sf_dir)
 
     def canon(t: pa.Table) -> pa.Table:
         s = t["src_doc_id"].to_numpy(zero_copy_only=False)
@@ -1561,7 +1582,7 @@ def cocitation_pairs(sf_dir: str, min_pct: int = 20) -> rd.Dataset:
     hash-partition distinct over the directed edges, a keyed-partition
     per-src pair emit, ONE groupby(pair) count, in-degrees via ONE
     groupby, two hash_joins to attach them, map-side filter."""
-    edges = link_graph_pages(_corpus_pages(sf_dir))
+    edges = _cached_edges(sf_dir)
 
     def sd(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1714,7 +1735,7 @@ def kcore_nodes(sf_dir: str, k: int = 3, rounds: int = 6,
     k = 3, hubs never do); convergence at ``rounds`` is pytest-pinned,
     and the oracle unrolls the SAME fixed round count, so an
     unconverged graph fails the value-hash loudly."""
-    edges = link_graph_pages(_corpus_pages(sf_dir))
+    edges = _cached_edges(sf_dir)
 
     def canon(t: pa.Table) -> pa.Table:
         s = t["src_doc_id"].to_numpy(zero_copy_only=False)
@@ -2057,7 +2078,7 @@ def mutual_links(sf_dir: str) -> rd.Dataset:
     hi→lo — and ONE groupby(pack) sums the bits; mutual ⟺ sum == 3
     (edges are distinct, so each direction contributes its bit at most
     once). Self-loops excluded. Returns (lo_doc_id, hi_doc_id)."""
-    edges = link_graph_pages(_corpus_pages(sf_dir))
+    edges = _cached_edges(sf_dir)
 
     def tag(t: pa.Table) -> pa.Table:
         s = t["src_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

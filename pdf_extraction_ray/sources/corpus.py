@@ -84,6 +84,36 @@ def build_pages_batch(batch: pa.Table, amplify: int = 1) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
+def derived_parquet(sf_dir: str, name: str, build):
+    """Digest-keyed DISK cache for a small derived table (signatures,
+    cluster assignments, link edges): ``build()`` returns the dataset
+    to persist; any process over the same corpus — a later battery
+    chunk, a rerun — re-reads the parquet instead of re-deriving the
+    chain. Publish is the ensure_pages_corpus discipline (write .tmp →
+    atomic rename → _SUCCESS marker); a concurrent builder losing the
+    rename race discards its copy and reads the winner's. Returns a
+    ray.data Dataset backed by the published parquet."""
+    import ray.data as rd
+
+    out = Path("/tmp/pdf_extraction_ray/derived") / (
+        f"{Path(sf_dir).name or 'sf'}-{name}-{spec.SPEC_VERSION}-"
+        f"{_input_digest(sf_dir)}")
+    marker = out / "_SUCCESS"
+    if not marker.exists():
+        tmp = Path(f"{out}.tmp-{os.getpid()}")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.parent.mkdir(parents=True, exist_ok=True)
+        build().write_parquet(str(tmp))
+        try:
+            tmp.rename(out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        if out.exists():
+            marker.touch()
+    return rd.read_parquet(str(out))
+
+
 def corpus_cache_dir(sf_dir: str, root: str = "/tmp/pdf_extraction_ray/corpus",
                      amplify: int = 1) -> Path:
     name = Path(sf_dir).name or "sf"
