@@ -2219,6 +2219,14 @@ def _docs_with_planted_near_dups(sf_dir: str) -> rd.Dataset:
     return base.union(base.map_batches(copies, batch_format="pyarrow"))
 
 
+# the ONE parameterization of the shared near-dup signature family:
+# _neardup_sigs, dedup_minhash and jaccard_pairs (and their SQL
+# oracles' builders) must all hash identically or the disk-cached sig
+# table silently diverges from its consumers (review finding) — so
+# the literals live here and are passed explicitly everywhere.
+NEARDUP_SHINGLE_K = 3
+NEARDUP_NUM_PERM = 64
+
 _neardup_sigs_cache: dict[tuple[str, str], rd.Dataset] = {}
 
 
@@ -2250,7 +2258,8 @@ def _neardup_sigs(sf_dir: str) -> rd.Dataset:
         disk = _derived_parquet(
             sf_dir, "ndsigs",
             lambda: _docs_with_planted_near_dups(sf_dir).map_batches(
-                dd._minhash_sig_fn("doc_id", "text", 3, 64),
+                dd._minhash_sig_fn("doc_id", "text", NEARDUP_SHINGLE_K,
+                                   NEARDUP_NUM_PERM),
                 batch_format="pyarrow"))
         _neardup_sigs_cache[key] = disk.repartition(32).materialize()
     return _neardup_sigs_cache[key]
@@ -2265,6 +2274,8 @@ def dedup_minhash(sf_dir: str) -> rd.Dataset:
     bit-for-bit (``dedup_minhash_sql``); planted-pair recall is
     additionally asserted in tests."""
     return dd.minhash_cluster(_docs_with_planted_near_dups(sf_dir),
+                              num_perm=NEARDUP_NUM_PERM,
+                              shingle_k=NEARDUP_SHINGLE_K,
                               jaccard_threshold=0.5,
                               sigs=_neardup_sigs(sf_dir))
 
@@ -2357,7 +2368,9 @@ def jaccard_pairs(sf_dir: str) -> rd.Dataset:
     DuckDB list ops; at threshold 80 the LSH miss probability for a real
     pair is < 1e-5, so the candidate pass loses nothing the oracle finds."""
     return dd.jaccard_pairs(_docs_with_planted_near_dups(sf_dir),
-                            threshold_pct=80, sigs=_neardup_sigs(sf_dir))
+                            threshold_pct=80, num_perm=NEARDUP_NUM_PERM,
+                            shingle_k=NEARDUP_SHINGLE_K,
+                            sigs=_neardup_sigs(sf_dir))
 
 
 def jaccard_pairs_sql(threshold_pct: int = 80) -> str:
@@ -2435,6 +2448,8 @@ def _clusters_with_len(sf_dir: str) -> rd.Dataset:
 
         docs = _docs_with_planted_near_dups(sf_dir)
         edges = dd.jaccard_pairs(docs, threshold_pct=80,
+                                 num_perm=NEARDUP_NUM_PERM,
+                                 shingle_k=NEARDUP_SHINGLE_K,
                                  sigs=_neardup_sigs(sf_dir)
                                  ).select_columns(["a", "b"])
         labels = dd.connected_components(edges, "a", "b")
@@ -4641,7 +4656,17 @@ def dup_span_strip_join(sf_dir: str) -> rd.Dataset:
     return dup_span_strip(sf_dir, mode="join")
 
 
-def _dup_span_strip_join(docs: rd.Dataset) -> rd.Dataset:
+def _pmod(arr, parts: int):
+    """arr % parts over an Arrow int64 array (partition tag)."""
+    import pyarrow.compute as pc
+    if parts & (parts - 1) == 0:
+        return pc.bit_wise_and(arr, parts - 1)
+    import numpy as np_
+    return pa.array(np_.asarray(arr) % parts, pa.int64())
+
+
+def _dup_span_strip_join(docs: rd.Dataset, gh_parts: int = 64,
+                         doc_parts: int = 16) -> rd.Dataset:
     """The distributed-join mode of :func:`dup_span_strip` (no driver
     gram state): see its docstring for the shape.
 
@@ -4653,7 +4678,11 @@ def _dup_span_strip_join(docs: rd.Dataset) -> rd.Dataset:
        whole per-gram fold VECTORIZED (lexsort segments; distinct-doc
        count; min owner) and emits covered (doc_id, i) starts
        DIRECTLY — the old dup_grams table and its join back into
-       windows never exist.
+       windows never exist. ``gh_parts``/``doc_parts`` bound one
+       partition body's memory at data/parts (the hash_join
+       num_partitions convention): the small-scale defaults favor
+       per-op constants; a 100 TB run sizes them to cluster cores x a
+       headroom factor so no body holds more than a worker's heap.
     2. union(text rows, covered rows) shuffle on doc-partition: the
        rebuild sees each doc's text and its covered starts in one
        group — the old per-doc starts_of groupby and the
@@ -4681,7 +4710,7 @@ def _dup_span_strip_join(docs: rd.Dataset) -> rd.Dataset:
             "doc_id": pa.array(out_id, pa.int64()),
             "i": pa.array(out_i, pa.int64()),
             "gh": pa.array(gh, pa.int64()),
-            "pg": pa.array(gh & 63, pa.int64()),
+            "pg": pa.array(gh % gh_parts, pa.int64()),
         })
 
     windows = docs.select_columns(["doc_id", "text"]).map_batches(
@@ -4691,13 +4720,17 @@ def _dup_span_strip_join(docs: rd.Dataset) -> rd.Dataset:
     # vectorized per PARTITION (the partition_pairs discipline)
     def covered_in_partition(g: pd.DataFrame) -> pd.DataFrame:
         gh = g["gh"].to_numpy(np.int64)
+        if not len(gh):  # typed empty (review finding: the lexsort
+            return pd.DataFrame({  # segment math needs >=1 row)
+                "doc_id": pd.Series([], dtype="int64"),
+                "i": pd.Series([], dtype="int64")})
         did = g["doc_id"].to_numpy(np.int64)
         ii = g["i"].to_numpy(np.int64)
         order = np.lexsort((did, gh))
         ghs, dids, iis = gh[order], did[order], ii[order]
         new_seg = np.concatenate([[True], ghs[1:] != ghs[:-1]])
         seg = np.cumsum(new_seg) - 1
-        n_seg = int(seg[-1]) + 1 if len(seg) else 0
+        n_seg = int(seg[-1]) + 1
         # distinct docs per gram: did changes within a segment
         d_new = new_seg | np.concatenate([[True], dids[1:] != dids[:-1]])
         n_dist = np.zeros(n_seg, np.int64)
@@ -4721,7 +4754,7 @@ def _dup_span_strip_join(docs: rd.Dataset) -> rd.Dataset:
             "doc_id": did,
             "i": t["i"].combine_chunks().cast(pa.int64()),
             "text": pa.nulls(len(t), pa.large_string()),
-            "pd_": pc.bit_wise_and(did, 15).cast(pa.int64()),
+            "pd_": pc.cast(_pmod(did, doc_parts), pa.int64()),
         })
 
     def as_text_rows(t: pa.Table) -> pa.Table:
@@ -4731,7 +4764,7 @@ def _dup_span_strip_join(docs: rd.Dataset) -> rd.Dataset:
             "doc_id": did,
             "i": pa.array([-1] * len(t), pa.int64()),
             "text": t["text"].combine_chunks().cast(pa.large_string()),
-            "pd_": pc.bit_wise_and(did, 15).cast(pa.int64()),
+            "pd_": pc.cast(_pmod(did, doc_parts), pa.int64()),
         })
 
     unioned = (docs.select_columns(["doc_id", "text"])

@@ -396,10 +396,13 @@ def _pr_one_task(iters: int, damping_pct: int, scale: int,
 def pagerank_links(sf_dir: str, iters: int = 5, damping_pct: int = 85,
                    scale: int = 1_000_000,
                    task_pr_limit: int = 5_000_000) -> rd.Dataset:
-    """sf-dir driver-query wrapper over ``pagerank_links_pages``."""
-    return pagerank_links_pages(_corpus_pages(sf_dir), iters=iters,
-                                damping_pct=damping_pct, scale=scale,
-                                task_pr_limit=task_pr_limit)
+    """sf-dir driver-query wrapper over ``pagerank_from_edges`` —
+    rides the digest-keyed edge-table cache like the rest of the
+    sf-dir family (review finding: this wrapper re-parsed anchors)."""
+    return pagerank_from_edges(
+        _cached_edges(sf_dir), page_nodes(_corpus_pages(sf_dir)),
+        iters=iters, damping_pct=damping_pct, scale=scale,
+        task_pr_limit=task_pr_limit)
 
 
 def pagerank_links_pages(pages_path: str, iters: int = 5,
@@ -751,9 +754,9 @@ def frontier_schedule(sf_dir: str, extracted: rd.Dataset, iters: int = 5,
                       damping_pct: int = 85,
                       scale: int = 1_000_000) -> rd.Dataset:
     """sf-dir driver-query wrapper over ``schedule_from_ranks``."""
-    ranks = pagerank_links_pages(_corpus_pages(sf_dir), iters=iters,
-                                 damping_pct=damping_pct,
-                                 scale=scale).materialize()
+    ranks = pagerank_from_edges(
+        _cached_edges(sf_dir), page_nodes(_corpus_pages(sf_dir)),
+        iters=iters, damping_pct=damping_pct, scale=scale).materialize()
     return schedule_from_ranks(ranks, extracted)
 
 
@@ -1311,9 +1314,9 @@ def discovery_frontier(sf_dir: str, extracted: rd.Dataset,
     exactly the not-in-corpus locs), so the union needs no dedup."""
     from .analytics import sitemap_urls
 
-    ranks = pagerank_links_pages(_corpus_pages(sf_dir), iters=iters,
-                                 damping_pct=damping_pct,
-                                 scale=scale).materialize()
+    ranks = pagerank_from_edges(
+        _cached_edges(sf_dir), page_nodes(_corpus_pages(sf_dir)),
+        iters=iters, damping_pct=damping_pct, scale=scale).materialize()
     recrawl = _priority_table(ranks, extracted)
 
     def rec_rows(t: pa.Table) -> pa.Table:
@@ -1977,7 +1980,7 @@ def lpa_communities(sf_dir: str, rounds: int = 4,
     hub's gravity) rather than link_components' single giant
     component; link-free pages stay their own singleton community."""
     pages = _corpus_pages(sf_dir)
-    edges = link_graph_pages(pages).materialize()
+    edges = _cached_edges(sf_dir)
     nodes = page_nodes(pages)
     return lpa_from_edges(edges, nodes, rounds=rounds,
                           task_limit=task_limit)
@@ -2037,7 +2040,7 @@ def inlink_titles(sf_dir: str, hot_threshold: int = 30,
     from ..stages.joins import skew_join
 
     pages = _corpus_pages(sf_dir)
-    edges = link_graph_pages(pages).materialize()
+    edges = _cached_edges(sf_dir)
     meta = page_metadata(pages)
 
     def with_id(t: pa.Table) -> pa.Table:
@@ -2187,7 +2190,7 @@ def ppr_related(sf_dir: str, seeds=PPR_SEEDS, iters: int = PPR_ITERS,
     so S sequential distributed vectors is the honest cost. Returns
     (seed_id, doc_id, rank) for every node × seed."""
     pages_path = _corpus_pages(sf_dir)
-    edges = link_graph_pages(pages_path).materialize()
+    edges = _cached_edges(sf_dir)
     nodes = page_nodes(pages_path).materialize()
     if edges.count() <= task_limit:
         node_refs = nodes.to_arrow_refs()

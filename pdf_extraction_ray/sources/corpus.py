@@ -93,6 +93,8 @@ def derived_parquet(sf_dir: str, name: str, build):
     atomic rename → _SUCCESS marker); a concurrent builder losing the
     rename race discards its copy and reads the winner's. Returns a
     ray.data Dataset backed by the published parquet."""
+    import glob as _glob
+
     import ray.data as rd
 
     out = Path("/tmp/pdf_extraction_ray/derived") / (
@@ -100,17 +102,41 @@ def derived_parquet(sf_dir: str, name: str, build):
         f"{_input_digest(sf_dir)}")
     marker = out / "_SUCCESS"
     if not marker.exists():
+        # sweep orphaned tmp dirs of CRASHED builders (any pid): the
+        # winner's published content is immutable, so removal is safe,
+        # and without it each killed battery chunk leaks a near-full
+        # copy of the table under /tmp (review finding)
+        for stale in _glob.glob(f"{out}.tmp-*"):
+            shutil.rmtree(stale, ignore_errors=True)
         tmp = Path(f"{out}.tmp-{os.getpid()}")
-        if tmp.exists():
-            shutil.rmtree(tmp)
         tmp.parent.mkdir(parents=True, exist_ok=True)
-        build().write_parquet(str(tmp))
+        ds = build()
+        ds.write_parquet(str(tmp))
+        if not tmp.exists():
+            # Ray writes NOTHING for a 0-row dataset (verified on
+            # 2.49): persist an explicit empty file with the build's
+            # schema so readers get a typed empty table instead of a
+            # forever-crashing missing path (review finding)
+            import pyarrow.parquet as _pq
+
+            sch = ds.schema()
+            base = getattr(sch, "base_schema", None)
+            if not isinstance(base, pa.Schema):
+                raise RuntimeError(
+                    f"derived_parquet({name}): empty build result with "
+                    "no Arrow schema — cannot persist a typed empty "
+                    "table")
+            tmp.mkdir(parents=True)
+            _pq.write_table(base.empty_table(),
+                            tmp / "part-empty.parquet")
         try:
             tmp.rename(out)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-        if out.exists():
-            marker.touch()
+            if out.exists():  # lost the publish race to another builder
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:  # a REAL failure (EACCES, ...) must not masquerade
+                raise
+        marker.touch()
     return rd.read_parquet(str(out))
 
 
