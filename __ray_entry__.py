@@ -1201,7 +1201,8 @@ def oracle_sql() -> dict[str, str]:
         # band collisions reduce to slice equality, and the simhash
         # chunk LSH is pigeonhole-complete for hamming<=3 so the oracle
         # can verify the predicate over all pairs
-        "dedup_minhash": analytics.dedup_minhash_sql(),
+        "dedup_minhash": analytics.dedup_minhash_sql(
+            num_perm=analytics.NEARDUP_NUM_PERM),
         "dedup_simhash": analytics.dedup_simhash_sql(),
         "jaccard_pairs": analytics.jaccard_pairs_sql(),
         # distributed connected-components clustering vs a DuckDB

@@ -2220,12 +2220,20 @@ def _docs_with_planted_near_dups(sf_dir: str) -> rd.Dataset:
 
 
 # the ONE parameterization of the shared near-dup signature family:
-# _neardup_sigs, dedup_minhash and jaccard_pairs (and their SQL
-# oracles' builders) must all hash identically or the disk-cached sig
-# table silently diverges from its consumers (review finding) — so
-# the literals live here and are passed explicitly everywhere.
+# _neardup_sigs, dedup_minhash and jaccard_pairs must all hash
+# identically or the disk-cached sig table silently diverges from its
+# consumers (review finding) — so the literals live here and are
+# passed explicitly to every ENGINE consumer and to dedup_minhash_sql
+# (whose num_perm is parameterized). CAVEAT the second review flagged:
+# the SQL builders hard-code the 3-word shingle construction (their
+# gram strings are built inline), so NEARDUP_SHINGLE_K must stay 3
+# unless the oracle SQL is rewritten with it — asserted below so a
+# drift fails loudly at import.
 NEARDUP_SHINGLE_K = 3
 NEARDUP_NUM_PERM = 64
+assert NEARDUP_SHINGLE_K == 3, (
+    "the near-dup SQL oracles hard-code 3-word shingles; rewrite them "
+    "before changing NEARDUP_SHINGLE_K")
 
 _neardup_sigs_cache: dict[tuple[str, str], rd.Dataset] = {}
 
@@ -4656,15 +4664,6 @@ def dup_span_strip_join(sf_dir: str) -> rd.Dataset:
     return dup_span_strip(sf_dir, mode="join")
 
 
-def _pmod(arr, parts: int):
-    """arr % parts over an Arrow int64 array (partition tag)."""
-    import pyarrow.compute as pc
-    if parts & (parts - 1) == 0:
-        return pc.bit_wise_and(arr, parts - 1)
-    import numpy as np_
-    return pa.array(np_.asarray(arr) % parts, pa.int64())
-
-
 def _dup_span_strip_join(docs: rd.Dataset, gh_parts: int = 64,
                          doc_parts: int = 16) -> rd.Dataset:
     """The distributed-join mode of :func:`dup_span_strip` (no driver
@@ -4754,7 +4753,7 @@ def _dup_span_strip_join(docs: rd.Dataset, gh_parts: int = 64,
             "doc_id": did,
             "i": t["i"].combine_chunks().cast(pa.int64()),
             "text": pa.nulls(len(t), pa.large_string()),
-            "pd_": pc.cast(_pmod(did, doc_parts), pa.int64()),
+            "pd_": dd._pmod(did, doc_parts),
         })
 
     def as_text_rows(t: pa.Table) -> pa.Table:
@@ -4764,7 +4763,7 @@ def _dup_span_strip_join(docs: rd.Dataset, gh_parts: int = 64,
             "doc_id": did,
             "i": pa.array([-1] * len(t), pa.int64()),
             "text": t["text"].combine_chunks().cast(pa.large_string()),
-            "pd_": pc.cast(_pmod(did, doc_parts), pa.int64()),
+            "pd_": dd._pmod(did, doc_parts),
         })
 
     unioned = (docs.select_columns(["doc_id", "text"])

@@ -102,15 +102,25 @@ def derived_parquet(sf_dir: str, name: str, build):
         f"{_input_digest(sf_dir)}")
     marker = out / "_SUCCESS"
     if not marker.exists():
-        # sweep orphaned tmp dirs of CRASHED builders (any pid): the
-        # winner's published content is immutable, so removal is safe,
-        # and without it each killed battery chunk leaks a near-full
-        # copy of the table under /tmp (review finding)
+        # sweep orphaned tmp dirs of CRASHED builders only: the suffix
+        # is the owning pid, and a tmp whose builder is still ALIVE
+        # must not be touched — deleting a live builder's in-progress
+        # dir could publish a truncated table under _SUCCESS (review
+        # finding); /proc/<pid> existence is the liveness check
         for stale in _glob.glob(f"{out}.tmp-*"):
+            pid = stale.rsplit("-", 1)[-1]
+            if pid.isdigit() and os.path.exists(f"/proc/{pid}"):
+                continue  # live concurrent builder — leave it alone
             shutil.rmtree(stale, ignore_errors=True)
         tmp = Path(f"{out}.tmp-{os.getpid()}")
+        if tmp.exists():
+            shutil.rmtree(tmp)
         tmp.parent.mkdir(parents=True, exist_ok=True)
-        ds = build()
+        # materialize BEFORE writing: the empty-build branch below
+        # needs ds.schema(), which on a lazy lineage would re-execute
+        # the whole build a second time (review finding); the derived
+        # tables are small by contract, so the pin is bounded
+        ds = build().materialize()
         ds.write_parquet(str(tmp))
         if not tmp.exists():
             # Ray writes NOTHING for a 0-row dataset (verified on
